@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+
+import scala.collection.mutable
+
+/** Spark-native vector search — the reference's
+  * `hudi_vector_search(path, column, query_vec, k, metric)` table
+  * function (demo.ipynb cell 11/13) re-expressed as declarative plans.
+  *
+  * Design notes (100 TB):
+  *  - `topK` compiles to TakeOrderedAndProject: each task keeps a k-heap
+  *    over its partitions and only k rows per partition reach the
+  *    driver-side merge. No shuffle, no global sort; cost is one scan.
+  *  - `hybrid*`: the reference post-filters (its index lacks predicate
+  *    pushdown — see demo.ipynb cell 13 comment). `hybridPrefilter`
+  *    filters BEFORE scoring, so the predicate reaches the parquet scan
+  *    (`PushedFilters`) and selective queries scan *less*. The
+  *    post-filter variant is kept for semantic parity with the demo.
+  *  - `knnJoin` (batched queries) broadcasts the query set, computes a
+  *    per-input-partition top-k with a bounded heap (mapPartitions —
+  *    genuine per-partition imperative logic), then resolves the global
+  *    top-k with a window over the ≤ |queries|·partitions·k survivors.
+  *    The big side never shuffles.
+  */
+object VectorSearch {
+
+  /** similarity/distance column for `metric` ∈ cosine | dot | l2. */
+  def scoreCol(vec: Column, query: Column, metric: String): Column = metric match {
+    case "cosine" => cosine_similarity(vec, query)
+    case "dot"    => dot_product(vec, query)
+    case "l2"     => l2_distance(vec, query)
+    case m        => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  /** true iff larger score = better for this metric. */
+  private def descending(metric: String): Boolean = metric != "l2"
+
+  private def queryLit(query: Seq[Float]): Column = typedlit(query)
+
+  /** Score every row against one query vector (adds `score`). */
+  def score(data: DataFrame, vecCol: String, query: Seq[Float], metric: String): DataFrame =
+    data.withColumn("score", scoreCol(col(vecCol), queryLit(query), metric))
+
+  /** Exact top-k against one query vector. Deterministic: ties broken by
+    * ascending `idCol`. Plan: TakeOrderedAndProject (per-partition heap).
+    */
+  def topK(data: DataFrame, vecCol: String, idCol: String, query: Seq[Float], k: Int,
+           metric: String = "cosine"): DataFrame = {
+    val scored = score(data, vecCol, query, metric).drop(vecCol)
+    val ord = if (descending(metric)) desc("score") else asc("score")
+    scored.orderBy(ord, asc(idCol)).limit(k)
+  }
+
+  /** Hybrid search, done right: predicate first (pushes to the scan),
+    * then exact top-k over the filtered rows only.
+    */
+  def hybridPrefilter(data: DataFrame, pred: Column, vecCol: String, idCol: String,
+                      query: Seq[Float], k: Int, metric: String = "cosine"): DataFrame =
+    topK(data.filter(pred), vecCol, idCol, query, k, metric)
+
+  /** Hybrid search the reference's way: wide top-k window, then filter,
+    * then re-limit (demo.ipynb cell 13). `wideK` plays the role of the
+    * reference's k=3000 (table size).
+    */
+  def hybridPostfilter(data: DataFrame, pred: Column, vecCol: String, idCol: String,
+                       query: Seq[Float], k: Int, wideK: Int,
+                       metric: String = "cosine"): DataFrame = {
+    val wide = topK(data, vecCol, idCol, query, wideK, metric)
+    val ord = if (descending(metric)) desc("score") else asc("score")
+    wide.filter(pred).orderBy(ord, asc(idCol)).limit(k)
+  }
+
+  /** Range search: all rows with similarity ≥ tau (or distance ≤ tau for
+    * l2). Fully parallel filter — no top-k driver merge at all.
+    */
+  def rangeSearch(data: DataFrame, vecCol: String, query: Seq[Float], tau: Double,
+                  metric: String = "cosine"): DataFrame = {
+    val scored = score(data, vecCol, query, metric).drop(vecCol)
+    if (descending(metric)) scored.filter(col("score") >= tau)
+    else scored.filter(col("score") <= tau)
+  }
+
+  /** Batched k-NN: for every query row (qidCol, qvecCol) find its top-k
+    * data rows. Query set is broadcast; data side never shuffles — a
+    * bounded heap per (partition, query) reduces to ≤ P·Q·k rows before
+    * the final (tiny) window.
+    */
+  def knnJoin(data: DataFrame, vecCol: String, idCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, metric: String = "cosine"): DataFrame = {
+    val scored = data
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .withColumn("score", scoreCol(col(vecCol), col(qvecCol), metric))
+      .select(col(qidCol), col(idCol), col("score"))
+
+    val desc_ = descending(metric)
+    val enc = Encoders.row(scored.schema)
+    // Per-partition bounded heap: keeps k best rows per query id.
+    val partial = scored.mapPartitions { it =>
+      val heaps = mutable.Map.empty[Any, mutable.PriorityQueue[(Double, Long, Row)]]
+      // dequeue removes the greatest element == the WORST kept row, so
+      // "greater" must mean "worse" under this ordering.
+      val ord: Ordering[(Double, Long, Row)] =
+        if (desc_) Ordering.by(t => (-t._1, t._2)) // lower score / larger id = worse
+        else Ordering.by(t => (t._1, t._2))        // larger distance / larger id = worse
+      it.foreach { r =>
+        val qid = r.get(0); val id = r.getLong(1); val s = r.getDouble(2)
+        val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(ord))
+        h.enqueue((s, id, r))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(enc)
+
+    val w =
+      if (desc_) Window.partitionBy(qidCol).orderBy(desc("score"), asc(idCol))
+      else Window.partitionBy(qidCol).orderBy(asc("score"), asc(idCol))
+    partial
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+}
