@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.VectorSearch
+import graft.operators.{Embed, Skew, Upsert, VectorSearch}
 import graft.functions.vectors._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -108,6 +109,29 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("source"))),
 
+    // == reference surface: upsert ingest + embedding generation ============
+
+    "upsert_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .select(o.columns.map(col): _*)
+      Upsert.merge(o, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "embed_documents" -> ((s, dir) => {
+      // model stubbed (feature hashing); batch plumbing real — rows-only check
+      Embed.encode(Tables.documents(s, dir), "text", 64)
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          q4(vector_norm(col("embedding"))).as("norm_q"))
+        .orderBy("doc_id")
+    }),
+
     // == Spark-native analytics (TPC-H-ish) =================================
 
     "q1_pricing_summary" -> ((s, dir) => {
@@ -124,6 +148,88 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+    }),
+
+    "q5_region_volume" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir).join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.supplier(s, dir).join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_top_customer_per_nation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("n_name"), col("rnk"))
+    }),
+
+    "q_events_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 10000)).as("sum_value_q4"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value_q4"))
+        .orderBy("hour_start", "event_type")),
+
+    "q_events_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+      Tables.events(s, dir)
+        .withColumn("is_new",
+          when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(byUser))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    "q_orders_enriched_skew" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(Tables.orders(s, dir), dim, Seq("o_custkey"),
+          saltSource = col("o_orderkey"), buckets = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100)).as("sum_price_c"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -193,6 +299,68 @@ object SparkEntry {
                 count(*) AS count_order,
                 sum(l_quantity) / count(*) AS avg_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
-         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "upsert_merge" ->
+      """WITH updates AS (
+           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 7 = 0),
+         unioned AS (
+           SELECT *, 0 AS v FROM orders UNION ALL SELECT *, 1 AS v FROM updates),
+         merged AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM unioned)
+         SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_top_customer_per_nation" ->
+      """SELECT n_name, rnk, c_custkey, c_acctbal FROM (
+           SELECT n_name, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         WHERE rnk <= 3 ORDER BY n_name, rnk""",
+
+    "q_events_tumbling" ->
+      """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS hour_start,
+                event_type, count(*) AS n_events,
+                sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_value_q4
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_sessions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us,
+                  lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+         z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM y)
+         SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+         FROM z GROUP BY user_id, sess ORDER BY user_id, session_start_us""",
+
+    "q_orders_enriched_skew" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }
