@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Embed, Skew, Upsert, VectorSearch}
+import graft.operators.{Dedup, Embed, Skew, TextAnalysis, Upsert, VectorSearch}
 import graft.functions.vectors._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -230,7 +230,72 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice") * 100)).as("sum_price_c"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // == LLM-data-pipeline: deduplication =====================================
+
+    "dedup_exact" -> ((s, dir) => {
+      // model a re-crawl: every 10th doc appears again under a new id
+      val docs = Tables.documents(s, dir)
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      Dedup.exact(docs.unionByName(recrawl), col("text"), col("doc_id"))
+        .orderBy("keep_id")
+    }),
+
+    "dedup_exact_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000)
+      Dedup.exact(docs.unionByName(recrawl), col("text"), col("doc_id"))
+        .groupBy("n_dups").agg(count(lit(1)).as("n_groups"))
+        .orderBy("n_dups")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
+        .orderBy("i", "j")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
+        .orderBy("i", "j")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      // hash-function-dependent → rows-only check; semantics in DedupSpec
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("i", "j")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4)
+        .select(col("i"), col("j"), q4(col("cos")).as("cos_q"))
+        .orderBy("i", "j")),
+
+    // == LLM-data-pipeline: text analysis =====================================
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+          col("n_subword_tokens").cast("long").as("n_subword_tokens"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_word_len"), col("stopword_ratio"), col("punct_ratio"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir), "text")
+        .select(col("doc_id") +: col("lang_guess") +:
+          TextAnalysis.langProfiles.map { case (l, _) =>
+            col(s"score_$l").cast("long").as(s"score_$l") }: _*)
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
+        .select("doc_id", "fp_md5", "fp_sha256")
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL (DuckDB dialect, run by the driver at sf0.01) -----------
@@ -361,6 +426,107 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
                 sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT sha256(text) AS key_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM all_docs GROUP BY text ORDER BY keep_id""",
+
+    "dedup_exact_stats" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000, text FROM documents WHERE doc_id % 10 = 0),
+         groups AS (
+           SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM all_docs GROUP BY text)
+         SELECT n_dups, count(*) AS n_groups FROM groups GROUP BY n_dups ORDER BY n_dups""",
+
+    "dedup_ngram_jaccard" -> jaccardOracle,
+
+    // b=32 bands × r=4 rows over 128 perms: P(miss | J≥0.8) < 1e-7, and the
+    // injected near-dups sit at J≥0.9 (miss < 1e-15) — LSH output == exact set.
+    "dedup_minhash_lsh" -> jaccardOracle,
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+                CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0) AS BIGINT) AS cos_q
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY i, j""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+                len(string_split(lower(text), ' ')) AS n_tokens,
+                len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+                len(string_split(lower(text), ' ')) AS n_tokens,
+                CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+                  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+                  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+                CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "text_langid" -> langidOracle,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+         FROM documents ORDER BY doc_id"""
   )
+
+  /** Mirrors [[graft.operators.Dedup.shingles]] (k=3) + the inverted-index
+    * pair join, verbatim, in DuckDB list functions.
+    */
+  private val jaccardOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                  i -> array_to_string(t[i:i+2], ' '))) AS s
+         FROM toks),
+       sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+       pairs AS (
+         SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(s) AS n FROM sh2)
+       SELECT i, j, CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) AS jaccard
+       FROM pairs p JOIN sizes si ON p.i = si.doc_id JOIN sizes sj ON p.j = sj.doc_id
+       WHERE CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) >= 0.8
+       ORDER BY i, j"""
+
+  /** Mirrors [[graft.operators.TextAnalysis.withLangId]]: per-language
+    * distinct-token overlap, argmax with lexicographic-min tie-break.
+    */
+  private val langidOracle: String = {
+    val profiles = TextAnalysis.langProfiles
+    def score(words: Seq[String]): String =
+      s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [${words.map("'" + _ + "'").mkString(",")}]))"
+    val scoreCols = profiles.map { case (l, ws) => s"${score(ws)} AS score_$l" }.mkString(",\n              ")
+    val langs = profiles.map(_._1)
+    // lexicographic-min argmax: lang L wins iff score_L >= max(scores of all later langs)
+    val caseArms = langs.sorted.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.sorted.drop(i + 1).map(r => s"score_$r")
+      val restMax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
+      s"WHEN score_$l >= $restMax THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+         SELECT doc_id, $scoreCols
+         FROM documents)
+       SELECT doc_id,
+              CASE $caseArms ELSE '${langs.sorted.last}' END AS lang_guess,
+              ${langs.map(l => s"score_$l").mkString(", ")}
+       FROM scored ORDER BY doc_id"""
+  }
 }

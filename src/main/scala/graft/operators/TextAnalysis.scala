@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level text analysis for training-data curation: token
+  * counting, quality scoring, language ID, fingerprinting. Everything is
+  * a per-row projection (codegen'd built-ins, zero shuffle) — at 100 TB
+  * these run at scan speed and the only cost is the parquet read.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count + a BPE-ish subword proxy (letter runs and
+    * single non-letter marks counted separately) + distinct count.
+    */
+  def withTokenStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("n_distinct_tokens", size(array_distinct(tokens(col(textCol)))))
+      .withColumn("n_subword_tokens", regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+
+  /** Stopword list shared with the language profiles and the quality
+    * score — tiny, broadcast as a literal array.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality heuristics: doc length, mean word length, stopword ratio,
+    * punctuation ratio. Ratios are double divisions of exact integer
+    * counts — deterministic for the oracle.
+    */
+  def withQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val nPunct = regexp_count(col(textCol), lit("[^a-z0-9 ]"))
+    val nChars = length(col(textCol))
+    docs
+      .withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len",
+        (nChars - (nTok - lit(1))).cast("double") / nTok.cast("double"))
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars.cast("double"))
+  }
+
+  /** Language profiles: distinct-token overlap with per-language marker
+    * lists (n-gram-profile heuristic in its simplest SQL-expressible
+    * form). Deterministic argmax with lexicographic tie-break.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "stream", "merge"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "table"),
+    "fr" -> Seq("query", "join", "group"),
+    "zh" -> Seq("spark", "key", "value"))
+
+  def withLangId(docs: DataFrame, textCol: String): DataFrame = {
+    val dToks = array_distinct(tokens(col(textCol)))
+    val scored = langProfiles.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(array_intersect(dToks, typedlit(words))))
+    }
+    // argmax by score, tie-break by language code ascending
+    val best = langProfiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("neg_l"), lit(lang).as("l"))
+    }
+    // greatest() compares structs lexicographically: (score, lang) — but a
+    // HIGHER lang would win ties; invert by comparing on (score, reversed lang)
+    val bestExpr = greatest(langProfiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"),
+        lit(langProfiles.map(_._1).sorted.reverse.indexOf(lang)).as("tie"),
+        lit(lang).as("l"))
+    }: _*)
+    scored.withColumn("lang_guess", bestExpr.getField("l"))
+  }
+
+  /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
+  def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fp_md5", md5(to_binary(col(textCol), lit("utf-8"))))
+      .withColumn("fp_sha256", sha2(to_binary(col(textCol), lit("utf-8")), 256))
+}
