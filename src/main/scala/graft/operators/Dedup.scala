@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import scala.util.hashing.MurmurHash3
 
 /** Training-data deduplication suite for 100 TB document corpora.
@@ -31,44 +32,85 @@ object Dedup {
     df.groupBy(sha2(keyCol.cast("string"), 256).as("key_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Inverted-index exact Jaccard: emits (i, j, inter, union_) for every
-    * pair sharing ≥1 shingle. Cost is Σ_shingle df(shingle)² — an
-    * inverted-index join, not O(n²) over documents.
+  /** Exact near-dup pairs at Jaccard ≥ tau, PPJoin-style (Xiao et al.,
+    * WWW'08): candidates come from an inverted index over each doc's
+    * *prefix* — its (n - ⌈τ·n⌉ + 1) globally-rarest shingles. Any pair
+    * with J ≥ τ shares ≥ 1 prefix shingle (pigeonhole over the sorted
+    * order), so this is exact while indexing ~(1-τ) of the postings,
+    * which cuts the Σ df² join cost by ~(1-τ)² and keeps the hottest
+    * (most frequent) shingles out of the index entirely. Length filter
+    * τ·ni ≤ nj ≤ ni/τ prunes the remainder before the verify step.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   tau: Double, k: Int = 3): DataFrame = {
+    // persisted: the shingle set feeds candidate generation AND both
+    // sides of the verify join — without it the (non-codegen) HOF
+    // shingling is re-evaluated once per reuse. Disk-spillable, so at
+    // cluster scale this is bounded by executor storage, not heap.
     val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
-      .withColumn("union_", col("ni") + col("nj") - col("inter"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // global document frequency per shingle → rarest-first canonical order
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val df_ = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix postings: rank shingles within each doc by (df, s) asc, keep
+    // rank ≤ n - ⌈τ·n⌉ + 1. The 1e-9 slack keeps float ceil from rounding
+    // an exact τ·n up (shorter prefix = missed pairs); erring longer is
+    // always safe.
+    val ranked = ex.join(df_, "s")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("s"))))
+      .filter(col("rnk") <= col("n") - ceil(lit(tau) * col("n") - 1e-9) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+
+    val candidates = ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * lit(tau) - 1e-9 <= col("a.n") &&
+          col("a.n") * lit(tau) - 1e-9 <= col("b.n"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+
+    verifyJaccard(candidates, sh, tau)
   }
 
-  /** Exact near-dup pairs at Jaccard ≥ tau via the inverted index. */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   tau: Double, k: Int = 3): DataFrame =
-    jaccardPairs(docs, idCol, textCol, k)
+  /** Exact-verify candidate pairs against full shingle sets at τ. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    candidates
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("si")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sj")), "j")
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))))
+      .withColumn("union_", size(col("si")) + size(col("sj")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
       .filter(col("jaccard") >= tau)
       .select("i", "j", "jaccard")
 
-  /** MinHash signature of a shingle set: sig(p) = min over shingles of
-    * hash_p(shingle). Computed in one shuffle-free pass per document —
-    * hash choice is internal because candidates are exact-verified.
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over pre-hashed shingles: sig(p) = min over
+    * shingles of mix_p(h). The string→64-bit hashing happens once, in
+    * codegen'd SQL (`xxhash64`); each permutation is ~10 ALU ops here.
+    * Hash choice is internal: candidates are exact-verified, so it
+    * never leaks into results (only into recall, bounded by the band
+    * math).
     */
-  def minhashSig(sh: Array[String], numPerms: Int): Array[Int] = {
-    val sig = Array.fill(numPerms)(Int.MaxValue)
+  def minhashSig(hashes: Array[Long], numPerms: Int): Array[Long] = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
-    while (i < sh.length) {
+    while (i < hashes.length) {
+      val h = hashes(i)
       var p = 0
       while (p < numPerms) {
-        val h = MurmurHash3.stringHash(sh(i), p)
-        if (h < sig(p)) sig(p) = h
+        val v = mix64(h ^ (p.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(p)) sig(p) = v
         p += 1
       }
       i += 1
@@ -93,15 +135,24 @@ object Dedup {
 
     val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by banding + verify
 
-    // (doc_id, band, bucket_hash): one row per band per doc, no shuffle
-    val banded = sh.as[(Long, Seq[String])].flatMap { case (id, shs) =>
-      val sig = minhashSig(shs.toArray, numPerms)
-      (0 until bands).iterator.map { b =>
-        val bandSlice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (id, b, MurmurHash3.arrayHash(bandSlice))
-      }
-    }.toDF("doc_id", "band", "bucket")
+    // (doc_id, band, bucket_hash): one row per band per doc, no shuffle.
+    // Shingles are pre-hashed by codegen'd xxhash64; the typed flatMap
+    // only sees Array[Long] (primitive decode path, no per-string deser).
+    val banded = sh
+      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        val sig = minhashSig(hs, numPerms)
+        (0 until bands).iterator.map { b =>
+          var bucket = 0L
+          var r = b * rowsPerBand
+          while (r < (b + 1) * rowsPerBand) { bucket = mix64(bucket ^ sig(r)); r += 1 }
+          (id, b, bucket)
+        }
+      }.toDF("doc_id", "band", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the bucket self-join
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -109,14 +160,7 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    // exact verify candidates only
-    val withSets = candidates
-      .join(sh.select(col("doc_id").as("i"), col("sh").as("si")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("sj")), "j")
-      .withColumn("inter", size(array_intersect(col("si"), col("sj"))))
-      .withColumn("union_", size(col("si")) + size(col("sj")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
-    withSets.filter(col("jaccard") >= tau).select("i", "j", "jaccard")
+    verifyJaccard(candidates, sh, tau)
   }
 
   /** 64-bit SimHash of the token multiset: bit k of the fingerprint is
@@ -151,6 +195,7 @@ object Dedup {
     val blocks = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> named_struct('blk', b, 'key', (fp >> (b*16)) & 65535))")).as("e"))
       .select(col("doc_id"), col("fp"), col("e.blk"), col("e.key"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the block self-join
 
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
