@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Embed, Skew, TextAnalysis, Upsert, VectorSearch}
+import graft.operators.{Dedup, Embed, IvfIndex, LshIndex, Skew, TextAnalysis, Upsert, VectorSearch}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
 import graft.functions.vectors._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -295,7 +297,47 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
         .select("doc_id", "fp_md5", "fp_sha256")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // == LLM-data-pipeline: ANN similarity search (scale path) ===============
+
+    "simsearch_ivf" -> ((s, dir) => {
+      // approximate (nprobe < nlist) → rows-only; recall vs brute force in spec
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
+      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 4)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
+    "simsearch_lsh_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
+      val indexed = LshIndex.index(emb, "embedding", planes)
+      LshIndex.probe(indexed, "vec_id", "embedding", queryVec(s, dir, 0L), planes,
+          k = 10, maxHamming = 4)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
+    // == LLM-data-pipeline: multimodal binary columns ========================
+
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "n_bytes", "sha256")
+        .orderBy("doc_id")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"), stride = 32)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes"), col("frame_md5"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // == Structured Streaming (same transform, batch run for the oracle) ====
+
+    "stream_event_counts" -> ((s, dir) =>
+      EventStreams.windowedCounts(Tables.events(s, dir))
+        .orderBy("win_start", "event_type"))
   )
 
   // ---- oracle SQL (DuckDB dialect, run by the driver at sf0.01) -----------
@@ -481,7 +523,26 @@ object SparkEntry {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // documents are all-ASCII (asserted at build time), so DuckDB VARCHAR
+    // char-ops equal Spark's byte-ops on the utf-8 payload.
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, f AS frame_idx,
+                CAST(length(substring(text, CAST(f*32+1 AS INT), 32)) AS BIGINT) AS frame_bytes,
+                md5(substring(text, CAST(f*32+1 AS INT), 32)) AS frame_md5
+         FROM documents, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS t(f)
+         ORDER BY doc_id, frame_idx""",
+
+    "stream_event_counts" ->
+      """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 AS BIGINT) AS win_start,
+                event_type, count(*) AS n_events,
+                sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_value_q4
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** Mirrors [[graft.operators.Dedup.shingles]] (k=3) + the inverted-index

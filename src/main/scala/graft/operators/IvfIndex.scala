@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+
+/** IVF (inverted-file) ANN index — the scale path for vector search,
+  * mirroring Lance's IVF index family (the reference's table declares
+  * IVF_PQ; see /root/reference README "Indexing: IVF_PQ supported via
+  * Lance"). We implement IVF-Flat: exact distances inside probed cells.
+  *
+  * Spark-first design: the "index" IS a partitioned parquet layout.
+  *  - build: MLlib KMeans (sampled) fits nlist centroids; every row is
+  *    assigned to its nearest centroid and the table is written
+  *    `partitionBy(cluster_id)` — one directory per inverted list.
+  *  - probe: rank centroids against the query ON THE DRIVER (nlist
+  *    floats — tiny), then read only the `nprobe` nearest partitions.
+  *    The `cluster_id IN (...)` filter is a partition filter, so Spark
+  *    lists/reads nprobe/nlist of the files (`PartitionFilters` in
+  *    explain) — at 100 TB with nlist=4096, nprobe=64 that is 1.5 % of
+  *    the data, and each probed cell scans in parallel.
+  *
+  * Recall/cost tradeoff is nprobe/nlist; exactness inside cells means
+  * recall loss only from quantization boundaries (measured in
+  * IvfIndexSpec against brute force).
+  */
+object IvfIndex {
+
+  final case class Model(path: String, centroids: Array[Array[Float]], metric: String)
+
+  /** Fit nlist centroids and lay the table out as one partition dir per
+    * cluster. For cosine, vectors are L2-normalized before KMeans so
+    * euclidean cells == angular cells (standard spherical-kmeans
+    * approximation).
+    */
+  def build(data: DataFrame, vecCol: String, nlist: Int, path: String,
+            metric: String = "cosine", seed: Long = 42L): Model = {
+    val feat =
+      if (metric == "cosine")
+        data.withColumn("_n", vector_norm(col(vecCol))) // hoisted: norm once per row, not per element
+          .withColumn("_feat", array_to_vector(
+            transform(col(vecCol), x => (x / col("_n")).cast("float"))))
+          .drop("_n")
+      else data.withColumn("_feat", array_to_vector(col(vecCol)))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("_feat").setPredictionCol("cluster_id")
+    val model = km.fit(feat)
+    model.transform(feat).drop("_feat")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
+  }
+
+  /** Top-k against the index, reading only the nprobe nearest cells. */
+  def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
+            query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val cells = nearestCells(model, query, nprobe)
+    val scan = spark.read.parquet(model.path)
+      .filter(col("cluster_id").isin(cells: _*)) // partition-pruning filter
+    VectorSearch.topK(scan, vecCol, idCol, query, k, model.metric)
+  }
+
+  /** Driver-side centroid ranking (nlist × dim floats — microseconds). */
+  private[operators] def nearestCells(model: Model, query: Seq[Float], nprobe: Int): Seq[Int] = {
+    val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(x => (x * inv).toFloat)
+  }
+}

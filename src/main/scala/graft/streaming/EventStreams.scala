@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the events table. Every transform here is
+  * a pure DataFrame→DataFrame function, so the SAME code runs in batch
+  * (for the DuckDB oracle) and under `readStream` (tested in
+  * EventStreamsSpec with Trigger.AvailableNow) — Spark's unified
+  * batch/stream semantics do the work.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1 hour is dropped, state for closed windows is
+  * evicted); `mapGroupsWithState` state is per-user and O(1) per key.
+  */
+object EventStreams {
+
+  /** Streaming read of an events parquet directory. Schema is pinned
+    * from a batch read of the same path (a stream source cannot infer).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 30-minute counts per event type. Batch == stream. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 10000)).as("sum_value_q4"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value_q4"))
+
+  /** Session windows per user (30-minute gap), Spark-native
+    * `session_window` — in streaming, state merges/extends sessions
+    * under the watermark.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("long").as("sess_start"),
+        col("user_id"), col("n_events"))
+
+  final case class UserStat(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Custom streaming state: running per-user event count + max value
+    * via `mapGroupsWithState` — the arbitrary-state primitive for
+    * operators the built-in aggs can't express.
+    */
+  def userStats(events: Dataset[(Long, Double)]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, Double.MinValue))
+          var n = prev.n_events
+          var mx = prev.max_value
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          val next = UserStat(user, n, mx)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive any stream→DataFrame transform over the events dir with
+    * Trigger.AvailableNow into an in-memory table; returns the result.
+    * (Test/verification harness — production would writeStream to a
+    * sink with checkpointing.)
+    */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      transform: DataFrame => DataFrame,
+                      queryName: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = transform(readEventStream(spark, dir)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
