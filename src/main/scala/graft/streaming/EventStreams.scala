@@ -21,9 +21,12 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory; events.parquet is a single file
+    // inside the sf dir, so stream the dir with a glob filter.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

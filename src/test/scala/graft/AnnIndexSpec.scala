@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, LshIndex, VectorSearch}
+import java.nio.file.Files
+
+/** Recall of the ANN paths vs exact brute-force top-k. */
+class AnnIndexSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private lazy val query: Seq[Float] =
+    emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+  private lazy val exactTop10: Set[Long] =
+    VectorSearch.topK(emb, "embedding", "vec_id", query, 10, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("IVF with nprobe = nlist is exact (recall 1.0)") {
+    val path = Files.createTempDirectory("ivf_full").toString
+    val model = IvfIndex.build(emb, "embedding", nlist = 8, path, "cosine")
+    val got = IvfIndex.probe(spark, model, "vec_id", "embedding", query, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got shouldBe exactTop10
+  }
+
+  test("IVF probe prunes partitions and keeps recall@10 >= 0.6 at nprobe=2/8") {
+    val path = Files.createTempDirectory("ivf_part").toString
+    val model = IvfIndex.build(emb, "embedding", nlist = 8, path, "cosine")
+    val probe = IvfIndex.probe(spark, model, "vec_id", "embedding", query, 10, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters") // pruning, not a full scan + filter
+    val got = probe.select("vec_id").collect().map(_.getLong(0)).toSet
+    (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.6
+  }
+
+  test("LSH at full hamming radius is exact; tight radius keeps recall") {
+    val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
+    val indexed = LshIndex.index(emb, "embedding", planes).cache()
+    val full = LshIndex.probe(indexed, "vec_id", "embedding", query, planes, 10, maxHamming = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    full shouldBe exactTop10
+    val tight = LshIndex.probe(indexed, "vec_id", "embedding", query, planes, 10, maxHamming = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (tight.intersect(exactTop10).size.toDouble / 10) should be >= 0.5
+    // tight-radius probe must actually prune the candidate set
+    val nCand = indexed.filter(
+      bit_count(col("sig").bitwiseXOR(lit(LshIndex.signatureOf(query, planes)))) <= 4).count()
+    nCand should be < emb.count()
+  }
+}

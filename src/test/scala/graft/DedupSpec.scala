@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("exact dedup groups identical payloads and keeps the min id") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other")).toDF("id", "t")
+    val got = Dedup.exact(df, col("t"), col("id"))
+      .select("keep_id", "n_dups").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 2L), (3L, 1L))
+  }
+
+  test("minhashLsh finds exactly the exact-Jaccard pair set at tau=0.8") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty // the corpus has injected near-dups
+    lsh shouldBe exact
+  }
+
+  test("ngramJaccard keeps a pair at exactly J = tau (boundary)") {
+    // sets of 5 and 4 shingles with 4 shared -> J = 4/5 = 0.8 exactly:
+    // 7-token doc a (5 tri-grams), 6-token prefix doc b (4 tri-grams, all shared)
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f")).toDF("id", "t")
+    val got = Dedup.ngramJaccard(df, "id", "t", 0.8).collect()
+    got should have length 1
+    got(0).getDouble(2) shouldBe 0.8 +- 1e-15
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dups within 3") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("id", "t")
+    val got = Dedup.simhashPairs(df, "id", "t", 3).collect()
+    got should have length 1
+    got(0).getInt(2) shouldBe 0
+    // and on the corpus, every exact near-dup pair should be simhash-close
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sim should not be empty
+  }
+
+  test("embeddingCosine pair set matches brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val want = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      dot = vi.zip(vj).map { case (a, b) => a * b }.sum
+      cos = dot / (math.sqrt(vi.map(x => x * x).sum) * math.sqrt(vj.map(x => x * x).sum))
+      if cos >= 0.4
+    } yield (i, j)).toSet
+    got shouldBe want
+  }
+}

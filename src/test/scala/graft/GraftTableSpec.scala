@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import graft.operators.Upsert
+import java.nio.file.Files
+
+/** COW table semantics: create / upsert / snapshot isolation / time
+  * travel / deletes (the reference's Hudi surface, demo.ipynb cell 8).
+  */
+class GraftTableSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("create, upsert (update+insert), read latest, time travel") {
+    val path = Files.createTempDirectory("graft_table").toString + "/t"
+    val v0 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "x")
+    GraftTable.create(v0, path, Seq("k"))
+    GraftTable.latestVersion(path) shouldBe 0
+
+    val updates = Seq((2L, "b2", 21), (3L, "c", 30)).toDF("k", "s", "x")
+    GraftTable.upsert(spark, path, updates)
+    GraftTable.latestVersion(path) shouldBe 1
+
+    val latest = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    latest shouldBe Seq((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30))
+
+    val asOfV0 = GraftTable.read(spark, path, version = 0).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    asOfV0 shouldBe Seq((1L, "a", 10), (2L, "b", 20))
+  }
+
+  test("last-wins merge is deterministic when updates repeat a key") {
+    val base = Seq((1L, 1)).toDF("k", "x")
+    val up = Seq((1L, 2)).toDF("k", "x")
+    Upsert.merge(base, up, Seq("k")).collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe
+      Array((1L, 2))
+  }
+
+  test("mergeWithDeletes drops flagged keys") {
+    val base = Seq((1L, 1), (2L, 2)).toDF("k", "x")
+    val up = Seq((2L, -1)).toDF("k", "x")
+    val got = Upsert.mergeWithDeletes(base, up, Seq("k"), col("x") < 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    got shouldBe Set((1L, 1))
+  }
+}
