@@ -44,9 +44,14 @@ object IvfIndex {
             transform(col(vecCol), x => (x / col("_n")).cast("float"))))
           .drop("_n")
       else data.withColumn("_feat", array_to_vector(col(vecCol)))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("_feat").setPredictionCol("cluster_id")
-    val model = km.fit(feat)
+    // fit on a bounded sample — centroid quality saturates long before
+    // the full corpus is seen, and at 100 TB a full-data fit is a
+    // non-starter; assignment below still covers every row.
+    val nRows = feat.count()
+    val fitInput = if (nRows > 100000) feat.sample(100000.0 / nRows, seed) else feat
+    val model = km.fit(fitInput)
     model.transform(feat).drop("_feat")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
