@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The reference's SQL search pattern, runnable as plain Spark SQL once
+  * the kernels are registered.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+
+  test("registered SQL functions reproduce the DataFrame top-k") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings_v")
+    val sql = spark.sql(
+      """SELECT vec_id,
+               cosine_similarity(embedding,
+                 (SELECT embedding FROM embeddings_v WHERE vec_id = 0)) AS score
+         FROM embeddings_v ORDER BY score DESC, vec_id LIMIT 10""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val df = graft.operators.VectorSearch.topK(emb, "embedding", "vec_id", q, 10, "cosine")
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    sql shouldBe df
+  }
+
+  test("all four kernels resolve by name in SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)),
+               dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)),
+               l2_distance(array(0.0F, 0.0F), array(3.0F, 4.0F)),
+               vector_norm(array(3.0D, 4.0D))""").head()
+    r.getDouble(0) shouldBe 1.0 +- 1e-15
+    r.getDouble(1) shouldBe 11.0 +- 1e-15
+    r.getDouble(2) shouldBe 5.0 +- 1e-15
+    r.getDouble(3) shouldBe 5.0 +- 1e-15
+  }
+}
