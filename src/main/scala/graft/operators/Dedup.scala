@@ -47,9 +47,7 @@ object Dedup {
     // sides of the verify join — without it the (non-codegen) HOF
     // shingling is re-evaluated once per reuse. Disk-spillable, so at
     // cluster scale this is bounded by executor storage, not heap.
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = hashedShingles(docs, idCol, textCol, k)
 
     // global document frequency per shingle → rarest-first canonical order
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
@@ -76,11 +74,32 @@ object Dedup {
     verifyJaccard(candidates, sh, tau)
   }
 
-  /** Exact-verify candidate pairs against full shingle sets at τ. */
+  /** (doc_id, sh: array<string>, hs: array<bigint>) — the shingle set
+    * plus its xxhash64 image, persisted once and shared by candidate
+    * generation (strings: the provable canonical order) and
+    * verification (longs: cheap set intersection).
+    */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // persisted: feeds candidate generation AND both sides of the
+      // verify join — without it the (non-codegen) HOF shingling is
+      // re-evaluated once per reuse. Disk-spillable, so at cluster
+      // scale this is bounded by executor storage, not heap.
+      .select(col("doc_id"), col("sh"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact-verify candidate pairs against full shingle sets at τ.
+    * Intersections run on the 64-bit hash image of each set — 250-
+    * element long intersections instead of string ones (~10× cheaper
+    * per pair). |hashed ∩| == |string ∩| unless xxhash64 collides
+    * within one pair's union (P < |union|²/2⁶⁵ ≈ 1e-14 per pair).
+    */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame =
     candidates
-      .join(sh.select(col("doc_id").as("i"), col("sh").as("si")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("sj")), "j")
+      .join(sh.select(col("doc_id").as("i"), col("hs").as("si")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("hs").as("sj")), "j")
       .withColumn("inter", size(array_intersect(col("si"), col("sj"))))
       .withColumn("union_", size(col("si")) + size(col("sj")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
@@ -133,15 +152,13 @@ object Dedup {
     val rows = bands.ensuring(numPerms % bands == 0, "bands must divide perms")
     val rowsPerBand = numPerms / bands
 
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by banding + verify
+    val sh = hashedShingles(docs, idCol, textCol)
 
     // (doc_id, band, bucket_hash): one row per band per doc, no shuffle.
     // Shingles are pre-hashed by codegen'd xxhash64; the typed flatMap
     // only sees Array[Long] (primitive decode path, no per-string deser).
     val banded = sh
-      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), col("hs"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, hs) =>
         val sig = minhashSig(hs, numPerms)
