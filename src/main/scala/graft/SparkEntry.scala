@@ -310,6 +310,17 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "simsearch_ivfpq" -> ((s, dir) => {
+      // lossy codes + approximate probe → rows-only; recall in AnnIndexSpec
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = operators.PqIndex.build(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, path, "cosine")
+      operators.PqIndex.probe(s, model, "vec_id", "embedding",
+          queryVec(s, dir, 0L), 10, nprobe = 4)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)

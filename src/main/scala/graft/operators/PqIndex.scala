@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+
+import scala.util.Random
+
+/** IVF-PQ — the reference table's declared index type (README/table
+  * config: "IVF_PQ supported via Lance"), Spark-first.
+  *
+  * Product quantization: D dims split into M subspaces; per subspace a
+  * 256-centroid codebook (Lloyd's on a driver-side sample — PQ
+  * codebooks are always sample-fit) maps each subvector to one byte.
+  * A vector becomes M bytes — for 384-dim float32, 1536 B → 8 B, so
+  * the ADC scan of a 100 TB corpus touches ~0.5 % of the bytes, and
+  * column pruning means the scan never reads the float vectors at all.
+  *
+  * Layout: [[IvfIndex]]-style `partitionBy(cluster_id)` parquet with a
+  * `pq_code` binary column next to the original row. Probe:
+  *   1. rank coarse centroids driver-side → read nprobe partitions
+  *      (partition pruning), selecting only (id, pq_code);
+  *   2. ADC: per query build a M×256 lookup table driver-side; each
+  *      row's approximate score is M table lookups (broadcast LUT);
+  *   3. exact re-rank: the rerankFactor·k ADC survivors (ids only)
+  *      join back to fetch their true vectors — an `isin` pushed
+  *      filter over k' ids — and the exact kernel orders the final k.
+  */
+object PqIndex {
+
+  /** codebooks(m)(c) = centroid c of subspace m (flat float array). */
+  final case class Model(path: String, coarse: Array[Array[Float]],
+                         codebooks: Array[Array[Array[Float]]],
+                         m: Int, dsub: Int, metric: String)
+
+  def build(data: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
+            path: String, metric: String = "cosine", seed: Long = 42L,
+            sampleSize: Int = 20000): Model = {
+    val spark = data.sparkSession
+    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+
+    // normalized vectors for cosine: angular NN == dot on unit sphere
+    val unit =
+      if (metric == "cosine")
+        data.withColumn("_n", vector_norm(col(vecCol)))
+          .withColumn("_v", transform(col(vecCol), x => (x / col("_n")).cast("float")))
+          .drop("_n")
+      else data.withColumn("_v", col(vecCol))
+
+    // sample-fit: coarse centroids + per-subspace codebooks, all driver-side
+    val nRows = unit.count()
+    val sample = (if (nRows > sampleSize) unit.sample(sampleSize.toDouble / nRows, seed) else unit)
+      .select("_v").collect().map(_.getSeq[Float](0).toArray)
+    val coarse = lloyd(sample, nlist, iters = 10, seed)
+    val codebooks = Array.tabulate(m) { mi =>
+      val sub = sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+      lloyd(sub, 256, iters = 10, seed + mi + 1)
+    }
+
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(codebooks)
+    val assignUdf = udf((v: Seq[Float]) => nearestIdx(bcCoarse.value, v.toArray))
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val code = new Array[Byte](m)
+      var mi = 0
+      while (mi < m) {
+        code(mi) = nearestIdx(bcBooks.value(mi), arr.slice(mi * dsub, (mi + 1) * dsub)).toByte
+        mi += 1
+      }
+      code
+    }
+    unit
+      .withColumn("cluster_id", assignUdf(col("_v")))
+      .withColumn("pq_code", encodeUdf(col("_v")))
+      .drop("_v")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    Model(path, coarse, codebooks, m, dsub, metric)
+  }
+
+  /** ADC probe + exact re-rank. */
+  def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
+            query: Seq[Float], k: Int, nprobe: Int, rerankFactor: Int = 4): DataFrame = {
+    val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
+    // 1. coarse cells
+    val cells = model.coarse.zipWithIndex.map { case (c, i) => (l2sq(c, q), i) }
+      .sortBy(_._1).take(nprobe).map(_._2).toSeq
+    // 2. ADC lookup table: lut(m)(c) = score contribution of centroid c
+    val lut: Array[Array[Float]] = Array.tabulate(model.m) { mi =>
+      val qs = q.slice(mi * model.dsub, (mi + 1) * model.dsub)
+      model.codebooks(mi).map { cent =>
+        if (model.metric == "l2") l2sq(cent, qs).toFloat
+        else dotF(cent, qs).toFloat // dot on unit sphere == cosine
+      }
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val adcUdf = udf { (code: Array[Byte]) =>
+      var s = 0.0f; var mi = 0
+      while (mi < code.length) { s += bcLut.value(mi)(code(mi) & 0xff); mi += 1 }
+      s.toDouble
+    }
+    val asc = model.metric == "l2"
+    val adc = spark.read.parquet(model.path)
+      .filter(col("cluster_id").isin(cells: _*))       // partition pruning
+      .select(col(idCol), adcUdf(col("pq_code")).as("adc")) // code column only — no vectors read
+      .orderBy(if (asc) col("adc").asc else col("adc").desc, col(idCol))
+      .limit(k * rerankFactor)
+    // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id filter)
+    val ids = adc.select(idCol).collect().map(_.getLong(0)).toSeq
+    val survivors = spark.read.parquet(model.path)
+      .filter(col("cluster_id").isin(cells: _*) && col(idCol).isin(ids: _*))
+    VectorSearch.topK(survivors, vecCol, idCol, query, k, model.metric)
+      .drop("pq_code", "cluster_id")
+  }
+
+  // ---- driver-side numerics ----------------------------------------------
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(x => (x * inv).toFloat)
+  }
+
+  private[operators] def nearestIdx(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = l2sq(cents(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Plain Lloyd's k-means on a driver-side sample (k ≤ 256, few
+    * iterations — exactly how PQ codebooks are fit in practice).
+    * Deterministic: seeded distinct-point init.
+    */
+  private[operators] def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+                               seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    val kk = math.min(k, n)
+    val rnd = new Random(seed)
+    val cents = rnd.shuffle(points.indices.toVector).take(kk).map(i => points(i).clone).toArray
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var p = 0
+      while (p < n) {
+        val c = nearestIdx(cents, points(p))
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += points(p)(d); d += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { cents(c)(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+        } // empty cluster keeps its old centroid
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+}

@@ -35,6 +35,16 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.6
   }
 
+  test("IVF-PQ: ADC + exact re-rank keeps recall@10 >= 0.7 at full nprobe") {
+    import graft.operators.PqIndex
+    val path = Files.createTempDirectory("ivfpq").toString
+    val model = PqIndex.build(emb, "vec_id", "embedding", nlist = 8, m = 8, path, "cosine")
+    val got = PqIndex.probe(spark, model, "vec_id", "embedding", query, 10,
+      nprobe = 8, rerankFactor = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+    // nprobe = nlist isolates pure PQ quantization loss
+    (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.7
+  }
+
   test("LSH at full hamming radius is exact; tight radius keeps recall") {
     val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
     val indexed = LshIndex.index(emb, "embedding", planes).cache()
