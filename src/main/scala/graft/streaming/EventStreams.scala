@@ -73,6 +73,33 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest into a [[graft.sources.GraftTable]] — the
+    * reference's Hudi streaming-upsert pattern (`operation=upsert` per
+    * micro-batch). foreachBatch applies the keyed last-wins merge per
+    * batch, giving exactly-once table state under checkpointing.
+    */
+  def streamUpsertInto(spark: SparkSession, dir: String, tablePath: String,
+                       keyCols: Seq[String]): Unit = {
+    import graft.sources.GraftTable
+    val stream = readEventStream(spark, dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!GraftTable.exists(tablePath)) GraftTable.create(batch, tablePath, keyCols)
+        else GraftTable.upsert(spark, tablePath, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming exact dedup: first event per key wins; state for seen
+    * keys is dropped once the watermark passes (bounded state — the
+    * streaming form of Dedup.exact).
+    */
+  def dedupedEvents(events: DataFrame, keyCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Drive any stream→DataFrame transform over the events dir with
     * Trigger.AvailableNow into an in-memory table; returns the result.
     * (Test/verification harness — production would writeStream to a
