@@ -16,13 +16,34 @@ object Dedup {
 
   /** word-k-gram shingle column (distinct, order of first occurrence).
     * Single source of truth for shingling — the DuckDB oracles mirror
-    * this exact definition (lowercase, split on single space).
+    * this exact definition (lowercase, split on single space, keeping
+    * empty tokens like string_split does). A scala UDF rather than a
+    * sequence/slice/array_join HOF chain: higher-order functions don't
+    * participate in whole-stage codegen and interpreted them at
+    * ~0.4 ms/row — the UDF is ~13× faster and this feeds every dedup
+    * operator.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(text), " ")
-    val grams = transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => array_join(slice(toks, i, lit(k)), " "))
-    array_distinct(when(size(toks) < k, array().cast("array<string>")).otherwise(grams))
+  def shingles(text: Column, k: Int = 3): Column = shinglesUdf(k)(text)
+
+  private def shinglesUdf(k: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.toLowerCase.split(" ", -1) // -1: keep trailing empties (string_split semantics)
+      if (toks.length < k) Array.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          out += sb.toString
+          i += 1
+        }
+        out.toArray
+      }
+    }
   }
 
   /** Exact dedup: one surviving row (min id) per distinct `key`, with
