@@ -33,6 +33,28 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     asOfV0 shouldBe Seq((1L, "a", 10), (2L, "b", 20))
   }
 
+  test("upsert rewrites only touched buckets; untouched dirs are carried over") {
+    val path = Files.createTempDirectory("graft_cow").toString + "/t"
+    val base = spark.range(0, 1000).toDF("k").withColumn("x", col("k") * 2)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 16)
+    val m0 = GraftTable.manifest(path, 0)
+    m0.size shouldBe 16
+
+    // one updated key → exactly one touched bucket
+    val up = Seq((7L, -1L)).toDF("k", "x")
+    GraftTable.upsert(spark, path, up)
+    val m1 = GraftTable.manifest(path, 1)
+    val changed = m1.filter { case (b, d) => m0(b) != d }
+    changed.size shouldBe 1
+    changed.keys.foreach(b => m1(b) should startWith("data/v1/"))
+    (m1 -- changed.keys) shouldBe (m0 -- changed.keys) // untouched: same files, no rewrite
+
+    GraftTable.read(spark, path).filter(col("k") === 7).head().getLong(1) shouldBe -1L
+    GraftTable.read(spark, path, version = 0).filter(col("k") === 7)
+      .head().getLong(1) shouldBe 14L
+    GraftTable.read(spark, path).count() shouldBe 1000L
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")
