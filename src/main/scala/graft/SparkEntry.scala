@@ -134,6 +134,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "embed_documents_mllib" -> ((s, dir) => {
+      // MLlib pipeline variant (Tokenizer→HashingTF→Normalizer) — rows-only
+      Embed.encodePipeline(Tables.documents(s, dir), "text", 64)
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          q4(vector_norm(col("embedding"))).as("norm_q"))
+        .orderBy("doc_id")
+    }),
+
     // == Spark-native analytics (TPC-H-ish) =================================
 
     "q1_pricing_summary" -> ((s, dir) => {

@@ -38,4 +38,25 @@ object Embed {
     val encodeUdf = udf((s: String) => encodeOne(if (s == null) "" else s, dim))
     df.withColumn("embedding", encodeUdf(col(textCol)))
   }
+
+  /** The same embedding as a standard MLlib pipeline —
+    * Tokenizer → HashingTF → L2 Normalizer — producing a unit-norm
+    * `array<float>` column. This is the batch-embedding shape a real
+    * model drops into (swap HashingTF for a transformer-backed
+    * `Transformer`); every stage is a narrow per-partition map, so the
+    * pipeline embeds at scan parallelism with zero shuffle.
+    */
+  def encodePipeline(df: DataFrame, textCol: String, dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, Normalizer, Tokenizer}
+    import org.apache.spark.ml.functions.vector_to_array
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol(textCol).setOutputCol("_toks"),
+      new HashingTF().setInputCol("_toks").setOutputCol("_tf").setNumFeatures(dim),
+      new Normalizer().setInputCol("_tf").setOutputCol("_unit").setP(2.0)))
+    pipe.fit(df).transform(df)
+      .withColumn("embedding",
+        transform(vector_to_array(col("_unit")), x => x.cast("float")))
+      .drop("_toks", "_tf", "_unit")
+  }
 }
