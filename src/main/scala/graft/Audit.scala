@@ -11,7 +11,7 @@ object Audit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
-        df.count() // force AQE to finalize
+        df.queryExecution.toRdd.count() // executes THIS QueryExecution, finalizing its AQE plan
         val plan = df.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan.toString
           case p => p.toString

@@ -65,9 +65,11 @@ object Multimodal {
   def frameSample(binTable: DataFrame, stride: Int): DataFrame =
     binTable
       .select(col("doc_id"), col("payload"),
+        // empty payload → zero frames (sequence(0,-1) would yield [0,-1])
         posexplode(expr(
-          s"transform(sequence(0, cast(floor((octet_length(payload) - 1) / $stride) as int)), " +
-          s"f -> substring(payload, f * $stride + 1, $stride))")).as(Seq("frame_idx", "frame")))
+          s"case when octet_length(payload) = 0 then array() " +
+          s"else transform(sequence(0, cast(floor((octet_length(payload) - 1) / $stride) as int)), " +
+          s"f -> substring(payload, f * $stride + 1, $stride)) end")).as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))

@@ -92,7 +92,19 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    verifyJaccard(candidates, sh, tau)
+    finalizePairs(verifyJaccard(candidates, sh, tau), sh, ranked)
+  }
+
+  /** Materialize the (small) pair output, then release the bulky
+    * persisted intermediates it was computed from — repeated dedup
+    * calls in one session must not accumulate executor storage. The
+    * returned frame stays cached; callers may unpersist it.
+    */
+  private def finalizePairs(out: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val kept = out.persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count() // compute before the inputs go away
+    intermediates.foreach(_.unpersist(blocking = false))
+    kept
   }
 
   /** (doc_id, sh: array<string>, hs: array<bigint>) — the shingle set
@@ -170,7 +182,7 @@ object Dedup {
                  numPerms: Int = 128, bands: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = bands.ensuring(numPerms % bands == 0, "bands must divide perms")
+    require(numPerms % bands == 0, "bands must divide perms")
     val rowsPerBand = numPerms / bands
 
     val sh = hashedShingles(docs, idCol, textCol)
@@ -198,7 +210,7 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    verifyJaccard(candidates, sh, tau)
+    finalizePairs(verifyJaccard(candidates, sh, tau), sh, banded)
   }
 
   /** 64-bit SimHash of the token multiset: bit k of the fingerprint is
@@ -235,13 +247,14 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("e.blk"), col("e.key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the block self-join
 
-    blocks.as("a").join(blocks.as("b"),
+    val pairs = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(expr("a.fp ^ b.fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    finalizePairs(pairs, blocks)
   }
 
   /** Embedding near-dup: all pairs with cosine ≥ tau. Exact baseline —

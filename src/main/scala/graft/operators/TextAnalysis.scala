@@ -62,12 +62,9 @@ object TextAnalysis {
       df.withColumn(s"score_$lang",
         size(array_intersect(dToks, typedlit(words))))
     }
-    // argmax by score, tie-break by language code ascending
-    val best = langProfiles.map { case (lang, _) =>
-      struct(col(s"score_$lang").as("s"), lit(lang).as("neg_l"), lit(lang).as("l"))
-    }
-    // greatest() compares structs lexicographically: (score, lang) — but a
-    // HIGHER lang would win ties; invert by comparing on (score, reversed lang)
+    // argmax by score; greatest() compares structs field-by-field, and the
+    // reversed-alphabet tie index makes the lexicographically-SMALLEST
+    // language win score ties
     val bestExpr = greatest(langProfiles.map { case (lang, _) =>
       struct(col(s"score_$lang").as("s"),
         lit(langProfiles.map(_._1).sorted.reverse.indexOf(lang)).as("tie"),

@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Last-wins merge: rows in `updates` replace same-key rows in `base`;
-    * new keys are inserted. Both sides must share a schema.
+    * new keys are inserted. Both sides must share a schema (any column
+    * order — the union is by name).
+    *
+    * If `updates` itself repeats a key, the winner is chosen by
+    * `precombine` descending (Hudi's precombine-field semantics); with
+    * no precombine given, the full non-key row struct breaks the tie,
+    * so the result is deterministic for any input (never
+    * partitioning-dependent).
     */
-  def merge(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
-    require(base.columns.sameElements(updates.columns),
+  def merge(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+            precombine: Seq[Column] = Nil): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val unioned = base.withColumn("__v", lit(0)).unionByName(updates.withColumn("__v", lit(1)))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v").desc)
+    val nonKey = base.columns.filterNot(keyCols.contains)
+    val tieBreak: Seq[Column] =
+      if (precombine.nonEmpty) precombine
+      else if (nonKey.nonEmpty) Seq(struct(nonKey.map(col): _*))
+      else Nil
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__v").desc +: tieBreak.map(_.desc): _*)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

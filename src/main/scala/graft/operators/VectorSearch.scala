@@ -28,7 +28,14 @@ import scala.collection.mutable
   */
 object VectorSearch {
 
-  /** similarity/distance column for `metric` ∈ cosine | dot | l2. */
+  /** similarity/distance column for `metric` ∈ cosine | dot | l2.
+    *
+    * Note: a zero-norm vector yields NaN cosine, and NaN sorts greatest
+    * in both Spark and DuckDB (so a zero vector would rank first under
+    * desc). That matches engine semantics everywhere this library is
+    * verified, but filter zero vectors upstream if your corpus can
+    * contain them.
+    */
   def scoreCol(vec: Column, query: Column, metric: String): Column = metric match {
     case "cosine" => cosine_similarity(vec, query)
     case "dot"    => dot_product(vec, query)

@@ -100,9 +100,12 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
-    val written = Files.list(Paths.get(path, "data", s"v$v")).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith(s"$BUCKET="))
-      .map(d => d.stripPrefix(s"$BUCKET=").toInt -> s"$dataRel/$d").toMap
+    val listing = Files.list(Paths.get(path, "data", s"v$v"))
+    val written =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(s"$BUCKET="))
+        .map(d => d.stripPrefix(s"$BUCKET=").toInt -> s"$dataRel/$d").toMap
+      finally listing.close()
     val lines = (carryOver ++ written).toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
     Files.writeString(manifestPath(path, v), lines)
