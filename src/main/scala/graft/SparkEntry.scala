@@ -242,6 +242,40 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_events_asof" -> ((s, dir) => {
+      // point-in-time join: each click sees the user's latest prior purchase
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      operators.AsOfJoin.join(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof.p_event_id").as("p_event_id"),
+          floor(col("asof.p_value") * 10000).as("p_value_q4"))
+        .orderBy("event_id")
+    }),
+
+    "q_docs_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy("lang", "source")),
+
+    "q_quantity_percentiles" -> ((s, dir) => {
+      val p = percentile(col("l_quantity"),
+        typedlit(Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag").agg(p.as("ps"))
+        .select(col("l_returnflag"), col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+          col("ps")(2).as("p75"), col("ps")(3).as("p90"), col("ps")(4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
     // == LLM-data-pipeline: deduplication =====================================
 
     "dedup_exact" -> ((s, dir) => {
@@ -488,6 +522,27 @@ object SparkEntry {
                 sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_events_asof" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event_id,
+                CAST(FLOOR(p.value * 10000) AS BIGINT) AS p_value_q4
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+
+    "q_docs_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+                count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM documents GROUP BY ROLLUP(lang, source)
+         ORDER BY 1, 2""",
+
+    "q_quantity_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.9) AS p90,
+                quantile_cont(l_quantity, 0.99) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "dedup_exact" ->
       """WITH all_docs AS (
