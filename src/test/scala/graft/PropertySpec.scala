@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Upsert}
+
+import scala.util.Random
+
+/** Randomized-property checks: the distributed operators agree with
+  * naive single-threaded reference implementations across seeded
+  * random inputs (deterministic — fixed seeds).
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("AsOfJoin agrees with the naive per-row definition (20 random cases)") {
+    for (seed <- 1 to 20) {
+      val rnd = new Random(seed)
+      val left = Seq.fill(1 + rnd.nextInt(15))(
+        (1L + rnd.nextInt(3), rnd.nextInt(40).toLong))
+      // unique (k,ts) on the right: same-key-same-ts right rows have no
+      // defined winner in either implementation
+      val right = Seq.fill(rnd.nextInt(15))(
+        (1L + rnd.nextInt(3), rnd.nextInt(40).toLong, (1 + rnd.nextInt(999)).toDouble))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val l = left.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+
+      val got = AsOfJoin.join(
+          l.toDF("k", "ts", "lid"), right.toDF("k", "ts", "v"), Seq("k"), "ts", "ts")
+        .select(col("lid"), col("asof.v"))
+        .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+      val want = l.map { case (k, ts, lid) =>
+        lid -> right.filter(t => t._1 == k && t._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      withClue(s"seed=$seed: ") { got shouldBe want }
+    }
+  }
+
+  test("Upsert.merge: one row per key, update keys win, partition-independent") {
+    for (seed <- 1 to 15) {
+      val rnd = new Random(seed)
+      val base = Seq.fill(rnd.nextInt(12))((1L + rnd.nextInt(8), rnd.nextInt(100)))
+        .groupBy(_._1).map(_._2.head).toSeq
+      val ups = Seq.fill(rnd.nextInt(12))((1L + rnd.nextInt(8), rnd.nextInt(100)))
+      if (base.nonEmpty || ups.nonEmpty) {
+        val got = Upsert.merge(base.toDF("k", "v"), ups.toDF("k", "v"), Seq("k"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+        withClue(s"seed=$seed: ") {
+          got.map(_._1).distinct.length shouldBe got.length
+          got.map(_._1).toSet shouldBe (base.map(_._1) ++ ups.map(_._1)).toSet
+          val upKeys = ups.map(_._1).toSet
+          got.filter(t => upKeys(t._1)).foreach { case (k, v) =>
+            ups.filter(_._1 == k).map(_._2) should contain(v)
+          }
+          // determinism under different physical layouts of the same updates
+          val again = Upsert.merge(base.toDF("k", "v"),
+              ups.toDF("k", "v").repartition(3), Seq("k"))
+            .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+          again shouldBe got
+        }
+      }
+    }
+  }
+
+  test("shingles UDF agrees with a naive k-gram set (20 random docs)") {
+    val words = Array("a", "b", "c", "dd", "ee")
+    val rnd = new Random(99)
+    val texts = Seq.fill(20)(Seq.fill(rnd.nextInt(10))(words(rnd.nextInt(words.length)))
+      .mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), Dedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      val want =
+        if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      withClue(s"doc=$i '$t': ") { got(i.toLong) shouldBe want }
+    }
+  }
+}
