@@ -341,6 +341,14 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "q_label_centroids" -> ((s, dir) =>
+      // TypedImperativeAggregate pooling; double-sum order sensitivity → rows-only
+      Tables.embeddings(s, dir).groupBy("label")
+        .agg(graft.functions.vectoragg.vector_avg(col("embedding")).as("centroid"))
+        .select(col("label"), size(col("centroid")).as("dim"),
+          q4(vector_norm(col("centroid"))).as("norm_q"))
+        .orderBy("label")),
+
     // == LLM-data-pipeline: ANN similarity search (scale path) ===============
 
     "simsearch_ivf" -> ((s, dir) => {
