@@ -242,6 +242,43 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: revenue share of ECONOMY parts per month
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(14,2)")))
+            .cast("double").as("economy_revenue"),
+          sum(rev).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("ship_month")
+    }),
+
+    "q_orders_semi_anti" -> ((s, dir) => {
+      // semi/anti join coverage: orders with vs without any lineitem
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"))
+      val withItems = o.join(l, Seq("o_orderkey"), "left_semi")
+        .select(lit("with_items").as("bucket"), col("o_orderkey"))
+      val withoutItems = o.join(l, Seq("o_orderkey"), "left_anti")
+        .select(lit("no_items").as("bucket"), col("o_orderkey"))
+      withItems.unionByName(withoutItems)
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket")
+    }),
+
+    "q_events_sliding" -> ((s, dir) =>
+      // 1-hour windows sliding every 30 min: each event lands in 2 windows
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("win_start", "event_type")),
+
     "q_events_asof" -> ((s, dir) => {
       // point-in-time join: each click sees the user's latest prior purchase
       val ev = Tables.events(s, dir)
@@ -530,6 +567,31 @@ object SparkEntry {
                 sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q14_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))
+                              ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS economy_revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS total_revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_orders_semi_anti" ->
+      """WITH w AS (SELECT 'with_items' AS bucket, o_orderkey FROM orders
+                    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)),
+              n AS (SELECT 'no_items' AS bucket, o_orderkey FROM orders
+                    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+         SELECT bucket, count(*) AS n_orders
+         FROM (SELECT * FROM w UNION ALL SELECT * FROM n)
+         GROUP BY bucket ORDER BY bucket""",
+
+    "q_events_sliding" ->
+      """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 - k * 1800 AS BIGINT) AS win_start,
+                event_type, count(*) AS n_events
+         FROM events, (SELECT unnest([0, 1]) AS k) offs
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_events_asof" ->
       """SELECT c.event_id, c.user_id, p.event_id AS p_event_id,
