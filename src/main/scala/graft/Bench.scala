@@ -20,13 +20,22 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row (a plain count()
-      // would let Catalyst prune the projections being measured).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min over reps: steady-state per-query cost, robust to one-off
+      // GC/scheduling noise in a 32-thread local JVM
+      val times = (1 to reps).map { _ =>
+        // cache-clean per rep: operators that persist intermediates
+        // must pay that cost every time, or min-of-reps lies
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output row (a plain count()
+        // would let Catalyst prune the projections being measured).
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     spark.catalog.clearCache()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
