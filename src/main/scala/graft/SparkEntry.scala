@@ -378,6 +378,14 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "text_chunk" -> ((s, dir) =>
+      // 64-token windows every 48 tokens (16-token overlap)
+      TextAnalysis.chunk(Tables.documents(s, dir), "text", chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_label_centroids" -> ((s, dir) =>
       // TypedImperativeAggregate pooling; double-sum order sensitivity → rows-only
       Tables.embeddings(s, dir).groupBy("label")
@@ -664,6 +672,17 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "text_langid" -> langidOracle,
+
+    "text_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (
+           SELECT doc_id, c AS chunk_idx,
+                  array_to_string(t[c*48+1 : c*48+64], ' ') AS chunk_text
+           FROM toks, LATERAL unnest(generate_series(0, (len(t)-1)//48)) AS g(c))
+         SELECT doc_id, chunk_idx,
+                CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
+                md5(chunk_text) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256

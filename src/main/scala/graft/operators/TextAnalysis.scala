@@ -73,6 +73,24 @@ object TextAnalysis {
     scored.withColumn("lang_guess", bestExpr.getField("l"))
   }
 
+  /** Token-window chunking for training-sequence prep: overlapping
+    * `size`-token windows every `stride` tokens (stride < size ⇒
+    * overlap = size - stride). One output row per chunk via posexplode;
+    * pure expressions, parallel per doc, no shuffle.
+    */
+  def chunk(docs: DataFrame, textCol: String, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col("*"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(__toks) - 1) / $stride) as int)), " +
+          s"c -> array_join(slice(__toks, c * $stride + 1, $chunkSize), ' '))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+      .drop("__toks")
+  }
+
   /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs
