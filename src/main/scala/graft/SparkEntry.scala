@@ -351,6 +351,15 @@ object SparkEntry {
         .select(col("i"), col("j"), q4(col("cos")).as("cos_q"))
         .orderBy("i", "j")),
 
+    "dedup_decontaminate" -> ((s, dir) => {
+      // src0 plays the benchmark/eval corpus; the rest is training data
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // == LLM-data-pipeline: text analysis =====================================
 
     "text_tokens" -> ((s, dir) =>
@@ -377,6 +386,18 @@ object SparkEntry {
       TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
+
+    "text_ngram_vocab" -> ((s, dir) =>
+      // corpus-level bigram vocabulary (every occurrence, not per-doc distinct)
+      Tables.documents(s, dir)
+        .withColumn("__t", split(lower(col("text")), " "))
+        .filter(size(col("__t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
 
     "text_chunk" -> ((s, dir) =>
       // 64-token windows every 48 tokens (16-token overlap)
@@ -672,6 +693,29 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "text_langid" -> langidOracle,
+
+    "dedup_decontaminate" ->
+      """WITH train AS (SELECT * FROM documents WHERE source != 'src0'),
+              ev AS (SELECT * FROM documents WHERE source = 'src0'),
+              ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM train),
+              etoks AS (SELECT string_split(lower(text), ' ') AS t FROM ev),
+              tsh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+                        i -> array_to_string(t[i:i+7], ' '))) AS s
+                      FROM ttoks WHERE len(t) >= 8),
+              esh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 7),
+                        i -> array_to_string(t[i:i+7], ' '))) AS s
+                      FROM etoks WHERE len(t) >= 8),
+              cont AS (SELECT DISTINCT doc_id FROM tsh WHERE s IN (SELECT s FROM esh))
+         SELECT t.doc_id, (t.doc_id IN (SELECT doc_id FROM cont)) AS contaminated
+         FROM train t ORDER BY doc_id""",
+
+    "text_ngram_vocab" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+              bi AS (SELECT array_to_string(t[i:i+1], ' ') AS bigram
+                     FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+                     WHERE len(t) >= 2)
+         SELECT bigram, count(*) AS n FROM bi
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
 
     "text_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

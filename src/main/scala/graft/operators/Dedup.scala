@@ -213,6 +213,26 @@ object Dedup {
     finalizePairs(verifyJaccard(candidates, sh, tau), sh, banded)
   }
 
+  /** Benchmark decontamination: flag every training doc sharing at
+    * least one word-n-gram with the eval corpus — the standard
+    * n-gram-overlap contamination test run before training. Inverted-
+    * index semi-join on shingles: the eval side's shingle set is tiny
+    * relative to the corpus (benchmarks are small), so the join
+    * broadcasts it; the training side is scanned once, never shuffled
+    * on doc identity.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val trainSh = train.select(col(idCol).as("doc_id"), col(textCol))
+      .withColumn("s", explode(shingles(col(textCol), n)))
+    val evalSh = eval_.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val contaminated = trainSh.join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+    train.select(col(idCol).as("doc_id"))
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   /** 64-bit SimHash of the token multiset: bit k of the fingerprint is
     * the sign of Σ_tokens (±1 by bit k of hash(token)).
     */
