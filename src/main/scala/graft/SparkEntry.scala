@@ -98,6 +98,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
     }),
 
+    "vs_hybrid_rrf" -> ((s, dir) => {
+      // keyword rank + vector rank fused by reciprocal-rank fusion
+      val terms = Seq("window", "stream", "merge")
+      val kwScore = size(array_intersect(split(lower(col("text")), " "), typedlit(terms)))
+      val kw = operators.Fusion.rankBy(
+        Tables.documents(s, dir).select(col("doc_id"), kwScore.as("kw")), "doc_id", col("kw"))
+      val vec = operators.Fusion.rankBy(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"),
+            cosine_similarity(col("embedding"), typedlit(queryVec(s, dir, 0L))).as("sc")),
+        "doc_id", col("sc"))
+      operators.Fusion.rrf(Seq(kw, vec), "doc_id", "rank")
+        .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // == reference surface: analytics on the same table =====================
 
     "docs_by_source" -> ((s, dir) =>
@@ -515,6 +532,22 @@ object SparkEntry {
          )
          SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
          ORDER BY qid, score_q DESC, vec_id""",
+
+    "vs_hybrid_rrf" ->
+      s"""WITH kw AS (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                           ['window','stream','merge'])) DESC, doc_id) AS r
+            FROM documents),
+          v AS (
+            SELECT vec_id AS doc_id, row_number() OVER (ORDER BY $cos0 DESC, vec_id) AS r
+            FROM embeddings),
+          f AS (
+            SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
+                   coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+            FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
+          SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
+          FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""",
 
     "docs_by_source" ->
       """SELECT source, count(*) AS doc_count FROM documents

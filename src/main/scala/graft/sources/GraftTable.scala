@@ -93,6 +93,41 @@ object GraftTable {
       b.toInt -> d
     }.toMap
 
+  /** Drop snapshots older than the last `keepVersions`: delete data
+    * dirs no surviving manifest references, plus their manifests.
+    * Time travel past the horizon is gone (standard lakehouse vacuum
+    * semantics); the commit log keeps its full history for audit.
+    * Long-lived tables need this — bucket-level COW leaks one dir per
+    * touched bucket per commit otherwise.
+    */
+  def vacuum(path: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val v = latestVersion(path)
+    val keep = (math.max(0, v - keepVersions + 1) to v).toSeq
+    val referenced = keep.flatMap(manifest(path, _).values).toSet
+    val dataRoot = Paths.get(path, "data")
+    val versions = Files.list(dataRoot)
+    try versions.iterator().asScala.toSeq.foreach { vDir =>
+      val buckets = Files.list(vDir)
+      try buckets.iterator().asScala.toSeq.foreach { bDir =>
+        val rel = s"data/${vDir.getFileName}/${bDir.getFileName}"
+        if (!referenced(rel)) deleteRecursively(bDir)
+      } finally buckets.close()
+      val remaining = Files.list(vDir)
+      try { if (!remaining.iterator().hasNext) Files.delete(vDir) }
+      finally remaining.close()
+    } finally versions.close()
+    (0 until keep.head).foreach(old => Files.deleteIfExists(manifestPath(path, old)))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively) finally s.close()
+    }
+    Files.delete(p)
+  }
+
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String]): Unit = {
     val dataRel = s"data/v$v"

@@ -55,6 +55,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     GraftTable.read(spark, path).count() shouldBe 1000L
   }
 
+  test("vacuum drops unreferenced snapshots but keeps the live table intact") {
+    val path = Files.createTempDirectory("graft_vac").toString + "/t"
+    val base = spark.range(0, 200).toDF("k").withColumn("x", col("k"))
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+    for (i <- 1 to 3)
+      GraftTable.upsert(spark, path, Seq((i.toLong, -i.toLong)).toDF("k", "x"))
+    GraftTable.latestVersion(path) shouldBe 3
+
+    GraftTable.vacuum(path, keepVersions = 1)
+    // latest still fully readable with correct contents
+    val live = GraftTable.read(spark, path)
+    live.count() shouldBe 200L
+    live.filter(col("k") === 2).head().getLong(1) shouldBe -2L
+    // only dirs referenced by the surviving manifest remain on disk
+    val referenced = GraftTable.manifest(path, 3).values.toSet
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(path, "data"))
+      .filter(p => p.getFileName.toString.startsWith("__bucket="))
+      .map[String](p => java.nio.file.Paths.get(path).relativize(p).toString)
+      .toArray.map(_.toString).toSet
+    onDisk shouldBe referenced
+    // time travel past the horizon is gone
+    an[Exception] should be thrownBy
+      GraftTable.read(spark, path, version = 0).collect()
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")
