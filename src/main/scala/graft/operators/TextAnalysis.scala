@@ -36,13 +36,16 @@ object TextAnalysis {
     val nStop = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
     val nPunct = regexp_count(col(textCol), lit("[^a-z0-9 ]"))
     val nChars = length(col(textCol))
+    // try_divide: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO even
+    // for doubles; empty docs get null ratios instead of killing the job.
+    // On nonzero divisors the result is bit-identical to plain division.
     docs
       .withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_word_len",
-        (nChars - (nTok - lit(1))).cast("double") / nTok.cast("double"))
-      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
-      .withColumn("punct_ratio", nPunct.cast("double") / nChars.cast("double"))
+        try_divide((nChars - (nTok - lit(1))).cast("double"), nTok.cast("double")))
+      .withColumn("stopword_ratio", try_divide(nStop.cast("double"), nTok.cast("double")))
+      .withColumn("punct_ratio", try_divide(nPunct.cast("double"), nChars.cast("double")))
   }
 
   /** Language profiles: distinct-token overlap with per-language marker

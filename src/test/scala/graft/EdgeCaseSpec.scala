@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis, VectorSearch}
+
+/** Degenerate-input behavior: empty frames, k larger than the table,
+  * single-token documents — the operators must degrade, not throw.
+  */
+class EdgeCaseSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val query: Seq[Float] =
+    emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+
+  test("topK with k larger than the table returns the whole table ranked") {
+    val n = emb.count()
+    VectorSearch.topK(emb, "embedding", "vec_id", query, (n + 100).toInt, "cosine")
+      .count() shouldBe n
+  }
+
+  test("topK on an empty (filtered-out) table returns empty, not error") {
+    VectorSearch.topK(emb.filter(col("vec_id") < 0), "embedding", "vec_id",
+      query, 5, "cosine").count() shouldBe 0L
+  }
+
+  test("rangeSearch with an impossible threshold returns empty") {
+    VectorSearch.rangeSearch(emb, "embedding", query, 1.5, "cosine").count() shouldBe 0L
+  }
+
+  test("dedup operators handle docs shorter than the shingle width") {
+    val df = Seq((1L, "one"), (2L, "two words"), (3L, "three words here"),
+      (4L, "")).toDF("id", "t")
+    Dedup.ngramJaccard(df, "id", "t", 0.5).count() shouldBe 0L
+    Dedup.minhashLsh(df, "id", "t", 0.5).count() shouldBe 0L
+    noException should be thrownBy Dedup.simhashPairs(df, "id", "t", 3).count()
+  }
+
+  test("chunking a doc shorter than one window yields exactly one chunk") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "text", chunkSize = 64, stride = 48).collect()
+    got should have length 1
+    got(0).getAs[String]("chunk_text") shouldBe "a b c"
+  }
+
+  test("text quality on empty-ish docs produces finite or null, never throws") {
+    val df = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    noException should be thrownBy TextAnalysis.withQuality(df, "text").collect()
+  }
+}
