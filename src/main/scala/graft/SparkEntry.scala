@@ -296,6 +296,32 @@ object SparkEntry {
           col("event_type"), col("n_events"))
         .orderBy("win_start", "event_type")),
 
+    "q_user_retention" -> ((s, dir) => {
+      // 7-day cohort retention: signup day → fraction active afterwards
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("su_us"))
+      val acts = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      su.join(acts, Seq("user_id"), "left")
+        .withColumn("ret",
+          when(col("us") > col("su_us") &&
+            col("us") <= col("su_us") + lit(7L * 86400L * 1000000L), 1).otherwise(0))
+        .groupBy("user_id", "su_us").agg(max(col("ret")).as("retained"))
+        .groupBy(date_format(timestamp_micros(col("su_us")), "yyyy-MM-dd").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"), sum(col("retained")).as("n_retained"))
+        .orderBy("cohort_day")
+    }),
+
+    "q_approx_stats" -> ((s, dir) =>
+      // sketch-based stats (HLL cardinality + approximate percentile):
+      // estimator-specific values → rows-only; accuracy bounds in spec
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_p"))
+        .select(col("approx_orders"), col("approx_parts"),
+          col("price_p")(0).as("p50"), col("price_p")(1).as("p95"))),
+
     "q_events_asof" -> ((s, dir) => {
       // point-in-time join: each click sees the user's latest prior purchase
       val ev = Tables.events(s, dir)
@@ -629,6 +655,21 @@ object SparkEntry {
                 sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_user_retention" ->
+      """WITH su AS (
+           SELECT user_id, min(epoch_ns(ts) // 1000) AS su_us
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         r AS (
+           SELECT s.user_id, s.su_us,
+                  max(CASE WHEN e.e_us > s.su_us AND e.e_us <= s.su_us + 604800000000
+                           THEN 1 ELSE 0 END) AS retained
+           FROM su s LEFT JOIN (SELECT user_id, epoch_ns(ts) // 1000 AS e_us FROM events) e
+             ON s.user_id = e.user_id
+           GROUP BY 1, 2)
+         SELECT strftime(make_timestamp(su_us), '%Y-%m-%d') AS cohort_day,
+                count(*) AS n_users, CAST(sum(retained) AS BIGINT) AS n_retained
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "q14_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
