@@ -430,6 +430,26 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "text_quality_by_source" -> ((s, dir) => {
+      // corpus quality profile per source: ratios of exact integer sums
+      // (averaging per-doc double ratios would be order-dependent)
+      val toks = split(lower(col("text")), " ")
+      val nStop = size(filter(toks, t =>
+        t.isin(TextAnalysis.stopwords.map(_.asInstanceOf[Any]): _*)))
+      Tables.documents(s, dir)
+        .select(col("source"), length(col("text")).as("nc"),
+          size(toks).as("nt"), nStop.as("ns"),
+          regexp_count(col("text"), lit("[^a-z0-9 ]")).as("np"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+          sum(col("nt")).as("total_tokens"),
+          try_divide(sum(col("ns")).cast("double"), sum(col("nt")).cast("double"))
+            .as("stopword_ratio"),
+          try_divide(sum(col("np")).cast("double"), sum(col("nc")).cast("double"))
+            .as("punct_ratio"))
+        .orderBy("source")
+    }),
+
     "text_ngram_vocab" -> ((s, dir) =>
       // corpus-level bigram vocabulary (every occurrence, not per-doc distinct)
       Tables.documents(s, dir)
@@ -782,6 +802,20 @@ object SparkEntry {
               cont AS (SELECT DISTINCT doc_id FROM tsh WHERE s IN (SELECT s FROM esh))
          SELECT t.doc_id, (t.doc_id IN (SELECT doc_id FROM cont)) AS contaminated
          FROM train t ORDER BY doc_id""",
+
+    "text_quality_by_source" ->
+      """WITH d AS (
+           SELECT source, length(text) AS nc,
+                  len(string_split(lower(text), ' ')) AS nt,
+                  len(list_filter(string_split(lower(text), ' '),
+                      t -> list_contains(['the','a','and','of','to','in','is'], t))) AS ns,
+                  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
+           FROM documents)
+         SELECT source, count(*) AS n_docs, sum(nc) AS total_chars,
+                sum(nt) AS total_tokens,
+                CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS stopword_ratio,
+                CAST(sum(np) AS DOUBLE) / CAST(sum(nc) AS DOUBLE) AS punct_ratio
+         FROM d GROUP BY source ORDER BY source""",
 
     "text_ngram_vocab" ->
       """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
