@@ -225,6 +225,18 @@ object SparkEntry {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    "q_customer_running_total" -> ((s, dir) => {
+      // cumulative spend per customer over time (exact integer cents)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("run_cents",
+          sum(floor(col("o_totalprice") * 100).cast("long")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -653,6 +665,13 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
            FROM customer JOIN nation ON c_nationkey = n_nationkey)
          WHERE rnk <= 3 ORDER BY n_name, rnk""",
+
+    "q_customer_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+                sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS run_cents
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_events_tumbling" ->
       """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS hour_start,
