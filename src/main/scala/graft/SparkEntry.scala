@@ -612,7 +612,7 @@ object SparkEntry {
          GROUP BY source ORDER BY doc_count DESC, source""",
 
     "docs_by_lang_source" ->
-      """SELECT lang, source, count(*) AS doc_count, sum(n_chars) AS sum_chars
+      """SELECT lang, source, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
 
     "q1_pricing_summary" ->
@@ -668,15 +668,15 @@ object SparkEntry {
 
     "q_customer_running_total" ->
       """SELECT o_custkey, o_orderkey,
-                sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS run_cents
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_events_tumbling" ->
       """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT) AS hour_start,
                 event_type, count(*) AS n_events,
-                sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_value_q4
+                CAST(sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_q4
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_events_sessions" ->
@@ -691,7 +691,7 @@ object SparkEntry {
 
     "q_orders_enriched_skew" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+                CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -745,7 +745,7 @@ object SparkEntry {
 
     "q_docs_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-                count(*) AS n_docs, sum(n_chars) AS sum_chars
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ROLLUP(lang, source)
          ORDER BY 1, 2""",
 
@@ -830,8 +830,8 @@ object SparkEntry {
                       t -> list_contains(['the','a','and','of','to','in','is'], t))) AS ns,
                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
            FROM documents)
-         SELECT source, count(*) AS n_docs, sum(nc) AS total_chars,
-                sum(nt) AS total_tokens,
+         SELECT source, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars,
+                CAST(sum(nt) AS BIGINT) AS total_tokens,
                 CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS stopword_ratio,
                 CAST(sum(np) AS DOUBLE) / CAST(sum(nc) AS DOUBLE) AS punct_ratio
          FROM d GROUP BY source ORDER BY source""",
@@ -875,7 +875,7 @@ object SparkEntry {
     "stream_event_counts" ->
       """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 AS BIGINT) AS win_start,
                 event_type, count(*) AS n_events,
-                sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS sum_value_q4
+                CAST(sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_q4
          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 

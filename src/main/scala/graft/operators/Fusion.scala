@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Rank-fusion retrieval — combining keyword and vector rankings into
   * one result list. The reference's "hybrid search" is predicate +
@@ -33,12 +33,28 @@ object Fusion {
     joined.select(col(idCol), total.as("rrf_score"))
   }
 
-  /** Deterministic dense ranking of a score column (1 = best). */
+  /** Deterministic global ranking of a score column (1 = best).
+    *
+    * Exact full-corpus ranks WITHOUT a single-partition window: a
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels every
+    * row through one task (Spark's WindowExec warns about exactly this).
+    * Instead the frame is range-partition sorted (`orderBy` = distributed
+    * sort, every partition does its share) and ranks are assigned with
+    * `zipWithIndex` over the sorted partitions — one extra lightweight
+    * job to count partition sizes, then each task numbers only its own
+    * slice. Scales with the sort, which is the unavoidable cost of a
+    * total ranking.
+    */
   def rankBy(df: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
              descending: Boolean = true): DataFrame = {
     val ord = if (descending) Seq(score.desc, col(idCol).asc)
               else Seq(score.asc, col(idCol).asc)
-    df.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
-      .select(col(idCol), col("rank"))
+    val sorted = df.orderBy(ord: _*).select(col(idCol))
+    val out = StructType(sorted.schema.fields :+
+      StructField("rank", LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(ranked, out)
   }
 }
