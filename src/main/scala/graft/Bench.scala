@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry.queries entry on
+  * SPARK_GRAFT_SF_DIR, plus an ANN build/probe split (the combined
+  * simsearch_* entries rebuild their index every rep, which conflates
+  * one-time index construction with steady-state probe latency — the
+  * number that matters at scale).
+  *
+  * Output: ONE JSON line on stdout AND written to the file named by
+  * SPARK_GRAFT_BENCH_OUT (default ./BENCH_OUT.json) — sbt log noise
+  * buries stdout, so the file is the machine-parseable channel.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,27 +33,71 @@ object Bench {
     }
     spark.catalog.clearCache()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over reps: steady-state per-query cost, robust to one-off
-      // GC/scheduling noise in a 32-thread local JVM
+
+    // min over reps: steady-state per-query cost, robust to one-off
+    // GC/scheduling noise in a 32-thread local JVM
+    def timed(body: => Unit): Double = {
       val times = (1 to reps).map { _ =>
         // cache-clean per rep: operators that persist intermediates
         // must pay that cost every time, or min-of-reps lies
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        // toRdd.count() materializes every output row (a plain count()
-        // would let Catalyst prune the projections being measured).
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        try body
+        catch { case e: Throwable => System.err.println(s"[bench] $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      times.min
     }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // toRdd.count() materializes every output row (a plain count()
+      // would let Catalyst prune the projections being measured).
+      results(name) = timed { fn(spark, sfDir).queryExecution.toRdd.count() }
+    }
+
+    // ---- ANN build/probe split (same params as the simsearch_* entries) ----
+    import graft.operators.{IvfIndex, LshIndex, PqIndex}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val tmp = sys.props("java.io.tmpdir")
+
+    var ivfModel: IvfIndex.Model = null
+    results("ivf_build") = timed {
+      ivfModel = IvfIndex.build(emb, "embedding", nlist = 16, s"$tmp/graft_bench_ivf", "cosine")
+    }
+    results("ivf_probe") = timed {
+      IvfIndex.probe(spark, ivfModel, "vec_id", "embedding", qv, 10, nprobe = 4)
+        .queryExecution.toRdd.count()
+    }
+    var pqModel: PqIndex.Model = null
+    results("ivfpq_build") = timed {
+      pqModel = PqIndex.build(emb, "vec_id", "embedding", nlist = 16, m = 8,
+        s"$tmp/graft_bench_ivfpq", "cosine")
+    }
+    results("ivfpq_probe") = timed {
+      PqIndex.probe(spark, pqModel, "vec_id", "embedding", qv, 10, nprobe = 4)
+        .queryExecution.toRdd.count()
+    }
+    val planes = LshIndex.fitPlanes(dim = qv.length, nbits = 16)
+    val lshIndexed = LshIndex.index(emb, "embedding", planes)
+    results("lsh_build") = timed { lshIndexed.queryExecution.toRdd.count() }
+    results("lsh_probe") = timed {
+      LshIndex.probe(lshIndexed, "vec_id", "embedding", qv, planes, k = 10, maxHamming = 4)
+        .queryExecution.toRdd.count()
+    }
+
     spark.catalog.clearCache()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total = the queries-contract entries only (ANN split rows are
+    // diagnostics; counting them would double-count the simsearch_* time)
+    val total = results.filterNot(_._1.matches("(ivf|ivfpq|lsh)_(build|probe)")).values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
     spark.stop()
   }
 }

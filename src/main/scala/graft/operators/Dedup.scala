@@ -277,17 +277,82 @@ object Dedup {
     finalizePairs(pairs, blocks)
   }
 
-  /** Embedding near-dup: all pairs with cosine ≥ tau. Exact baseline —
-    * broadcast the (smaller) right side and filter on the codegen'd
-    * kernel; the ANN scale path is [[IvfIndex]]/[[LshIndex]].
+  /** Embedding near-dup: all pairs with cosine ≥ tau — EXACT, via a
+    * centroid-cover blocked join (never an all-pairs broadcast).
+    *
+    * Blocking scheme (provably exact, triangle-inequality cover):
+    * unit-normalize every vector (cos(a,b) ≥ τ ⟺ ‖â−b̂‖ ≤ R, R=√(2−2τ));
+    * sample-fit `nblocks` centroids (driver-side Lloyd's, deterministic
+    * seed); each row gets ONE primary cell (nearest centroid c*) and a
+    * cover set of every cell within d(v̂,c*) + 2R. For any τ-pair (a,b):
+    * d(b̂,c*(a)) ≤ d(â,c*(a)) + R and d(â,c*(a)) ≤ d(â,c*(b)) ≤
+    * d(b̂,c*(b)) + R, so c*(a) is inside b's cover ball — the
+    * primary(a) ⋈ cover(b) equi-join on cell with `a.id < b.id` sees
+    * every qualifying pair exactly once (primary cells are unique, so
+    * no distinct needed). Survivors are exact-verified with the
+    * codegen'd kernel on the ORIGINAL float vectors, so output is
+    * bit-identical to the brute-force definition at any τ.
+    *
+    * Scale: the join is shuffle-partitioned on cell id — per-task
+    * memory is one cell's slice, never the table (the old broadcast
+    * variant OOMed at ~10 GB of vectors). Pruning sharpens with τ: at
+    * near-dup thresholds (τ ≥ 0.85, 2R ≤ 1.1) cover balls touch few
+    * cells; at loose τ (2R ≥ sphere diameter) it degrades gracefully to
+    * a distributed, cell-partitioned all-pairs — the true lower bound
+    * when the qualifying-pair output itself is dense.
     */
-  def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+  def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+                      nblocks: Int = 16, sampleSize: Int = 20000,
+                      seed: Long = 42L): DataFrame = {
     import graft.functions.vectors._
-    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("i") < col("j"))
-      .withColumn("cos", cosine_similarity(col("va"), col("vb")))
+    val spark = emb.sparkSession
+    val cover = 2.0 * math.sqrt(math.max(0.0, 2.0 - 2.0 * tau))
+
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // deterministic bounded sample (lowest ids) — centroid quality only
+    // shapes pruning, never correctness, so 20k rows is plenty at 100 TB
+    val sample = base.orderBy("id").limit(sampleSize).select("v").collect()
+      .map(r => unitNorm(r.getSeq[Float](0).toArray))
+    if (sample.isEmpty)
+      return base.select(col("id").as("i"), col("id").as("j"), lit(0.0).as("cos")).limit(0)
+    val cents = PqIndex.lloyd(sample, nblocks, iters = 8, seed)
+    val bcCents = spark.sparkContext.broadcast(cents)
+
+    // (primary cell, cover cells) per row: nblocks small distances — cheap
+    val cellsUdf = udf { (v: Seq[Float]) =>
+      val u = unitNorm(v.toArray)
+      val cs = bcCents.value
+      val d = new Array[Double](cs.length)
+      var best = Double.MaxValue; var bestC = 0; var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < u.length) { val t = cs(c)(i).toDouble - u(i).toDouble; s += t * t; i += 1 }
+        d(c) = math.sqrt(s)
+        if (d(c) < best) { best = d(c); bestC = c }
+        c += 1
+      }
+      // 1e-6 slack absorbs float-normalization rounding at the ball edge
+      val lim = best + cover + 1e-6
+      (bestC, (0 until cs.length).filter(d(_) <= lim))
+    }
+
+    val assigned = base.withColumn("a", cellsUdf(col("v")))
+    val primary = assigned.select(col("id"), col("v"), col("a._1").as("cell"))
+    val coverSide = assigned.select(col("id"), col("v"), explode(col("a._2")).as("cell"))
+    primary.as("x").join(coverSide.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("cos", cosine_similarity(col("x.v"), col("y.v")))
       .filter(col("cos") >= tau)
-      .select("i", "j", "cos")
+      .select(col("x.id").as("i"), col("y.id").as("j"), col("cos"))
+  }
+
+  private def unitNorm(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    out
   }
 }

@@ -150,8 +150,8 @@ object PqIndex {
     * iterations — exactly how PQ codebooks are fit in practice).
     * Deterministic: seeded distinct-point init.
     */
-  private[operators] def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
-                               seed: Long): Array[Array[Float]] = {
+  private[graft] def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+                           seed: Long): Array[Array[Float]] = {
     val n = points.length
     val kk = math.min(k, n)
     val rnd = new Random(seed)
