@@ -115,6 +115,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "vs_hybrid_rrf_topn" -> ((s, dir) => {
+      // production rank fusion: each retriever contributes only its top-50
+      // slice (TakeOrderedAndProject — no full-corpus sort, no RDD hop)
+      val terms = Seq("window", "stream", "merge")
+      val kwScore = size(array_intersect(split(lower(col("text")), " "), typedlit(terms)))
+      val kw = operators.Fusion.rankByTopN(
+        Tables.documents(s, dir).select(col("doc_id"), kwScore.as("kw")), "doc_id", col("kw"), 50)
+      val vec = operators.Fusion.rankByTopN(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"),
+            cosine_similarity(col("embedding"), typedlit(queryVec(s, dir, 0L))).as("sc")),
+        "doc_id", col("sc"), 50)
+      operators.Fusion.rrf(Seq(kw, vec), "doc_id", "rank")
+        .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // == reference surface: analytics on the same table =====================
 
     "docs_by_source" -> ((s, dir) =>
@@ -512,6 +530,27 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "simsearch_ivf_exhaustive" -> ((s, dir) => {
+      // nprobe = nlist reads every cell → exact top-k through the index
+      // machinery → SQL-expressible → a HARD oracle row for the ANN path
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_ex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
+      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 16)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
+    "vs_hybrid_ivf" -> ((s, dir) => {
+      // predicate pushed INTO the IVF probe (the reference's declared
+      // future work); nprobe = nlist makes it exact ⇒ DuckDB-verifiable
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_hy_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
+      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 5,
+          nprobe = 16, pred = Some(col("label") === 3))
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
@@ -600,6 +639,34 @@ object SparkEntry {
           v AS (
             SELECT vec_id AS doc_id, row_number() OVER (ORDER BY $cos0 DESC, vec_id) AS r
             FROM embeddings),
+          f AS (
+            SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
+                   coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+            FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
+          SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
+          FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""",
+
+    // exhaustive (nprobe = nlist) IVF == brute force, so the brute-force
+    // SQL is a legitimate oracle for the index machinery end-to-end
+    "simsearch_ivf_exhaustive" ->
+      s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
+          FROM embeddings ORDER BY $cos0 DESC, vec_id LIMIT 10""",
+
+    "vs_hybrid_ivf" ->
+      s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
+          FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
+
+    "vs_hybrid_rrf_topn" ->
+      s"""WITH kw AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                             ['window','stream','merge'])) DESC, doc_id) AS r
+              FROM documents) WHERE r <= 50),
+          v AS (
+            SELECT doc_id, r FROM (
+              SELECT vec_id AS doc_id, row_number() OVER (ORDER BY $cos0 DESC, vec_id) AS r
+              FROM embeddings) WHERE r <= 50),
           f AS (
             SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
                    coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf

@@ -44,6 +44,15 @@ object Fusion {
     * job to count partition sizes, then each task numbers only its own
     * slice. Scales with the sort, which is the unavoidable cost of a
     * total ranking.
+    *
+    * Costs of the RDD hop, documented deliberately: (1) `zipWithIndex`
+    * launches its partition-count job EAGERLY, at DataFrame-construction
+    * time; (2) the output leaves Catalyst lineage, so downstream actions
+    * recompute the sort unless the caller persists; (3) `rank` is
+    * LongType (a total rank can exceed Int at corpus scale). Prefer
+    * [[rankByTopN]] whenever slice semantics are acceptable — full-corpus
+    * exact ranks are only needed when tail ranks must contribute (e.g.
+    * the oracle-exact RRF over every document).
     */
   def rankBy(df: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
              descending: Boolean = true): DataFrame = {
@@ -56,5 +65,25 @@ object Fusion {
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(ranked, out)
+  }
+
+  /** Top-N slice ranking — the production shape of rank fusion (fuse
+    * each retriever's top-N, not the whole corpus).
+    *
+    * `orderBy().limit(n)` compiles to TakeOrderedAndProject: every
+    * partition keeps an n-heap and only n rows reach the driver-side
+    * merge — no full sort, no shuffle, no RDD drop-out, stays inside
+    * whole-stage codegen. The `row_number` window that then assigns
+    * ranks is unpartitioned, but over ≤ n rows BY CONSTRUCTION — the
+    * bounded-slice case, not the full-corpus funnel rankBy avoids.
+    */
+  def rankByTopN(df: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
+                 n: Int, descending: Boolean = true): DataFrame = {
+    val ord = if (descending) Seq(score.desc, col(idCol).asc)
+              else Seq(score.asc, col(idCol).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    df.orderBy(ord: _*).limit(n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rank"))
   }
 }

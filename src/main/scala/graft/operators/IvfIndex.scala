@@ -57,13 +57,24 @@ object IvfIndex {
     Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
   }
 
-  /** Top-k against the index, reading only the nprobe nearest cells. */
+  /** Top-k against the index, reading only the nprobe nearest cells.
+    *
+    * `pred` is pushed INTO the index scan (the reference's own declared
+    * future work — demo.ipynb cell 13: "hudi_vector_search() … doesn't
+    * yet support predicate pushdown"): it lands next to the partition
+    * filter, so Catalyst pushes it to the parquet reader
+    * (`PushedFilters`) and rows failing the predicate are never scored.
+    * Filtered hybrid-ANN queries therefore scan LESS, not more — no
+    * post-filter + re-probe-wider loop.
+    */
   def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
-            query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+            query: Seq[Float], k: Int, nprobe: Int,
+            pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cells = nearestCells(model, query, nprobe)
     val scan = spark.read.parquet(model.path)
       .filter(col("cluster_id").isin(cells: _*)) // partition-pruning filter
-    VectorSearch.topK(scan, vecCol, idCol, query, k, model.metric)
+    val filtered = pred.fold(scan)(scan.filter)
+    VectorSearch.topK(filtered, vecCol, idCol, query, k, model.metric)
   }
 
   /** Driver-side centroid ranking (nlist × dim floats — microseconds). */

@@ -59,13 +59,17 @@ object LshIndex {
 
   /** ANN top-k: hamming-ball candidate filter on the signature column,
     * exact re-rank of survivors. maxHamming trades recall for scan
-    * selectivity (bucket-join at radius 0).
+    * selectivity (bucket-join at radius 0). `pred` is applied alongside
+    * the hamming filter — on a signature-bucketed layout both reach the
+    * scan together, so filtered probes read less, never more.
     */
   def probe(indexed: DataFrame, idCol: String, vecCol: String,
             query: Seq[Float], planes: Planes, k: Int, maxHamming: Int,
-            metric: String = "cosine"): DataFrame = {
+            metric: String = "cosine",
+            pred: Option[Column] = None): DataFrame = {
     val qsig = signatureOf(query, planes)
     val cand = indexed.filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= maxHamming)
-    VectorSearch.topK(cand, vecCol, idCol, query, k, metric).drop("sig")
+    val filtered = pred.fold(cand)(cand.filter)
+    VectorSearch.topK(filtered, vecCol, idCol, query, k, metric).drop("sig")
   }
 }

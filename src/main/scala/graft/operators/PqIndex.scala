@@ -80,9 +80,16 @@ object PqIndex {
     Model(path, coarse, codebooks, m, dsub, metric)
   }
 
-  /** ADC probe + exact re-rank. */
+  /** ADC probe + exact re-rank. `pred` (predicate pushdown into the
+    * index scan — beyond the reference, whose index post-filters) is
+    * applied on BOTH passes: the ADC scan (so non-matching rows are
+    * never approx-scored — the parquet reader gets the pushed filter
+    * and the k·rerankFactor ADC survivors are all predicate-true) and
+    * the re-rank fetch (cheap belt-and-braces on ≤ k' rows).
+    */
   def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
-            query: Seq[Float], k: Int, nprobe: Int, rerankFactor: Int = 4): DataFrame = {
+            query: Seq[Float], k: Int, nprobe: Int, rerankFactor: Int = 4,
+            pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
     // 1. coarse cells
     val cells = model.coarse.zipWithIndex.map { case (c, i) => (l2sq(c, q), i) }
@@ -102,15 +109,17 @@ object PqIndex {
       s.toDouble
     }
     val asc = model.metric == "l2"
-    val adc = spark.read.parquet(model.path)
+    val adcScan = spark.read.parquet(model.path)
       .filter(col("cluster_id").isin(cells: _*))       // partition pruning
+    val adc = pred.fold(adcScan)(adcScan.filter)       // pushed predicate: non-matches never ADC-scored
       .select(col(idCol), adcUdf(col("pq_code")).as("adc")) // code column only — no vectors read
       .orderBy(if (asc) col("adc").asc else col("adc").desc, col(idCol))
       .limit(k * rerankFactor)
     // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id filter)
     val ids = adc.select(idCol).collect().map(_.getLong(0)).toSeq
-    val survivors = spark.read.parquet(model.path)
+    val rerankScan = spark.read.parquet(model.path)
       .filter(col("cluster_id").isin(cells: _*) && col(idCol).isin(ids: _*))
+    val survivors = pred.fold(rerankScan)(rerankScan.filter)
     VectorSearch.topK(survivors, vecCol, idCol, query, k, model.metric)
       .drop("pq_code", "cluster_id")
   }

@@ -45,6 +45,41 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.7
   }
 
+  private lazy val exactFilteredTop5: Set[Long] =
+    VectorSearch.topK(emb.filter(col("label") === 3), "embedding", "vec_id", query, 5, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("IVF probe pushes the predicate into the scan and is exact at full nprobe") {
+    val path = Files.createTempDirectory("ivf_pred").toString
+    val model = IvfIndex.build(emb, "embedding", nlist = 8, path, "cosine")
+    val probe = IvfIndex.probe(spark, model, "vec_id", "embedding", query, 5,
+      nprobe = 8, pred = Some(col("label") === 3))
+    // the predicate must reach the parquet reader, not sit above the scan
+    probe.queryExecution.executedPlan.toString should include regex "PushedFilters: \\[.*label.*\\]"
+    probe.select("vec_id").collect().map(_.getLong(0)).toSet shouldBe exactFilteredTop5
+  }
+
+  test("IVF-PQ filtered probe returns only matching rows with good recall") {
+    import graft.operators.PqIndex
+    val path = Files.createTempDirectory("ivfpq_pred").toString
+    val model = PqIndex.build(emb, "vec_id", "embedding", nlist = 8, m = 8, path, "cosine")
+    val got = PqIndex.probe(spark, model, "vec_id", "embedding", query, 5,
+      nprobe = 8, rerankFactor = 8, pred = Some(col("label") === 3))
+    val rows = got.select("vec_id", "label").collect()
+    all(rows.map(_.getInt(1))) shouldBe 3
+    val ids = rows.map(_.getLong(0)).toSet
+    (ids.intersect(exactFilteredTop5).size.toDouble / 5) should be >= 0.6
+  }
+
+  test("LSH filtered probe at full radius equals exact filtered top-k") {
+    val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
+    val indexed = LshIndex.index(emb, "embedding", planes)
+    val got = LshIndex.probe(indexed, "vec_id", "embedding", query, planes, 5,
+      maxHamming = 16, pred = Some(col("label") === 3))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got shouldBe exactFilteredTop5
+  }
+
   test("LSH at full hamming radius is exact; tight radius keeps recall") {
     val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
     val indexed = LshIndex.index(emb, "embedding", planes).cache()
