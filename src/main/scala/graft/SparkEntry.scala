@@ -360,7 +360,8 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
-      operators.AsOfJoin.join(clicks, purchases, Seq("user_id"), "ts", "ts")
+      operators.AsOfJoin.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+          rightTieBreak = Seq("p_event_id"))
         .select(col("event_id"), col("user_id"),
           col("asof.p_event_id").as("p_event_id"),
           floor(col("asof.p_value") * 10000).as("p_value_q4"))

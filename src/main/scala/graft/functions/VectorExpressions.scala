@@ -53,6 +53,26 @@ trait VectorKernel { self: BinaryExpression =>
     case DoubleType => a.getDouble(i)
     case _ => throw new IllegalStateException("unreachable")
   }
+
+  /** runtime dimension guard (eval path): scoring a silent common
+    * prefix of mismatched vectors would return a plausible-but-wrong
+    * number — fail loudly instead (DuckDB's list kernels do the same).
+    */
+  protected def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: mismatched vector dimensions ($n vs ${b.numElements()})")
+    n
+  }
+
+  /** same guard, codegen path: emitted ahead of the kernel loop. */
+  protected def dimGuard(a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: mismatched vector dimensions (" + $n + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
 /** cosine_similarity(a, b) = dot(a,b) / (sqrt(|a|^2) * sqrt(|b|^2)).
@@ -66,7 +86,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = getElem(a, i); val y = getElem(b, i)
@@ -81,7 +101,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimGuard(a, b, n)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${getter(a, i)};
@@ -103,7 +123,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var i = 0
     while (i < n) { dot += getElem(a, i) * getElem(b, i); i += 1 }
     dot
@@ -113,7 +133,7 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimGuard(a, b, n)}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (${getter(a, i)}) * (${getter(b, i)});
@@ -133,7 +153,7 @@ case class L2Distance(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var s = 0.0; var i = 0
     while (i < n) { val d = getElem(a, i) - getElem(b, i); s += d * d; i += 1 }
     math.sqrt(s)
@@ -144,7 +164,7 @@ case class L2Distance(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimGuard(a, b, n)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (${getter(a, i)}) - (${getter(b, i)});

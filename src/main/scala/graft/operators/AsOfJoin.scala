@@ -23,9 +23,16 @@ object AsOfJoin {
   /** Left as-of join. Right columns come back nested in `asofPrefix`
     * struct fields (null when no right row precedes the left row).
     * Ties (`rightTs == leftTs`) match, per standard as-of semantics.
+    *
+    * `rightTieBreak`: right-side columns that order DUPLICATE
+    * (key, rightTs) rows — the row with the GREATEST tie-break value
+    * wins. Without it, which duplicate is carried is partition-order-
+    * dependent (nondeterministic across runs); pass a unique right
+    * column (an event id) whenever duplicates are possible.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, asofPrefix: String = "asof"): DataFrame = {
+           leftTs: String, rightTs: String, asofPrefix: String = "asof",
+           rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val keyCols = keys.map(col)
     val leftStruct = struct(left.columns.map(col): _*)
     val rightStruct = struct(right.columns.map(col): _*)
@@ -40,8 +47,12 @@ object AsOfJoin {
       keyCols :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(lType).as("__l") :+ rightStruct.as("__r"): _*)
 
+    // tie-break columns sort right-row duplicates at equal (key, ts);
+    // they are null on left rows (side 1), which sort after side-0
+    // rights anyway, so the extra keys never reorder left vs right
+    val tb = rightTieBreak.map(c => col(s"__r.$c").asc)
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc +: col("__side").asc +: tb: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

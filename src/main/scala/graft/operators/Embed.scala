@@ -1,19 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.util.LongAccumulator
 import scala.util.hashing.MurmurHash3
 
 /** Batch text embedding — the plumbing of the reference's
   * SentenceTransformer encode step (demo.ipynb cell 7). The model is
   * external to the engine (the reference downloads all-MiniLM-L6-v2);
   * here the encoder is a deterministic feature-hashing projection so the
-  * Spark-side shape — partition-parallel batched map, `array<float>`
-  * output column, no shuffle — is real and testable without model jars.
-  * Swapping in a real model = replacing `encodeOne` with a per-partition
-  * batched model call (load once per partition, encode in batches).
+  * Spark-side shape — mapPartitions, model constructed ONCE per
+  * partition, explicit size-B batch accumulation, `array<float>` output
+  * column, no shuffle — is real and testable without model jars.
+  * Swapping in a real model = replacing [[Embed.StubEncoder]] with a
+  * transformer-backed class exposing the same `encodeBatch` call.
   */
 object Embed {
+
+  /** Stand-in for the external model. Construction is the "load the
+    * weights" step (here: nothing), `encodeBatch` is the batched
+    * forward pass — the exact seam a SentenceTransformer-style encoder
+    * drops into. Deterministic, so the operator stays testable.
+    */
+  final class StubEncoder(dim: Int) extends Serializable {
+    def encodeBatch(texts: Array[String]): Array[Array[Float]] =
+      texts.map(t => encodeOne(if (t == null) "" else t, dim))
+  }
 
   /** Feature-hashed unit-norm embedding of whitespace-tokenized text. */
   def encodeOne(text: String, dim: Int): Array[Float] = {
@@ -30,13 +43,31 @@ object Embed {
     out
   }
 
-  /** Adds an `embedding` column. Pure per-partition map — embeds at scan
-    * parallelism with zero shuffle.
+  /** Adds an `embedding` column via per-partition BATCHED encoding:
+    * one encoder instance per partition (the model-load cost is paid
+    * once per task, not per row), inputs accumulated into size-
+    * `batchSize` batches (GPU/ONNX encoders only reach throughput on
+    * batches), zero shuffle — embeds at scan parallelism.
+    *
+    * `batchCounter` (tests/metrics) increments once per encodeBatch
+    * call, making the batch boundaries observable.
     */
-  def encode(df: DataFrame, textCol: String, dim: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    val encodeUdf = udf((s: String) => encodeOne(if (s == null) "" else s, dim))
-    df.withColumn("embedding", encodeUdf(col(textCol)))
+  def encode(df: DataFrame, textCol: String, dim: Int = 64, batchSize: Int = 64,
+             batchCounter: Option[LongAccumulator] = None): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val schema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val model = new StubEncoder(dim) // "loaded" once per partition
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        val vecs = model.encodeBatch(batch.map(r => r.getAs[String](idx)).toArray)
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
+        }
+      }
+    }(enc)
   }
 
   /** The same embedding as a standard MLlib pipeline —

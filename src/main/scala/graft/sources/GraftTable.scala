@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Upsert
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** A minimal copy-on-write versioned lakehouse table — the Spark-native
@@ -16,7 +16,8 @@ import scala.jdk.CollectionConverters._
   *   path/_keys              key columns + bucket count
   *   path/_commits           one committed version per line (atomic append)
   *   path/manifests/v<N>     bucket → data-dir lines for snapshot N
-  *   path/data/v<N>/__bucket=<b>/  (parquet files)
+  *   path/data/v<N>-<token>/__bucket=<b>/  (parquet files; token is
+  *     unique per write attempt so racing writers never share a dir)
   * }}}
   *
   * Rows hash into `nbuckets` buckets on the record key. An upsert
@@ -55,7 +56,13 @@ object GraftTable {
   def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16): Unit = {
     require(!exists(path), s"table already exists at $path")
     Files.createDirectories(Paths.get(path, "manifests"))
-    Files.writeString(keysPath(path), keyCols.mkString(",") + "|" + nbuckets)
+    // CREATE_NEW: two racing creates — exactly one wins the keys file
+    try Files.writeString(keysPath(path), keyCols.mkString(",") + "|" + nbuckets,
+      StandardOpenOption.CREATE_NEW)
+    catch { case _: FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent create already initialized the table at $path")
+    }
     writeVersion(df, path, keyCols, nbuckets, v = 0, carryOver = Map.empty)
   }
 
@@ -128,14 +135,26 @@ object GraftTable {
     Files.delete(p)
   }
 
+  /** Write snapshot v: data dir → manifest → commit-log append.
+    *
+    * Optimistic concurrency control: the manifest for v is created with
+    * CREATE_NEW, so of two writers that both read version v−1 and race
+    * to commit v, exactly one wins; the loser throws
+    * ConcurrentModificationException WITHOUT touching any shared state
+    * (its data dir carries a unique suffix, so it never clobbers the
+    * winner's files, and vacuum reclaims the orphan). This is the same
+    * manifest-level atomic-rename/put-if-absent protocol the lakehouse
+    * formats use; the caller retries the upsert against the new head.
+    */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String]): Unit = {
-    val dataRel = s"data/v$v"
+    // unique per-attempt dir: racing writers must not share a data path
+    val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
-    val listing = Files.list(Paths.get(path, "data", s"v$v"))
+    val listing = Files.list(Paths.get(path).resolve(dataRel))
     val written =
       try listing.iterator().asScala
         .map(_.getFileName.toString).filter(_.startsWith(s"$BUCKET="))
@@ -143,7 +162,12 @@ object GraftTable {
       finally listing.close()
     val lines = (carryOver ++ written).toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
-    Files.writeString(manifestPath(path, v), lines)
+    // CREATE_NEW = the commit lock: first manifest for v wins
+    try Files.writeString(manifestPath(path, v), lines, StandardOpenOption.CREATE_NEW)
+    catch { case _: FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer committed v$v first at $path; re-read and retry the upsert")
+    }
     // commit last: readers only see fully-written manifests
     Files.writeString(commitsPath(path), s"$v\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

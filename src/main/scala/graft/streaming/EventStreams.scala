@@ -76,18 +76,30 @@ object EventStreams {
   /** Streaming ingest into a [[graft.sources.GraftTable]] — the
     * reference's Hudi streaming-upsert pattern (`operation=upsert` per
     * micro-batch). foreachBatch applies the keyed last-wins merge per
-    * batch, giving exactly-once table state under checkpointing.
+    * batch.
+    *
+    * Delivery semantics, honestly: pass `checkpointLocation` to get
+    * at-least-once batch delivery across restarts (without it, a
+    * restarted query replays the source from scratch). foreachBatch
+    * itself is at-least-once; a replayed batch re-applies the SAME
+    * last-wins merge, so the table CONTENT converges (idempotent
+    * state) even though the replay burns an extra version. True
+    * exactly-once would additionally need the batchId recorded in the
+    * table commit — not claimed here.
     */
   def streamUpsertInto(spark: SparkSession, dir: String, tablePath: String,
-                       keyCols: Seq[String]): Unit = {
+                       keyCols: Seq[String],
+                       checkpointLocation: Option[String] = None): Unit = {
     import graft.sources.GraftTable
     val stream = readEventStream(spark, dir)
-    val q = stream.writeStream
+    val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!GraftTable.exists(tablePath)) GraftTable.create(batch, tablePath, keyCols)
         else GraftTable.upsert(spark, tablePath, batch)
       }
       .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     q.awaitTermination()
   }

@@ -39,6 +39,16 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     got shouldBe Map("k1" -> Some(1.0), "k2" -> None)
   }
 
+  test("duplicate (key, ts) right rows resolve to the greatest tie-break") {
+    val l = L((1L, 10L, "a"))
+    // two right rows at the same (key, ts) — without a tie-break the
+    // carried row is partition-order-dependent; with one it's the max
+    val r = R((1L, 5L, 1.0), (1L, 5L, 2.0))
+    val got = AsOfJoin.join(l, r, Seq("k"), "ts", "ts", rightTieBreak = Seq("v"))
+      .select(col("asof.v")).head().getDouble(0)
+    got shouldBe 2.0
+  }
+
   test("plan shuffles once on the key — no range-join explosion") {
     val l = L((1L, 10L, "a")); val r = R((1L, 5L, 1.0))
     val plan = AsOfJoin.join(l, r, Seq("k"), "ts", "ts")

@@ -24,6 +24,23 @@ class EmbedSpec extends AnyFunSuite with Matchers {
     a.map(_.getSeq[Float](1)) shouldBe b.map(_.getSeq[Float](1))
   }
 
+  test("encode batches per partition: ceil(rows/batchSize) model calls") {
+    val acc = spark.sparkContext.longAccumulator("embed_batches")
+    val one = docs.repartition(1) // 50 rows, one partition
+    Embed.encode(one, "text", 64, batchSize = 16, batchCounter = Some(acc))
+      .queryExecution.toRdd.count()
+    acc.value shouldBe 4L // ceil(50/16): three full batches + one of 2
+  }
+
+  test("batched encode output equals row-at-a-time encoding") {
+    val got = Embed.encode(docs, "text", 64, batchSize = 7)
+      .select("doc_id", "embedding").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = docs.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Embed.encodeOne(r.getString(1), 64).toSeq))
+    got shouldBe want
+  }
+
   test("MLlib pipeline encoder: unit norm, fixed dim, searchable output") {
     val emb = Embed.encodePipeline(docs, "text", 64).cache()
     emb.select(vector_norm(col("embedding")).as("n"))

@@ -46,7 +46,7 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     val m1 = GraftTable.manifest(path, 1)
     val changed = m1.filter { case (b, d) => m0(b) != d }
     changed.size shouldBe 1
-    changed.keys.foreach(b => m1(b) should startWith("data/v1/"))
+    changed.keys.foreach(b => m1(b) should startWith("data/v1-"))
     (m1 -- changed.keys) shouldBe (m0 -- changed.keys) // untouched: same files, no rewrite
 
     GraftTable.read(spark, path).filter(col("k") === 7).head().getLong(1) shouldBe -1L
@@ -78,6 +78,47 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     // time travel past the horizon is gone
     an[Exception] should be thrownBy
       GraftTable.read(spark, path, version = 0).collect()
+  }
+
+  test("a racing upsert fails cleanly when another writer committed first") {
+    val path = Files.createTempDirectory("graft_race").toString + "/t"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    // simulate a concurrent winner: v1's manifest already exists by the
+    // time our upsert (which read head = v0) tries to commit
+    Files.writeString(java.nio.file.Paths.get(path, "manifests", "v1"), "")
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      GraftTable.upsert(spark, path, Seq((1L, 2)).toDF("k", "x"))
+    // the loser must not have corrupted the committed snapshot
+    GraftTable.latestVersion(path) shouldBe 0
+    GraftTable.read(spark, path).collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe
+      Array((1L, 1))
+  }
+
+  test("two concurrent upserts: at least one commits, state stays consistent") {
+    val path = Files.createTempDirectory("graft_race2").toString + "/t"
+    GraftTable.create(Seq((1L, 0), (2L, 0)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          go.await()
+          try { GraftTable.upsert(spark, path, Seq((i.toLong, i)).toDF("k", "x")); true }
+          catch { case _: java.util.ConcurrentModificationException => false }
+        }
+      })
+    }
+    go.countDown()
+    val oks = results.map(_.get(120, TimeUnit.SECONDS)).count(identity)
+    pool.shutdown()
+    oks should be >= 1
+    // version head advanced by exactly the number of successful commits
+    GraftTable.latestVersion(path) shouldBe oks
+    // table remains fully readable and consistent (2 keys, last-wins values)
+    val rows = GraftTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.keySet shouldBe Set(1L, 2L)
   }
 
   test("last-wins merge is deterministic when updates repeat a key") {

@@ -47,6 +47,23 @@ class VectorKernelsSpec extends AnyFunSuite with Matchers {
     one.select(cosine_similarity($"a", $"b")).collect()(0).isNullAt(0) shouldBe true
   }
 
+  test("mismatched dimensions fail loudly on both codegen and eval paths") {
+    val bad = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    // codegen path
+    val e1 = intercept[Exception] {
+      bad.select(cosine_similarity($"a", $"b")).collect()
+    }
+    e1.getMessage should include("mismatched vector dimensions")
+    // interpreted path
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val e2 = intercept[Exception] {
+        bad.select(l2_distance($"a", $"b")).collect()
+      }
+      e2.getMessage should include("mismatched vector dimensions")
+    }
+  }
+
   test("kernels survive interpreted (non-codegen) path too") {
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
                 "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
