@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
 import graft.functions.{CosineSimilarity, DotProduct, L2Distance, VectorNorm}
 
 /** SQL surface for the vector kernels — the Spark-native analog of the
@@ -15,15 +17,28 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Distance, VectorNorm}
   *   FROM embeddings ORDER BY score DESC LIMIT 10
   * }}}
   *
+  * and the reference's ONE-CALL table-function shape works verbatim
+  * (demo.ipynb cell 11: `hudi_vector_search(path, col, vec, k, metric)`):
+  *
+  * {{{
+  *   SELECT * FROM graft_vector_search(
+  *     '/data/embeddings', 'embedding',
+  *     (SELECT embedding FROM embeddings WHERE vec_id = 0), 10, 'cosine')
+  * }}}
+  *
   * Two entry points:
   *  - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
   *  - runtime: `GraftFunctions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftFunctions.tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftFunctions {
@@ -53,11 +68,51 @@ object GraftFunctions {
       })
   )
 
+  /** `graft_vector_search(path, vecCol, queryVec, k [, metric])` — the
+    * reference's table-function entry point, built as a declarative
+    * plan: parquet scan → codegen'd kernel score → top-k (which the
+    * planner compiles to TakeOrderedAndProject). `queryVec` is embedded
+    * as an EXPRESSION, not evaluated at build time — a scalar subquery
+    * (the reference's own usage) resolves inside the plan. path/vecCol/
+    * k/metric must be literals (they shape the plan itself). Ties at
+    * the k-th score are broken by the vector column's bytes only if the
+    * caller adds an ORDER BY; like the reference, the bare call
+    * guarantees order only on the score.
+    */
+  private def vectorSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4 || args.length == 5,
+      s"graft_vector_search(path, vecCol, queryVec, k[, metric]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_vector_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "path").toString
+    val vecCol = lit(1, "vecCol").toString
+    val k = lit(3, "k").asInstanceOf[Number].intValue()
+    val metric = if (args.length == 5) lit(4, "metric").toString else "cosine"
+    val queryCol = org.apache.spark.sql.graftshim.Bridge.column(args(2))
+    val spark = SparkSession.active
+    val scored = spark.read.parquet(path)
+      .withColumn("score", operators.VectorSearch.scoreCol(col(vecCol), queryCol, metric))
+    val ord = if (metric == "l2") col("score").asc else col("score").desc
+    scored.orderBy(ord).limit(k).queryExecution.logical
+  }
+
+  val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_vector_search",
+      info("graft_vector_search",
+        "graft_vector_search(path, vecCol, queryVec, k[, metric]) - top-k vector search over a parquet table"),
+      vectorSearchPlan _))
+
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, inf, builder) =>
       registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (name, inf, builder) =>
+      tvfRegistry.registerFunction(FunctionIdentifier(name), inf, builder)
     }
   }
 }

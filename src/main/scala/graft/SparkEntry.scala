@@ -115,6 +115,19 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "vs_sql_tvf" -> ((s, dir) => {
+      // the reference's literal entry point: ONE SQL table-function call
+      // (demo.ipynb cell 11) — registered live, query vector via scalar
+      // subquery, oracle = the brute-force top-k SQL
+      GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+            FROM graft_vector_search('$dir/embeddings.parquet', 'embedding',
+              (SELECT embedding FROM parquet.`$dir/embeddings.parquet` WHERE vec_id = 0),
+              10, 'cosine')
+            ORDER BY score DESC, vec_id""")
+    }),
+
     "vs_hybrid_rrf_topn" -> ((s, dir) => {
       // production rank fusion: each retriever contributes only its top-50
       // slice (TakeOrderedAndProject — no full-corpus sort, no RDD hop)
@@ -656,6 +669,10 @@ object SparkEntry {
     "vs_hybrid_ivf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
+
+    "vs_sql_tvf" ->
+      s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
+          FROM embeddings ORDER BY $cos0 DESC, vec_id LIMIT 10""",
 
     "vs_hybrid_rrf_topn" ->
       s"""WITH kw AS (

@@ -28,6 +28,43 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     sql shouldBe df
   }
 
+  test("graft_vector_search TVF round-trips the reference's one-call shape") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings_v")
+    // the reference's cell-11 call, verbatim shape: table function over a
+    // path, query vector as a scalar subquery, k, metric
+    val sql = spark.sql(
+      s"""SELECT vec_id, score FROM graft_vector_search(
+            '$sf0001/embeddings.parquet', 'embedding',
+            (SELECT embedding FROM embeddings_v WHERE vec_id = 0), 10, 'cosine')
+          ORDER BY score DESC, vec_id""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val want = graft.operators.VectorSearch.topK(emb, "embedding", "vec_id", q, 10, "cosine")
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    sql shouldBe want
+  }
+
+  test("graft_vector_search supports l2 and defaults metric to cosine") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings_v")
+    val l2 = spark.sql(
+      s"""SELECT vec_id FROM graft_vector_search(
+            '$sf0001/embeddings.parquet', 'embedding',
+            (SELECT embedding FROM embeddings_v WHERE vec_id = 0), 1, 'l2')""")
+      .head().getLong(0)
+    l2 shouldBe 0L // self-match at distance 0
+    val defaulted = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_vector_search(
+            '$sf0001/embeddings.parquet', 'embedding',
+            (SELECT embedding FROM embeddings_v WHERE vec_id = 0), 5)""")
+      .head().getLong(0)
+    defaulted shouldBe 5L
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
