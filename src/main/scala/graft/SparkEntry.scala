@@ -245,6 +245,70 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: pure pushed-filter scan + single exact aggregate
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        col("l_discount").cast("decimal(14,2)")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: supplier-nation × customer-nation trade volume by year
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir).join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, dir).join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .select("c_custkey", "cust_nation")
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q10_returned_top_customers" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returns, top customers
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).filter(
+            col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("sum_qty"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     "q_top_customer_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -743,6 +807,48 @@ object SparkEntry {
            AND n_regionkey = r_regionkey AND r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                strftime(l_shipdate, '%Y') AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name != n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q10_returned_top_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+         SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c, sum_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY price_c DESC, o_orderkey LIMIT 20""",
 
     "q_top_customer_per_nation" ->
       """SELECT n_name, rnk, c_custkey, c_acctbal FROM (

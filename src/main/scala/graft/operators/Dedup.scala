@@ -315,7 +315,11 @@ object Dedup {
       .map(r => unitNorm(r.getSeq[Float](0).toArray))
     if (sample.isEmpty)
       return base.select(col("id").as("i"), col("id").as("j"), lit(0.0).as("cos")).limit(0)
-    val cents = PqIndex.lloyd(sample, nblocks, iters = 8, seed)
+    // cap the Lloyd fit input: centroid quality saturates fast and the
+    // fit is single-threaded driver work — stride-sample past 4096
+    val fit = if (sample.length <= 4096) sample
+              else Array.tabulate(4096)(i => sample(i * (sample.length / 4096)))
+    val cents = PqIndex.lloyd(fit, nblocks, iters = 8, seed)
     val bcCents = spark.sparkContext.broadcast(cents)
 
     // (primary cell, cover cells) per row: nblocks small distances — cheap
@@ -339,7 +343,10 @@ object Dedup {
     val assigned = base.withColumn("a", cellsUdf(col("v")))
     val primary = assigned.select(col("id"), col("v"), col("a._1").as("cell"))
     val coverSide = assigned.select(col("id"), col("v"), explode(col("a._2")).as("cell"))
-    primary.as("x").join(coverSide.as("y"),
+    // shuffle_hash: cell keys are few and heavy — hashing one side beats
+    // sort-merge's equal-key-run buffering; still a shuffled (bounded-
+    // memory-per-task) join, never a table broadcast
+    primary.as("x").hint("shuffle_hash").join(coverSide.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .withColumn("cos", cosine_similarity(col("x.v"), col("y.v")))
       .filter(col("cos") >= tau)
