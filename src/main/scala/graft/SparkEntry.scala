@@ -492,6 +492,15 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
         .orderBy("i", "j")),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // pair mining → duplicate GROUPS: connected components over the
+      // exact Jaccard pair set (A~B, B~C ⇒ one cluster {A,B,C})
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.8)
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "i", "j")
+        .orderBy("node")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       // hash-function-dependent → rows-only check; semantics in DedupSpec
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -966,6 +975,8 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
 
+    "dedup_clusters" -> clustersOracle,
+
     // b=32 bands × r=4 rows over 128 perms: P(miss | J≥0.8) < 1e-7, and the
     // injected near-dups sit at J≥0.9 (miss < 1e-15) — LSH output == exact set.
     "dedup_minhash_lsh" -> jaccardOracle,
@@ -1071,10 +1082,11 @@ object SparkEntry {
   )
 
   /** Mirrors [[graft.operators.Dedup.shingles]] (k=3) + the inverted-index
-    * pair join, verbatim, in DuckDB list functions.
+    * pair join, verbatim, in DuckDB list functions. Shared CTE block:
+    * `jpairs(i, j, jaccard)` = the exact pair set at τ=0.8.
     */
-  private val jaccardOracle: String =
-    """WITH toks AS (
+  private val jaccardCtes: String =
+    """toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        sh AS (
          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -1082,15 +1094,36 @@ object SparkEntry {
          FROM toks),
        sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
        ex AS (SELECT doc_id, unnest(s) AS g FROM sh2),
-       pairs AS (
+       prs AS (
          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       sizes AS (SELECT doc_id, len(s) AS n FROM sh2)
-       SELECT i, j, CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) AS jaccard
-       FROM pairs p JOIN sizes si ON p.i = si.doc_id JOIN sizes sj ON p.j = sj.doc_id
-       WHERE CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) >= 0.8
-       ORDER BY i, j"""
+       sizes AS (SELECT doc_id, len(s) AS n FROM sh2),
+       jpairs AS (
+         SELECT i, j, CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) AS jaccard
+         FROM prs p JOIN sizes si ON p.i = si.doc_id JOIN sizes sj ON p.j = sj.doc_id
+         WHERE CAST(inter AS DOUBLE) / CAST(si.n + sj.n - inter AS DOUBLE) >= 0.8)"""
+
+  private val jaccardOracle: String =
+    s"WITH $jaccardCtes SELECT i, j, jaccard FROM jpairs ORDER BY i, j"
+
+  /** Transitive closure of the Jaccard pair graph (DuckDB recursive CTE)
+    * → min reachable doc id per node, singletons label themselves —
+    * mirrors [[graft.operators.Dedup.connectedComponents]].
+    */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+        edges AS (SELECT i AS u, j AS w FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+        reach AS (
+          SELECT u AS node, w AS r FROM edges
+          UNION
+          SELECT reach.node, edges.w FROM reach JOIN edges ON reach.r = edges.u),
+        lbl AS (
+          SELECT d.doc_id AS node,
+                 least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS cluster
+          FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+          GROUP BY d.doc_id)
+        SELECT node, cluster FROM lbl ORDER BY node"""
 
   /** Mirrors [[graft.operators.TextAnalysis.withLangId]]: per-language
     * distinct-token overlap, argmax with lexicographic-min tie-break.

@@ -353,6 +353,56 @@ object Dedup {
       .select(col("x.id").as("i"), col("y.id").as("j"), col("cos"))
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair set → (node, cluster) where cluster = min doc id reachable.
+    * The step AFTER pair mining in a dedup pipeline: pairs chain
+    * (A~B, B~C ⇒ {A,B,C} is one duplicate group), and the keep-one
+    * decision needs the group, not the pairs.
+    *
+    * Iterative min-label propagation as a driver loop of declarative
+    * plans: each round every node takes the min label in its closed
+    * neighborhood (self ∪ neighbors); converges in ≤ graph-diameter
+    * rounds. Near-dup clusters are small by construction (they chain
+    * through ≥τ-similar docs), so the loop is shallow; each round is
+    * one shuffle on node id. For adversarial long-chain graphs at
+    * planetary scale the alternating large-star/small-star variant
+    * halves paths per round — not needed for dedup-shaped graphs.
+    * `maxIter` bounds the loop; it throws rather than silently
+    * returning unconverged labels.
+    */
+  def connectedComponents(nodes: DataFrame, nodeCol: String,
+                          pairs: DataFrame, iCol: String, jCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(iCol).as("u"), col(jCol).as("w"))
+      .unionByName(pairs.select(col(jCol).as("u"), col(iCol).as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(nodeCol).as("node"))
+      .distinct().withColumn("lbl", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood of every node
+      val neighborLbl = edges
+        .join(labels.withColumnRenamed("node", "w"), "w")
+        .select(col("u").as("node"), col("lbl"))
+      val next = labels.unionByName(neighborLbl)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changes = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changes == 0L
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph diameter too large")
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
   private def unitNorm(v: Array[Float]): Array[Float] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -48,6 +48,23 @@ class DedupSpec extends AnyFunSuite with Matchers {
     sim should not be empty
   }
 
+  test("connectedComponents: chains merge into one cluster, singletons stay") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("n")
+    // 1-2, 2-3 chain; 4-5 pair; no node 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(nodes, "n", pairs, "i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+  }
+
+  test("connectedComponents converges with no edges (all singletons)") {
+    val nodes = Seq(1L, 2L).toDF("n")
+    val pairs = Seq.empty[(Long, Long)].toDF("i", "j")
+    val got = Dedup.connectedComponents(nodes, "n", pairs, "i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 2L)
+  }
+
   test("embeddingCosine plan is a blocked equi-join, not an all-pairs broadcast") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4)
