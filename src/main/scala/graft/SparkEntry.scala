@@ -445,6 +445,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_events_interval_join" -> ((s, dir) => {
+      // purchases within the hour before each click, via the bucketed
+      // interval join (scale-safe twin of the stream-stream join)
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      operators.IntervalJoin.join(clicks, purchases, Seq("user_id"),
+          "ts", "pts", lowerUs = -3600L * 1000000L, upperUs = 0L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("p_value") * 10000)).cast("long").as("sum_value_q4"))
+        .orderBy("event_id")
+    }),
+
     "q_docs_rollup" -> ((s, dir) =>
       Tables.documents(s, dir)
         .rollup("lang", "source")
@@ -942,6 +959,16 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY c.event_id""",
+
+    "q_events_interval_join" ->
+      """SELECT c.event_id, count(*) AS n_purchases,
+                CAST(sum(CAST(FLOOR(p.value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_q4
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000 - 3600000000
+          AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000
+         GROUP BY 1 ORDER BY 1""",
 
     "q_docs_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,

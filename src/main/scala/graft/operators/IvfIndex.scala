@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.vectors._
 
@@ -75,6 +75,32 @@ object IvfIndex {
       .filter(col("cluster_id").isin(cells: _*)) // partition-pruning filter
     val filtered = pred.fold(scan)(scan.filter)
     VectorSearch.topK(filtered, vecCol, idCol, query, k, model.metric)
+  }
+
+  /** Incremental index maintenance: append a batch of NEW vectors to an
+    * existing layout. Rows are assigned to their nearest EXISTING
+    * centroid (same normalized space the build used) and appended into
+    * the `partitionBy(cluster_id)` dirs — probes list partition dirs
+    * per query, so appended rows are visible immediately, and an
+    * exhaustive (nprobe = nlist) probe stays exact by construction.
+    * Centroids are NOT refit: appends keep nprobe recall while the
+    * vector distribution is stable; drift is handled by periodic
+    * offline rebuild (standard IVF practice).
+    *
+    * Streaming hookup is one line — the micro-batch body IS this
+    * method: {{{
+    *   stream.writeStream.foreachBatch((b, _) => IvfIndex.append(model, b, "embedding"))
+    * }}}
+    */
+  def append(model: Model, batch: DataFrame, vecCol: String): Unit = {
+    val bc = batch.sparkSession.sparkContext.broadcast(model.centroids)
+    val cosine = model.metric == "cosine"
+    val assign = udf { (v: Seq[Float]) =>
+      val arr = if (cosine) normalize(v.toArray) else v.toArray
+      PqIndex.nearestIdx(bc.value, arr)
+    }
+    batch.withColumn("cluster_id", assign(col(vecCol)))
+      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
   }
 
   /** Driver-side centroid ranking (nlist × dim floats — microseconds). */

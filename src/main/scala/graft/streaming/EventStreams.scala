@@ -104,6 +104,26 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: each click paired with the same
+    * user's purchases in the preceding hour — the streaming twin of
+    * [[graft.operators.IntervalJoin]] (same semantics, verified equal
+    * in EventStreamsSpec). Watermarks bound both sides' buffered
+    * state: the range condition tells Spark a purchase can only match
+    * clicks up to 1 h later, so purchase state ages out 1 h past the
+    * watermark instead of growing forever.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("pts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .withWatermark("pts", "2 hours")
+    clicks.join(purchases,
+      expr("user_id = p_user_id AND pts >= ts - interval 1 hour AND pts <= ts"))
+  }
+
   /** Streaming exact dedup: first event per key wins; state for seen
     * keys is dropped once the watermark passes (bounded state — the
     * streaming form of Dedup.exact).

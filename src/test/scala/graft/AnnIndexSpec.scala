@@ -80,6 +80,36 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     got shouldBe exactFilteredTop5
   }
 
+  test("IVF append: appended vectors are probed, exhaustive stays exact") {
+    val path = Files.createTempDirectory("ivf_app").toString
+    val model = IvfIndex.build(emb.filter(col("vec_id") < 250), "embedding",
+      nlist = 8, path, "cosine")
+    IvfIndex.append(model, emb.filter(col("vec_id") >= 250), "embedding")
+    val got = IvfIndex.probe(spark, model, "vec_id", "embedding", query, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got shouldBe exactTop10 // top-10 over the FULL corpus incl. appended half
+  }
+
+  test("IVF streaming maintenance: foreachBatch append, then exact probe") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Files.createTempDirectory("ivf_stream").toString
+    val model = IvfIndex.build(emb.filter(col("vec_id") < 250), "embedding",
+      nlist = 8, path, "cosine")
+    val stream = spark.readStream.schema(Tables.embeddings(spark, sf0001).schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf0001)
+      .filter(col("vec_id") >= 250)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.append(model, b, "embedding")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = IvfIndex.probe(spark, model, "vec_id", "embedding", query, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got shouldBe exactTop10
+  }
+
   test("LSH at full hamming radius is exact; tight radius keeps recall") {
     val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
     val indexed = LshIndex.index(emb, "embedding", planes).cache()

@@ -31,6 +31,41 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     canon(streamed) shouldBe canon(batch)
   }
 
+  test("stream-stream interval join == batch IntervalJoin") {
+    import graft.operators.IntervalJoin
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val batch = IntervalJoin.join(clicks, purchases, Seq("user_id"),
+        "ts", "pts", lowerUs = -3600L * 1000000L, upperUs = 0L)
+      .select("event_id", "p_event_id")
+    val streamed = EventStreams.runAvailableNow(spark, sf0001,
+      EventStreams.clickPurchaseJoin, "ssj_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id", "p_event_id")
+    canon(streamed) shouldBe canon(batch)
+    batch.count() should be > 0L
+  }
+
+  test("batch IntervalJoin equals the naive range join") {
+    import graft.operators.IntervalJoin
+    val l = Seq((1L, 100L), (2L, 200L)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val r = Seq((1L, 40L, "a"), (1L, 95L, "b"), (1L, 100L, "c"), (1L, 101L, "d"),
+        (2L, 139L, "e"), (2L, 140L, "f"))
+      .toDF("k", "sec", "tag")
+      .select(col("k"), timestamp_seconds(col("sec")).as("rts"), col("tag"))
+    // right within [ts-60s, ts]
+    val got = IntervalJoin.join(l, r, Seq("k"), "ts", "rts", -60L * 1000000L, 0L)
+      .select("k", "tag").collect().map(row => (row.getLong(0), row.getString(1))).toSet
+    // a sits exactly on the inclusive lower bound (100-60=40); d is in
+    // the future; e is 61 s before its left row — outside the window
+    got shouldBe Set((1L, "a"), (1L, "b"), (1L, "c"), (2L, "f"))
+  }
+
   test("mapGroupsWithState userStats final state == batch aggregate") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id").cast("long"), col("value").cast("double"))
