@@ -115,6 +115,20 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "vs_topk_int8" -> ((s, dir) => {
+      // search over int8-quantized embeddings (4× smaller scans at
+      // 100 TB; scale-exact arithmetic mirrored by the DuckDB oracle)
+      import operators.Quantize
+      val emb = Tables.embeddings(s, dir)
+      val scale = Quantize.scaleCol(col("embedding"))
+      val dq = Quantize.decode(Quantize.encode(col("embedding"), scale), scale)
+      emb.withColumn("score",
+          cosine_similarity(dq, typedlit(queryVec(s, dir, 0L).map(_.toDouble))))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_sql_tvf" -> ((s, dir) => {
       // the reference's literal entry point: ONE SQL table-function call
       // (demo.ipynb cell 11) — registered live, query vector via scalar
@@ -763,6 +777,25 @@ object SparkEntry {
     "vs_sql_tvf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings ORDER BY $cos0 DESC, vec_id LIMIT 10""",
+
+    // mirrors Quantize.{scaleCol,encode,decode} op-for-op: scale =
+    // max|x|/127 (1e-30 floor), codes = floor(x/scale + 0.5), dq = c*scale
+    "vs_topk_int8" ->
+      """WITH qz AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) / 127.0 AS scale
+           FROM embeddings),
+         dq AS (
+           SELECT vec_id, label,
+                  list_transform(e, x -> floor(x / scale + 0.5) * scale) AS d
+           FROM qz),
+         scored AS (
+           SELECT vec_id, label,
+                  list_cosine_similarity(d,
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM dq)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
 
     "vs_hybrid_rrf_topn" ->
       s"""WITH kw AS (
