@@ -376,9 +376,15 @@ object Dedup {
     val edges = pairs.select(col(iCol).as("u"), col(jCol).as("w"))
       .unionByName(pairs.select(col(jCol).as("u"), col(iCol).as("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round: iterative plans NEST their full history
+    // (round N's lineage contains rounds 1..N−1 — analysis cost grows
+    // exponentially and the optimizer chokes long before maxIter);
+    // truncating to the materialized RDD keeps every round's plan flat.
+    // Production loops on unreliable clusters would use checkpoint(dir)
+    // (replicated) instead of executor-local blocks.
     var labels = nodes.select(col(nodeCol).as("node"))
       .distinct().withColumn("lbl", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -388,10 +394,9 @@ object Dedup {
         .select(col("u").as("node"), col("lbl"))
       val next = labels.unionByName(neighborLbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changes = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changes == 0L
       iter += 1
