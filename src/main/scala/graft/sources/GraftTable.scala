@@ -100,6 +100,48 @@ object GraftTable {
       b.toInt -> d
     }.toMap
 
+  /** Major compaction: rewrite the current snapshot as a fresh version
+    * with exactly one file per bucket. Bucket-level COW accretes files
+    * (every upsert adds a dir for each touched bucket, and task
+    * parallelism splits dirs into many small parquet files) — the
+    * classic small-files problem; at 100 TB scan throughput dies on
+    * file-open overhead long before bytes. The repartition pins each
+    * bucket to one task so each dir is one well-sized file. Runs
+    * through the same optimistic-commit path as upsert (a racing
+    * writer fails cleanly); follow with [[vacuum]] to reclaim the old
+    * dirs.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, nbuckets) = meta(path)
+    val snapshot = read(spark, path, v)
+      .repartition(nbuckets, bucketCol(keys, nbuckets))
+    writeVersion(snapshot, path, keys, nbuckets, v + 1, carryOver = Map.empty)
+  }
+
+  /** Change feed: rows ADDED or UPDATED in versions (fromVersion,
+    * toVersion] — each emitted once, with its latest (toVersion) image.
+    * The reference's Hudi incremental-query surface, cheap under
+    * bucket-level COW: only buckets whose manifest entry changed can
+    * hold changes, so the diff reads those buckets' dirs at the two
+    * versions and emits `to EXCEPT ALL from` (full-row compare — an
+    * unchanged row carried through a rewrite is NOT a change). The
+    * table is upsert-only, so deletes don't arise.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val mFrom = manifest(path, fromVersion)
+    val mTo = manifest(path, toVersion)
+    val touched = mTo.filter { case (b, d) => !mFrom.get(b).contains(d) }
+    if (touched.isEmpty) return read(spark, path, toVersion).limit(0)
+    val newSide = spark.read.parquet(touched.values.map(d => s"$path/$d").toSeq: _*)
+    val oldDirs = touched.keys.flatMap(mFrom.get).map(d => s"$path/$d").toSeq
+    if (oldDirs.isEmpty) newSide
+    else newSide.exceptAll(spark.read.parquet(oldDirs: _*))
+  }
+
   /** Drop snapshots older than the last `keepVersions`: delete data
     * dirs no surviving manifest references, plus their manifests.
     * Time travel past the horizon is gone (standard lakehouse vacuum

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.GraftTable
 import graft.operators.Upsert
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** COW table semantics: create / upsert / snapshot isolation / time
   * travel / deletes (the reference's Hudi surface, demo.ipynb cell 8).
@@ -78,6 +79,47 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     // time travel past the horizon is gone
     an[Exception] should be thrownBy
       GraftTable.read(spark, path, version = 0).collect()
+  }
+
+  test("compact rewrites the snapshot to one file per bucket, content intact") {
+    val path = Files.createTempDirectory("graft_cpt").toString + "/t"
+    val base = spark.range(0, 500).toDF("k").withColumn("x", col("k") * 3)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+    for (i <- 1 to 3)
+      GraftTable.upsert(spark, path, Seq((i.toLong, -i.toLong)).toDF("k", "x"))
+    val before = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    GraftTable.compact(spark, path)
+    val after = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    after shouldBe before
+    // every bucket dir of the compacted version holds exactly one data file
+    GraftTable.manifest(path, GraftTable.latestVersion(path)).values.foreach { d =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(path, d))
+      try files.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) shouldBe 1
+      finally files.close()
+    }
+  }
+
+  test("changes() emits exactly the rows added or updated between versions") {
+    val path = Files.createTempDirectory("graft_cdc").toString + "/t"
+    GraftTable.create(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"),
+      path, Seq("k"), nbuckets = 4)
+    GraftTable.upsert(spark, path, Seq((2L, 21), (4L, 40)).toDF("k", "x")) // v1
+    GraftTable.upsert(spark, path, Seq((2L, 22)).toDF("k", "x"))           // v2
+
+    def cc(from: Int, to: Int): Set[(Long, Int)] =
+      GraftTable.changes(spark, path, from, to)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    cc(0, 1) shouldBe Set((2L, 21), (4L, 40))
+    cc(1, 2) shouldBe Set((2L, 22))
+    cc(0, 2) shouldBe Set((2L, 22), (4L, 40)) // latest image, each row once
+    cc(2, 2) shouldBe Set.empty
+    // compaction rewrites everything but changes nothing
+    GraftTable.compact(spark, path)
+    cc(2, GraftTable.latestVersion(path)) shouldBe Set.empty
   }
 
   test("a racing upsert fails cleanly when another writer committed first") {

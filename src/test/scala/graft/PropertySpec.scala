@@ -65,6 +65,56 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("IntervalJoin agrees with the naive range join (15 random cases)") {
+    import graft.operators.IntervalJoin
+    for (seed <- 1 to 15) {
+      val rnd = new Random(seed)
+      val left = Seq.fill(1 + rnd.nextInt(12))(
+        (1L + rnd.nextInt(3), rnd.nextInt(300).toLong, rnd.nextLong()))
+      val right = Seq.fill(rnd.nextInt(12))(
+        (1L + rnd.nextInt(3), rnd.nextInt(300).toLong, rnd.nextLong()))
+      val (lo, hi) = (-60L * 1000000L, 15L * 1000000L) // [-60 s, +15 s]
+      val l = left.toDF("k", "sec", "lid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("lid"))
+      val r = right.toDF("k", "sec", "rid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("rts"), col("rid"))
+      val got = IntervalJoin.join(l, r, Seq("k"), "ts", "rts", lo, hi)
+        .select("lid", "rid").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        (lk, lsec, lid) <- left
+        (rk, rsec, rid) <- right
+        if lk == rk
+        if rsec * 1000000L >= lsec * 1000000L + lo &&
+           rsec * 1000000L <= lsec * 1000000L + hi
+      } yield (lid, rid)).toSet
+      withClue(s"seed=$seed: ") { got shouldBe want }
+    }
+  }
+
+  test("connectedComponents agrees with naive union-find (10 random graphs)") {
+    import graft.operators.Dedup
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      val n = 2 + rnd.nextInt(15)
+      val nodes = (1L to n.toLong).toSeq
+      val pairs = Seq.fill(rnd.nextInt(12))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(p => p._1 != p._2)
+      // naive union-find
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(
+          nodes.toDF("n"), "n", pairs.toDF("i", "j"), "i", "j")
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toMap
+      withClue(s"seed=$seed: ") { got shouldBe want }
+    }
+  }
+
   test("shingles UDF agrees with a naive k-gram set (20 random docs)") {
     val words = Array("a", "b", "c", "dd", "ee")
     val rnd = new Random(99)
