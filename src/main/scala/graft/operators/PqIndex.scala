@@ -28,14 +28,21 @@ import scala.util.Random
   */
 object PqIndex {
 
-  /** codebooks(m)(c) = centroid c of subspace m (flat float array). */
+  /** codebooks(m)(c) = centroid c of subspace m (flat float array).
+    * `rot`: optional OPQ rotation (row-vector convention, rotated =
+    * v·R) applied before coarse assignment and PQ encoding; None =
+    * plain PQ. The float vector column is stored unrotated, so exact
+    * re-rank is rotation-free.
+    */
   final case class Model(path: String, coarse: Array[Array[Float]],
                          codebooks: Array[Array[Array[Float]]],
-                         m: Int, dsub: Int, metric: String)
+                         m: Int, dsub: Int, metric: String,
+                         rot: Option[Array[Array[Float]]] = None)
 
   def build(data: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
             path: String, metric: String = "cosine", seed: Long = 42L,
-            sampleSize: Int = 20000): Model = {
+            sampleSize: Int = 20000, opq: Boolean = false,
+            opqIters: Int = 4): Model = {
     val spark = data.sparkSession
     val dim = data.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -53,17 +60,25 @@ object PqIndex {
     val nRows = unit.count()
     val sample = (if (nRows > sampleSize) unit.sample(sampleSize.toDouble / nRows, seed) else unit)
       .select("_v").collect().map(_.getSeq[Float](0).toArray)
-    val coarse = lloyd(sample, nlist, iters = 10, seed)
-    val codebooks = Array.tabulate(m) { mi =>
-      val sub = sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
-      lloyd(sub, 256, iters = 10, seed + mi + 1)
-    }
+    val (rot, codebooks) =
+      if (opq) {
+        val (r, b) = fitOpq(sample, m, opqIters, seed)
+        (Some(r), b)
+      } else (None, Array.tabulate(m) { mi =>
+        val sub = sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+        lloyd(sub, 256, iters = 10, seed + mi + 1)
+      })
+    val fitSample = rot.fold(sample)(r => sample.map(rotateVec(_, r)))
+    val coarse = lloyd(fitSample, nlist, iters = 10, seed)
 
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     val bcBooks = spark.sparkContext.broadcast(codebooks)
-    val assignUdf = udf((v: Seq[Float]) => nearestIdx(bcCoarse.value, v.toArray))
+    val bcRot = spark.sparkContext.broadcast(rot)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestIdx(bcCoarse.value, bcRot.value.fold(v.toArray)(rotateVec(v.toArray, _)))
+    }
     val encodeUdf = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
+      val arr = bcRot.value.fold(v.toArray)(rotateVec(v.toArray, _))
       val code = new Array[Byte](m)
       var mi = 0
       while (mi < m) {
@@ -77,7 +92,82 @@ object PqIndex {
       .withColumn("pq_code", encodeUdf(col("_v")))
       .drop("_v")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    Model(path, coarse, codebooks, m, dsub, metric)
+    Model(path, coarse, codebooks, m, dsub, metric, rot)
+  }
+
+  /** OPQ (Ge et al., CVPR'13), driver-side on the fit sample: learn an
+    * orthonormal rotation R minimizing PQ reconstruction error
+    * ‖XR − X̂‖²_F by alternating (a) codebook refit in the current
+    * rotation (Lloyd's per subspace) and (b) the orthogonal-Procrustes
+    * rotation update R ← U·Vᵀ from SVD(Xᵀ X̂) — the closed-form
+    * minimizer given the codes. The last pass refits codebooks so the
+    * returned (R, codebooks) pair is consistent. iters = 1 degenerates
+    * to plain PQ (R = I). PQ's weakness is cross-subspace correlation —
+    * the rotation decorrelates and balances variance across subspaces,
+    * which is exactly what helps real (anisotropic) embedding
+    * distributions; on isotropic data it is a no-op by design.
+    */
+  private[graft] def fitOpq(sample: Array[Array[Float]], m: Int, iters: Int,
+                            seed: Long): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val d = sample(0).length
+    val dsub = d / m
+    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0f else 0.0f)
+    var books: Array[Array[Array[Float]]] = null
+    var it = 0
+    while (it < iters) {
+      val rotated = sample.map(rotateVec(_, r))
+      books = Array.tabulate(m) { mi =>
+        lloyd(rotated.map(_.slice(mi * dsub, (mi + 1) * dsub)), 256, iters = 10, seed + mi + 1)
+      }
+      if (it < iters - 1) {
+        // X̂ = PQ reconstruction of the rotated sample
+        val xhat = rotated.map { rv =>
+          val out = new Array[Float](d)
+          var mi = 0
+          while (mi < m) {
+            val sub = rv.slice(mi * dsub, (mi + 1) * dsub)
+            val c = books(mi)(nearestIdx(books(mi), sub))
+            System.arraycopy(c, 0, out, mi * dsub, dsub)
+            mi += 1
+          }
+          out
+        }
+        // M = Xᵀ X̂ over the ORIGINAL (unrotated) sample
+        val mMat = DenseMatrix.zeros[Double](d, d)
+        var row = 0
+        while (row < sample.length) {
+          val x = sample(row); val h = xhat(row)
+          var i = 0
+          while (i < d) {
+            val xi = x(i).toDouble
+            var j = 0
+            while (j < d) { mMat(i, j) += xi * h(j); j += 1 }
+            i += 1
+          }
+          row += 1
+        }
+        val s = svd(mMat)
+        val rm = s.U * s.Vt
+        r = Array.tabulate(d, d)((i, j) => rm(i, j).toFloat)
+      }
+      it += 1
+    }
+    (r, books)
+  }
+
+  /** row-vector rotation: out_j = Σ_i v_i · R(i)(j). */
+  private[graft] def rotateVec(v: Array[Float], r: Array[Array[Float]]): Array[Float] = {
+    val d = v.length
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i).toDouble * r(i)(j).toDouble; i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    out
   }
 
   /** ADC probe + exact re-rank. `pred` (predicate pushdown into the
@@ -90,7 +180,10 @@ object PqIndex {
   def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
             query: Seq[Float], k: Int, nprobe: Int, rerankFactor: Int = 4,
             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
+    val qn = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
+    // OPQ: coarse cells, codes, and LUT all live in the rotated space;
+    // rotation is orthonormal so distances/dots there equal the original
+    val q = model.rot.fold(qn)(rotateVec(qn, _))
     // 1. coarse cells
     val cells = model.coarse.zipWithIndex.map { case (c, i) => (l2sq(c, q), i) }
       .sortBy(_._1).take(nprobe).map(_._2).toSeq
@@ -145,7 +238,7 @@ object PqIndex {
     v.map(x => (x * inv).toFloat)
   }
 
-  private[operators] def nearestIdx(cents: Array[Array[Float]], v: Array[Float]): Int = {
+  private[graft] def nearestIdx(cents: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       val d = l2sq(cents(c), v)

@@ -80,6 +80,49 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     got shouldBe exactFilteredTop5
   }
 
+  test("OPQ rotation cuts PQ reconstruction error on anisotropic data") {
+    import graft.operators.PqIndex
+    import scala.util.Random
+    // strongly correlated vectors: low-rank mix + small noise — the regime
+    // plain PQ handles worst (cross-subspace correlation) and OPQ fixes
+    val rnd = new Random(11)
+    val d = 16; val m = 4; val rank = 3
+    val basis = Array.fill(rank, d)(rnd.nextGaussian())
+    val sample = Array.fill(800) {
+      val g = Array.fill(rank)(rnd.nextGaussian())
+      Array.tabulate(d) { j =>
+        (g.zipWithIndex.map { case (gi, k) => gi * basis(k)(j) }.sum +
+          0.05 * rnd.nextGaussian()).toFloat
+      }
+    }
+    def mse(r: Array[Array[Float]], books: Array[Array[Array[Float]]]): Double = {
+      val dsub = d / m
+      sample.map { v =>
+        val rv = PqIndex.rotateVec(v, r)
+        (0 until m).map { mi =>
+          val sub = rv.slice(mi * dsub, (mi + 1) * dsub)
+          val c = books(mi)(PqIndex.nearestIdx(books(mi), sub))
+          sub.zip(c).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        }.sum
+      }.sum / sample.length
+    }
+    val (rPlain, bPlain) = PqIndex.fitOpq(sample, m, iters = 1, seed = 5L) // R = I
+    val (rOpq, bOpq) = PqIndex.fitOpq(sample, m, iters = 4, seed = 5L)
+    val (ePlain, eOpq) = (mse(rPlain, bPlain), mse(rOpq, bOpq))
+    withClue(s"plain=$ePlain opq=$eOpq: ") { eOpq should be < ePlain * 0.9 }
+  }
+
+  test("OPQ-PQ index end-to-end keeps recall at full nprobe") {
+    import graft.operators.PqIndex
+    val path = Files.createTempDirectory("ivfopq").toString
+    val model = PqIndex.build(emb, "vec_id", "embedding", nlist = 8, m = 8, path,
+      "cosine", opq = true, opqIters = 3)
+    model.rot should not be empty
+    val got = PqIndex.probe(spark, model, "vec_id", "embedding", query, 10,
+      nprobe = 8, rerankFactor = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+    (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.7
+  }
+
   test("IVF append: appended vectors are probed, exhaustive stays exact") {
     val path = Files.createTempDirectory("ivf_app").toString
     val model = IvfIndex.build(emb.filter(col("vec_id") < 250), "embedding",
