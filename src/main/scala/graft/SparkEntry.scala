@@ -618,6 +618,36 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    "q_sample_per_source" -> ((s, dir) => {
+      // training-data mixing: exact-N-per-stratum deterministic sample —
+      // md5 of the id is a stable pseudo-random order both engines share,
+      // so "5 random docs per source" is reproducible run-to-run
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      // LLM training-sequence packing (concat-then-chunk): docs stream in
+      // doc_id order per source; pack k holds the docs whose cumulative
+      // token count starts inside [k·B, (k+1)·B) for budget B=2048 —
+      // running-sum window, zero extra shuffles beyond the partition
+      val toks = size(split(col("text"), " "))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .withColumn("t", toks)
+        .withColumn("cum", sum(col("t")).over(w))
+        .withColumn("pack", floor((col("cum") - col("t")) / 2048).cast("long"))
+        .groupBy("source", "pack")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).cast("long").as("sum_tokens"))
+        .orderBy("source", "pack")
+    }),
+
     "q_label_centroids" -> ((s, dir) =>
       // TypedImperativeAggregate pooling; double-sum order sensitivity → rows-only
       Tables.embeddings(s, dir).groupBy("label")
@@ -1047,6 +1077,27 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY i, j""",
+
+    "q_sample_per_source" ->
+      """SELECT source, rn, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5 ORDER BY source, rn""",
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS tk
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, tk,
+                  sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT source, CAST(FLOOR((cum - tk) / 2048) AS BIGINT) AS pack,
+                count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "text_tokens" ->
       """SELECT doc_id,
