@@ -532,6 +532,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "dedup_cleaned" -> ((s, dir) => {
+      // the user-facing end product: the corpus with near-dup clusters
+      // collapsed to their canonical (min-id) representative
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.8)
+      val clusters = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs, "i", "j")
+      Dedup.keepCanonical(docs, "doc_id", clusters)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       // hash-function-dependent → rows-only check; semantics in DedupSpec
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -1066,6 +1078,22 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
 
     "dedup_clusters" -> clustersOracle,
+
+    "dedup_cleaned" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+          edges AS (SELECT i AS u, j AS w FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+          reach AS (
+            SELECT u AS node, w AS r FROM edges
+            UNION
+            SELECT reach.node, edges.w FROM reach JOIN edges ON reach.r = edges.u),
+          lbl AS (
+            SELECT d.doc_id AS node,
+                   least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS cluster
+            FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+            GROUP BY d.doc_id)
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents WHERE doc_id IN (SELECT node FROM lbl WHERE node = cluster)
+          ORDER BY doc_id""",
 
     // b=32 bands × r=4 rows over 128 perms: P(miss | J≥0.8) < 1e-7, and the
     // injected near-dups sit at J≥0.9 (miss < 1e-15) — LSH output == exact set.

@@ -408,6 +408,19 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("cluster"))
   }
 
+  /** The end of the dedup pipeline: keep ONE canonical row per
+    * duplicate cluster (the min-id representative) and drop the rest.
+    * `clusters` is [[connectedComponents]] output; the join is a
+    * broadcast-friendly semi-join on the (small) representative set
+    * when clusters are few, or a key-shuffle otherwise — Catalyst
+    * picks based on size.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("node") === col("cluster"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_semi")
+
   private def unitNorm(v: Array[Float]): Array[Float] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
