@@ -50,4 +50,34 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers {
     val df = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     noException should be thrownBy TextAnalysis.withQuality(df, "text").collect()
   }
+
+  test("Quantize handles the zero vector (codes 0, no NaN)") {
+    import graft.operators.Quantize
+    val df = Seq((1L, Seq(0f, 0f, 0f)), (2L, Seq(1f, -2f, 0.5f))).toDF("id", "v")
+    val scale = Quantize.scaleCol(col("v"))
+    val dq = Quantize.decode(Quantize.encode(col("v"), scale), scale)
+    val rows = df.select(col("id"), dq.as("d")).orderBy("id").collect()
+    rows(0).getSeq[Double](1).foreach(_ shouldBe 0.0)
+    rows(1).getSeq[Double](1).foreach(x => x.isNaN shouldBe false)
+  }
+
+  test("IntervalJoin with an empty side returns empty, not error") {
+    import graft.operators.IntervalJoin
+    val l = Seq((1L, 10L)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val r = l.filter(col("k") < 0).select(col("k"), col("ts").as("rts"))
+    IntervalJoin.join(l, r, Seq("k"), "ts", "rts", -1000000L, 0L).count() shouldBe 0L
+  }
+
+  test("embeddingCosine with one row yields no pairs") {
+    Dedup.embeddingCosine(emb.limit(1), "vec_id", "embedding", 0.0)
+      .count() shouldBe 0L
+  }
+
+  test("keepCanonical with no duplicate pairs keeps every row") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "t")
+    val clusters = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("i", "j"), "i", "j")
+    Dedup.keepCanonical(docs, "doc_id", clusters).count() shouldBe 2L
+  }
 }
