@@ -376,13 +376,19 @@ object Dedup {
     val edges = pairs.select(col(iCol).as("u"), col(jCol).as("w"))
       .unionByName(pairs.select(col(jCol).as("u"), col(iCol).as("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Only nodes that appear in a pair can ever change label — iterate
+    // over THAT set and union the (vast) singleton majority back at the
+    // end. At corpus scale the duplicate-touched subset is a small
+    // fraction of all docs, so the per-round shuffle shrinks from
+    // O(corpus) to O(nodes-in-pairs).
+    //
     // localCheckpoint per round: iterative plans NEST their full history
     // (round N's lineage contains rounds 1..N−1 — analysis cost grows
     // exponentially and the optimizer chokes long before maxIter);
     // truncating to the materialized RDD keeps every round's plan flat.
     // Production loops on unreliable clusters would use checkpoint(dir)
     // (replicated) instead of executor-local blocks.
-    var labels = nodes.select(col(nodeCol).as("node"))
+    var labels = edges.select(col("u").as("node"))
       .distinct().withColumn("lbl", col("node"))
       .localCheckpoint(true)
     var iter = 0
@@ -405,7 +411,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — graph diameter too large")
-    labels.select(col("node"), col("lbl").as("cluster"))
+    // singletons (no pair) label themselves; paired nodes take the loop result
+    nodes.select(col(nodeCol).as("node")).distinct()
+      .join(labels.withColumnRenamed("lbl", "__lbl"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__lbl"), col("node")).as("cluster"))
   }
 
   /** The end of the dedup pipeline: keep ONE canonical row per
