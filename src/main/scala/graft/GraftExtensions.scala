@@ -98,11 +98,29 @@ object GraftFunctions {
     scored.orderBy(ord).limit(k).queryExecution.logical
   }
 
+  /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot
+    * (latest, or a time-travel version). The lakehouse analog of the
+    * reference reading its Hudi table into SQL.
+    */
+  private def tablePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      s"graft_table(path[, version]): got ${args.length} args")
+    require(args.forall(_.foldable), "graft_table: path/version must be literals")
+    val path = args(0).eval(null).toString
+    val version = if (args.length == 2) args(1).eval(null).asInstanceOf[Number].intValue() else -1
+    graft.sources.GraftTable.read(SparkSession.active, path, version)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
         "graft_vector_search(path, vecCol, queryVec, k[, metric]) - top-k vector search over a parquet table"),
-      vectorSearchPlan _))
+      vectorSearchPlan _),
+    ("graft_table",
+      info("graft_table",
+        "graft_table(path[, version]) - snapshot read of a GraftTable (versioned COW lakehouse table)"),
+      tablePlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

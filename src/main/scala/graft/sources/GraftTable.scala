@@ -43,7 +43,16 @@ object GraftTable {
   /** latest committed version, or -1 */
   def latestVersion(path: String): Int =
     if (!exists(path)) -1
-    else Files.readAllLines(commitsPath(path)).asScala.lastOption.map(_.trim.toInt).getOrElse(-1)
+    else Files.readAllLines(commitsPath(path)).asScala.lastOption
+      .map(_.trim.split("\t")(0).toInt).getOrElse(-1)
+
+  /** committed (version, wall-clock millis) pairs, commit order. */
+  def commitLog(path: String): Seq[(Int, Long)] =
+    if (!exists(path)) Seq.empty
+    else Files.readAllLines(commitsPath(path)).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.trim.split("\t")
+      (parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+    }
 
   private def meta(path: String): (Seq[String], Int) = {
     val Array(k, n) = Files.readString(keysPath(path)).split("\\|")
@@ -68,29 +77,61 @@ object GraftTable {
 
   /** Upsert = merge into the touched buckets only; untouched buckets are
     * carried over by manifest reference (no rewrite, no read).
+    *
+    * Additive schema evolution (the Hudi behavior): updates may carry
+    * NEW columns — existing rows read them as null — and may omit
+    * existing non-key columns — the updated rows' omitted columns
+    * become null (whole-row replace semantics, not column-level patch).
+    * Key columns are always required.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, nbuckets) = meta(path)
+    keys.foreach(k => require(updates.columns.contains(k), s"updates missing key column $k"))
     val current = manifest(path, v)
     val touched = updates.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
     val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
     val base =
       if (baseDirs.isEmpty) updates.limit(0)
-      else spark.read.parquet(baseDirs.map(d => s"$path/$d"): _*)
-    val merged = Upsert.merge(base, updates, keys)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(baseDirs.map(d => s"$path/$d"): _*)
+    val (base2, updates2) = alignSchemas(base, updates)
+    val merged = Upsert.merge(base2, updates2, keys)
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
   }
 
-  /** Snapshot read; `version` for time travel. */
+  /** pad each side with the other's missing columns as typed nulls */
+  private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val aCols = a.columns.toSet
+    val bCols = b.columns.toSet
+    val a2 = b.schema.fields.filterNot(f => aCols(f.name))
+      .foldLeft(a)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val b2 = a.schema.fields.filterNot(f => bCols(f.name))
+      .foldLeft(b)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    (a2, b2)
+  }
+
+  /** Snapshot read; `version` for time travel. mergeSchema unions the
+    * per-dir schemas, so rows written before an additive evolution read
+    * the new columns as null.
+    */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
     val dirs = manifest(path, v).values.map(d => s"$path/$d").toSeq
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Time travel by wall clock: the snapshot committed at or before
+    * `tsMillis` (commit times are recorded in the commit log).
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val eligible = commitLog(path).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty, s"no commit at or before $tsMillis in $path")
+    read(spark, path, eligible.last._1)
   }
 
   /** bucket → relative data dir for snapshot v */
@@ -136,10 +177,18 @@ object GraftTable {
     val mTo = manifest(path, toVersion)
     val touched = mTo.filter { case (b, d) => !mFrom.get(b).contains(d) }
     if (touched.isEmpty) return read(spark, path, toVersion).limit(0)
-    val newSide = spark.read.parquet(touched.values.map(d => s"$path/$d").toSeq: _*)
+    val newSide = spark.read.option("mergeSchema", "true")
+      .parquet(touched.values.map(d => s"$path/$d").toSeq: _*)
     val oldDirs = touched.keys.flatMap(mFrom.get).map(d => s"$path/$d").toSeq
     if (oldDirs.isEmpty) newSide
-    else newSide.exceptAll(spark.read.parquet(oldDirs: _*))
+    else {
+      // schema may have evolved between the versions — align both sides
+      // (padding with typed nulls) so the full-row EXCEPT is well-typed
+      val oldSide = spark.read.option("mergeSchema", "true").parquet(oldDirs: _*)
+      val (n2, o2) = alignSchemas(newSide, oldSide)
+      val cols = n2.columns.sorted.map(col)
+      n2.select(cols: _*).exceptAll(o2.select(cols: _*))
+    }
   }
 
   /** Drop snapshots older than the last `keepVersions`: delete data
@@ -210,8 +259,9 @@ object GraftTable {
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v$v first at $path; re-read and retry the upsert")
     }
-    // commit last: readers only see fully-written manifests
-    Files.writeString(commitsPath(path), s"$v\n",
+    // commit last: readers only see fully-written manifests; the commit
+    // time enables wall-clock time travel (readAsOf)
+    Files.writeString(commitsPath(path), s"$v\t${System.currentTimeMillis()}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }

@@ -65,6 +65,17 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     defaulted shouldBe 5L
   }
 
+  test("graft_table TVF reads snapshots and time-travels in SQL") {
+    import spark.implicits._
+    import graft.sources.GraftTable
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_tvf").toString + "/t"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    GraftTable.upsert(spark, path, Seq((1L, 2)).toDF("k", "x"))
+    spark.sql(s"SELECT x FROM graft_table('$path')").head().getInt(0) shouldBe 2
+    spark.sql(s"SELECT x FROM graft_table('$path', 0)").head().getInt(0) shouldBe 1
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -163,6 +163,37 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     rows.keySet shouldBe Set(1L, 2L)
   }
 
+  test("additive schema evolution: new columns appear, old rows read null") {
+    val path = Files.createTempDirectory("graft_evo").toString + "/t"
+    GraftTable.create(Seq((1L, 10), (2L, 20)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    // updates carry a NEW column y
+    GraftTable.upsert(spark, path,
+      Seq((2L, 21, "new"), (3L, 30, "row")).toDF("k", "x", "y"))
+    val got = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getAs[String]("y")))).toSeq
+    got shouldBe Seq((1L, 10, None), (2L, 21, Some("new")), (3L, 30, Some("row")))
+    // updates may also OMIT a non-key column: replaced rows read it as null
+    GraftTable.upsert(spark, path, Seq((1L, "patched")).toDF("k", "y"))
+    val r1 = GraftTable.read(spark, path).filter(col("k") === 1).head()
+    Option(r1.getAs[Integer]("x")) shouldBe None
+    r1.getAs[String]("y") shouldBe "patched"
+    // change feed stays well-typed across the evolution boundary
+    noException should be thrownBy GraftTable.changes(spark, path, 0, 2).collect()
+  }
+
+  test("readAsOf returns the snapshot committed at or before a timestamp") {
+    val path = Files.createTempDirectory("graft_ts").toString + "/t"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftTable.upsert(spark, path, Seq((1L, 2)).toDF("k", "x"))
+    GraftTable.readAsOf(spark, path, afterV0).head().getInt(1) shouldBe 1
+    GraftTable.readAsOf(spark, path, System.currentTimeMillis())
+      .head().getInt(1) shouldBe 2
+    a[IllegalArgumentException] should be thrownBy
+      GraftTable.readAsOf(spark, path, 0L)
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")
