@@ -734,6 +734,14 @@ object SparkEntry {
           col("frame_bytes"), col("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
 
+    "mm_frame_features" -> ((s, dir) =>
+      // stubbed per-frame feature extraction (md5-derived, deterministic)
+      // over the frame-sampled binary table — the embed step's plumbing
+      Multimodal.frameFeatures(
+          Multimodal.frameSample(
+            Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"), stride = 32))
+        .orderBy("doc_id", "frame_idx")),
+
     // == Structured Streaming (same transform, batch run for the oracle) ====
 
     "stream_event_counts" -> ((s, dir) =>
@@ -1212,6 +1220,18 @@ object SparkEntry {
                 md5(substring(text, CAST(f*32+1 AS INT), 32)) AS frame_md5
          FROM documents, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+
+    "mm_frame_features" ->
+      """WITH fr AS (
+           SELECT doc_id, f AS frame_idx,
+                  md5(substring(text, CAST(f*32+1 AS INT), 32)) AS m
+           FROM documents, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS t(f))
+         SELECT doc_id, frame_idx,
+                CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS f0,
+                CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS f1,
+                CAST(('0x' || substr(m, 17, 8)) AS BIGINT) AS f2,
+                CAST(('0x' || substr(m, 25, 8)) AS BIGINT) AS f3
+         FROM fr ORDER BY doc_id, frame_idx""",
 
     "stream_event_counts" ->
       """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 AS BIGINT) AS win_start,

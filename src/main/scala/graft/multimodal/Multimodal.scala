@@ -57,6 +57,23 @@ object Multimodal {
     DecodedMeta(id, bytes.length.toLong, 16 + (b0 % 16) * 16, 16 + (b1 % 16) * 16, 3)
   }
 
+  /** Per-frame feature extraction — the stubbed image/audio EMBEDDING
+    * step: each frame yields a fixed-dim feature vector. The stub
+    * derives deterministic features from the frame's md5 (so the
+    * output is engine-neutral and oracle-checkable); a real model
+    * replaces the projection while the shape — one `array` feature
+    * column per frame row, computed scan-parallel with zero shuffle —
+    * stays. Composes with [[frameSample]]:
+    * `frameFeatures(frameSample(binTable, 32))`.
+    */
+  def frameFeatures(frames: DataFrame, dim: Int = 4): DataFrame = {
+    val feats = (0 until dim).map { d =>
+      // 8 hex chars per feature → uint32-range LONG, deterministic
+      conv(substring(col("frame_md5"), d * 8 + 1, 8), 16, 10).cast("long").as(s"f$d")
+    }
+    frames.select(col("doc_id") +: col("frame_idx") +: feats: _*)
+  }
+
   /** Frame/byte-range sampling: slice the payload into `stride`-byte
     * frames (posexplode — one output row per frame). For video this is
     * the frame-sample primitive; for audio, fixed-size windows. Pure

@@ -30,6 +30,23 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("frame features: fixed dim, deterministic, uint32 range") {
+    val frames = Multimodal.frameSample(bin, 32)
+    val feats = Multimodal.frameFeatures(frames, dim = 4)
+    feats.columns shouldBe Array("doc_id", "frame_idx", "f0", "f1", "f2", "f3")
+    val rows = feats.orderBy("doc_id", "frame_idx").limit(50).collect()
+    rows.foreach { r =>
+      (2 to 5).foreach { i =>
+        r.getLong(i) should be >= 0L
+        r.getLong(i) should be <= 0xffffffffL
+      }
+    }
+    // deterministic across runs
+    val again = Multimodal.frameFeatures(Multimodal.frameSample(bin, 32), 4)
+      .orderBy("doc_id", "frame_idx").limit(50).collect()
+    rows.map(_.toSeq) shouldBe again.map(_.toSeq)
+  }
+
   test("frame sampling covers every payload byte exactly once") {
     val stride = 32
     val frames = Multimodal.frameSample(bin, stride)
