@@ -323,6 +323,35 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q13_order_count_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: how many customers placed k orders (incl. 0)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"),
+        col("o_orderkey"))
+      c.join(o, Seq("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_count"))
+    }),
+
+    "q22_idle_rich_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no orders.
+      // The threshold compare is INTEGER-exact (cents·count > total
+      // cents) — an avg-of-doubles differs in the last ulp across
+      // engines and could flip boundary rows
+      val cents = floor(col("c_acctbal") * 100).cast("long")
+      val c = Tables.customer(s, dir)
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(sum(cents).as("tot"), count(lit(1)).as("cnt"))
+      c.crossJoin(broadcast(stats))
+        .filter(cents * col("cnt") > col("tot"))
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"), sum(cents).as("sum_cents"))
+        .orderBy("c_nationkey")
+    }),
+
     "q_top_customer_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -958,6 +987,26 @@ object SparkEntry {
          FROM orders JOIN big ON o_orderkey = l_orderkey
            JOIN customer ON o_custkey = c_custkey
          ORDER BY price_c DESC, o_orderkey LIMIT 20""",
+
+    "q13_order_count_distribution" ->
+      """WITH cc AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, count(*) AS n_customers
+         FROM cc GROUP BY 1 ORDER BY 1""",
+
+    "q22_idle_rich_customers" ->
+      """WITH s AS (
+           SELECT CAST(sum(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS tot,
+                  count(*) AS cnt
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS n_customers,
+                CAST(sum(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM customer, s
+         WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * cnt > tot
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_top_customer_per_nation" ->
       """SELECT n_name, rnk, c_custkey, c_acctbal FROM (
