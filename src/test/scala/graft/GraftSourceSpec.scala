@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's write API shape (`df.write.format("hudi")` with a
+  * record key + upsert), on the graft source.
+  */
+class GraftSourceSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def fmt = "graft.sources.GraftSource"
+
+  test("short name format(\"graft\") resolves via DataSourceRegister") {
+    val path = Files.createTempDirectory("graft_srcn").toString + "/t"
+    Seq((1L, 7)).toDF("k", "x")
+      .write.format("graft").option("recordkey", "k").mode(SaveMode.Append).save(path)
+    spark.read.format("graft").load(path).head().getInt(1) shouldBe 7
+  }
+
+  test("write(Append) creates then upserts; read returns the merged snapshot") {
+    val path = Files.createTempDirectory("graft_src").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format(fmt).option("recordkey", "k").mode(SaveMode.Append).save(path)
+    Seq((2L, "b2"), (3L, "c")).toDF("k", "s")
+      .write.format(fmt).option("recordkey", "k").mode(SaveMode.Append).save(path)
+
+    val got = spark.read.format(fmt).load(path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    got shouldBe Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // time travel through the reader option
+    spark.read.format(fmt).option("version", "0").load(path)
+      .filter(col("k") === 2).head().getString(1) shouldBe "b"
+  }
+
+  test("reader prunes columns and applies pushed filters") {
+    val path = Files.createTempDirectory("graft_src2").toString + "/t"
+    spark.range(0, 100).toDF("k").withColumn("x", col("k") * 2)
+      .write.format(fmt).option("recordkey", "k").mode(SaveMode.Append).save(path)
+    val df = spark.read.format(fmt).load(path).filter(col("k") < 10).select("x")
+    df.collect().map(_.getLong(0)).sorted shouldBe (0L until 10L).map(_ * 2).toArray
+  }
+
+  test("ErrorIfExists fails on an existing table; Overwrite is rejected") {
+    val path = Files.createTempDirectory("graft_src3").toString + "/t"
+    val df = Seq((1L, 1)).toDF("k", "x")
+    df.write.format(fmt).option("recordkey", "k").mode(SaveMode.ErrorIfExists).save(path)
+    an[Exception] should be thrownBy
+      df.write.format(fmt).option("recordkey", "k").mode(SaveMode.ErrorIfExists).save(path)
+    an[Exception] should be thrownBy
+      df.write.format(fmt).option("recordkey", "k").mode(SaveMode.Overwrite).save(path)
+    // Ignore on existing: no-op
+    Seq((1L, 99)).toDF("k", "x")
+      .write.format(fmt).option("recordkey", "k").mode(SaveMode.Ignore).save(path)
+    spark.read.format(fmt).load(path).head().getInt(1) shouldBe 1
+  }
+}
