@@ -394,12 +394,24 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label over the closed neighborhood of every node
+      // min label over the closed neighborhood of every node …
       val neighborLbl = edges
         .join(labels.withColumnRenamed("node", "w"), "w")
         .select(col("u").as("node"), col("lbl"))
-      val next = labels.unionByName(neighborLbl)
+      // (checkpointed: the pointer-jump below self-joins this frame, and
+      // materializing first sidesteps Catalyst's self-join attribute
+      // ambiguity while keeping the plan flat)
+      val hop = labels.unionByName(neighborLbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      // … then pointer-jump: follow the label's own label (labels are
+      // node ids, so the self-join resolves one more hop). Halving the
+      // path each round turns O(diameter) rounds into O(log diameter) —
+      // long duplicate chains converge in a handful of rounds.
+      val next = hop
+        .join(hop.select(col("node").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val changes = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
