@@ -60,9 +60,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           "graft source requires option(\"recordkey\", \"k1[,k2…]\") to create a table"))
       .split(",").map(_.trim).toSeq
     val nbuckets = parameters.get("nbuckets").map(_.toInt).getOrElse(16)
+    // Hudi's precombine.field: winner among same-key rows in one batch
+    val precombine = parameters.get("precombine")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     mode match {
       case SaveMode.Append =>
-        if (GraftTable.exists(path)) GraftTable.upsert(spark, path, data)
+        if (GraftTable.exists(path)) GraftTable.upsert(spark, path, data, precombine)
         else GraftTable.create(data, path, keys, nbuckets)
       case SaveMode.ErrorIfExists =>
         GraftTable.create(data, path, keys, nbuckets)

@@ -84,7 +84,12 @@ object GraftTable {
     * become null (whole-row replace semantics, not column-level patch).
     * Key columns are always required.
     */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+  /** `precombine`: Hudi's precombine-field semantics — when the update
+    * batch itself repeats a key, the row with the GREATEST precombine
+    * value wins (default: deterministic full-row tie-break).
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             precombine: Seq[String] = Nil): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, nbuckets) = meta(path)
@@ -98,7 +103,7 @@ object GraftTable {
       else spark.read.option("mergeSchema", "true")
         .parquet(baseDirs.map(d => s"$path/$d"): _*)
     val (base2, updates2) = alignSchemas(base, updates)
-    val merged = Upsert.merge(base2, updates2, keys)
+    val merged = Upsert.merge(base2, updates2, keys, precombine.map(col))
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
   }

@@ -45,6 +45,17 @@ class GraftSourceSpec extends AnyFunSuite with Matchers {
     df.collect().map(_.getLong(0)).sorted shouldBe (0L until 10L).map(_ * 2).toArray
   }
 
+  test("precombine option picks the greatest-valued row among same-key updates") {
+    val path = Files.createTempDirectory("graft_pc").toString + "/t"
+    Seq((1L, 0, 0L)).toDF("k", "x", "ver")
+      .write.format("graft").option("recordkey", "k").mode(SaveMode.Append).save(path)
+    // one batch, same key twice: ver=5 must beat ver=3 regardless of order
+    Seq((1L, 33, 3L), (1L, 55, 5L)).toDF("k", "x", "ver")
+      .write.format("graft").option("recordkey", "k").option("precombine", "ver")
+      .mode(SaveMode.Append).save(path)
+    spark.read.format("graft").load(path).head().getInt(1) shouldBe 55
+  }
+
   test("ErrorIfExists fails on an existing table; Overwrite is rejected") {
     val path = Files.createTempDirectory("graft_src3").toString + "/t"
     val df = Seq((1L, 1)).toDF("k", "x")
