@@ -21,7 +21,16 @@ object Audit {
         val smj = "SortMergeJoin".r.findAllIn(plan).size
         val ex = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
         val topk = if (plan.contains("TakeOrderedAndProject")) " TOP-K" else ""
-        println(s"[audit] $name: codegen=$codegenSpans bcast=$bcast smj=$smj shuffles=$ex$topk")
+        // red flags: unblocked pairwise plans must never appear.
+        // vs_knn_join is the one deliberate BNLJ: exact batched knn =
+        // tiny broadcast query set × single scan of the big side (the
+        // broadcast side is the ~10-row query set, never the table);
+        // its ANN twin vs_knn_join_ivf is the partition-pruned path.
+        val expectedBnlj = Set("vs_knn_join")
+        val danger =
+          (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
+          (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")
+        println(s"[audit] $name: codegen=$codegenSpans bcast=$bcast smj=$smj shuffles=$ex$topk$danger")
       } catch { case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()

@@ -740,6 +740,20 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "vs_knn_join_ivf" -> ((s, dir) => {
+      // batched ANN join through the index: each query reads only its
+      // nprobe cells (approximate → rows-only; recall in AnnIndexSpec)
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_knn_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      IvfIndex.knnJoin(s, model, "vec_id", "embedding", qs, k = 5, nprobe = 4)
+        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+        .orderBy("qid", "score_q", "vec_id")
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)

@@ -103,6 +103,40 @@ object IvfIndex {
       .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
   }
 
+  /** Batched ANN k-NN join through the index: every query row gets its
+    * approximate top-k neighbors, reading only the union of the
+    * queries' nprobe cells. The per-query cell sets are computed
+    * driver-side (queries are the small side by definition) and joined
+    * as a broadcast `(qid, cell, qvec)` table against the
+    * partition-pruned index scan on `cell == cluster_id` — so each
+    * index row is scored only against the queries probing its cell,
+    * and the big side never shuffles. A per-qid window keeps the top k.
+    * The ANN twin of [[VectorSearch.knnJoin]] (exact, full-scan):
+    * recall is bounded by the same nprobe/nlist trade as single-query
+    * probes.
+    */
+  def knnJoin(spark: SparkSession, model: Model, idCol: String, vecCol: String,
+              queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
+    }
+    val probes = probeRows.toDF("qid", "cell", "qvec")
+    val allCells = probeRows.map(_._2).distinct
+    val scan = spark.read.parquet(model.path)
+      .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
+    val desc = model.metric != "l2"
+    val w =
+      if (desc) Window.partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)
+      else Window.partitionBy("qid").orderBy(col("score").asc, col(idCol).asc)
+    scan.join(broadcast(probes), col("cluster_id") === col("cell"))
+      .withColumn("score", VectorSearch.scoreCol(col(vecCol), col("qvec"), model.metric))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
   /** Driver-side centroid ranking (nlist × dim floats — microseconds). */
   private[operators] def nearestCells(model: Model, query: Seq[Float], nprobe: Int): Seq[Int] = {
     val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray

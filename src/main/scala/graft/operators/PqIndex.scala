@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.vectors._
 
@@ -168,6 +168,45 @@ object PqIndex {
       j += 1
     }
     out
+  }
+
+  /** Incremental maintenance, like [[IvfIndex.append]]: new vectors are
+    * normalized/rotated into the build's quantization space, assigned
+    * to their nearest existing coarse cell, PQ-encoded with the
+    * existing codebooks, and appended into the partitioned layout.
+    * Codebooks are not refit — recall holds while the distribution is
+    * stable; periodic rebuild handles drift.
+    */
+  def append(model: Model, batch: DataFrame, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val bcCoarse = spark.sparkContext.broadcast(model.coarse)
+    val bcBooks = spark.sparkContext.broadcast(model.codebooks)
+    val bcRot = spark.sparkContext.broadcast(model.rot)
+    val cosine = model.metric == "cosine"
+    val m = model.m
+    val dsub = model.dsub
+    val prep = udf { (v: Seq[Float]) =>
+      val u = if (cosine) normalize(v.toArray) else v.toArray
+      val r = bcRot.value.fold(u)(rotateVec(u, _))
+      r.toSeq
+    }
+    val assign = udf((v: Seq[Float]) => nearestIdx(bcCoarse.value, v.toArray))
+    val encode = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val code = new Array[Byte](m)
+      var mi = 0
+      while (mi < m) {
+        code(mi) = nearestIdx(bcBooks.value(mi), arr.slice(mi * dsub, (mi + 1) * dsub)).toByte
+        mi += 1
+      }
+      code
+    }
+    batch
+      .withColumn("_v", prep(col(vecCol)))
+      .withColumn("cluster_id", assign(col("_v")))
+      .withColumn("pq_code", encode(col("_v")))
+      .drop("_v")
+      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
   }
 
   /** ADC probe + exact re-rank. `pred` (predicate pushdown into the

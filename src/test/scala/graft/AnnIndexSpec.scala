@@ -153,6 +153,34 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     got shouldBe exactTop10
   }
 
+  test("IVF knnJoin at full nprobe equals the exact knnJoin") {
+    val path = Files.createTempDirectory("ivf_knn").toString
+    val model = IvfIndex.build(emb, "embedding", nlist = 8, path, "cosine")
+    val qs = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = IvfIndex.knnJoin(spark, model, "vec_id", "embedding", qs, k = 5, nprobe = 8)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorSearch.knnJoin(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", 5, "cosine")
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want
+  }
+
+  test("PQ append: appended vectors are probed with existing codebooks") {
+    import graft.operators.PqIndex
+    val path = Files.createTempDirectory("pq_app").toString
+    val model = PqIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      nlist = 8, m = 8, path, "cosine")
+    PqIndex.append(model, emb.filter(col("vec_id") >= 250), "embedding")
+    val got = PqIndex.probe(spark, model, "vec_id", "embedding", query, 10,
+      nprobe = 8, rerankFactor = 8).select("vec_id").collect().map(_.getLong(0)).toSet
+    // appended half must be reachable: full-corpus recall comparable to
+    // the all-at-build case
+    (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.7
+  }
+
   test("LSH at full hamming radius is exact; tight radius keeps recall") {
     val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
     val indexed = LshIndex.index(emb, "embedding", planes).cache()
