@@ -37,6 +37,13 @@ class GraftSourceSpec extends AnyFunSuite with Matchers {
       .filter(col("k") === 2).head().getString(1) shouldBe "b"
   }
 
+  test("count(*) over the source works (empty required-column scan)") {
+    val path = Files.createTempDirectory("graft_cnt").toString + "/t"
+    spark.range(0, 25).toDF("k")
+      .write.format("graft").option("recordkey", "k").mode(SaveMode.Append).save(path)
+    spark.read.format("graft").load(path).count() shouldBe 25L
+  }
+
   test("reader prunes columns and applies pushed filters") {
     val path = Files.createTempDirectory("graft_src2").toString + "/t"
     spark.range(0, 100).toDF("k").withColumn("x", col("k") * 2)
