@@ -49,12 +49,18 @@ object Bench {
       times.min
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries (and skips
+    // the ANN split) — the fast loop for iterating on one operator
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // toRdd.count() materializes every output row (a plain count()
-      // would let Catalyst prune the projections being measured).
-      results(name) = timed { fn(spark, sfDir).queryExecution.toRdd.count() }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        // toRdd.count() materializes every output row (a plain count()
+        // would let Catalyst prune the projections being measured).
+        results(name) = timed { fn(spark, sfDir).queryExecution.toRdd.count() }
+      }
+    if (only.isEmpty) {
 
     // ---- ANN build/probe split (same params as the simsearch_* entries) ----
     import graft.operators.{IvfIndex, LshIndex, PqIndex}
@@ -86,6 +92,7 @@ object Bench {
     results("lsh_probe") = timed {
       LshIndex.probe(lshIndexed, "vec_id", "embedding", qv, planes, k = 10, maxHamming = 4)
         .queryExecution.toRdd.count()
+    }
     }
 
     spark.catalog.clearCache()
