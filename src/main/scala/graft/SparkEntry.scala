@@ -561,6 +561,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "dedup_source_overlap" -> ((s, dir) => {
+      // which sources duplicate each other: near-dup pair counts per
+      // unordered source pair — the overlap report run before mixing
+      // corpora into a training recipe
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+        .groupBy(least(col("src_i"), col("src_j")).as("source_a"),
+          greatest(col("src_i"), col("src_j")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "dedup_cleaned" -> ((s, dir) => {
       // the user-facing end product: the corpus with near-dup clusters
       // collapsed to their canonical (min-id) representative
@@ -1149,6 +1165,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
 
     "dedup_clusters" -> clustersOracle,
+
+    "dedup_source_overlap" ->
+      s"""WITH $jaccardCtes
+          SELECT least(di.source, dj.source) AS source_a,
+                 greatest(di.source, dj.source) AS source_b,
+                 count(*) AS n_pairs
+          FROM jpairs p
+            JOIN documents di ON p.i = di.doc_id
+            JOIN documents dj ON p.j = dj.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "dedup_cleaned" ->
       s"""WITH RECURSIVE $jaccardCtes,
