@@ -1,10 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Upsert
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
 
 /** A minimal copy-on-write versioned lakehouse table — the Spark-native
   * analog of the reference's Hudi table (demo.ipynb cell 8: record-key
@@ -14,11 +15,22 @@ import scala.jdk.CollectionConverters._
   * Layout (manifest-based, iceberg-lite):
   * {{{
   *   path/_keys              key columns + bucket count
-  *   path/_commits           one committed version per line (atomic append)
+  *   path/_commits/v<N>      commit marker for snapshot N (content =
+  *     wall-clock millis). One small file per commit — no appends, so
+  *     the log works on HDFS and object stores, where append either
+  *     doesn't exist or isn't atomic.
   *   path/manifests/v<N>     bucket → data-dir lines for snapshot N
   *   path/data/v<N>-<token>/__bucket=<b>/  (parquet files; token is
   *     unique per write attempt so racing writers never share a dir)
   * }}}
+  *
+  * ALL metadata IO (keys file, manifests, commit markers, vacuum
+  * listings) goes through the Hadoop [[FileSystem]] API resolved from
+  * the active session's Hadoop configuration, so the table lives
+  * wherever its data lives: `file:`, `hdfs:`, `s3a:`, any configured
+  * FileSystem — the same reach as the parquet data files, which always
+  * went through `spark.read`/`write`. See [[MetaIO.putIfAbsent]] for
+  * the one primitive whose atomicity is storage-dependent.
   *
   * Rows hash into `nbuckets` buckets on the record key. An upsert
   * rewrites ONLY the buckets its updates touch; the new manifest points
@@ -26,36 +38,105 @@ import scala.jdk.CollectionConverters._
   * O(touched buckets), not O(table) — the same file-group-level write
   * amplification Hudi COW has, and the property that matters at 100 TB
   * (a 0.1 % update batch rewrites ~0.1 % of a well-bucketed table, not
-  * the whole snapshot). Readers pin a manifest via the commit-log head,
+  * the whole snapshot). Readers pin a manifest via the commit markers,
   * so concurrent readers never see a half-written snapshot; old
   * versions stay readable (time travel) because their files are never
   * mutated.
   */
 object GraftTable {
   private val BUCKET = "__bucket"
+  private val VersionFile = "v(\\d+)".r
 
-  private def commitsPath(path: String) = Paths.get(path, "_commits")
-  private def keysPath(path: String) = Paths.get(path, "_keys")
-  private def manifestPath(path: String, v: Int) = Paths.get(path, "manifests", s"v$v")
+  /** Metadata IO, routed through the Hadoop FileSystem of each path. */
+  private[sources] object MetaIO {
+    def conf: Configuration =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
 
-  def exists(path: String): Boolean = Files.exists(commitsPath(path))
+    private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+    def exists(p: Path): Boolean = fs(p).exists(p)
+
+    def readString(p: Path): String = {
+      val in = fs(p).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+
+    def writeString(p: Path, s: String): Unit = {
+      val out = fs(p).create(p, true) // creates parent dirs; overwrite ok
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+    /** Atomic put-if-absent — THE commit-lock primitive (table create
+      * lock and per-version manifest lock both sit on it). Returns
+      * false when the file already exists, i.e. the race was lost.
+      *
+      * Storage-dependent atomicity, handled per scheme:
+      *  - HDFS (and most real cluster FS): `create(p, overwrite=false)`
+      *    is atomic at the NameNode — two racing creates, one wins.
+      *  - Local `file:`: Hadoop's RawLocalFileSystem.create is
+      *    check-then-act (exists() + open), NOT atomic under
+      *    contention, so we go through the platform filesystem's
+      *    O_CREAT|O_EXCL instead — the kernel arbitrates the race.
+      *  - S3: the vanilla s3a connector has no create-if-absent;
+      *    production deployments need a conditional-PUT or an external
+      *    lock provider (the same caveat Hudi documents for its
+      *    S3-backed lock providers). This one method is the
+      *    integration point for such a provider.
+      */
+    def putIfAbsent(p: Path, s: String): Boolean = {
+      val filesystem = fs(p)
+      if (filesystem.getScheme == "file") {
+        import java.nio.file.{Files, Paths, FileAlreadyExistsException, StandardOpenOption}
+        val local = Paths.get(p.toUri.getPath)
+        Files.createDirectories(local.getParent)
+        try { Files.writeString(local, s, StandardOpenOption.CREATE_NEW); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } else {
+        try {
+          val out = filesystem.create(p, false)
+          try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    }
+
+    def list(p: Path): Seq[FileStatus] =
+      if (!exists(p)) Seq.empty else fs(p).listStatus(p).toSeq
+
+    def delete(p: Path): Unit = {
+      val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+      ()
+    }
+  }
+
+  private def commitsDir(path: String) = new Path(path, "_commits")
+  private def commitMarker(path: String, v: Int) = new Path(commitsDir(path), s"v$v")
+  private def keysPath(path: String) = new Path(path, "_keys")
+  private def manifestPath(path: String, v: Int) = new Path(new Path(path, "manifests"), s"v$v")
+
+  /** committed versions, ascending (= commit order: versions are minted
+    * sequentially under the manifest lock)
+    */
+  private def commitVersions(path: String): Seq[Int] =
+    MetaIO.list(commitsDir(path)).map(_.getPath.getName)
+      .collect { case VersionFile(v) => v.toInt }.sorted
+
+  def exists(path: String): Boolean = commitVersions(path).nonEmpty
 
   /** latest committed version, or -1 */
-  def latestVersion(path: String): Int =
-    if (!exists(path)) -1
-    else Files.readAllLines(commitsPath(path)).asScala.lastOption
-      .map(_.trim.split("\t")(0).toInt).getOrElse(-1)
+  def latestVersion(path: String): Int = commitVersions(path).lastOption.getOrElse(-1)
 
   /** committed (version, wall-clock millis) pairs, commit order. */
   def commitLog(path: String): Seq[(Int, Long)] =
-    if (!exists(path)) Seq.empty
-    else Files.readAllLines(commitsPath(path)).asScala.toSeq.filter(_.nonEmpty).map { line =>
-      val parts = line.trim.split("\t")
-      (parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+    commitVersions(path).map { v =>
+      v -> MetaIO.readString(commitMarker(path, v)).trim.toLong
     }
 
   private def meta(path: String): (Seq[String], Int) = {
-    val Array(k, n) = Files.readString(keysPath(path)).split("\\|")
+    val Array(k, n) = MetaIO.readString(keysPath(path)).split("\\|")
     (k.split(",").toSeq, n.toInt)
   }
 
@@ -64,14 +145,10 @@ object GraftTable {
 
   def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16): Unit = {
     require(!exists(path), s"table already exists at $path")
-    Files.createDirectories(Paths.get(path, "manifests"))
-    // CREATE_NEW: two racing creates — exactly one wins the keys file
-    try Files.writeString(keysPath(path), keyCols.mkString(",") + "|" + nbuckets,
-      StandardOpenOption.CREATE_NEW)
-    catch { case _: FileAlreadyExistsException =>
+    // put-if-absent: two racing creates — exactly one wins the keys file
+    if (!MetaIO.putIfAbsent(keysPath(path), keyCols.mkString(",") + "|" + nbuckets))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create already initialized the table at $path")
-    }
     writeVersion(df, path, keyCols, nbuckets, v = 0, carryOver = Map.empty)
   }
 
@@ -131,7 +208,7 @@ object GraftTable {
   }
 
   /** Time travel by wall clock: the snapshot committed at or before
-    * `tsMillis` (commit times are recorded in the commit log).
+    * `tsMillis` (commit times are recorded in the commit markers).
     */
   def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
     val eligible = commitLog(path).filter(_._2 <= tsMillis)
@@ -141,7 +218,7 @@ object GraftTable {
 
   /** bucket → relative data dir for snapshot v */
   def manifest(path: String, v: Int): Map[Int, String] =
-    Files.readAllLines(manifestPath(path, v)).asScala.filter(_.nonEmpty).map { line =>
+    MetaIO.readString(manifestPath(path, v)).split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val Array(b, d) = line.split("\t")
       b.toInt -> d
     }.toMap
@@ -199,7 +276,7 @@ object GraftTable {
   /** Drop snapshots older than the last `keepVersions`: delete data
     * dirs no surviving manifest references, plus their manifests.
     * Time travel past the horizon is gone (standard lakehouse vacuum
-    * semantics); the commit log keeps its full history for audit.
+    * semantics); the commit markers keep their full history for audit.
     * Long-lived tables need this — bucket-level COW leaks one dir per
     * touched bucket per commit otherwise.
     */
@@ -208,39 +285,33 @@ object GraftTable {
     val v = latestVersion(path)
     val keep = (math.max(0, v - keepVersions + 1) to v).toSeq
     val referenced = keep.flatMap(manifest(path, _).values).toSet
-    val dataRoot = Paths.get(path, "data")
-    val versions = Files.list(dataRoot)
-    try versions.iterator().asScala.toSeq.foreach { vDir =>
-      val buckets = Files.list(vDir)
-      try buckets.iterator().asScala.toSeq.foreach { bDir =>
-        val rel = s"data/${vDir.getFileName}/${bDir.getFileName}"
-        if (!referenced(rel)) deleteRecursively(bDir)
-      } finally buckets.close()
-      val remaining = Files.list(vDir)
-      try { if (!remaining.iterator().hasNext) Files.delete(vDir) }
-      finally remaining.close()
-    } finally versions.close()
-    (0 until keep.head).foreach(old => Files.deleteIfExists(manifestPath(path, old)))
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq.foreach(deleteRecursively) finally s.close()
+    MetaIO.list(new Path(path, "data")).filter(_.isDirectory).foreach { vDir =>
+      val vName = vDir.getPath.getName
+      MetaIO.list(vDir.getPath)
+        .filter(_.getPath.getName.startsWith(s"$BUCKET="))
+        .foreach { bDir =>
+          val rel = s"data/$vName/${bDir.getPath.getName}"
+          if (!referenced(rel)) MetaIO.delete(bDir.getPath)
+        }
+      // nothing referenced left in this attempt dir → reclaim it whole
+      // (removes the _SUCCESS marker and any stray committer files too)
+      if (!MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")))
+        MetaIO.delete(vDir.getPath)
     }
-    Files.delete(p)
+    (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))
   }
 
-  /** Write snapshot v: data dir → manifest → commit-log append.
+  /** Write snapshot v: data dir → manifest → commit marker.
     *
     * Optimistic concurrency control: the manifest for v is created with
-    * CREATE_NEW, so of two writers that both read version v−1 and race
-    * to commit v, exactly one wins; the loser throws
-    * ConcurrentModificationException WITHOUT touching any shared state
-    * (its data dir carries a unique suffix, so it never clobbers the
-    * winner's files, and vacuum reclaims the orphan). This is the same
-    * manifest-level atomic-rename/put-if-absent protocol the lakehouse
-    * formats use; the caller retries the upsert against the new head.
+    * put-if-absent ([[MetaIO.putIfAbsent]]), so of two writers that
+    * both read version v−1 and race to commit v, exactly one wins; the
+    * loser throws ConcurrentModificationException WITHOUT touching any
+    * shared state (its data dir carries a unique suffix, so it never
+    * clobbers the winner's files, and vacuum reclaims the orphan). This
+    * is the same manifest-level atomic-rename/put-if-absent protocol
+    * the lakehouse formats use; the caller retries the upsert against
+    * the new head.
     */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String]): Unit = {
@@ -250,23 +321,17 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
-    val listing = Files.list(Paths.get(path).resolve(dataRel))
-    val written =
-      try listing.iterator().asScala
-        .map(_.getFileName.toString).filter(_.startsWith(s"$BUCKET="))
-        .map(d => d.stripPrefix(s"$BUCKET=").toInt -> s"$dataRel/$d").toMap
-      finally listing.close()
+    val written = MetaIO.list(new Path(path, dataRel))
+      .map(_.getPath.getName).filter(_.startsWith(s"$BUCKET="))
+      .map(d => d.stripPrefix(s"$BUCKET=").toInt -> s"$dataRel/$d").toMap
     val lines = (carryOver ++ written).toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
-    // CREATE_NEW = the commit lock: first manifest for v wins
-    try Files.writeString(manifestPath(path, v), lines, StandardOpenOption.CREATE_NEW)
-    catch { case _: FileAlreadyExistsException =>
+    // put-if-absent = the commit lock: first manifest for v wins
+    if (!MetaIO.putIfAbsent(manifestPath(path, v), lines))
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v$v first at $path; re-read and retry the upsert")
-    }
-    // commit last: readers only see fully-written manifests; the commit
+    // marker last: readers only see fully-written manifests; the commit
     // time enables wall-clock time travel (readAsOf)
-    Files.writeString(commitsPath(path), s"$v\t${System.currentTimeMillis()}\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    MetaIO.writeString(commitMarker(path, v), System.currentTimeMillis().toString)
   }
 }
