@@ -188,6 +188,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "upsert_merge_deletes" -> ((s, dir) => {
+      // delete-aware merge (Hudi _hoodie_is_deleted semantics): every
+      // 7th order is replaced, and of those every 3rd (i.e. %21 == 0)
+      // is flagged deleted and drops out entirely
+      val o = Tables.orders(s, dir)
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("D")).otherwise(lit("U")))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .select(o.columns.map(col): _*)
+      Upsert.mergeWithDeletes(o, updates, Seq("o_orderkey"),
+          col("o_orderstatus") === "D")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .orderBy("o_orderkey")
+    }),
+
     "embed_documents" -> ((s, dir) => {
       // model stubbed (feature hashing); batch plumbing real — rows-only check
       Embed.encode(Tables.documents(s, dir), "text", 64)
@@ -335,7 +352,10 @@ object SparkEntry {
     }),
 
     "q22_idle_rich_customers" -> ((s, dir) => {
-      // TPC-H Q22 shape: above-average-balance customers with no orders.
+      // TPC-H Q22 shape: above-average-balance customers gone idle —
+      // no orders since 2000-01-01 (every customer in this synthetic
+      // data has SOME order, so "idle" is recency-based; the date keeps
+      // the anti-join exercised with real rows at the sf0.01 gate).
       // The threshold compare is INTEGER-exact (cents·count > total
       // cents) — an avg-of-doubles differs in the last ulp across
       // engines and could flip boundary rows
@@ -345,7 +365,8 @@ object SparkEntry {
         .agg(sum(cents).as("tot"), count(lit(1)).as("cnt"))
       c.crossJoin(broadcast(stats))
         .filter(cents * col("cnt") > col("tot"))
-        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_customers"), sum(cents).as("sum_cents"))
@@ -745,6 +766,21 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "simsearch_ivfpq_exhaustive" -> ((s, dir) => {
+      // nprobe = nlist reads every cell, and rerankFactor ≥ corpus/k
+      // means the ADC pass discards nothing — the exact re-rank then
+      // returns true top-k REGARDLESS of code quality, so the whole
+      // ADC + re-rank machinery gets a hard DuckDB oracle row
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count().toInt
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = operators.PqIndex.build(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, path, "cosine")
+      operators.PqIndex.probe(s, model, "vec_id", "embedding",
+          queryVec(s, dir, 0L), 10, nprobe = 16, rerankFactor = n / 10 + 1)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_hybrid_ivf" -> ((s, dir) => {
       // predicate pushed INTO the IVF probe (the reference's declared
       // future work); nprobe = nlist makes it exact ⇒ DuckDB-verifiable
@@ -768,6 +804,21 @@ object SparkEntry {
       IvfIndex.knnJoin(s, model, "vec_id", "embedding", qs, k = 5, nprobe = 4)
         .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
         .orderBy("qid", "score_q", "vec_id")
+    }),
+
+    "vs_knn_join_ivf_exhaustive" -> ((s, dir) => {
+      // nprobe = nlist: every query probes every cell, so the batched
+      // ANN join degenerates to the exact k-NN join — the broadcast
+      // probe-table machinery gets a hard DuckDB oracle row
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_knnex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      IvfIndex.knnJoin(s, model, "vec_id", "embedding", qs, k = 5, nprobe = 16)
+        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+        .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
     }),
 
     "simsearch_lsh_bucketed" -> ((s, dir) => {
@@ -879,6 +930,27 @@ object SparkEntry {
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings ORDER BY $cos0 DESC, vec_id LIMIT 10""",
 
+    // exhaustive cells + rerankFactor covering the corpus: the PQ ADC
+    // pass keeps everything, so the exact re-rank == brute-force top-k
+    "simsearch_ivfpq_exhaustive" ->
+      s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
+          FROM embeddings ORDER BY $cos0 DESC, vec_id LIMIT 10""",
+
+    // nprobe = nlist: the batched ANN join scores every query against
+    // every cell — identical semantics to the exact vs_knn_join oracle
+    "vs_knn_join_ivf_exhaustive" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         ), ranked AS (
+           SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored
+         )
+         SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
+         ORDER BY qid, score_q DESC, vec_id""",
+
     "vs_hybrid_ivf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
@@ -955,6 +1027,15 @@ object SparkEntry {
          SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
                 strftime(o_orderdate, '%Y-%m-%d') AS o_date
          FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "upsert_merge_deletes" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                                 ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE o_orderkey % 21 <> 0
+         ORDER BY o_orderkey""",
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -1035,7 +1116,7 @@ object SparkEntry {
                 CAST(sum(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM customer, s
          WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * cnt > tot
-           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01')
          GROUP BY 1 ORDER BY 1""",
 
     "q_top_customer_per_nation" ->

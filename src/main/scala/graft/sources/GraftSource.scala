@@ -45,10 +45,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters) // schema is always table-defined
 
   /** Write path: SaveMode.Append = upsert (create on first write) —
-    * the reference's `operation=upsert`; ErrorIfExists = create-only;
-    * Ignore = create if absent. Overwrite is rejected: a versioned
-    * table's "overwrite" should be an explicit upsert/vacuum decision,
-    * not a silent history wipe.
+    * the reference's `operation=upsert`; with
+    * `option("operation", "delete")` the batch's key columns name rows
+    * to remove (Hudi's `operation=delete`, same cell-8 API family);
+    * ErrorIfExists = create-only; Ignore = create if absent. Overwrite
+    * is rejected: a versioned table's "overwrite" should be an explicit
+    * upsert/vacuum decision, not a silent history wipe.
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
@@ -63,7 +65,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // Hudi's precombine.field: winner among same-key rows in one batch
     val precombine = parameters.get("precombine")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val operation = parameters.getOrElse("operation", "upsert")
+    require(operation == "upsert" || operation == "delete",
+      s"graft: unknown operation '$operation' (expected upsert or delete)")
+    require(operation == "upsert" || mode == SaveMode.Append,
+      "graft: operation=delete requires SaveMode.Append")
     mode match {
+      case SaveMode.Append if operation == "delete" =>
+        require(GraftTable.exists(path), s"graft: cannot delete from missing table $path")
+        GraftTable.delete(spark, path, data)
       case SaveMode.Append =>
         if (GraftTable.exists(path)) GraftTable.upsert(spark, path, data, precombine)
         else GraftTable.create(data, path, keys, nbuckets)

@@ -185,6 +185,33 @@ object GraftTable {
     writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
   }
 
+  /** Delete by key: drop every row whose key appears in `keysDf` (extra
+    * columns are ignored). Same touched-bucket COW path as upsert — only
+    * the buckets the keys hash into are read and rewritten (anti-join
+    * against the key set, broadcast when small), untouched buckets carry
+    * over by manifest reference, so cost is O(touched buckets), not
+    * O(table). Hudi's `operation=delete` (demo.ipynb cell 8 API family).
+    * A bucket whose rows are all deleted drops out of the manifest;
+    * [[changes]] reports the removals with `_deleted = true`.
+    */
+  def delete(spark: SparkSession, path: String, keysDf: DataFrame): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, nbuckets) = meta(path)
+    keys.foreach(k => require(keysDf.columns.contains(k), s"delete batch missing key column $k"))
+    val keyOnly = keysDf.select(keys.map(col): _*).distinct()
+    val current = manifest(path, v)
+    val touched = keyOnly.select(bucketCol(keys, nbuckets).as(BUCKET))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
+    if (baseDirs.isEmpty) return // no stored bucket can hold these keys
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(baseDirs.map(d => s"$path/$d"): _*)
+    val remaining = base.join(keyOnly, keys, "left_anti")
+    val carryOver = current.filter { case (b, _) => !touched(b) }
+    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+  }
+
   /** pad each side with the other's missing columns as typed nulls */
   private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     val aCols = a.columns.toSet
@@ -243,33 +270,57 @@ object GraftTable {
     writeVersion(snapshot, path, keys, nbuckets, v + 1, carryOver = Map.empty)
   }
 
-  /** Change feed: rows ADDED or UPDATED in versions (fromVersion,
-    * toVersion] — each emitted once, with its latest (toVersion) image.
-    * The reference's Hudi incremental-query surface, cheap under
-    * bucket-level COW: only buckets whose manifest entry changed can
-    * hold changes, so the diff reads those buckets' dirs at the two
-    * versions and emits `to EXCEPT ALL from` (full-row compare — an
-    * unchanged row carried through a rewrite is NOT a change). The
-    * table is upsert-only, so deletes don't arise.
+  /** Change feed: rows ADDED, UPDATED, or DELETED in versions
+    * (fromVersion, toVersion] — each key emitted at most once. Schema =
+    * the table's columns (sorted by name) plus a trailing `_deleted`
+    * boolean: adds/updates carry their latest (toVersion) image with
+    * `_deleted = false`; deletes carry the last stored (fromVersion)
+    * image with `_deleted = true` — Hudi's incremental-query surface
+    * extended with delete capture, Debezium-style before-image.
+    *
+    * Cheap under bucket-level COW: only buckets whose manifest entry
+    * differs between the versions can hold changes, so the diff reads
+    * just those buckets' dirs. Upserts = `to EXCEPT ALL from`
+    * (full-row compare — an unchanged row carried through a
+    * rewrite/compaction is NOT a change); deletes = `from` rows whose
+    * key vanished from the changed buckets (keys never move buckets —
+    * the bucket is a pure hash of the key — so a key absent from its
+    * own bucket is absent from the table).
     */
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val (keys, _) = meta(path)
     val mFrom = manifest(path, fromVersion)
     val mTo = manifest(path, toVersion)
-    val touched = mTo.filter { case (b, d) => !mFrom.get(b).contains(d) }
-    if (touched.isEmpty) return read(spark, path, toVersion).limit(0)
-    val newSide = spark.read.option("mergeSchema", "true")
-      .parquet(touched.values.map(d => s"$path/$d").toSeq: _*)
-    val oldDirs = touched.keys.flatMap(mFrom.get).map(d => s"$path/$d").toSeq
-    if (oldDirs.isEmpty) newSide
-    else {
+    // changed in EITHER direction — a bucket missing from mTo was
+    // entirely deleted, a bucket missing from mFrom is entirely new
+    val changed = (mFrom.keySet ++ mTo.keySet).filter(b => mFrom.get(b) != mTo.get(b))
+    val newDirs = changed.toSeq.flatMap(mTo.get).map(d => s"$path/$d")
+    val oldDirs = changed.toSeq.flatMap(mFrom.get).map(d => s"$path/$d")
+    def rd(dirs: Seq[String]) =
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
+    if (newDirs.isEmpty && oldDirs.isEmpty) {
+      val snap = read(spark, path, toVersion)
+      snap.select(sortedCols(snap): _*).limit(0).withColumn("_deleted", lit(false))
+    } else if (oldDirs.isEmpty) {
+      val n = rd(newDirs)
+      n.select(sortedCols(n): _*).withColumn("_deleted", lit(false))
+    } else if (newDirs.isEmpty) {
+      val o = rd(oldDirs)
+      o.select(sortedCols(o): _*).withColumn("_deleted", lit(true))
+    } else {
       // schema may have evolved between the versions — align both sides
       // (padding with typed nulls) so the full-row EXCEPT is well-typed
-      val oldSide = spark.read.option("mergeSchema", "true").parquet(oldDirs: _*)
-      val (n2, o2) = alignSchemas(newSide, oldSide)
-      val cols = n2.columns.sorted.map(col)
-      n2.select(cols: _*).exceptAll(o2.select(cols: _*))
+      val (n2, o2) = alignSchemas(rd(newDirs), rd(oldDirs))
+      val cols = sortedCols(n2)
+      val upserts = n2.select(cols: _*).exceptAll(o2.select(cols: _*))
+        .withColumn("_deleted", lit(false))
+      val deletes = o2.select(cols: _*)
+        .join(n2.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .withColumn("_deleted", lit(true))
+      upserts.unionByName(deletes)
     }
   }
 
@@ -321,9 +372,16 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
-    val written = MetaIO.list(new Path(path, dataRel))
+    var written = MetaIO.list(new Path(path, dataRel))
       .map(_.getPath.getName).filter(_.startsWith(s"$BUCKET="))
       .map(d => d.stripPrefix(s"$BUCKET=").toInt -> s"$dataRel/$d").toMap
+    if (written.isEmpty && carryOver.isEmpty) {
+      // empty snapshot (e.g. a delete removed every row): partitionBy
+      // emits no dirs for zero rows, but the table must stay readable
+      // with its schema — write one empty, schema-bearing bucket file
+      df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=0")
+      written = Map(0 -> s"$dataRel/$BUCKET=0")
+    }
     val lines = (carryOver ++ written).toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins

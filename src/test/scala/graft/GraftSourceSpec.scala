@@ -63,6 +63,26 @@ class GraftSourceSpec extends AnyFunSuite with Matchers {
     spark.read.format("graft").load(path).head().getInt(1) shouldBe 55
   }
 
+  test("option(\"operation\",\"delete\") removes the batch's keys (Hudi delete shape)") {
+    val path = Files.createTempDirectory("graft_srcdel").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .write.format("graft").option("recordkey", "k").mode(SaveMode.Append).save(path)
+    // delete batch: only key columns matter, extra columns are ignored
+    Seq((2L, "ignored")).toDF("k", "s")
+      .write.format("graft").option("operation", "delete")
+      .mode(SaveMode.Append).save(path)
+    spark.read.format("graft").load(path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (3L, "c"))
+    // delete against a missing table and non-Append delete both fail loudly
+    an[Exception] should be thrownBy
+      Seq(Tuple1(9L)).toDF("k").write.format("graft").option("operation", "delete")
+        .mode(SaveMode.Append).save(path + "_missing")
+    an[Exception] should be thrownBy
+      Seq(Tuple1(1L)).toDF("k").write.format("graft").option("operation", "delete")
+        .mode(SaveMode.Ignore).save(path)
+  }
+
   test("ErrorIfExists fails on an existing table; Overwrite is rejected") {
     val path = Files.createTempDirectory("graft_src3").toString + "/t"
     val df = Seq((1L, 1)).toDF("k", "x")

@@ -217,6 +217,47 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     GraftTable.read(spark, path).count() shouldBe 2
   }
 
+  test("delete rewrites only touched buckets; changes() reports _deleted images") {
+    val path = Files.createTempDirectory("graft_del").toString + "/t"
+    val base = spark.range(0, 100).toDF("k").withColumn("x", col("k") * 2)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 8)
+    val m0 = GraftTable.manifest(path, 0)
+
+    GraftTable.delete(spark, path, Seq(7L, 13L).toDF("k"))
+    GraftTable.latestVersion(path) shouldBe 1
+    val live = GraftTable.read(spark, path)
+    live.count() shouldBe 98L
+    live.filter(col("k").isin(7L, 13L)).count() shouldBe 0L
+    // COW held: at most the two buckets the keys hash into were rewritten
+    val m1 = GraftTable.manifest(path, 1)
+    (m0.keySet ++ m1.keySet).count(b => m0.get(b) != m1.get(b)) should be <= 2
+    // CDC: removals surface as _deleted=true carrying the last stored image
+    val ch = GraftTable.changes(spark, path, 0, 1)
+    ch.columns.toSeq shouldBe Seq("k", "x", "_deleted")
+    ch.filter(col("_deleted")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((7L, 14L), (13L, 26L))
+    ch.filter(!col("_deleted")).count() shouldBe 0L // untouched rows are not changes
+    // time travel still sees the pre-delete snapshot
+    GraftTable.read(spark, path, version = 0).count() shouldBe 100L
+  }
+
+  test("deleting every row leaves an empty readable table with its schema") {
+    val path = Files.createTempDirectory("graft_del_all").toString + "/t"
+    GraftTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), path, Seq("k"), nbuckets = 2)
+    GraftTable.delete(spark, path, Seq(1L, 2L).toDF("k"))
+    val empty = GraftTable.read(spark, path)
+    empty.count() shouldBe 0L
+    empty.columns.toSet shouldBe Set("k", "s")
+    // the emptying commit is a pure-delete change set
+    val ch = GraftTable.changes(spark, path, 0, 1)
+    ch.filter(col("_deleted")).count() shouldBe 2L
+    ch.filter(!col("_deleted")).count() shouldBe 0L
+    // and the table accepts new rows again afterwards
+    GraftTable.upsert(spark, path, Seq((3L, "c")).toDF("k", "s"))
+    GraftTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((3L, "c"))
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")
