@@ -22,11 +22,15 @@ object Audit {
         val ex = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
         val topk = if (plan.contains("TakeOrderedAndProject")) " TOP-K" else ""
         // red flags: unblocked pairwise plans must never appear.
-        // vs_knn_join is the one deliberate BNLJ: exact batched knn =
-        // tiny broadcast query set × single scan of the big side (the
+        // vs_knn_join is a deliberate BNLJ: exact batched knn = tiny
+        // broadcast query set × single scan of the big side (the
         // broadcast side is the ~10-row query set, never the table);
         // its ANN twin vs_knn_join_ivf is the partition-pruned path.
-        val expectedBnlj = Set("vs_knn_join")
+        // q22's BNLJ broadcasts a ONE-ROW aggregate (avg-balance
+        // threshold) against customer — a keyless 1×N "loop" is a
+        // map-side scalar compare, the same shape a scalar subquery
+        // executes as; there is no key to hash-join on.
+        val expectedBnlj = Set("vs_knn_join", "q22_idle_rich_customers")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

@@ -361,6 +361,9 @@ object SparkEntry {
       // engines and could flip boundary rows
       val cents = floor(col("c_acctbal") * 100).cast("long")
       val c = Tables.customer(s, dir)
+      // the broadcast side is ONE aggregate row, so the keyless
+      // crossJoin plans as a BroadcastNestedLoopJoin that degenerates
+      // to a map-side scalar compare — deliberate, whitelisted in Audit
       val stats = c.filter(col("c_acctbal") > 0)
         .agg(sum(cents).as("tot"), count(lit(1)).as("cnt"))
       c.crossJoin(broadcast(stats))

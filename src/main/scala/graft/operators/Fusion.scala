@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Rank-fusion retrieval — combining keyword and vector rankings into
   * one result list. The reference's "hybrid search" is predicate +
@@ -35,36 +35,49 @@ object Fusion {
 
   /** Deterministic global ranking of a score column (1 = best).
     *
-    * Exact full-corpus ranks WITHOUT a single-partition window: a
+    * Exact full-corpus ranks WITHOUT a single-partition window (a
     * `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels every
-    * row through one task (Spark's WindowExec warns about exactly this).
-    * Instead the frame is range-partition sorted (`orderBy` = distributed
-    * sort, every partition does its share) and ranks are assigned with
-    * `zipWithIndex` over the sorted partitions — one extra lightweight
-    * job to count partition sizes, then each task numbers only its own
-    * slice. Scales with the sort, which is the unavoidable cost of a
-    * total ranking.
+    * row through one task — Spark's WindowExec warns about exactly this)
+    * and WITHOUT leaving Catalyst: the frame is range-partition sorted
+    * (`orderBy` = distributed sort, every partition does its share),
+    * each row is tagged with `monotonically_increasing_id()` — bit
+    * layout (partition index << 33) + row-index-within-partition,
+    * evaluated ABOVE the sort so the low bits ARE the row's sorted
+    * position in its partition, and range partitions are contiguous
+    * slices of the total order — then the per-partition row counts
+    * (one row per partition — broadcast-sized by construction) are
+    * cumulative-summed into start offsets and broadcast-joined back:
+    * rank = partition offset + local index + 1. The count pass reuses
+    * the sort's shuffle (ReuseExchange / AQE stage reuse), so the plan
+    * costs one range shuffle total, stays lazy, stays in whole-stage
+    * codegen, and keeps Catalyst lineage (AQE and shuffle reuse apply
+    * downstream — no eager job, no InternalRow↔Row conversion).
     *
-    * Costs of the RDD hop, documented deliberately: (1) `zipWithIndex`
-    * launches its partition-count job EAGERLY, at DataFrame-construction
-    * time; (2) the output leaves Catalyst lineage, so downstream actions
-    * recompute the sort unless the caller persists; (3) `rank` is
-    * LongType (a total rank can exceed Int at corpus scale). Prefer
-    * [[rankByTopN]] whenever slice semantics are acceptable — full-corpus
-    * exact ranks are only needed when tail ranks must contribute (e.g.
-    * the oracle-exact RRF over every document).
+    * `rank` is LongType — a total rank can exceed Int at corpus scale.
+    * (External callers matching on schema: note the widening vs an
+    * IntegerType row_number rank.) Prefer [[rankByTopN]] whenever slice
+    * semantics are acceptable — full-corpus exact ranks are only needed
+    * when tail ranks must contribute (e.g. the oracle-exact RRF over
+    * every document).
     */
   def rankBy(df: DataFrame, idCol: String, score: org.apache.spark.sql.Column,
              descending: Boolean = true): DataFrame = {
-    val ord = if (descending) Seq(score.desc, col(idCol).asc)
-              else Seq(score.asc, col(idCol).asc)
-    val sorted = df.orderBy(ord: _*).select(col(idCol))
-    val out = StructType(sorted.schema.fields :+
-      StructField("rank", LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(ranked, out)
+    val ordS = if (descending) Seq(col("__s").desc, col(idCol).asc)
+               else Seq(col("__s").asc, col(idCol).asc)
+    // the id tag is a nondeterministic projection, so Catalyst will not
+    // push it below the sort or eliminate the sort under the count
+    // aggregate — both passes see identical sorted partitions
+    val tagged = df.select(col(idCol), score.as("__s"))
+      .orderBy(ordS: _*)
+      .select(col(idCol), monotonically_increasing_id().as("__mid"))
+    val pid = shiftright(col("__mid"), 33)
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val wCum = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"), coalesce(sum(col("__cnt")).over(wCum), lit(0L)).as("__off"))
+    tagged.join(broadcast(offsets), pid === col("__pid"))
+      .select(col(idCol), (col("__off") + localIdx + lit(1L)).as("rank"))
   }
 
   /** Top-N slice ranking — the production shape of rank fusion (fuse

@@ -19,6 +19,30 @@ class FusionSpec extends AnyFunSuite with Matchers {
     got shouldBe Map(1L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L, 5L -> 5L)
   }
 
+  test("rankBy is exact at multi-partition scale and stays in Catalyst") {
+    // 10k rows, shuffled input over many partitions: ranks must be the
+    // dense 1..n positions of the (score desc, id asc) total order —
+    // this fails loudly if the count pass ever sees different sorted
+    // partitions than the tag pass (the invariant the monotonic-id +
+    // broadcast-offsets construction rests on)
+    val n = 10000
+    val data = spark.range(0, n).toDF("id")
+      .withColumn("s", (col("id") * 2654435761L) % 1000) // heavy score ties
+      .repartition(17)
+    val got = Fusion.rankBy(data, "id", col("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.size shouldBe n
+    got.values.toSeq.sorted shouldBe (1L to n.toLong)
+    val expected = data.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    got shouldBe expected
+    // no RDD hop: the whole ranking is a Catalyst plan
+    val plan = Fusion.rankBy(data, "id", col("s")).queryExecution.executedPlan.toString
+    plan should not include "ExternalRDDScan"
+  }
+
   test("rankByTopN equals the top-N prefix of the full ranking") {
     val full = Fusion.rankBy(scored, "id", col("s")).filter(col("rank") <= 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
