@@ -112,6 +112,22 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_table_changes(path, fromVersion, toVersion)` — SQL read of
+    * the change feed between two snapshots: table columns (sorted) plus
+    * `_deleted` (adds/updates carry the new image, deletes the last
+    * stored image). Hudi's incremental query, as a table function.
+    */
+  private def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      s"graft_table_changes(path, fromVersion, toVersion): got ${args.length} args")
+    require(args.forall(_.foldable), "graft_table_changes: all arguments must be literals")
+    val path = args(0).eval(null).toString
+    val from = args(1).eval(null).asInstanceOf[Number].intValue()
+    val to = args(2).eval(null).asInstanceOf[Number].intValue()
+    graft.sources.GraftTable.changes(SparkSession.active, path, from, to)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -120,7 +136,11 @@ object GraftFunctions {
     ("graft_table",
       info("graft_table",
         "graft_table(path[, version]) - snapshot read of a GraftTable (versioned COW lakehouse table)"),
-      tablePlan _))
+      tablePlan _),
+    ("graft_table_changes",
+      info("graft_table_changes",
+        "graft_table_changes(path, fromVersion, toVersion) - change feed (adds/updates/deletes with _deleted flag) between two snapshots"),
+      changesPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -20,6 +20,12 @@ import graft.functions.vectors._
   *    engine-independent). Never sum raw doubles across rows — parallel
   *    aggregation order would diverge from DuckDB's sequential sum.
   *  - every query ends in a total ORDER BY; ties broken by unique keys.
+  *  - integer sums: the oracle-side `CAST(sum(...) AS BIGINT)` exists
+  *    only to align DuckDB's HUGEINT sum with Spark's LONG sum and is
+  *    lossless at any benchmark scale. Overflow BEHAVIOR still differs
+  *    by dialect (DuckDB's cast throws; Spark's non-ANSI long sum wraps
+  *    silently) — irrelevant below 2^63, but don't read the casts as
+  *    an overflow-semantics match.
   */
 object SparkEntry {
 
@@ -117,11 +123,16 @@ object SparkEntry {
 
     "vs_topk_int8" -> ((s, dir) => {
       // search over int8-quantized embeddings (4× smaller scans at
-      // 100 TB; scale-exact arithmetic mirrored by the DuckDB oracle)
+      // 100 TB; scale-exact arithmetic mirrored by the DuckDB oracle).
+      // The scale is MATERIALIZED as a column first: substituting the
+      // scaleCol expression into the encode/decode lambdas would
+      // re-evaluate the array_max per ELEMENT (HOF lambdas are
+      // interpreted, not codegen'd) — O(dim²)/row instead of O(dim)
       import operators.Quantize
       val emb = Tables.embeddings(s, dir)
-      val scale = Quantize.scaleCol(col("embedding"))
-      val dq = Quantize.decode(Quantize.encode(col("embedding"), scale), scale)
+        .withColumn("__scale", Quantize.scaleCol(col("embedding")))
+      val dq = Quantize.decode(
+        Quantize.encode(col("embedding"), col("__scale")), col("__scale"))
       emb.withColumn("score",
           cosine_similarity(dq, typedlit(queryVec(s, dir, 0L).map(_.toDouble))))
         .orderBy(col("score").desc, col("vec_id"))

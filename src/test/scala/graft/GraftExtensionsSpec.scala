@@ -76,6 +76,20 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     spark.sql(s"SELECT x FROM graft_table('$path', 0)").head().getInt(0) shouldBe 1
   }
 
+  test("graft_table_changes TVF exposes the CDC feed (incl. deletes) in SQL") {
+    import spark.implicits._
+    import graft.sources.GraftTable
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_tvfc").toString + "/t"
+    GraftTable.create(Seq((1L, 1), (2L, 2)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    GraftTable.upsert(spark, path, Seq((2L, 22), (3L, 3)).toDF("k", "x"))
+    GraftTable.delete(spark, path, Seq(Tuple1(1L)).toDF("k"))
+    val got = spark.sql(
+      s"SELECT k, x, _deleted FROM graft_table_changes('$path', 0, 2) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    got shouldBe Seq((1L, 1, true), (2L, 22, false), (3L, 3, false))
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Derive an N×-scaled dataset from a driver-generated sf directory.
+
+Usage: python3 tools/scale_up.py [srcDir] [dstDir] [copies]
+
+Replicates every fact table `copies` times, shifting each surrogate-key
+column by i*OFFSET per copy so referential integrity is preserved
+(orders.o_custkey follows customer.c_custkey, lineitem.l_orderkey
+follows orders.o_orderkey, ...). Dimension tables (region, nation) are
+copied unscaled, exactly like a real star schema growing 10× in facts.
+Text/embedding payloads are replicated verbatim, so every document
+gains copies-1 exact duplicates — deliberately: at 100 TB the dedup
+pipeline's work IS dominated by replica clusters, and this makes the
+10× run a stress test of exactly that (pair counts grow ~copies² per
+duplicate group).
+
+Schemas are preserved bit-for-bit via pyarrow (including events.ts
+TIMESTAMP(NANOS), which a Spark rewrite would downgrade), so both the
+Spark library and the DuckDB oracle read the derived directory exactly
+like a driver-generated one.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import os
+
+OFFSET = 1_000_000_000  # beyond every key domain in the generated data
+
+# table -> key columns shifted per copy (all int64 surrogate keys)
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl, f"{dst}/{t}.parquet")
+        print(f"{t}: {tbl.num_rows} rows (dim, unscaled)")
+    for t, keys in SHIFT.items():
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        chunks = []
+        for i in range(copies):
+            c = tbl
+            for k in keys:
+                idx = c.schema.get_field_index(k)
+                shifted = pa.compute.add(c.column(k), i * OFFSET)
+                c = c.set_column(idx, c.schema.field(k), shifted)
+            chunks.append(c)
+        out = pa.concat_tables(chunks)
+        pq.write_table(out, f"{dst}/{t}.parquet")
+        print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
