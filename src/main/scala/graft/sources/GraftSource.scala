@@ -1,10 +1,15 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 /** `format("graft")` — the DataFrame reader/writer surface of the
   * lakehouse table, mirroring how the reference ingests its table
@@ -27,9 +32,71 @@ import org.apache.spark.sql.types.StructType
   * never depends on the translation).
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with SchemaRelationProvider with DataSourceRegister {
+    with SchemaRelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming read: the change feed as a real streaming Source ------
+  //
+  //   spark.readStream.format("graft").load(path)
+  //
+  // Offsets ARE table versions — the commit log is the offset log, so
+  // Structured Streaming's checkpoint + this source give restartable,
+  // in-order consumption of the change feed (Hudi's incremental
+  // streaming read). Each micro-batch is changes((startV, endV]) in the
+  // change-feed schema (table columns sorted + `_deleted`); the first
+  // batch from a fresh checkpoint is the full snapshot as the initial
+  // image (`option("startingVersion", v)` skips history ≤ v instead).
+
+  private def changeSchema(spark: SparkSession, path: String): StructType = {
+    val snap = GraftTable.read(spark, path)
+    StructType(snap.schema.fields.sortBy(_.name) :+
+      StructField("_deleted", BooleanType, nullable = false))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      changeSchema(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      changeSchema(sqlContext.sparkSession, pathOf(parameters)),
+      parameters.get("startingVersion").map(_.toInt))
+
+  // ---- streaming write: keyed upsert/delete sink -----------------------
+  //
+  //   df.writeStream.format("graft").option("recordkey", "k")
+  //     .option("checkpointLocation", cp).start(path)
+  //
+  // Each micro-batch applies the same keyed last-wins merge the batch
+  // writer uses (`operation=delete` deletes the batch's keys instead).
+  // The last applied batchId is recorded in the table directory through
+  // the same Hadoop-FS metadata layer and replayed batches are SKIPPED,
+  // upgrading foreachBatch's at-least-once to exactly-once table
+  // content for the one-writer-per-table case (concurrent writers are
+  // still arbitrated by the manifest put-if-absent lock).
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val keys = parameters.get("recordkey").map(_.split(",").map(_.trim).toSeq)
+    val nbuckets = parameters.get("nbuckets").map(_.toInt).getOrElse(16)
+    val precombine = parameters.get("precombine")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val delete = parameters.get("operation").contains("delete")
+    // the replay marker is scoped to THIS query's checkpoint: batchIds
+    // restart from 0 for every new checkpoint, so a table-global marker
+    // would wrongly skip a brand-new query's first batch
+    val scope = parameters.get("checkpointLocation")
+      .orElse(parameters.get("queryName")).getOrElse(java.util.UUID.randomUUID.toString)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(scope.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new GraftStreamSink(path, keys, nbuckets, precombine, delete, tag)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
@@ -87,6 +154,86 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** DSv1 streaming Source over a GraftTable's commit log: offset N ==
+  * "versions ≤ N consumed". getBatch((a, b]) = `GraftTable.changes(a,
+  * b)` (initial image for a fresh start). Versions are minted
+  * sequentially under the commit lock, so offsets are totally ordered
+  * and replayable — the lakehouse itself is the write-ahead log.
+  * Retention: a restart whose checkpointed offset predates the vacuum
+  * horizon fails loudly (same contract as [[ChangeFeed]]).
+  */
+private[sources] class GraftStreamSource(spark: SparkSession, path: String,
+                                         override val schema: StructType,
+                                         startingVersion: Option[Int]) extends Source {
+
+  private def ver(o: V1Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => s.json.trim.toInt
+    case other => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = GraftTable.latestVersion(path)
+    if (v < 0) None else Some(LongOffset(v.toLong))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = ver(end)
+    val batch = start.map(ver).orElse(startingVersion) match {
+      case Some(fromV) => GraftTable.changes(spark, path, fromV, endV)
+      case None => // fresh checkpoint: full snapshot as the initial image
+        val snap = GraftTable.read(spark, path, endV)
+        snap.select(snap.columns.sorted.map(col).toIndexedSeq: _*)
+          .withColumn("_deleted", lit(false))
+    }
+    // align to the declared source schema, then hand the planner a
+    // streaming-tagged frame over the computed rows (the v1-source
+    // contract — a plain batch DataFrame would be rejected)
+    val aligned = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    Bridge.internalDataFrame(spark, aligned.queryExecution.toRdd, schema,
+      isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** DSv1 streaming Sink: keyed upsert (or delete) per micro-batch with
+  * recorded-batchId replay skipping. See [[GraftSource.createSink]].
+  */
+private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
+                                       nbuckets: Int, precombine: Seq[String],
+                                       delete: Boolean, checkpointTag: String) extends Sink {
+
+  private def batchMarker = new Path(path, s"_sink_batch-$checkpointTag")
+
+  private def lastBatchId: Long =
+    if (GraftTable.MetaIO.exists(batchMarker))
+      GraftTable.MetaIO.readString(batchMarker).trim.toLong
+    else -1L
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= lastBatchId) return // replay after restart: already applied
+    val spark = data.sparkSession
+    // re-wrap the incremental plan's rows as a standalone batch frame —
+    // writing `data` directly would re-trigger the streaming plan
+    val rows = data.queryExecution.toRdd.map(_.copy())
+    val batch = Bridge.internalDataFrame(spark, rows, data.schema, isStreaming = false)
+    if (delete) {
+      require(GraftTable.exists(path), s"graft sink: cannot delete from missing table $path")
+      GraftTable.delete(spark, path, batch)
+    } else if (GraftTable.exists(path)) {
+      GraftTable.upsert(spark, path, batch, precombine)
+    } else {
+      val k = keys.getOrElse(throw new IllegalArgumentException(
+        "graft sink requires option(\"recordkey\", \"k1[,k2…]\") to create a table"))
+      GraftTable.create(batch, path, k, nbuckets)
+    }
+    GraftTable.MetaIO.writeString(batchMarker, batchId.toString)
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,

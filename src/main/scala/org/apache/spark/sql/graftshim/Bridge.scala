@@ -1,14 +1,32 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** Bridge into Spark's `private[sql]` Expression ↔ Column conversion
-  * (Spark 4 made Column node-backed; this is the supported internal
-  * path, same one Spark's own `functions` object uses).
+/** Bridge into Spark's `private[sql]` surfaces (this package sits under
+  * `org.apache.spark.sql`, the same access path Spark's own code uses).
+  *
+  *  - Expression ↔ Column conversion (Spark 4 made Column node-backed;
+  *    `ExpressionUtils` is the supported internal path, same one the
+  *    `functions` object uses).
+  *  - `internalCreateDataFrame(isStreaming = true)`: the only way a
+  *    DSv1 streaming `Source.getBatch` can hand MicroBatchExecution a
+  *    streaming-tagged DataFrame — the exact call FileStreamSource and
+  *    every community v1 source make.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over pre-computed InternalRows; `isStreaming = true`
+    * tags it as a micro-batch for the incremental planner.
+    */
+  def internalDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                        schema: StructType, isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** The lakehouse as a first-class Structured Streaming endpoint:
+  * `readStream.format("graft")` (change feed, offsets = table versions)
+  * and `writeStream.format("graft")` (keyed upsert sink with replay
+  * skipping) — the Hudi streaming read/write surface.
+  */
+class GraftStreamingSourceSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("readStream.format(\"graft\"): initial image, then incremental changes across restarts") {
+    val tmp = Files.createTempDirectory("graft_rstream").toString
+    val src = s"$tmp/t"; val cp = s"$tmp/cp"
+    GraftTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src, Seq("k"), nbuckets = 4)
+    GraftTable.upsert(spark, src, Seq((2L, "b2")).toDF("k", "s"))
+
+    def consume(name: String): Seq[(Long, String, Boolean)] = {
+      // foreachBatch (not the memory sink, which refuses checkpoint
+      // recovery) so each run RESUMES the same checkpoint
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= b.collect().map(r =>
+            (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Boolean]("_deleted")))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+
+    // fresh checkpoint: one batch = the full snapshot at head (v1)
+    consume("cdc_run1").sortBy(_._1) shouldBe
+      Seq((1L, "a", false), (2L, "b2", false))
+
+    // new commits, SAME checkpoint: the restarted query resumes from the
+    // checkpointed version offset and sees exactly the delta, deletes included
+    GraftTable.upsert(spark, src, Seq((3L, "c")).toDF("k", "s"))
+    GraftTable.delete(spark, src, Seq(Tuple1(1L)).toDF("k"))
+    consume("cdc_run2").sortBy(_._1) shouldBe
+      Seq((1L, "a", true), (3L, "c", false))
+
+    // caught up, same checkpoint: nothing new
+    consume("cdc_run3") shouldBe Seq.empty
+  }
+
+  test("readStream startingVersion skips history at a fresh checkpoint") {
+    val tmp = Files.createTempDirectory("graft_rstream_sv").toString
+    val src = s"$tmp/t"
+    GraftTable.create(Seq((1L, 10)).toDF("k", "x"), src, Seq("k"), nbuckets = 2)
+    GraftTable.upsert(spark, src, Seq((2L, 20)).toDF("k", "x"))
+    val q = spark.readStream.format("graft").option("startingVersion", "0").load(src)
+      .writeStream.format("memory").queryName("cdc_sv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // changes (0, 1] only — the v0 snapshot is skipped
+    spark.table("cdc_sv").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("x"))).toSeq shouldBe Seq((2L, 20))
+  }
+
+  test("writeStream.format(\"graft\") upserts micro-batches; last-wins across batches") {
+    val tmp = Files.createTempDirectory("graft_wstream").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+
+    def runBatch(rows: (Long, String)*): Unit = {
+      in.addData(rows: _*)
+      val q = in.toDF().toDF("k", "s")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+
+    runBatch((1L, "a"), (2L, "b"))
+    runBatch((2L, "b2"), (3L, "c"))
+    GraftTable.read(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // versions advanced once per non-empty micro-batch
+    GraftTable.latestVersion(dst) shouldBe 1
+  }
+
+  test("full streaming pipeline: table -> change feed -> streaming mirror") {
+    val tmp = Files.createTempDirectory("graft_pipe").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val cp = s"$tmp/cp"
+    GraftTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src, Seq("k"), nbuckets = 4)
+    GraftTable.upsert(spark, src, Seq((2L, "b2"), (3L, "c")).toDF("k", "s"))
+
+    // readStream(graft) -> drop deletes -> writeStream(graft): a live
+    // downstream replica built ONLY from the streaming surfaces
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .filter(!col("_deleted")).drop("_deleted")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    sync()
+    GraftTable.read(spark, dst).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+    // more commits, resume the same checkpoint: only the delta flows
+    GraftTable.upsert(spark, src, Seq((1L, "a2")).toDF("k", "s"))
+    sync()
+    GraftTable.read(spark, dst).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))).toSeq shouldBe
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c"))
+  }
+}
