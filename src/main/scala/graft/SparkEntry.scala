@@ -239,12 +239,25 @@ object SparkEntry {
       val price = col("l_extendedprice").cast("decimal(14,2)")
       val disc = col("l_discount").cast("decimal(14,2)")
       val tax = col("l_tax").cast("decimal(14,2)")
+      // Two 10×-scale-proofing moves, both lossless:
+      //  - the two-factor product is pinned to DECIMAL(18,4) (a product
+      //    of two scale-2 values has scale exactly 4), so the
+      //    three-factor charge stays within precision 38 on both
+      //    engines — unpinned, (14,2)³ needs precision 44 > 38 and
+      //    Spark/DuckDB round the overflow differently;
+      //  - money sums are emitted as exact integer cents/micros, not
+      //    doubles: once a sum's unscaled value passes 2^53, DuckDB's
+      //    decimal→double cast (int÷10^s in double arithmetic) double-
+      //    rounds while Spark's BigDecimal cast rounds correctly — a
+      //    genuine last-ulp dialect divergence the integer encoding
+      //    sidesteps at any scale
+      val discounted = (price * (lit(1) - disc)).cast("decimal(18,4)")
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact any order
-          sum(price).cast("double").as("sum_base_price"),
-          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
-          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+          (sum(price) * lit(100)).cast("long").as("sum_base_price_c"),
+          (sum(discounted) * lit(10000)).cast("long").as("sum_disc_price_c4"),
+          (sum(discounted * (lit(1) + tax)) * lit(1000000)).cast("long").as("sum_charge_c6"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -1021,9 +1034,9 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) * (1 + CAST(l_tax AS DECIMAL(14,2)))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS sum_base_price_c,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_c4,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(14,2)))) * 1000000 AS BIGINT) AS sum_charge_c6,
                 count(*) AS count_order,
                 sum(l_quantity) / count(*) AS avg_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'

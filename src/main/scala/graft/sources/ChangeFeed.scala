@@ -34,10 +34,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ChangeFeed {
 
-  /** Last consumed version at this cursor, or -1 if never polled. */
+  /** Last consumed version at this cursor, or -1 if never polled.
+    * Cursor updates are atomic content swaps (write-tmp + rename), so a
+    * concurrent reader sees the old value, the new value, or — in the
+    * brief delete+rename window on FSs without replacing rename —
+    * absence, which maps to -1 and at worst re-bootstraps (safe under
+    * the at-least-once contract). Never a torn read.
+    */
   def cursor(cursorPath: String): Int = {
     val p = new Path(cursorPath)
-    if (GraftTable.MetaIO.exists(p)) GraftTable.MetaIO.readString(p).trim.toInt else -1
+    if (GraftTable.MetaIO.exists(p)) {
+      val s = GraftTable.MetaIO.readString(p).trim
+      if (s.isEmpty) -1 else s.toInt
+    } else -1
   }
 
   /** One incremental pull: if commits landed past the cursor, hand
@@ -61,8 +70,9 @@ object ChangeFeed {
             .withColumn("_deleted", lit(false))
         } else GraftTable.changes(spark, tablePath, from, head)
       apply(batch, from, head)
-      // cursor moves only after a successful apply → at-least-once
-      GraftTable.MetaIO.writeString(new Path(cursorPath), head.toString)
+      // cursor moves only after a successful apply → at-least-once;
+      // atomic swap so concurrent readers never see a torn write
+      GraftTable.MetaIO.replaceString(new Path(cursorPath), head.toString)
       Some((from, head))
     }
   }

@@ -230,7 +230,7 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
         "graft sink requires option(\"recordkey\", \"k1[,k2…]\") to create a table"))
       GraftTable.create(batch, path, k, nbuckets)
     }
-    GraftTable.MetaIO.writeString(batchMarker, batchId.toString)
+    GraftTable.MetaIO.replaceString(batchMarker, batchId.toString)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"

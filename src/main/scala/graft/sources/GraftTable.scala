@@ -102,6 +102,23 @@ object GraftTable {
       }
     }
 
+    /** Atomic content swap: write to a sibling tmp file, rename over
+      * `p`. POSIX rename replaces the target in one step; on FSs whose
+      * rename refuses an existing target (HDFS), the delete+rename
+      * fallback leaves only a missing-file window — readers see old
+      * content, new content, or absence, NEVER a torn/empty read.
+      */
+    def replaceString(p: Path, s: String): Unit = {
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      writeString(tmp, s)
+      val f = fs(p)
+      if (!f.rename(tmp, p)) {
+        f.delete(p, false)
+        if (!f.rename(tmp, p))
+          throw new java.io.IOException(s"atomic replace failed for $p")
+      }
+    }
+
     def list(p: Path): Seq[FileStatus] =
       if (!exists(p)) Seq.empty else fs(p).listStatus(p).toSeq
 
@@ -322,6 +339,30 @@ object GraftTable {
         .withColumn("_deleted", lit(true))
       upserts.unionByName(deletes)
     }
+  }
+
+  /** Roll the table back to `version`: commit a NEW head whose manifest
+    * is a copy of the old one (Hudi's savepoint/restore, Delta's
+    * RESTORE). Nothing is rewritten — the new manifest points at the
+    * old version's files, which COW never mutated — so restore is an
+    * O(manifest) metadata operation at any table size. History after
+    * the restored version stays readable (time travel) until vacuumed;
+    * the restore itself goes through the same optimistic-commit lock as
+    * any writer, and [[changes]] across the restore correctly reports
+    * the rolled-back rows (upserts undone → old images reappear as
+    * updates; inserts undone → `_deleted`).
+    */
+  def restoreTo(path: String, version: Int): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    require(version >= 0 && version <= v, s"version $version out of range [0, $v]")
+    if (version == v) return
+    val lines = (manifest(path, version).toSeq.sortBy(_._1))
+      .map { case (b, d) => s"$b\t$d" }.mkString("\n")
+    if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer committed v${v + 1} first at $path; re-read and retry the restore")
+    MetaIO.writeString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
   }
 
   /** Drop snapshots older than the last `keepVersions`: delete data

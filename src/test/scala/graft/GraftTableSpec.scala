@@ -258,6 +258,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((3L, "c"))
   }
 
+  test("restoreTo rolls back to an old snapshot as a new metadata-only commit") {
+    val path = Files.createTempDirectory("graft_restore").toString + "/t"
+    GraftTable.create(Seq((1L, 1), (2L, 2)).toDF("k", "x"), path, Seq("k"), nbuckets = 4)
+    GraftTable.upsert(spark, path, Seq((2L, 22), (3L, 3)).toDF("k", "x")) // v1
+    GraftTable.delete(spark, path, Seq(Tuple1(1L)).toDF("k"))             // v2
+
+    GraftTable.restoreTo(path, 0)
+    GraftTable.latestVersion(path) shouldBe 3
+    // head == v0 content, via a pure manifest copy (nothing rewritten)
+    GraftTable.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))) shouldBe Array((1L, 1), (2L, 2))
+    GraftTable.manifest(path, 3) shouldBe GraftTable.manifest(path, 0)
+    // the rolled-back history is still time-travelable
+    GraftTable.read(spark, path, version = 2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))) shouldBe Array((2L, 22), (3L, 3))
+    // CDC across the restore: updates undone reappear, inserts undone delete
+    val ch = GraftTable.changes(spark, path, 2, 3)
+    ch.filter(col("_deleted")).collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    ch.filter(!col("_deleted")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet shouldBe Set((1L, 1), (2L, 2))
+    // restoring to the current head is a no-op
+    GraftTable.restoreTo(path, 3)
+    GraftTable.latestVersion(path) shouldBe 3
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")
