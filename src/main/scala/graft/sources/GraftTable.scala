@@ -182,12 +182,32 @@ object GraftTable {
     * batch itself repeats a key, the row with the GREATEST precombine
     * value wins (default: deterministic full-row tie-break).
     */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+  /** Cast `df`'s key columns to the table's stored key types: the
+    * bucket is xxhash64 over the key VALUES AS TYPED, so an
+    * Int-typed key batch against a Long-keyed table would hash into
+    * the wrong bucket and silently miss its rows. Lossless for the
+    * sane widenings (int→long etc.); a truly incompatible cast fails
+    * in Spark's analyzer rather than corrupting placement.
+    */
+  private def alignKeyTypes(spark: SparkSession, path: String, v: Int,
+                            keys: Seq[String], df: DataFrame): DataFrame = {
+    val stored = read(spark, path, v).schema
+    keys.foldLeft(df) { (d, k) =>
+      stored.fields.find(_.name == k) match {
+        case Some(f) if d.schema(k).dataType != f.dataType =>
+          d.withColumn(k, col(k).cast(f.dataType))
+        case _ => d
+      }
+    }
+  }
+
+  def upsert(spark: SparkSession, path: String, updates0: DataFrame,
              precombine: Seq[String] = Nil): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, nbuckets) = meta(path)
-    keys.foreach(k => require(updates.columns.contains(k), s"updates missing key column $k"))
+    keys.foreach(k => require(updates0.columns.contains(k), s"updates missing key column $k"))
+    val updates = alignKeyTypes(spark, path, v, keys, updates0)
     val current = manifest(path, v)
     val touched = updates.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -216,7 +236,8 @@ object GraftTable {
     require(v >= 0, s"no table at $path")
     val (keys, nbuckets) = meta(path)
     keys.foreach(k => require(keysDf.columns.contains(k), s"delete batch missing key column $k"))
-    val keyOnly = keysDf.select(keys.map(col): _*).distinct()
+    val keyOnly = alignKeyTypes(spark, path, v, keys, keysDf)
+      .select(keys.map(col): _*).distinct()
     val current = manifest(path, v)
     val touched = keyOnly.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet

@@ -258,6 +258,18 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((3L, "c"))
   }
 
+  test("key-type mismatch in an update/delete batch is aligned, not mis-bucketed") {
+    val path = Files.createTempDirectory("graft_ktype").toString + "/t"
+    GraftTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), path, Seq("k"), nbuckets = 8)
+    // Int-typed keys: xxhash64(int 2) != xxhash64(long 2) — unaligned,
+    // these would hash into the wrong bucket and silently miss
+    GraftTable.upsert(spark, path, Seq((2, "b2")).toDF("k", "s"))
+    GraftTable.read(spark, path).filter(col("k") === 2L).head().getString(1) shouldBe "b2"
+    GraftTable.delete(spark, path, Seq(Tuple1(1)).toDF("k"))
+    GraftTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((2L, "b2"))
+  }
+
   test("restoreTo rolls back to an old snapshot as a new metadata-only commit") {
     val path = Files.createTempDirectory("graft_restore").toString + "/t"
     GraftTable.create(Seq((1L, 1), (2L, 2)).toDF("k", "x"), path, Seq("k"), nbuckets = 4)

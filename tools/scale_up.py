@@ -45,9 +45,15 @@ def main():
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    # Row groups are Spark's scan-split unit: a single-row-group file
+    # serializes the whole scan into one task no matter how many cores
+    # exist (pyarrow's default 1M-row groups left 250k docs unsplittable
+    # and made every text query super-linear). 64k rows per group keeps
+    # the derived files splittable at any copy count.
+    rg = 64 * 1024
     for t in DIMS:
         tbl = pq.read_table(f"{src}/{t}.parquet")
-        pq.write_table(tbl, f"{dst}/{t}.parquet")
+        pq.write_table(tbl, f"{dst}/{t}.parquet", row_group_size=rg)
         print(f"{t}: {tbl.num_rows} rows (dim, unscaled)")
     for t, keys in SHIFT.items():
         tbl = pq.read_table(f"{src}/{t}.parquet")
@@ -60,7 +66,7 @@ def main():
                 c = c.set_column(idx, c.schema.field(k), shifted)
             chunks.append(c)
         out = pa.concat_tables(chunks)
-        pq.write_table(out, f"{dst}/{t}.parquet")
+        pq.write_table(out, f"{dst}/{t}.parquet", row_group_size=rg)
         print(f"{t}: {tbl.num_rows} -> {out.num_rows} rows")
 
 
