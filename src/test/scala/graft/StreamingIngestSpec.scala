@@ -75,6 +75,20 @@ class StreamingIngestSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("a change-feed cursor behind the vacuum horizon fails loudly, not silently") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("cdc_vac").toString
+    val src = s"$tmp/src"; val cur = s"$tmp/cursor"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), src, Seq("k"), nbuckets = 2)
+    ChangeFeed.pollOnce(spark, src, cur)((_, _, _) => ()) // cursor -> 0
+    for (i <- 2 to 4)
+      GraftTable.upsert(spark, src, Seq((i.toLong, i)).toDF("k", "x"))
+    GraftTable.vacuum(src, keepVersions = 1) // horizon passes version 0
+    // the consumer must NOT silently skip the lost history
+    an[Exception] should be thrownBy
+      ChangeFeed.pollOnce(spark, src, cur)((b, _, _) => { b.collect(); () })
+  }
+
   test("streaming dedup emits one row per key") {
     val out = EventStreams.runAvailableNow(spark, sf0001,
       df => EventStreams.dedupedEvents(df, "event_id").select("event_id"),
