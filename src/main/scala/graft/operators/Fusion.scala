@@ -74,8 +74,17 @@ object Fusion {
     val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val wCum = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // monotonically_increasing_id's per-partition counter is 33 bits: a
+    // range partition past 2^33 rows would bleed into the partition-index
+    // bits and silently corrupt ranks — fail loudly instead (the check
+    // costs one comparison per PARTITION, on the tiny offsets frame)
     val offsets = tagged.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__cnt"))
-      .select(col("__pid"), coalesce(sum(col("__cnt")).over(wCum), lit(0L)).as("__off"))
+      .select(col("__pid"),
+        when(col("__cnt") < lit(1L << 33),
+            coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
+          .otherwise(raise_error(lit(
+            "rankBy: a range partition exceeds 2^33 rows; raise spark.sql.shuffle.partitions")).cast("long"))
+          .as("__off"))
     tagged.join(broadcast(offsets), pid === col("__pid"))
       .select(col(idCol), (col("__off") + localIdx + lit(1L)).as("rank"))
   }

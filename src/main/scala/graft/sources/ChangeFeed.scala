@@ -62,13 +62,8 @@ object ChangeFeed {
     if (head < 0 || head <= from) None
     else {
       val batch =
-        if (from < 0) {
-          // CDC bootstrap: full snapshot as the initial image, shaped
-          // like changes() output so downstream code sees one schema
-          val snap = GraftTable.read(spark, tablePath, head)
-          snap.select(snap.columns.sorted.map(col).toIndexedSeq: _*)
-            .withColumn("_deleted", lit(false))
-        } else GraftTable.changes(spark, tablePath, from, head)
+        if (from < 0) GraftTable.initialImage(spark, tablePath, head)
+        else GraftTable.changes(spark, tablePath, from, head)
       apply(batch, from, head)
       // cursor moves only after a successful apply → at-least-once;
       // atomic swap so concurrent readers never see a torn write
@@ -106,9 +101,10 @@ object ChangeFeed {
     val upserts = batch.filter(!col("_deleted")).drop("_deleted")
     val deletes = batch.filter(col("_deleted")).drop("_deleted")
     // emptiness guards keep a deletes-only (or upserts-only) batch from
-    // minting a no-op version on the other path
+    // minting a no-op version on the other path; retrying writers so an
+    // OCC loss against another mirror writer doesn't abort the poll
     if (!GraftTable.exists(dstPath)) GraftTable.create(upserts, dstPath, keyCols)
-    else if (!upserts.isEmpty) GraftTable.upsert(spark, dstPath, upserts)
-    if (!deletes.isEmpty) GraftTable.delete(spark, dstPath, deletes)
+    else if (!upserts.isEmpty) GraftTable.upsertRetry(spark, dstPath, upserts)
+    if (!deletes.isEmpty) GraftTable.deleteRetry(spark, dstPath, deletes)
   }
 }

@@ -57,9 +57,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      changeSchema(sqlContext.sparkSession, pathOf(parameters))))
+                            parameters: Map[String, String]): (String, StructType) = {
+    // the change-feed schema is fixed by the table; honoring a caller's
+    // .schema(...) here while getBatch emits the table's order would
+    // mis-bind columns POSITIONALLY downstream — reject it loudly
+    require(schema.isEmpty,
+      "graft streaming source has a fixed schema (table columns sorted by name + _deleted); .schema(...) is not supported")
+    (shortName(), changeSchema(sqlContext.sparkSession, pathOf(parameters)))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -184,9 +189,7 @@ private[sources] class GraftStreamSource(spark: SparkSession, path: String,
     val batch = start.map(ver).orElse(startingVersion) match {
       case Some(fromV) => GraftTable.changes(spark, path, fromV, endV)
       case None => // fresh checkpoint: full snapshot as the initial image
-        val snap = GraftTable.read(spark, path, endV)
-        snap.select(snap.columns.sorted.map(col).toIndexedSeq: _*)
-          .withColumn("_deleted", lit(false))
+        GraftTable.initialImage(spark, path, endV)
     }
     // align to the declared source schema, then hand the planner a
     // streaming-tagged frame over the computed rows (the v1-source
@@ -214,17 +217,24 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
     else -1L
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (batchId <= lastBatchId) return // replay after restart: already applied
+    // Skip ONLY the exact redelivered batch (a restart replays the one
+    // in-flight batchId). batchId < marker means the CHECKPOINT WAS
+    // RESET — batchIds restarted from 0 carrying fresh source data, so
+    // skipping `<=` would silently drop it; re-applying instead is safe
+    // (keyed last-wins merge is idempotent, at-least-once contract).
+    if (batchId == lastBatchId) return
     val spark = data.sparkSession
     // re-wrap the incremental plan's rows as a standalone batch frame —
     // writing `data` directly would re-trigger the streaming plan
     val rows = data.queryExecution.toRdd.map(_.copy())
     val batch = Bridge.internalDataFrame(spark, rows, data.schema, isStreaming = false)
+    // retrying writers: an OCC loss against a concurrent compactor or
+    // second writer must not kill the streaming query
     if (delete) {
       require(GraftTable.exists(path), s"graft sink: cannot delete from missing table $path")
-      GraftTable.delete(spark, path, batch)
+      GraftTable.deleteRetry(spark, path, batch)
     } else if (GraftTable.exists(path)) {
-      GraftTable.upsert(spark, path, batch, precombine)
+      GraftTable.upsertRetry(spark, path, batch, precombine)
     } else {
       val k = keys.getOrElse(throw new IllegalArgumentException(
         "graft sink requires option(\"recordkey\", \"k1[,k2…]\") to create a table"))

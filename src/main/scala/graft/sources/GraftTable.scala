@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, types}
 import org.apache.spark.sql.functions._
 import graft.operators.Upsert
 import java.nio.charset.StandardCharsets
@@ -146,15 +146,34 @@ object GraftTable {
   /** latest committed version, or -1 */
   def latestVersion(path: String): Int = commitVersions(path).lastOption.getOrElse(-1)
 
-  /** committed (version, wall-clock millis) pairs, commit order. */
+  /** committed (version, wall-clock millis) pairs, commit order.
+    *
+    * Cost note: discovery is a directory LISTING (same as Delta's
+    * _delta_log) and reading the timestamps is one small GET per
+    * marker — O(commits), paid only by wall-clock time travel
+    * ([[readAsOf]]); version reads and [[latestVersion]] never open
+    * markers. One-file-per-commit is deliberate: the alternative
+    * single-file log needs atomic append, which object stores do not
+    * have. Long-lived tables bound the listing with [[vacuum]]-style
+    * retention on the _commits dir if it ever matters (markers are
+    * ~13 bytes each; millions list fine).
+    */
   def commitLog(path: String): Seq[(Int, Long)] =
     commitVersions(path).map { v =>
       v -> MetaIO.readString(commitMarker(path, v)).trim.toLong
     }
 
-  private def meta(path: String): (Seq[String], Int) = {
-    val Array(k, n) = MetaIO.readString(keysPath(path)).split("\\|")
-    (k.split(",").toSeq, n.toInt)
+  /** (key columns, bucket count, key DDL types). The types field was
+    * added after v1 tables existed, so it is optional on read; absent,
+    * [[alignKeyTypes]] falls back to reading the snapshot schema.
+    */
+  private def meta(path: String): (Seq[String], Int, Option[Seq[types.DataType]]) = {
+    val fields = MetaIO.readString(keysPath(path)).split("\\|")
+    val keyTypes =
+      if (fields.length >= 3 && fields(2).nonEmpty)
+        scala.util.Try(fields(2).split(";").toSeq.map(types.DataType.fromDDL)).toOption
+      else None
+    (fields(0).split(",").toSeq, fields(1).toInt, keyTypes)
   }
 
   private def bucketCol(keyCols: Seq[String], nbuckets: Int) =
@@ -162,8 +181,12 @@ object GraftTable {
 
   def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16): Unit = {
     require(!exists(path), s"table already exists at $path")
+    // key TYPES are recorded so later writes can align a batch's key
+    // columns without re-reading the snapshot schema (ddl strings,
+    // ';'-separated — ',' appears inside decimal(p,s))
+    val keyDdl = keyCols.map(k => df.schema(k).dataType.sql).mkString(";")
     // put-if-absent: two racing creates — exactly one wins the keys file
-    if (!MetaIO.putIfAbsent(keysPath(path), keyCols.mkString(",") + "|" + nbuckets))
+    if (!MetaIO.putIfAbsent(keysPath(path), keyCols.mkString(",") + "|" + nbuckets + "|" + keyDdl))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create already initialized the table at $path")
     writeVersion(df, path, keyCols, nbuckets, v = 0, carryOver = Map.empty)
@@ -182,20 +205,59 @@ object GraftTable {
     * batch itself repeats a key, the row with the GREATEST precombine
     * value wins (default: deterministic full-row tie-break).
     */
+  /** [[upsert]] with optimistic-concurrency retry: a writer that loses
+    * the commit race re-reads the new head and re-applies its batch
+    * (the merge is keyed last-wins, so re-application against the
+    * winner's snapshot is exactly the serial order the lock chose).
+    * This is the Hudi-style auto-retry loop; the raw [[upsert]] stays
+    * available for callers that want to handle conflicts themselves.
+    */
+  def upsertRetry(spark: SparkSession, path: String, updates: DataFrame,
+                  precombine: Seq[String] = Nil, maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { upsert(spark, path, updates, precombine) }
+
+  /** [[delete]] with the same optimistic-concurrency retry loop as
+    * [[upsertRetry]] (deleting a key is idempotent, so re-application
+    * against the race winner's head is always safe).
+    */
+  def deleteRetry(spark: SparkSession, path: String, keysDf: DataFrame,
+                  maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { delete(spark, path, keysDf) }
+
+  private def occRetry(maxRetries: Int)(body: => Unit): Unit = {
+    var attempt = 0
+    while (true) {
+      try { body; return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** Cast `df`'s key columns to the table's stored key types: the
     * bucket is xxhash64 over the key VALUES AS TYPED, so an
     * Int-typed key batch against a Long-keyed table would hash into
     * the wrong bucket and silently miss its rows. Lossless for the
     * sane widenings (int→long etc.); a truly incompatible cast fails
     * in Spark's analyzer rather than corrupting placement.
+    *
+    * Key types come from the `_keys` file (recorded at create — O(1));
+    * tables created before the field existed fall back to one snapshot
+    * schema read.
     */
   private def alignKeyTypes(spark: SparkSession, path: String, v: Int,
-                            keys: Seq[String], df: DataFrame): DataFrame = {
-    val stored = read(spark, path, v).schema
+                            keys: Seq[String], keyTypes: Option[Seq[types.DataType]],
+                            df: DataFrame): DataFrame = {
+    val stored: Map[String, types.DataType] = keyTypes match {
+      case Some(ts) => keys.zip(ts).toMap
+      case None => read(spark, path, v).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+    }
     keys.foldLeft(df) { (d, k) =>
-      stored.fields.find(_.name == k) match {
-        case Some(f) if d.schema(k).dataType != f.dataType =>
-          d.withColumn(k, col(k).cast(f.dataType))
+      stored.get(k) match {
+        case Some(t) if d.schema(k).dataType != t => d.withColumn(k, col(k).cast(t))
         case _ => d
       }
     }
@@ -205,9 +267,9 @@ object GraftTable {
              precombine: Seq[String] = Nil): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets) = meta(path)
+    val (keys, nbuckets, keyTypes) = meta(path)
     keys.foreach(k => require(updates0.columns.contains(k), s"updates missing key column $k"))
-    val updates = alignKeyTypes(spark, path, v, keys, updates0)
+    val updates = alignKeyTypes(spark, path, v, keys, keyTypes, updates0)
     val current = manifest(path, v)
     val touched = updates.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -234,9 +296,9 @@ object GraftTable {
   def delete(spark: SparkSession, path: String, keysDf: DataFrame): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets) = meta(path)
+    val (keys, nbuckets, keyTypes) = meta(path)
     keys.foreach(k => require(keysDf.columns.contains(k), s"delete batch missing key column $k"))
-    val keyOnly = alignKeyTypes(spark, path, v, keys, keysDf)
+    val keyOnly = alignKeyTypes(spark, path, v, keys, keyTypes, keysDf)
       .select(keys.map(col): _*).distinct()
     val current = manifest(path, v)
     val touched = keyOnly.select(bucketCol(keys, nbuckets).as(BUCKET))
@@ -302,10 +364,22 @@ object GraftTable {
   def compact(spark: SparkSession, path: String): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets) = meta(path)
+    val (keys, nbuckets, _) = meta(path)
     val snapshot = read(spark, path, v)
       .repartition(nbuckets, bucketCol(keys, nbuckets))
     writeVersion(snapshot, path, keys, nbuckets, v + 1, carryOver = Map.empty)
+  }
+
+  /** The full snapshot at `version`, shaped as a change-feed batch
+    * (table columns sorted by name + `_deleted = false`) — the CDC
+    * bootstrap image. Single source of truth for the change-feed
+    * schema's column order; [[changes]], [[ChangeFeed.pollOnce]], and
+    * the streaming source all align to it.
+    */
+  def initialImage(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
+    val snap = read(spark, path, version)
+    snap.select(snap.columns.sorted.map(col).toIndexedSeq: _*)
+      .withColumn("_deleted", lit(false))
   }
 
   /** Change feed: rows ADDED, UPDATED, or DELETED in versions
@@ -328,7 +402,7 @@ object GraftTable {
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
-    val (keys, _) = meta(path)
+    val (keys, _, _) = meta(path)
     val mFrom = manifest(path, fromVersion)
     val mTo = manifest(path, toVersion)
     // changed in EITHER direction — a bucket missing from mTo was
@@ -392,23 +466,48 @@ object GraftTable {
     * semantics); the commit markers keep their full history for audit.
     * Long-lived tables need this — bucket-level COW leaks one dir per
     * touched bucket per commit otherwise.
+    *
+    * A dir referenced by NO manifest at all is either an aborted
+    * writer's leftovers or an IN-FLIGHT write racing this vacuum
+    * (writeVersion writes data before it commits the manifest).
+    * Deleting the latter would corrupt the version that writer then
+    * commits, so never-referenced dirs are reclaimed only after
+    * `orphanGraceMs` of inactivity — the same grace-period discipline
+    * Delta's VACUUM retention check and Hudi's cleaner apply.
+    * Committed-but-expired dirs (referenced by a manifest outside the
+    * keep horizon) are deleted immediately: their writer is done by
+    * definition.
     */
-  def vacuum(path: String, keepVersions: Int = 1): Unit = {
+  def vacuum(path: String, keepVersions: Int = 1,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val v = latestVersion(path)
     val keep = (math.max(0, v - keepVersions + 1) to v).toSeq
     val referenced = keep.flatMap(manifest(path, _).values).toSet
+    // every dir ANY surviving manifest file references (incl. those
+    // past the horizon): membership distinguishes expired-committed
+    // dirs (safe to drop now) from never-committed ones (grace-guarded)
+    val referencedAny = MetaIO.list(new Path(path, "manifests"))
+      .map(_.getPath.getName)
+      .collect { case VersionFile(n) => n.toInt }
+      .flatMap(m => manifest(path, m).values).toSet
+    val now = System.currentTimeMillis()
     MetaIO.list(new Path(path, "data")).filter(_.isDirectory).foreach { vDir =>
       val vName = vDir.getPath.getName
       MetaIO.list(vDir.getPath)
         .filter(_.getPath.getName.startsWith(s"$BUCKET="))
         .foreach { bDir =>
           val rel = s"data/$vName/${bDir.getPath.getName}"
-          if (!referenced(rel)) MetaIO.delete(bDir.getPath)
+          if (!referenced(rel) &&
+              (referencedAny(rel) || now - bDir.getModificationTime > orphanGraceMs))
+            MetaIO.delete(bDir.getPath)
         }
       // nothing referenced left in this attempt dir → reclaim it whole
-      // (removes the _SUCCESS marker and any stray committer files too)
-      if (!MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")))
+      // (removes the _SUCCESS marker and any stray committer files too).
+      // Grace-guarded as well: a JUST-STARTED writer's attempt dir holds
+      // only _temporary staging — no bucket dirs yet — and must survive
+      if (!MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")) &&
+          now - vDir.getModificationTime > orphanGraceMs)
         MetaIO.delete(vDir.getPath)
     }
     (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))

@@ -93,6 +93,34 @@ class GraftStreamingSourceSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(dst) shouldBe 1
   }
 
+  test("sink after a checkpoint RESET applies the restarted batch 0 instead of dropping it") {
+    val tmp = Files.createTempDirectory("graft_wreset").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+
+    def writeOnce(stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)],
+                  rows: (Long, String)*): Unit = {
+      stream.addData(rows: _*)
+      val q = stream.toDF().toDF("k", "s")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+
+    val s1 = MemoryStream[(Long, String)]
+    writeOnce(s1, (1L, "a"))
+    writeOnce(s1, (2L, "b")) // marker is now at batchId 1
+    // the user wipes the checkpoint to reprocess: batchIds restart at 0
+    // with FRESH data — it must be applied, not skipped as a "replay"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+    val s2 = MemoryStream[(Long, String)]
+    writeOnce(s2, (3L, "c"))
+    GraftTable.read(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"))
+  }
+
   test("full streaming pipeline: table -> change feed -> streaming mirror") {
     val tmp = Files.createTempDirectory("graft_pipe").toString
     val src = s"$tmp/src"; val dst = s"$tmp/dst"; val cp = s"$tmp/cp"

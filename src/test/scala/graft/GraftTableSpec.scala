@@ -81,6 +81,27 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       GraftTable.read(spark, path, version = 0).collect()
   }
 
+  test("vacuum grace-guards never-committed dirs (in-flight writers) but reclaims expired ones") {
+    val path = Files.createTempDirectory("graft_vgrace").toString + "/t"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    GraftTable.upsert(spark, path, Seq((1L, 2)).toDF("k", "x"))
+    // simulate an IN-FLIGHT writer: data written, manifest not yet committed
+    val inflight = java.nio.file.Paths.get(path, "data", "v9-inflight", "__bucket=0")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "pending")
+
+    GraftTable.vacuum(path, keepVersions = 1) // default 24h grace
+    // the racing writer's fresh dir survives; the expired committed v0 dir is gone
+    java.nio.file.Files.exists(inflight) shouldBe true
+    GraftTable.manifest(path, 1).values.foreach { d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, d)) shouldBe true
+    }
+    an[Exception] should be thrownBy GraftTable.read(spark, path, version = 0).collect()
+    // with the grace elapsed (forced), the orphan is reclaimed
+    GraftTable.vacuum(path, keepVersions = 1, orphanGraceMs = -1L)
+    java.nio.file.Files.exists(inflight) shouldBe false
+  }
+
   test("compact rewrites the snapshot to one file per bucket, content intact") {
     val path = Files.createTempDirectory("graft_cpt").toString + "/t"
     val base = spark.range(0, 500).toDF("k").withColumn("x", col("k") * 3)
@@ -134,6 +155,33 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(path) shouldBe 0
     GraftTable.read(spark, path).collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe
       Array((1L, 1))
+  }
+
+  test("upsertRetry: ALL racing writers commit (serialized by the OCC lock)") {
+    val path = Files.createTempDirectory("graft_retry").toString + "/t"
+    GraftTable.create(Seq((0L, 0)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 4
+    val pool = Executors.newFixedThreadPool(n)
+    val go = new CountDownLatch(1)
+    val results = (1 to n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          go.await()
+          GraftTable.upsertRetry(spark, path, Seq((i.toLong, i)).toDF("k", "x"),
+            maxRetries = 20)
+          true
+        }
+      })
+    }
+    go.countDown()
+    results.foreach(_.get(180, TimeUnit.SECONDS) shouldBe true)
+    pool.shutdown()
+    // every writer landed: n commits on top of v0, all keys present
+    GraftTable.latestVersion(path) shouldBe n
+    GraftTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap shouldBe
+      (0 to n).map(i => i.toLong -> i).toMap
   }
 
   test("two concurrent upserts: at least one commits, state stays consistent") {
