@@ -692,7 +692,7 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("source"), length(col("text")).as("nc"),
           size(toks).as("nt"), nStop.as("ns"),
-          regexp_count(col("text"), lit("[^a-z0-9 ]")).as("np"))
+          regexp_count(lower(col("text")), lit("[^a-z0-9 ]")).as("np"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
           sum(col("nt")).as("total_tokens"),
@@ -1336,7 +1336,7 @@ object SparkEntry {
       """SELECT doc_id,
                 len(string_split(lower(text), ' ')) AS n_tokens,
                 len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
-                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens
          FROM documents ORDER BY doc_id""",
 
     "text_quality" ->
@@ -1347,7 +1347,7 @@ object SparkEntry {
                 CAST(len(list_filter(string_split(lower(text), ' '),
                       t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
-                CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
                   / CAST(length(text) AS DOUBLE) AS punct_ratio
          FROM documents ORDER BY doc_id""",
 
@@ -1374,7 +1374,7 @@ object SparkEntry {
                   len(string_split(lower(text), ' ')) AS nt,
                   len(list_filter(string_split(lower(text), ' '),
                       t -> list_contains(['the','a','and','of','to','in','is'], t))) AS ns,
-                  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np
+                  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS np
            FROM documents)
          SELECT source, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars,
                 CAST(sum(nt) AS BIGINT) AS total_tokens,

@@ -41,11 +41,17 @@ case class VectorAvg(child: Expression,
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail-loudly rule (same as VectorExpressions.checkedLen): a ragged
+    // group would otherwise yield a plausible-but-wrong truncated mean
+    if (buf.sums != null && n != buf.sums.length)
+      throw new IllegalArgumentException(
+        s"vector_avg: dimension mismatch within group ($n vs ${buf.sums.length})")
     val sums = if (buf.sums == null) new Array[Double](n) else buf.sums
     val isFloat = elemType == FloatType
     var i = 0
-    val m = math.min(n, sums.length)
-    while (i < m) {
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"vector_avg: null element at index $i")
       sums(i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
       i += 1
     }
@@ -55,9 +61,11 @@ case class VectorAvg(child: Expression,
   override def merge(a: VectorAvg.Buffer, b: VectorAvg.Buffer): VectorAvg.Buffer = {
     if (b.sums == null) return a
     if (a.sums == null) return b
+    if (a.sums.length != b.sums.length)
+      throw new IllegalArgumentException(
+        s"vector_avg: dimension mismatch within group (${a.sums.length} vs ${b.sums.length})")
     var i = 0
-    val m = math.min(a.sums.length, b.sums.length)
-    while (i < m) { a.sums(i) += b.sums(i); i += 1 }
+    while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     VectorAvg.Buffer(a.sums, a.count + b.count)
   }
 

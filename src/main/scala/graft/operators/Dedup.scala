@@ -255,12 +255,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fps = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t.split(" ").toSeq)) }
-      .toDF("doc_id", "fp")
+    // UDF (not a typed Dataset) so idCol keeps its native type; null text
+    // fingerprints like the empty doc instead of NPEing the task
+    val fpUdf = udf { (t: String) =>
+      simhash64(Option(t).getOrElse("").split(" ").toSeq)
+    }
+    val fps = docs.select(col(idCol).as("doc_id"),
+      fpUdf(lower(col(textCol))).as("fp"))
 
     val blocks = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> named_struct('blk', b, 'key', (fp >> (b*16)) & 65535))")).as("e"))

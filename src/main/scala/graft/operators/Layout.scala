@@ -22,29 +22,45 @@ object Layout {
     */
   def zvalue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "1..31 bits per dimension")
+    // widen to long BEFORE shifting: the interleave reaches bit 2*bits+1,
+    // which for int inputs past bit 15 hits the sign bit (z goes negative,
+    // wrecking sort locality) or wraps entirely via Java's shift-mod-32
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Min/max-normalize a numeric column into [0, 2^bits). The (min,
-    * max) pair comes from one lightweight agg pass at write time.
-    */
-  def normalized(df: DataFrame, c: Column, bits: Int): Column = {
-    val r = df.agg(min(c).cast("double"), max(c).cast("double")).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+  /** Min/max-normalize into [0, 2^bits) given precomputed stats. */
+  private def normWith(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     val span = if (hi > lo) hi - lo else 1.0
     least(floor((c.cast("double") - lo) / span * ((1L << bits) - 1)), lit((1L << bits) - 1))
       .cast("long")
   }
 
+  /** Min/max-normalize a numeric column into [0, 2^bits). The (min,
+    * max) pair comes from one lightweight agg pass at write time.
+    * An empty frame / all-null column normalizes to the constant 0
+    * bucket (there is nothing to spread).
+    */
+  def normalized(df: DataFrame, c: Column, bits: Int): Column = {
+    val r = df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    if (r.isNullAt(0)) lit(0L)
+    else normWith(c, r.getDouble(0), r.getDouble(1), bits)
+  }
+
   /** Re-cluster `df` on the z-order of (a, b) into `numFiles` range
-    * partitions, each internally sorted — ready to write.
+    * partitions, each internally sorted — ready to write. Stats for
+    * both dimensions come from ONE agg scan.
     */
   def zorder(df: DataFrame, a: String, b: String, numFiles: Int,
              bits: Int = 16): DataFrame = {
-    val z = zvalue(normalized(df, col(a), bits), normalized(df, col(b), bits), bits)
+    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+                   min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty/all-null: nothing to cluster
+    val z = zvalue(normWith(col(a), r.getDouble(0), r.getDouble(1), bits),
+                   normWith(col(b), r.getDouble(2), r.getDouble(3), bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -44,6 +44,8 @@ object PqIndex {
             sampleSize: Int = 20000, opq: Boolean = false,
             opqIters: Int = 4): Model = {
     val spark = data.sparkSession
+    require(data.columns.contains(idCol),
+      s"id column $idCol not in ${data.columns.mkString(",")}") // probe() fetches ids by this name
     val dim = data.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -247,8 +249,9 @@ object PqIndex {
       .select(col(idCol), adcUdf(col("pq_code")).as("adc")) // code column only — no vectors read
       .orderBy(if (asc) col("adc").asc else col("adc").desc, col(idCol))
       .limit(k * rerankFactor)
-    // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id filter)
-    val ids = adc.select(idCol).collect().map(_.getLong(0)).toSeq
+    // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id
+    // filter); ids kept as their external type — no bigint assumption
+    val ids = adc.select(idCol).collect().map(_.get(0)).toSeq
     val rerankScan = spark.read.parquet(model.path)
       .filter(col("cluster_id").isin(cells: _*) && col(idCol).isin(ids: _*))
     val survivors = pred.fold(rerankScan)(rerankScan.filter)

@@ -19,7 +19,10 @@ object TextAnalysis {
     docs
       .withColumn("n_tokens", size(tokens(col(textCol))))
       .withColumn("n_distinct_tokens", size(array_distinct(tokens(col(textCol)))))
-      .withColumn("n_subword_tokens", regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .withColumn("n_subword_tokens",
+        // lowercase first — the [^a-z0-9 ] arm would otherwise count
+        // every uppercase letter as a mark
+        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
 
   /** Stopword list shared with the language profiles and the quality
     * score — tiny, broadcast as a literal array.
@@ -34,7 +37,9 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
-    val nPunct = regexp_count(col(textCol), lit("[^a-z0-9 ]"))
+    // lowercase first: "The Cat" has no punctuation — without lower() every
+    // capital letter matched the class and clean prose scored punct-heavy
+    val nPunct = regexp_count(lower(col(textCol)), lit("[^a-z0-9 ]"))
     val nChars = length(col(textCol))
     // try_divide: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO even
     // for doubles; empty docs get null ratios instead of killing the job.

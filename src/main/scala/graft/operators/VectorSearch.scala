@@ -108,14 +108,27 @@ object VectorSearch {
     val enc = Encoders.row(scored.schema)
     // Per-partition bounded heap: keeps k best rows per query id.
     val partial = scored.mapPartitions { it =>
-      val heaps = mutable.Map.empty[Any, mutable.PriorityQueue[(Double, Long, Row)]]
+      val heaps = mutable.Map.empty[Any, mutable.PriorityQueue[(Double, Any, Row)]]
+      // id tie-break must match the final window's asc(idCol) nulls-first
+      // ordering so boundary ties survive the partial phase; external row
+      // values (Long/Int/String/Decimal/…) are all Comparable.
+      def idCmp(x: Any, y: Any): Int =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else x.asInstanceOf[Comparable[Any]].compareTo(y)
       // dequeue removes the greatest element == the WORST kept row, so
       // "greater" must mean "worse" under this ordering.
-      val ord: Ordering[(Double, Long, Row)] =
-        if (desc_) Ordering.by(t => (-t._1, t._2)) // lower score / larger id = worse
-        else Ordering.by(t => (t._1, t._2))        // larger distance / larger id = worse
+      val ord: Ordering[(Double, Any, Row)] = new Ordering[(Double, Any, Row)] {
+        def compare(x: (Double, Any, Row), y: (Double, Any, Row)): Int = {
+          // desc metrics: lower score = worse; l2: larger distance = worse
+          val s = if (desc_) java.lang.Double.compare(y._1, x._1)
+                  else java.lang.Double.compare(x._1, y._1)
+          if (s != 0) s else idCmp(x._2, y._2) // tie: larger id = worse
+        }
+      }
       it.foreach { r =>
-        val qid = r.get(0); val id = r.getLong(1); val s = r.getDouble(2)
+        val qid = r.get(0); val id = r.get(1); val s = r.getDouble(2)
         val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(ord))
         h.enqueue((s, id, r))
         if (h.size > k) h.dequeue()

@@ -30,15 +30,27 @@ object Formats {
     withOpts.load(path)
   }
 
-  /** One bounded inference pass for exploratory use (samples
-    * `sampleRows`; never run unbounded inference on production paths).
+  /** One bounded inference pass for exploratory use — the bound is
+    * enforced by reading at most `sampleRows` LINES as text and
+    * inferring from that in-memory sample, so the cost is a partial
+    * read of the first file(s), not an inference scan over the whole
+    * path. (Passing limit() AFTER load() would not bound anything:
+    * csv/json inference runs eagerly inside load().) parquet/orc
+    * schemas come from file footers — no data scan at all.
     */
   def inferSchemaOnce(spark: SparkSession, path: String, format: String,
                       sampleRows: Int = 10000): StructType = {
-    val r = spark.read.format(format)
-      .option("inferSchema", "true").option("header", "true")
-      .option("samplingRatio", "0.1")
-    r.load(path).limit(sampleRows).schema
+    require(known(format), s"unknown format $format (use ${known.mkString("/")})")
+    format match {
+      case "parquet" | "orc" => spark.read.format(format).load(path).schema
+      case "json" =>
+        import spark.implicits._
+        spark.read.json(spark.read.text(path).limit(sampleRows).as[String]).schema
+      case "csv" =>
+        import spark.implicits._
+        spark.read.option("inferSchema", "true").option("header", "true")
+          .csv(spark.read.text(path).limit(sampleRows).as[String]).schema
+    }
   }
 
   def write(df: DataFrame, path: String, format: String,

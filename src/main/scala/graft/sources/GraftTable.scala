@@ -159,9 +159,17 @@ object GraftTable {
     * ~13 bytes each; millions list fine).
     */
   def commitLog(path: String): Seq[(Int, Long)] =
-    commitVersions(path).map { v =>
-      v -> MetaIO.readString(commitMarker(path, v)).trim.toLong
-    }
+    MetaIO.list(commitsDir(path)).flatMap { st =>
+      st.getPath.getName match {
+        case VersionFile(v) =>
+          // markers are written atomically (replaceString), but a legacy
+          // torn marker degrades to the file's mtime, not an exception
+          val ts = scala.util.Try(MetaIO.readString(st.getPath).trim.toLong)
+            .getOrElse(st.getModificationTime)
+          Some(v.toInt -> ts)
+        case _ => None // in-flight .tmp siblings from the atomic swap
+      }
+    }.sortBy(_._1)
 
   /** (key columns, bucket count, key DDL types). The types field was
     * added after v1 tables existed, so it is optional on read; absent,
@@ -457,7 +465,9 @@ object GraftTable {
     if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v${v + 1} first at $path; re-read and retry the restore")
-    MetaIO.writeString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
+    // atomic swap: the marker appears WITH its content — a concurrent
+    // commitLog never reads a created-but-unwritten (empty) marker
+    MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
   }
 
   /** Drop snapshots older than the last `keepVersions`: delete data
@@ -482,6 +492,7 @@ object GraftTable {
              orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
     val keep = (math.max(0, v - keepVersions + 1) to v).toSeq
     val referenced = keep.flatMap(manifest(path, _).values).toSet
     // every dir ANY surviving manifest file references (incl. those
@@ -550,7 +561,8 @@ object GraftTable {
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v$v first at $path; re-read and retry the upsert")
     // marker last: readers only see fully-written manifests; the commit
-    // time enables wall-clock time travel (readAsOf)
-    MetaIO.writeString(commitMarker(path, v), System.currentTimeMillis().toString)
+    // time enables wall-clock time travel (readAsOf). Atomic swap, so a
+    // concurrent commitLog never sees a created-but-empty marker.
+    MetaIO.replaceString(commitMarker(path, v), System.currentTimeMillis().toString)
   }
 }

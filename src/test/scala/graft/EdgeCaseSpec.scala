@@ -39,6 +39,19 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers {
     noException should be thrownBy Dedup.simhashPairs(df, "id", "t", 3).count()
   }
 
+  test("simhashPairs tolerates null text and non-long id columns") {
+    val df = Seq(("a", Option("same words here")), ("b", Option("same words here")),
+      ("c", Option.empty[String])).toDF("id", "t")
+    val got = Dedup.simhashPairs(df, "id", "t", 3).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    got should contain(("a", "b"))
+  }
+
+  test("zorder on an empty frame is a no-op, not an NPE") {
+    val df = Seq((1, 2)).toDF("a", "b").filter(col("a") < 0)
+    graft.operators.Layout.zorder(df, "a", "b", 4).count() shouldBe 0L
+  }
+
   test("chunking a doc shorter than one window yields exactly one chunk") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val got = TextAnalysis.chunk(df, "text", chunkSize = 64, stride = 48).collect()

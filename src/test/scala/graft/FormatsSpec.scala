@@ -37,4 +37,16 @@ class FormatsSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Formats.read(spark, "/tmp/nope", "json")
   }
+
+  test("inferSchemaOnce infers from a bounded text sample (csv/json) or footers (parquet)") {
+    val docs = Tables.documents(spark, sf0001)
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val path = Files.createTempDirectory(s"fmt_infer_$fmt").toString + "/t"
+      Formats.write(docs, path, fmt)
+      val schema = Formats.inferSchemaOnce(spark, path, fmt, sampleRows = 50)
+      withClue(s"format=$fmt: ") {
+        schema.fieldNames.toSet shouldBe docs.schema.fieldNames.toSet
+      }
+    }
+  }
 }

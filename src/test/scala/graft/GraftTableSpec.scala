@@ -343,6 +343,26 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(path) shouldBe 3
   }
 
+  test("commitLog tolerates a legacy torn (empty) marker via mtime fallback") {
+    val path = Files.createTempDirectory("graft_torn").toString + "/t"
+    GraftTable.create(Seq((1L, "a")).toDF("k", "s"), path, Seq("k"))
+    GraftTable.upsert(spark, path, Seq((2L, "b")).toDF("k", "s"))
+    // simulate a pre-atomic-swap writer that crashed mid-marker-write
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_commits", "v1"),
+      Array.empty[Byte])
+    val log = GraftTable.commitLog(path)
+    log.map(_._1) shouldBe Seq(0, 1)
+    log.foreach { case (_, ts) => ts should be > 0L } // mtime, not an exception
+    noException should be thrownBy
+      GraftTable.readAsOf(spark, path, System.currentTimeMillis() + 1000).count()
+  }
+
+  test("vacuum on a path with no table fails with a clear message") {
+    val path = Files.createTempDirectory("graft_vac_none").toString + "/t"
+    val ex = intercept[IllegalArgumentException] { GraftTable.vacuum(path) }
+    ex.getMessage should include("no table")
+  }
+
   test("last-wins merge is deterministic when updates repeat a key") {
     val base = Seq((1L, 1)).toDF("k", "x")
     val up = Seq((1L, 2)).toDF("k", "x")

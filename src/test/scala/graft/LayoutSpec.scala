@@ -54,4 +54,16 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       .select(Layout.zvalue(col("a"), col("b"), 2)).head().getLong(0)
     r2 shouldBe 10L
   }
+
+  test("zvalue on INT columns with high bits matches long inputs (no sign corruption)") {
+    import spark.implicits._
+    // 40000/50000 exercise bit 15: interleaved positions reach bit 31,
+    // the int sign bit — the long-widened interleave must stay positive
+    val viaInt = Seq((40000, 50000)).toDF("a", "b")
+      .select(Layout.zvalue(col("a"), col("b"), 16)).head().getLong(0)
+    val viaLong = Seq((40000L, 50000L)).toDF("a", "b")
+      .select(Layout.zvalue(col("a"), col("b"), 16)).head().getLong(0)
+    viaInt shouldBe viaLong
+    viaInt should be >= 0L
+  }
 }

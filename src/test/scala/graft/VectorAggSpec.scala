@@ -41,6 +41,17 @@ class VectorAggSpec extends AnyFunSuite with Matchers {
     allNull(0).isNullAt(1) shouldBe true
   }
 
+  test("vector_avg fails loudly on ragged dimensions instead of truncating the mean") {
+    val df = Seq((1, Seq(1f, 2f)), (1, Seq(1f, 2f, 3f))).toDF("g", "v").repartition(1)
+    val ex = intercept[Throwable] {
+      df.groupBy("g").agg(vector_avg(col("v")).as("c")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("dimension mismatch")) shouldBe true
+  }
+
   test("centroid output feeds straight back into similarity search") {
     import graft.functions.vectors._
     val emb = Tables.embeddings(spark, sf0001)

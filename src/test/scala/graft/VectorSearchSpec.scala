@@ -72,6 +72,19 @@ class VectorSearchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("knnJoin accepts non-bigint id columns (string ids match long-id results)") {
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaLong = VectorSearch.knnJoin(emb, "embedding", "vec_id", qs, "qid", "qvec", 5, "cosine")
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), "s" + r.getLong(1))).toSet
+    val sEmb = emb.withColumn("sid", concat(lit("s"), col("vec_id"))).drop("vec_id")
+    val viaString = VectorSearch.knnJoin(sEmb, "embedding", "sid", qs, "qid", "qvec", 5, "cosine")
+      .select("qid", "sid").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    viaString shouldBe viaLong
+  }
+
   test("topK plan is TakeOrderedAndProject (no full sort/shuffle)") {
     val plan = VectorSearch.topK(emb, "embedding", "vec_id", query, 10, "cosine")
       .queryExecution.executedPlan.toString
