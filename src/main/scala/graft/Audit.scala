@@ -35,7 +35,7 @@ object Audit {
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")
         println(s"[audit] $name: codegen=$codegenSpans bcast=$bcast smj=$smj shuffles=$ex$topk$danger")
-      } catch { case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable => println(s"[audit] $name: ERROR ${e.toString.take(120)}") }
     }
     spark.stop()
   }

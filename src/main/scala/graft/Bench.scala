@@ -35,18 +35,29 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     // min over reps: steady-state per-query cost, robust to one-off
-    // GC/scheduling noise in a 32-thread local JVM
-    def timed(body: => Unit): Double = {
+    // GC/scheduling noise in a 32-thread local JVM. A failing query must
+    // NOT be recorded as its time-to-failure (an instant error would
+    // read as a huge speedup): failures land in a separate map and the
+    // entry is dropped from the timings.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timed(name: String)(body: => Unit): Option[Double] = {
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         // cache-clean per rep: operators that persist intermediates
         // must pay that cost every time, or min-of-reps lies
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try body
-        catch { case e: Throwable => System.err.println(s"[bench] $e") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          err = Some(e.toString.take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      times.min
+      err match {
+        case Some(msg) => failures(name) = msg; None
+        case None => Some(times.min)
+      }
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries (and skips
@@ -58,7 +69,8 @@ object Bench {
       .foreach { case (name, fn) =>
         // toRdd.count() materializes every output row (a plain count()
         // would let Catalyst prune the projections being measured).
-        results(name) = timed { fn(spark, sfDir).queryExecution.toRdd.count() }
+        timed(name) { fn(spark, sfDir).queryExecution.toRdd.count() }
+          .foreach(results(name) = _)
       }
     if (only.isEmpty) {
 
@@ -70,29 +82,30 @@ object Bench {
     val tmp = sys.props("java.io.tmpdir")
 
     var ivfModel: IvfIndex.Model = null
-    results("ivf_build") = timed {
+    timed("ivf_build") {
       ivfModel = IvfIndex.build(emb, "embedding", nlist = 16, s"$tmp/graft_bench_ivf", "cosine")
-    }
-    results("ivf_probe") = timed {
+    }.foreach(results("ivf_build") = _)
+    if (ivfModel != null) timed("ivf_probe") {
       IvfIndex.probe(spark, ivfModel, "vec_id", "embedding", qv, 10, nprobe = 4)
         .queryExecution.toRdd.count()
-    }
+    }.foreach(results("ivf_probe") = _)
     var pqModel: PqIndex.Model = null
-    results("ivfpq_build") = timed {
+    timed("ivfpq_build") {
       pqModel = PqIndex.build(emb, "vec_id", "embedding", nlist = 16, m = 8,
         s"$tmp/graft_bench_ivfpq", "cosine")
-    }
-    results("ivfpq_probe") = timed {
+    }.foreach(results("ivfpq_build") = _)
+    if (pqModel != null) timed("ivfpq_probe") {
       PqIndex.probe(spark, pqModel, "vec_id", "embedding", qv, 10, nprobe = 4)
         .queryExecution.toRdd.count()
-    }
+    }.foreach(results("ivfpq_probe") = _)
     val planes = LshIndex.fitPlanes(dim = qv.length, nbits = 16)
     val lshIndexed = LshIndex.index(emb, "embedding", planes)
-    results("lsh_build") = timed { lshIndexed.queryExecution.toRdd.count() }
-    results("lsh_probe") = timed {
+    timed("lsh_build") { lshIndexed.queryExecution.toRdd.count() }
+      .foreach(results("lsh_build") = _)
+    timed("lsh_probe") {
       LshIndex.probe(lshIndexed, "vec_id", "embedding", qv, planes, k = 10, maxHamming = 4)
         .queryExecution.toRdd.count()
-    }
+    }.foreach(results("lsh_probe") = _)
     }
 
     spark.catalog.clearCache()
@@ -101,7 +114,9 @@ object Bench {
     // total = the queries-contract entries only (ANN split rows are
     // diagnostics; counting them would double-count the simsearch_* time)
     val total = results.filterNot(_._1.matches("(ivf|ivfpq|lsh)_(build|probe)")).values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fails = failures.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n]", " ") + "\"" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

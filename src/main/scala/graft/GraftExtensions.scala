@@ -75,9 +75,10 @@ object GraftFunctions {
     * as an EXPRESSION, not evaluated at build time — a scalar subquery
     * (the reference's own usage) resolves inside the plan. path/vecCol/
     * k/metric must be literals (they shape the plan itself). Ties at
-    * the k-th score are broken by the vector column's bytes only if the
-    * caller adds an ORDER BY; like the reference, the bare call
-    * guarantees order only on the score.
+    * the k-th score are broken deterministically by the table's
+    * NON-vector columns in schema order (free inside
+    * TakeOrderedAndProject) — without it, duplicate vectors at the
+    * k-boundary would make the returned SET nondeterministic.
     */
   private def vectorSearchPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 4 || args.length == 5,
@@ -92,10 +93,12 @@ object GraftFunctions {
     val metric = if (args.length == 5) lit(4, "metric").toString else "cosine"
     val queryCol = org.apache.spark.sql.graftshim.Bridge.column(args(2))
     val spark = SparkSession.active
-    val scored = spark.read.parquet(path)
+    val scan = spark.read.parquet(path)
+    val scored = scan
       .withColumn("score", operators.VectorSearch.scoreCol(col(vecCol), queryCol, metric))
     val ord = if (metric == "l2") col("score").asc else col("score").desc
-    scored.orderBy(ord).limit(k).queryExecution.logical
+    val ties = scan.schema.fieldNames.filterNot(_ == vecCol).map(col(_).asc)
+    scored.orderBy(ord +: ties.toSeq: _*).limit(k).queryExecution.logical
   }
 
   /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot

@@ -49,6 +49,15 @@ object SparkEntry {
   /** floor(x * 1e4) as bigint — deterministic per-row score quantization. */
   private def q4(c: Column): Column = floor(c * lit(10000.0)).cast("long")
 
+  /** tmp path for an ANN index layout: keyed by (tag, sf dir) so the
+    * layout is reused across calls in THIS JVM, pid-suffixed so two
+    * processes on the same dir (e.g. Bench and Verify racing) never
+    * overwrite each other's partitioned layout mid-read.
+    */
+  private def indexPath(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_p${ProcessHandle.current.pid}"
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -766,7 +775,7 @@ object SparkEntry {
     "simsearch_ivf" -> ((s, dir) => {
       // approximate (nprobe < nlist) → rows-only; recall vs brute force in spec
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivf", dir)
       val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
       IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 4)
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
@@ -775,7 +784,7 @@ object SparkEntry {
     "simsearch_ivfpq" -> ((s, dir) => {
       // lossy codes + approximate probe → rows-only; recall in AnnIndexSpec
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivfpq", dir)
       val model = operators.PqIndex.build(emb, "vec_id", "embedding",
         nlist = 16, m = 8, path, "cosine")
       operators.PqIndex.probe(s, model, "vec_id", "embedding",
@@ -787,7 +796,7 @@ object SparkEntry {
       // nprobe = nlist reads every cell → exact top-k through the index
       // machinery → SQL-expressible → a HARD oracle row for the ANN path
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_ex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivf_ex", dir)
       val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
       IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 16)
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
@@ -799,12 +808,13 @@ object SparkEntry {
       // returns true top-k REGARDLESS of code quality, so the whole
       // ADC + re-rank machinery gets a hard DuckDB oracle row
       val emb = Tables.embeddings(s, dir)
-      val n = emb.count().toInt
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivfpq_ex", dir)
       val model = operators.PqIndex.build(emb, "vec_id", "embedding",
         nlist = 16, m = 8, path, "cosine")
+      // rerankFactor = Int.MaxValue ⇒ the ADC pass discards nothing
+      // (probe caps k·f in long math) — no corpus count() needed
       operators.PqIndex.probe(s, model, "vec_id", "embedding",
-          queryVec(s, dir, 0L), 10, nprobe = 16, rerankFactor = n / 10 + 1)
+          queryVec(s, dir, 0L), 10, nprobe = 16, rerankFactor = Int.MaxValue)
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
@@ -812,7 +822,7 @@ object SparkEntry {
       // predicate pushed INTO the IVF probe (the reference's declared
       // future work); nprobe = nlist makes it exact ⇒ DuckDB-verifiable
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_hy_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivf_hy", dir)
       val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
       IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 5,
           nprobe = 16, pred = Some(col("label") === 3))
@@ -823,7 +833,7 @@ object SparkEntry {
       // batched ANN join through the index: each query reads only its
       // nprobe cells (approximate → rows-only; recall in AnnIndexSpec)
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_knn_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivf_knn", dir)
       val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
       val qs = emb.filter(col("vec_id") < 10)
         .select("vec_id", "embedding").collect()
@@ -838,7 +848,7 @@ object SparkEntry {
       // ANN join degenerates to the exact k-NN join — the broadcast
       // probe-table machinery gets a hard DuckDB oracle row
       val emb = Tables.embeddings(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_knnex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = indexPath("ivf_knnex", dir)
       val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
       val qs = emb.filter(col("vec_id") < 10)
         .select("vec_id", "embedding").collect()

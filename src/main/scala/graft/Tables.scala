@@ -22,6 +22,12 @@ object Tables {
   /** events.parquet stores TIMESTAMP(NANOS), which Spark 4's reader
     * rejects. Read nanos as long and rebuild a (µs-precision)
     * TimestampType column — lossless here, every value is µs-aligned.
+    *
+    * Session-wide side effect, deliberate: nanosAsLong must hold at
+    * EXECUTION time of the (lazy) frame, so it cannot be set/restored
+    * around this call. Blast radius is confined to other
+    * TIMESTAMP(NANOS) columns — which Spark would otherwise refuse to
+    * read at all — every µs/ms timestamp reads unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,7 +36,8 @@ object IvfIndex {
     * approximation).
     */
   def build(data: DataFrame, vecCol: String, nlist: Int, path: String,
-            metric: String = "cosine", seed: Long = 42L): Model = {
+            metric: String = "cosine", seed: Long = 42L,
+            fitSampleFraction: Option[Double] = None): Model = {
     val feat =
       if (metric == "cosine")
         data.withColumn("_n", vector_norm(col(vecCol))) // hoisted: norm once per row, not per element
@@ -48,9 +49,16 @@ object IvfIndex {
       .setFeaturesCol("_feat").setPredictionCol("cluster_id")
     // fit on a bounded sample — centroid quality saturates long before
     // the full corpus is seen, and at 100 TB a full-data fit is a
-    // non-starter; assignment below still covers every row.
-    val nRows = feat.count()
-    val fitInput = if (nRows > 100000) feat.sample(100000.0 / nRows, seed) else feat
+    // non-starter; assignment below still covers every row. The default
+    // sizes the sample via count() (an empty-schema metadata scan on
+    // columnar sources — cheap, but still a listing pass); at corpus
+    // scale pass fitSampleFraction to skip that pass entirely.
+    val fitInput = fitSampleFraction match {
+      case Some(f) => feat.sample(f, seed)
+      case None =>
+        val nRows = feat.count()
+        if (nRows > 100000) feat.sample(100000.0 / nRows, seed) else feat
+    }
     val model = km.fit(fitInput)
     model.transform(feat).drop("_feat")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
@@ -117,7 +125,6 @@ object IvfIndex {
     */
   def knnJoin(spark: SparkSession, model: Model, idCol: String, vecCol: String,
               queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val probeRows = queries.flatMap { case (qid, qv) =>
       nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
@@ -126,24 +133,30 @@ object IvfIndex {
     val allCells = probeRows.map(_._2).distinct
     val scan = spark.read.parquet(model.path)
       .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
-    val desc = model.metric != "l2"
-    val w =
-      if (desc) Window.partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)
-      else Window.partitionBy("qid").orderBy(col("score").asc, col(idCol).asc)
-    scan.join(broadcast(probes), col("cluster_id") === col("cell"))
+    val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", VectorSearch.scoreCol(col(vecCol), col("qvec"), model.metric))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
       .select(col("qid"), col(idCol), col("score"))
+    // per-partition bounded heap first (same reducer as the exact join):
+    // a bare per-qid window would hash-shuffle EVERY scored candidate
+    // into |queries| partitions — a skew funnel at scale
+    VectorSearch.perQueryTopK(scored, "qid", idCol, k, model.metric)
   }
 
-  /** Driver-side centroid ranking (nlist × dim floats — microseconds). */
+  /** Driver-side centroid ranking (nlist × dim floats — microseconds).
+    * cosine/l2 rank cells by euclidean distance (cosine in normalized
+    * space, where angular order == L2 order); `dot` must rank by
+    * DESCENDING inner product — the max-dot rows live in large-norm
+    * cells that can be L2-far from the query (standard IVF-IP coarse
+    * ranking). Exhaustive probes (nprobe = nlist) are exact either way.
+    */
   private[operators] def nearestCells(model: Model, query: Seq[Float], nprobe: Int): Seq[Int] = {
     val q = if (model.metric == "cosine") normalize(query.toArray) else query.toArray
+    val byDot = model.metric == "dot"
     model.centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
-      (d, i)
+      var acc = 0.0; var j = 0
+      if (byDot) { while (j < c.length) { acc -= c(j).toDouble * q(j); j += 1 } } // negated: sort asc = desc dot
+      else { while (j < c.length) { val t = c(j) - q(j); acc += t * t; j += 1 } }
+      (acc, i)
     }.sortBy(_._1).take(nprobe).map(_._2).toSeq
   }
 

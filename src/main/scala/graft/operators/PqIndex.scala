@@ -248,7 +248,9 @@ object PqIndex {
     val adc = pred.fold(adcScan)(adcScan.filter)       // pushed predicate: non-matches never ADC-scored
       .select(col(idCol), adcUdf(col("pq_code")).as("adc")) // code column only — no vectors read
       .orderBy(if (asc) col("adc").asc else col("adc").desc, col(idCol))
-      .limit(k * rerankFactor)
+      // long math then cap: rerankFactor = Int.MaxValue means "discard
+      // nothing" (the exhaustive-exact mode) without k·f overflowing
+      .limit(math.min(k.toLong * rerankFactor, Int.MaxValue.toLong).toInt)
     // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id
     // filter); ids kept as their external type — no bigint assumption
     val ids = adc.select(idCol).collect().map(_.get(0)).toSeq

@@ -104,6 +104,19 @@ object VectorSearch {
       .withColumn("score", scoreCol(col(vecCol), col(qvecCol), metric))
       .select(col(qidCol), col(idCol), col("score"))
 
+    perQueryTopK(scored, qidCol, idCol, k, metric)
+  }
+
+  /** Reduce a scored `(qid, id, score)` frame to the per-qid top-k
+    * WITHOUT hash-shuffling the full candidate set into |queries|
+    * partitions: a per-partition bounded heap first cuts the input to
+    * ≤ partitions·queries·k rows, and only those survivors go through
+    * the final (tiny) window. Shared by the exact [[knnJoin]] and the
+    * IVF-pruned batched join ([[IvfIndex.knnJoin]]). Columns must be
+    * exactly (qidCol, idCol, score), in that order.
+    */
+  private[operators] def perQueryTopK(scored: DataFrame, qidCol: String, idCol: String,
+                                      k: Int, metric: String): DataFrame = {
     val desc_ = descending(metric)
     val enc = Encoders.row(scored.schema)
     // Per-partition bounded heap: keeps k best rows per query id.

@@ -25,6 +25,22 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     got shouldBe exactTop10
   }
 
+  test("IVF dot metric ranks cells by inner product, not euclidean distance") {
+    import spark.implicits._
+    // max-dot rows (large norm, near (100, 0)) sit in a cell whose
+    // centroid is L2-FAR from the query — euclidean cell ranking would
+    // probe the small-norm cell first and miss every top-dot row
+    val big = (0 until 20).map(i => (i.toLong, Seq(100f + i * 0.01f, 0f)))
+    val small = (0 until 20).map(i => ((100 + i).toLong, Seq(1f, i * 0.001f)))
+    val df = (big ++ small).toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("ivf_dot").toString
+    val model = IvfIndex.build(df, "embedding", nlist = 2, path, "dot")
+    val got = IvfIndex.probe(spark, model, "vec_id", "embedding", Seq(1f, 0f), 5, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got should have size 5
+    got.foreach(_ should be < 20L) // all from the large-norm (max-dot) cell
+  }
+
   test("IVF probe prunes partitions and keeps recall@10 >= 0.6 at nprobe=2/8") {
     val path = Files.createTempDirectory("ivf_part").toString
     val model = IvfIndex.build(emb, "embedding", nlist = 8, path, "cosine")

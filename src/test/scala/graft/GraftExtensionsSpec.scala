@@ -48,6 +48,21 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     sql shouldBe want
   }
 
+  test("graft_vector_search breaks score ties deterministically (duplicate vectors)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // five IDENTICAL vectors: every row ties on score, so the k=2 SET is
+    // defined only by the tie-break — must be the two smallest vec_ids
+    val path = java.nio.file.Files.createTempDirectory("tvf_ties").toString + "/t"
+    (1L to 5L).map(i => (i, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .write.parquet(path)
+    val got = spark.sql(
+      s"""SELECT vec_id FROM graft_vector_search(
+            '$path', 'embedding', array(1.0F, 2.0F, 3.0F), 2, 'cosine')""")
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe Set(1L, 2L)
+  }
+
   test("graft_vector_search supports l2 and defaults metric to cosine") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings_v")
