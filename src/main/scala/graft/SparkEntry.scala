@@ -692,6 +692,25 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition filters: dup-trigram fraction + top-bigram share
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "text_pii_scrub" -> ((s, dir) => {
+      // the synthetic corpus contains no PII, so a deterministic email is
+      // injected into every 7th doc (both engines build the same string) —
+      // the detector/scrubber path is gate-exercised with nonzero counts
+      val withPii = Tables.documents(s, dir).withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(col("text")))
+      TextAnalysis.withPiiScrub(withPii, "t2")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          md5(to_binary(col("text_scrubbed"), lit("utf-8"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality_by_source" -> ((s, dir) => {
       // corpus quality profile per source: ratios of exact integer sums
       // (averaging per-doc double ratios would be order-dependent)
@@ -1360,6 +1379,38 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
                   / CAST(length(text) AS DOUBLE) AS punct_ratio
          FROM documents ORDER BY doc_id""",
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+              f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+              arr AS (SELECT doc_id,
+                        list_transform(generate_series(1, len(tk)-1),
+                          i -> tk[i] || ' ' || tk[i+1]) AS bg,
+                        list_transform(generate_series(1, len(tk)-2),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+                      FROM f),
+              base AS (SELECT doc_id, bg,
+                         CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                           / CAST(len(tg) AS DOUBLE) AS dup_trigram_frac
+                       FROM arr),
+              e AS (SELECT doc_id, dup_trigram_frac, unnest(bg) AS b FROM base),
+              c AS (SELECT doc_id, dup_trigram_frac, b, count(*) AS n FROM e GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                CAST(max(n) AS BIGINT) AS top_bigram_n,
+                CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac,
+                dup_trigram_frac
+         FROM c GROUP BY doc_id, dup_trigram_frac ORDER BY doc_id""",
+
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact user' || doc_id || '@example.com now'
+                     ELSE text END AS t2
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                md5(regexp_replace(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+         FROM p ORDER BY doc_id""",
 
     "text_langid" -> langidOracle,
 

@@ -99,6 +99,52 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Repetition-based quality stats (the Gopher-rules family): fraction
+    * of duplicated trigrams and the share of the most frequent bigram.
+    * High values flag boilerplate/spam docs that length or stopword
+    * ratios miss. Trigram duplication is pure array arithmetic (zero
+    * shuffle); the top-bigram share needs a per-(doc, bigram) count —
+    * one explode + two partial-aggregated groupBys keyed on doc_id, so
+    * per-task work is bounded by tokens per doc, never corpus size.
+    * Docs with < 3 tokens have no trigram (or no meaningful repetition)
+    * and are excluded, mirroring the oracle's WHERE.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= 3)
+      .withColumn("__bi", expr(
+        "transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
+      .withColumn("__tri", expr(
+        "transform(sequence(0, size(__tk)-3), i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2]))"))
+      .withColumn("dup_trigram_frac", try_divide(
+        (size(col("__tri")) - size(array_distinct(col("__tri")))).cast("double"),
+        size(col("__tri")).cast("double")))
+    d.select(col(idCol), col("dup_trigram_frac"), explode(col("__bi")).as("__b"))
+      .groupBy(idCol, "dup_trigram_frac", "__b").agg(count(lit(1)).as("__n"))
+      .groupBy(idCol, "dup_trigram_frac")
+      .agg(sum("__n").cast("long").as("n_bigrams"), max("__n").cast("long").as("top_bigram_n"))
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_n"),
+        try_divide(col("top_bigram_n").cast("double"), col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        col("dup_trigram_frac"))
+  }
+
+  /** Email pattern shared by detector and scrubber — plain character
+    * classes only, so the Java (Spark) and RE2 (DuckDB oracle) regex
+    * dialects agree byte-for-byte.
+    */
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** PII pass for corpus release: count emails and emit the scrubbed
+    * text (matches replaced with a placeholder). Pure per-row codegen'd
+    * projection — scan speed, zero shuffle.
+    */
+  def withPiiScrub(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
+      .withColumn("text_scrubbed", regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
+
   /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -59,6 +59,29 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers {
     got(0).getAs[String]("chunk_text") shouldBe "a b c"
   }
 
+  test("repetitionStats flags repeated-token docs and clears unique docs") {
+    val df = Seq((1L, "a b a b a b a b"), (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc1: 7 bigrams ("a b"×4, "b a"×3); 6 trigrams, 2 distinct
+    got(1L).getAs[Double]("top_bigram_frac") shouldBe (4.0 / 7) +- 1e-12
+    got(1L).getAs[Double]("dup_trigram_frac") shouldBe (4.0 / 6) +- 1e-12
+    got(2L).getAs[Double]("top_bigram_frac") shouldBe (1.0 / 4) +- 1e-12
+    got(2L).getAs[Double]("dup_trigram_frac") shouldBe 0.0 +- 1e-12
+  }
+
+  test("withPiiScrub counts and masks emails") {
+    val df = Seq((1L, "mail me at bob@example.com or alice@test.org ok"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val got = TextAnalysis.withPiiScrub(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got(1L).getAs[Int]("n_emails") shouldBe 2
+    got(1L).getAs[String]("text_scrubbed") shouldBe "mail me at <EMAIL> or <EMAIL> ok"
+    got(2L).getAs[Int]("n_emails") shouldBe 0
+    got(2L).getAs[String]("text_scrubbed") shouldBe "no pii here"
+  }
+
   test("text quality on empty-ish docs produces finite or null, never throws") {
     val df = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     noException should be thrownBy TextAnalysis.withQuality(df, "text").collect()
