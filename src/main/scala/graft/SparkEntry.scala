@@ -764,6 +764,31 @@ object SparkEntry {
         .orderBy("source", "rn")
     }),
 
+    "q_sample_temperature" -> ((s, dir) => {
+      // training-data mixing with TEMPERATURE (α = 0.5): target share of
+      // source s ∝ n_s^α, so small sources are upweighted relative to
+      // proportional sampling (the standard multilingual/multi-corpus
+      // mixing move). Global budget = half the corpus. Acceptance is a
+      // deterministic md5-threshold test per doc — reproducible and
+      // engine-agreed; per-source rates come from one tiny broadcast.
+      val docs = Tables.documents(s, dir)
+      val c = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val z = c.agg(sum(sqrt(col("n_s").cast("double"))).as("z"),
+        sum(col("n_s")).cast("double").as("n"))
+      val rates = c.crossJoin(broadcast(z))
+        .withColumn("rate",
+          sqrt(col("n_s").cast("double")) / col("z") * col("n") * lit(0.5)
+            / col("n_s").cast("double"))
+        .select("source", "rate")
+      docs.join(broadcast(rates), "source")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0))
+        .filter(col("u") < col("rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // LLM training-sequence packing (concat-then-chunk): docs stream in
       // doc_id order per source; pack k holds the docs whose cumulative
@@ -1347,6 +1372,20 @@ object SparkEntry {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 5 ORDER BY source, rn""",
+
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+              s AS (SELECT sum(sqrt(CAST(n_s AS DOUBLE))) AS z,
+                           CAST(sum(n_s) AS DOUBLE) AS n FROM c),
+              r AS (SELECT source,
+                           sqrt(CAST(n_s AS DOUBLE)) / z * n * 0.5
+                             / CAST(n_s AS DOUBLE) AS rate
+                    FROM c, s)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r USING (source)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 < r.rate
+         ORDER BY d.doc_id""",
 
     "q_pack_sequences" ->
       """WITH t AS (

@@ -82,6 +82,17 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers {
     got(2L).getAs[String]("text_scrubbed") shouldBe "no pii here"
   }
 
+  test("temperature sampling is deterministic and lands near the half-corpus budget") {
+    val got1 = SparkEntry.queries("q_sample_temperature")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq)
+    val got2 = SparkEntry.queries("q_sample_temperature")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq)
+    got1 shouldBe got2 // md5-threshold acceptance: same sample every run
+    val n = Tables.documents(spark, TestSpark.sf0001).count().toDouble
+    // E[|sample|] = n/2; md5 uniformity puts the draw well inside ±20 %
+    got1.length.toDouble shouldBe (n / 2) +- (n * 0.2)
+  }
+
   test("text quality on empty-ish docs produces finite or null, never throws") {
     val df = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     noException should be thrownBy TextAnalysis.withQuality(df, "text").collect()
