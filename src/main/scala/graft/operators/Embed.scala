@@ -18,12 +18,21 @@ import scala.util.hashing.MurmurHash3
   */
 object Embed {
 
-  /** Stand-in for the external model. Construction is the "load the
-    * weights" step (here: nothing), `encodeBatch` is the batched
-    * forward pass — the exact seam a SentenceTransformer-style encoder
-    * drops into. Deterministic, so the operator stays testable.
+  /** The model contract: one instance per partition (construction = the
+    * "load the weights" step), `encodeBatch` = the batched forward
+    * pass. An ONNX/transformer-backed implementation plugs into
+    * [[encode]] via its `encoderFactory` parameter — the factory (not
+    * the model) is what ships to executors, so heavyweight native
+    * state is constructed task-side, never serialized.
     */
-  final class StubEncoder(dim: Int) extends Serializable {
+  trait BatchEncoder extends Serializable {
+    def encodeBatch(texts: Array[String]): Array[Array[Float]]
+  }
+
+  /** Stand-in for the external model — deterministic feature hashing,
+    * so the operator stays testable without model jars.
+    */
+  final class StubEncoder(dim: Int) extends BatchEncoder {
     def encodeBatch(texts: Array[String]): Array[Array[Float]] =
       texts.map(t => encodeOne(if (t == null) "" else t, dim))
   }
@@ -53,13 +62,15 @@ object Embed {
     * call, making the batch boundaries observable.
     */
   def encode(df: DataFrame, textCol: String, dim: Int = 64, batchSize: Int = 64,
-             batchCounter: Option[LongAccumulator] = None): DataFrame = {
+             batchCounter: Option[LongAccumulator] = None,
+             encoderFactory: Option[() => BatchEncoder] = None): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
     val schema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
     val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(textCol)
+    val factory = encoderFactory.getOrElse(() => new StubEncoder(dim))
     df.mapPartitions { it =>
-      val model = new StubEncoder(dim) // "loaded" once per partition
+      val model = factory() // "loaded" once per partition
       it.grouped(batchSize).flatMap { batch =>
         batchCounter.foreach(_.add(1))
         val vecs = model.encodeBatch(batch.map(r => r.getAs[String](idx)).toArray)

@@ -41,6 +41,20 @@ class EmbedSpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("a user-supplied encoder plugs into the batch seam (factory runs task-side)") {
+    // constant-vector "model": proves the factory wire-through and that
+    // an external encoder sees the same batching as the stub
+    class ConstEncoder extends Embed.BatchEncoder {
+      def encodeBatch(texts: Array[String]): Array[Array[Float]] =
+        texts.map(_ => Array(1f, 0f, 0f))
+    }
+    val out = Embed.encode(docs, "text", dim = 3,
+        encoderFactory = Some(() => new ConstEncoder))
+      .select("embedding").collect()
+    out should have length docs.count().toInt
+    out.foreach(_.getSeq[Float](0) shouldBe Seq(1f, 0f, 0f))
+  }
+
   test("MLlib pipeline encoder: unit norm, fixed dim, searchable output") {
     val emb = Embed.encodePipeline(docs, "text", 64).cache()
     emb.select(vector_norm(col("embedding")).as("n"))
