@@ -30,7 +30,10 @@ object Audit {
         // threshold) against customer — a keyless 1×N "loop" is a
         // map-side scalar compare, the same shape a scalar subquery
         // executes as; there is no key to hash-join on.
-        val expectedBnlj = Set("vs_knn_join", "q22_idle_rich_customers")
+        // q_sample_temperature broadcasts the same one-row shape (the
+        // corpus-wide normalizer) against the tiny per-source counts.
+        val expectedBnlj =
+          Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

@@ -481,6 +481,109 @@ object SparkEntry {
         .orderBy("ship_month")
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one supplier-nation's share of a region's import
+      // revenue by year. Exact integer micros (decimal(18,4) × 10000 →
+      // long) for BOTH sums, so the share is one deterministic division
+      // of exact longs — no order-dependent double accumulation.
+      // Customer-side region filter prunes before the fact joins; both
+      // dims broadcast, so the only shuffle is lineitem ⋈ orders.
+      val asiaNations = Tables.nation(s, dir).join(
+        broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val revC4 = (col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)")))
+        .cast("decimal(18,4)") * lit(10000)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev_c4", revC4.cast("long"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", col("rev_c4")).otherwise(0L))
+            .as("nat_rev_c4"),
+          sum(col("rev_c4")).as("tot_rev_c4"))
+        .withColumn("mkt_share",
+          (col("nat_rev_c4").cast("double") / col("tot_rev_c4").cast("double")))
+        .orderBy("o_year")
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+      // (the correlated-max view). Revenue per supplier in exact micros;
+      // the max is ONE aggregate row broadcast back (scalar compare, no
+      // second shuffle), so ties surface exactly as Q15 requires.
+      val revC4 = (col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)")))
+        .cast("decimal(18,4)") * lit(10000)
+      val bySupp = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .withColumn("rev_c4", revC4.cast("long"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("rev_c4")).as("total_rev_c4"))
+      val mx = bySupp.agg(max(col("total_rev_c4")).as("mx"))
+      bySupp.crossJoin(broadcast(mx))
+        .filter(col("total_rev_c4") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c4"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue from orders far below a part's typical
+      // quantity (the correlated per-part average). The threshold compare
+      // is INTEGER-exact: qty < 0.2·avg ⟺ 5·qty·cnt < sum_qty on integral
+      // quantities — no double rounding can flip a boundary row. The
+      // per-part aggregate joins on l_partkey (keyed shuffle, not
+      // broadcast: at 100 TB the part-stats side is |parts|-sized).
+      val l = Tables.lineitem(s, dir)
+      val perPart = l.groupBy(col("l_partkey").as("pp_key"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      l.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#3")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pp_key"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      // TPC-H Q19 shape: OR-of-conjunctions over part × lineitem. The
+      // per-side bounding boxes of the disjunction (qty ∈ [1,30],
+      // size ∈ [1,15], brand ∈ {1,2,3}) are applied as explicit pushable
+      // pre-filters — Catalyst does not distribute an OR across a join,
+      // so without them every lineitem row would reach the join at 100 TB
+      val part = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+      val revC4 = (col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1) - col("l_discount").cast("decimal(14,2)")))
+        .cast("decimal(18,4)") * lit(10000)
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revC4.cast("long")).as("revenue_c4"), count(lit(1)).as("n_items"))
+    }),
+
     "q_orders_semi_anti" -> ((s, dir) => {
       // semi/anti join coverage: orders with vs without any lineitem
       val o = Tables.orders(s, dir)
@@ -742,6 +845,26 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
+
+    "text_dup_ngrams" -> ((s, dir) =>
+      // corpus-duplicated passage report: 3-token windows appearing in
+      // >= 4 distinct docs (the detection stage of passage-level dedup)
+      TextAnalysis.duplicatedNgrams(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDocs = 4)
+        .orderBy("ngram")),
+
+    "text_dup_coverage" -> ((s, dir) =>
+      // per-doc fraction of 3-token windows that are corpus-duplicated —
+      // the "mostly boilerplate?" trim/drop signal
+      TextAnalysis.dupCoverage(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDocs = 4)
+        .orderBy("doc_id")),
+
+    "text_keywords" -> ((s, dir) =>
+      // rare-term keyword extraction: top-3 tokens per doc by
+      // (df asc, tf desc, token) — integer-exact tf-idf ordering
+      TextAnalysis.rareTermKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")),
 
     "text_chunk" -> ((s, dir) =>
       // 64-token windows every 48 tokens (16-token overlap)
@@ -1200,6 +1323,58 @@ object SparkEntry {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01')
          GROUP BY 1 ORDER BY 1""",
 
+    "q8_market_share" ->
+      """WITH rev AS (
+           SELECT strftime(o_orderdate, '%Y') AS o_year, sn.n_name AS supp_nation,
+                  CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rev_c4
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation cn ON c_nationkey = cn.n_nationkey
+             JOIN region ON cn.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c4 ELSE 0 END) AS BIGINT) AS nat_rev_c4,
+                CAST(sum(rev_c4) AS BIGINT) AS tot_rev_c4,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c4 ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
+         FROM rev GROUP BY 1 ORDER BY 1""",
+
+    "q15_top_supplier" ->
+      """WITH bysupp AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total_rev_c4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev_c4
+         FROM bysupp JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM bysupp)
+         ORDER BY s_suppkey""",
+
+    "q17_small_quantity_revenue" ->
+      """WITH perpart AS (
+           SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+           FROM lineitem GROUP BY 1)
+         SELECT CAST(sum(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                count(*) AS n_items
+         FROM lineitem l
+           JOIN part ON l.l_partkey = p_partkey
+           JOIN perpart pp ON l.l_partkey = pp.l_partkey
+         WHERE p_brand = 'Brand#3'
+           AND CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt < pp.sum_qty""",
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4)) * 10000) AS BIGINT) AS revenue_c4,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
     "q_top_customer_per_nation" ->
       """SELECT n_name, rnk, c_custkey, c_acctbal FROM (
            SELECT n_name, c_custkey, c_acctbal,
@@ -1504,6 +1679,42 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
          FROM documents ORDER BY doc_id""",
+
+    "text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         w AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
+               FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3)
+         SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 4
+         ORDER BY ngram""",
+
+    "text_dup_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         w AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
+               FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+         flagged AS (SELECT ngram FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 4)
+         SELECT w.doc_id, count(*) AS n_windows,
+                CAST(sum(CASE WHEN f.ngram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_windows,
+                CAST(sum(CASE WHEN f.ngram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_frac
+         FROM w LEFT JOIN flagged f ON w.ngram = f.ngram
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+
+    "text_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id, g.token, count(*) AS tf
+           FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0 GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY dfq.df ASC, tf.tf DESC, tf.token ASC) AS rnk
+           FROM tf JOIN dfq USING (token))
+         SELECT doc_id, rnk, token, tf, df FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
 
     // documents are all-ASCII (asserted at build time), so DuckDB VARCHAR
     // char-ops equal Spark's byte-ops on the utf-8 payload.

@@ -158,6 +158,84 @@ object TextAnalysis {
       .withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
       .withColumn("text_scrubbed", regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
 
+  /** All n-token windows of each doc as (id, ngram) rows — the shared
+    * explode for [[duplicatedNgrams]] / [[dupCoverage]]. Docs shorter
+    * than n tokens have no window and drop out (the oracle's WHERE).
+    */
+  private def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__tk) - ${n - 1}), " +
+        s"i -> array_join(slice(__tk, i, $n), ' '))")).as("ngram"))
+
+  /** Corpus-duplicated passage report (the detection stage of
+    * passage-level dedup à la "Deduplicating Training Data Makes
+    * Language Models Better"): every n-token window that appears in at
+    * least `minDocs` DISTINCT documents, with its document and
+    * occurrence counts. One explode (corpus × tokens rows) and one
+    * groupBy keyed on the ngram — the same shuffle family as the
+    * shingle pipelines, partial-aggregated map-side, no all-pairs
+    * anywhere. At 100 TB the ngram key space is huge and uniform, so
+    * the aggregate parallelizes cleanly; skew only appears for truly
+    * viral passages, which is exactly the output.
+    */
+  def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Int): DataFrame =
+    ngramWindows(docs, idCol, textCol, n)
+      .groupBy("ngram")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-passage coverage: what fraction of a doc's
+    * n-token windows are corpus-duplicated ([[duplicatedNgrams]] hits).
+    * The curation signal that separates "contains one quoted paragraph"
+    * from "is 90 % boilerplate" — docs above a coverage cut get dropped
+    * or trimmed. The flagged set is an aggregate over the same windows,
+    * joined back ON the ngram key; both sides shrink before the join
+    * (windows → distinct flagged ngrams), nothing is broadcast-sized by
+    * assumption.
+    */
+  def dupCoverage(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minDocs: Int): DataFrame = {
+    val windows = ngramWindows(docs, idCol, textCol, n)
+    val flagged = duplicatedNgrams(docs, idCol, textCol, n, minDocs)
+      .select(col("ngram"), lit(1).as("__dup"))
+    windows.join(flagged, Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        try_divide(col("n_dup_windows").cast("double"), col("n_windows").cast("double")))
+  }
+
+  /** Rare-term keyword extraction: each doc's top-k tokens ranked by
+    * (document frequency ASC, term frequency DESC, token ASC) — the
+    * tf-idf ordering restated with integer-exact keys (df is the idf
+    * surrogate), so Spark and the SQL oracle agree bit-for-bit with no
+    * transcendental log in the compare. Two keyed aggregations (doc ×
+    * token, then token) and one join on the token key; the per-doc
+    * top-k is a bounded window. Empty tokens (from empty docs) are
+    * excluded on both sides.
+    */
+  def rareTermKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, token), so df is a plain count
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("df").asc, col("tf").desc, col("token").asc)
+    tf.join(docFreq, Seq("token"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("tf"), col("df"))
+  }
+
   /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -71,6 +71,40 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers {
     got(2L).getAs[Double]("dup_trigram_frac") shouldBe 0.0 +- 1e-12
   }
 
+  test("duplicatedNgrams flags only windows shared by enough distinct docs") {
+    // "x y z" appears in docs 1,2,3 (twice in doc 3); "p q r" in doc 4 only;
+    // doc 5 is too short for any trigram
+    val df = Seq(
+      (1L, "x y z a"), (2L, "b x y z"), (3L, "x y z c x y z"),
+      (4L, "p q r"), (5L, "u v")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedNgrams(df, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe Seq(("x y z", 3L, 4L))
+  }
+
+  test("dupCoverage: fully-boilerplate vs clean docs get frac 1 and 0") {
+    val df = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "x y z"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupCoverage(df, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_frac")).toMap
+    got(1L) shouldBe 1.0 +- 1e-15
+    got(4L) shouldBe 0.0 +- 1e-15
+  }
+
+  test("rareTermKeywords ranks by df asc then tf desc then token") {
+    // "rare" appears only in doc 1 (df 1) -> its top keyword despite tf 1;
+    // "common" is in both docs (df 2); doc 1's remaining tokens tie on
+    // df=1/tf=1 and break alphabetically
+    val df = Seq(
+      (1L, "common rare common alpha beta"),
+      (2L, "common common gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.rareTermKeywords(df, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 1L).orderBy("rnk")
+      .collect().map(_.getAs[String]("token"))
+    got.toSeq shouldBe Seq("alpha", "beta", "rare")
+  }
+
   test("withPiiScrub counts and masks emails") {
     val df = Seq((1L, "mail me at bob@example.com or alice@test.org ok"),
       (2L, "no pii here")).toDF("doc_id", "text")
