@@ -929,6 +929,39 @@ object SparkEntry {
         .orderBy("source", "pack")
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      // END-TO-END curation pipeline — the operators composed the way a
+      // real corpus release runs them: quality gate → exact dedup →
+      // benchmark decontamination → sequence packing. One declarative
+      // plan: Catalyst fuses the quality filter into the scan, the
+      // dedup semi-join and the decontamination probe are the same
+      // keyed/broadcast shapes as their standalone queries, and packing
+      // adds one window — no stage materializes an intermediate corpus.
+      val docs = Tables.documents(s, dir)
+      val toks = size(split(col("text"), " "))
+      // 1. quality gate: drop short docs (the cheap filter runs FIRST,
+      //    at the scan, shrinking everything downstream)
+      val quality = docs.filter(col("source") =!= "src0").filter(toks >= 20)
+      // 2. exact dedup: canonical = min doc_id per content group
+      val canon = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(canon, Seq("doc_id"), "left_semi")
+      // 3. decontamination vs the src0 eval corpus (8-gram overlap)
+      val keptIds = Dedup.decontaminate(deduped,
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .filter(!col("contaminated")).select("doc_id")
+      val kept = deduped.join(keptIds, Seq("doc_id"), "left_semi")
+      // 4. sequence packing (budget 2048) on the surviving corpus
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept.withColumn("t", toks)
+        .withColumn("cum", sum(col("t")).over(w))
+        .withColumn("pack", floor((col("cum") - col("t")) / 2048).cast("long"))
+        .groupBy("source", "pack")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).cast("long").as("sum_tokens"))
+        .orderBy("source", "pack")
+    }),
+
     "q_label_centroids" -> ((s, dir) =>
       // TypedImperativeAggregate pooling; double-sum order sensitivity → rows-only
       Tables.embeddings(s, dir).groupBy("label")
@@ -1574,6 +1607,33 @@ object SparkEntry {
          SELECT source, CAST(FLOOR((cum - tk) / 2048) AS BIGINT) AS pack,
                 count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "pipeline_curate" ->
+      """WITH quality AS (
+           SELECT * FROM documents
+           WHERE source != 'src0' AND len(string_split(text, ' ')) >= 20),
+         canon AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+         dd AS (SELECT q.* FROM quality q JOIN canon USING (doc_id)),
+         etoks AS (SELECT string_split(lower(text), ' ') AS t
+                   FROM documents WHERE source = 'src0'),
+         esh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 7),
+                   i -> array_to_string(t[i:i+7], ' '))) AS s
+                 FROM etoks WHERE len(t) >= 8),
+         dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM dd),
+         dsh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+                   i -> array_to_string(t[i:i+7], ' '))) AS s
+                 FROM dtoks WHERE len(t) >= 8),
+         cont AS (SELECT DISTINCT doc_id FROM dsh WHERE s IN (SELECT s FROM esh)),
+         kept AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         packed AS (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS tk,
+                  sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM kept)
+         SELECT source, CAST(FLOOR((cum - tk) / 2048) AS BIGINT) AS pack,
+                count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
+         FROM packed GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "text_tokens" ->
       """SELECT doc_id,

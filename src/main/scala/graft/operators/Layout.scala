@@ -50,20 +50,31 @@ object Layout {
     else normWith(c, r.getDouble(0), r.getDouble(1), bits)
   }
 
+  /** The rank-normalized z-value column for (a, b) over `df`'s value
+    * ranges — None when the frame is empty or a dimension is all-null
+    * (nothing to spread). ONE lightweight stats scan; the returned
+    * expression is pure codegen (no further jobs).
+    */
+  def zcolumn(df: DataFrame, a: String, b: String, bits: Int = 16): Option[Column] = {
+    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+                   min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) None
+    else Some(zvalue(normWith(col(a), r.getDouble(0), r.getDouble(1), bits),
+                     normWith(col(b), r.getDouble(2), r.getDouble(3), bits), bits))
+  }
+
   /** Re-cluster `df` on the z-order of (a, b) into `numFiles` range
     * partitions, each internally sorted — ready to write. Stats for
     * both dimensions come from ONE agg scan.
     */
   def zorder(df: DataFrame, a: String, b: String, numFiles: Int,
-             bits: Int = 16): DataFrame = {
-    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
-                   min(col(b)).cast("double"), max(col(b)).cast("double")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty/all-null: nothing to cluster
-    val z = zvalue(normWith(col(a), r.getDouble(0), r.getDouble(1), bits),
-                   normWith(col(b), r.getDouble(2), r.getDouble(3), bits), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-  }
+             bits: Int = 16): DataFrame =
+    zcolumn(df, a, b, bits) match {
+      case None => df // empty/all-null: nothing to cluster
+      case Some(z) =>
+        df.withColumn("__z", z)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    }
 }

@@ -369,13 +369,35 @@ object GraftTable {
     * writer fails cleanly); follow with [[vacuum]] to reclaim the old
     * dirs.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** `clusterBy = Some((a, b))` additionally Z-ORDERS each bucket's
+    * file on the two columns (Delta/Iceberg OPTIMIZE ZORDER, bucket-
+    * scoped): rows keep their key-hash bucket — the manifest invariant
+    * — but within a file they are sorted by the interleaved-bit
+    * z-value, so parquet row-group min/max stats prune scans filtered
+    * on EITHER dimension. At 100 TB this is the difference between a
+    * time-range query reading one row group per file and reading the
+    * whole table; the stats pass is one extra lightweight agg scan.
+    */
+  def compact(spark: SparkSession, path: String,
+              clusterBy: Option[(String, String)] = None): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, nbuckets, _) = meta(path)
-    val snapshot = read(spark, path, v)
-      .repartition(nbuckets, bucketCol(keys, nbuckets))
-    writeVersion(snapshot, path, keys, nbuckets, v + 1, carryOver = Map.empty)
+    val snap = read(spark, path, v)
+    clusterBy match {
+      case None =>
+        writeVersion(snap.repartition(nbuckets, bucketCol(keys, nbuckets)),
+          path, keys, nbuckets, v + 1, carryOver = Map.empty)
+      case Some((a, b)) =>
+        graft.operators.Layout.zcolumn(snap, a, b) match {
+          case None => // empty/all-null dimension: plain compaction
+            writeVersion(snap.repartition(nbuckets, bucketCol(keys, nbuckets)),
+              path, keys, nbuckets, v + 1, carryOver = Map.empty)
+          case Some(z) =>
+            writeVersion(snap.withColumn("__zc", z), path, keys, nbuckets,
+              v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"))
+        }
+    }
   }
 
   /** The full snapshot at `version`, shaped as a change-feed batch
@@ -537,11 +559,23 @@ object GraftTable {
     * the new head.
     */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
-                           nbuckets: Int, v: Int, carryOver: Map[Int, String]): Unit = {
+                           nbuckets: Int, v: Int, carryOver: Map[Int, String],
+                           sortWithin: Seq[String] = Nil): Unit = {
     // unique per-attempt dir: racing writers must not share a data path
     val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
-    df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
+    val bucketed = df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
+    // sortWithin: transient cluster-sort columns (e.g. compact's
+    // z-value) — each task's rows arrive sorted by (bucket, sortCols),
+    // which satisfies the writer's required partition-column ordering,
+    // so NO re-sort happens inside the write and the cluster order
+    // reaches the parquet file; the transient columns are projected
+    // away (projection preserves per-partition row order)
+    val prepared =
+      if (sortWithin.isEmpty) bucketed
+      else bucketed.repartition(nbuckets, col(BUCKET))
+        .sortWithinPartitions((BUCKET +: sortWithin).map(col): _*)
+        .drop(sortWithin: _*)
+    prepared.write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
     var written = MetaIO.list(new Path(path, dataRel))

@@ -123,6 +123,48 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("clustered compact z-orders each bucket's file, content and schema intact") {
+    val path = Files.createTempDirectory("graft_zcpt").toString + "/t"
+    // two interleaved dimensions so insertion order is NOT z order
+    val base = spark.range(0, 512).toDF("k")
+      .withColumn("x", (col("k") * 37) % 64)
+      .withColumn("y", (col("k") * 11) % 64)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+    val before = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")))
+
+    val after = GraftTable.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    after shouldBe before
+    // the transient cluster-sort column never reaches the table schema
+    GraftTable.read(spark, path).columns.toSet shouldBe Set("k", "x", "y")
+
+    // every file's rows are sorted by the z-value of (x, y) — the same
+    // normalize-then-interleave arithmetic Layout computes (doubles in
+    // the same op order, so the spec's z agrees bitwise)
+    val (loX, hiX, loY, hiY) = (0.0, 63.0, 0.0, 63.0)
+    def norm(v: Long, lo: Double, hi: Double): Long =
+      math.min(math.floor((v.toDouble - lo) / (hi - lo) * 65535.0).toLong, 65535L)
+    def zOf(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val vNow = GraftTable.latestVersion(path)
+    GraftTable.manifest(path, vNow).values.foreach { d =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(path, d))
+      val parquets =
+        try files.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+        finally files.close()
+      parquets should not be empty
+      parquets.foreach { f =>
+        val zs = spark.read.parquet(f).select("x", "y").collect()
+          .map(r => zOf(norm(r.getLong(0), loX, hiX), norm(r.getLong(1), loY, hiY)))
+        zs.toSeq shouldBe zs.toSeq.sorted
+      }
+    }
+  }
+
   test("changes() emits exactly the rows added or updated between versions") {
     val path = Files.createTempDirectory("graft_cdc").toString + "/t"
     GraftTable.create(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"),
