@@ -768,6 +768,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-compressed variant of the decontamination probe — the
+      // broadcast is ~14 bits/shingle instead of the strings. Output is
+      // filter-dependent (bounded false positives) → rows-only; zero
+      // false negatives proven vs the exact variant in DedupSpec
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // == LLM-data-pipeline: text analysis =====================================
 
     "text_tokens" -> ((s, dir) =>

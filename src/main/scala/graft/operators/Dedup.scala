@@ -233,6 +233,39 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** [[decontaminate]]'s scale variant: the eval shingle set compressed
+    * into a Bloom filter instead of broadcast verbatim. The exact
+    * variant ships every distinct eval shingle STRING to every executor
+    * — fine for benchmark-sized eval sets, but decontaminating against
+    * a large held-out corpus (dedup-against-validation-split at 100 TB)
+    * would broadcast tens of GB. A Bloom filter at fpp=1e-3 costs
+    * ~14 bits per shingle (~100× smaller than the strings) and keeps
+    * the same one-scan, no-identity-shuffle plan; the price is a
+    * bounded false-POSITIVE rate (a clean doc occasionally flagged —
+    * conservative in the right direction for decontamination: you drop
+    * slightly more than needed, never leak eval data). No false
+    * negatives ever — proven against the exact variant in DedupSpec.
+    * Output is filter-dependent → rows-only gate entry, spec-verified.
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         fpp: Double = 0.001): DataFrame = {
+    val evalSh = eval_.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    // expected-item count sizes the filter; one cheap count over the
+    // (small-side) distinct shingles, same cost class as the broadcast
+    val expected = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("s", expected, fpp)
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (s: String) => s != null && bloomB.value.mightContainString(s) }
+    val contaminated = train
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .filter(mightContain(col("s")))
+      .select("doc_id").distinct()
+    train.select(col(idCol).as("doc_id"))
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   /** 64-bit SimHash of the token multiset: bit k of the fingerprint is
     * the sign of Σ_tokens (±1 by bit k of hash(token)).
     */

@@ -48,6 +48,22 @@ class DedupSpec extends AnyFunSuite with Matchers {
     sim should not be empty
   }
 
+  test("decontaminateBloom: no false negatives vs exact; FP rate bounded") {
+    val train = docs.filter(col("source") =!= "src0")
+    val ev = docs.filter(col("source") === "src0")
+    val exact = Dedup.decontaminate(train, ev, "doc_id", "text", n = 8)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(train, ev, "doc_id", "text", n = 8)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // every exactly-contaminated doc must be bloom-flagged (no FN)…
+    exact.diff(bloom) shouldBe empty
+    // …and the extra flags (bloom FPs) stay a small fraction of the corpus
+    val nTrain = train.count().toDouble
+    (bloom.size - exact.size).toDouble / nTrain should be < 0.05
+  }
+
   test("connectedComponents: chains merge into one cluster, singletons stay") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("n")
     // 1-2, 2-3 chain; 4-5 pair; no node 6
