@@ -30,10 +30,11 @@ object Audit {
         // threshold) against customer — a keyless 1×N "loop" is a
         // map-side scalar compare, the same shape a scalar subquery
         // executes as; there is no key to hash-join on.
-        // q_sample_temperature broadcasts the same one-row shape (the
-        // corpus-wide normalizer) against the tiny per-source counts.
+        // q_sample_temperature and q_balance_deciles broadcast the same
+        // one-row shape (corpus-wide normalizer / percentile boundaries).
         val expectedBnlj =
-          Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature")
+          Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature",
+            "q_balance_deciles")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

@@ -409,6 +409,42 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    "q_balance_deciles" -> ((s, dir) => {
+      // decile profile via percentile BOUNDARIES + per-row bucketing —
+      // NOT a global ntile window (that is a single-partition sort by
+      // construction; boundary-bucketing is the form that scales: one
+      // agg pass for nine boundaries, one broadcast, one scan).
+      // Boundaries are exact percentiles over INTEGER cents (type-7
+      // interpolation matches DuckDB quantile_cont bit-for-bit on
+      // integer-valued data — same precedent as q_quantity_percentiles);
+      // a value equal to a boundary goes to the lower bin
+      val cents = floor(col("c_acctbal") * 100).cast("long")
+      val c = Tables.customer(s, dir).withColumn("cents", cents)
+      val bounds = c.agg(expr(
+        "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      c.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          (lit(1) + size(filter(col("bs"), b => b < col("cents")))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("decile")
+    }),
+
+    "q_orders_pivot" -> ((s, dir) =>
+      // pivot (long→wide conditional aggregation): order counts by
+      // year × priority. Explicit value list keeps the plan one pass
+      // (no distinct-values pre-job) — the 100 TB-safe pivot form
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+          "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_unspec", "5-LOW" -> "n_low"))
+        .orderBy("o_year")),
+
     "q_top_customer_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -954,8 +990,11 @@ object SparkEntry {
       // 1. quality gate: drop short docs (the cheap filter runs FIRST,
       //    at the scan, shrinking everything downstream)
       val quality = docs.filter(col("source") =!= "src0").filter(toks >= 20)
-      // 2. exact dedup: canonical = min doc_id per content group
-      val canon = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      // 2. exact dedup: canonical = min doc_id per content group —
+      //    grouped on the sha2 CONTENT HASH so the shuffle carries
+      //    32 bytes per row, not the document payload
+      val canon = quality.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val deduped = quality.join(canon, Seq("doc_id"), "left_semi")
       // 3. decontamination vs the src0 eval corpus (8-gram overlap)
@@ -1419,6 +1458,26 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_balance_deciles" ->
+      """WITH c AS (
+           SELECT CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         b AS (
+           SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+           FROM c)
+         SELECT CAST(1 + len(list_filter(bs, x -> x < cents)) AS BIGINT) AS decile,
+                count(*) AS n_customers,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM c, b GROUP BY 1 ORDER BY 1""",
+
+    "q_orders_pivot" ->
+      """SELECT strftime(o_orderdate, '%Y') AS o_year,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_unspec,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_top_customer_per_nation" ->
       """SELECT n_name, rnk, c_custkey, c_acctbal FROM (
