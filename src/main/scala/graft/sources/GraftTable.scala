@@ -275,7 +275,8 @@ object GraftTable {
              precombine: Seq[String] = Nil): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets, keyTypes) = meta(path)
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
     keys.foreach(k => require(updates0.columns.contains(k), s"updates missing key column $k"))
     val updates = alignKeyTypes(spark, path, v, keys, keyTypes, updates0)
     val current = manifest(path, v)
@@ -304,7 +305,8 @@ object GraftTable {
   def delete(spark: SparkSession, path: String, keysDf: DataFrame): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets, keyTypes) = meta(path)
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
     keys.foreach(k => require(keysDf.columns.contains(k), s"delete batch missing key column $k"))
     val keyOnly = alignKeyTypes(spark, path, v, keys, keyTypes, keysDf)
       .select(keys.map(col): _*).distinct()
@@ -351,12 +353,29 @@ object GraftTable {
     read(spark, path, eligible.last._1)
   }
 
-  /** bucket → relative data dir for snapshot v */
+  /** bucket → relative data dir for snapshot v (header lines skipped) */
   def manifest(path: String, v: Int): Map[Int, String] =
-    MetaIO.readString(manifestPath(path, v)).split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(b, d) = line.split("\t")
-      b.toInt -> d
-    }.toMap
+    MetaIO.readString(manifestPath(path, v)).split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(b, d) = line.split("\t")
+        b.toInt -> d
+      }.toMap
+
+  /** The bucket count snapshot `v` was written with, from the manifest's
+    * `#nbuckets=` header. The count is PER-SNAPSHOT (not table-global)
+    * so [[rebucket]] can evolve the layout: writers bucket new data by
+    * the CURRENT head's count, and the OCC manifest lock serializes a
+    * racing upsert against a rebucket (the loser re-reads the new head —
+    * and with it the new count). Manifests written before the header
+    * existed fall back to the `_keys` create-time count.
+    */
+  def manifestBuckets(path: String, v: Int): Option[Int] =
+    MetaIO.readString(manifestPath(path, v)).split("\n")
+      .collectFirst { case l if l.startsWith("#nbuckets=") =>
+        l.stripPrefix("#nbuckets=").trim.toInt }
+
+  private def bucketsAt(path: String, v: Int, default: Int): Int =
+    manifestBuckets(path, v).getOrElse(default)
 
   /** Major compaction: rewrite the current snapshot as a fresh version
     * with exactly one file per bucket. Bucket-level COW accretes files
@@ -382,7 +401,8 @@ object GraftTable {
               clusterBy: Option[(String, String)] = None): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val (keys, nbuckets, _) = meta(path)
+    val (keys, defaultBuckets, _) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
     val snap = read(spark, path, v)
     clusterBy match {
       case None =>
@@ -398,6 +418,31 @@ object GraftTable {
               v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"))
         }
     }
+  }
+
+  /** Bucket-count evolution (Hudi clustering / Iceberg partition-spec
+    * evolution, restricted to the hash-bucket layout): rewrite the
+    * current snapshot under `newBuckets` and commit it as a new
+    * version whose manifest header records the new count. A table's
+    * create-time bucket count always becomes too small — a 100 TB
+    * table bucketed for 1 TB has 100× oversized file groups and 100×
+    * the upsert write amplification — and COW makes the fix a plain
+    * versioned rewrite: old versions stay readable under their own
+    * layout (each manifest pins its own `#nbuckets`), time travel and
+    * [[changes]] across the boundary work unchanged (the bucket diff
+    * sees every bucket changed — a full-rewrite diff, same as
+    * compaction — and full-row EXCEPT still reports only real
+    * changes). A writer racing the rebucket loses the OCC lock,
+    * re-reads the new head, and buckets its batch by the new count.
+    */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, "need at least one bucket")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, _, _) = meta(path)
+    val snapshot = read(spark, path, v)
+      .repartition(newBuckets, bucketCol(keys, newBuckets))
+    writeVersion(snapshot, path, keys, newBuckets, v + 1, carryOver = Map.empty)
   }
 
   /** The full snapshot at `version`, shaped as a change-feed batch
@@ -482,7 +527,11 @@ object GraftTable {
     require(v >= 0, s"no table at $path")
     require(version >= 0 && version <= v, s"version $version out of range [0, $v]")
     if (version == v) return
-    val lines = (manifest(path, version).toSeq.sortBy(_._1))
+    // carry the restored snapshot's bucket count: its dirs ARE that
+    // layout, so writers on top of the restore must bucket by it
+    val (_, defaultBuckets, _) = meta(path)
+    val header = s"#nbuckets=${bucketsAt(path, version, defaultBuckets)}\n"
+    val lines = header + (manifest(path, version).toSeq.sortBy(_._1))
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
     if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
       throw new java.util.ConcurrentModificationException(
@@ -588,7 +637,7 @@ object GraftTable {
       df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=0")
       written = Map(0 -> s"$dataRel/$BUCKET=0")
     }
-    val lines = (carryOver ++ written).toSeq.sortBy(_._1)
+    val lines = s"#nbuckets=$nbuckets\n" + (carryOver ++ written).toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }.mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins
     if (!MetaIO.putIfAbsent(manifestPath(path, v), lines))

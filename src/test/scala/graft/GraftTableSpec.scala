@@ -165,6 +165,34 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rebucket evolves the layout; writers follow the head's bucket count") {
+    val path = Files.createTempDirectory("graft_rbk").toString + "/t"
+    val base = spark.range(0, 200).toDF("k").withColumn("x", col("k") * 2)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+
+    GraftTable.rebucket(spark, path, 16)
+    // content identical, new manifest pins the new count
+    GraftTable.read(spark, path).count() shouldBe 200
+    GraftTable.manifestBuckets(path, 1) shouldBe Some(16)
+    GraftTable.manifest(path, 1).size should be > 4
+    // a pure layout rewrite is NOT a data change
+    GraftTable.changes(spark, path, 0, 1).count() shouldBe 0
+
+    // an upsert after the rebucket buckets by 16: one key touches ONE dir
+    GraftTable.upsert(spark, path, Seq((7L, -7L)).toDF("k", "x"))
+    val m1 = GraftTable.manifest(path, 1)
+    val m2 = GraftTable.manifest(path, 2)
+    m2.count { case (b, d) => !m1.get(b).contains(d) } shouldBe 1
+    GraftTable.read(spark, path).filter(col("k") === 7).head().getLong(1) shouldBe -7L
+    GraftTable.read(spark, path).count() shouldBe 200
+    // the change feed across the upsert is exactly that row
+    val ch = GraftTable.changes(spark, path, 1, 2).collect()
+    ch.map(_.getAs[Long]("k")).toSeq shouldBe Seq(7L)
+
+    // time travel to the pre-rebucket layout still reads
+    GraftTable.read(spark, path, 0).filter(col("k") === 7).head().getLong(1) shouldBe 14L
+  }
+
   test("changes() emits exactly the rows added or updated between versions") {
     val path = Files.createTempDirectory("graft_cdc").toString + "/t"
     GraftTable.create(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "x"),
