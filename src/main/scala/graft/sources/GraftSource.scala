@@ -255,8 +255,25 @@ private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,
 
   override def schema: StructType = snapshot.schema
 
+  /** Top-level filters arrive AND-ed; when they pin EVERY key column
+    * with an equality, the row — if it exists — lives in exactly one
+    * hash bucket, so the scan opens that bucket's files only (Hudi
+    * bucket-index point lookup). The equality filters are still
+    * re-applied on top: a bucket holds every key that hashes to it.
+    */
+  private def pointLookup(filters: Array[Filter]): Option[DataFrame] = {
+    val keys = GraftTable.keyColumns(path)
+    val eqs = filters.collect { case EqualTo(a, v) if keys.contains(a) => a -> v }.toMap
+    if (keys.nonEmpty && keys.forall(eqs.contains)) {
+      val spark = sqlContext.sparkSession
+      val b = GraftTable.bucketFor(spark, path, version, eqs)
+      Some(GraftTable.readBuckets(spark, path, version, Set(b)))
+    } else None
+  }
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(translate).foldLeft(snapshot)(_.filter(_))
+    val base = pointLookup(filters).getOrElse(snapshot)
+    val filtered = filters.flatMap(translate).foldLeft(base)(_.filter(_))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select(col(snapshot.columns.head))
       else filtered.select(requiredColumns.map(col).toSeq: _*)

@@ -344,6 +344,49 @@ object GraftTable {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
+  /** The table's record-key columns (create-time order). */
+  def keyColumns(path: String): Seq[String] = meta(path)._1
+
+  /** The bucket a fully-specified key tuple hashes into under snapshot
+    * `version`'s layout — evaluated with the SAME typed xxhash64
+    * expression the writers use (literals cast to the stored key types
+    * first, exactly like a write batch), so the answer is the dir the
+    * row lives in, not a reimplementation that could drift. One
+    * driver-local 1-row job.
+    */
+  def bucketFor(spark: SparkSession, path: String, version: Int,
+                keyValues: Map[String, Any]): Int = {
+    val v = if (version >= 0) version else latestVersion(path)
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    require(keys.forall(keyValues.contains), s"bucketFor needs all key columns $keys")
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
+    val oneRow = keys.foldLeft(spark.range(1).toDF()) { (d, k) =>
+      d.withColumn(k, lit(keyValues(k)))
+    }
+    alignKeyTypes(spark, path, v, keys, keyTypes, oneRow)
+      .select(bucketCol(keys, nbuckets).as("b")).head().getInt(0)
+  }
+
+  /** Snapshot restricted to the manifest dirs of `buckets` — the
+    * point-lookup path: a key-equality read opens ONE bucket's files
+    * (file-group pruning, Hudi's bucket-index lookup), not the table.
+    * The frame is padded to the full snapshot schema, so reads of an
+    * old un-rewritten bucket after additive evolution still line up.
+    */
+  def readBuckets(spark: SparkSession, path: String, version: Int,
+                  buckets: Set[Int]): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val full = read(spark, path, v)
+    val dirs = manifest(path, v).filter { case (b, _) => buckets(b) }
+      .values.map(d => s"$path/$d").toSeq
+    if (dirs.isEmpty) return full.limit(0)
+    val sub = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val padded = full.schema.fields.filterNot(f => sub.columns.contains(f.name))
+      .foldLeft(sub)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    padded.select(full.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Time travel by wall clock: the snapshot committed at or before
     * `tsMillis` (commit times are recorded in the commit markers).
     */

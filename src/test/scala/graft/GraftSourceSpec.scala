@@ -37,6 +37,47 @@ class GraftSourceSpec extends AnyFunSuite with Matchers {
       .filter(col("k") === 2).head().getString(1) shouldBe "b"
   }
 
+  test("bucketFor/readBuckets: a key's bucket holds its row, others don't") {
+    import graft.sources.GraftTable
+    val path = Files.createTempDirectory("graft_pl").toString + "/t"
+    val base = spark.range(0, 100).toDF("k").withColumn("x", col("k") * 2)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 8)
+
+    val b7 = GraftTable.bucketFor(spark, path, -1, Map("k" -> 7L))
+    val hit = GraftTable.readBuckets(spark, path, -1, Set(b7))
+    hit.filter(col("k") === 7).count() shouldBe 1
+    // every other bucket combined does NOT hold the key
+    val others = (0 until 8).toSet - b7
+    GraftTable.readBuckets(spark, path, -1, others)
+      .filter(col("k") === 7).count() shouldBe 0
+
+    // additive evolution: point-lookup of an UNTOUCHED bucket pads the
+    // new column with nulls and keeps the full snapshot column order
+    GraftTable.upsert(spark, path,
+      Seq((7L, 14L, "fresh")).toDF("k", "x", "note"))
+    val all = GraftTable.read(spark, path)
+    val oldBucket = GraftTable.bucketFor(spark, path, -1, Map("k" -> 8L))
+    val padded = GraftTable.readBuckets(spark, path, -1, Set(oldBucket))
+    padded.columns.toSeq shouldBe all.columns.toSeq
+    if (oldBucket != GraftTable.bucketFor(spark, path, -1, Map("k" -> 7L)))
+      padded.filter(col("k") === 8).head().getAs[String]("note") shouldBe null
+  }
+
+  test("full-key equality read goes through the bucket point-lookup path") {
+    val path = Files.createTempDirectory("graft_ple").toString + "/t"
+    spark.range(0, 100).toDF("k").withColumn("x", col("k") * 3)
+      .write.format(fmt).option("recordkey", "k").option("nbuckets", "8")
+      .mode(SaveMode.Append).save(path)
+    val got = spark.read.format(fmt).load(path).filter(col("k") === 42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe Seq((42L, 126L))
+    // a non-key filter (no pruning possible) still answers correctly
+    spark.read.format(fmt).load(path).filter(col("x") === 126)
+      .head().getLong(0) shouldBe 42L
+    // and a missing key returns empty, not an error
+    spark.read.format(fmt).load(path).filter(col("k") === 1000).count() shouldBe 0
+  }
+
   test("count(*) over the source works (empty required-column scan)") {
     val path = Files.createTempDirectory("graft_cnt").toString + "/t"
     spark.range(0, 25).toDF("k")
