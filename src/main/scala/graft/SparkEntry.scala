@@ -620,6 +620,39 @@ object SparkEntry {
         .agg(sum(revC4.cast("long")).as("revenue_c4"), count(lit(1)).as("n_items"))
     }),
 
+    "q4_late_shipment_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape (correlated EXISTS) through the SQL-STRING
+      // surface: Catalyst decorrelates the subquery into a left-semi
+      // join on orderkey — there is no per-row subquery execution at
+      // any scale. (commitdate/receiptdate don't exist in this schema,
+      // so "late" = a lineitem shipped > 60 days after the order date.)
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM g_orders o
+        WHERE EXISTS (SELECT 1 FROM g_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    "q_nation_balance_full_outer" -> ((s, dir) => {
+      // FULL OUTER join surface: rich-customer vs rich-supplier counts
+      // per nation, either side absent for some nations (null-merged).
+      // Both sides pre-aggregate BEFORE the join, so the outer join is
+      // dimension-sized no matter the fact-table scale
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_cust"))
+      val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 4000)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select(col("nk").as("nationkey"),
+          coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+          coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+        .orderBy("nationkey")
+    }),
+
     "q_orders_semi_anti" -> ((s, dir) => {
       // semi/anti join coverage: orders with vs without any lineitem
       val o = Tables.orders(s, dir)
@@ -1458,6 +1491,25 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q4_late_shipment_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_nation_balance_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+                    FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+           s AS (SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+                 FROM supplier WHERE s_acctbal > 4000 GROUP BY 1)
+         SELECT coalesce(c.nk, s.nk) AS nationkey,
+                coalesce(n_rich_cust, 0) AS n_rich_cust,
+                coalesce(n_rich_supp, 0) AS n_rich_supp
+         FROM c FULL OUTER JOIN s ON c.nk = s.nk
+         ORDER BY nationkey""",
 
     "q_balance_deciles" ->
       """WITH c AS (

@@ -35,7 +35,7 @@ class GraftTableModelSpec extends AnyFunSuite with Matchers {
           .map(r => r.getAs[Long]("k") -> r.getAs[Int]("x")).toMap
 
       for (_ <- 1 to 12) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // upsert a random batch (distinct keys)
             val batch = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(30).toLong -> rnd.nextInt(1000)).toMap
             GraftTable.upsert(spark, path, batch.toSeq.toDF("k", "x"))
@@ -50,6 +50,9 @@ class GraftTableModelSpec extends AnyFunSuite with Matchers {
             val v = history.keys.toSeq(rnd.nextInt(history.size))
             GraftTable.restoreTo(path, v)
             model = history(v)
+          case 6 => // rebucket: content-preserving layout evolution;
+            // subsequent writes must follow the new head's count
+            GraftTable.rebucket(spark, path, 1 + rnd.nextInt(8))
         }
         val head = GraftTable.latestVersion(path)
         history += (head -> model)
