@@ -266,8 +266,13 @@ private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,
     val eqs = filters.collect { case EqualTo(a, v) if keys.contains(a) => a -> v }.toMap
     if (keys.nonEmpty && keys.forall(eqs.contains)) {
       val spark = sqlContext.sparkSession
-      val b = GraftTable.bucketFor(spark, path, version, eqs)
-      Some(GraftTable.readBuckets(spark, path, version, Set(b)))
+      // pin ONE version for both the bucket computation and the dir
+      // read: a commit (worst case a rebucket) landing between two
+      // separate latest-version resolutions could hash the key under
+      // one layout and read dirs of another — a silent wrong-bucket miss
+      val v = if (version >= 0) version else GraftTable.latestVersion(path)
+      val b = GraftTable.bucketFor(spark, path, v, eqs)
+      Some(GraftTable.readBuckets(spark, path, v, Set(b)))
     } else None
   }
 
