@@ -171,44 +171,65 @@ object TextAnalysis {
         s"transform(sequence(1, size(__tk) - ${n - 1}), " +
         s"i -> array_join(slice(__tk, i, $n), ' '))")).as("ngram"))
 
+  /** Per-(doc, ngram) occurrence counts — the shared first-level
+    * aggregate both passage-dedup reports reduce from. Keyed on
+    * (doc, ngram) so the map-side partial collapses each doc's
+    * repeated windows BEFORE the shuffle.
+    */
+  private def perDocNgram(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    ngramWindows(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+
   /** Corpus-duplicated passage report (the detection stage of
     * passage-level dedup à la "Deduplicating Training Data Makes
     * Language Models Better"): every n-token window that appears in at
     * least `minDocs` DISTINCT documents, with its document and
-    * occurrence counts. One explode (corpus × tokens rows) and one
-    * groupBy keyed on the ngram — the same shuffle family as the
-    * shingle pipelines, partial-aggregated map-side, no all-pairs
-    * anywhere. At 100 TB the ngram key space is huge and uniform, so
-    * the aggregate parallelizes cleanly; skew only appears for truly
-    * viral passages, which is exactly the output.
+    * occurrence counts. Two-level keyed aggregation — (doc, ngram)
+    * counts, then plain count/sum per ngram — NOT `count(distinct)`,
+    * which Catalyst plans through an Expand that doubles the exploded
+    * row stream. Same shuffle family as the shingle pipelines,
+    * partial-aggregated map-side, no all-pairs anywhere. At 100 TB the
+    * ngram key space is huge and uniform, so the aggregate
+    * parallelizes cleanly; skew concentrates only on truly viral
+    * passages, which is exactly the output.
     */
   def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocs: Int): DataFrame =
-    ngramWindows(docs, idCol, textCol, n)
+    perDocNgram(docs, idCol, textCol, n)
       .groupBy("ngram")
-      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document duplicated-passage coverage: what fraction of a doc's
     * n-token windows are corpus-duplicated ([[duplicatedNgrams]] hits).
     * The curation signal that separates "contains one quoted paragraph"
     * from "is 90 % boilerplate" — docs above a coverage cut get dropped
-    * or trimmed. The flagged set is an aggregate over the same windows,
-    * joined back ON the ngram key; both sides shrink before the join
-    * (windows → distinct flagged ngrams), nothing is broadcast-sized by
-    * assumption.
+    * or trimmed. Both the flagged set and the per-doc totals reduce
+    * from ONE persisted (doc, ngram) aggregate — the corpus is scanned
+    * once, and the flag join carries pre-collapsed counts, not raw
+    * windows; persist released after materialization.
     */
   def dupCoverage(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minDocs: Int): DataFrame = {
-    val windows = ngramWindows(docs, idCol, textCol, n)
-    val flagged = duplicatedNgrams(docs, idCol, textCol, n, minDocs)
+    val pdn = perDocNgram(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = pdn.groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
       .select(col("ngram"), lit(1).as("__dup"))
-    windows.join(flagged, Seq("ngram"), "left")
+    val out = pdn.join(flagged, Seq("ngram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__dup"), lit(0))).as("n_dup_windows"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         try_divide(col("n_dup_windows").cast("double"), col("n_windows").cast("double")))
+    // materialize the (small, per-doc) result through the cache, then
+    // release the window-level intermediate — the finalizePairs
+    // discipline the dedup pipelines use
+    val kept = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    pdn.unpersist(blocking = false)
+    kept
   }
 
   /** Rare-term keyword extraction: each doc's top-k tokens ranked by
