@@ -837,6 +837,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_contamination_report" -> ((s, dir) => {
+      // inverse decontamination view: per eval doc, how many training
+      // docs share an 8-gram — the benchmark owner's leak report
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .orderBy("eval_id")
+    }),
+
     "dedup_decontaminate_bloom" -> ((s, dir) => {
       // Bloom-compressed variant of the decontamination probe — the
       // broadcast is ~14 bits/shingle instead of the strings. Output is
@@ -1730,6 +1740,24 @@ object SparkEntry {
          SELECT source, CAST(FLOOR((cum - tk) / 2048) AS BIGINT) AS pack,
                 count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS sum_tokens
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "dedup_contamination_report" ->
+      """WITH train AS (SELECT * FROM documents WHERE source != 'src0'),
+              ev AS (SELECT * FROM documents WHERE source = 'src0'),
+              ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM train),
+              etoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM ev),
+              tsh AS (SELECT doc_id AS train_id,
+                        unnest(list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(t[i:i+7], ' '))) AS s
+                      FROM ttoks WHERE len(t) >= 8),
+              esh AS (SELECT DISTINCT doc_id AS eval_id,
+                        unnest(list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(t[i:i+7], ' '))) AS s
+                      FROM etoks WHERE len(t) >= 8),
+              hits AS (SELECT DISTINCT eval_id, train_id
+                       FROM tsh JOIN esh USING (s))
+         SELECT eval_id, count(*) AS n_train_docs
+         FROM hits GROUP BY 1 ORDER BY 1""",
 
     "pipeline_curate" ->
       """WITH quality AS (

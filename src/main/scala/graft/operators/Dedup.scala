@@ -233,6 +233,27 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** The INVERSE report of [[decontaminate]]: per EVAL document, how
+    * many training docs share at least one word-n-gram with it — the
+    * view a benchmark owner reads to see which of their items leaked
+    * into the corpus and how widely. Same inverted-index join keyed on
+    * the shingle, aggregated per (eval, train) pair first so one heavily
+    *-leaked shingle pair counts once; the training side still scans
+    * once and never shuffles on doc identity (the shingle join's
+    * broadcast side is the eval set, exactly as in the forward probe).
+    */
+  def contaminationReport(train: DataFrame, eval_ : DataFrame, idCol: String,
+                          textCol: String, n: Int = 8): DataFrame = {
+    val trainSh = train
+      .select(col(idCol).as("train_id"), explode(shingles(col(textCol), n)).as("s"))
+    val evalSh = eval_
+      .select(col(idCol).as("eval_id"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+    trainSh.join(broadcast(evalSh), Seq("s"))
+      .select("eval_id", "train_id").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_train_docs"))
+  }
+
   /** [[decontaminate]]'s scale variant: the eval shingle set compressed
     * into a Bloom filter instead of broadcast verbatim. The exact
     * variant ships every distinct eval shingle STRING to every executor
