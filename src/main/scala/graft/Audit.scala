@@ -31,10 +31,11 @@ object Audit {
         // map-side scalar compare, the same shape a scalar subquery
         // executes as; there is no key to hash-join on.
         // q_sample_temperature and q_balance_deciles broadcast the same
-        // one-row shape (corpus-wide normalizer / percentile boundaries).
+        // one-row shape (corpus-wide normalizer / percentile boundaries);
+        // q_events_funnel cross-joins three ONE-ROW stage aggregates.
         val expectedBnlj =
           Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature",
-            "q_balance_deciles")
+            "q_balance_deciles", "q_events_funnel")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

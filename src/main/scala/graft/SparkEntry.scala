@@ -491,6 +491,41 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    "q_events_sessions_native" -> ((s, dir) =>
+      // the NATIVE session operator (session_window) in batch — the
+      // same merging-state machinery streaming uses, oracle-checked.
+      // Boundary semantics differ from the lag/cumsum variant: a gap of
+      // EXACTLY 30 min starts a new session here (windows merge only on
+      // strict overlap), hence the >= in this query's own oracle
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+        .orderBy("user_id", "session_start_us")),
+
+    "q_events_funnel" -> ((s, dir) => {
+      // ordered 3-stage funnel (signup → first click AFTER signup →
+      // first purchase AFTER that click): three keyed aggregations on
+      // the SAME user_id shuffle key — the planner reuses one exchange;
+      // stage timestamps are exact integer micros
+      val ev = Tables.events(s, dir)
+      def us = unix_micros(col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(us).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(us > col("t_signup"))
+        .groupBy("user_id").agg(min(us).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(us > col("t_click"))
+        .groupBy("user_id").agg(min(us).as("t_purchase"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     "q_orders_enriched_skew" -> ((s, dir) => {
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
@@ -1570,6 +1605,34 @@ object SparkEntry {
          z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM y)
          SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
          FROM z GROUP BY user_id, sess ORDER BY user_id, session_start_us""",
+
+    "q_events_sessions_native" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us,
+                  lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+         z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM y)
+         SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+         FROM z GROUP BY user_id, sess ORDER BY user_id, session_start_us""",
+
+    "q_events_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(epoch_ns(ts) // 1000) AS t_signup
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t_click
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > s1.t_signup
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t_purchase
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s2.t_click
+           GROUP BY 1)
+         SELECT (SELECT count(*) FROM s1) AS n_signup,
+                (SELECT count(*) FROM s2) AS n_click_after,
+                (SELECT count(*) FROM s3) AS n_purchase_after""",
 
     "q_orders_enriched_skew" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
