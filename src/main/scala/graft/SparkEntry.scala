@@ -506,9 +506,10 @@ object SparkEntry {
 
     "q_events_funnel" -> ((s, dir) => {
       // ordered 3-stage funnel (signup → first click AFTER signup →
-      // first purchase AFTER that click): three keyed aggregations on
-      // the SAME user_id shuffle key — the planner reuses one exchange;
-      // stage timestamps are exact integer micros
+      // first purchase AFTER that click): every stage aggregates and
+      // joins on the same user_id key, so each step is one keyed
+      // shuffle of an already-filtered event slice — never a re-scan
+      // of unfiltered events; stage timestamps are exact integer micros
       val ev = Tables.events(s, dir)
       def us = unix_micros(col("ts"))
       val s1 = ev.filter(col("event_type") === "signup")
