@@ -28,6 +28,43 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     sql shouldBe df
   }
 
+  test("end-to-end reference flow: upsert into the lakehouse, search the TABLE") {
+    // demo.ipynb cells 8 → 11 in one piece: embeddings live in the COW
+    // table, an upsert changes one record, and vector search runs over
+    // the table surface (Scala API and the graft_table SQL TVF), seeing
+    // exactly the post-upsert state; time travel sees the pre-upsert one
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/t"
+    val base = Tables.embeddings(spark, sf0001).select("vec_id", "embedding", "label")
+    graft.sources.GraftTable.create(base, path, Seq("vec_id"))
+    val q = base.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    // vec 5 becomes an exact duplicate of vec 0's embedding
+    graft.sources.GraftTable.upsert(spark, path,
+      Seq((5L, q, 99)).toDF("vec_id", "embedding", "label"))
+
+    val snap = graft.sources.GraftTable.read(spark, path)
+    val got = graft.operators.VectorSearch.topK(snap, "embedding", "vec_id", q, 2, "cosine")
+      .select("vec_id").collect().map(_.getLong(0))
+    got.toSeq shouldBe Seq(0L, 5L) // both score 1.0; tie broken by id
+
+    // the same through SQL: graft_table TVF + registered kernel + top-k
+    val sqlGot = spark.sql(
+      s"""SELECT vec_id FROM graft_table('$path')
+          ORDER BY cosine_similarity(embedding,
+            (SELECT embedding FROM graft_table('$path') WHERE vec_id = 0)) DESC,
+            vec_id LIMIT 2""").collect().map(_.getLong(0))
+    sqlGot.toSeq shouldBe Seq(0L, 5L)
+
+    // time travel: the pre-upsert snapshot has no duplicate of vec 0
+    val old = graft.operators.VectorSearch.topK(
+        graft.sources.GraftTable.read(spark, path, 0), "embedding", "vec_id", q, 2, "cosine")
+      .select("vec_id", "score").collect()
+    old(0).getLong(0) shouldBe 0L
+    old(1).getDouble(1) should be < 0.9999
+  }
+
   test("graft_vector_search TVF round-trips the reference's one-call shape") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings_v")
