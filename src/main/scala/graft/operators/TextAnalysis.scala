@@ -223,11 +223,13 @@ object TextAnalysis {
         sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         try_divide(col("n_dup_windows").cast("double"), col("n_windows").cast("double")))
-    // materialize the (small, per-doc) result through the cache, then
-    // release the window-level intermediate — the finalizePairs
-    // discipline the dedup pipelines use
-    val kept = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.count()
+    // materialize the (small, per-doc) result and CUT its lineage from
+    // pdn, so the window-level intermediate can be released here rather
+    // than leaked for the session's lifetime. localCheckpoint (not a
+    // second persist): its blocks are reclaimed by the ContextCleaner
+    // when the returned frame is dropped — no unpersist contract to
+    // push onto callers.
+    val kept = out.localCheckpoint(true)
     pdn.unpersist(blocking = false)
     kept
   }

@@ -250,8 +250,15 @@ private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,
                                      version: Int)
     extends BaseRelation with PrunedFilteredScan {
 
+  /** Resolved ONCE per relation: every scan path (full snapshot AND
+    * point lookup) reads this same pinned version, so two scans of one
+    * DataFrame can never straddle a concurrent commit (read skew).
+    */
+  private lazy val resolvedVersion: Int =
+    if (version >= 0) version else GraftTable.latestVersion(path)
+
   private lazy val snapshot: DataFrame =
-    GraftTable.read(sqlContext.sparkSession, path, version)
+    GraftTable.read(sqlContext.sparkSession, path, resolvedVersion)
 
   override def schema: StructType = snapshot.schema
 
@@ -266,13 +273,13 @@ private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,
     val eqs = filters.collect { case EqualTo(a, v) if keys.contains(a) => a -> v }.toMap
     if (keys.nonEmpty && keys.forall(eqs.contains)) {
       val spark = sqlContext.sparkSession
-      // pin ONE version for both the bucket computation and the dir
-      // read: a commit (worst case a rebucket) landing between two
-      // separate latest-version resolutions could hash the key under
-      // one layout and read dirs of another — a silent wrong-bucket miss
-      val v = if (version >= 0) version else GraftTable.latestVersion(path)
-      val b = GraftTable.bucketFor(spark, path, v, eqs)
-      Some(GraftTable.readBuckets(spark, path, v, Set(b)))
+      // the relation-pinned version: the bucket computation, the dir
+      // read, AND the full-snapshot scan all use resolvedVersion, so a
+      // commit (worst case a rebucket) landing mid-query can neither
+      // hash the key under one layout and read dirs of another, nor
+      // serve different snapshots to different filter shapes
+      val b = GraftTable.bucketFor(spark, path, resolvedVersion, eqs)
+      Some(GraftTable.readBuckets(spark, path, resolvedVersion, Set(b)))
     } else None
   }
 

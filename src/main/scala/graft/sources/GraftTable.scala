@@ -676,8 +676,12 @@ object GraftTable {
     if (written.isEmpty && carryOver.isEmpty) {
       // empty snapshot (e.g. a delete removed every row): partitionBy
       // emits no dirs for zero rows, but the table must stay readable
-      // with its schema — write one empty, schema-bearing bucket file
-      df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=0")
+      // with its schema — write one empty, schema-bearing bucket file.
+      // Taken from `prepared` (minus the bucket column), not `df`: the
+      // sortWithin path's transient cluster-sort columns must not leak
+      // into the table schema through this fallback.
+      prepared.drop(BUCKET).limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=0")
       written = Map(0 -> s"$dataRel/$BUCKET=0")
     }
     val lines = s"#nbuckets=$nbuckets\n" + (carryOver ++ written).toSeq.sortBy(_._1)
