@@ -396,9 +396,36 @@ object GraftTable {
     read(spark, path, eligible.last._1)
   }
 
+  /** Manifest text for snapshot `v`, with the clear failure modes a
+    * lakehouse owes its users instead of a raw filesystem error:
+    *  - version committed but manifest reclaimed → "vacuumed", naming
+    *    the earliest still-readable version (the commit markers keep
+    *    full history for audit, so this case is precisely detectable);
+    *  - version never committed → "no committed version", naming the
+    *    latest. Every snapshot read, time travel, restore, and change
+    *    feed routes through here.
+    */
+  private def manifestText(path: String, v: Int): String = {
+    val p = manifestPath(path, v)
+    if (!MetaIO.exists(p)) {
+      val readable = MetaIO.list(new Path(path, "manifests")).map(_.getPath.getName)
+        .collect { case VersionFile(n) => n.toInt }
+      if (MetaIO.exists(commitMarker(path, v)))
+        throw new IllegalStateException(
+          s"version $v of $path was vacuumed" +
+            (if (readable.nonEmpty) s"; earliest readable version is ${readable.min}"
+             else "") +
+            " — snapshot reads, time travel, restore, and change feeds cannot cross the vacuum horizon")
+      else
+        throw new IllegalArgumentException(
+          s"no committed version $v at $path (latest is ${latestVersion(path)})")
+    }
+    MetaIO.readString(p)
+  }
+
   /** bucket → relative data dir for snapshot v (header lines skipped) */
   def manifest(path: String, v: Int): Map[Int, String] =
-    MetaIO.readString(manifestPath(path, v)).split("\n").toSeq
+    manifestText(path, v).split("\n").toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, d) = line.split("\t")
         b.toInt -> d
@@ -413,7 +440,7 @@ object GraftTable {
     * existed fall back to the `_keys` create-time count.
     */
   def manifestBuckets(path: String, v: Int): Option[Int] =
-    MetaIO.readString(manifestPath(path, v)).split("\n")
+    manifestText(path, v).split("\n")
       .collectFirst { case l if l.startsWith("#nbuckets=") =>
         l.stripPrefix("#nbuckets=").trim.toInt }
 

@@ -81,6 +81,31 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
       GraftTable.read(spark, path, version = 0).collect()
   }
 
+  test("reads, restores, and time travel past the vacuum horizon fail with a clear error") {
+    val path = Files.createTempDirectory("graft_vac_guard").toString + "/t"
+    GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
+    val afterV0 = System.currentTimeMillis()
+    for (i <- 2 to 4)
+      GraftTable.upsert(spark, path, Seq((i.toLong, i)).toDF("k", "x"))
+    GraftTable.vacuum(path, keepVersions = 2) // horizon passes versions 0 and 1
+
+    // snapshot read of a vacuumed version: a named vacuum error, not an
+    // FS read failure — and it says where readability resumes
+    val ex = intercept[IllegalStateException] { GraftTable.read(spark, path, 0) }
+    ex.getMessage should include("vacuumed")
+    ex.getMessage should include("earliest readable version is 2")
+    // restore and wall-clock time travel hit the same guard
+    intercept[IllegalStateException] { GraftTable.restoreTo(path, 1) }
+      .getMessage should include("vacuumed")
+    intercept[IllegalStateException] { GraftTable.readAsOf(spark, path, afterV0) }
+      .getMessage should include("vacuumed")
+    // a version that never existed is a different, equally clear error
+    intercept[IllegalArgumentException] { GraftTable.read(spark, path, 99) }
+      .getMessage should include("no committed version 99")
+    // the surviving window is untouched
+    GraftTable.read(spark, path, 3).count() shouldBe 4L
+  }
+
   test("vacuum grace-guards never-committed dirs (in-flight writers) but reclaims expired ones") {
     val path = Files.createTempDirectory("graft_vgrace").toString + "/t"
     GraftTable.create(Seq((1L, 1)).toDF("k", "x"), path, Seq("k"), nbuckets = 2)
