@@ -40,6 +40,13 @@ object Bench {
     // read as a huge speedup): failures land in a separate map and the
     // entry is dropped from the timings.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // every rep's wall time, kept in the artifact: this VM suffers
+    // random host-CPU-steal windows that can inflate BOTH reps of one
+    // query, so a lone min would read as a regression with no way to
+    // tell noise from real cost after the fact. With the per-rep
+    // spread recorded, a wide gap between reps flags noise from the
+    // JSON alone — no rerun archaeology.
+    val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def timed(name: String)(body: => Unit): Option[Double] = {
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
@@ -56,7 +63,7 @@ object Bench {
       }
       err match {
         case Some(msg) => failures(name) = msg; None
-        case None => Some(times.min)
+        case None => repTimes(name) = times; Some(times.min)
       }
     }
 
@@ -116,7 +123,10 @@ object Bench {
     val total = results.filterNot(_._1.matches("(ivf|ivfpq|lsh)_(build|probe)")).values.sum
     val fails = failures.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n]", " ") + "\"" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    val repsJson = repTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"failures":$fails,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
