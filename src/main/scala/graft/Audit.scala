@@ -8,7 +8,12 @@ object Audit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_AUDIT_ONLY=q1,q2 audits just those queries — the fast
+    // loop when iterating on one operator's plan
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
         df.queryExecution.toRdd.count() // executes THIS QueryExecution, finalizing its AQE plan

@@ -673,6 +673,69 @@ object SparkEntry {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers who were the ONLY flagged supplier
+      // on a multi-supplier order (no commitdate/receiptdate in this
+      // schema, so "kept waiting" = the returned flag). The classic
+      // form correlates TWO subqueries (EXISTS / NOT EXISTS) against
+      // the same fact; translating each into its own self-join would
+      // scan lineitem three times and shuffle it twice more. Instead
+      // the per-order supplier profile — how many distinct suppliers,
+      // how many of them flagged — is aggregated ONCE (two-level keyed
+      // agg, no count(distinct) Expand), and both correlations become
+      // scalar predicates on that profile:
+      //   EXISTS other-supplier      ⟺ n_supp ≥ 2
+      //   NOT EXISTS other flagged   ⟺ n_flagged_supp = 1 (itself)
+      // One extra scan, every join keyed on orderkey, dims broadcast.
+      val l = Tables.lineitem(s, dir)
+      val perOrder = l
+        .select(col("l_orderkey").as("po_key"), col("l_suppkey").as("po_supp"),
+          (col("l_returnflag") === "R").cast("int").as("po_flag"))
+        .groupBy("po_key", "po_supp").agg(max(col("po_flag")).as("supp_flagged"))
+        .groupBy("po_key").agg(count(lit(1)).as("n_supp"),
+          sum(col("supp_flagged")).as("n_flagged_supp"))
+      l.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("po_key"))
+        .filter(col("n_supp") >= 2 && col("n_flagged_supp") === 1)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape: profit decomposition by nation × year over a
+      // 6-way join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region ⋈
+      // orders). No partsupp in this schema, so cost = retail price ×
+      // quantity. Per-row profit is exact integer c4 (decimal(18,4)
+      // spread × 10000 → long) BEFORE the sum — no order-dependent
+      // double accumulation. All dimension sides broadcast (part is
+      // name-filtered first); the only shuffle is lineitem ⋈ orders.
+      val profitC4 = (
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1) - col("l_discount").cast("decimal(14,2)"))).cast("decimal(18,4)") -
+        (col("p_retailprice").cast("decimal(14,2)") *
+          col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,4)")
+      ) * lit(10000)
+      val nations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"), col("r_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nations), col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "nation", "r_name")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("bolt"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("r_name").as("region"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(sum(profitC4.cast("long")).as("profit_c4"), count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     "q_nation_balance_full_outer" -> ((s, dir) => {
       // FULL OUTER join surface: rich-customer vs rich-supplier counts
       // per nation, either side absent for some nations (null-merged).
@@ -1545,6 +1608,35 @@ object SparkEntry {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1, supplier, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+
+    "q9_product_profit" ->
+      """SELECT sn.n_name AS nation, r_name AS region,
+                strftime(o_orderdate, '%Y') AS o_year,
+                CAST(sum(CAST((CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(14,2))) AS DECIMAL(18,4))
+                             - CAST(CAST(p_retailprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2)) AS DECIMAL(18,4))) * 10000 AS BIGINT)) AS BIGINT) AS profit_c4,
+                count(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN region ON sn.n_regionkey = r_regionkey
+           JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2, 3 ORDER BY nation, o_year DESC""",
 
     "q_nation_balance_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
