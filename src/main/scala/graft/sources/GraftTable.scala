@@ -47,6 +47,15 @@ object GraftTable {
   private val BUCKET = "__bucket"
   private val VersionFile = "v(\\d+)".r
 
+  /** Commit-lock provider for stores without atomic create-if-absent
+    * (see [[GraftLockProvider]]). None (default) = native atomicity on
+    * file/hdfs, loud failure elsewhere. JVM-global because the commit
+    * lock must be: two writers in one driver using different providers
+    * for the same store would not serialize against each other.
+    */
+  @volatile private var lockProvider: Option[GraftLockProvider] = None
+  def setLockProvider(p: Option[GraftLockProvider]): Unit = { lockProvider = p }
+
   /** Metadata IO, routed through the Hadoop FileSystem of each path. */
   private[sources] object MetaIO {
     def conf: Configuration =
@@ -68,37 +77,54 @@ object GraftTable {
       try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
 
+    /** Schemes whose `create(p, overwrite=false)` is genuinely atomic
+      * (arbitrated by a metadata service, not check-then-act).
+      */
+    private val AtomicCreateSchemes = Set("hdfs", "viewfs")
+
     /** Atomic put-if-absent — THE commit-lock primitive (table create
       * lock and per-version manifest lock both sit on it). Returns
       * false when the file already exists, i.e. the race was lost.
       *
       * Storage-dependent atomicity, handled per scheme:
-      *  - HDFS (and most real cluster FS): `create(p, overwrite=false)`
-      *    is atomic at the NameNode — two racing creates, one wins.
       *  - Local `file:`: Hadoop's RawLocalFileSystem.create is
       *    check-then-act (exists() + open), NOT atomic under
       *    contention, so we go through the platform filesystem's
       *    O_CREAT|O_EXCL instead — the kernel arbitrates the race.
-      *  - S3: the vanilla s3a connector has no create-if-absent;
-      *    production deployments need a conditional-PUT or an external
-      *    lock provider (the same caveat Hudi documents for its
-      *    S3-backed lock providers). This one method is the
-      *    integration point for such a provider.
+      *  - HDFS/viewfs: `create(p, overwrite=false)` is atomic at the
+      *    NameNode — two racing creates, one wins.
+      *  - Everything else (s3a and friends): NO native create-if-absent
+      *    exists, so commits require a configured [[GraftLockProvider]]
+      *    (conditional PUT, external lock service — the same providers
+      *    Hudi ships for S3). Without one the write FAILS LOUDLY here
+      *    rather than letting two racing writers both "win" a
+      *    check-then-act emulation.
       */
     def putIfAbsent(p: Path, s: String): Boolean = {
       val filesystem = fs(p)
-      if (filesystem.getScheme == "file") {
-        import java.nio.file.{Files, Paths, FileAlreadyExistsException, StandardOpenOption}
-        val local = Paths.get(p.toUri.getPath)
-        Files.createDirectories(local.getParent)
-        try { Files.writeString(local, s, StandardOpenOption.CREATE_NEW); true }
-        catch { case _: FileAlreadyExistsException => false }
-      } else {
-        try {
-          val out = filesystem.create(p, false)
-          try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-          true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      val scheme = Option(filesystem.getScheme).getOrElse("").toLowerCase
+      GraftTable.lockProvider match {
+        case Some(lp) if lp.handles(scheme) =>
+          lp.putIfAbsent(p, s, exists, writeString)
+        case _ if scheme == "file" =>
+          import java.nio.file.{Files, Paths, FileAlreadyExistsException, StandardOpenOption}
+          val local = Paths.get(p.toUri.getPath)
+          Files.createDirectories(local.getParent)
+          try { Files.writeString(local, s, StandardOpenOption.CREATE_NEW); true }
+          catch { case _: FileAlreadyExistsException => false }
+        case _ if AtomicCreateSchemes(scheme) =>
+          try {
+            val out = filesystem.create(p, false)
+            try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+            true
+          } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"scheme '$scheme' has no atomic create-if-absent, so optimistic commits " +
+              "would be silently unsafe (two racing writers could both win a " +
+              "check-then-act emulation). Configure GraftTable.setLockProvider with a " +
+              "provider for this store — e.g. a conditional-PUT or external-lock " +
+              "implementation of GraftLockProvider — before writing.")
       }
     }
 
