@@ -284,7 +284,15 @@ private[sources] class GraftRelation(val sqlContext: SQLContext, path: String,
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = pointLookup(filters).getOrElse(snapshot)
+    // scan choice, most- to least-pruned: full-key point lookup (one
+    // bucket's files) → manifest-stats file skipping (files whose
+    // min/max may satisfy the filters) → full snapshot. Skipped files
+    // are decided from the manifest alone — no footer reads; the
+    // filters are re-applied on top either way.
+    val base = pointLookup(filters)
+      .orElse(GraftTable.readStatsPruned(sqlContext.sparkSession, path,
+        resolvedVersion, filters.toIndexedSeq))
+      .getOrElse(snapshot)
     val filtered = filters.flatMap(translate).foldLeft(base)(_.filter(_))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select(col(snapshot.columns.head))

@@ -155,6 +155,257 @@ object GraftTable {
     }
   }
 
+  // ---- manifest-carried metadata: snapshot schema + file-level stats ----
+  //
+  // Besides bucket→dir lines and the #nbuckets header, a manifest
+  // written by this version carries:
+  //   #schema=<url-encoded DDL>      the snapshot's full schema
+  //   #file=<relFile>\t<rowCount>    one per data file
+  //   #stat=<relFile>\t<col>\t<min>\t<max>\t<nullCount>
+  // min/max are type-serialized (numerics as decimal strings, strings/
+  // dates as URL-encoded text, timestamps as epoch micros; "-" =
+  // unknown). All three are "#"-prefixed, so readers of the old format
+  // skip them untouched; carried-over dirs keep their stat lines by
+  // copy from the previous manifest (their files are immutable).
+  //
+  // Why this matters at 100 TB: without table-level stats, a non-key
+  // filter prunes only via parquet row-group footers — one GET per
+  // file before anything can be skipped. With min/max in the manifest
+  // (the Delta/Hudi/Iceberg design), file skipping is decided from ONE
+  // small read, and the recorded schema lets every snapshot read skip
+  // the mergeSchema footer-listing pass at planning time as well.
+
+  /** Per-file, per-column min/max/nullCount as serialized strings. */
+  final case class ColStat(min: Option[String], max: Option[String], nullCount: Long)
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Column types stats are collected/compared for. Left out: binary,
+    * arrays/structs/maps (no total order), intervals.
+    */
+  private def statKind(dt: types.DataType): Option[String] = dt match {
+    case types.ByteType | types.ShortType | types.IntegerType | types.LongType |
+         types.FloatType | types.DoubleType => Some("num")
+    case _: types.DecimalType => Some("num")
+    case types.StringType => Some("str")
+    case types.DateType => Some("date")
+    case types.TimestampType => Some("ts")
+    case _ => None
+  }
+
+  /** Stats are bounded to the first 32 eligible columns (the Delta
+    * default) — wide tables should put their filter columns first.
+    */
+  private def statFields(schema: types.StructType): Seq[types.StructField] =
+    schema.fields.filter(f => statKind(f.dataType).isDefined).take(32).toSeq
+
+  /** One aggregate scan over the freshly written dirs → #file/#stat
+    * lines. Runs BEFORE the manifest commit (same ordering as the data
+    * itself); files just written are page-cache-warm, and the job is
+    * O(written buckets), not O(table). Stats failures must never fail
+    * a commit — they are an optimization, and a manifest without them
+    * simply doesn't prune.
+    */
+  private def collectStatLines(spark: SparkSession, tableRoot: String,
+                               writtenRelDirs: Seq[String]): Seq[String] = {
+    if (writtenRelDirs.isEmpty) return Nil
+    val src = spark.read.parquet(writtenRelDirs.map(d => s"$tableRoot/$d"): _*)
+    val fields = statFields(src.schema)
+    val aggs = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val (mn, mx) = f.dataType match {
+        case types.TimestampType => (unix_micros(min(c)), unix_micros(max(c)))
+        case _ => (min(c), max(c))
+      }
+      Seq(mn.cast("string").as(s"__mn$i"), mx.cast("string").as(s"__mx$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nl$i"))
+    }
+    src.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect().toSeq.flatMap { r =>
+        val uri = r.getString(0)
+        // rel path = from the (unique-token) attempt dir onward
+        val idx = writtenRelDirs.iterator.map(d => uri.indexOf(d + "/"))
+          .find(_ >= 0)
+        idx match {
+          case None => Nil
+          case Some(at) =>
+            val rel = uri.substring(at)
+            val fileLine = s"#file=$rel\t${r.getLong(1)}"
+            val statLines = fields.zipWithIndex.map { case (f, i) =>
+              val mn = Option(r.getString(2 + 3 * i)).map(enc).getOrElse("-")
+              val mx = Option(r.getString(3 + 3 * i)).map(enc).getOrElse("-")
+              s"#stat=$rel\t${enc(f.name)}\t$mn\t$mx\t${r.getLong(4 + 3 * i)}"
+            }
+            fileLine +: statLines
+        }
+      }
+  }
+
+  /** The snapshot schema recorded in manifest `v` (all-nullable — files
+    * written before an additive evolution read the newer columns as
+    * null). None for manifests written before schemas were recorded.
+    */
+  def snapshotSchema(path: String, v: Int): Option[types.StructType] =
+    manifestText(path, v).split("\n")
+      .collectFirst { case l if l.startsWith("#schema=") =>
+        types.StructType(types.StructType.fromDDL(dec(l.stripPrefix("#schema=")))
+          .fields.map(_.copy(nullable = true)))
+      }
+
+  /** relFile → recorded stats for snapshot `v` (empty for legacy
+    * manifests).
+    */
+  def manifestFileStats(path: String, v: Int): Map[String, FileStat] = {
+    val lines = manifestText(path, v).split("\n")
+    val rows = lines.collect { case l if l.startsWith("#file=") =>
+      val p = l.stripPrefix("#file=").split("\t")
+      p(0) -> p(1).toLong
+    }.toMap
+    val stats = lines.collect { case l if l.startsWith("#stat=") =>
+      val p = l.stripPrefix("#stat=").split("\t")
+      (p(0), dec(p(1)),
+        ColStat(Some(p(2)).filter(_ != "-").map(dec), Some(p(3)).filter(_ != "-").map(dec),
+          p(4).toLong))
+    }.groupBy(_._1)
+    rows.map { case (f, n) =>
+      f -> FileStat(n, stats.getOrElse(f, Array.empty).map(s => s._2 -> s._3).toMap)
+    }
+  }
+
+  /** Conservative may-match test of one DSv1 filter against one file's
+    * recorded stats: true = the file could hold matching rows (or the
+    * stats cannot prove otherwise), false = provably no row matches and
+    * the file can be skipped without opening it.
+    */
+  private def mayMatch(st: FileStat, kinds: Map[String, String],
+                       f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def isAscii(s: String) = s.forall(_ < 128)
+    // compare a recorded bound with a filter value; None = not provable
+    // (unknown bound, type mismatch, NaN, non-ASCII string ordering —
+    // Java UTF-16 order diverges from Spark's UTF-8 binary order there)
+    def cmp(kind: String, bound: String, v: Any): Option[Int] = kind match {
+      case "num" =>
+        val b = scala.util.Try(BigDecimal(bound)).toOption
+        val value = v match {
+          case d: java.lang.Double if d.isNaN => None
+          case fl: java.lang.Float if fl.isNaN => None
+          case n: java.math.BigDecimal => Some(BigDecimal(n))
+          case n: BigDecimal => Some(n)
+          case n: java.lang.Number => scala.util.Try(BigDecimal(n.toString)).toOption
+          case _ => None
+        }
+        for (bb <- b; vv <- value) yield bb.compare(vv)
+      case "str" => v match {
+        case s: String if isAscii(bound) && isAscii(s) =>
+          Some(Integer.signum(bound.compareTo(s)))
+        case _ => None
+      }
+      case "date" =>
+        (v match {
+          case d: java.sql.Date => Some(d.toString)
+          case d: java.time.LocalDate => Some(d.toString)
+          case _ => None
+        }).map(s => Integer.signum(bound.compareTo(s)))
+      case "ts" =>
+        val micros = v match {
+          case t: java.sql.Timestamp =>
+            Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000)
+          case i: java.time.Instant =>
+            Some(i.getEpochSecond * 1000000L + i.getNano.toLong / 1000)
+          case _ => None
+        }
+        for (b <- scala.util.Try(bound.toLong).toOption; m <- micros)
+          yield java.lang.Long.compare(b, m)
+      case _ => None
+    }
+    def stat(a: String) = st.cols.get(a)
+    def cmpMin(a: String, v: Any): Option[Int] =
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.min; c <- cmp(k, m, v)) yield c
+    def cmpMax(a: String, v: Any): Option[Int] =
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.max; c <- cmp(k, m, v)) yield c
+    if (st.rows == 0L) return false // an empty file matches nothing
+    f match {
+      case EqualTo(a, v) =>
+        !(cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0) ||
+          stat(a).exists(_.nullCount == st.rows))
+      case EqualNullSafe(a, v) =>
+        if (v == null) stat(a).forall(_.nullCount > 0)
+        else mayMatch(st, kinds, EqualTo(a, v))
+      case GreaterThan(a, v)        => !cmpMax(a, v).exists(_ <= 0)
+      case GreaterThanOrEqual(a, v) => !cmpMax(a, v).exists(_ < 0)
+      case LessThan(a, v)           => !cmpMin(a, v).exists(_ >= 0)
+      case LessThanOrEqual(a, v)    => !cmpMin(a, v).exists(_ > 0)
+      case In(a, vs) => vs.exists(v => mayMatch(st, kinds, EqualTo(a, v)))
+      case IsNull(a)    => stat(a).forall(_.nullCount > 0)
+      case IsNotNull(a) => stat(a).forall(_.nullCount < st.rows)
+      case And(l, r) => mayMatch(st, kinds, l) && mayMatch(st, kinds, r)
+      case Or(l, r)  => mayMatch(st, kinds, l) || mayMatch(st, kinds, r)
+      case StringStartsWith(a, p) if p.nonEmpty && isAscii(p) =>
+        // matching rows live in [p, p·last+1): max < p or min ≥ upper ⇒ skip
+        val upper = p.init + (p.last + 1).toChar
+        !(cmpMax(a, p).exists(_ < 0) || cmpMin(a, upper).exists(_ >= 0))
+      case _ => true // Not(…) and anything unknown: keep
+    }
+  }
+
+  /** Stats-based file pruning for snapshot `v` under `filters`:
+    * Some((inputPaths, keptFiles, totalStatFiles)) when the manifest
+    * carries stats — inputPaths include stat-less carried dirs
+    * wholesale (conservative) — or None for legacy manifests and empty
+    * filter sets. A filter only prunes when EVERY file of a dir is
+    * covered by stats or provably skippable.
+    */
+  def prunedDataPaths(path: String, v: Int,
+                      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[String], Int, Int)] = {
+    if (filters.isEmpty) return None
+    val stats = manifestFileStats(path, v)
+    if (stats.isEmpty) return None
+    val schema = snapshotSchema(path, v) match {
+      case Some(sc) => sc
+      case None => return None
+    }
+    val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
+    val dirPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keptFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0
+    manifest(path, v).values.toSeq.sorted.foreach { d =>
+      val files = stats.keys.filter(_.startsWith(d + "/")).toSeq.sorted
+      if (files.isEmpty) dirPaths += s"$path/$d" // stat-less dir: read whole
+      else files.foreach { rel =>
+        total += 1
+        if (filters.forall(fl => mayMatch(stats(rel), kinds, fl)))
+          keptFiles += s"$path/$rel"
+      }
+    }
+    Some((dirPaths.toSeq ++ keptFiles.toSeq, keptFiles.size, total))
+  }
+
+  /** Snapshot read restricted to the files whose stats may satisfy
+    * `filters` — Some only when at least one file is actually skipped
+    * (otherwise the caller's plain snapshot scan is identical). The
+    * scan carries the recorded snapshot schema, so planning lists
+    * nothing beyond the manifest read itself. Filters are NOT applied
+    * here — callers re-apply them (skipping is conservative, kept files
+    * still hold non-matching rows).
+    */
+  def readStatsPruned(spark: SparkSession, path: String, version: Int,
+                      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[DataFrame] = {
+    val v = if (version >= 0) version else latestVersion(path)
+    prunedDataPaths(path, v, filters).flatMap { case (paths, kept, total) =>
+      if (kept == total) None
+      else snapshotSchema(path, v).map { sc =>
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        else spark.read.schema(sc).parquet(paths: _*)
+      }
+    }
+  }
+
   private def commitsDir(path: String) = new Path(path, "_commits")
   private def commitMarker(path: String, v: Int) = new Path(commitsDir(path), s"v$v")
   private def keysPath(path: String) = new Path(path, "_keys")
@@ -359,15 +610,21 @@ object GraftTable {
     (a2, b2)
   }
 
-  /** Snapshot read; `version` for time travel. mergeSchema unions the
-    * per-dir schemas, so rows written before an additive evolution read
-    * the new columns as null.
+  /** Snapshot read; `version` for time travel. When the manifest
+    * records the snapshot schema (all manifests written since stats
+    * landed), the scan is planned with it directly — NO mergeSchema
+    * footer-listing pass, and rows written before an additive evolution
+    * read the newer columns as null (the reader pads missing columns).
+    * Legacy manifests fall back to mergeSchema inference.
     */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
     val dirs = manifest(path, v).values.map(d => s"$path/$d").toSeq
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    snapshotSchema(path, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
   }
 
   /** The table's record-key columns (create-time order). */
@@ -403,14 +660,24 @@ object GraftTable {
                   buckets: Set[Int]): DataFrame = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val full = read(spark, path, v)
     val dirs = manifest(path, v).filter { case (b, _) => buckets(b) }
       .values.map(d => s"$path/$d").toSeq
-    if (dirs.isEmpty) return full.limit(0)
-    val sub = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-    val padded = full.schema.fields.filterNot(f => sub.columns.contains(f.name))
-      .foldLeft(sub)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-    padded.select(full.columns.map(col).toIndexedSeq: _*)
+    snapshotSchema(path, v) match {
+      case Some(sc) =>
+        // manifest-recorded schema: the point lookup plans WITHOUT
+        // listing/footer-reading the rest of the table's files — the
+        // reader itself pads columns missing from old bucket files
+        if (dirs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        else spark.read.schema(sc).parquet(dirs: _*)
+      case None => // legacy manifest: one full-relation pass for the schema
+        val full = read(spark, path, v)
+        if (dirs.isEmpty) return full.limit(0)
+        val sub = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val padded = full.schema.fields.filterNot(f => sub.columns.contains(f.name))
+          .foldLeft(sub)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        padded.select(full.columns.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Time travel by wall clock: the snapshot committed at or before
@@ -493,8 +760,16 @@ object GraftTable {
     * time-range query reading one row group per file and reading the
     * whole table; the stats pass is one extra lightweight agg scan.
     */
+  /** `targetFilesPerBucket` (clustered path only): split each bucket
+    * into ~that many files, each covering a narrow z-range — the layout
+    * manifest file-stats skip on. 1 (default) keeps one file per bucket
+    * (row-group pruning inside the file still applies); at 100 TB pick
+    * it so files land near the FS block size.
+    */
   def compact(spark: SparkSession, path: String,
-              clusterBy: Option[(String, String)] = None): Unit = {
+              clusterBy: Option[(String, String)] = None,
+              targetFilesPerBucket: Int = 1): Unit = {
+    require(targetFilesPerBucket >= 1, "need at least one file per bucket")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, defaultBuckets, _) = meta(path)
@@ -511,7 +786,8 @@ object GraftTable {
               path, keys, nbuckets, v + 1, carryOver = Map.empty)
           case Some(z) =>
             writeVersion(snap.withColumn("__zc", z), path, keys, nbuckets,
-              v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"))
+              v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"),
+              rangeSplit = targetFilesPerBucket)
         }
     }
   }
@@ -623,12 +899,15 @@ object GraftTable {
     require(v >= 0, s"no table at $path")
     require(version >= 0 && version <= v, s"version $version out of range [0, $v]")
     if (version == v) return
-    // carry the restored snapshot's bucket count: its dirs ARE that
-    // layout, so writers on top of the restore must bucket by it
+    // the new head's manifest is a FULL copy of the restored version's —
+    // bucket lines, schema, and file stats all still describe those
+    // (immutable) files. Legacy manifests without a #nbuckets header get
+    // one prepended so writers on top of the restore bucket correctly.
+    val restored = manifestText(path, version)
     val (_, defaultBuckets, _) = meta(path)
-    val header = s"#nbuckets=${bucketsAt(path, version, defaultBuckets)}\n"
-    val lines = header + (manifest(path, version).toSeq.sortBy(_._1))
-      .map { case (b, d) => s"$b\t$d" }.mkString("\n")
+    val lines =
+      if (restored.split("\n").exists(_.startsWith("#nbuckets="))) restored
+      else s"#nbuckets=${bucketsAt(path, version, defaultBuckets)}\n" + restored
     if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v${v + 1} first at $path; re-read and retry the restore")
@@ -705,7 +984,7 @@ object GraftTable {
     */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String],
-                           sortWithin: Seq[String] = Nil): Unit = {
+                           sortWithin: Seq[String] = Nil, rangeSplit: Int = 1): Unit = {
     // unique per-attempt dir: racing writers must not share a data path
     val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val bucketed = df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
@@ -714,12 +993,24 @@ object GraftTable {
     // which satisfies the writer's required partition-column ordering,
     // so NO re-sort happens inside the write and the cluster order
     // reaches the parquet file; the transient columns are projected
-    // away (projection preserves per-partition row order)
+    // away (projection preserves per-partition row order).
+    // rangeSplit > 1: RANGE-partition on (bucket, sortCols) into
+    // ~rangeSplit output partitions per bucket, so each bucket dir gets
+    // several files each covering a NARROW slice of the cluster order —
+    // the layout the manifest's file-level min/max stats skip on. (A
+    // range spanning a bucket boundary just writes one file into each
+    // of its two dirs; partitionBy still routes rows correctly.)
     val prepared =
       if (sortWithin.isEmpty) bucketed
-      else bucketed.repartition(nbuckets, col(BUCKET))
-        .sortWithinPartitions((BUCKET +: sortWithin).map(col): _*)
-        .drop(sortWithin: _*)
+      else {
+        val parted =
+          if (rangeSplit > 1)
+            bucketed.repartitionByRange(nbuckets * rangeSplit,
+              (BUCKET +: sortWithin).map(col): _*)
+          else bucketed.repartition(nbuckets, col(BUCKET))
+        parted.sortWithinPartitions((BUCKET +: sortWithin).map(col): _*)
+          .drop(sortWithin: _*)
+      }
     prepared.write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
     // manifest = freshly written bucket dirs + carried-over references
@@ -737,8 +1028,47 @@ object GraftTable {
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=0")
       written = Map(0 -> s"$dataRel/$BUCKET=0")
     }
-    val lines = s"#nbuckets=$nbuckets\n" + (carryOver ++ written).toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }.mkString("\n")
+    val spark = df.sparkSession
+    // snapshot schema = previous column order, new columns appended
+    // (additive evolution); recorded in the manifest so readers skip
+    // the mergeSchema footer-listing pass and point lookups/pruned
+    // scans can pad without a full-table relation. A legacy previous
+    // manifest (no #schema) pays ONE footer pass here to upgrade.
+    val newSchema = types.StructType(prepared.schema.fields.filterNot(_.name == BUCKET))
+    val prevLines: Seq[String] =
+      if (carryOver.isEmpty) Nil
+      else scala.util.Try(manifestText(path, v - 1).split("\n").toSeq).getOrElse(Nil)
+    val prevSchema: Option[types.StructType] =
+      if (carryOver.isEmpty) None
+      else prevLines.collectFirst { case l if l.startsWith("#schema=") =>
+          types.StructType.fromDDL(dec(l.stripPrefix("#schema="))) }
+        .orElse(scala.util.Try(read(spark, path, v - 1).schema).toOption)
+    val snapshotSc = prevSchema match {
+      case Some(ps) =>
+        types.StructType(ps.fields ++
+          newSchema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      case None => newSchema
+    }
+    // stats: carried dirs keep their lines by copy (immutable files);
+    // fresh dirs get one bounded aggregate scan. Never fail the commit
+    // over stats — a manifest without them simply doesn't prune.
+    val carriedDirs = carryOver.values.toSet
+    val carriedStats = prevLines.filter { l =>
+      (l.startsWith("#file=") || l.startsWith("#stat=")) && {
+        val rel = l.substring(l.indexOf('=') + 1).split("\t")(0)
+        carriedDirs.exists(d => rel.startsWith(d + "/"))
+      }
+    }
+    val freshStats =
+      try collectStatLines(spark, path, written.values.toSeq)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] stats collection failed for $path v$v: $e"); Nil
+      }
+    val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
+      carriedStats ++ freshStats ++
+      (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+      .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins
     if (!MetaIO.putIfAbsent(manifestPath(path, v), lines))
       throw new java.util.ConcurrentModificationException(

@@ -1,0 +1,155 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** File-level min/max stats in the manifest: recorded at write,
+  * carried over with untouched dirs, and used to skip files BEFORE any
+  * parquet footer is opened — composing with z-order clustered
+  * compaction, which is what creates the per-file value locality the
+  * stats exploit.
+  */
+class StatsSkippingSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(n: Int = 4096, nbuckets: Int = 4): String = {
+    val path = Files.createTempDirectory("graft_stats").toString + "/t"
+    val df = spark.range(0, n).toDF("k")
+      .withColumn("x", col("k") % 64)
+      .withColumn("y", (col("k") * 7) % 64)
+      .withColumn("s", concat(lit("row-"), format_string("%05d", col("k"))))
+    GraftTable.create(df, path, Seq("k"), nbuckets)
+    path
+  }
+
+  test("manifests record snapshot schema and per-file min/max stats") {
+    val path = freshTable()
+    val stats = GraftTable.manifestFileStats(path, 0)
+    stats should not be empty
+    stats.values.map(_.rows).sum shouldBe 4096L
+    // every file carries stats for all four eligible columns
+    stats.values.foreach { fs =>
+      fs.cols.keySet shouldBe Set("k", "x", "y", "s")
+      fs.cols("x").min should not be empty
+      fs.cols("x").nullCount shouldBe 0L
+    }
+    val sc = GraftTable.snapshotSchema(path, 0)
+    sc.map(_.fieldNames.toSeq) shouldBe Some(Seq("k", "x", "y", "s"))
+  }
+
+  test("z-order clustered compaction with file splits -> range predicates skip files") {
+    val path = freshTable()
+    // hash-bucketed files each span the whole x/y domain: nothing skips
+    val before = GraftTable.prunedDataPaths(path, 0, Seq(LessThan("x", 8)))
+    before.map { case (_, kept, total) => kept shouldBe total }
+    // z-order on (x, y), several files per bucket → each file covers a
+    // narrow z-slice, so a range predicate on EITHER dimension skips
+    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 8)
+    val v = GraftTable.latestVersion(path)
+    val Some((_, keptX, totalX)) = GraftTable.prunedDataPaths(path, v, Seq(LessThan("x", 8)))
+    totalX should be >= 16
+    keptX should be < totalX
+    val Some((_, keptY, totalY)) = GraftTable.prunedDataPaths(path, v, Seq(GreaterThan("y", 55)))
+    keptY should be < totalY
+    // and the pruned read returns EXACTLY the full-scan answer
+    val pruned = GraftTable.readStatsPruned(spark, path, v, Seq(LessThan("x", 8)))
+    pruned should not be empty
+    pruned.get.filter(col("x") < 8).agg(count(lit(1)), sum("k")).collect() shouldBe
+      GraftTable.read(spark, path, v).filter(col("x") < 8)
+        .agg(count(lit(1)), sum("k")).collect()
+  }
+
+  test("format(\"graft\") reads through the stats-pruned scan stay correct") {
+    val path = freshTable()
+    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 8)
+    val viaSource = spark.read.format("graft").load(path)
+      .filter(col("x") < 8 && col("y") >= 0).select("k", "x", "s")
+    val expected = GraftTable.read(spark, path).filter(col("x") < 8).select("k", "x", "s")
+    viaSource.orderBy("k").collect() shouldBe expected.orderBy("k").collect()
+    // string-prefix filters prune too (ASCII range [p, p+1))
+    val prefix = spark.read.format("graft").load(path)
+      .filter(col("s").startsWith("row-0001")).count()
+    prefix shouldBe 10L // row-00010..row-00019
+  }
+
+  test("stats survive carry-over: an upsert copies untouched dirs' lines") {
+    val path = freshTable(n = 1024)
+    GraftTable.upsert(spark, path, Seq((7L, 999L, 999L, "upd")).toDF("k", "x", "y", "s"))
+    val stats = GraftTable.manifestFileStats(path, 1)
+    // all rows still stat-covered: rewritten bucket fresh, others carried
+    stats.values.map(_.rows).sum shouldBe 1024L
+    val m0 = GraftTable.manifest(path, 0)
+    val m1 = GraftTable.manifest(path, 1)
+    val carried = m1.filter { case (b, d) => m0.get(b).contains(d) }.values
+    carried should not be empty
+    carried.foreach { d =>
+      stats.keys.exists(_.startsWith(d + "/")) shouldBe true
+    }
+  }
+
+  test("additive schema evolution composes with pruned reads (null padding)") {
+    val path = freshTable(n = 512)
+    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 4)
+    // new column arrives; old files lack it and must read as null
+    GraftTable.upsert(spark, path,
+      Seq((3L, 3L, 21L, "row-00003", "tagged")).toDF("k", "x", "y", "s", "tag"))
+    val v = GraftTable.latestVersion(path)
+    GraftTable.snapshotSchema(path, v).map(_.fieldNames.last) shouldBe Some("tag")
+    val out = spark.read.format("graft").load(path)
+      .filter(col("x") === 3).select("k", "tag").orderBy("k").collect()
+    out.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      (3L until 512L by 64L).map(k => (k, if (k == 3L) "tagged" else null)).toSeq
+  }
+
+  test("IsNull / IsNotNull prune on recorded null counts") {
+    val path = Files.createTempDirectory("graft_stats_null").toString + "/t"
+    val df = spark.range(0, 256).toDF("k")
+      .withColumn("v", when(col("k") < 128, col("k")).otherwise(lit(null).cast("long")))
+      .withColumn("z", col("k")) // z-cluster on (k, v) splits null/non-null files
+    GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    GraftTable.compact(spark, path, clusterBy = Some(("k", "z")), targetFilesPerBucket = 4)
+    val v = GraftTable.latestVersion(path)
+    val Some((_, keptNull, total)) = GraftTable.prunedDataPaths(path, v, Seq(IsNull("v")))
+    val Some((_, keptNotNull, _)) = GraftTable.prunedDataPaths(path, v, Seq(IsNotNull("v")))
+    keptNull should be < total
+    keptNotNull should be < total
+    spark.read.format("graft").load(path).filter(col("v").isNull).count() shouldBe 128L
+    spark.read.format("graft").load(path).filter(col("v").isNotNull).count() shouldBe 128L
+  }
+
+  test("legacy manifests (no stats/schema lines) still read, without pruning") {
+    val path = freshTable(n = 256, nbuckets = 2)
+    // strip the new header lines, simulating a manifest written before
+    // stats existed (the fallback the format upgrade must keep alive)
+    val mf = java.nio.file.Paths.get(path, "manifests", "v0")
+    val legacy = Files.readString(mf).split("\n")
+      .filterNot(l => l.startsWith("#schema=") || l.startsWith("#file=") || l.startsWith("#stat="))
+      .mkString("\n")
+    Files.writeString(mf, legacy)
+    GraftTable.snapshotSchema(path, 0) shouldBe None
+    GraftTable.prunedDataPaths(path, 0, Seq(LessThan("x", 8))) shouldBe None
+    GraftTable.read(spark, path).count() shouldBe 256L
+    spark.read.format("graft").load(path).filter(col("x") < 8).count() shouldBe
+      256L / 8
+    // the next write upgrades the table: schema + stats appear
+    GraftTable.upsert(spark, path, Seq((1L, 1L, 7L, "row-00001")).toDF("k", "x", "y", "s"))
+    GraftTable.snapshotSchema(path, 1) should not be None
+    GraftTable.manifestFileStats(path, 1) should not be empty
+  }
+
+  test("restore carries the restored version's schema and stats forward") {
+    val path = freshTable(n = 256, nbuckets = 2)
+    GraftTable.upsert(spark, path, Seq((1L, 999L, 1L, "u")).toDF("k", "x", "y", "s"))
+    GraftTable.restoreTo(path, 0)
+    val v = GraftTable.latestVersion(path)
+    v shouldBe 2
+    GraftTable.snapshotSchema(path, v) shouldBe GraftTable.snapshotSchema(path, 0)
+    GraftTable.manifestFileStats(path, v) shouldBe GraftTable.manifestFileStats(path, 0)
+    GraftTable.read(spark, path).filter(col("k") === 1).head().getLong(1) shouldBe 1L % 64
+  }
+}
