@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Embed, IvfIndex, LshIndex, Skew, TextAnalysis, Upsert, VectorSearch}
+import graft.sources.{GraftIndex, GraftTable}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.functions.vectors._
@@ -57,6 +58,18 @@ object SparkEntry {
   private def indexPath(tag: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
       s"_p${ProcessHandle.current.pid}"
+
+  /** recursively delete a LOCAL tmp dir — lakehouse exhibits rebuild
+    * their fixture each run so bench reps and re-runs start clean
+    */
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   // ---- queries ------------------------------------------------------------
 
@@ -1251,6 +1264,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
     }),
 
+    "graft_index_exhaustive" -> ((s, dir) => {
+      // The reference's serving model — hudi_vector_search(TABLE_PATH,…)
+      // answers from an index the lakehouse keeps IN SYNC with the table
+      // (demo.ipynb cell 11). GraftIndex is that: built from a
+      // GraftTable snapshot and version-pinned to it. Here the table
+      // takes an upsert that REPLACES vectors (negation) and a delete
+      // batch AFTER the index is built; refresh applies both by COW
+      // cell rewrite; and the exhaustive probe (nprobe = nlist ⇒ exact)
+      // must equal brute force over the post-mutation corpus — one
+      // oracle row pinning build → mutate → refresh → probe end-to-end.
+      val root = indexPath("gidx", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val emb = Tables.embeddings(s, dir)
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16)
+      val flipped = emb.filter(col("vec_id") % 97 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      GraftTable.upsert(s, tbl, flipped)
+      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
+      GraftIndex.refresh(s, tbl)
+      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
@@ -1384,6 +1422,25 @@ object SparkEntry {
     "vs_hybrid_ivf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
+
+    // table-attached index, mutated then refreshed: the oracle rebuilds
+    // the post-mutation corpus (negated vectors for %97==3, %101==7
+    // deleted) and brute-forces it — the exhaustive refresh-synced probe
+    // must match exactly
+    "graft_index_exhaustive" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings WHERE vec_id % 101 <> 7),
+         scored AS (
+           SELECT vec_id, label,
+                  list_cosine_similarity(e,
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM corpus)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
 
     "vs_sql_tvf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q

@@ -100,15 +100,23 @@ object IvfIndex {
     *   stream.writeStream.foreachBatch((b, _) => IvfIndex.append(model, b, "embedding"))
     * }}}
     */
-  def append(model: Model, batch: DataFrame, vecCol: String): Unit = {
-    val bc = batch.sparkSession.sparkContext.broadcast(model.centroids)
+  def append(model: Model, batch: DataFrame, vecCol: String): Unit =
+    batch.withColumn("cluster_id", cellUdf(batch.sparkSession, model)(col(vecCol)))
+      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
+
+  /** Nearest-existing-centroid assignment as a UDF (the same normalized
+    * space the build used) — shared by [[append]] and the table-attached
+    * index's refresh, which must recompute the cell an OLD row lives in
+    * to rewrite it.
+    */
+  private[graft] def cellUdf(spark: SparkSession,
+                             model: Model): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(model.centroids)
     val cosine = model.metric == "cosine"
-    val assign = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val arr = if (cosine) normalize(v.toArray) else v.toArray
       PqIndex.nearestIdx(bc.value, arr)
     }
-    batch.withColumn("cluster_id", assign(col(vecCol)))
-      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
   }
 
   /** Batched ANN k-NN join through the index: every query row gets its

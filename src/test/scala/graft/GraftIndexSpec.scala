@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.VectorSearch
+import graft.sources.{GraftIndex, GraftTable}
+import java.nio.file.Files
+
+/** The table-attached ANN index: built FROM a GraftTable snapshot,
+  * version-pinned to it, refreshed through the table's own change feed
+  * (upserts AND deletes, COW cell rewrite), and loudly stale when the
+  * table moves past it — the reference's hudi_vector_search(TABLE_PATH)
+  * serving model (demo.ipynb cell 11).
+  */
+class GraftIndexSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** deterministic pseudo-random unit-scale vectors */
+  private def vec(k: Long, dim: Int = 8): Seq[Float] =
+    (0 until dim).map(i => (((k * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+
+  private def freshTable(n: Int): String = {
+    val path = Files.createTempDirectory("graft_index").toString + "/t"
+    val df = (0L until n.toLong).map(k => (k, s"doc-$k", vec(k))).toDF("k", "s", "v")
+    GraftTable.create(df, path, Seq("k"), nbuckets = 4)
+    path
+  }
+
+  private def exactTopK(path: String, q: Seq[Float], k: Int): Seq[(Long, Double)] =
+    VectorSearch.topK(GraftTable.read(spark, path), "v", "k", q, k, "cosine")
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("create -> upsert + delete -> refresh -> exhaustive probe == exact top-k on the NEW snapshot") {
+    val path = freshTable(500)
+    GraftIndex.create(spark, path, "v", nlist = 8)
+    GraftIndex.meta(path).indexedVersion shouldBe 0
+    // 20 rows get entirely new vectors, 10 brand-new keys appear…
+    val updates = ((0L until 20L).map(k => (k, s"upd-$k", vec(k + 5000))) ++
+      (1000L until 1010L).map(k => (k, s"new-$k", vec(k)))).toDF("k", "s", "v")
+    GraftTable.upsert(spark, path, updates)
+    // …and 30 keys vanish
+    GraftTable.delete(spark, path, (30L until 60L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    GraftIndex.meta(path).indexedVersion shouldBe 2
+
+    val q = vec(7777L)
+    val got = GraftIndex.probe(spark, path, q, 12, nprobe = 8)
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got shouldBe exactTopK(path, q, 12)
+    // payload columns come straight off the index (full-row layout)
+    GraftIndex.probe(spark, path, q, 3, nprobe = 8).columns should contain("s")
+    // a second refresh is a no-op
+    GraftIndex.refresh(spark, path) shouldBe None
+  }
+
+  test("a probe against a stale index fails LOUDLY; allowStale serves the indexed snapshot") {
+    val path = freshTable(200)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    GraftTable.upsert(spark, path, Seq((0L, "u", vec(9999L))).toDF("k", "s", "v"))
+    val ex = intercept[IllegalStateException] {
+      GraftIndex.probe(spark, path, vec(1L), 5, nprobe = 4)
+    }
+    ex.getMessage should include("STALE")
+    ex.getMessage should include("refresh")
+    // allowStale explicitly serves the indexed (v0) snapshot
+    val stale = GraftIndex.probe(spark, path, vec(1L), 5, nprobe = 4, allowStale = true)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    stale shouldBe VectorSearch.topK(GraftTable.read(spark, path, 0), "v", "k",
+      vec(1L), 5, "cosine").select("k").collect().map(_.getLong(0)).toSeq
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    GraftIndex.probe(spark, path, vec(1L), 5, nprobe = 4).count() shouldBe 5
+  }
+
+  test("deleting every row of a cell drops its partition; probes stay exact") {
+    val path = Files.createTempDirectory("graft_index_cell").toString + "/t"
+    // two well-separated clusters around ±e1 — KMeans(k=2) splits them
+    val df = (0L until 200L).map { k =>
+      val base = Array.fill(8)(0f)
+      base(0) = if (k < 100) 1f else -1f
+      base(1) = ((k % 7).toFloat - 3f) / 100f
+      (k, base.toSeq)
+    }.toDF("k", "v")
+    GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    GraftIndex.create(spark, path, "v", nlist = 2)
+    new java.io.File(path + "/_index/vec/data").listFiles()
+      .count(_.getName.startsWith("cluster_id=")) shouldBe 2
+    // wipe the negative cluster entirely → its cell must disappear
+    GraftTable.delete(spark, path, (100L until 200L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    new java.io.File(path + "/_index/vec/data").listFiles()
+      .count(_.getName.startsWith("cluster_id=")) shouldBe 1
+    val q = { val b = Array.fill(8)(0f); b(0) = 1f; b.toSeq }
+    GraftIndex.probe(spark, path, q, 200, nprobe = 2)
+      .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
+  }
+
+  test("streaming ANN end-to-end: writeStream(graft) -> refresh -> probe reflects the stream") {
+    val tmp = Files.createTempDirectory("graft_index_stream").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    def runBatch(rows: Seq[(Long, Seq[Float])]): Unit = {
+      in.addData(rows: _*)
+      val q = in.toDF().toDF("k", "v")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("nbuckets", "2")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    // live lakehouse: the stream creates and grows the table…
+    runBatch((0L until 50L).map(k => (k, vec(k))))
+    // …the index attaches to it…
+    GraftIndex.create(spark, dst, "v", nlist = 4)
+    // …more events stream in, including an UPDATE of key 0…
+    runBatch((50L until 80L).map(k => (k, vec(k))))
+    runBatch(Seq((0L, vec(123456L))))
+    // …and one refresh catches the index up to everything streamed
+    GraftIndex.refresh(spark, dst) should not be None
+    GraftIndex.probe(spark, dst, vec(123456L), 1, nprobe = 4)
+      .select("k").head().getLong(0) shouldBe 0L // the streamed update is its own NN
+    val got = GraftIndex.probe(spark, dst, vec(7L), 10, nprobe = 4)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    got shouldBe VectorSearch.topK(GraftTable.read(spark, dst), "v", "k",
+      vec(7L), 10, "cosine").select("k").collect().map(_.getLong(0)).toSeq
+  }
+}
