@@ -101,6 +101,50 @@ object GraftFunctions {
     scored.orderBy(ord +: ties.toSeq: _*).limit(k).queryExecution.logical
   }
 
+  /** `graft_index_search(tablePath, queryVec, k[, nprobe[, name]])` —
+    * the reference's `hudi_vector_search('{TABLE_PATH}', …)` literally
+    * (demo.ipynb cell 11): SQL top-k served from the TABLE-ATTACHED
+    * index ([[graft.sources.GraftIndex]]), stale-checked at plan time —
+    * a query against an index the table has moved past fails loudly in
+    * SQL exactly like the Scala API. `queryVec` must FOLD to an array
+    * value (any numeric element type): the coarse cells are ranked
+    * driver-side to shape the partition-pruned plan, so the vector must
+    * exist before planning — a scalar subquery can't (collect it first;
+    * the full-scan `graft_vector_search` TVF takes subqueries).
+    * nprobe defaults to nlist (exhaustive = exact).
+    */
+  private def indexSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      s"graft_index_search(tablePath, queryVec, k[, nprobe[, name]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_index_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query: Seq[Float] = (args(1).dataType, lit(1, "queryVec")) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().toSeq
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.IntegerType => a.toIntArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toFloat).toSeq
+        case dt: org.apache.spark.sql.types.DecimalType => // array(0.1, …) literals
+          a.toObjectArray(dt).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_index_search: unsupported query element type $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_index_search: queryVec must be a foldable numeric array")
+    }
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val nprobe = if (args.length >= 4) lit(3, "nprobe").asInstanceOf[Number].intValue() else -1
+    val name = if (args.length == 5) lit(4, "name").toString else "vec"
+    val spark = SparkSession.active
+    val np = if (nprobe > 0) nprobe else graft.sources.GraftIndex.meta(path, name).nlist
+    graft.sources.GraftIndex.probe(spark, path, query, k, np, name)
+      .queryExecution.logical
+  }
+
   /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot
     * (latest, or a time-travel version). The lakehouse analog of the
     * reference reading its Hudi table into SQL.
@@ -143,7 +187,11 @@ object GraftFunctions {
     ("graft_table_changes",
       info("graft_table_changes",
         "graft_table_changes(path, fromVersion, toVersion) - change feed (adds/updates/deletes with _deleted flag) between two snapshots"),
-      changesPlan _))
+      changesPlan _),
+    ("graft_index_search",
+      info("graft_index_search",
+        "graft_index_search(tablePath, queryVec, k[, nprobe[, name]]) - top-k served from the table-attached ANN index (stale-checked)"),
+      indexSearchPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

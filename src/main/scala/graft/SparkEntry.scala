@@ -1289,6 +1289,30 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "vs_sql_index_tvf" -> ((s, dir) => {
+      // the reference's literal SQL serving path — hudi_vector_search
+      // from a TABLE-kept index (demo.ipynb cell 11) — as ONE SQL call:
+      // table → attached index → graft_index_search TVF, mutated first
+      // (upsert) so the refresh-synced freshness check is part of the
+      // exhibit; nprobe defaults to nlist ⇒ exact ⇒ brute-force oracle
+      val root = indexPath("gidxsql", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val emb = Tables.embeddings(s, dir)
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16)
+      val flipped = emb.filter(col("vec_id") % 97 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      GraftTable.upsert(s, tbl, flipped)
+      GraftIndex.refresh(s, tbl)
+      GraftFunctions.register(s)
+      val q = queryVec(s, dir, 0L)
+      s.sql(
+        s"""SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+            FROM graft_index_search('$tbl', array(${q.mkString(", ")}), 10)
+            ORDER BY score DESC, vec_id""")
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
@@ -1422,6 +1446,23 @@ object SparkEntry {
     "vs_hybrid_ivf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
+
+    // SQL TVF over the table-attached index after a vector-replacing
+    // upsert + refresh: exhaustive ⇒ brute force over the mutated corpus
+    "vs_sql_index_tvf" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings),
+         scored AS (
+           SELECT vec_id, label,
+                  list_cosine_similarity(e,
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM corpus)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
 
     // table-attached index, mutated then refreshed: the oracle rebuilds
     // the post-mutation corpus (negated vectors for %97==3, %101==7

@@ -142,6 +142,35 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     got shouldBe Seq((1L, 1, true), (2L, 22, false), (3L, 3, false))
   }
 
+  test("graft_index_search TVF serves from the table-attached index, stale-checked in SQL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_sql").toString + "/t"
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => (((k * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+    val df = (0L until 200L).map(k => (k, vec(k))).toDF("k", "v")
+    graft.sources.GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftIndex.create(spark, path, "v", nlist = 4)
+    val q = vec(42L)
+    val sqlArr = s"array(${q.mkString(", ")})"
+    // exhaustive default (nprobe omitted → nlist) == exact top-k
+    val got = spark.sql(
+      s"SELECT k FROM graft_index_search('$path', $sqlArr, 7) ORDER BY score DESC, k")
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe graft.operators.VectorSearch.topK(
+      graft.sources.GraftTable.read(spark, path), "v", "k", q, 7, "cosine")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    // the table moves on → the SQL call fails as loudly as the Scala API
+    graft.sources.GraftTable.upsert(spark, path, Seq((0L, vec(777L))).toDF("k", "v"))
+    val ex = intercept[IllegalStateException] {
+      spark.sql(s"SELECT k FROM graft_index_search('$path', $sqlArr, 7)")
+    }
+    ex.getMessage should include("STALE")
+    graft.sources.GraftIndex.refresh(spark, path)
+    spark.sql(s"SELECT k FROM graft_index_search('$path', $sqlArr, 7)").count() shouldBe 7
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
