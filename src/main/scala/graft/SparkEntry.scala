@@ -1289,6 +1289,29 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "graft_index_pq_exhaustive" -> ((s, dir) => {
+      // same table-attached lifecycle as graft_index_exhaustive but with
+      // the reference table's DECLARED index type (Lance IVF_PQ):
+      // refresh PQ-encodes additions with the existing codebooks; the
+      // exhaustive probe with a corpus-covering re-rank is exact
+      // regardless of code quality, so the encode-on-refresh machinery
+      // gets its own hard oracle row
+      val root = indexPath("gidxpq", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val emb = Tables.embeddings(s, dir)
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = "ivfpq", m = 8)
+      val flipped = emb.filter(col("vec_id") % 97 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      GraftTable.upsert(s, tbl, flipped)
+      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
+      GraftIndex.refresh(s, tbl)
+      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16,
+          rerankFactor = Int.MaxValue)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_sql_index_tvf" -> ((s, dir) => {
       // the reference's literal SQL serving path — hudi_vector_search
       // from a TABLE-kept index (demo.ipynb cell 11) — as ONE SQL call:
@@ -1446,6 +1469,24 @@ object SparkEntry {
     "vs_hybrid_ivf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
           FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
+
+    // PQ kind of the table-attached index, same mutated corpus: the
+    // exhaustive probe + corpus-covering re-rank is exact, so the same
+    // brute-force oracle pins the PQ encode-on-refresh path
+    "graft_index_pq_exhaustive" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings WHERE vec_id % 101 <> 7),
+         scored AS (
+           SELECT vec_id, label,
+                  list_cosine_similarity(e,
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM corpus)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
 
     // SQL TVF over the table-attached index after a vector-replacing
     // upsert + refresh: exhaustive ⇒ brute force over the mutated corpus

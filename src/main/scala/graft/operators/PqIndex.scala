@@ -179,7 +179,18 @@ object PqIndex {
     * Codebooks are not refit — recall holds while the distribution is
     * stable; periodic rebuild handles drift.
     */
-  def append(model: Model, batch: DataFrame, vecCol: String): Unit = {
+  def append(model: Model, batch: DataFrame, vecCol: String): Unit =
+    encodeBatch(model, batch, vecCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
+
+  /** `batch` + (`cluster_id`, `pq_code`) in the build's quantization
+    * space (normalize → rotate → coarse-assign → per-subspace encode) —
+    * the row shape of the layout. Shared by [[append]] and the
+    * table-attached index's refresh, which rewrites cells with a mix of
+    * kept and newly encoded rows.
+    */
+  private[graft] def encodeBatch(model: Model, batch: DataFrame,
+                                 vecCol: String): DataFrame = {
     val spark = batch.sparkSession
     val bcCoarse = spark.sparkContext.broadcast(model.coarse)
     val bcBooks = spark.sparkContext.broadcast(model.codebooks)
@@ -208,7 +219,21 @@ object PqIndex {
       .withColumn("cluster_id", assign(col("_v")))
       .withColumn("pq_code", encode(col("_v")))
       .drop("_v")
-      .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
+  }
+
+  /** Nearest-coarse-cell assignment UDF in the build's quantization
+    * space — the cell an existing row LIVES in, recomputed for the
+    * table-attached index's COW cell rewrite.
+    */
+  private[graft] def cellUdf(spark: SparkSession,
+                             model: Model): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bcCoarse = spark.sparkContext.broadcast(model.coarse)
+    val bcRot = spark.sparkContext.broadcast(model.rot)
+    val cosine = model.metric == "cosine"
+    udf { (v: Seq[Float]) =>
+      val u = if (cosine) normalize(v.toArray) else v.toArray
+      nearestIdx(bcCoarse.value, bcRot.value.fold(u)(rotateVec(u, _)))
+    }
   }
 
   /** ADC probe + exact re-rank. `pred` (predicate pushdown into the

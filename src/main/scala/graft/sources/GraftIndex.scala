@@ -3,20 +3,26 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, PqIndex}
 
 /** A vector index that lives WITH its [[GraftTable]] — the analog of the
   * reference serving `hudi_vector_search('{TABLE_PATH}', …)` from an
-  * index Hudi/Lance keeps in sync with the table (demo.ipynb cell 11).
+  * index Hudi/Lance keeps in sync with the table (demo.ipynb cell 11;
+  * the reference table's declared index type is Lance's IVF_PQ, and
+  * both kinds are supported here: `kind = "ivf"` (IVF-Flat, exact
+  * inside probed cells) and `kind = "ivfpq"` (PQ codes + ADC probe +
+  * exact re-rank, optionally OPQ-rotated).
   *
   * Layout, under the table's own directory:
   * {{{
-  *   table/_index/<name>/meta        vecCol, keys, metric, nlist,
-  *                                   indexedVersion (the table snapshot
-  *                                   the index reflects)
-  *   table/_index/<name>/centroids   nlist coarse centroids (parquet)
-  *   table/_index/<name>/data        the IVF layout: FULL table rows,
-  *                                   partitioned by cluster_id
+  *   table/_index/<name>/meta    kind, vecCol, keys, metric, nlist,
+  *                               indexedVersion (the table snapshot the
+  *                               index reflects)
+  *   table/_index/<name>/model   coarse centroids (+ PQ codebooks and
+  *                               the optional OPQ rotation), parquet
+  *   table/_index/<name>/data    the IVF layout: FULL table rows
+  *                               (+ pq_code for ivfpq), partitioned by
+  *                               cluster_id
   * }}}
   *
   * The index stores full rows (Lance-style: table and index share a
@@ -37,16 +43,18 @@ import graft.operators.IvfIndex
   * at-least-once sense: `indexedVersion` advances only after the data
   * lands, and re-applying a change batch is idempotent (replace-by-key).
   * Exactness after refresh is oracle-pinned by the
-  * `graft_index_exhaustive` CORRECTNESS row and GraftIndexSpec.
+  * `graft_index_exhaustive` / `vs_sql_index_tvf` CORRECTNESS rows and
+  * GraftIndexSpec.
   */
 object GraftIndex {
 
-  final case class IndexMeta(name: String, vecCol: String, keyCols: Seq[String],
-                             metric: String, nlist: Int, indexedVersion: Int)
+  final case class IndexMeta(name: String, kind: String, vecCol: String,
+                             keyCols: Seq[String], metric: String, nlist: Int,
+                             indexedVersion: Int)
 
   private def root(tablePath: String, name: String) = s"$tablePath/_index/$name"
   private def dataPath(tablePath: String, name: String) = s"${root(tablePath, name)}/data"
-  private def centroidsPath(tablePath: String, name: String) = s"${root(tablePath, name)}/centroids"
+  private def modelPath(tablePath: String, name: String) = s"${root(tablePath, name)}/model"
   private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
 
   def exists(tablePath: String, name: String = "vec"): Boolean =
@@ -57,45 +65,81 @@ object GraftIndex {
     require(GraftTable.MetaIO.exists(p), s"no index '$name' at $tablePath")
     val kv = GraftTable.MetaIO.readString(p).split("\n")
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    IndexMeta(name, kv("vecCol"), kv("keyCols").split(",").toSeq,
-      kv("metric"), kv("nlist").toInt, kv("indexedVersion").toInt)
+    IndexMeta(name, kv.getOrElse("kind", "ivf"), kv("vecCol"),
+      kv("keyCols").split(",").toSeq, kv("metric"), kv("nlist").toInt,
+      kv("indexedVersion").toInt)
   }
 
   private def writeMeta(tablePath: String, m: IndexMeta): Unit =
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
-      s"vecCol=${m.vecCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
+      s"kind=${m.kind}\nvecCol=${m.vecCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
         s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}")
 
+  // ---- model persistence: (part, i, j, vec) rows -------------------------
+
+  private def saveModel(spark: SparkSession, tablePath: String, name: String,
+                        coarse: Array[Array[Float]],
+                        codebooks: Option[Array[Array[Array[Float]]]],
+                        rot: Option[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    val rows: Seq[(String, Int, Int, Seq[Float])] =
+      coarse.zipWithIndex.map { case (c, i) => ("coarse", i, 0, c.toSeq) }.toSeq ++
+      codebooks.toSeq.flatMap(_.zipWithIndex.toSeq.flatMap { case (book, mi) =>
+        book.zipWithIndex.toSeq.map { case (c, ci) => ("book", mi, ci, c.toSeq) } }) ++
+      rot.toSeq.flatMap(_.zipWithIndex.toSeq.map { case (r, i) => ("rot", i, 0, r.toSeq) })
+    rows.toDF("part", "i", "j", "vec").repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(modelPath(tablePath, name))
+  }
+
+  private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta)
+      : Either[IvfIndex.Model, PqIndex.Model] = {
+    val rows = spark.read.parquet(modelPath(tablePath, m.name))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
+    val data = dataPath(tablePath, m.name)
+    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric))
+    else {
+      val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, bs) => bs.sortBy(_._3).map(_._4) }.toArray
+      val rotRows = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4)
+      val rot = if (rotRows.isEmpty) None else Some(rotRows)
+      val dsub = books(0)(0).length
+      Right(PqIndex.Model(data, coarse, books, books.length, dsub, m.metric, rot))
+    }
+  }
+
+  private def open(spark: SparkSession, tablePath: String, name: String)
+      : (IndexMeta, Either[IvfIndex.Model, PqIndex.Model]) = {
+    val m = meta(tablePath, name)
+    (m, loadModel(spark, tablePath, m))
+  }
+
   /** Build the index from the table's CURRENT snapshot and record that
-    * version. Rows with a null vector are not indexed (they reappear if
-    * a later upsert fills the vector in).
+    * version. `kind = "ivf"` (default) or `"ivfpq"` (`m` subspaces,
+    * `opq` for the learned rotation). Rows with a null vector are not
+    * indexed (they reappear if a later upsert fills the vector in).
     */
   def create(spark: SparkSession, tablePath: String, vecCol: String, nlist: Int,
              metric: String = "cosine", name: String = "vec",
+             kind: String = "ivf", m: Int = 8, opq: Boolean = false,
              fitSampleFraction: Option[Double] = None): Unit = {
+    require(kind == "ivf" || kind == "ivfpq", s"unknown index kind '$kind'")
     val v = GraftTable.latestVersion(tablePath)
     require(v >= 0, s"no table at $tablePath")
     require(!exists(tablePath, name), s"index '$name' already exists at $tablePath")
     val keys = GraftTable.keyColumns(tablePath)
     val snap = GraftTable.read(spark, tablePath, v).filter(col(vecCol).isNotNull)
-    val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
-      metric, fitSampleFraction = fitSampleFraction)
-    import spark.implicits._
-    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid")
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(centroidsPath(tablePath, name))
-    writeMeta(tablePath, IndexMeta(name, vecCol, keys, metric, nlist, v))
-  }
-
-  /** Reconstruct the probe-able model from the persisted layout. */
-  def open(spark: SparkSession, tablePath: String,
-           name: String = "vec"): (IndexMeta, IvfIndex.Model) = {
-    val m = meta(tablePath, name)
-    val cents = spark.read.parquet(centroidsPath(tablePath, name))
-      .orderBy("cluster_id").collect()
-      .map(_.getSeq[Float](1).toArray)
-    (m, IvfIndex.Model(dataPath(tablePath, name), cents, m.metric))
+    if (kind == "ivf") {
+      val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
+        metric, fitSampleFraction = fitSampleFraction)
+      saveModel(spark, tablePath, name, model.centroids, None, None)
+    } else {
+      val model = PqIndex.build(snap, keys.head, vecCol, nlist, m,
+        dataPath(tablePath, name), metric, opq = opq)
+      saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot)
+    }
+    writeMeta(tablePath, IndexMeta(name, kind, vecCol, keys, metric, nlist, v))
   }
 
   /** Catch the index up to the table head by COW cell rewrite. Returns
@@ -103,14 +147,17 @@ object GraftIndex {
     * fresh. Affected cells = cells holding changed keys' OLD vectors
     * (recomputed from the previously indexed snapshot — still readable,
     * COW never mutates it) ∪ cells the NEW vectors land in; only those
-    * partitions are rewritten.
+    * partitions are rewritten. For ivfpq, additions are PQ-encoded with
+    * the EXISTING codebooks (the append discipline: no refit; periodic
+    * rebuild handles distribution drift).
     */
   def refresh(spark: SparkSession, tablePath: String,
               name: String = "vec"): Option[(Int, Int)] = {
     val (m, model) = open(spark, tablePath, name)
     val head = GraftTable.latestVersion(tablePath)
     if (head <= m.indexedVersion) return None
-    val cell = IvfIndex.cellUdf(spark, model)
+    val cell = model.fold(IvfIndex.cellUdf(spark, _), PqIndex.cellUdf(spark, _))
+    val layoutPath = model.fold(_.path, _.path)
     val batch = GraftTable.changes(spark, tablePath, m.indexedVersion, head)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -119,13 +166,15 @@ object GraftIndex {
         .join(changedKeys, m.keyCols, "left_semi")
         .filter(col(m.vecCol).isNotNull)
         .select(cell(col(m.vecCol)).as("c")).distinct().collect().map(_.getInt(0))
-      val additions = batch.filter(!col("_deleted")).drop("_deleted")
+      val newRows = batch.filter(!col("_deleted")).drop("_deleted")
         .filter(col(m.vecCol).isNotNull)
-        .withColumn("cluster_id", cell(col(m.vecCol)))
+      val additions = model.fold(
+        _ => newRows.withColumn("cluster_id", cell(col(m.vecCol))),
+        pq => PqIndex.encodeBatch(pq, newRows, m.vecCol))
       val newCells = additions.select("cluster_id").distinct().collect().map(_.getInt(0))
       val affected = (oldCells ++ newCells).distinct.toSeq
       if (affected.nonEmpty) {
-        val idx = spark.read.parquet(model.path)
+        val idx = spark.read.parquet(layoutPath)
           .filter(col("cluster_id").isin(affected: _*)) // partition-pruned
         val kept = idx.join(changedKeys, m.keyCols, "left_anti")
         // allowMissingColumns: additive table evolution — older index
@@ -137,10 +186,10 @@ object GraftIndex {
         val present = out.select("cluster_id").distinct().collect().map(_.getInt(0)).toSet
         out.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(model.path)
+          .partitionBy("cluster_id").parquet(layoutPath)
         // a cell whose rows were all deleted writes no partition: drop it
         affected.filterNot(present).foreach { c =>
-          GraftTable.MetaIO.delete(new Path(model.path, s"cluster_id=$c"))
+          GraftTable.MetaIO.delete(new Path(layoutPath, s"cluster_id=$c"))
         }
       }
       writeMeta(tablePath, m.copy(indexedVersion = head))
@@ -151,14 +200,16 @@ object GraftIndex {
     }
   }
 
-  /** Top-k against the table-attached index (exact inside probed cells;
-    * nprobe = nlist ⇒ exact, full stop). Fails loudly when the index
-    * lags the table unless `allowStale` — see class docs. `pred` is
-    * pushed into the pruned scan like [[IvfIndex.probe]].
+  /** Top-k against the table-attached index (ivf: exact inside probed
+    * cells; ivfpq: ADC + exact re-rank of `rerankFactor`·k survivors —
+    * nprobe = nlist with a corpus-covering rerankFactor ⇒ exact, full
+    * stop). Fails loudly when the index lags the table unless
+    * `allowStale` — see class docs. `pred` is pushed into the pruned
+    * scan like [[IvfIndex.probe]]/[[PqIndex.probe]].
     */
   def probe(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
             nprobe: Int, name: String = "vec", pred: Option[Column] = None,
-            allowStale: Boolean = false): DataFrame = {
+            allowStale: Boolean = false, rerankFactor: Int = 4): DataFrame = {
     val (m, model) = open(spark, tablePath, name)
     val head = GraftTable.latestVersion(tablePath)
     if (!allowStale && head != m.indexedVersion)
@@ -166,7 +217,10 @@ object GraftIndex {
         s"index '$name' on $tablePath is STALE: it reflects table version " +
           s"${m.indexedVersion} but the table is at $head — run " +
           "GraftIndex.refresh, or probe(allowStale = true) to serve the indexed snapshot")
-    IvfIndex.probe(spark, model, m.keyCols.head, m.vecCol, query, k, nprobe, pred)
-      .drop("cluster_id")
+    model.fold(
+      ivf => IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred)
+        .drop("cluster_id"),
+      pq => PqIndex.probe(spark, pq, m.keyCols.head, m.vecCol, query, k, nprobe,
+        rerankFactor, pred))
   }
 }

@@ -98,6 +98,30 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
   }
 
+  test("kind=ivfpq: mutate -> refresh -> exhaustive probe with full re-rank == exact") {
+    val path = freshTable(400)
+    // the reference table's declared index type (Lance IVF_PQ); dim 8, m 4
+    GraftIndex.create(spark, path, "v", nlist = 4, kind = "ivfpq", m = 4)
+    GraftIndex.meta(path).kind shouldBe "ivfpq"
+    GraftTable.upsert(spark, path,
+      (0L until 15L).map(k => (k, s"u-$k", vec(k + 9000))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (100L until 140L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val q = vec(4242L)
+    // exhaustive cells + corpus-covering re-rank ⇒ exact regardless of
+    // code quality — proves encode-on-refresh kept the layout coherent
+    val got = GraftIndex.probe(spark, path, q, 10, nprobe = 4,
+      rerankFactor = Int.MaxValue).select("k").collect().map(_.getLong(0)).toSeq
+    got shouldBe exactTopK(path, q, 10).map(_._1)
+    // deleted keys can never surface
+    got.toSet.intersect((100L until 140L).toSet) shouldBe empty
+    // and a stale probe is as loud as the ivf kind's
+    GraftTable.upsert(spark, path, Seq((1L, "x", vec(1L))).toDF("k", "s", "v"))
+    intercept[IllegalStateException] {
+      GraftIndex.probe(spark, path, q, 5, nprobe = 4)
+    }.getMessage should include("STALE")
+  }
+
   test("streaming ANN end-to-end: writeStream(graft) -> refresh -> probe reflects the stream") {
     val tmp = Files.createTempDirectory("graft_index_stream").toString
     val dst = s"$tmp/t"; val cp = s"$tmp/cp"
