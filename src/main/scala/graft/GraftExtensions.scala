@@ -154,9 +154,16 @@ object GraftFunctions {
       s"graft_table(path[, version]): got ${args.length} args")
     require(args.forall(_.foldable), "graft_table: path/version must be literals")
     val path = args(0).eval(null).toString
-    val version = if (args.length == 2) args(1).eval(null).asInstanceOf[Number].intValue() else -1
-    graft.sources.GraftTable.read(SparkSession.active, path, version)
-      .queryExecution.logical
+    // through the DSv1 relation (not a raw snapshot read): WHERE clauses
+    // above the TVF reach GraftRelation's buildScan, so SQL readers get
+    // full-key bucket point lookups and manifest-stats file skipping,
+    // exactly like spark.read.format("graft")
+    val reader = SparkSession.active.read.format("graft")
+    val versioned =
+      if (args.length == 2)
+        reader.option("version", args(1).eval(null).asInstanceOf[Number].intValue())
+      else reader
+    versioned.load(path).queryExecution.logical
   }
 
   /** `graft_table_changes(path, fromVersion, toVersion)` — SQL read of

@@ -200,6 +200,24 @@ object GraftIndex {
     }
   }
 
+  /** Continuous maintenance: a Structured Streaming ticker drives
+    * [[refresh]] per micro-batch, so the index FOLLOWS the table —
+    * upserts/deletes/streamed writes land, the next tick folds them in —
+    * with start/stop/trigger lifecycle and no manual refresh calls. The
+    * composition twin of [[ChangeFeed.streamInto]]; position is owned by
+    * `meta.indexedVersion` (restart-safe without a checkpoint, replays
+    * idempotent per the refresh contract).
+    */
+  def streamRefresh(spark: SparkSession, tablePath: String, name: String = "vec",
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(spark, tablePath, name); () }
+      .trigger(trigger)
+      .start()
+
   /** Top-k against the table-attached index (ivf: exact inside probed
     * cells; ivfpq: ADC + exact re-rank of `rerankFactor`·k survivors —
     * nprobe = nlist with a corpus-covering rerankFactor ⇒ exact, full

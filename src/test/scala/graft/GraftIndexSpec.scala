@@ -122,6 +122,23 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
   }
 
+  test("streamRefresh: the index follows the table with no manual refresh calls") {
+    val path = freshTable(150)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    val q = GraftIndex.streamRefresh(spark, path,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      GraftTable.upsert(spark, path, Seq((0L, "u", vec(31337L))).toDF("k", "s", "v"))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (GraftIndex.meta(path).indexedVersion < 1 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      GraftIndex.meta(path).indexedVersion shouldBe 1
+      // fresh by construction: the non-stale probe sees the upsert
+      GraftIndex.probe(spark, path, vec(31337L), 1, nprobe = 4)
+        .select("k").head().getLong(0) shouldBe 0L
+    } finally q.stop()
+  }
+
   test("streaming ANN end-to-end: writeStream(graft) -> refresh -> probe reflects the stream") {
     val tmp = Files.createTempDirectory("graft_index_stream").toString
     val dst = s"$tmp/t"; val cp = s"$tmp/cp"
