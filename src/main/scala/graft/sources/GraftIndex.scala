@@ -174,9 +174,16 @@ object GraftIndex {
       val newCells = additions.select("cluster_id").distinct().collect().map(_.getInt(0))
       val affected = (oldCells ++ newCells).distinct.toSeq
       if (affected.nonEmpty) {
-        val idx = spark.read.parquet(layoutPath)
-          .filter(col("cluster_id").isin(affected: _*)) // partition-pruned
-        val kept = idx.join(changedKeys, m.keyCols, "left_anti")
+        // a layout whose every cell was deleted (empty table) has no
+        // partition dirs — parquet can't infer a schema from it, and
+        // there is nothing to keep anyway: rebuild from additions only
+        val layoutEmpty = !GraftTable.MetaIO.list(new Path(layoutPath))
+          .exists(_.getPath.getName.startsWith("cluster_id="))
+        val kept =
+          if (layoutEmpty) additions.limit(0)
+          else spark.read.parquet(layoutPath)
+            .filter(col("cluster_id").isin(affected: _*)) // partition-pruned
+            .join(changedKeys, m.keyCols, "left_anti")
         // allowMissingColumns: additive table evolution — older index
         // rows read the new columns as null, like the table itself.
         // localCheckpoint materializes the rewrite BEFORE overwriting
@@ -235,6 +242,14 @@ object GraftIndex {
         s"index '$name' on $tablePath is STALE: it reflects table version " +
           s"${m.indexedVersion} but the table is at $head — run " +
           "GraftIndex.refresh, or probe(allowStale = true) to serve the indexed snapshot")
+    // an index over an EMPTY table (every cell dropped) is valid state:
+    // zero rows, shaped like any other probe (table columns minus the
+    // vector, plus score) — not a parquet schema-inference crash
+    val layoutPath = model.fold(_.path, _.path)
+    if (!GraftTable.MetaIO.list(new Path(layoutPath))
+        .exists(_.getPath.getName.startsWith("cluster_id=")))
+      return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+        .withColumn("score", lit(0.0)).drop(m.vecCol)
     model.fold(
       ivf => IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred)
         .drop("cluster_id"),

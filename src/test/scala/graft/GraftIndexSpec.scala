@@ -98,6 +98,23 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
   }
 
+  test("an index over an emptied table serves zero rows, then resurrects on new data") {
+    val path = freshTable(120)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    // every row deleted → every cell dropped → the layout is EMPTY
+    GraftTable.delete(spark, path, (0L until 120L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    val empty = GraftIndex.probe(spark, path, vec(5L), 10, nprobe = 4)
+    empty.count() shouldBe 0L
+    empty.columns should contain("score") // shaped like any probe, no schema crash
+    // new rows arrive: refresh rebuilds cells from additions alone
+    GraftTable.upsert(spark, path,
+      (500L until 520L).map(k => (k, s"r-$k", vec(k))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((1, 2))
+    GraftIndex.probe(spark, path, vec(510L), 1, nprobe = 4)
+      .select("k").head().getLong(0) shouldBe 510L
+  }
+
   test("kind=ivfpq: mutate -> refresh -> exhaustive probe with full re-rank == exact") {
     val path = freshTable(400)
     // the reference table's declared index type (Lance IVF_PQ); dim 8, m 4

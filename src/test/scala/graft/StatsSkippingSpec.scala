@@ -122,6 +122,24 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     spark.read.format("graft").load(path).filter(col("v").isNotNull).count() shouldBe 128L
   }
 
+  test("timestamp columns prune via epoch-micros stats") {
+    val path = Files.createTempDirectory("graft_stats_ts").toString + "/t"
+    val df = spark.range(0, 512).toDF("k")
+      .withColumn("ts", expr("timestamp_micros(cast(1700000000000000 + k * 86400000000 AS long))"))
+      .withColumn("z", col("k"))
+    GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    // cluster on (k, z): files become narrow k-slices ⇒ narrow ts-slices
+    GraftTable.compact(spark, path, clusterBy = Some(("k", "z")), targetFilesPerBucket = 4)
+    val v = GraftTable.latestVersion(path)
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 50L * 86400))
+    val Some((_, kept, total)) = GraftTable.prunedDataPaths(path, v,
+      Seq(LessThan("ts", cutoff)))
+    kept should be < total
+    spark.read.format("graft").load(path)
+      .filter(col("ts") < lit(cutoff)).count() shouldBe 50L
+  }
+
   test("legacy manifests (no stats/schema lines) still read, without pruning") {
     val path = freshTable(n = 256, nbuckets = 2)
     // strip the new header lines, simulating a manifest written before
