@@ -1312,6 +1312,21 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "graft_index_hybrid" -> ((s, dir) => {
+      // filtered search THROUGH the table-attached index: the predicate
+      // is pushed into the partition-pruned cell scan (beyond the
+      // reference, whose hudi_vector_search declares pushdown as future
+      // work) — exhaustive cells make it exact over the filtered corpus
+      val root = indexPath("gidxhy", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      GraftTable.create(Tables.embeddings(s, dir), tbl, Seq("vec_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16)
+      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 5, nprobe = 16,
+          pred = Some(col("label") === 3))
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_sql_index_tvf" -> ((s, dir) => {
       // the reference's literal SQL serving path — hudi_vector_search
       // from a TABLE-kept index (demo.ipynb cell 11) — as ONE SQL call:
@@ -1487,6 +1502,12 @@ object SparkEntry {
            FROM corpus)
          SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
          FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+
+    // hybrid through the table-attached index: exhaustive cells + pushed
+    // predicate ⇒ exact filtered top-k, oracle = filtered brute force
+    "graft_index_hybrid" ->
+      s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q
+          FROM embeddings WHERE label = 3 ORDER BY $cos0 DESC, vec_id LIMIT 5""",
 
     // SQL TVF over the table-attached index after a vector-replacing
     // upsert + refresh: exhaustive ⇒ brute force over the mutated corpus

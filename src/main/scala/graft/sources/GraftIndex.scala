@@ -150,6 +150,12 @@ object GraftIndex {
     * partitions are rewritten. For ivfpq, additions are PQ-encoded with
     * the EXISTING codebooks (the append discipline: no refit; periodic
     * rebuild handles distribution drift).
+    *
+    * Run ONE refresher per index (the [[ChangeFeed]] one-cursor-per-
+    * consumer discipline): refresh is idempotent against crashes and
+    * replays, but two CONCURRENT refreshers would race the dynamic
+    * partition overwrite with no arbitration. [[streamRefresh]] gives
+    * the single-refresher loop a lifecycle.
     */
   def refresh(spark: SparkSession, tablePath: String,
               name: String = "vec"): Option[(Int, Int)] = {
