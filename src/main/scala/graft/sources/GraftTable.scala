@@ -234,8 +234,20 @@ object GraftTable {
             val rel = uri.substring(at)
             val fileLine = s"#file=$rel\t${r.getLong(1)}"
             val statLines = fields.zipWithIndex.map { case (f, i) =>
-              val mn = Option(r.getString(2 + 3 * i)).map(enc).getOrElse("-")
-              val mx = Option(r.getString(3 + 3 * i)).map(enc).getOrElse("-")
+              // long string values (document text…) must not bloat the
+              // manifest. A TRUNCATED min is still a valid lower bound
+              // (a prefix sorts ≤ its extension); a truncated max would
+              // be an INVALID upper bound and over-prune, so an
+              // oversized max is recorded as unknown instead.
+              def bounded(raw: Option[String], isMin: Boolean): String =
+                raw match {
+                  case None => "-"
+                  case Some(s) if s.length <= 120 => enc(s)
+                  case Some(s) if isMin => enc(s.substring(0, 120))
+                  case _ => "-"
+                }
+              val mn = bounded(Option(r.getString(2 + 3 * i)), isMin = true)
+              val mx = bounded(Option(r.getString(3 + 3 * i)), isMin = false)
               s"#stat=$rel\t${enc(f.name)}\t$mn\t$mx\t${r.getLong(4 + 3 * i)}"
             }
             fileLine +: statLines

@@ -140,6 +140,24 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
       .filter(col("ts") < lit(cutoff)).count() shouldBe 50L
   }
 
+  test("long text columns don't bloat the manifest: bounded min, unknown max") {
+    val path = Files.createTempDirectory("graft_stats_text").toString + "/t"
+    val df = spark.range(0, 64).toDF("k")
+      .withColumn("text", concat(format_string("%03d-", col("k")),
+        lit("x" * 500))) // ~0.5 KB per value
+    GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    val stats = GraftTable.manifestFileStats(path, 0)
+    stats.values.flatMap(_.cols.get("text")).foreach { cs =>
+      cs.min.foreach(_.length should be <= 120) // truncated = valid lower bound
+      cs.max shouldBe None // a truncated max would over-prune: unknown instead
+    }
+    // and the manifest file itself stays small despite the fat column
+    Files.size(java.nio.file.Paths.get(path, "manifests", "v0")) should be < 64L * 1024
+    // pruning on the text column stays conservative-correct
+    spark.read.format("graft").load(path)
+      .filter(col("text").startsWith("003-")).count() shouldBe 1L
+  }
+
   test("legacy manifests (no stats/schema lines) still read, without pruning") {
     val path = freshTable(n = 256, nbuckets = 2)
     // strip the new header lines, simulating a manifest written before
