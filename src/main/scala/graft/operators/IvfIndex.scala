@@ -28,7 +28,14 @@ import graft.functions.vectors._
   */
 object IvfIndex {
 
-  final case class Model(path: String, centroids: Array[Array[Float]], metric: String)
+  /** `schema`: optional EXPLICIT layout schema (cluster_id included).
+    * Set by the table-attached index, whose table evolves additively —
+    * an inferred (single-footer) schema would miss columns present only
+    * in rewritten cells, and mergeSchema would footer-read the whole
+    * layout at planning. None (standalone layouts) = plain inference.
+    */
+  final case class Model(path: String, centroids: Array[Array[Float]], metric: String,
+                         schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** Fit nlist centroids and lay the table out as one partition dir per
     * cluster. For cosine, vectors are L2-normalized before KMeans so
@@ -79,7 +86,7 @@ object IvfIndex {
             query: Seq[Float], k: Int, nprobe: Int,
             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cells = nearestCells(model, query, nprobe)
-    val scan = spark.read.parquet(model.path)
+    val scan = layoutScan(spark, model)
       .filter(col("cluster_id").isin(cells: _*)) // partition-pruning filter
     val filtered = pred.fold(scan)(scan.filter)
     VectorSearch.topK(filtered, vecCol, idCol, query, k, model.metric)
@@ -103,6 +110,9 @@ object IvfIndex {
   def append(model: Model, batch: DataFrame, vecCol: String): Unit =
     batch.withColumn("cluster_id", cellUdf(batch.sparkSession, model)(col(vecCol)))
       .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
+
+  private[graft] def layoutScan(spark: SparkSession, model: Model): DataFrame =
+    model.schema.fold(spark.read)(spark.read.schema(_)).parquet(model.path)
 
   /** Nearest-existing-centroid assignment as a UDF (the same normalized
     * space the build used) — shared by [[append]] and the table-attached
@@ -139,7 +149,7 @@ object IvfIndex {
     }
     val probes = probeRows.toDF("qid", "cell", "qvec")
     val allCells = probeRows.map(_._2).distinct
-    val scan = spark.read.parquet(model.path)
+    val scan = layoutScan(spark, model)
       .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
     val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", VectorSearch.scoreCol(col(vecCol), col("qvec"), model.metric))

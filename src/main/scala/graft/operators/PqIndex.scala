@@ -34,10 +34,15 @@ object PqIndex {
     * plain PQ. The float vector column is stored unrotated, so exact
     * re-rank is rotation-free.
     */
+  /** `schema`: optional EXPLICIT layout schema (cluster_id + pq_code
+    * included) — see [[IvfIndex.Model]]; set by the table-attached
+    * index so additively-evolved columns resolve without mergeSchema.
+    */
   final case class Model(path: String, coarse: Array[Array[Float]],
                          codebooks: Array[Array[Array[Float]]],
                          m: Int, dsub: Int, metric: String,
-                         rot: Option[Array[Array[Float]]] = None)
+                         rot: Option[Array[Array[Float]]] = None,
+                         schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   def build(data: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
             path: String, metric: String = "cosine", seed: Long = 42L,
@@ -268,7 +273,8 @@ object PqIndex {
       s.toDouble
     }
     val asc = model.metric == "l2"
-    val adcScan = spark.read.parquet(model.path)
+    def layoutScan = model.schema.fold(spark.read)(spark.read.schema(_)).parquet(model.path)
+    val adcScan = layoutScan
       .filter(col("cluster_id").isin(cells: _*))       // partition pruning
     val adc = pred.fold(adcScan)(adcScan.filter)       // pushed predicate: non-matches never ADC-scored
       .select(col(idCol), adcUdf(col("pq_code")).as("adc")) // code column only — no vectors read
@@ -279,7 +285,7 @@ object PqIndex {
     // 3. exact re-rank of the survivors (fetch k' true vectors via pushed id
     // filter); ids kept as their external type — no bigint assumption
     val ids = adc.select(idCol).collect().map(_.get(0)).toSeq
-    val rerankScan = spark.read.parquet(model.path)
+    val rerankScan = layoutScan
       .filter(col("cluster_id").isin(cells: _*) && col(idCol).isin(ids: _*))
     val survivors = pred.fold(rerankScan)(rerankScan.filter)
     VectorSearch.topK(survivors, vecCol, idCol, query, k, model.metric)

@@ -91,6 +91,29 @@ object GraftIndex {
       .write.mode(SaveMode.Overwrite).parquet(modelPath(tablePath, name))
   }
 
+  /** Explicit layout schema: the table's manifest-recorded snapshot
+    * schema (at the INDEXED version) + the layout's own columns, so
+    * probes and refreshes resolve additively-evolved columns without a
+    * whole-layout mergeSchema footer pass (older cell files pad the new
+    * columns as null, like the table itself). None when the table
+    * predates schema recording (or the indexed manifest was vacuumed —
+    * the head manifest still exists for a fresh index, so only
+    * allowStale probes can hit that) — plain inference then.
+    */
+  private def layoutSchema(tablePath: String, m: IndexMeta)
+      : Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try(GraftTable.snapshotSchema(tablePath, m.indexedVersion)).toOption
+      .flatten.map { ts =>
+        val extra =
+          (if (m.kind == "ivfpq")
+            Seq(org.apache.spark.sql.types.StructField("pq_code",
+              org.apache.spark.sql.types.BinaryType))
+          else Nil) :+
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.IntegerType)
+        org.apache.spark.sql.types.StructType(ts.fields ++ extra)
+      }
+
   private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta)
       : Either[IvfIndex.Model, PqIndex.Model] = {
     val rows = spark.read.parquet(modelPath(tablePath, m.name))
@@ -98,14 +121,15 @@ object GraftIndex {
         r.getSeq[Float](3).toArray))
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
     val data = dataPath(tablePath, m.name)
-    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric))
+    val sc = layoutSchema(tablePath, m)
+    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric, sc))
     else {
       val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (_, bs) => bs.sortBy(_._3).map(_._4) }.toArray
       val rotRows = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4)
       val rot = if (rotRows.isEmpty) None else Some(rotRows)
       val dsub = books(0)(0).length
-      Right(PqIndex.Model(data, coarse, books, books.length, dsub, m.metric, rot))
+      Right(PqIndex.Model(data, coarse, books, books.length, dsub, m.metric, rot, sc))
     }
   }
 
@@ -185,9 +209,12 @@ object GraftIndex {
         // there is nothing to keep anyway: rebuild from additions only
         val layoutEmpty = !GraftTable.MetaIO.list(new Path(layoutPath))
           .exists(_.getPath.getName.startsWith("cluster_id="))
+        // scan with the CURRENT (head) snapshot schema so the rewrite
+        // pads evolved columns for kept rows instead of dropping them
+        val headSchema = layoutSchema(tablePath, m.copy(indexedVersion = head))
         val kept =
           if (layoutEmpty) additions.limit(0)
-          else spark.read.parquet(layoutPath)
+          else headSchema.fold(spark.read)(spark.read.schema(_)).parquet(layoutPath)
             .filter(col("cluster_id").isin(affected: _*)) // partition-pruned
             .join(changedKeys, m.keyCols, "left_anti")
         // allowMissingColumns: additive table evolution — older index

@@ -98,6 +98,19 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
   }
 
+  test("additive table evolution flows through refresh: old index rows pad the new column") {
+    val path = freshTable(100)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    // the upsert brings a NEW column; old index rows must read it as null
+    GraftTable.upsert(spark, path,
+      Seq((5L, "u", vec(8888L), "fresh")).toDF("k", "s", "v", "tag"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    val out = GraftIndex.probe(spark, path, vec(8888L), 3, nprobe = 4)
+      .select("k", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out(5L) shouldBe "fresh"
+    (out - 5L).values.foreach(_ shouldBe null)
+  }
+
   test("an index over an emptied table serves zero rows, then resurrects on new data") {
     val path = freshTable(120)
     GraftIndex.create(spark, path, "v", nlist = 4)
