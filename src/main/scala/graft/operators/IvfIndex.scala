@@ -33,9 +33,18 @@ object IvfIndex {
     * an inferred (single-footer) schema would miss columns present only
     * in rewritten cells, and mergeSchema would footer-read the whole
     * layout at planning. None (standalone layouts) = plain inference.
+    *
+    * `files`: optional MANIFEST-pinned file set (cell → absolute file
+    * paths) — the table-attached index's MVCC snapshot. When set, scans
+    * plan from exactly these files (no directory listing — at
+    * nlist=4096 on an object store that is thousands of LIST calls per
+    * probe) and are isolated from concurrent refreshes, which only add
+    * files and never touch referenced ones. None (standalone layouts) =
+    * scan the directory.
     */
   final case class Model(path: String, centroids: Array[Array[Float]], metric: String,
-                         schema: Option[org.apache.spark.sql.types.StructType] = None)
+                         schema: Option[org.apache.spark.sql.types.StructType] = None,
+                         files: Option[Map[Int, Seq[String]]] = None)
 
   /** Fit nlist centroids and lay the table out as one partition dir per
     * cluster. For cosine, vectors are L2-normalized before KMeans so
@@ -112,7 +121,34 @@ object IvfIndex {
       .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
 
   private[graft] def layoutScan(spark: SparkSession, model: Model): DataFrame =
-    model.schema.fold(spark.read)(spark.read.schema(_)).parquet(model.path)
+    scanLayout(spark, model.schema, model.files, model.path)
+
+  /** Layout scan honoring an optional manifest-pinned file set — shared
+    * by IVF and PQ probes. With `files`, each generation directory
+    * (the parent of its `cluster_id=` dirs) is read with its own
+    * `basePath` so the partition column parses, and the generations are
+    * unioned; a later `cluster_id IN (...)` filter partition-prunes the
+    * in-memory file index of every branch, so only probed cells' files
+    * are ever opened — zero FS listing on the probe path.
+    */
+  private[graft] def scanLayout(spark: SparkSession,
+                                schema: Option[org.apache.spark.sql.types.StructType],
+                                files: Option[Map[Int, Seq[String]]],
+                                path: String): DataFrame =
+    files match {
+      case None => schema.fold(spark.read)(spark.read.schema(_)).parquet(path)
+      case Some(fm) =>
+        val all = fm.values.flatten.toSeq
+        require(all.nonEmpty, s"empty index manifest for layout $path — caller handles empty")
+        all.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent.getParent.toString)
+          .toSeq.sortBy(_._1)
+          .map { case (base, fs) =>
+            schema.fold(spark.read)(spark.read.schema(_))
+              .option("basePath", base).parquet(fs: _*)
+          }
+          // additive evolution: older generations pad newer columns null
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
 
   /** Nearest-existing-centroid assignment as a UDF (the same normalized
     * space the build used) — shared by [[append]] and the table-attached

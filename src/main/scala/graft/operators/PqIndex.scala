@@ -37,12 +37,15 @@ object PqIndex {
   /** `schema`: optional EXPLICIT layout schema (cluster_id + pq_code
     * included) — see [[IvfIndex.Model]]; set by the table-attached
     * index so additively-evolved columns resolve without mergeSchema.
+    * `files`: optional manifest-pinned file set (cell → paths) — the
+    * MVCC snapshot scan, see [[IvfIndex.scanLayout]].
     */
   final case class Model(path: String, coarse: Array[Array[Float]],
                          codebooks: Array[Array[Array[Float]]],
                          m: Int, dsub: Int, metric: String,
                          rot: Option[Array[Array[Float]]] = None,
-                         schema: Option[org.apache.spark.sql.types.StructType] = None)
+                         schema: Option[org.apache.spark.sql.types.StructType] = None,
+                         files: Option[Map[Int, Seq[String]]] = None)
 
   def build(data: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
             path: String, metric: String = "cosine", seed: Long = 42L,
@@ -273,7 +276,7 @@ object PqIndex {
       s.toDouble
     }
     val asc = model.metric == "l2"
-    def layoutScan = model.schema.fold(spark.read)(spark.read.schema(_)).parquet(model.path)
+    def layoutScan = IvfIndex.scanLayout(spark, model.schema, model.files, model.path)
     val adcScan = layoutScan
       .filter(col("cluster_id").isin(cells: _*))       // partition pruning
     val adc = pred.fold(adcScan)(adcScan.filter)       // pushed predicate: non-matches never ADC-scored

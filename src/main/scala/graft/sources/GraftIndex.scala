@@ -34,28 +34,51 @@ import graft.operators.{IvfIndex, PqIndex}
   * serving the indexed snapshot) — a silent stale index is the bug this
   * class exists to kill.
   *
+  * The layout is MVCC, like the table itself. Data files are IMMUTABLE:
+  * each [[refresh]] writes the rewritten cells into a fresh generation
+  * directory (`data/g<K>/cluster_id=N/…`) and records a per-generation
+  * manifest (`manifests/g<K>`: cell → files, carrying forward untouched
+  * cells' existing files), then commits by atomically swapping `meta`
+  * (generation + indexedVersion advance together or not at all). So:
+  *  - a probe planned before a refresh lands keeps reading ITS
+  *    generation's files — no torn cell, no FileNotFound mid-query;
+  *  - a refresh that crashes anywhere before the meta swap is invisible
+  *    (orphan generation dir, overwritten by the retry);
+  *  - probes plan from the manifest's explicit file list — zero
+  *    directory listing on the serving path (at nlist=4096 on an object
+  *    store, that is thousands of LIST calls saved per probe).
+  * Old generations are reclaimed by [[vacuum]] (run it with the same
+  * single-maintainer discipline as refresh).
+  *
   * [[refresh]] applies the table's own change feed
   * ([[GraftTable.changes]], upserts AND deletes) by COW cell rewrite:
   * only the cells holding changed keys' old rows or receiving new rows
-  * are rewritten (dynamic partition overwrite); emptied cells are
-  * dropped. Cost is O(affected cells), the index twin of the table's
-  * O(touched buckets) upserts. Refresh is crash-safe in the
-  * at-least-once sense: `indexedVersion` advances only after the data
-  * lands, and re-applying a change batch is idempotent (replace-by-key).
+  * are rewritten; emptied cells simply leave the manifest. Cost is
+  * O(affected cells), the index twin of the table's O(touched buckets)
+  * upserts. Re-applying a change batch is idempotent (replace-by-key).
   * Exactness after refresh is oracle-pinned by the
   * `graft_index_exhaustive` / `vs_sql_index_tvf` CORRECTNESS rows and
   * GraftIndexSpec.
   */
 object GraftIndex {
 
+  /** `gen`: the layout generation the index serves — the manifest
+    * `manifests/g<gen>` is the authoritative file set. None only for
+    * legacy (pre-MVCC) indexes, which self-upgrade on their next
+    * refresh and serve by directory scan until then.
+    */
   final case class IndexMeta(name: String, kind: String, vecCol: String,
                              keyCols: Seq[String], metric: String, nlist: Int,
-                             indexedVersion: Int)
+                             indexedVersion: Int, gen: Option[Int] = None)
 
   private def root(tablePath: String, name: String) = s"$tablePath/_index/$name"
   private def dataPath(tablePath: String, name: String) = s"${root(tablePath, name)}/data"
   private def modelPath(tablePath: String, name: String) = s"${root(tablePath, name)}/model"
   private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
+  private def manifestDir(tablePath: String, name: String) =
+    new Path(root(tablePath, name), "manifests")
+  private def manifestPath(tablePath: String, name: String, gen: Int) =
+    new Path(manifestDir(tablePath, name), s"g$gen")
 
   def exists(tablePath: String, name: String = "vec"): Boolean =
     GraftTable.MetaIO.exists(metaPath(tablePath, name))
@@ -67,13 +90,65 @@ object GraftIndex {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     IndexMeta(name, kv.getOrElse("kind", "ivf"), kv("vecCol"),
       kv("keyCols").split(",").toSeq, kv("metric"), kv("nlist").toInt,
-      kv("indexedVersion").toInt)
+      kv("indexedVersion").toInt, kv.get("gen").map(_.toInt))
   }
 
   private def writeMeta(tablePath: String, m: IndexMeta): Unit =
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
       s"kind=${m.kind}\nvecCol=${m.vecCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
-        s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}")
+        s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}" +
+        m.gen.fold("")(g => s"\ngen=$g"))
+
+  // ---- MVCC manifests: cell -> immutable data files ----------------------
+
+  /** One `cell<TAB>relPath` line per data file, paths relative to
+    * `data/` (`cluster_id=N/part…` for the build generation,
+    * `g<K>/cluster_id=N/part…` for refresh generations).
+    */
+  private def writeManifest(tablePath: String, name: String, gen: Int,
+                            m: Map[Int, Seq[String]]): Unit =
+    GraftTable.MetaIO.replaceString(manifestPath(tablePath, name, gen),
+      m.toSeq.sortBy(_._1)
+        .flatMap { case (cell, fs) => fs.sorted.map(f => s"$cell\t$f") }
+        .mkString("\n"))
+
+  private def readManifest(tablePath: String, name: String, gen: Int): Map[Int, Seq[String]] =
+    GraftTable.MetaIO.readString(manifestPath(tablePath, name, gen))
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val Array(c, f) = l.split("\t", 2); (c.toInt, f) }
+      .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2).toSeq }
+
+  /** The current cell → relative-file-paths map ([[vacuum]]'s unit of
+    * liveness; for a legacy index this falls back to a listing).
+    */
+  def manifest(tablePath: String, name: String = "vec"): Map[Int, Seq[String]] = {
+    val m = meta(tablePath, name)
+    m.gen.fold(listGeneration(tablePath, name, ""))(readManifest(tablePath, name, _))
+  }
+
+  /** List one generation's `cluster_id=` dirs into manifest entries.
+    * `prefix` = "" for the build generation (files directly under
+    * `data/`), `"g<K>"` for a refresh generation.
+    */
+  private def listGeneration(tablePath: String, name: String,
+                             prefix: String): Map[Int, Seq[String]] = {
+    val dir = if (prefix.isEmpty) new Path(dataPath(tablePath, name))
+              else new Path(dataPath(tablePath, name), prefix)
+    GraftTable.MetaIO.list(dir)
+      .filter(_.getPath.getName.startsWith("cluster_id="))
+      .map { cd =>
+        val cell = cd.getPath.getName.stripPrefix("cluster_id=").toInt
+        val rels = GraftTable.MetaIO.list(cd.getPath).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .map(n => (if (prefix.isEmpty) "" else s"$prefix/") + s"${cd.getPath.getName}/$n")
+        cell -> rels
+      }
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  private def absFiles(tablePath: String, name: String,
+                       m: Map[Int, Seq[String]]): Map[Int, Seq[String]] =
+    m.map { case (c, rels) => c -> rels.map(r => s"${dataPath(tablePath, name)}/$r") }
 
   // ---- model persistence: (part, i, j, vec) rows -------------------------
 
@@ -114,7 +189,8 @@ object GraftIndex {
         org.apache.spark.sql.types.StructType(ts.fields ++ extra)
       }
 
-  private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta)
+  private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta,
+                        files: Option[Map[Int, Seq[String]]])
       : Either[IvfIndex.Model, PqIndex.Model] = {
     val rows = spark.read.parquet(modelPath(tablePath, m.name))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
@@ -122,21 +198,28 @@ object GraftIndex {
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
     val data = dataPath(tablePath, m.name)
     val sc = layoutSchema(tablePath, m)
-    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric, sc))
+    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric, sc, files))
     else {
       val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (_, bs) => bs.sortBy(_._3).map(_._4) }.toArray
       val rotRows = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4)
       val rot = if (rotRows.isEmpty) None else Some(rotRows)
       val dsub = books(0)(0).length
-      Right(PqIndex.Model(data, coarse, books, books.length, dsub, m.metric, rot, sc))
+      Right(PqIndex.Model(data, coarse, books, books.length, dsub, m.metric, rot, sc, files))
     }
   }
 
+  /** The serving snapshot: meta + model pinned to meta's generation.
+    * The manifest is resolved HERE, once — everything planned from the
+    * returned model keeps reading this generation's files even if a
+    * refresh commits concurrently (it only adds files and swaps meta).
+    */
   private def open(spark: SparkSession, tablePath: String, name: String)
       : (IndexMeta, Either[IvfIndex.Model, PqIndex.Model]) = {
     val m = meta(tablePath, name)
-    (m, loadModel(spark, tablePath, m))
+    val files = m.gen.map(g =>
+      absFiles(tablePath, name, readManifest(tablePath, name, g)))
+    (m, loadModel(spark, tablePath, m, files))
   }
 
   /** Build the index from the table's CURRENT snapshot and record that
@@ -163,7 +246,9 @@ object GraftIndex {
         dataPath(tablePath, name), metric, opq = opq)
       saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot)
     }
-    writeMeta(tablePath, IndexMeta(name, kind, vecCol, keys, metric, nlist, v))
+    // generation 0 = the build's own files; meta lands LAST (commit point)
+    writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""))
+    writeMeta(tablePath, IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0)))
   }
 
   /** Catch the index up to the table head by COW cell rewrite. Returns
@@ -171,23 +256,37 @@ object GraftIndex {
     * fresh. Affected cells = cells holding changed keys' OLD vectors
     * (recomputed from the previously indexed snapshot — still readable,
     * COW never mutates it) ∪ cells the NEW vectors land in; only those
-    * partitions are rewritten. For ivfpq, additions are PQ-encoded with
-    * the EXISTING codebooks (the append discipline: no refit; periodic
-    * rebuild handles distribution drift).
+    * cells are rewritten — into a FRESH generation dir, never in place.
+    * The write target is disjoint from the read set, so no
+    * materialization barrier is needed, concurrent probes keep serving
+    * the old generation untorn, and a crash anywhere before the final
+    * meta swap leaves the committed state untouched (the retry
+    * overwrites the orphan generation). For ivfpq, additions are
+    * PQ-encoded with the EXISTING codebooks (the append discipline: no
+    * refit; periodic rebuild handles distribution drift).
     *
     * Run ONE refresher per index (the [[ChangeFeed]] one-cursor-per-
     * consumer discipline): refresh is idempotent against crashes and
-    * replays, but two CONCURRENT refreshers would race the dynamic
-    * partition overwrite with no arbitration. [[streamRefresh]] gives
-    * the single-refresher loop a lifecycle.
+    * replays, but two CONCURRENT refreshers would race the generation
+    * write with no arbitration. [[streamRefresh]] gives the
+    * single-refresher loop a lifecycle.
     */
   def refresh(spark: SparkSession, tablePath: String,
               name: String = "vec"): Option[(Int, Int)] = {
-    val (m, model) = open(spark, tablePath, name)
+    val m0 = meta(tablePath, name)
     val head = GraftTable.latestVersion(tablePath)
-    if (head <= m.indexedVersion) return None
+    if (head <= m0.indexedVersion) return None
+    // legacy (pre-MVCC) index: adopt the current layout as generation 0
+    val m = m0.gen.fold {
+      writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""))
+      val up = m0.copy(gen = Some(0)); writeMeta(tablePath, up); up
+    }(_ => m0)
+    val curGen = m.gen.get
+    val curManifest = readManifest(tablePath, name, curGen)
+    val curFiles = absFiles(tablePath, name, curManifest)
+    val model = loadModel(spark, tablePath, m, Some(curFiles))
     val cell = model.fold(IvfIndex.cellUdf(spark, _), PqIndex.cellUdf(spark, _))
-    val layoutPath = model.fold(_.path, _.path)
+    val data = dataPath(tablePath, name)
     val batch = GraftTable.changes(spark, tablePath, m.indexedVersion, head)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -203,41 +302,95 @@ object GraftIndex {
         pq => PqIndex.encodeBatch(pq, newRows, m.vecCol))
       val newCells = additions.select("cluster_id").distinct().collect().map(_.getInt(0))
       val affected = (oldCells ++ newCells).distinct.toSeq
-      if (affected.nonEmpty) {
-        // a layout whose every cell was deleted (empty table) has no
-        // partition dirs — parquet can't infer a schema from it, and
-        // there is nothing to keep anyway: rebuild from additions only
-        val layoutEmpty = !GraftTable.MetaIO.list(new Path(layoutPath))
-          .exists(_.getPath.getName.startsWith("cluster_id="))
-        // scan with the CURRENT (head) snapshot schema so the rewrite
-        // pads evolved columns for kept rows instead of dropping them
-        val headSchema = layoutSchema(tablePath, m.copy(indexedVersion = head))
-        val kept =
-          if (layoutEmpty) additions.limit(0)
-          else headSchema.fold(spark.read)(spark.read.schema(_)).parquet(layoutPath)
-            .filter(col("cluster_id").isin(affected: _*)) // partition-pruned
-            .join(changedKeys, m.keyCols, "left_anti")
-        // allowMissingColumns: additive table evolution — older index
-        // rows read the new columns as null, like the table itself.
-        // localCheckpoint materializes the rewrite BEFORE overwriting
-        // the partitions it was computed from.
-        val out = kept.unionByName(additions, allowMissingColumns = true)
-          .localCheckpoint(true)
-        val present = out.select("cluster_id").distinct().collect().map(_.getInt(0)).toSet
-        out.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster_id").parquet(layoutPath)
-        // a cell whose rows were all deleted writes no partition: drop it
-        affected.filterNot(present).foreach { c =>
-          GraftTable.MetaIO.delete(new Path(layoutPath, s"cluster_id=$c"))
-        }
+      if (affected.isEmpty) {
+        // nothing indexed changed (e.g. all changed rows have null
+        // vectors): advance the version pin, keep the generation
+        writeMeta(tablePath, m.copy(indexedVersion = head))
+        return Some((m.indexedVersion, head))
       }
-      writeMeta(tablePath, m.copy(indexedVersion = head))
+      val newGen = curGen + 1
+      // scan with the CURRENT (head) snapshot schema so the rewrite
+      // pads evolved columns for kept rows instead of dropping them
+      val headSchema = layoutSchema(tablePath, m.copy(indexedVersion = head))
+      val kept =
+        if (curManifest.isEmpty) additions.limit(0) // emptied layout: rebuild from additions
+        else IvfIndex.scanLayout(spark, headSchema, Some(curFiles), data)
+          .filter(col("cluster_id").isin(affected: _*)) // file-index-pruned
+          .join(changedKeys, m.keyCols, "left_anti")
+      // allowMissingColumns: additive table evolution — older index
+      // rows read the new columns as null, like the table itself.
+      // Overwrite: a crashed attempt's orphan generation dir is replaced.
+      kept.unionByName(additions, allowMissingColumns = true)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cluster_id").parquet(s"$data/g$newGen")
+      // a cell whose rows were all deleted writes no partition dir and
+      // simply leaves the manifest; untouched cells carry their files over
+      val rewritten = listGeneration(tablePath, name, s"g$newGen")
+      val affectedSet = affected.toSet
+      writeManifest(tablePath, name, newGen,
+        curManifest.view.filterKeys(!affectedSet(_)).toMap ++ rewritten)
+      // THE commit point: generation + version pin swap atomically
+      writeMeta(tablePath, m.copy(indexedVersion = head, gen = Some(newGen)))
       Some((m.indexedVersion, head))
     } finally {
       batch.unpersist(blocking = false)
       ()
     }
+  }
+
+  /** Reclaim unreferenced layout files: keep the manifests of the
+    * newest `keepGens` committed generations (always including the
+    * current one — pinned probes planned against kept generations stay
+    * servable), delete every data file no kept manifest references,
+    * drop emptied cell/generation dirs, orphan (uncommitted) generation
+    * dirs, and dropped manifests. Returns the number of data files
+    * deleted. Same single-maintainer discipline as [[refresh]]: do not
+    * vacuum while a refresh is in flight.
+    */
+  def vacuum(tablePath: String, name: String = "vec", keepGens: Int = 1): Int = {
+    require(keepGens >= 1, "keepGens must be >= 1")
+    val m = meta(tablePath, name)
+    val cur = m.gen.getOrElse(return 0) // legacy layout: nothing manifest-tracked
+    val gens = GraftTable.MetaIO.list(manifestDir(tablePath, name))
+      .map(_.getPath.getName).filter(_.matches("g\\d+")).map(_.drop(1).toInt).sorted
+    val keep = (gens.filter(_ <= cur).takeRight(keepGens) :+ cur).toSet
+    val referenced = keep.flatMap(g => readManifest(tablePath, name, g).values.flatten)
+    val data = new Path(dataPath(tablePath, name))
+    var deleted = 0
+    def sweep(prefix: String, dir: Path): Unit = {
+      GraftTable.MetaIO.list(dir)
+        .filter(_.getPath.getName.startsWith("cluster_id=")).foreach { cd =>
+          GraftTable.MetaIO.list(cd.getPath).foreach { f =>
+            val n = f.getPath.getName
+            val rel = (if (prefix.isEmpty) "" else s"$prefix/") + s"${cd.getPath.getName}/$n"
+            if (!n.startsWith("_") && !n.startsWith(".") && !referenced.contains(rel)) {
+              GraftTable.MetaIO.delete(f.getPath); deleted += 1
+            }
+          }
+          if (GraftTable.MetaIO.list(cd.getPath)
+              .forall(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+            GraftTable.MetaIO.delete(cd.getPath)
+        }
+    }
+    sweep("", data)
+    GraftTable.MetaIO.list(data)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("g\\d+")).foreach { gd =>
+        val g = gd.getPath.getName.drop(1).toInt
+        if (g > cur) { // crashed, never-committed refresh attempt
+          deleted += GraftTable.MetaIO.list(gd.getPath)
+            .filter(_.getPath.getName.startsWith("cluster_id="))
+            .map(cd => GraftTable.MetaIO.list(cd.getPath)
+              .count(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))).sum
+          GraftTable.MetaIO.delete(gd.getPath)
+        } else {
+          sweep(gd.getPath.getName, gd.getPath)
+          if (GraftTable.MetaIO.list(gd.getPath)
+              .forall(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+            GraftTable.MetaIO.delete(gd.getPath)
+        }
+      }
+    gens.filterNot(keep).foreach(g => GraftTable.MetaIO.delete(manifestPath(tablePath, name, g)))
+    deleted
   }
 
   /** Continuous maintenance: a Structured Streaming ticker drives
@@ -279,8 +432,12 @@ object GraftIndex {
     // zero rows, shaped like any other probe (table columns minus the
     // vector, plus score) — not a parquet schema-inference crash
     val layoutPath = model.fold(_.path, _.path)
-    if (!GraftTable.MetaIO.list(new Path(layoutPath))
-        .exists(_.getPath.getName.startsWith("cluster_id=")))
+    val layoutEmpty = model.fold(_.files, _.files) match {
+      case Some(fm) => fm.isEmpty // manifest is authoritative, no listing
+      case None => !GraftTable.MetaIO.list(new Path(layoutPath))
+        .exists(_.getPath.getName.startsWith("cluster_id="))
+    }
+    if (layoutEmpty)
       return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
         .withColumn("score", lit(0.0)).drop(m.vecCol)
     model.fold(

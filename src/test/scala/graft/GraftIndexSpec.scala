@@ -75,7 +75,7 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     GraftIndex.probe(spark, path, vec(1L), 5, nprobe = 4).count() shouldBe 5
   }
 
-  test("deleting every row of a cell drops its partition; probes stay exact") {
+  test("deleting every row of a cell drops it from the manifest; vacuum reclaims its files") {
     val path = Files.createTempDirectory("graft_index_cell").toString + "/t"
     // two well-separated clusters around ±e1 — KMeans(k=2) splits them
     val df = (0L until 200L).map { k =>
@@ -86,16 +86,134 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     }.toDF("k", "v")
     GraftTable.create(df, path, Seq("k"), nbuckets = 2)
     GraftIndex.create(spark, path, "v", nlist = 2)
-    new java.io.File(path + "/_index/vec/data").listFiles()
-      .count(_.getName.startsWith("cluster_id=")) shouldBe 2
-    // wipe the negative cluster entirely → its cell must disappear
+    GraftIndex.manifest(path).keySet should have size 2
+    // wipe the negative cluster entirely → its cell must leave the manifest
     GraftTable.delete(spark, path, (100L until 200L).toDF("k"))
     GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
-    new java.io.File(path + "/_index/vec/data").listFiles()
-      .count(_.getName.startsWith("cluster_id=")) shouldBe 1
+    GraftIndex.manifest(path).keySet should have size 1
     val q = { val b = Array.fill(8)(0f); b(0) = 1f; b.toSeq }
     GraftIndex.probe(spark, path, q, 200, nprobe = 2)
       .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
+    // MVCC: the dead cell's FILES survive for pinned readers until vacuum…
+    val dataDir = new java.io.File(path + "/_index/vec/data")
+    def dataFiles(): Set[String] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(dataDir)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => dataDir.toPath.relativize(f.toPath).toString).toSet
+    }
+    val before = dataFiles()
+    GraftIndex.vacuum(path) should be > 0
+    val after = dataFiles()
+    after.size should be < before.size
+    // …and after vacuum, exactly the manifest's files remain on disk
+    after shouldBe GraftIndex.manifest(path).values.flatten.toSet
+    GraftIndex.probe(spark, path, q, 200, nprobe = 2)
+      .select("k").collect().map(_.getLong(0)).toSet shouldBe (0L until 100L).toSet
+  }
+
+  test("MVCC: a probe planned before a refresh serves its pinned generation untorn") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    val q = vec(4141L)
+    val oldExact = exactTopK(path, q, 10)
+    // plan (lazily) against the CURRENT generation…
+    val pinned = GraftIndex.probe(spark, path, q, 10, nprobe = 4)
+    // …then move the table and the index past it
+    GraftTable.upsert(spark, path,
+      (0L until 40L).map(k => (k, s"u-$k", vec(k + 7000))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (200L until 240L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    // the refresh only ADDED files: every file the pinned plan references
+    // still exists, and collecting it now yields the OLD snapshot's exact
+    // top-k — with an in-place rewrite this read would be torn or missing
+    pinned.select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe oldExact
+    // while a fresh probe serves the NEW snapshot
+    GraftIndex.probe(spark, path, q, 10, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 10)
+  }
+
+  test("a refresh that crashed before the meta swap is invisible; the retry commits") {
+    val path = freshTable(250)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    GraftTable.upsert(spark, path,
+      (0L until 10L).map(k => (k, s"u-$k", vec(k + 6000))).toDF("k", "s", "v"))
+    // simulate a refresh that died AFTER writing its generation dir and
+    // manifest but BEFORE the meta swap: plant a poisoned g1 + manifest
+    val g1 = new java.io.File(path + "/_index/vec/data/g1/cluster_id=0")
+    g1.mkdirs()
+    Files.write(g1.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    Files.write(new java.io.File(path + "/_index/vec/manifests/g1").toPath,
+      "0\tg1/cluster_id=0/part-junk.parquet".getBytes)
+    // committed state is untouched: the index still serves generation 0
+    GraftIndex.meta(path).gen shouldBe Some(0)
+    GraftIndex.probe(spark, path, vec(3L), 5, nprobe = 4, allowStale = true)
+      .count() shouldBe 5
+    // the retry overwrites the orphan attempt and commits cleanly
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    GraftIndex.meta(path).gen shouldBe Some(1)
+    val q = vec(909L)
+    GraftIndex.probe(spark, path, q, 8, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 8)
+  }
+
+  test("vacuum keeps the newest keepGens generations and drops orphans") {
+    val path = freshTable(200)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    // two refresh rounds → generations 0, 1, 2 on disk
+    GraftTable.upsert(spark, path,
+      (0L until 20L).map(k => (k, s"a-$k", vec(k + 3000))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    GraftTable.upsert(spark, path,
+      (20L until 40L).map(k => (k, s"b-$k", vec(k + 4000))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((1, 2))
+    // plus an orphan (never-committed) g9 attempt
+    val g9 = new java.io.File(path + "/_index/vec/data/g9/cluster_id=0")
+    g9.mkdirs()
+    Files.write(g9.toPath.resolve("part-junk.parquet"), Array[Byte](9))
+    // keepGens=2: generation 1's files survive for pinned readers
+    GraftIndex.vacuum(path, keepGens = 2) should be > 0
+    new java.io.File(path + "/_index/vec/data/g9").exists() shouldBe false
+    new java.io.File(path + "/_index/vec/manifests/g1").exists() shouldBe true
+    new java.io.File(path + "/_index/vec/manifests/g0").exists() shouldBe false
+    // tighten to the current generation only
+    GraftIndex.vacuum(path)
+    new java.io.File(path + "/_index/vec/manifests/g1").exists() shouldBe false
+    val q = vec(555L)
+    GraftIndex.probe(spark, path, q, 10, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 10)
+  }
+
+  test("a legacy (pre-manifest) index self-upgrades on refresh") {
+    val path = freshTable(150)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    // strip the MVCC bookkeeping: no gen= line, no manifests dir
+    val metaFile = new java.io.File(path + "/_index/vec/meta")
+    val legacy = new String(Files.readAllBytes(metaFile.toPath))
+      .linesIterator.filterNot(_.startsWith("gen=")).mkString("\n")
+    new java.io.File(path + "/_index/vec/.meta.crc").delete() // raw rewrite below invalidates it
+    Files.write(metaFile.toPath, legacy.getBytes)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(path + "/_index/vec/manifests"))
+    GraftIndex.meta(path).gen shouldBe None
+    // legacy probes fall back to the directory scan
+    GraftIndex.probe(spark, path, vec(2L), 5, nprobe = 4).count() shouldBe 5
+    // the next refresh adopts the layout as g0 and commits g1
+    GraftTable.upsert(spark, path,
+      Seq((0L, "u", vec(2222L))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    GraftIndex.meta(path).gen shouldBe Some(1)
+    val q = vec(313L)
+    GraftIndex.probe(spark, path, q, 7, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 7)
   }
 
   test("additive table evolution flows through refresh: old index rows pad the new column") {
