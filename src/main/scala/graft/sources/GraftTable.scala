@@ -157,23 +157,33 @@ object GraftTable {
 
   // ---- manifest-carried metadata: snapshot schema + file-level stats ----
   //
-  // Besides bucket→dir lines and the #nbuckets header, a manifest
-  // written by this version carries:
+  // Besides bucket→dir lines, a manifest written by this version
+  // carries two headers:
+  //   #nbuckets=<n>
   //   #schema=<url-encoded DDL>      the snapshot's full schema
+  // File-level stats live in per-ATTEMPT segment files next to the
+  // manifests (`manifests/<attempt>.stats`, where <attempt> is the
+  // unique `v<N>-<uuid>` token of one writer's data dir), holding:
   //   #file=<relFile>\t<rowCount>    one per data file
   //   #stat=<relFile>\t<col>\t<min>\t<max>\t<nullCount>
   // min/max are type-serialized (numerics as decimal strings, strings/
   // dates as URL-encoded text, timestamps as epoch micros; "-" =
-  // unknown). All three are "#"-prefixed, so readers of the old format
-  // skip them untouched; carried-over dirs keep their stat lines by
-  // copy from the previous manifest (their files are immutable).
+  // unknown). Readers derive the segments to consult from the
+  // manifest's dir lines by name — no pointer list to maintain — and
+  // legacy manifests with INLINE #file/#stat lines still resolve (the
+  // lines are merged; writers copy a carried legacy manifest's inline
+  // lines out to segments on their next commit).
   //
-  // Why this matters at 100 TB: without table-level stats, a non-key
-  // filter prunes only via parquet row-group footers — one GET per
-  // file before anything can be skipped. With min/max in the manifest
-  // (the Delta/Hudi/Iceberg design), file skipping is decided from ONE
-  // small read, and the recorded schema lets every snapshot read skip
-  // the mergeSchema footer-listing pass at planning time as well.
+  // Why the split matters at 100 TB: stats are O(files), bucket lines
+  // are O(buckets). Inline stats made every commit rewrite O(table)
+  // bytes of manifest even when it touched one bucket; with immutable
+  // per-attempt segments a commit writes O(touched files) of new stats
+  // and an O(buckets) manifest, and carried dirs' stats are never
+  // copied at all. File skipping still needs no footer GETs: a non-key
+  // filter reads the manifest plus the handful of segments its dirs
+  // name (each bounded by its attempt's file count), and the recorded
+  // schema lets every snapshot read skip the mergeSchema
+  // footer-listing pass at planning time as well.
 
   /** Per-file, per-column min/max/nullCount as serialized strings. */
   final case class ColStat(min: Option[String], max: Option[String], nullCount: Long)
@@ -266,11 +276,50 @@ object GraftTable {
           .fields.map(_.copy(nullable = true)))
       }
 
+  /** The attempt token of a `data/<attempt>/<bucket>/…` relative path —
+    * the unit both data-dir layout and stat segments are keyed by.
+    */
+  private def attemptOfRel(rel: String): Option[String] = {
+    val parts = rel.split("/")
+    if (parts.length >= 3 && parts(0) == "data") Some(parts(1)) else None
+  }
+
+  /** Per-attempt stat segment: the `#file=`/`#stat=` lines for the
+    * files written under `data/<attempt>/`, stored NEXT TO the
+    * manifests instead of inside them. Manifests stay O(buckets) no
+    * matter how many files the table holds — at millions of files an
+    * inline-stats manifest would be rewritten whole on EVERY commit,
+    * making commit cost O(table) instead of O(touched). Segments are
+    * derived from the manifest's dir lines by name (no pointer list to
+    * maintain) and die with their attempt dir at vacuum.
+    */
+  private def statsSegPath(path: String, attempt: String) =
+    new Path(new Path(path, "manifests"), s"$attempt.stats")
+
   /** relFile → recorded stats for snapshot `v` (empty for legacy
-    * manifests).
+    * manifests). Inline lines (written before the segment format) and
+    * per-attempt segments are merged; either alone is complete for the
+    * dirs it covers.
     */
   def manifestFileStats(path: String, v: Int): Map[String, FileStat] = {
-    val lines = manifestText(path, v).split("\n")
+    val text = manifestText(path, v)
+    val dirs = text.split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split("\t")(1))
+    val segLines = dirs.flatMap(attemptOfRel).distinct.flatMap { a =>
+      scala.util.Try(MetaIO.readString(statsSegPath(path, a))).toOption
+        .toSeq.flatMap(_.split("\n").toSeq)
+    }
+    // a segment covers its whole ATTEMPT; restrict to the dirs this
+    // snapshot actually references (a later version may have rewritten
+    // some of the attempt's buckets)
+    val dirSet = dirs.toSet
+    def inSnapshot(l: String): Boolean = {
+      val rel = l.substring(l.indexOf('=') + 1).split("\t")(0)
+      val cut = rel.lastIndexOf('/')
+      cut > 0 && dirSet.contains(rel.substring(0, cut))
+    }
+    val lines = text.split("\n").toSeq ++
+      segLines.filter(l => (!l.startsWith("#file=") && !l.startsWith("#stat=")) || inSnapshot(l))
     val rows = lines.collect { case l if l.startsWith("#file=") =>
       val p = l.stripPrefix("#file=").split("\t")
       p(0) -> p(1).toLong
@@ -282,7 +331,7 @@ object GraftTable {
           p(4).toLong))
     }.groupBy(_._1)
     rows.map { case (f, n) =>
-      f -> FileStat(n, stats.getOrElse(f, Array.empty).map(s => s._2 -> s._3).toMap)
+      f -> FileStat(n, stats.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap)
     }
   }
 
@@ -980,6 +1029,14 @@ object GraftTable {
         MetaIO.delete(vDir.getPath)
     }
     (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))
+    // stat segments die with their attempt dirs: once vacuum has
+    // reclaimed data/<attempt> entirely, no surviving manifest can
+    // resolve files under it, so its segment is unreachable by name
+    MetaIO.list(new Path(path, "manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".stats")).foreach { n =>
+        if (!MetaIO.exists(new Path(path, s"data/${n.stripSuffix(".stats")}")))
+          MetaIO.delete(new Path(new Path(path, "manifests"), n))
+      }
   }
 
   /** Write snapshot v: data dir → manifest → commit marker.
@@ -1061,15 +1118,31 @@ object GraftTable {
           newSchema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       case None => newSchema
     }
-    // stats: carried dirs keep their lines by copy (immutable files);
-    // fresh dirs get one bounded aggregate scan. Never fail the commit
-    // over stats — a manifest without them simply doesn't prune.
+    // stats live in per-attempt SEGMENT files (statsSegPath), not the
+    // manifest: fresh files get one bounded aggregate scan written to
+    // this attempt's own segment; carried dirs resolve by name from the
+    // segments their attempts already own. Commit cost stays
+    // O(touched files + buckets) — inline carry-by-copy was O(table)
+    // per commit at high file counts. Carried dirs whose stats are
+    // still INLINE in the previous manifest (legacy format) have those
+    // lines copied out to their attempts' segments once, MERGED in case
+    // a restore resurfaces dirs an earlier upgrade pass missed. Never
+    // fail the commit over stats — files without them simply don't
+    // prune.
     val carriedDirs = carryOver.values.toSet
-    val carriedStats = prevLines.filter { l =>
-      (l.startsWith("#file=") || l.startsWith("#stat=")) && {
-        val rel = l.substring(l.indexOf('=') + 1).split("\t")(0)
-        carriedDirs.exists(d => rel.startsWith(d + "/"))
-      }
+    def relOfLine(l: String) = l.substring(l.indexOf('=') + 1).split("\t")(0)
+    val carriedInline = prevLines.filter { l =>
+      (l.startsWith("#file=") || l.startsWith("#stat=")) &&
+        carriedDirs.exists(d => relOfLine(l).startsWith(d + "/"))
+    }
+    val (upgradable, keepInline) =
+      carriedInline.partition(l => attemptOfRel(relOfLine(l)).isDefined)
+    upgradable.groupBy(l => attemptOfRel(relOfLine(l)).get).foreach { case (a, ls) =>
+      val seg = statsSegPath(path, a)
+      val existing = scala.util.Try(MetaIO.readString(seg)).toOption
+        .toSeq.flatMap(_.split("\n").toSeq).filter(_.nonEmpty)
+      val merged = (existing ++ ls).distinct
+      if (merged.size != existing.size) MetaIO.replaceString(seg, merged.mkString("\n"))
     }
     val freshStats =
       try collectStatLines(spark, path, written.values.toSeq)
@@ -1077,8 +1150,11 @@ object GraftTable {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] stats collection failed for $path v$v: $e"); Nil
       }
+    if (freshStats.nonEmpty) // this attempt's uuid is unique: no racing writer shares it
+      MetaIO.replaceString(statsSegPath(path, dataRel.stripPrefix("data/")),
+        freshStats.mkString("\n"))
     val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
-      carriedStats ++ freshStats ++
+      keepInline ++
       (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins

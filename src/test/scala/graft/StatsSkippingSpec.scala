@@ -77,7 +77,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     prefix shouldBe 10L // row-00010..row-00019
   }
 
-  test("stats survive carry-over: an upsert copies untouched dirs' lines") {
+  test("stats survive carry-over: untouched dirs resolve from their attempts' segments") {
     val path = freshTable(n = 1024)
     GraftTable.upsert(spark, path, Seq((7L, 999L, 999L, "upd")).toDF("k", "x", "y", "s"))
     val stats = GraftTable.manifestFileStats(path, 1)
@@ -90,6 +90,58 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     carried.foreach { d =>
       stats.keys.exists(_.startsWith(d + "/")) shouldBe true
     }
+  }
+
+  test("manifests stay O(buckets): stats live in per-attempt segments, not the manifest") {
+    val path = freshTable(n = 1024)
+    GraftTable.upsert(spark, path, Seq((7L, 999L, 999L, "upd")).toDF("k", "x", "y", "s"))
+    // no #file/#stat lines inline — the commit rewrote O(buckets) bytes
+    // of manifest even though the table's file count is unbounded
+    val mdir = new java.io.File(path + "/manifests")
+    (0 to 1).foreach { v =>
+      val text = new String(Files.readAllBytes(new java.io.File(mdir, s"v$v").toPath))
+      text.linesIterator.count(l => l.startsWith("#file=") || l.startsWith("#stat=")) shouldBe 0
+    }
+    // one segment per committed attempt, named for its data dir
+    val segs = mdir.listFiles().map(_.getName).filter(_.endsWith(".stats"))
+    segs should have size 2
+    segs.foreach { s =>
+      new java.io.File(path + "/data/" + s.stripSuffix(".stats")).isDirectory shouldBe true
+    }
+    // old snapshots' stats stay fully resolvable (time travel prunes too)
+    GraftTable.manifestFileStats(path, 0).values.map(_.rows).sum shouldBe 1024L
+    // vacuum to the head: v0's rewritten bucket dir goes; its attempt
+    // dir survives (still carries v1's carried buckets) and so must its
+    // segment — stats for the HEAD still resolve completely
+    GraftTable.vacuum(path)
+    GraftTable.manifestFileStats(path, 1).values.map(_.rows).sum shouldBe 1024L
+  }
+
+  test("a legacy inline-stats manifest upgrades to segments on the next commit") {
+    val path = freshTable(n = 512)
+    // forge the legacy format: fold v0's segment lines INTO the manifest
+    // and drop the segment, as a pre-segment writer would have left it
+    val mdir = new java.io.File(path + "/manifests")
+    val seg = mdir.listFiles().filter(_.getName.endsWith(".stats")).head
+    val segLines = new String(Files.readAllBytes(seg.toPath))
+    val v0 = new java.io.File(mdir, "v0")
+    val v0Lines = new String(Files.readAllBytes(v0.toPath)).linesIterator.toSeq
+    val (headers, dirs) = v0Lines.partition(_.startsWith("#"))
+    new java.io.File(mdir, ".v0.crc").delete()
+    Files.write(v0.toPath, (headers ++ segLines.linesIterator ++ dirs).mkString("\n").getBytes)
+    seg.delete()
+    GraftTable.manifestFileStats(path, 0).values.map(_.rows).sum shouldBe 512L // inline resolves
+    // next commit copies the carried dirs' inline lines out to segments
+    GraftTable.upsert(spark, path, Seq((7L, 999L, 999L, "upd")).toDF("k", "x", "y", "s"))
+    val v1text = new String(Files.readAllBytes(new java.io.File(mdir, "v1").toPath))
+    v1text.linesIterator.count(_.startsWith("#stat=")) shouldBe 0
+    GraftTable.manifestFileStats(path, 1).values.map(_.rows).sum shouldBe 512L
+    mdir.listFiles().count(_.getName.endsWith(".stats")) shouldBe 2 // upgraded v0 + fresh v1
+    // and pruning works off the upgraded segments: x > 63 lives only in
+    // the freshly upserted file, every carried file proves x <= 63
+    val v = GraftTable.latestVersion(path)
+    val Some((_, kept, total)) = GraftTable.prunedDataPaths(path, v, Seq(GreaterThan("x", 63L)))
+    kept should be < total
   }
 
   test("additive schema evolution composes with pruned reads (null padding)") {
