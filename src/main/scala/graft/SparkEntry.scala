@@ -1312,6 +1312,32 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "graft_index_knn_exhaustive" -> ((s, dir) => {
+      // batched ANN join THROUGH the table-attached index, on the PQ
+      // kind with OPQ — the de-rotated coarse ranking plus the pinned
+      // manifest scan, end-to-end after an upsert + delete + refresh;
+      // nprobe = nlist ⇒ exact per query, so the mutated-corpus
+      // brute-force cross join is the oracle. Queries are the first
+      // post-mutation rows of the table itself.
+      val root = indexPath("gidxknn", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val emb = Tables.embeddings(s, dir)
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = "ivfpq", m = 8, opq = true)
+      val flipped = emb.filter(col("vec_id") % 97 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      GraftTable.upsert(s, tbl, flipped)
+      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
+      GraftIndex.refresh(s, tbl)
+      val qs = GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      GraftIndex.knnJoin(s, tbl, qs, k = 5, nprobe = 16)
+        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+        .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+    }),
+
     "graft_index_hybrid" -> ((s, dir) => {
       // filtered search THROUGH the table-attached index: the predicate
       // is pushed into the partition-pruned cell scan (beyond the
@@ -1502,6 +1528,27 @@ object SparkEntry {
            FROM corpus)
          SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
          FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+
+    // batched knn join through the table-attached index (PQ kind, OPQ),
+    // exhaustive ⇒ exact: per-query brute force over the mutated corpus,
+    // query side = the first post-mutation rows of the same corpus
+    "graft_index_knn_exhaustive" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings WHERE vec_id % 101 <> 7),
+         scored AS (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_cosine_similarity(e.e, q.e) AS s
+           FROM corpus e CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 10) q),
+         ranked AS (
+           SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored)
+         SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
+         ORDER BY qid, score_q DESC, vec_id""",
 
     // hybrid through the table-attached index: exhaustive cells + pushed
     // predicate ⇒ exact filtered top-k, oracle = filtered brute force

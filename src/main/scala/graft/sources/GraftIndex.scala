@@ -411,6 +411,15 @@ object GraftIndex {
       .trigger(trigger)
       .start()
 
+  private def requireFresh(tablePath: String, m: IndexMeta, allowStale: Boolean): Unit = {
+    val head = GraftTable.latestVersion(tablePath)
+    if (!allowStale && head != m.indexedVersion)
+      throw new IllegalStateException(
+        s"index '${m.name}' on $tablePath is STALE: it reflects table version " +
+          s"${m.indexedVersion} but the table is at $head — run " +
+          "GraftIndex.refresh, or probe(allowStale = true) to serve the indexed snapshot")
+  }
+
   /** Top-k against the table-attached index (ivf: exact inside probed
     * cells; ivfpq: ADC + exact re-rank of `rerankFactor`·k survivors —
     * nprobe = nlist with a corpus-covering rerankFactor ⇒ exact, full
@@ -422,12 +431,7 @@ object GraftIndex {
             nprobe: Int, name: String = "vec", pred: Option[Column] = None,
             allowStale: Boolean = false, rerankFactor: Int = 4): DataFrame = {
     val (m, model) = open(spark, tablePath, name)
-    val head = GraftTable.latestVersion(tablePath)
-    if (!allowStale && head != m.indexedVersion)
-      throw new IllegalStateException(
-        s"index '$name' on $tablePath is STALE: it reflects table version " +
-          s"${m.indexedVersion} but the table is at $head — run " +
-          "GraftIndex.refresh, or probe(allowStale = true) to serve the indexed snapshot")
+    requireFresh(tablePath, m, allowStale)
     // an index over an EMPTY table (every cell dropped) is valid state:
     // zero rows, shaped like any other probe (table columns minus the
     // vector, plus score) — not a parquet schema-inference crash
@@ -445,5 +449,47 @@ object GraftIndex {
         .drop("cluster_id"),
       pq => PqIndex.probe(spark, pq, m.keyCols.head, m.vecCol, query, k, nprobe,
         rerankFactor, pred))
+  }
+
+  /** Batched ANN k-NN join THROUGH the table-attached index: every
+    * query row gets its approximate top-k table neighbors, reading only
+    * the union of the queries' nprobe cells from the pinned manifest —
+    * [[IvfIndex.knnJoin]] with the index's freshness contract. Works
+    * for BOTH kinds: the layout stores full rows, so candidates are
+    * scored on their true vectors (for ivfpq the PQ codes are simply
+    * not consulted — this is the exact-scoring batch path, not ADC).
+    * An OPQ-rotated index ranks coarse cells correctly by de-rotating
+    * the centroids into the original vector space (R is orthonormal:
+    * dist(qR, c) = dist(q, cRᵀ)), so partial-nprobe recall matches the
+    * plain-PQ geometry. nprobe = nlist ⇒ exact per query.
+    */
+  def knnJoin(spark: SparkSession, tablePath: String, queries: Seq[(Long, Seq[Float])],
+              k: Int, nprobe: Int, name: String = "vec",
+              allowStale: Boolean = false): DataFrame = {
+    val (m, model) = open(spark, tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    val ivf = model.fold(identity, pq => IvfIndex.Model(pq.path,
+      pq.rot.fold(pq.coarse)(r => pq.coarse.map(derotate(_, r))),
+      pq.metric, pq.schema, pq.files))
+    if (ivf.files.exists(_.isEmpty))
+      return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+        .select(lit(0L).as("qid"), col(m.keyCols.head), lit(0.0).as("score"))
+    IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe)
+  }
+
+  /** v·Rᵀ for a row-vector rotation R — maps a rotated-space point back
+    * to the original space.
+    */
+  private def derotate(v: Array[Float], r: Array[Array[Float]]): Array[Float] = {
+    val d = v.length
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i).toDouble * r(j)(i).toDouble; i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    out
   }
 }

@@ -270,6 +270,36 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
   }
 
+  test("knnJoin through the index: exhaustive == per-query exact; stale is loud") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    val qs = Seq(1L, 2L, 3L).map(i => (i, vec(i + 500)))
+    val got = GraftIndex.knnJoin(spark, path, qs, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) => got(qid) shouldBe exactTopK(path, qv, 3) }
+    GraftTable.upsert(spark, path, Seq((0L, "u", vec(1L))).toDF("k", "s", "v"))
+    intercept[IllegalStateException] {
+      GraftIndex.knnJoin(spark, path, qs, 3, 4)
+    }.getMessage should include("STALE")
+  }
+
+  test("knnJoin on the OPQ-rotated PQ kind: exhaustive == exact after mutations") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 4, kind = "ivfpq", m = 4, opq = true)
+    GraftTable.upsert(spark, path,
+      (0L until 12L).map(k => (k, s"u-$k", vec(k + 8000))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (50L until 70L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val qs = Seq(5L, 6L).map(i => (i, vec(i + 900)))
+    val got = GraftIndex.knnJoin(spark, path, qs, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) => got(qid) shouldBe exactTopK(path, qv, 4) }
+  }
+
   test("streamRefresh: the index follows the table with no manual refresh calls") {
     val path = freshTable(150)
     GraftIndex.create(spark, path, "v", nlist = 4)
