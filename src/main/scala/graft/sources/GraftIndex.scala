@@ -35,8 +35,9 @@ import graft.operators.{IvfIndex, PqIndex}
   * class exists to kill.
   *
   * The layout is MVCC, like the table itself. Data files are IMMUTABLE:
-  * each [[refresh]] writes the rewritten cells into a fresh generation
-  * directory (`data/g<K>/cluster_id=N/…`) and records a per-generation
+  * each [[refresh]] writes the rewritten cells into a fresh
+  * uniquely-suffixed generation directory
+  * (`data/g<K>-<token>/cluster_id=N/…`) and records a per-generation
   * manifest (`manifests/g<K>`: cell → files, carrying forward untouched
   * cells' existing files), then commits by atomically swapping `meta`
   * (generation + indexedVersion advance together or not at all). So:
@@ -267,9 +268,12 @@ object GraftIndex {
     *
     * Run ONE refresher per index (the [[ChangeFeed]] one-cursor-per-
     * consumer discipline): refresh is idempotent against crashes and
-    * replays, but two CONCURRENT refreshers would race the generation
-    * write with no arbitration. [[streamRefresh]] gives the
-    * single-refresher loop a lifecycle.
+    * replays. Two CONCURRENT refreshers no longer corrupt data — each
+    * writes its own uniquely-suffixed generation dir and the last meta
+    * swap wins with a self-consistent file set — but the discipline
+    * stands: racing swaps can pair one refresher's version pin with the
+    * other's manifest when the table moved between their reads.
+    * [[streamRefresh]] gives the single-refresher loop a lifecycle.
     */
   def refresh(spark: SparkSession, tablePath: String,
               name: String = "vec"): Option[(Int, Int)] = {
@@ -309,6 +313,13 @@ object GraftIndex {
         return Some((m.indexedVersion, head))
       }
       val newGen = curGen + 1
+      // unique attempt suffix, like the table's data dirs: a crashed
+      // attempt's dir is never half-reused (the retry gets a fresh
+      // token and orphans are vacuumed), and two refreshers racing
+      // against the single-maintainer discipline can no longer clobber
+      // each other's files — each writes its own dir and the last meta
+      // swap wins with a self-consistent file set
+      val genDir = s"g$newGen-${java.util.UUID.randomUUID.toString.take(8)}"
       // scan with the CURRENT (head) snapshot schema so the rewrite
       // pads evolved columns for kept rows instead of dropping them
       val headSchema = layoutSchema(tablePath, m.copy(indexedVersion = head))
@@ -318,14 +329,13 @@ object GraftIndex {
           .filter(col("cluster_id").isin(affected: _*)) // file-index-pruned
           .join(changedKeys, m.keyCols, "left_anti")
       // allowMissingColumns: additive table evolution — older index
-      // rows read the new columns as null, like the table itself.
-      // Overwrite: a crashed attempt's orphan generation dir is replaced.
+      // rows read the new columns as null, like the table itself
       kept.unionByName(additions, allowMissingColumns = true)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("cluster_id").parquet(s"$data/g$newGen")
+        .partitionBy("cluster_id").parquet(s"$data/$genDir")
       // a cell whose rows were all deleted writes no partition dir and
       // simply leaves the manifest; untouched cells carry their files over
-      val rewritten = listGeneration(tablePath, name, s"g$newGen")
+      val rewritten = listGeneration(tablePath, name, genDir)
       val affectedSet = affected.toSet
       writeManifest(tablePath, name, newGen,
         curManifest.view.filterKeys(!affectedSet(_)).toMap ++ rewritten)
@@ -374,8 +384,9 @@ object GraftIndex {
     }
     sweep("", data)
     GraftTable.MetaIO.list(data)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("g\\d+")).foreach { gd =>
-        val g = gd.getPath.getName.drop(1).toInt
+      .filter(s => s.isDirectory && s.getPath.getName.matches("g\\d+(-[0-9a-f]+)?"))
+      .foreach { gd =>
+        val g = gd.getPath.getName.drop(1).takeWhile(_.isDigit).toInt
         if (g > cur) { // crashed, never-committed refresh attempt
           deleted += GraftTable.MetaIO.list(gd.getPath)
             .filter(_.getPath.getName.startsWith("cluster_id="))
