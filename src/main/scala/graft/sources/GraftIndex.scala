@@ -66,15 +66,20 @@ object GraftIndex {
   /** `gen`: the layout generation the index serves — the manifest
     * `manifests/g<gen>` is the authoritative file set. None only for
     * legacy (pre-MVCC) indexes, which self-upgrade on their next
-    * refresh and serve by directory scan until then.
+    * refresh and serve by directory scan until then. `modelGen`: the
+    * model generation (centroids/codebooks dir `model-g<K>`) — model
+    * files are as immutable as data files, so [[rebuild]] can refit
+    * under concurrent probes; None = the legacy single `model` dir.
     */
   final case class IndexMeta(name: String, kind: String, vecCol: String,
                              keyCols: Seq[String], metric: String, nlist: Int,
-                             indexedVersion: Int, gen: Option[Int] = None)
+                             indexedVersion: Int, gen: Option[Int] = None,
+                             modelGen: Option[Int] = None)
 
   private def root(tablePath: String, name: String) = s"$tablePath/_index/$name"
   private def dataPath(tablePath: String, name: String) = s"${root(tablePath, name)}/data"
-  private def modelPath(tablePath: String, name: String) = s"${root(tablePath, name)}/model"
+  private def modelPath(tablePath: String, name: String, modelGen: Option[Int]) =
+    s"${root(tablePath, name)}/${modelGen.fold("model")(g => s"model-g$g")}"
   private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
   private def manifestDir(tablePath: String, name: String) =
     new Path(root(tablePath, name), "manifests")
@@ -91,33 +96,45 @@ object GraftIndex {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     IndexMeta(name, kv.getOrElse("kind", "ivf"), kv("vecCol"),
       kv("keyCols").split(",").toSeq, kv("metric"), kv("nlist").toInt,
-      kv("indexedVersion").toInt, kv.get("gen").map(_.toInt))
+      kv("indexedVersion").toInt, kv.get("gen").map(_.toInt),
+      kv.get("modelGen").map(_.toInt))
   }
 
   private def writeMeta(tablePath: String, m: IndexMeta): Unit =
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
       s"kind=${m.kind}\nvecCol=${m.vecCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
         s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}" +
-        m.gen.fold("")(g => s"\ngen=$g"))
+        m.gen.fold("")(g => s"\ngen=$g") +
+        m.modelGen.fold("")(g => s"\nmodelGen=$g"))
 
   // ---- MVCC manifests: cell -> immutable data files ----------------------
 
   /** One `cell<TAB>relPath` line per data file, paths relative to
     * `data/` (`cluster_id=N/part…` for the build generation,
-    * `g<K>/cluster_id=N/part…` for refresh generations).
+    * `g<K>-<token>/cluster_id=N/part…` for refresh generations), plus a
+    * `#modelgen=<K>` header naming the model generation these cells
+    * were assigned/encoded under — the liveness anchor [[vacuum]] keeps
+    * model dirs by.
     */
   private def writeManifest(tablePath: String, name: String, gen: Int,
-                            m: Map[Int, Seq[String]]): Unit =
+                            m: Map[Int, Seq[String]],
+                            modelGen: Option[Int]): Unit =
     GraftTable.MetaIO.replaceString(manifestPath(tablePath, name, gen),
-      m.toSeq.sortBy(_._1)
-        .flatMap { case (cell, fs) => fs.sorted.map(f => s"$cell\t$f") }
+      (modelGen.map(g => s"#modelgen=$g").toSeq ++
+        m.toSeq.sortBy(_._1)
+          .flatMap { case (cell, fs) => fs.sorted.map(f => s"$cell\t$f") })
         .mkString("\n"))
 
   private def readManifest(tablePath: String, name: String, gen: Int): Map[Int, Seq[String]] =
     GraftTable.MetaIO.readString(manifestPath(tablePath, name, gen))
-      .split("\n").filter(_.nonEmpty)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val Array(c, f) = l.split("\t", 2); (c.toInt, f) }
       .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2).toSeq }
+
+  private def manifestModelGen(tablePath: String, name: String, gen: Int): Option[Int] =
+    GraftTable.MetaIO.readString(manifestPath(tablePath, name, gen))
+      .split("\n").collectFirst { case l if l.startsWith("#modelgen=") =>
+        l.stripPrefix("#modelgen=").toInt }
 
   /** The current cell → relative-file-paths map ([[vacuum]]'s unit of
     * liveness; for a legacy index this falls back to a listing).
@@ -156,7 +173,8 @@ object GraftIndex {
   private def saveModel(spark: SparkSession, tablePath: String, name: String,
                         coarse: Array[Array[Float]],
                         codebooks: Option[Array[Array[Array[Float]]]],
-                        rot: Option[Array[Array[Float]]]): Unit = {
+                        rot: Option[Array[Array[Float]]],
+                        modelGen: Option[Int]): Unit = {
     import spark.implicits._
     val rows: Seq[(String, Int, Int, Seq[Float])] =
       coarse.zipWithIndex.map { case (c, i) => ("coarse", i, 0, c.toSeq) }.toSeq ++
@@ -164,7 +182,7 @@ object GraftIndex {
         book.zipWithIndex.toSeq.map { case (c, ci) => ("book", mi, ci, c.toSeq) } }) ++
       rot.toSeq.flatMap(_.zipWithIndex.toSeq.map { case (r, i) => ("rot", i, 0, r.toSeq) })
     rows.toDF("part", "i", "j", "vec").repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(modelPath(tablePath, name))
+      .write.mode(SaveMode.Overwrite).parquet(modelPath(tablePath, name, modelGen))
   }
 
   /** Explicit layout schema: the table's manifest-recorded snapshot
@@ -193,7 +211,7 @@ object GraftIndex {
   private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta,
                         files: Option[Map[Int, Seq[String]]])
       : Either[IvfIndex.Model, PqIndex.Model] = {
-    val rows = spark.read.parquet(modelPath(tablePath, m.name))
+    val rows = spark.read.parquet(modelPath(tablePath, m.name, m.modelGen))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
         r.getSeq[Float](3).toArray))
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
@@ -241,15 +259,61 @@ object GraftIndex {
     if (kind == "ivf") {
       val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
         metric, fitSampleFraction = fitSampleFraction)
-      saveModel(spark, tablePath, name, model.centroids, None, None)
+      saveModel(spark, tablePath, name, model.centroids, None, None, Some(0))
     } else {
       val model = PqIndex.build(snap, keys.head, vecCol, nlist, m,
         dataPath(tablePath, name), metric, opq = opq)
-      saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot)
+      saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot, Some(0))
     }
     // generation 0 = the build's own files; meta lands LAST (commit point)
-    writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""))
-    writeMeta(tablePath, IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0)))
+    writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""), Some(0))
+    writeMeta(tablePath,
+      IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0), Some(0)))
+  }
+
+  /** Full refit + relayout as ONE new generation — the drift answer the
+    * append discipline defers to (refresh reuses the build's
+    * centroids/codebooks; after enough distribution drift, recall at a
+    * given nprobe decays and only a refit recovers it). The new model
+    * lands in its own immutable `model-g<K>` dir and the new layout in
+    * its own generation dir, so concurrent probes keep serving the old
+    * (model, manifest) pair untorn; the meta swap flips both together.
+    * Also catches the index up to the table head (a rebuild IS a
+    * refresh from scratch). `nlist`/`m`/`opq` default to the index's
+    * current settings; pass them to re-tune for the grown corpus.
+    * Old model dirs are reclaimed by [[vacuum]] once no kept manifest's
+    * `#modelgen` references them.
+    */
+  def rebuild(spark: SparkSession, tablePath: String, name: String = "vec",
+              nlist: Option[Int] = None, m: Option[Int] = None,
+              opq: Option[Boolean] = None,
+              fitSampleFraction: Option[Double] = None): Unit = {
+    val meta0 = meta(tablePath, name)
+    val head = GraftTable.latestVersion(tablePath)
+    val newModelGen = meta0.modelGen.getOrElse(-1) + 1
+    val newGen = meta0.gen.getOrElse(-1) + 1
+    val genDir = s"g$newGen-${java.util.UUID.randomUUID.toString.take(8)}"
+    val layout = s"${dataPath(tablePath, name)}/$genDir"
+    val newNlist = nlist.getOrElse(meta0.nlist)
+    val snap = GraftTable.read(spark, tablePath, head).filter(col(meta0.vecCol).isNotNull)
+    if (meta0.kind == "ivf") {
+      val model = IvfIndex.build(snap, meta0.vecCol, newNlist, layout,
+        meta0.metric, fitSampleFraction = fitSampleFraction)
+      saveModel(spark, tablePath, name, model.centroids, None, None, Some(newModelGen))
+    } else {
+      // defaults for the PQ shape come from the CURRENT model
+      val cur = loadModel(spark, tablePath, meta0, None).toOption.get
+      val model = PqIndex.build(snap, meta0.keyCols.head, meta0.vecCol, newNlist,
+        m.getOrElse(cur.m), layout, meta0.metric, opq = opq.getOrElse(cur.rot.isDefined))
+      saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot,
+        Some(newModelGen))
+    }
+    writeManifest(tablePath, name, newGen, listGeneration(tablePath, name, genDir),
+      Some(newModelGen))
+    // THE commit point: layout generation, model generation, and
+    // version pin flip together
+    writeMeta(tablePath, meta0.copy(nlist = newNlist, indexedVersion = head,
+      gen = Some(newGen), modelGen = Some(newModelGen)))
   }
 
   /** Catch the index up to the table head by COW cell rewrite. Returns
@@ -282,7 +346,7 @@ object GraftIndex {
     if (head <= m0.indexedVersion) return None
     // legacy (pre-MVCC) index: adopt the current layout as generation 0
     val m = m0.gen.fold {
-      writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""))
+      writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""), m0.modelGen)
       val up = m0.copy(gen = Some(0)); writeMeta(tablePath, up); up
     }(_ => m0)
     val curGen = m.gen.get
@@ -338,7 +402,7 @@ object GraftIndex {
       val rewritten = listGeneration(tablePath, name, genDir)
       val affectedSet = affected.toSet
       writeManifest(tablePath, name, newGen,
-        curManifest.view.filterKeys(!affectedSet(_)).toMap ++ rewritten)
+        curManifest.view.filterKeys(!affectedSet(_)).toMap ++ rewritten, m.modelGen)
       // THE commit point: generation + version pin swap atomically
       writeMeta(tablePath, m.copy(indexedVersion = head, gen = Some(newGen)))
       Some((m.indexedVersion, head))
@@ -399,6 +463,14 @@ object GraftIndex {
               .forall(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
             GraftTable.MetaIO.delete(gd.getPath)
         }
+      }
+    // model dirs live while a kept manifest's #modelgen (or meta) names
+    // them; the legacy un-numbered `model` dir is never touched
+    val liveModels = keep.flatMap(manifestModelGen(tablePath, name, _)) ++ m.modelGen
+    GraftTable.MetaIO.list(new Path(root(tablePath, name)))
+      .map(_.getPath.getName).filter(_.matches("model-g\\d+")).foreach { n =>
+        if (!liveModels.contains(n.stripPrefix("model-g").toInt))
+          GraftTable.MetaIO.delete(new Path(root(tablePath, name), n))
       }
     gens.filterNot(keep).foreach(g => GraftTable.MetaIO.delete(manifestPath(tablePath, name, g)))
     deleted

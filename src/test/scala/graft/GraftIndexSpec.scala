@@ -300,6 +300,75 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     qs.foreach { case (qid, qv) => got(qid) shouldBe exactTopK(path, qv, 4) }
   }
 
+  test("table maintenance flows through refresh: compact is a no-op, restore re-applies") {
+    val path = freshTable(200)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    val q = vec(777L)
+    val v0Exact = exactTopK(path, q, 8)
+    // an upsert moves the table; refresh folds it in
+    GraftTable.upsert(spark, path,
+      (0L until 15L).map(k => (k, s"u-$k", vec(k + 2000))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    // compaction rewrites every bucket but changes NO row: the refresh
+    // advances the version pin without touching a single cell
+    GraftTable.compact(spark, path)
+    val genBefore = GraftIndex.meta(path).gen
+    GraftIndex.refresh(spark, path) shouldBe Some((1, 2))
+    GraftIndex.meta(path).gen shouldBe genBefore // no cell rewrite happened
+    GraftIndex.probe(spark, path, q, 8, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 8)
+    // restore rolls the table back to v0; the change feed reports the
+    // rolled-back rows and refresh restores the original ranking
+    GraftTable.restoreTo(path, 0)
+    GraftIndex.refresh(spark, path) should not be None
+    GraftIndex.probe(spark, path, q, 8, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe v0Exact
+  }
+
+  test("rebuild refits the model as a new generation; pinned probes stay untorn") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    GraftIndex.meta(path).modelGen shouldBe Some(0)
+    val q = vec(606L)
+    val preExact = exactTopK(path, q, 8)
+    val pinned = GraftIndex.probe(spark, path, q, 8, nprobe = 4) // planned pre-rebuild
+    // the corpus drifts: new rows arrive
+    GraftTable.upsert(spark, path,
+      (300L until 380L).map(k => (k, s"n-$k", vec(k + 100))).toDF("k", "s", "v"))
+    // refit with a re-tuned nlist, catching the index up to head in one step
+    GraftIndex.rebuild(spark, path, nlist = Some(8))
+    val m1 = GraftIndex.meta(path)
+    m1.modelGen shouldBe Some(1)
+    m1.nlist shouldBe 8
+    m1.indexedVersion shouldBe 1
+    GraftIndex.probe(spark, path, q, 8, nprobe = 8)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 8)
+    // the pre-rebuild plan still serves its own (model, manifest) pair
+    pinned.select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe preExact
+    // vacuum reclaims the superseded model dir with the old generations
+    GraftIndex.vacuum(path)
+    new java.io.File(path + "/_index/vec/model-g0").exists() shouldBe false
+    new java.io.File(path + "/_index/vec/model-g1").exists() shouldBe true
+    GraftIndex.probe(spark, path, q, 8, nprobe = 8).count() shouldBe 8
+  }
+
+  test("rebuild on ivfpq carries m and OPQ defaults from the current model") {
+    val path = freshTable(250)
+    GraftIndex.create(spark, path, "v", nlist = 4, kind = "ivfpq", m = 4, opq = true)
+    GraftTable.upsert(spark, path,
+      (250L until 280L).map(k => (k, s"n-$k", vec(k + 600))).toDF("k", "s", "v"))
+    GraftIndex.rebuild(spark, path) // no overrides: same nlist/m, OPQ stays on
+    GraftIndex.meta(path).modelGen shouldBe Some(1)
+    val q = vec(4040L)
+    GraftIndex.probe(spark, path, q, 10, nprobe = 4, rerankFactor = Int.MaxValue)
+      .select("k").collect().map(_.getLong(0)).toSeq shouldBe
+      exactTopK(path, q, 10).map(_._1)
+  }
+
   test("streamRefresh: the index follows the table with no manual refresh calls") {
     val path = freshTable(150)
     GraftIndex.create(spark, path, "v", nlist = 4)
