@@ -238,6 +238,102 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "upsert_merge_conditional" -> ((s, dir) => {
+      // full MERGE clause family: every 5th order arrives as a source
+      // row (every 10th under a NEW key → not-matched); matched keys
+      // divisible by 3 are deleted, matched sources with doubled price
+      // ≥ 200k update status+price, the rest keep their target image;
+      // inserts are taken only under 300k (one dropped-insert branch)
+      val o = Tables.orders(s, dir)
+      val src = o.filter(col("o_orderkey") % 5 === 0)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"),
+          lit("S").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      Upsert.mergeConditional(o, src, Seq("o_orderkey"),
+          matchedDelete = Some(col("s.o_orderkey") % 3 === 0),
+          matchedUpdate = Some((col("s.o_totalprice") >= 200000,
+            Map("o_orderstatus" -> lit("U"),
+                "o_totalprice" -> col("s.o_totalprice")))),
+          notMatchedInsert = Some(col("s.o_totalprice") < 300000))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .orderBy("o_orderkey")
+    }),
+
+    // == lakehouse predicate DML: the whole COW path under an oracle ========
+    // (build a real GraftTable from the parquet input, run the DML
+    // statement through stats-pruned copy-on-write, read the result
+    // back — DuckDB recomputes the final state straight from parquet)
+
+    "lakehouse_delete_where" -> ((s, dir) => {
+      val tmp = s"${indexPath("dml_dw", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.deleteWhere(s, path,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint() // materialize, then reclaim the tmp table
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_update" -> ((s, dir) => {
+      val tmp = s"${indexPath("dml_up", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.update(s, path,
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 150000,
+        Map("o_orderstatus" -> lit("P"),
+            "o_custkey" -> (col("o_custkey") + 1000000L)))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_merge_into" -> ((s, dir) => {
+      // the upsert_merge_conditional clause set, but THROUGH the table:
+      // touched-bucket COW, manifest carry-over, stats — same oracle
+      // shape with the base restricted to the table's rows (%3 == 0)
+      val tmp = s"${indexPath("dml_mi", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      val src = o.filter(col("o_orderkey") % 5 === 0)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"),
+          lit("S").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      // NB: every matched key is %3 == 0 (it lives in the base subset),
+      // so the delete clause keys on %9 to leave the update branch live
+      GraftTable.mergeInto(s, path, src,
+        matchedDelete = Some(col("s.o_orderkey") % 9 === 0),
+        matchedUpdate = Some((col("s.o_totalprice") >= 200000,
+          Map("o_orderstatus" -> lit("U"),
+              "o_totalprice" -> col("s.o_totalprice")))),
+        notMatchedInsert = Some(col("s.o_totalprice") < 300000))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "embed_documents" -> ((s, dir) => {
       // model stubbed (feature hashing); batch plumbing real — rows-only check
       Embed.encode(Tables.documents(s, dir), "text", 64)
@@ -1672,6 +1768,69 @@ object SparkEntry {
                                  ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
          FROM orders
          WHERE o_orderkey % 21 <> 0
+         ORDER BY o_orderkey""",
+
+    "upsert_merge_conditional" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+                  o_totalprice * 2 AS s_price
+           FROM orders WHERE o_orderkey % 5 = 0),
+         kept AS (
+           SELECT o.o_orderkey,
+                  CASE WHEN src.k IS NOT NULL AND src.s_price >= 200000 THEN 'U'
+                       ELSE o.o_orderstatus END AS o_orderstatus,
+                  CASE WHEN src.k IS NOT NULL AND src.s_price >= 200000 THEN src.s_price
+                       ELSE o.o_totalprice END AS o_totalprice
+           FROM orders o LEFT JOIN src ON o.o_orderkey = src.k
+           WHERE src.k IS NULL OR src.k % 3 <> 0),
+         ins AS (
+           SELECT src.k AS o_orderkey, 'S' AS o_orderstatus, src.s_price AS o_totalprice
+           FROM src LEFT JOIN orders o ON src.k = o.o_orderkey
+           WHERE o.o_orderkey IS NULL AND src.s_price < 300000)
+         SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+
+    "lakehouse_delete_where" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE o_orderkey % 3 = 0
+           AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+         ORDER BY o_orderkey""",
+
+    "lakehouse_update" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+                     THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+                     THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
+
+    "lakehouse_merge_into" ->
+      """WITH base AS (
+           SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         src AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+                  o_totalprice * 2 AS s_price
+           FROM orders WHERE o_orderkey % 5 = 0),
+         kept AS (
+           SELECT b.o_orderkey,
+                  CASE WHEN src.k IS NOT NULL AND src.s_price >= 200000 THEN 'U'
+                       ELSE b.o_orderstatus END AS o_orderstatus,
+                  CASE WHEN src.k IS NOT NULL AND src.s_price >= 200000 THEN src.s_price
+                       ELSE b.o_totalprice END AS o_totalprice
+           FROM base b LEFT JOIN src ON b.o_orderkey = src.k
+           WHERE src.k IS NULL OR src.k % 9 <> 0),
+         ins AS (
+           SELECT src.k AS o_orderkey, 'S' AS o_orderstatus, src.s_price AS o_totalprice
+           FROM src LEFT JOIN base b ON src.k = b.o_orderkey
+           WHERE b.o_orderkey IS NULL AND src.s_price < 300000)
+         SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
 
     "q3_shipping_priority" ->

@@ -55,4 +55,77 @@ object Upsert {
     val merged = merge(base.withColumn("__del", lit(false)), tagged, keyCols)
     merged.filter(!col("__del")).drop("__del")
   }
+
+  /** Conditional MERGE — the full `MERGE INTO` clause family (Delta /
+    * Hudi / ANSI `MERGE`) as one declarative plan over a single
+    * key-equality join:
+    *
+    *   - `matchedDelete`:   WHEN MATCHED AND cond THEN DELETE
+    *   - `matchedUpdate`:   WHEN MATCHED AND cond THEN UPDATE SET …
+    *   - `notMatchedInsert`: WHEN NOT MATCHED AND cond THEN INSERT
+    *
+    * Clause precedence is fixed and documented: for a matched key the
+    * DELETE condition is evaluated first, then UPDATE; a matched row
+    * satisfying neither keeps its target image. A source row matching
+    * nothing and failing the insert condition is dropped. Conditions
+    * and SET expressions may reference both sides through the `t`
+    * (target) and `s` (source) aliases — e.g.
+    * `col("s.price") > col("t.price")`. A NULL condition counts as
+    * not-satisfied (SQL `WHERE`-truth, same as MERGE).
+    *
+    * The result carries exactly the target's schema: SET values are
+    * cast to the target column's type. Inserted rows take
+    * `notMatchedInsertSet` values where given (Delta's
+    * `whenNotMatched().insert(values)`), fall back to the source's
+    * same-named column (`insertAll()`), and pad the rest with typed
+    * nulls. Like
+    * [[merge]], the source must not repeat a key (ANSI MERGE raises a
+    * cardinality violation there; here the duplicate source rows would
+    * each pair with the one target row — pre-combine upstream).
+    *
+    * Scale shape: ONE equi-join on the record key (broadcast when the
+    * source batch is small, shuffle otherwise) and a projection —
+    * no window, no union of three branches, so whole-stage codegen
+    * covers the clause logic. Through
+    * [[graft.sources.GraftTable.mergeInto]] the target side is only
+    * the touched buckets, making a 0.1 % MERGE read ~0.1 % of a 100 TB
+    * table.
+    */
+  def mergeConditional(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                       matchedDelete: Option[Column] = None,
+                       matchedUpdate: Option[(Column, Map[String, Column])] = None,
+                       notMatchedInsert: Option[Column] = Some(lit(true)),
+                       notMatchedInsertSet: Map[String, Column] = Map.empty): DataFrame = {
+    keyCols.foreach { k =>
+      require(base.columns.contains(k), s"target missing key column $k")
+      require(updates.columns.contains(k), s"source missing key column $k")
+    }
+    val t = base.withColumn("__t", lit(true)).as("t")
+    val s = updates.withColumn("__s", lit(true)).as("s")
+    val on = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val j = t.join(s, on, "full_outer")
+
+    val matched = coalesce(col("t.__t"), lit(false)) && coalesce(col("s.__s"), lit(false))
+    val srcOnly = col("t.__t").isNull && coalesce(col("s.__s"), lit(false))
+    def holds(c: Option[Column]) = c.map(x => coalesce(x, lit(false))).getOrElse(lit(false))
+    val del = matched && holds(matchedDelete)
+    val upd = matched && !holds(matchedDelete) && holds(matchedUpdate.map(_._1))
+    val ins = srcOnly && holds(notMatchedInsert)
+
+    val set = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val srcCols = updates.columns.toSet
+    val outCols = base.schema.fields.map { f =>
+      val insVal = notMatchedInsertSet.get(f.name).map(_.cast(f.dataType))
+        .getOrElse(
+          if (srcCols(f.name)) col(s"s.${f.name}").cast(f.dataType)
+          else lit(null).cast(f.dataType))
+      val updVal = set.get(f.name)
+        .map(_.cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      when(srcOnly, insVal)
+        .when(upd, updVal)
+        .otherwise(col(s"t.${f.name}"))
+        .as(f.name)
+    }
+    j.filter(!del && (!srcOnly || ins)).select(outCols.toIndexedSeq: _*)
+  }
 }

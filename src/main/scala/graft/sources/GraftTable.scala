@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, types}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession, types}
 import org.apache.spark.sql.functions._
 import graft.operators.Upsert
 import java.nio.charset.StandardCharsets
@@ -658,6 +658,209 @@ object GraftTable {
     val remaining = base.join(keyOnly, keys, "left_anti")
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+  }
+
+  /** Buckets whose recorded file stats cannot RULE OUT a row matching
+    * `filters`. Stat-less dirs (legacy writes, failed stats jobs) are
+    * always candidates — pruning is an optimization, never a filter.
+    */
+  private def candidateBuckets(path: String, v: Int, current: Map[Int, String],
+                               filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Set[Int] = {
+    if (filters.isEmpty) return current.keySet
+    val stats = manifestFileStats(path, v)
+    if (stats.isEmpty) return current.keySet
+    val schema = snapshotSchema(path, v) match {
+      case Some(sc) => sc
+      case None => return current.keySet
+    }
+    val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
+    current.filter { case (_, d) =>
+      val files = stats.keys.filter(_.startsWith(d + "/"))
+      files.isEmpty ||
+        files.exists(rel => filters.forall(fl => mayMatch(stats(rel), kinds, fl)))
+    }.keySet
+  }
+
+  private val BucketDirRe = s"$BUCKET=(\\d+)/".r
+
+  /** Second pruning phase of predicate DML (Delta's DELETE/UPDATE do
+    * exactly this): one scan of the stats-surviving candidate buckets
+    * finds which buckets ACTUALLY hold matching rows, so a false-
+    * positive candidate (stats couldn't disprove, no row matches) is
+    * never rewritten. Returns (buckets holding matches, matching rows).
+    */
+  private def bucketsWithMatches(spark: SparkSession, path: String, v: Int,
+                                 candidates: Set[Int], cond: Column): (Set[Int], Long) = {
+    if (candidates.isEmpty) return (Set.empty, 0L)
+    val perFile = readBuckets(spark, path, v, candidates)
+      .filter(coalesce(cond, lit(false)))
+      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+      .collect()
+    val buckets = perFile.flatMap(r =>
+      BucketDirRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toInt)).toSet
+    (buckets, perFile.map(_.getLong(1)).sum)
+  }
+
+  /** Predicate delete — `DELETE FROM t WHERE cond` (Delta/Hudi DML, a
+    * surface key-based [[delete]] can't express). Three phases, each
+    * narrowing what the next one touches, so cost is O(buckets holding
+    * matches), not O(table):
+    *
+    *  1. `cond` is translated to DSv1 filters (the exact translation
+    *     Spark applies for `PrunedFilteredScan`) and tested against the
+    *     manifest's per-file min/max stats — buckets provably free of
+    *     matches drop out without any data IO.
+    *  2. One scan of the surviving candidates finds the buckets that
+    *     ACTUALLY hold matching rows (filter pushed to parquet).
+    *  3. Only those buckets are rewritten without their matching rows
+    *     (rows where `cond` is NULL are kept — SQL DELETE semantics);
+    *     every other bucket carries over by manifest reference.
+    *
+    * Zero matches ⇒ no new version is committed (a no-op DELETE leaves
+    * no history entry). Returns the number of rows deleted; [[changes]]
+    * reports them with `_deleted = true`.
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Long = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, _) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
+    val current = manifest(path, v)
+    val filters = org.apache.spark.sql.graftshim.Bridge
+      .translateFilters(read(spark, path, v), cond)
+    val candidates = candidateBuckets(path, v, current, filters)
+    val (touched, matchedRows) = bucketsWithMatches(spark, path, v, candidates, cond)
+    if (touched.isEmpty) return 0L
+    val remaining = readBuckets(spark, path, v, touched)
+      .filter(!coalesce(cond, lit(false)))
+    val carryOver = current.filter { case (b, _) => !touched(b) }
+    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+    matchedRows
+  }
+
+  /** Predicate update — `UPDATE t SET col = expr, … WHERE cond`. Same
+    * three-phase stats-pruned COW as [[deleteWhere]]: only buckets
+    * actually holding matching rows are rewritten, with each SET
+    * expression applied under `cond` (NULL = not matched) and cast to
+    * the column's existing type, so the table schema never drifts.
+    * SET expressions may reference any table column (`SET a = b + 1`).
+    *
+    * Key columns cannot be SET: a key update changes the row's bucket
+    * (and can collide with an existing key elsewhere) — that operation
+    * is a delete + upsert, and silently rebucketing here would corrupt
+    * point-lookup placement. Returns the number of rows updated.
+    */
+  def update(spark: SparkSession, path: String, cond: Column,
+             set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, _) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
+    val snapshot = read(spark, path, v)
+    val schema = snapshot.schema
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"SET column $c not in table schema")
+      require(!keys.contains(c),
+        s"cannot SET key column $c — a key update moves the row's bucket; delete + upsert instead")
+    }
+    val current = manifest(path, v)
+    val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(snapshot, cond)
+    val candidates = candidateBuckets(path, v, current, filters)
+    val (touched, matchedRows) = bucketsWithMatches(spark, path, v, candidates, cond)
+    if (touched.isEmpty) return 0L
+    val hit = coalesce(cond, lit(false))
+    val outCols = schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val rewritten = readBuckets(spark, path, v, touched)
+      .select(outCols.toIndexedSeq: _*)
+    writeVersion(rewritten, path, keys, nbuckets, v + 1,
+      current.filter { case (b, _) => !touched(b) })
+    matchedRows
+  }
+
+  /** Conditional MERGE INTO the table — the clause family of
+    * [[Upsert.mergeConditional]] (WHEN MATCHED AND … THEN
+    * DELETE/UPDATE, WHEN NOT MATCHED AND … THEN INSERT; conditions and
+    * SET expressions reference the `t`/`s` aliases) applied through
+    * the same touched-bucket COW as [[upsert]]: the target side of the
+    * merge join is ONLY the buckets the source keys hash into, every
+    * other bucket carries over by manifest reference. A 0.1 % MERGE
+    * against a 100 TB table reads and rewrites ~0.1 % of it.
+    */
+  def mergeInto(spark: SparkSession, path: String, source0: DataFrame,
+                matchedDelete: Option[Column] = None,
+                matchedUpdate: Option[(Column, Map[String, Column])] = None,
+                notMatchedInsert: Option[Column] = Some(lit(true)),
+                notMatchedInsertSet: Map[String, Column] = Map.empty): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    val nbuckets = bucketsAt(path, v, defaultBuckets)
+    keys.foreach(k => require(source0.columns.contains(k), s"source missing key column $k"))
+    val source = alignKeyTypes(spark, path, v, keys, keyTypes, source0)
+    val current = manifest(path, v)
+    val touched = source.select(bucketCol(keys, nbuckets).as(BUCKET))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return // empty source: nothing to merge, no new version
+    val base = readBuckets(spark, path, v, touched)
+    val merged = Upsert.mergeConditional(base, source, keys,
+      matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet)
+    val carryOver = current.filter { case (b, _) => !touched(b) }
+    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
+  }
+
+  /** [[deleteWhere]]/[[update]]/[[mergeInto]] with the optimistic-
+    * concurrency retry loop of [[upsertRetry]] — each attempt re-reads
+    * the head version, so re-application against a race winner's
+    * snapshot is exactly a fresh run of the statement.
+    */
+  def deleteWhereRetry(spark: SparkSession, path: String, cond: Column,
+                       maxRetries: Int = 5): Long = {
+    var n = 0L
+    occRetry(maxRetries) { n = deleteWhere(spark, path, cond) }
+    n
+  }
+
+  def updateRetry(spark: SparkSession, path: String, cond: Column,
+                  set: Map[String, Column], maxRetries: Int = 5): Long = {
+    var n = 0L
+    occRetry(maxRetries) { n = update(spark, path, cond, set) }
+    n
+  }
+
+  def mergeIntoRetry(spark: SparkSession, path: String, source: DataFrame,
+                     matchedDelete: Option[Column] = None,
+                     matchedUpdate: Option[(Column, Map[String, Column])] = None,
+                     notMatchedInsert: Option[Column] = Some(lit(true)),
+                     notMatchedInsertSet: Map[String, Column] = Map.empty,
+                     maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) {
+      mergeInto(spark, path, source, matchedDelete, matchedUpdate,
+        notMatchedInsert, notMatchedInsertSet)
+    }
+
+  /** Metadata-only row count — Delta's `SELECT COUNT(*)` fast path: the
+    * sum of the manifest's per-file row counts, answered from the
+    * manifest + stat segments without opening a single data file (at
+    * 100 TB: a few KB of metadata reads vs a full scan). None when any
+    * snapshot dir lacks recorded stats (legacy writes, a failed stats
+    * job, or a dir holding only empty files — completeness can't be
+    * proven), in which case the caller falls back to `read().count()`.
+    */
+  def countRows(path: String, version: Int = -1): Option[Long] = {
+    val v = if (version >= 0) version else latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val stats = manifestFileStats(path, v)
+    val dirs = manifest(path, v).values.toSeq
+    if (!dirs.forall(d => stats.keys.exists(_.startsWith(d + "/")))) None
+    else Some(dirs.flatMap(d =>
+      stats.collect { case (rel, st) if rel.startsWith(d + "/") => st.rows }).sum)
   }
 
   /** pad each side with the other's missing columns as typed nulls */

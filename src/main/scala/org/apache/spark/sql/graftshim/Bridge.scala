@@ -29,4 +29,30 @@ object Bridge {
                         schema: StructType, isStreaming: Boolean): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
+
+  /** Translate a user predicate over `df` into DSv1 [[Filter]]s — the
+    * same `DataSourceStrategy.translateFilter` Spark applies before
+    * handing filters to a `PrunedFilteredScan`, reached by analyzing
+    * `df.filter(cond)` so attributes resolve against the frame's real
+    * schema. Conjuncts that don't translate (UDFs, non-foldable
+    * expressions…) are simply dropped: callers use the result for
+    * CONSERVATIVE stats pruning, where fewer filters only means less
+    * skipping, never wrong answers.
+    */
+  def translateFilters(df: DataFrame, cond: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression => CExpr}
+    def split(e: CExpr): Seq[CExpr] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val analyzed = df.filter(cond).queryExecution.analyzed
+    val preds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
+    }.flatten
+    preds.flatMap { p =>
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(p, supportNestedPredicatePushdown = false)
+    }
+  }
 }
