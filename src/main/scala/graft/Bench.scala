@@ -123,12 +123,23 @@ object Bench {
     val total = results.filterNot(_._1.matches("(ivf|ivfpq|lsh)_(build|probe)")).values.sum
     val fails = failures.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n]", " ") + "\"" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on a comma-decimal machine would emit 0,123 — invalid JSON.
     val repsJson = repTimes.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"failures":$fails,"sf":"$sfDir"}"""
+    // The stdout line is the driver's machine channel and its capture
+    // window is finite: keep it COMPACT (round 5's inlined per-rep
+    // arrays pushed the line past the driver's tail buffer and
+    // BENCH_r05 recorded parsed:null). Per-rep spreads — the
+    // noise-diagnosis artifact — go to a sibling file instead.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     Files.writeString(Paths.get(outPath), line + "\n")
+    val repsPath = outPath.stripSuffix(".json") + "_reps.json"
+    Files.writeString(Paths.get(repsPath),
+      s"""{"reps":$repsJson,"sf":"$sfDir"}""" + "\n")
     println(line)
     spark.stop()
   }

@@ -74,7 +74,18 @@ object GraftIndex {
   final case class IndexMeta(name: String, kind: String, vecCol: String,
                              keyCols: Seq[String], metric: String, nlist: Int,
                              indexedVersion: Int, gen: Option[Int] = None,
-                             modelGen: Option[Int] = None)
+                             modelGen: Option[Int] = None,
+                             genToken: Option[String] = None) {
+    /** The manifest file this meta serves from: `g<gen>` for build /
+      * legacy-upgrade generations, `g<gen>-<token>` for refresh/rebuild
+      * attempts. Meta naming the attempt-unique manifest is what makes
+      * the commit ONE self-consistent swap: a racing maintainer's meta
+      * can no longer pair its version pin with the OTHER maintainer's
+      * manifest, because each attempt's manifest has its own name.
+      */
+    def manifestName: Option[String] =
+      gen.map(g => s"g$g" + genToken.fold("")("-" + _))
+  }
 
   private def root(tablePath: String, name: String) = s"$tablePath/_index/$name"
   private def dataPath(tablePath: String, name: String) = s"${root(tablePath, name)}/data"
@@ -83,8 +94,8 @@ object GraftIndex {
   private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
   private def manifestDir(tablePath: String, name: String) =
     new Path(root(tablePath, name), "manifests")
-  private def manifestPath(tablePath: String, name: String, gen: Int) =
-    new Path(manifestDir(tablePath, name), s"g$gen")
+  private def manifestPath(tablePath: String, name: String, fileName: String) =
+    new Path(manifestDir(tablePath, name), fileName)
 
   def exists(tablePath: String, name: String = "vec"): Boolean =
     GraftTable.MetaIO.exists(metaPath(tablePath, name))
@@ -97,7 +108,7 @@ object GraftIndex {
     IndexMeta(name, kv.getOrElse("kind", "ivf"), kv("vecCol"),
       kv("keyCols").split(",").toSeq, kv("metric"), kv("nlist").toInt,
       kv("indexedVersion").toInt, kv.get("gen").map(_.toInt),
-      kv.get("modelGen").map(_.toInt))
+      kv.get("modelGen").map(_.toInt), kv.get("genToken"))
   }
 
   private def writeMeta(tablePath: String, m: IndexMeta): Unit =
@@ -105,7 +116,8 @@ object GraftIndex {
       s"kind=${m.kind}\nvecCol=${m.vecCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
         s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}" +
         m.gen.fold("")(g => s"\ngen=$g") +
-        m.modelGen.fold("")(g => s"\nmodelGen=$g"))
+        m.modelGen.fold("")(g => s"\nmodelGen=$g") +
+        m.genToken.fold("")(t => s"\ngenToken=$t"))
 
   // ---- MVCC manifests: cell -> immutable data files ----------------------
 
@@ -116,23 +128,25 @@ object GraftIndex {
     * were assigned/encoded under — the liveness anchor [[vacuum]] keeps
     * model dirs by.
     */
-  private def writeManifest(tablePath: String, name: String, gen: Int,
+  private def writeManifest(tablePath: String, name: String, fileName: String,
                             m: Map[Int, Seq[String]],
                             modelGen: Option[Int]): Unit =
-    GraftTable.MetaIO.replaceString(manifestPath(tablePath, name, gen),
+    GraftTable.MetaIO.replaceString(manifestPath(tablePath, name, fileName),
       (modelGen.map(g => s"#modelgen=$g").toSeq ++
         m.toSeq.sortBy(_._1)
           .flatMap { case (cell, fs) => fs.sorted.map(f => s"$cell\t$f") })
         .mkString("\n"))
 
-  private def readManifest(tablePath: String, name: String, gen: Int): Map[Int, Seq[String]] =
-    GraftTable.MetaIO.readString(manifestPath(tablePath, name, gen))
+  private def readManifest(tablePath: String, name: String,
+                           fileName: String): Map[Int, Seq[String]] =
+    GraftTable.MetaIO.readString(manifestPath(tablePath, name, fileName))
       .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val Array(c, f) = l.split("\t", 2); (c.toInt, f) }
       .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2).toSeq }
 
-  private def manifestModelGen(tablePath: String, name: String, gen: Int): Option[Int] =
-    GraftTable.MetaIO.readString(manifestPath(tablePath, name, gen))
+  private def manifestModelGen(tablePath: String, name: String,
+                               fileName: String): Option[Int] =
+    GraftTable.MetaIO.readString(manifestPath(tablePath, name, fileName))
       .split("\n").collectFirst { case l if l.startsWith("#modelgen=") =>
         l.stripPrefix("#modelgen=").toInt }
 
@@ -141,7 +155,7 @@ object GraftIndex {
     */
   def manifest(tablePath: String, name: String = "vec"): Map[Int, Seq[String]] = {
     val m = meta(tablePath, name)
-    m.gen.fold(listGeneration(tablePath, name, ""))(readManifest(tablePath, name, _))
+    m.manifestName.fold(listGeneration(tablePath, name, ""))(readManifest(tablePath, name, _))
   }
 
   /** List one generation's `cluster_id=` dirs into manifest entries.
@@ -236,8 +250,8 @@ object GraftIndex {
   private def open(spark: SparkSession, tablePath: String, name: String)
       : (IndexMeta, Either[IvfIndex.Model, PqIndex.Model]) = {
     val m = meta(tablePath, name)
-    val files = m.gen.map(g =>
-      absFiles(tablePath, name, readManifest(tablePath, name, g)))
+    val files = m.manifestName.map(n =>
+      absFiles(tablePath, name, readManifest(tablePath, name, n)))
     (m, loadModel(spark, tablePath, m, files))
   }
 
@@ -266,7 +280,7 @@ object GraftIndex {
       saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot, Some(0))
     }
     // generation 0 = the build's own files; meta lands LAST (commit point)
-    writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""), Some(0))
+    writeManifest(tablePath, name, "g0", listGeneration(tablePath, name, ""), Some(0))
     writeMeta(tablePath,
       IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0), Some(0)))
   }
@@ -308,12 +322,14 @@ object GraftIndex {
       saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot,
         Some(newModelGen))
     }
-    writeManifest(tablePath, name, newGen, listGeneration(tablePath, name, genDir),
+    val token = genDir.stripPrefix(s"g$newGen-")
+    writeManifest(tablePath, name, genDir, listGeneration(tablePath, name, genDir),
       Some(newModelGen))
     // THE commit point: layout generation, model generation, and
-    // version pin flip together
+    // version pin flip together — and meta names THIS attempt's
+    // manifest, so a racing maintainer can't mix-and-match
     writeMeta(tablePath, meta0.copy(nlist = newNlist, indexedVersion = head,
-      gen = Some(newGen), modelGen = Some(newModelGen)))
+      gen = Some(newGen), modelGen = Some(newModelGen), genToken = Some(token)))
   }
 
   /** Catch the index up to the table head by COW cell rewrite. Returns
@@ -332,12 +348,16 @@ object GraftIndex {
     *
     * Run ONE refresher per index (the [[ChangeFeed]] one-cursor-per-
     * consumer discipline): refresh is idempotent against crashes and
-    * replays. Two CONCURRENT refreshers no longer corrupt data — each
-    * writes its own uniquely-suffixed generation dir and the last meta
-    * swap wins with a self-consistent file set — but the discipline
-    * stands: racing swaps can pair one refresher's version pin with the
-    * other's manifest when the table moved between their reads.
-    * [[streamRefresh]] gives the single-refresher loop a lifecycle.
+    * replays. Two CONCURRENT refreshers cannot corrupt the index: each
+    * attempt writes its own uniquely-suffixed generation dir AND its
+    * own attempt-named manifest (`g<gen>-<token>`), and the meta swap
+    * names that manifest — so whichever swap lands last commits its own
+    * self-consistent (version pin, manifest, files) triple, never a mix
+    * of two attempts. The loser's generation is orphan garbage for
+    * [[vacuum]]. The single-refresher discipline remains the efficient
+    * mode (racing refreshers duplicate work); it is no longer a
+    * correctness requirement. [[streamRefresh]] gives the
+    * single-refresher loop a lifecycle.
     */
   def refresh(spark: SparkSession, tablePath: String,
               name: String = "vec"): Option[(Int, Int)] = {
@@ -346,11 +366,11 @@ object GraftIndex {
     if (head <= m0.indexedVersion) return None
     // legacy (pre-MVCC) index: adopt the current layout as generation 0
     val m = m0.gen.fold {
-      writeManifest(tablePath, name, 0, listGeneration(tablePath, name, ""), m0.modelGen)
+      writeManifest(tablePath, name, "g0", listGeneration(tablePath, name, ""), m0.modelGen)
       val up = m0.copy(gen = Some(0)); writeMeta(tablePath, up); up
     }(_ => m0)
     val curGen = m.gen.get
-    val curManifest = readManifest(tablePath, name, curGen)
+    val curManifest = readManifest(tablePath, name, m.manifestName.get)
     val curFiles = absFiles(tablePath, name, curManifest)
     val model = loadModel(spark, tablePath, m, Some(curFiles))
     val cell = model.fold(IvfIndex.cellUdf(spark, _), PqIndex.cellUdf(spark, _))
@@ -401,10 +421,14 @@ object GraftIndex {
       // simply leaves the manifest; untouched cells carry their files over
       val rewritten = listGeneration(tablePath, name, genDir)
       val affectedSet = affected.toSet
-      writeManifest(tablePath, name, newGen,
+      writeManifest(tablePath, name, genDir,
         curManifest.view.filterKeys(!affectedSet(_)).toMap ++ rewritten, m.modelGen)
-      // THE commit point: generation + version pin swap atomically
-      writeMeta(tablePath, m.copy(indexedVersion = head, gen = Some(newGen)))
+      // THE commit point: generation + version pin swap atomically, and
+      // meta names THIS attempt's manifest file (g<gen>-<token>), so a
+      // racing refresher's swap commits ITS OWN self-consistent
+      // (version, manifest) pair — never a mix of the two attempts
+      writeMeta(tablePath, m.copy(indexedVersion = head, gen = Some(newGen),
+        genToken = Some(genDir.stripPrefix(s"g$newGen-"))))
       Some((m.indexedVersion, head))
     } finally {
       batch.unpersist(blocking = false)
@@ -425,10 +449,21 @@ object GraftIndex {
     require(keepGens >= 1, "keepGens must be >= 1")
     val m = meta(tablePath, name)
     val cur = m.gen.getOrElse(return 0) // legacy layout: nothing manifest-tracked
-    val gens = GraftTable.MetaIO.list(manifestDir(tablePath, name))
-      .map(_.getPath.getName).filter(_.matches("g\\d+")).map(_.drop(1).toInt).sorted
-    val keep = (gens.filter(_ <= cur).takeRight(keepGens) :+ cur).toSet
-    val referenced = keep.flatMap(g => readManifest(tablePath, name, g).values.flatten)
+    val curName = m.manifestName.get
+    val all = GraftTable.MetaIO.list(manifestDir(tablePath, name))
+      .map(_.getPath.getName).filter(_.matches("g\\d+(-[0-9a-f]+)?"))
+    def genOf(n: String) = n.drop(1).takeWhile(_.isDigit).toInt
+    val keepGenNums =
+      (all.map(genOf).distinct.sorted.filter(_ <= cur).takeRight(keepGens) :+ cur).toSet
+    // for the CURRENT generation only the meta-referenced manifest is
+    // live (a same-gen manifest with another token is a losing racer's
+    // orphan); for kept OLDER generations every token is kept — which
+    // attempt was committed then is no longer knowable, and pinned
+    // readers may still serve either
+    val keep = all.filter(n =>
+      keepGenNums(genOf(n)) && (genOf(n) != cur || n == curName)).toSet + curName
+    val referenced = keep.filter(n => GraftTable.MetaIO.exists(manifestPath(tablePath, name, n)))
+      .flatMap(n => readManifest(tablePath, name, n).values.flatten)
     val data = new Path(dataPath(tablePath, name))
     var deleted = 0
     def sweep(prefix: String, dir: Path): Unit = {
@@ -466,13 +501,15 @@ object GraftIndex {
       }
     // model dirs live while a kept manifest's #modelgen (or meta) names
     // them; the legacy un-numbered `model` dir is never touched
-    val liveModels = keep.flatMap(manifestModelGen(tablePath, name, _)) ++ m.modelGen
+    val liveModels = keep
+      .filter(n => GraftTable.MetaIO.exists(manifestPath(tablePath, name, n)))
+      .flatMap(manifestModelGen(tablePath, name, _)) ++ m.modelGen
     GraftTable.MetaIO.list(new Path(root(tablePath, name)))
       .map(_.getPath.getName).filter(_.matches("model-g\\d+")).foreach { n =>
         if (!liveModels.contains(n.stripPrefix("model-g").toInt))
           GraftTable.MetaIO.delete(new Path(root(tablePath, name), n))
       }
-    gens.filterNot(keep).foreach(g => GraftTable.MetaIO.delete(manifestPath(tablePath, name, g)))
+    all.filterNot(keep).foreach(n => GraftTable.MetaIO.delete(manifestPath(tablePath, name, n)))
     deleted
   }
 
@@ -527,11 +564,21 @@ object GraftIndex {
     if (layoutEmpty)
       return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
         .withColumn("score", lit(0.0)).drop(m.vecCol)
-    model.fold(
-      ivf => IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred)
-        .drop("cluster_id"),
+    val out = model.fold(
+      ivf => IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred),
       pq => PqIndex.probe(spark, pq, m.keyCols.head, m.vecCol, query, k, nprobe,
         rerankFactor, pred))
+    // ONE canonical probe schema regardless of kind or layout state:
+    // table columns (snapshot order) minus the vector, score last —
+    // never the layout internals (cluster_id, pq_code). Projected
+    // explicitly so no per-kind drop list can drift.
+    val canonical = model.fold(_.schema, _.schema) match {
+      case Some(sc) => sc.fieldNames.toSeq
+        .filterNot(c => c == m.vecCol || c == "cluster_id" || c == "pq_code") :+ "score"
+      case None => out.columns.toSeq
+        .filterNot(c => c == m.vecCol || c == "cluster_id" || c == "pq_code" || c == "score") :+ "score"
+    }
+    out.select(canonical.map(col): _*)
   }
 
   /** Batched ANN k-NN join THROUGH the table-attached index: every

@@ -803,6 +803,18 @@ object GraftTable {
     val (keys, defaultBuckets, keyTypes) = meta(path)
     val nbuckets = bucketsAt(path, v, defaultBuckets)
     keys.foreach(k => require(source0.columns.contains(k), s"source missing key column $k"))
+    // same invariant update() enforces: a SET that rewrites a key column
+    // would leave the row in the bucket its OLD key hashed to — point
+    // lookups and future upserts would then miss it. Delete + upsert is
+    // the supported way to move a row's key.
+    matchedUpdate.foreach { case (_, set) =>
+      set.keys.foreach(c => require(!keys.contains(c),
+        s"cannot SET key column $c in WHEN MATCHED UPDATE — a key update moves " +
+          "the row's bucket; delete + upsert instead"))
+    }
+    notMatchedInsertSet.keys.foreach(c => require(!keys.contains(c),
+      s"cannot override key column $c in WHEN NOT MATCHED INSERT — the inserted " +
+        "row was bucketed by its source key; insert the desired key in the source instead"))
     val source = alignKeyTypes(spark, path, v, keys, keyTypes, source0)
     val current = manifest(path, v)
     val touched = source.select(bucketCol(keys, nbuckets).as(BUCKET))

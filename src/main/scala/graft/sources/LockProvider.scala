@@ -62,6 +62,17 @@ class InMemoryLockProvider(schemes: Set[String]) extends GraftLockProvider {
     val key = p.toUri.toString
     if (!claimed.add(key)) false        // lost the in-flight race
     else if (exists(p)) false           // committed before we ever ran
-    else { write(p, content); true }    // lock held: plain write is safe
+    else
+      // lock held: plain write is safe. But a FAILED write must release
+      // the claim — otherwise the key stays claimed forever and every
+      // later attempt for this version returns false with nothing
+      // committed (a permanently wedged table). If the write partially
+      // landed (exists is now true) the claim stands: ambiguous state
+      // must not let a second writer in.
+      try { write(p, content); true }
+      catch { case t: Throwable =>
+        if (!exists(p)) claimed.remove(key)
+        throw t
+      }
   }
 }

@@ -163,6 +163,26 @@ class GraftDmlSpec extends AnyFunSuite with Matchers {
       m0.keySet.filterNot(touched)
   }
 
+  test("mergeInto refuses SET / insert-override of a key column (update()'s invariant)") {
+    val path = freshTable("graft_merge_keyguard", n = 100, nbuckets = 8)
+    val source = Seq((10L, 1000L)).toDF("k", "nx")
+    // WHEN MATCHED UPDATE SET k = … would move the row out of the
+    // bucket its old key hashed to — the corruption update() documents
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.mergeInto(spark, path, source,
+        matchedUpdate = Some((lit(true), Map("k" -> col("s.nx")))))
+    }
+    e1.getMessage should include("key column k")
+    // WHEN NOT MATCHED INSERT overriding the key bucket-misplaces the insert
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.mergeInto(spark, path, Seq((5000L, 1L)).toDF("k", "nx"),
+        notMatchedInsertSet = Map("k" -> lit(9999L)))
+    }
+    e2.getMessage should include("key column k")
+    // refused statements commit nothing
+    GraftTable.latestVersion(path) shouldBe 0
+  }
+
   test("countRows answers from metadata and tracks DML") {
     val path = freshTable("graft_cnt")
     GraftTable.countRows(path) shouldBe Some(1000L)

@@ -142,23 +142,60 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     GraftTable.upsert(spark, path,
       (0L until 10L).map(k => (k, s"u-$k", vec(k + 6000))).toDF("k", "s", "v"))
     // simulate a refresh that died AFTER writing its generation dir and
-    // manifest but BEFORE the meta swap: plant a poisoned g1 + manifest
-    val g1 = new java.io.File(path + "/_index/vec/data/g1/cluster_id=0")
+    // manifest but BEFORE the meta swap: plant a poisoned g1 attempt
+    // (attempt-tokened, like a real crashed refresh would leave)
+    val g1 = new java.io.File(path + "/_index/vec/data/g1-deadbeef/cluster_id=0")
     g1.mkdirs()
     Files.write(g1.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
-    Files.write(new java.io.File(path + "/_index/vec/manifests/g1").toPath,
-      "0\tg1/cluster_id=0/part-junk.parquet".getBytes)
+    Files.write(new java.io.File(path + "/_index/vec/manifests/g1-deadbeef").toPath,
+      "0\tg1-deadbeef/cluster_id=0/part-junk.parquet".getBytes)
     // committed state is untouched: the index still serves generation 0
     GraftIndex.meta(path).gen shouldBe Some(0)
     GraftIndex.probe(spark, path, vec(3L), 5, nprobe = 4, allowStale = true)
       .count() shouldBe 5
-    // the retry overwrites the orphan attempt and commits cleanly
+    // the retry commits its OWN attempt manifest — the orphan is ignored
     GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
     GraftIndex.meta(path).gen shouldBe Some(1)
+    GraftIndex.meta(path).manifestName.get should not be "g1-deadbeef"
     val q = vec(909L)
     GraftIndex.probe(spark, path, q, 8, nprobe = 4)
       .select("k", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 8)
+  }
+
+  test("a racing maintainer's same-generation attempt cannot hijack the commit") {
+    // the round-5 caveat this kills: two refreshers racing on gen K+1
+    // used to share ONE manifest file name, so the last meta swap could
+    // pair its version pin with the OTHER attempt's manifest. Manifests
+    // are now attempt-named and meta references the name, so a commit is
+    // one self-consistent (version, manifest, files) swap. Simulate the
+    // loser: its same-generation, differently-tokened manifest + dir
+    // exist when the winner commits.
+    val path = freshTable(150)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    GraftTable.upsert(spark, path,
+      (0L until 10L).map(k => (k, s"w-$k", vec(k + 7000))).toDF("k", "s", "v"))
+    // the losing racer's leftovers for generation 1 (poisoned content:
+    // if any reader ever consults them, results go visibly wrong)
+    val loser = new java.io.File(path + "/_index/vec/data/g1-00c0ffee/cluster_id=0")
+    loser.mkdirs()
+    Files.write(loser.toPath.resolve("part-junk.parquet"), Array[Byte](7))
+    Files.write(new java.io.File(path + "/_index/vec/manifests/g1-00c0ffee").toPath,
+      "0\tg1-00c0ffee/cluster_id=0/part-junk.parquet".getBytes)
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 1))
+    val m = GraftIndex.meta(path)
+    m.gen shouldBe Some(1)
+    m.manifestName.get should startWith("g1-")
+    m.manifestName.get should not be "g1-00c0ffee"
+    // the committed pair is self-consistent: probe == exact on the head
+    val q = vec(31L)
+    GraftIndex.probe(spark, path, q, 8, nprobe = 4)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exactTopK(path, q, 8)
+    // and the loser's attempt is vacuumable garbage, not live state
+    GraftIndex.vacuum(path) should be > 0
+    new java.io.File(path + "/_index/vec/manifests/g1-00c0ffee").exists() shouldBe false
+    new java.io.File(path + "/_index/vec/data/g1-00c0ffee").exists() shouldBe false
   }
 
   test("vacuum keeps the newest keepGens generations and drops orphans") {
@@ -175,14 +212,17 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     val g9 = new java.io.File(path + "/_index/vec/data/g9/cluster_id=0")
     g9.mkdirs()
     Files.write(g9.toPath.resolve("part-junk.parquet"), Array[Byte](9))
+    def manifestsFor(gen: Int): Array[String] =
+      new java.io.File(path + "/_index/vec/manifests").list()
+        .filter(n => n == s"g$gen" || n.startsWith(s"g$gen-"))
     // keepGens=2: generation 1's files survive for pinned readers
     GraftIndex.vacuum(path, keepGens = 2) should be > 0
     new java.io.File(path + "/_index/vec/data/g9").exists() shouldBe false
-    new java.io.File(path + "/_index/vec/manifests/g1").exists() shouldBe true
-    new java.io.File(path + "/_index/vec/manifests/g0").exists() shouldBe false
+    manifestsFor(1) should not be empty
+    manifestsFor(0) shouldBe empty
     // tighten to the current generation only
     GraftIndex.vacuum(path)
-    new java.io.File(path + "/_index/vec/manifests/g1").exists() shouldBe false
+    manifestsFor(1) shouldBe empty
     val q = vec(555L)
     GraftIndex.probe(spark, path, q, 10, nprobe = 4)
       .select("k", "score").collect()
@@ -268,6 +308,23 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     intercept[IllegalStateException] {
       GraftIndex.probe(spark, path, q, 5, nprobe = 4)
     }.getMessage should include("STALE")
+  }
+
+  test("probe schema is ONE canonical shape across kinds and layout states") {
+    // contract: table columns (snapshot order) minus the vector, score
+    // last — never cluster_id / pq_code, never the vector, no per-kind
+    // or empty-vs-populated drift
+    val canonical = Seq("k", "s", "score")
+    val ivf = freshTable(80)
+    GraftIndex.create(spark, ivf, "v", nlist = 4)
+    GraftIndex.probe(spark, ivf, vec(3L), 5, nprobe = 4).columns.toSeq shouldBe canonical
+    val pq = freshTable(80)
+    GraftIndex.create(spark, pq, "v", nlist = 4, kind = "ivfpq", m = 4)
+    GraftIndex.probe(spark, pq, vec(3L), 5, nprobe = 4).columns.toSeq shouldBe canonical
+    // emptied-table fast path produces the same shape
+    GraftTable.delete(spark, ivf, (0L until 80L).toDF("k"))
+    GraftIndex.refresh(spark, ivf) shouldBe Some((0, 1))
+    GraftIndex.probe(spark, ivf, vec(3L), 5, nprobe = 4).columns.toSeq shouldBe canonical
   }
 
   test("knnJoin through the index: exhaustive == per-query exact; stale is loud") {

@@ -122,4 +122,35 @@ class LockProviderSpec extends AnyFunSuite with Matchers {
     val lp2 = new InMemoryLockProvider(Set("mock"))
     lp2.putIfAbsent(p, "late", exists, write) shouldBe false
   }
+
+  test("a failed write releases the claim: the table is not wedged forever") {
+    val lp = new InMemoryLockProvider(Set("mock"))
+    val dir = Files.createTempDirectory("graft_lock_fail")
+    val p = new Path("mock:" + dir.toString + "/marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(q: Path) = fs.exists(q)
+    def goodWrite(q: Path, s: String): Unit = {
+      val out = fs.create(q, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // first attempt wins the CAS but its write dies with NOTHING landed
+    intercept[RuntimeException] {
+      lp.putIfAbsent(p, "v1", exists,
+        (_, _) => throw new RuntimeException("store outage"))
+    }
+    // the claim must have been released — a retry can still commit
+    lp.putIfAbsent(p, "v1-retry", exists, goodWrite) shouldBe true
+    // …exactly once
+    lp.putIfAbsent(p, "v1-again", exists, goodWrite) shouldBe false
+
+    // ambiguous failure (write threw but the marker EXISTS) keeps the
+    // claim: no second writer may sneak into a maybe-committed version
+    val p2 = new Path("mock:" + dir.toString + "/marker2")
+    intercept[RuntimeException] {
+      lp.putIfAbsent(p2, "v2", exists, (q, s) => {
+        goodWrite(q, s); throw new RuntimeException("ack lost after land")
+      })
+    }
+    lp.putIfAbsent(p2, "v2-steal", exists, goodWrite) shouldBe false
+  }
 }
