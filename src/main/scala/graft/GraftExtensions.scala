@@ -182,6 +182,30 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_text_search(tablePath, query, k[, mode[, name]])` — BM25
+    * top-k from the table-attached inverted text index
+    * ([[graft.sources.TextIndex]]), stale-checked at plan time like
+    * [[indexSearchPlan]]. `mode` = 'any' (default) or 'all'
+    * (conjunctive). The query string folds at plan time: its terms name
+    * the posting partitions to read, so pruning happens before
+    * execution.
+    */
+  private def textSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      s"graft_text_search(tablePath, query, k[, mode[, name]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_text_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query = lit(1, "query").toString
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val mode = if (args.length >= 4) lit(3, "mode").toString else "any"
+    val name = if (args.length == 5) lit(4, "name").toString else "txt"
+    graft.sources.TextIndex.search(SparkSession.active, path, query, k,
+      name = name, mode = mode).queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -198,7 +222,11 @@ object GraftFunctions {
     ("graft_index_search",
       info("graft_index_search",
         "graft_index_search(tablePath, queryVec, k[, nprobe[, name]]) - top-k served from the table-attached ANN index (stale-checked)"),
-      indexSearchPlan _))
+      indexSearchPlan _),
+    ("graft_text_search",
+      info("graft_text_search",
+        "graft_text_search(tablePath, query, k[, mode[, name]]) - BM25 top-k served from the table-attached inverted text index (stale-checked)"),
+      textSearchPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Embed, IvfIndex, LshIndex, Skew, TextAnalysis, Upsert, VectorSearch}
-import graft.sources.{GraftIndex, GraftTable}
+import graft.sources.{GraftIndex, GraftTable, TextIndex}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.functions.vectors._
@@ -1473,6 +1473,74 @@ object SparkEntry {
             ORDER BY score DESC, vec_id""")
     }),
 
+    "text_search_bm25" -> ((s, dir) => {
+      // full-text serving from the TABLE-ATTACHED inverted index: build
+      // the lakehouse, index it, mutate (text updates AND deletes),
+      // refresh — then BM25-score a 4-term query reading ONLY those
+      // terms' posting partitions. The oracle brute-forces the mutated
+      // corpus; "rational" idf keeps the arithmetic log-free so the
+      // per-term quantize-then-integer-sum hash-matches DuckDB exactly.
+      val root = indexPath("tidx", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val docs = Tables.documents(s, dir)
+      GraftTable.create(docs, tbl, Seq("doc_id"), nbuckets = 8)
+      TextIndex.create(s, tbl, "text")
+      val upd = docs.filter(col("doc_id") % 37 === 5)
+        .withColumn("text", concat(col("text"), lit(" graftnew graftnew")))
+      GraftTable.upsert(s, tbl, upd)
+      GraftTable.delete(s, tbl, docs.filter(col("doc_id") % 41 === 3).select("doc_id"))
+      TextIndex.refresh(s, tbl)
+      TextIndex.scoredTerms(s, tbl, "table scan value graftnew", idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    "text_index_postings" -> ((s, dir) => {
+      // the index's stored facts, integer-exact: (tf, dl, df) per
+      // (doc, query term) straight off the pruned posting scan — the
+      // oracle recomputes them from the raw text
+      val root = indexPath("tpost", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      GraftTable.create(Tables.documents(s, dir), tbl, Seq("doc_id"), nbuckets = 8)
+      TextIndex.create(s, tbl, "text")
+      TextIndex.scoredTerms(s, tbl, "table scan value")
+        .select(col("doc_id"), col("token"), col("tf"),
+          col("dl").cast("long").as("dl"), col("df"))
+        .orderBy("doc_id", "token")
+    }),
+
+    "hybrid_table_search" -> ((s, dir) => {
+      // the reference's hybrid story with BOTH legs index-served: one
+      // table holding text AND embedding, a vector index and a text
+      // index attached, each contributing its top-50 slice to RRF —
+      // no corpus scan on either leg
+      val root = indexPath("thyb", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      GraftTable.create(docs.join(emb, "doc_id"), tbl, Seq("doc_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16)
+      TextIndex.create(s, tbl, "text")
+      val vecLeg = operators.Fusion.rankByTopN(
+        GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 50, nprobe = 16)
+          .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 50)
+      val txtLeg = operators.Fusion.rankByTopN(
+        TextIndex.scoredTerms(s, tbl, "table scan value", idf = "rational")
+          .groupBy("doc_id")
+          .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
+        "doc_id", col("sq"), 50)
+      operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
+        .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
@@ -1668,6 +1736,109 @@ object SparkEntry {
            FROM corpus)
          SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
          FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+
+    // text index, mutated then refreshed: the oracle rebuilds the
+    // post-mutation corpus (appended terms for %37==5, %41==3 deleted)
+    // and brute-forces BM25 with the SAME double arithmetic (rational
+    // idf, per-term floor(1e6) quantization, integer sum) — the
+    // index-served search must hash-match exactly
+    "text_search_bm25" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 37 = 5 THEN text || ' graftnew graftnew'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 41 <> 3 AND text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'value', 'graftnew') GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
+
+    "text_index_postings" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'value') GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+         SELECT tf.doc_id, tf.token, tf.tf, CAST(dlt.dl AS BIGINT) AS dl, dfq.df
+         FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id)
+         ORDER BY doc_id, token""",
+
+    // both retrieval legs brute-forced over the joined (text, embedding)
+    // corpus, top-50 each, fused by RRF — the two table-attached
+    // indexes' fusion must match
+    "hybrid_table_search" ->
+      s"""WITH t AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          corpus AS (SELECT doc_id, text FROM t WHERE text IS NOT NULL),
+          dlt AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+            FROM corpus),
+          stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+          tok AS (
+            SELECT doc_id, g.token
+            FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+            WHERE len(g.token) > 0),
+          tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok
+            WHERE token IN ('table', 'scan', 'value') GROUP BY 1, 2),
+          dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          term AS (
+            SELECT tf.doc_id,
+                   ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                   ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                    (tf.tf + CAST(1.2 AS DOUBLE) *
+                     (CAST(0.25 AS DOUBLE) +
+                      CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+            FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s),
+          kwq AS (
+            SELECT doc_id,
+                   CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
+            FROM term GROUP BY doc_id),
+          kw AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS r FROM kwq)
+            WHERE r <= 50),
+          v AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY $cos0 DESC, doc_id) AS r FROM t)
+            WHERE r <= 50),
+          f AS (
+            SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
+                   coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+            FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
+          SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
+          FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""",
 
     // table-attached index, mutated then refreshed: the oracle rebuilds
     // the post-mutation corpus (negated vectors for %97==3, %101==7

@@ -1,0 +1,396 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A full-text (BM25) inverted index that lives WITH its [[GraftTable]]
+  * — the keyword twin of [[GraftIndex]], completing the reference's
+  * hybrid story (demo.ipynb cell 13 fuses keyword and vector rankings;
+  * here BOTH legs serve from table-attached, version-pinned indexes
+  * instead of scans).
+  *
+  * Why an index at all: BM25 over a scanned corpus reads every document
+  * per query. At 100 TB that is the whole table; from the inverted
+  * index, a query reads ONLY the posting files of its own terms — the
+  * token-hash partition layout turns a q-term query into a scan of at
+  * most q of the `nbuckets` posting partitions per segment, everything
+  * else pruned by Spark's partition discovery before a single parquet
+  * footer is opened.
+  *
+  * Layout, under the table's own directory:
+  * {{{
+  *   table/_textidx/<name>/meta          textCol, keys, nbuckets,
+  *                                       indexedVersion, ndocs, sumdl,
+  *                                       segments (ordered, attempt-named)
+  *   table/_textidx/<name>/seg<K>-<tok>/postings/tbucket=N/…
+  *                                       (keys…, token, tf, dl) parquet
+  *   table/_textidx/<name>/seg<K>-<tok>/tombs/…
+  *                                       keys of docs this segment
+  *                                       REMOVES from earlier segments
+  * }}}
+  *
+  * The segment model is Lucene's, rebuilt on Spark primitives:
+  * segments are IMMUTABLE once written; [[refresh]] applies the table's
+  * change feed as ONE new segment — postings for added/updated docs,
+  * tombstones for the previous images of updated/deleted docs — and
+  * commits by atomically swapping `meta` (segment list, corpus stats,
+  * and version pin advance together or not at all, the same
+  * self-consistent single-swap commit as [[GraftIndex]]; each attempt's
+  * segment dir is attempt-named, so racing maintainers cannot mix
+  * state). A posting from segment i is live iff no segment j > i
+  * tombstones its doc. [[compact]] folds everything into one segment;
+  * [[vacuum]] reclaims unreferenced segment dirs.
+  *
+  * Scoring is exact, not segment-approximate: `df` is counted over LIVE
+  * postings at query time (from the same pruned scan scoring reads, so
+  * it costs nothing extra) and corpus stats (N, Σdl) are maintained
+  * exactly through refresh deltas — unlike Lucene, deleted docs never
+  * linger in the statistics. BM25: k1 = 1.2, b = 0.75,
+  * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) ("lucene"), with a
+  * log-free "rational" idf variant (the same fraction, un-logged) whose
+  * arithmetic is reproducible bit-for-bit in any SQL engine — the
+  * CORRECTNESS oracle rows use it so scores hash-match DuckDB exactly.
+  *
+  * Freshness is a recorded fact, like [[GraftIndex]]: `indexedVersion`
+  * pins the table snapshot, [[search]] FAILS LOUDLY when the table has
+  * moved past it, `allowStale = true` serves the pinned snapshot.
+  */
+object TextIndex {
+
+  final case class TextMeta(name: String, textCol: String, keyCols: Seq[String],
+                            nbuckets: Int, indexedVersion: Int,
+                            nDocs: Long, sumDl: Long,
+                            /** ordered segment entries: (dirName, hasPostings, hasTombs) */
+                            segments: Seq[(String, Boolean, Boolean)])
+
+  private def root(tablePath: String, name: String) = s"$tablePath/_textidx/$name"
+  private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
+  private def segPath(tablePath: String, name: String, seg: String) =
+    s"${root(tablePath, name)}/$seg"
+
+  def exists(tablePath: String, name: String = "txt"): Boolean =
+    GraftTable.MetaIO.exists(metaPath(tablePath, name))
+
+  def meta(tablePath: String, name: String = "txt"): TextMeta = {
+    val p = metaPath(tablePath, name)
+    require(GraftTable.MetaIO.exists(p), s"no text index '$name' at $tablePath")
+    val kv = GraftTable.MetaIO.readString(p).split("\n")
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val segs = kv.getOrElse("segments", "") match {
+      case "" => Seq.empty
+      case s => s.split(",").toSeq.map { e =>
+        val Array(n, flags) = e.split(":", 2)
+        (n, flags.contains("p"), flags.contains("t"))
+      }
+    }
+    TextMeta(name, kv("textCol"), kv("keyCols").split(",").toSeq,
+      kv("nbuckets").toInt, kv("indexedVersion").toInt,
+      kv("ndocs").toLong, kv("sumdl").toLong, segs)
+  }
+
+  private def writeMeta(tablePath: String, m: TextMeta): Unit =
+    GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
+      s"textCol=${m.textCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
+        s"nbuckets=${m.nbuckets}\nindexedVersion=${m.indexedVersion}\n" +
+        s"ndocs=${m.nDocs}\nsumdl=${m.sumDl}\nsegments=" +
+        m.segments.map { case (n, p, t) =>
+          s"$n:" + (if (p) "p" else "") + (if (t) "t" else "") }.mkString(","))
+
+  // ---- tokenization ------------------------------------------------------
+  // the repo-wide text convention (text_tokens/text_keywords oracles):
+  // lowercase, split on single spaces, drop empties. The driver-side and
+  // Column-side forms MUST stay in lockstep — both are exercised against
+  // the same DuckDB string_split in the CORRECTNESS rows.
+
+  private[graft] def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
+
+  private[graft] def tokensCol(textCol: String): Column =
+    filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+
+  /** Token-hash partition bucket. CRC32 over the UTF-8 bytes — the same
+    * standard polynomial in Spark (`crc32`, codegen'd) and on the
+    * driver (`java.util.zip.CRC32`), so the prober can name the buckets
+    * a query's terms live in without touching the cluster.
+    */
+  private def tbucketCol(token: Column, nbuckets: Int): Column =
+    pmod(crc32(token.cast("binary")), lit(nbuckets.toLong)).cast("int")
+
+  private[graft] def tbucketOf(token: String, nbuckets: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(token.getBytes("UTF-8"))
+    (c.getValue % nbuckets).toInt
+  }
+
+  // ---- building blocks ---------------------------------------------------
+
+  /** (keys…, token, tf, dl, tbucket) for every (live doc, distinct
+    * token): the unit the index stores. `dl` = doc length in tokens.
+    */
+  private def postingsOf(docs: DataFrame, textCol: String, keyCols: Seq[String],
+                         nbuckets: Int): DataFrame = {
+    val toks = docs.select(keyCols.map(col) :+ tokensCol(textCol).as("_toks"): _*)
+      .withColumn("dl", size(col("_toks")))
+    toks.select(keyCols.map(col) :+ col("dl") :+ explode(col("_toks")).as("token"): _*)
+      .groupBy(keyCols.map(col) :+ col("dl") :+ col("token"): _*)
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", tbucketCol(col("token"), nbuckets))
+  }
+
+  /** (#docs, Σ dl) of a doc frame — the corpus-stat contribution. */
+  private def statsOf(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.select(size(tokensCol(textCol)).as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def newSegName(ord: Int): String =
+    s"seg$ord-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Write one segment's postings/tombs; returns the meta entry. Either
+    * side may be empty — empty parquet writes leave no readable schema,
+    * so presence is recorded in the entry and absent parts are simply
+    * never planned (the serving path stays listing-free).
+    */
+  private def writeSegment(tablePath: String, name: String, seg: String,
+                           postings: Option[DataFrame],
+                           tombs: Option[DataFrame]): (String, Boolean, Boolean) = {
+    val dir = segPath(tablePath, name, seg)
+    // co-locate each token bucket before the partitioned write: one
+    // file per tbucket per segment instead of (write tasks × buckets)
+    // shards — fewer, bigger posting files is exactly what the pruned
+    // per-term read wants at scale
+    postings.foreach(_.repartition(col("tbucket")).write.mode(SaveMode.Overwrite)
+      .partitionBy("tbucket").parquet(s"$dir/postings"))
+    tombs.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$dir/tombs"))
+    (seg, postings.isDefined, tombs.isDefined)
+  }
+
+  // ---- lifecycle ---------------------------------------------------------
+
+  /** Index the table's CURRENT snapshot and record that version. Docs
+    * with a null `textCol` are not indexed (they join the corpus if a
+    * later upsert fills the text in).
+    */
+  def create(spark: SparkSession, tablePath: String, textCol: String,
+             nbuckets: Int = 16, name: String = "txt"): Unit = {
+    val v = GraftTable.latestVersion(tablePath)
+    require(v >= 0, s"no table at $tablePath")
+    require(!exists(tablePath, name), s"text index '$name' already exists at $tablePath")
+    val keys = GraftTable.keyColumns(tablePath)
+    val reserved = Set("token", "tf", "dl", "tbucket", "df", "score", "_toks", "_seg", "_tseg")
+    (keys :+ textCol).foreach(c =>
+      require(!reserved(c), s"column name '$c' collides with an index-internal column"))
+    val docs = GraftTable.read(spark, tablePath, v).filter(col(textCol).isNotNull)
+    val (n, sdl) = statsOf(docs, textCol)
+    val seg = newSegName(0)
+    val entry = writeSegment(tablePath, name, seg,
+      if (n > 0) Some(postingsOf(docs, textCol, keys, nbuckets)) else None, None)
+    // meta lands LAST — the commit point
+    writeMeta(tablePath, TextMeta(name, textCol, keys, nbuckets, v, n, sdl,
+      if (n > 0) Seq(entry) else Seq.empty))
+  }
+
+  /** Catch the index up to the table head by appending ONE segment:
+    * postings for docs added/updated in (indexedVersion, head],
+    * tombstones for the previous images of updated/deleted docs, corpus
+    * stats adjusted by exact deltas (old images re-tokenized from the
+    * still-readable indexed snapshot — COW never mutates it). Returns
+    * the (from, to] range applied, or None when already fresh. Cost is
+    * O(changed docs), never O(corpus). Idempotent against crashes: an
+    * attempt dies invisibly before the meta swap (orphan segment dir,
+    * reclaimed by [[vacuum]]); racing refreshers each commit their own
+    * self-consistent (segments, stats, version) triple.
+    */
+  def refresh(spark: SparkSession, tablePath: String,
+              name: String = "txt"): Option[(Int, Int)] = {
+    val m = meta(tablePath, name)
+    val head = GraftTable.latestVersion(tablePath)
+    if (head <= m.indexedVersion) return None
+    val batch = GraftTable.changes(spark, tablePath, m.indexedVersion, head)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyCols = m.keyCols.map(col)
+      val changedKeys = batch.select(keyCols: _*).distinct()
+      // previous images of every changed doc that WAS indexed: their
+      // postings die (tombstone) and their stats contribution reverses
+      val oldDocs = GraftTable.read(spark, tablePath, m.indexedVersion)
+        .join(changedKeys, m.keyCols, "left_semi")
+        .filter(col(m.textCol).isNotNull)
+      val newDocs = batch.filter(!col("_deleted")).drop("_deleted")
+        .filter(col(m.textCol).isNotNull)
+      val (nOld, dlOld) = statsOf(oldDocs, m.textCol)
+      val (nNew, dlNew) = statsOf(newDocs, m.textCol)
+      if (nOld == 0 && nNew == 0) {
+        // nothing indexed changed (e.g. all changed rows have null
+        // text): advance the version pin alone
+        writeMeta(tablePath, m.copy(indexedVersion = head))
+        return Some((m.indexedVersion, head))
+      }
+      val seg = newSegName(m.segments.size)
+      val entry = writeSegment(tablePath, name, seg,
+        if (nNew > 0) Some(postingsOf(newDocs, m.textCol, m.keyCols, m.nbuckets)) else None,
+        if (nOld > 0) Some(oldDocs.select(keyCols: _*)) else None)
+      // THE commit point: segment list + stats + version pin, one swap
+      writeMeta(tablePath, m.copy(indexedVersion = head,
+        nDocs = m.nDocs - nOld + nNew, sumDl = m.sumDl - dlOld + dlNew,
+        segments = m.segments :+ entry))
+      Some((m.indexedVersion, head))
+    } finally {
+      batch.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  // ---- serving -----------------------------------------------------------
+
+  private def requireFresh(tablePath: String, m: TextMeta, allowStale: Boolean): Unit = {
+    val head = GraftTable.latestVersion(tablePath)
+    if (!allowStale && head != m.indexedVersion)
+      throw new IllegalStateException(
+        s"text index '${m.name}' on $tablePath is STALE: it reflects table version " +
+          s"${m.indexedVersion} but the table is at $head — run " +
+          "TextIndex.refresh, or search(allowStale = true) to serve the indexed snapshot")
+  }
+
+  /** LIVE postings of the query's terms: every segment's posting
+    * partitions for the terms' tbuckets (all other partitions pruned),
+    * minus docs a LATER segment tombstoned. Last-writer-wins per doc,
+    * the index twin of the table's upsert semantics.
+    */
+  private def livePostings(spark: SparkSession, tablePath: String, m: TextMeta,
+                           qTokens: Seq[String]): Option[DataFrame] = {
+    val buckets = qTokens.map(tbucketOf(_, m.nbuckets)).distinct
+    val posts = m.segments.zipWithIndex.collect { case ((seg, true, _), i) =>
+      spark.read.parquet(s"${segPath(tablePath, m.name, seg)}/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(qTokens: _*))
+        .withColumn("_seg", lit(i))
+    }
+    if (posts.isEmpty) return None
+    val all = posts.reduce(_.unionByName(_))
+    val tombs = m.segments.zipWithIndex.collect { case ((seg, _, true), i) =>
+      spark.read.parquet(s"${segPath(tablePath, m.name, seg)}/tombs")
+        .withColumn("_seg", lit(i))
+    }
+    if (tombs.isEmpty) return Some(all)
+    // max tombstoning segment per doc, broadcast: tombstones are
+    // O(changes since compaction), tiny next to the corpus
+    val tombAgg = tombs.reduce(_.unionByName(_))
+      .groupBy(m.keyCols.map(col): _*).agg(max("_seg").as("_tseg"))
+    Some(all.join(broadcast(tombAgg), m.keyCols, "left")
+      .filter(coalesce(col("_tseg"), lit(-1)) <= col("_seg"))
+      .drop("_tseg"))
+  }
+
+  private def idfExpr(idf: String): String = idf match {
+    // ndocs/df/tf/dl/sumdl are column names in the scored-terms frame.
+    // Literals carry the D suffix: Spark SQL parses a bare `2.2` as
+    // DECIMAL and decimal division truncates at ~1e-8 — with doubles
+    // the op sequence is pure IEEE 754 and reproducible bit-for-bit by
+    // the JVM brute force (specs) and by DuckDB with `::DOUBLE`
+    // literals in the same order (oracle rows).
+    case "lucene" => "ln(1.0D + (ndocs - df + 0.5D) / (df + 0.5D))"
+    case "rational" => "((ndocs - df + 0.5D) / (df + 0.5D))"
+    case other => throw new IllegalArgumentException(s"unknown idf kind '$other'")
+  }
+
+  private[graft] val satSql: String =
+    "((tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * dl * ndocs / sumdl)))"
+
+  /** Per-(doc, term) BM25 contributions for `query`'s distinct terms:
+    * (keys…, token, tf, dl, df, ndocs, sumdl, contrib). The scoring
+    * substrate [[search]] sums — exposed because integer-exact
+    * verification wants the pre-aggregation terms (quantize each, THEN
+    * sum: order-free), and ranking diagnostics want to see which term
+    * carried a hit.
+    */
+  def scoredTerms(spark: SparkSession, tablePath: String, query: String,
+                  name: String = "txt", idf: String = "lucene",
+                  allowStale: Boolean = false): DataFrame = {
+    val m = meta(tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    val qTokens = tokenize(query).distinct
+    val shape = (c: DataFrame) => c.select(
+      m.keyCols.map(col) ++ Seq(col("token"), col("tf"), col("dl"), col("df"),
+        col("ndocs"), col("sumdl"), col("contrib")): _*)
+    val empty = () => shape(
+      GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+        .withColumns(Map("token" -> lit(""), "tf" -> lit(1L), "dl" -> lit(1),
+          "df" -> lit(1L), "ndocs" -> lit(1L), "sumdl" -> lit(1L),
+          "contrib" -> lit(0.0))))
+    if (qTokens.isEmpty || m.nDocs == 0L) return empty()
+    livePostings(spark, tablePath, m, qTokens) match {
+      case None => empty()
+      case Some(live) =>
+        // df over LIVE postings — exact, and free: counted on the same
+        // pruned term scan the scoring reads (≤ |terms| rows, broadcast)
+        val dfs = live.groupBy("token").agg(count(lit(1)).as("df"))
+        shape(live.join(broadcast(dfs), "token")
+          .withColumn("ndocs", lit(m.nDocs))
+          .withColumn("sumdl", lit(m.sumDl))
+          .withColumn("contrib", expr(s"(${idfExpr(idf)}) * $satSql")))
+    }
+  }
+
+  /** BM25 top-k: (keys…, score), ordered (score desc, keys asc).
+    * `mode = "any"` scores every doc matching ≥1 term (disjunctive,
+    * the BM25 default); `"all"` keeps only docs matching EVERY distinct
+    * query term (conjunctive AND). Plan shape: pruned posting scan →
+    * one keyed aggregation → TakeOrderedAndProject; no corpus scan, no
+    * global window.
+    */
+  def search(spark: SparkSession, tablePath: String, query: String, k: Int,
+             name: String = "txt", mode: String = "any", idf: String = "lucene",
+             allowStale: Boolean = false): DataFrame = {
+    require(mode == "any" || mode == "all", s"unknown mode '$mode'")
+    val m = meta(tablePath, name)
+    val terms = scoredTerms(spark, tablePath, query, name, idf, allowStale)
+    val nq = tokenize(query).distinct.size
+    val scored = terms.groupBy(m.keyCols.map(col): _*)
+      .agg(sum("contrib").as("score"), count(lit(1)).as("_nmatch"))
+    val kept = if (mode == "all") scored.filter(col("_nmatch") === nq) else scored
+    kept.drop("_nmatch")
+      .orderBy(col("score").desc +: m.keyCols.map(c => col(c).asc): _*)
+      .limit(k)
+  }
+
+  // ---- maintenance -------------------------------------------------------
+
+  /** Fold all segments into ONE (tombstones applied, then discarded) —
+    * Lucene's merge. Serving cost returns to a single segment scan;
+    * stats are untouched (they were exact all along). The swap is the
+    * same single-meta commit; old segment dirs become [[vacuum]] food.
+    */
+  def compact(spark: SparkSession, tablePath: String,
+              name: String = "txt"): Unit = {
+    val m = meta(tablePath, name)
+    if (m.segments.isEmpty) return
+    // all live docs' postings = re-derive from the pinned table
+    // snapshot: one scan, and the result carries no tombstone debt
+    val docs = GraftTable.read(spark, tablePath, m.indexedVersion)
+      .filter(col(m.textCol).isNotNull)
+    val seg = newSegName(m.segments.size)
+    val entry = writeSegment(tablePath, name, seg,
+      if (m.nDocs > 0) Some(postingsOf(docs, m.textCol, m.keyCols, m.nbuckets)) else None,
+      None)
+    writeMeta(tablePath, m.copy(segments = if (m.nDocs > 0) Seq(entry) else Seq.empty))
+  }
+
+  /** Delete segment dirs the current meta no longer references (crashed
+    * attempts, compacted-away segments, racing losers). Same
+    * pinned-reader caveat as the table's vacuum: a search planned
+    * against a pre-compaction meta loses its files — run vacuum with
+    * the maintenance cadence, not eagerly after every compact.
+    */
+  def vacuum(tablePath: String, name: String = "txt"): Int = {
+    val m = meta(tablePath, name)
+    val live = m.segments.map(_._1).toSet
+    var deleted = 0
+    GraftTable.MetaIO.list(new Path(root(tablePath, name)))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("seg\\d+-[0-9a-f]+"))
+      .filterNot(s => live(s.getPath.getName))
+      .foreach { s => GraftTable.MetaIO.delete(s.getPath); deleted += 1 }
+    deleted
+  }
+}

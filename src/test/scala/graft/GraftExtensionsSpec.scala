@@ -171,6 +171,35 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     spark.sql(s"SELECT k FROM graft_index_search('$path', $sqlArr, 7)").count() shouldBe 7
   }
 
+  test("graft_text_search TVF serves BM25 from the table-attached text index, stale-checked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_txt_sql").toString + "/t"
+    val words = Vector("spark", "scan", "table", "merge", "query")
+    def text(k: Long): String =
+      (0 until 4).map(i => words(((k * 7 + i * 3) % 5).toInt)).mkString(" ")
+    val df = (0L until 150L).map(k => (k, text(k))).toDF("doc_id", "text")
+    graft.sources.GraftTable.create(df, path, Seq("doc_id"), nbuckets = 2)
+    graft.sources.TextIndex.create(spark, path, "text")
+    val got = spark.sql(
+      s"SELECT doc_id FROM graft_text_search('$path', 'spark table', 6)")
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe graft.sources.TextIndex.search(spark, path, "spark table", 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    got should have size 6
+    // conjunctive mode flows through
+    spark.sql(s"SELECT doc_id FROM graft_text_search('$path', 'spark table', 200, 'all')")
+      .count() should be > 0L
+    // the table moves on → the SQL call fails as loudly as the Scala API
+    graft.sources.GraftTable.upsert(spark, path, Seq((0L, "query query")).toDF("doc_id", "text"))
+    intercept[IllegalStateException] {
+      spark.sql(s"SELECT doc_id FROM graft_text_search('$path', 'spark', 5)")
+    }.getMessage should include("STALE")
+    graft.sources.TextIndex.refresh(spark, path)
+    spark.sql(s"SELECT doc_id FROM graft_text_search('$path', 'spark', 5)").count() shouldBe 5
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

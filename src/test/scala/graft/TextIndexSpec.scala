@@ -1,0 +1,221 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftTable, TextIndex}
+import java.nio.file.Files
+
+/** The table-attached BM25 inverted index: built FROM a GraftTable
+  * snapshot, version-pinned, refreshed through the change feed as
+  * immutable segments with tombstones, exact corpus statistics, and a
+  * brute-force-equal scoring contract.
+  */
+class TextIndexSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** small deterministic corpus over a closed vocabulary */
+  private val vocab = Vector("spark", "scan", "table", "index", "merge", "query",
+    "filter", "join", "window", "stream")
+  private def docText(k: Long): String =
+    (0 until (3 + (k % 7).toInt)).map(i => vocab(((k * 13 + i * 5) % 10).toInt)).mkString(" ")
+
+  private def freshTable(n: Int): String = {
+    val path = Files.createTempDirectory("graft_tidx").toString + "/t"
+    val df = (0L until n.toLong).map(k => (k, docText(k), s"src-${k % 3}")).toDF("doc_id", "text", "src")
+    GraftTable.create(df, path, Seq("doc_id"), nbuckets = 4)
+    path
+  }
+
+  /** independent brute-force BM25 over the table head — same tokenizer,
+    * same formula, computed doc-at-a-time on the driver
+    */
+  private def bruteForce(path: String, query: String, k: Int,
+                         mode: String = "any"): Seq[(Long, Double)] = {
+    val docs = GraftTable.read(spark, path).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => (id, TextIndex.tokenize(t)) }
+    val n = toks.length.toLong
+    val sumDl = toks.map(_._2.length.toLong).sum
+    val q = TextIndex.tokenize(query).distinct
+    val dfOf = q.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val scored = toks.flatMap { case (id, ts) =>
+      val dl = ts.length
+      val matched = q.filter(ts.contains)
+      if (matched.isEmpty || (mode == "all" && matched.size != q.size)) None
+      else Some((id, matched.map { t =>
+        val tf = ts.count(_ == t).toLong
+        val df = dfOf(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumDl.toDouble)))
+      }.sum))
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+  }
+
+  private def got(path: String, query: String, k: Int, mode: String = "any",
+                  allowStale: Boolean = false): Seq[(Long, Double)] =
+    TextIndex.search(spark, path, query, k, mode = mode, allowStale = allowStale)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("score")))).toSeq
+
+  test("create -> search equals driver brute-force BM25 exactly") {
+    val path = freshTable(300)
+    TextIndex.create(spark, path, "text")
+    TextIndex.meta(path).indexedVersion shouldBe 0
+    got(path, "spark table", 10) shouldBe bruteForce(path, "spark table", 10)
+    // schema contract: keys, then score
+    TextIndex.search(spark, path, "spark", 3).columns.toSeq shouldBe Seq("doc_id", "score")
+  }
+
+  test("refresh folds upserts + deletes in as one segment; scoring tracks the NEW corpus") {
+    val path = freshTable(200)
+    TextIndex.create(spark, path, "text")
+    // 15 docs get entirely new text, 5 new docs appear, 20 vanish
+    val ups = ((0L until 15L).map(k => (k, "spark spark index", s"src-0")) ++
+      (900L until 905L).map(k => (k, "window stream window", s"src-1"))).toDF("doc_id", "text", "src")
+    GraftTable.upsert(spark, path, ups)
+    GraftTable.delete(spark, path, (50L until 70L).toDF("doc_id"))
+    TextIndex.refresh(spark, path) shouldBe Some((0, 2))
+    TextIndex.meta(path).indexedVersion shouldBe 2
+    TextIndex.meta(path).segments should have size 2
+    for (q <- Seq("spark index", "window stream", "merge query filter"))
+      got(path, q, 12) shouldBe bruteForce(path, q, 12)
+    // deleted docs can never surface
+    got(path, "spark scan table index merge query filter join window stream", 200)
+      .map(_._1).toSet.intersect((50L until 70L).toSet) shouldBe empty
+    // a second refresh is a no-op
+    TextIndex.refresh(spark, path) shouldBe None
+  }
+
+  test("corpus stats stay EXACT through mutations (unlike Lucene's deleted-doc drift)") {
+    val path = freshTable(150)
+    TextIndex.create(spark, path, "text")
+    GraftTable.upsert(spark, path,
+      (0L until 10L).map(k => (k, "join join join", "src-2")).toDF("doc_id", "text", "src"))
+    GraftTable.delete(spark, path, (100L until 130L).toDF("doc_id"))
+    TextIndex.refresh(spark, path)
+    val m = TextIndex.meta(path)
+    val headDocs = GraftTable.read(spark, path).filter(col("text").isNotNull)
+    val expectDl = headDocs.select(
+        org.apache.spark.sql.functions.size(TextIndex.tokensCol("text")).as("dl"))
+      .agg(sum("dl")).head().getLong(0)
+    m.nDocs shouldBe headDocs.count()
+    m.sumDl shouldBe expectDl
+  }
+
+  test("a search against a stale index fails LOUDLY; allowStale serves the pinned snapshot") {
+    val path = freshTable(100)
+    TextIndex.create(spark, path, "text")
+    val before = got(path, "spark table", 5)
+    GraftTable.upsert(spark, path, Seq((0L, "query query", "src-0")).toDF("doc_id", "text", "src"))
+    intercept[IllegalStateException] {
+      TextIndex.search(spark, path, "spark", 5)
+    }.getMessage should include("STALE")
+    got(path, "spark table", 5, allowStale = true) shouldBe before
+    TextIndex.refresh(spark, path)
+    got(path, "spark table", 5) shouldBe bruteForce(path, "spark table", 5)
+  }
+
+  test("conjunctive mode keeps only docs matching EVERY term") {
+    val path = freshTable(250)
+    TextIndex.create(spark, path, "text")
+    val q = "spark window"
+    got(path, q, 50, mode = "all") shouldBe bruteForce(path, q, 50, mode = "all")
+    // every hit really contains both terms
+    val hits = got(path, q, 50, mode = "all").map(_._1).toSet
+    val texts = GraftTable.read(spark, path).filter(col("doc_id").isin(hits.toSeq: _*))
+      .select("doc_id", "text").collect()
+    texts.foreach { r =>
+      val ts = TextIndex.tokenize(r.getString(1))
+      ts should contain("spark"); ts should contain("window")
+    }
+  }
+
+  test("compact folds segments into one; results unchanged; vacuum reclaims the rest") {
+    val path = freshTable(120)
+    TextIndex.create(spark, path, "text")
+    GraftTable.upsert(spark, path,
+      (0L until 8L).map(k => (k, "stream filter stream", "src-1")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path)
+    GraftTable.delete(spark, path, (10L until 25L).toDF("doc_id"))
+    TextIndex.refresh(spark, path)
+    val before = got(path, "stream filter merge", 15)
+    TextIndex.meta(path).segments.size should be > 1
+    TextIndex.compact(spark, path)
+    TextIndex.meta(path).segments should have size 1
+    got(path, "stream filter merge", 15) shouldBe before
+    TextIndex.vacuum(path) should be > 0
+    got(path, "stream filter merge", 15) shouldBe before
+  }
+
+  test("empty query, unknown terms, and an emptied table all serve the canonical shape") {
+    val path = freshTable(60)
+    TextIndex.create(spark, path, "text")
+    TextIndex.search(spark, path, "", 5).count() shouldBe 0
+    TextIndex.search(spark, path, "zzzznotaword", 5).count() shouldBe 0
+    TextIndex.search(spark, path, "zzzznotaword", 5).columns.toSeq shouldBe Seq("doc_id", "score")
+    GraftTable.delete(spark, path, (0L until 60L).toDF("doc_id"))
+    TextIndex.refresh(spark, path) shouldBe Some((0, 1))
+    val m = TextIndex.meta(path)
+    m.nDocs shouldBe 0L
+    m.sumDl shouldBe 0L
+    TextIndex.search(spark, path, "spark", 5).count() shouldBe 0
+    // and the corpus resurrects
+    GraftTable.upsert(spark, path,
+      Seq((7L, "spark spark", "src-0")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path) shouldBe Some((1, 2))
+    got(path, "spark", 1).map(_._1) shouldBe Seq(7L)
+  }
+
+  test("null-text docs are not indexed and do not count in the statistics") {
+    val path = Files.createTempDirectory("graft_tidx_null").toString + "/t"
+    val df = Seq((1L, "spark table", "a"), (2L, null.asInstanceOf[String], "b"),
+      (3L, "spark", "c")).toDF("doc_id", "text", "src")
+    GraftTable.create(df, path, Seq("doc_id"), nbuckets = 2)
+    TextIndex.create(spark, path, "text")
+    val m = TextIndex.meta(path)
+    m.nDocs shouldBe 2L
+    m.sumDl shouldBe 3L
+    got(path, "spark", 5).map(_._1) shouldBe bruteForce(path, "spark", 5).map(_._1)
+    // a later upsert fills the text in → joins the corpus on refresh
+    GraftTable.upsert(spark, path, Seq((2L, "table table table", "b")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path)
+    TextIndex.meta(path).nDocs shouldBe 3L
+    got(path, "table", 1).map(_._1) shouldBe Seq(2L)
+  }
+
+  test("rational idf ranks like a scan-side recompute (the oracle's arithmetic)") {
+    val path = freshTable(180)
+    TextIndex.create(spark, path, "text")
+    val terms = TextIndex.scoredTerms(spark, path, "spark table merge", idf = "rational")
+    // per-term quantize THEN integer-sum: the order-free exactness trick
+    val viaIndex = terms
+      .groupBy("doc_id")
+      .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    viaIndex should have size 10
+    // cross-check against a driver brute force using the same textual
+    // arithmetic (rational idf, per-term quantize, integer sum)
+    val raw = GraftTable.read(spark, path).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), TextIndex.tokenize(r.getString(1))))
+    val n = raw.length.toLong
+    val sumDl = raw.map(_._2.length.toLong).sum
+    val q = Seq("spark", "table", "merge")
+    val dfOf = q.map(t => t -> raw.count(_._2.contains(t)).toLong).toMap
+    val brute = raw.flatMap { case (id, ts) =>
+      val dl = ts.length
+      val m = q.filter(ts.contains)
+      if (m.isEmpty) None
+      else Some((id, m.map { t =>
+        val tf = ts.count(_ == t).toLong
+        val df = dfOf(t)
+        val contrib = ((n - df + 0.5) / (df + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumDl.toDouble)))
+        math.floor(contrib * 1000000.0).toLong
+      }.sum))
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    viaIndex shouldBe brute
+  }
+}
