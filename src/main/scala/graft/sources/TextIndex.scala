@@ -377,6 +377,22 @@ object TextIndex {
     writeMeta(tablePath, m.copy(segments = if (m.nDocs > 0) Seq(entry) else Seq.empty))
   }
 
+  /** Continuous maintenance: a Structured Streaming ticker drives
+    * [[refresh]] per micro-batch so the text index FOLLOWS the table —
+    * the keyword twin of [[GraftIndex.streamRefresh]]. Position is
+    * owned by `meta.indexedVersion` (restart-safe without a
+    * checkpoint; replays idempotent per the refresh contract).
+    */
+  def streamRefresh(spark: SparkSession, tablePath: String, name: String = "txt",
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(spark, tablePath, name); () }
+      .trigger(trigger)
+      .start()
+
   /** Delete segment dirs the current meta no longer references (crashed
     * attempts, compacted-away segments, racing losers). Same
     * pinned-reader caveat as the table's vacuum: a search planned

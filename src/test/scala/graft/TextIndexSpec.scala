@@ -168,6 +168,23 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     got(path, "spark", 1).map(_._1) shouldBe Seq(7L)
   }
 
+  test("streamRefresh: the text index follows the table with no manual refresh calls") {
+    val path = freshTable(100)
+    TextIndex.create(spark, path, "text")
+    val q = TextIndex.streamRefresh(spark, path,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      GraftTable.upsert(spark, path,
+        Seq((0L, "zzzfresh zzzfresh", "src-0")).toDF("doc_id", "text", "src"))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (TextIndex.meta(path).indexedVersion < 1 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      TextIndex.meta(path).indexedVersion shouldBe 1
+      // fresh by construction: the non-stale search sees the upsert
+      got(path, "zzzfresh", 1).map(_._1) shouldBe Seq(0L)
+    } finally q.stop()
+  }
+
   test("null-text docs are not indexed and do not count in the statistics") {
     val path = Files.createTempDirectory("graft_tidx_null").toString + "/t"
     val df = Seq((1L, "spark table", "a"), (2L, null.asInstanceOf[String], "b"),
