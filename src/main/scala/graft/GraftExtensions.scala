@@ -185,10 +185,11 @@ object GraftFunctions {
   /** `graft_text_search(tablePath, query, k[, mode[, name]])` — BM25
     * top-k from the table-attached inverted text index
     * ([[graft.sources.TextIndex]]), stale-checked at plan time like
-    * [[indexSearchPlan]]. `mode` = 'any' (default) or 'all'
-    * (conjunctive). The query string folds at plan time: its terms name
-    * the posting partitions to read, so pruning happens before
-    * execution.
+    * [[indexSearchPlan]]. `mode` = 'any' (default), 'all'
+    * (conjunctive), or 'phrase' (exact consecutive-token match via
+    * positional postings — returns `n_occurrences` instead of
+    * `score`). The query string folds at plan time: its terms name the
+    * posting partitions to read, so pruning happens before execution.
     */
   private def textSearchPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3 && args.length <= 5,
@@ -202,8 +203,13 @@ object GraftFunctions {
     val k = lit(2, "k").asInstanceOf[Number].intValue()
     val mode = if (args.length >= 4) lit(3, "mode").toString else "any"
     val name = if (args.length == 5) lit(4, "name").toString else "txt"
-    graft.sources.TextIndex.search(SparkSession.active, path, query, k,
-      name = name, mode = mode).queryExecution.logical
+    val df =
+      if (mode == "phrase")
+        graft.sources.TextIndex.searchPhrase(SparkSession.active, path, query, k, name = name)
+      else
+        graft.sources.TextIndex.search(SparkSession.active, path, query, k,
+          name = name, mode = mode)
+    df.queryExecution.logical
   }
 
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
@@ -225,7 +231,7 @@ object GraftFunctions {
       indexSearchPlan _),
     ("graft_text_search",
       info("graft_text_search",
-        "graft_text_search(tablePath, query, k[, mode[, name]]) - BM25 top-k served from the table-attached inverted text index (stale-checked)"),
+        "graft_text_search(tablePath, query, k[, mode[, name]]) - BM25 (mode any/all) or exact-phrase (mode phrase) top-k served from the table-attached inverted text index (stale-checked)"),
       textSearchPlan _))
 
   /** Register on a live session (idempotent). */

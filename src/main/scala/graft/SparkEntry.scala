@@ -1513,6 +1513,26 @@ object SparkEntry {
         .orderBy("doc_id", "token")
     }),
 
+    "text_search_phrase" -> ((s, dir) => {
+      // exact phrase query from POSITIONAL postings: mutate (append two
+      // more phrase occurrences to %37==5 docs, delete %41==3 docs),
+      // refresh, then count consecutive "table scan" occurrences
+      // reading only those two terms' posting partitions — the oracle
+      // recounts from the mutated raw text with an indexed-lambda scan
+      val root = indexPath("tphr", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val docs = Tables.documents(s, dir)
+      GraftTable.create(docs, tbl, Seq("doc_id"), nbuckets = 8)
+      TextIndex.create(s, tbl, "text")
+      val upd = docs.filter(col("doc_id") % 37 === 5)
+        .withColumn("text", concat(col("text"), lit(" table scan table scan")))
+      GraftTable.upsert(s, tbl, upd)
+      GraftTable.delete(s, tbl, docs.filter(col("doc_id") % 41 === 3).select("doc_id"))
+      TextIndex.refresh(s, tbl)
+      TextIndex.searchPhrase(s, tbl, "table scan", 15)
+    }),
+
     "hybrid_table_search" -> ((s, dir) => {
       // the reference's hybrid story with BOTH legs index-served: one
       // table holding text AND embedding, a vector index and a text
@@ -1791,6 +1811,28 @@ object SparkEntry {
          SELECT tf.doc_id, tf.token, tf.tf, CAST(dlt.dl AS BIGINT) AS dl, dfq.df
          FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id)
          ORDER BY doc_id, token""",
+
+    // occurrence counts of the consecutive-token phrase over the
+    // mutated corpus, recounted from raw text with an indexed lambda —
+    // the positional-postings phrase query must match exactly
+    "text_search_phrase" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 37 = 5 THEN text || ' table scan table scan'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 41 <> 3 AND text IS NOT NULL),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+           FROM corpus),
+         occ AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(tk, (x, i) ->
+                    CASE WHEN i < len(tk) AND x = 'table' AND tk[i+1] = 'scan'
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_occurrences
+           FROM toks)
+         SELECT doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
+         ORDER BY n_occurrences DESC, doc_id LIMIT 15""",
 
     // both retrieval legs brute-forced over the joined (text, embedding)
     // corpus, top-50 each, fused by RRF — the two table-attached

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *                                       indexedVersion, ndocs, sumdl,
   *                                       segments (ordered, attempt-named)
   *   table/_textidx/<name>/seg<K>-<tok>/postings/tbucket=N/…
-  *                                       (keys…, token, tf, dl) parquet
+  *                                       (keys…, token, tf, dl,
+  *                                       positions) parquet
   *   table/_textidx/<name>/seg<K>-<tok>/tombs/…
   *                                       keys of docs this segment
   *                                       REMOVES from earlier segments
@@ -62,7 +63,11 @@ object TextIndex {
                             nbuckets: Int, indexedVersion: Int,
                             nDocs: Long, sumDl: Long,
                             /** ordered segment entries: (dirName, hasPostings, hasTombs) */
-                            segments: Seq[(String, Boolean, Boolean)])
+                            segments: Seq[(String, Boolean, Boolean)],
+                            /** posting format: 1 = (tf, dl) only; 2 = positional
+                              * (every segment also stores the token's position
+                              * list — the [[searchPhrase]] substrate) */
+                            pformat: Int = 2)
 
   private def root(tablePath: String, name: String) = s"$tablePath/_textidx/$name"
   private def metaPath(tablePath: String, name: String) = new Path(root(tablePath, name), "meta")
@@ -86,14 +91,17 @@ object TextIndex {
     }
     TextMeta(name, kv("textCol"), kv("keyCols").split(",").toSeq,
       kv("nbuckets").toInt, kv("indexedVersion").toInt,
-      kv("ndocs").toLong, kv("sumdl").toLong, segs)
+      kv("ndocs").toLong, kv("sumdl").toLong, segs,
+      // metas written before positional postings carry no pformat line:
+      // those segments have no position lists → format 1
+      kv.getOrElse("pformat", "1").toInt)
   }
 
   private def writeMeta(tablePath: String, m: TextMeta): Unit =
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
       s"textCol=${m.textCol}\nkeyCols=${m.keyCols.mkString(",")}\n" +
         s"nbuckets=${m.nbuckets}\nindexedVersion=${m.indexedVersion}\n" +
-        s"ndocs=${m.nDocs}\nsumdl=${m.sumDl}\nsegments=" +
+        s"ndocs=${m.nDocs}\nsumdl=${m.sumDl}\npformat=${m.pformat}\nsegments=" +
         m.segments.map { case (n, p, t) =>
           s"$n:" + (if (p) "p" else "") + (if (t) "t" else "") }.mkString(","))
 
@@ -125,16 +133,21 @@ object TextIndex {
 
   // ---- building blocks ---------------------------------------------------
 
-  /** (keys…, token, tf, dl, tbucket) for every (live doc, distinct
-    * token): the unit the index stores. `dl` = doc length in tokens.
+  /** (keys…, token, tf, dl, positions, tbucket) for every (live doc,
+    * distinct token): the unit the index stores. `dl` = doc length in
+    * tokens; `positions` = the token's 0-based offsets in the doc,
+    * sorted (Lucene's positional postings — the phrase-query
+    * substrate). BM25 never reads `positions`: parquet column pruning
+    * keeps the scoring scan at the (tf, dl) width it had before.
     */
   private def postingsOf(docs: DataFrame, textCol: String, keyCols: Seq[String],
                          nbuckets: Int): DataFrame = {
     val toks = docs.select(keyCols.map(col) :+ tokensCol(textCol).as("_toks"): _*)
       .withColumn("dl", size(col("_toks")))
-    toks.select(keyCols.map(col) :+ col("dl") :+ explode(col("_toks")).as("token"): _*)
+    toks.select(keyCols.map(col) ++ Seq(col("dl"),
+        posexplode(col("_toks")).as(Seq("pos", "token"))): _*)
       .groupBy(keyCols.map(col) :+ col("dl") :+ col("token"): _*)
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tbucket", tbucketCol(col("token"), nbuckets))
   }
 
@@ -268,7 +281,10 @@ object TextIndex {
         .withColumn("_seg", lit(i))
     }
     if (posts.isEmpty) return None
-    val all = posts.reduce(_.unionByName(_))
+    // allowMissingColumns: a pformat-1 index refreshed under this code
+    // mixes position-less legacy segments with positional new ones —
+    // BM25 reads neither way; phrase search demands pformat 2
+    val all = posts.reduce(_.unionByName(_, allowMissingColumns = true))
     val tombs = m.segments.zipWithIndex.collect { case ((seg, _, true), i) =>
       spark.read.parquet(s"${segPath(tablePath, m.name, seg)}/tombs")
         .withColumn("_seg", lit(i))
@@ -355,6 +371,55 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Exact phrase query: (keys…, n_occurrences) for every doc whose
+    * token stream contains `phrase`'s tokens CONSECUTIVELY, ordered
+    * (n_occurrences desc, keys asc), top-k. Occurrences may overlap
+    * (Lucene's PhraseQuery semantics).
+    *
+    * Cost model is the index's whole point: only the phrase's OWN
+    * terms' posting partitions are read — never the corpus. Each
+    * posting row carries the term's position list; a row for the term
+    * at phrase offset i votes for candidate start positions
+    * `pos - i`, and a start that collects ALL |phrase| votes is an
+    * occurrence. That turns phrase matching into one explode + one
+    * keyed aggregation — no joins-per-term chain, no UDF, fully
+    * codegen. Repeated phrase terms are handled by the vote identity
+    * (start, offset): "scan table scan" needs scan-votes at BOTH
+    * offsets 0 and 2.
+    */
+  def searchPhrase(spark: SparkSession, tablePath: String, phrase: String, k: Int,
+                   name: String = "txt", allowStale: Boolean = false): DataFrame = {
+    val m = meta(tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    require(m.pformat >= 2,
+      s"text index '${m.name}' predates positional postings (pformat=${m.pformat}) — " +
+        "TextIndex.compact(...) rewrites it positionally")
+    val qtoks = tokenize(phrase)
+    val empty = () => GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+      .select(m.keyCols.map(col): _*).withColumn("n_occurrences", lit(0L))
+    if (qtoks.isEmpty || m.nDocs == 0L) return empty()
+    // offsets of each distinct term within the phrase, as a plan-time
+    // literal map: one posting row fans out to one vote per (position,
+    // phrase offset of its term)
+    val offsets: Map[String, Seq[Int]] =
+      qtoks.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    livePostings(spark, tablePath, m, qtoks.distinct) match {
+      case None => empty()
+      case Some(live) =>
+        val offLit = typedLit(offsets)
+        val votes = live.select(m.keyCols.map(col) :+ explode(flatten(transform(
+          element_at(offLit, col("token")),
+          i => transform(col("positions"), p => (p - i))))).as("start"): _*)
+        votes.groupBy(m.keyCols.map(col) :+ col("start"): _*)
+          .agg(count(lit(1)).as("_nhit"))
+          .filter(col("_nhit") === qtoks.size && col("start") >= 0)
+          .groupBy(m.keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc +: m.keyCols.map(c => col(c).asc): _*)
+          .limit(k)
+    }
+  }
+
   // ---- maintenance -------------------------------------------------------
 
   /** Fold all segments into ONE (tombstones applied, then discarded) —
@@ -374,7 +439,10 @@ object TextIndex {
     val entry = writeSegment(tablePath, name, seg,
       if (m.nDocs > 0) Some(postingsOf(docs, m.textCol, m.keyCols, m.nbuckets)) else None,
       None)
-    writeMeta(tablePath, m.copy(segments = if (m.nDocs > 0) Seq(entry) else Seq.empty))
+    // re-derived from the table ⇒ every surviving segment is positional:
+    // compacting a legacy (pformat 1) index upgrades it
+    writeMeta(tablePath, m.copy(pformat = 2,
+      segments = if (m.nDocs > 0) Seq(entry) else Seq.empty))
   }
 
   /** Continuous maintenance: a Structured Streaming ticker drives

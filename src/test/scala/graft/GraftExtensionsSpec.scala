@@ -198,6 +198,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
     graft.sources.TextIndex.refresh(spark, path)
     spark.sql(s"SELECT doc_id FROM graft_text_search('$path', 'spark', 5)").count() shouldBe 5
+    // phrase mode: consecutive-token semantics through SQL, and the
+    // n_occurrences shape instead of score
+    val ph = spark.sql(
+      s"SELECT * FROM graft_text_search('$path', 'table spark', 200, 'phrase')")
+    ph.columns.toSeq shouldBe Seq("doc_id", "n_occurrences")
+    ph.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      graft.sources.TextIndex.searchPhrase(spark, path, "table spark", 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ph.count() should be > 0L
   }
 
   test("all four kernels resolve by name in SQL") {

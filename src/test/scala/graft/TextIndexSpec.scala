@@ -185,6 +185,57 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  /** driver brute force for phrase occurrence counting (overlaps allowed) */
+  private def brutePhrase(path: String, phrase: String, k: Int): Seq[(Long, Long)] = {
+    val q = TextIndex.tokenize(phrase)
+    val docs = GraftTable.read(spark, path).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), TextIndex.tokenize(r.getString(1))))
+    docs.flatMap { case (id, ts) =>
+      val n = (0 to ts.length - q.length).count(s => q.indices.forall(i => ts(s + i) == q(i)))
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sortBy { case (id, n) => (-n, id) }.take(k).toSeq
+  }
+
+  private def gotPhrase(path: String, phrase: String, k: Int): Seq[(Long, Long)] =
+    TextIndex.searchPhrase(spark, path, phrase, k)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_occurrences")))).toSeq
+
+  test("phrase search equals driver brute force, with overlap and repeated-term phrases") {
+    val path = freshTable(300)
+    TextIndex.create(spark, path, "text")
+    TextIndex.meta(path).pformat shouldBe 2
+    for (p <- Seq("table spark", "scan table", "spark spark", "index merge query"))
+      gotPhrase(path, p, 25) shouldBe brutePhrase(path, p, 25)
+    // a phrase that can self-overlap: "spark spark" in "spark spark spark" = 2
+    GraftTable.upsert(spark, path,
+      Seq((7000L, "spark spark spark", "src-0")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path)
+    gotPhrase(path, "spark spark", 300).find(_._1 == 7000L).map(_._2) shouldBe Some(2L)
+    gotPhrase(path, "spark spark", 300) shouldBe brutePhrase(path, "spark spark", 300)
+    // single-token phrase degenerates to tf
+    gotPhrase(path, "window", 20) shouldBe brutePhrase(path, "window", 20)
+  }
+
+  test("phrase results track refresh: tombstoned docs drop, new occurrences surface") {
+    val path = freshTable(150)
+    TextIndex.create(spark, path, "text")
+    val before = gotPhrase(path, "scan table", 200).map(_._1).toSet
+    val gone = before.take(3).toSeq
+    if (gone.nonEmpty) GraftTable.delete(spark, path, gone.toDF("doc_id"))
+    GraftTable.upsert(spark, path,
+      Seq((8000L, "scan table scan table", "src-1")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path)
+    val after = gotPhrase(path, "scan table", 200)
+    after shouldBe brutePhrase(path, "scan table", 200)
+    after.map(_._1).toSet.intersect(gone.toSet) shouldBe empty
+    after.find(_._1 == 8000L).map(_._2) shouldBe Some(2L)
+    // stale-loud applies to phrase too
+    GraftTable.upsert(spark, path, Seq((1L, "table", "src-0")).toDF("doc_id", "text", "src"))
+    intercept[IllegalStateException] {
+      TextIndex.searchPhrase(spark, path, "scan table", 5)
+    }.getMessage should include("STALE")
+  }
+
   test("null-text docs are not indexed and do not count in the statistics") {
     val path = Files.createTempDirectory("graft_tidx_null").toString + "/t"
     val df = Seq((1L, "spark table", "a"), (2L, null.asInstanceOf[String], "b"),
