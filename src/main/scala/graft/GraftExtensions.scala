@@ -212,6 +212,63 @@ object GraftFunctions {
     df.queryExecution.logical
   }
 
+  /** `graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]])`
+    * — the reference's full hybrid retrieval (demo.ipynb cell 13) as ONE
+    * SQL call, BOTH legs served from table-attached indexes: vector leg
+    * = [[graft.sources.GraftIndex]] top-n probe (nprobe defaults to
+    * nlist = exact), text leg = [[graft.sources.TextIndex]] BM25 top-n
+    * (rational idf, per-term quantize-then-integer-sum — the
+    * deterministic ranking the oracle can reproduce), fused by
+    * reciprocal-rank fusion. Returns (key, rrf_score) top-k. Both
+    * indexes are stale-checked at plan time; index names are the
+    * defaults ('vec'/'txt'). Like [[indexSearchPlan]], `queryVec` must
+    * fold at plan time (it shapes the partition-pruned probe).
+    */
+  private def hybridSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 6,
+      s"graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_hybrid_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query: Seq[Float] = (args(1).dataType, lit(1, "queryVec")) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().toSeq
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.IntegerType => a.toIntArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toFloat).toSeq
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          a.toObjectArray(dt).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_hybrid_search: unsupported query element type $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_hybrid_search: queryVec must be a foldable numeric array")
+    }
+    val textQuery = lit(2, "textQuery").toString
+    val k = lit(3, "k").asInstanceOf[Number].intValue()
+    val n = if (args.length >= 5) lit(4, "n").asInstanceOf[Number].intValue() else 50
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, floor, lit => flit, sum}
+    val im = graft.sources.GraftIndex.meta(path, "vec")
+    val nprobe = if (args.length == 6) lit(5, "nprobe").asInstanceOf[Number].intValue()
+                 else im.nlist
+    val key = im.keyCols.head
+    val vecLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.GraftIndex.probe(spark, path, query, n, nprobe)
+        .select(col(key), col("score").as("__vs")), key, col("__vs"), n)
+    val txtLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.TextIndex.scoredTerms(spark, path, textQuery, idf = "rational")
+        .groupBy(col(key))
+        .agg(sum(floor(col("contrib") * flit(1000000.0)).cast("long")).as("__ts")),
+      key, col("__ts"), n)
+    graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), key, "rank")
+      .orderBy(col("rrf_score").desc, col(key).asc).limit(k)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -232,7 +289,11 @@ object GraftFunctions {
     ("graft_text_search",
       info("graft_text_search",
         "graft_text_search(tablePath, query, k[, mode[, name]]) - BM25 (mode any/all) or exact-phrase (mode phrase) top-k served from the table-attached inverted text index (stale-checked)"),
-      textSearchPlan _))
+      textSearchPlan _),
+    ("graft_hybrid_search",
+      info("graft_hybrid_search",
+        "graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]]) - RRF fusion of the table-attached vector index's top-n and the text index's BM25 top-n (both stale-checked)"),
+      hybridSearchPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

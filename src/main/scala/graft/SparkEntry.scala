@@ -1561,6 +1561,31 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "vs_sql_hybrid_tvf" -> ((s, dir) => {
+      // the same two-index hybrid, as the reference's ONE SQL call:
+      // graft_hybrid_search fuses the vector index's top-50 and the
+      // text index's BM25 top-50 in-plan. k=100 returns the whole
+      // fused candidate set so the quantized outer cut (the oracle's
+      // arithmetic) decides the final 10 — no exact-vs-quantized
+      // boundary drift
+      val root = indexPath("thyb2", dir)
+      rmTree(root)
+      val tbl = s"$root/t"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      GraftTable.create(docs.join(emb, "doc_id"), tbl, Seq("doc_id"), nbuckets = 8)
+      GraftIndex.create(s, tbl, "embedding", nlist = 16)
+      TextIndex.create(s, tbl, "text")
+      GraftFunctions.register(s)
+      val q = queryVec(s, dir, 0L)
+      s.sql(
+        s"""SELECT doc_id, CAST(FLOOR(rrf_score * 10000.0) AS BIGINT) AS rrf_q
+            FROM graft_hybrid_search('$tbl', array(${q.mkString(", ")}),
+                                     'table scan value', 100, 50)
+            ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+    }),
+
     "simsearch_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val planes = LshIndex.fitPlanes(dim = 64, nbits = 16)
@@ -1607,6 +1632,56 @@ object SparkEntry {
     "list_inner_product(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))"
   private val l20 =
     "list_distance(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))"
+
+  /** both retrieval legs brute-forced over the joined (text,
+    * embedding) corpus, top-50 each, fused by RRF - shared by the
+    * Scala composition (hybrid_table_search) and the
+    * graft_hybrid_search SQL TVF (vs_sql_hybrid_tvf), which must
+    * produce the identical fusion */
+  private val hybridFusionOracle: String =
+    s"""WITH t AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          corpus AS (SELECT doc_id, text FROM t WHERE text IS NOT NULL),
+          dlt AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+            FROM corpus),
+          stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+          tok AS (
+            SELECT doc_id, g.token
+            FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+            WHERE len(g.token) > 0),
+          tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok
+            WHERE token IN ('table', 'scan', 'value') GROUP BY 1, 2),
+          dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          term AS (
+            SELECT tf.doc_id,
+                   ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                   ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                    (tf.tf + CAST(1.2 AS DOUBLE) *
+                     (CAST(0.25 AS DOUBLE) +
+                      CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+            FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s),
+          kwq AS (
+            SELECT doc_id,
+                   CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
+            FROM term GROUP BY doc_id),
+          kw AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS r FROM kwq)
+            WHERE r <= 50),
+          v AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY $cos0 DESC, doc_id) AS r FROM t)
+            WHERE r <= 50),
+          f AS (
+            SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
+                   coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+            FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
+          SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
+          FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1837,50 +1912,10 @@ object SparkEntry {
     // both retrieval legs brute-forced over the joined (text, embedding)
     // corpus, top-50 each, fused by RRF — the two table-attached
     // indexes' fusion must match
-    "hybrid_table_search" ->
-      s"""WITH t AS (
-            SELECT d.doc_id, d.text, e.embedding
-            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
-          corpus AS (SELECT doc_id, text FROM t WHERE text IS NOT NULL),
-          dlt AS (
-            SELECT doc_id,
-                   len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
-            FROM corpus),
-          stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
-          tok AS (
-            SELECT doc_id, g.token
-            FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
-            WHERE len(g.token) > 0),
-          tf AS (
-            SELECT doc_id, token, count(*) AS tf FROM tok
-            WHERE token IN ('table', 'scan', 'value') GROUP BY 1, 2),
-          dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-          term AS (
-            SELECT tf.doc_id,
-                   ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
-                   ((tf.tf * CAST(2.2 AS DOUBLE)) /
-                    (tf.tf + CAST(1.2 AS DOUBLE) *
-                     (CAST(0.25 AS DOUBLE) +
-                      CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
-            FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s),
-          kwq AS (
-            SELECT doc_id,
-                   CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
-            FROM term GROUP BY doc_id),
-          kw AS (
-            SELECT doc_id, r FROM (
-              SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS r FROM kwq)
-            WHERE r <= 50),
-          v AS (
-            SELECT doc_id, r FROM (
-              SELECT doc_id, row_number() OVER (ORDER BY $cos0 DESC, doc_id) AS r FROM t)
-            WHERE r <= 50),
-          f AS (
-            SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
-                   coalesce(1.0/(60 + kw.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
-            FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
-          SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
-          FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""",
+    "hybrid_table_search" -> hybridFusionOracle,
+
+    // the one-call SQL TVF builds the identical two-index fusion
+    "vs_sql_hybrid_tvf" -> hybridFusionOracle,
 
     // table-attached index, mutated then refreshed: the oracle rebuilds
     // the post-mutation corpus (negated vectors for %97==3, %101==7

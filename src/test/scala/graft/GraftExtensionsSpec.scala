@@ -209,6 +209,53 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     ph.count() should be > 0L
   }
 
+  test("graft_hybrid_search TVF fuses both table-attached indexes, stale-checked on each leg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_hyb_sql").toString + "/t"
+    val words = Vector("spark", "scan", "table", "merge", "query")
+    def text(k: Long): String =
+      (0 until 5).map(i => words(((k * 7 + i * 3) % 5).toInt)).mkString(" ")
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => (((k * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+    val df = (0L until 200L).map(k => (k, text(k), vec(k))).toDF("doc_id", "text", "embedding")
+    graft.sources.GraftTable.create(df, path, Seq("doc_id"), nbuckets = 2)
+    graft.sources.GraftIndex.create(spark, path, "embedding", nlist = 4)
+    graft.sources.TextIndex.create(spark, path, "text")
+    val q = vec(42L)
+    val sqlArr = s"array(${q.mkString(", ")})"
+    val got = spark.sql(
+      s"SELECT * FROM graft_hybrid_search('$path', $sqlArr, 'spark table', 10, 30)")
+    got.columns.toSeq shouldBe Seq("doc_id", "rrf_score")
+    // equals the Scala composition it packages
+    val vecLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.GraftIndex.probe(spark, path, q, 30, nprobe = 4)
+        .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 30)
+    val txtLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.TextIndex.scoredTerms(spark, path, "spark table", idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
+      "doc_id", col("sq"), 30)
+    val want = graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+    got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      want.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // either index going stale fails the ONE call loudly
+    graft.sources.GraftTable.upsert(spark, path,
+      Seq((0L, "query merge query merge spark", vec(999L))).toDF("doc_id", "text", "embedding"))
+    intercept[IllegalStateException] {
+      spark.sql(s"SELECT * FROM graft_hybrid_search('$path', $sqlArr, 'spark', 5)")
+    }.getMessage should include("STALE")
+    graft.sources.GraftIndex.refresh(spark, path)
+    intercept[IllegalStateException] {
+      spark.sql(s"SELECT * FROM graft_hybrid_search('$path', $sqlArr, 'spark', 5)")
+    }.getMessage should include("STALE")
+    graft.sources.TextIndex.refresh(spark, path)
+    spark.sql(s"SELECT * FROM graft_hybrid_search('$path', $sqlArr, 'spark', 5)")
+      .count() shouldBe 5
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
