@@ -981,6 +981,57 @@ object SparkEntry {
         .orderBy("n_dups")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // CONTINUOUS-ingestion dedup: three crawl increments admitted in
+      // order against a persistent hash ledger (a GraftTable keyed by
+      // content md5). Increment 0 pre-crawls some future batch-2 texts
+      // (they win), increment 1 re-crawls batch-0 texts (rejected),
+      // increment 2 carries an in-batch duplicate (min id wins). The
+      // output is the LEDGER - one row per distinct content with the
+      // first admitter's provenance - vs the oracle's first-seen-wins
+      // window over the identical union
+      val root = indexPath("iled", dir)
+      rmTree(root)
+      val led = s"$root/ledger"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def shift(d: DataFrame, by: Long) = d.withColumn("doc_id", col("doc_id") + by)
+      val b0 = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0), 10000L))
+        .withColumn("batch", lit(0L))
+      val b1 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(shift(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), 20000L))
+        .withColumn("batch", lit(1L))
+      val b2 = docs.filter(col("doc_id") % 3 === 2)
+        .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 1), 40000L))
+        .withColumn("batch", lit(2L))
+      Seq(b0, b1, b2).foreach(b =>
+        operators.IncrementalDedup.admitExact(s, led, b, "text", Seq("doc_id")))
+      GraftTable.read(s, led).select(col("doc_id"), col("batch")).orderBy("doc_id")
+    }),
+
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      // NEAR-dup continuous ingestion (rows-only: signature-dependent;
+      // IncrementalDedupSpec pins the semantics): batch 1 re-crawls
+      // half of batch 0 under new ids — signature-identical, rejected
+      // by the band ledger; natural near-dups across batches reject
+      // too. Output = admitted (doc_id, batch) rows
+      val root = indexPath("imled", dir)
+      rmTree(root)
+      val led = s"$root/ledger"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b0 = docs.filter(col("doc_id") % 3 === 0).withColumn("batch", lit(0L))
+      val b1 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000L))
+        .withColumn("batch", lit(1L))
+      val b2 = docs.filter(col("doc_id") % 3 === 2).withColumn("batch", lit(2L))
+      Seq(b0, b1, b2).map(b =>
+          operators.IncrementalDedup.admitMinhash(s, led, b, "doc_id", "text")
+            .select("doc_id", "batch"))
+        .reduce(_.unionByName(_))
+        .orderBy("doc_id", "batch")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", tau = 0.8)
         .orderBy("i", "j")),
@@ -2434,6 +2485,29 @@ object SparkEntry {
          groups AS (
            SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM all_docs GROUP BY text)
          SELECT n_dups, count(*) AS n_groups FROM groups GROUP BY n_dups ORDER BY n_dups""",
+
+    // the identical three-increment union, deduped corpus-at-once with
+    // a first-seen-wins window — the ledger admitted batch-by-batch
+    // must reach the same fixed point
+    "dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         all_rows AS (
+           SELECT doc_id AS rid, text, CAST(0 AS BIGINT) AS batch FROM base WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 10000, text, CAST(0 AS BIGINT) FROM base WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, text, CAST(1 AS BIGINT) FROM base WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 20000, text, CAST(1 AS BIGINT) FROM base WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, text, CAST(2 AS BIGINT) FROM base WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT doc_id + 40000, text, CAST(2 AS BIGINT) FROM base WHERE doc_id % 3 = 2 AND doc_id % 5 = 1),
+         r AS (
+           SELECT rid, batch,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY batch, rid) AS rn
+           FROM all_rows)
+         SELECT rid AS doc_id, batch FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" -> jaccardOracle,
 

@@ -112,8 +112,8 @@ object Dedup {
     * generation (strings: the provable canonical order) and
     * verification (longs: cheap set intersection).
     */
-  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int = 3): DataFrame =
+  private[operators] def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                                        k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       // persisted: feeds candidate generation AND both sides of the
@@ -138,6 +138,31 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
       .filter(col("jaccard") >= tau)
       .select("i", "j", "jaccard")
+
+  /** (doc_id, band, bucket_hash) from a hashed-shingle frame: one row
+    * per band per doc, no shuffle. Shingles are pre-hashed by codegen'd
+    * xxhash64; the typed flatMap only sees Array[Long] (primitive
+    * decode path, no per-string deser). Shared by [[minhashLsh]] and
+    * [[IncrementalDedup.admitMinhash]].
+    */
+  private[operators] def bandedFromShingles(sh: DataFrame, numPerms: Int,
+                                            bands: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    require(numPerms % bands == 0, "bands must divide perms")
+    val rowsPerBand = numPerms / bands
+    sh.select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        val sig = minhashSig(hs, numPerms)
+        (0 until bands).iterator.map { b =>
+          var bucket = 0L
+          var r = b * rowsPerBand
+          while (r < (b + 1) * rowsPerBand) { bucket = mix64(bucket ^ sig(r)); r += 1 }
+          (id, b, bucket)
+        }
+      }.toDF("doc_id", "band", "bucket")
+  }
 
   /** splitmix64 finalizer — full-avalanche 64-bit mix. */
   @inline private def mix64(z0: Long): Long = {
@@ -180,28 +205,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, tau: Double,
                  numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    require(numPerms % bands == 0, "bands must divide perms")
-    val rowsPerBand = numPerms / bands
-
     val sh = hashedShingles(docs, idCol, textCol)
-
-    // (doc_id, band, bucket_hash): one row per band per doc, no shuffle.
-    // Shingles are pre-hashed by codegen'd xxhash64; the typed flatMap
-    // only sees Array[Long] (primitive decode path, no per-string deser).
-    val banded = sh
-      .select(col("doc_id"), col("hs"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, hs) =>
-        val sig = minhashSig(hs, numPerms)
-        (0 until bands).iterator.map { b =>
-          var bucket = 0L
-          var r = b * rowsPerBand
-          while (r < (b + 1) * rowsPerBand) { bucket = mix64(bucket ^ sig(r)); r += 1 }
-          (id, b, bucket)
-        }
-      }.toDF("doc_id", "band", "bucket")
+    val banded = bandedFromShingles(sh, numPerms, bands)
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the bucket self-join
 
     val candidates = banded.as("a").join(banded.as("b"),

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalDedup
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Continuous-ingestion exact dedup against a persistent hash ledger:
+  * first-seen-wins across batches, min-key within a batch, replay-safe.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ledger(): String =
+    Files.createTempDirectory("graft_iled").toString + "/ledger"
+
+  test("first batch admits winners; later batches admit only unseen content") {
+    val led = ledger()
+    // batch 0: "a" twice (ids 3, 7) and "b" once
+    val b0 = Seq((7L, "a", 0L), (3L, "a", 0L), (5L, "b", 0L)).toDF("id", "text", "batch")
+    val s0 = IncrementalDedup.admitExact(spark, led, b0, "text", Seq("id"))
+      .select("id").as[Long].collect().sorted
+    s0 shouldBe Array(3L, 5L) // min id wins the in-batch tie
+    // batch 1: "b" again (dup), "c" new, null text dropped
+    val b1 = Seq((11L, "b", 1L), (12L, "c", 1L),
+      (13L, null.asInstanceOf[String], 1L)).toDF("id", "text", "batch")
+    val s1 = IncrementalDedup.admitExact(spark, led, b1, "text", Seq("id"))
+    s1.select("id").as[Long].collect().sorted shouldBe Array(12L)
+    // survivors stay pinned: evaluating s1 again AFTER further admits
+    IncrementalDedup.admitExact(spark, led, Seq((20L, "d", 2L)).toDF("id", "text", "batch"),
+      "text", Seq("id")).count() shouldBe 1
+    s1.select("id").as[Long].collect().sorted shouldBe Array(12L)
+    // ledger holds one row per distinct content, first admitter's keys
+    val rows = GraftTable.read(spark, led).select("id", "batch")
+      .as[(Long, Long)].collect().sorted
+    rows shouldBe Array((3L, 0L), (5L, 0L), (12L, 1L), (20L, 2L))
+  }
+
+  test("replaying a batch admits nothing (at-least-once upstream is safe)") {
+    val led = ledger()
+    val b = (0L until 50L).map(k => (k, s"text-${k % 20}", 0L)).toDF("id", "text", "batch")
+    IncrementalDedup.admitExact(spark, led, b, "text", Seq("id")).count() shouldBe 20
+    IncrementalDedup.admitExact(spark, led, b, "text", Seq("id")).count() shouldBe 0
+    GraftTable.read(spark, led).count() shouldBe 20
+  }
+
+  test("minhash ledger: exact re-crawls and near-dups are rejected across batches") {
+    val led = ledger()
+    // doc k draws from its own disjoint vocab range — zero shared
+    // shingles across distinct k, so non-dups cannot collide
+    def doc(k: Long): String = (0 until 30).map(i => s"w${k * 40 + i}").mkString(" ")
+    // batch 0: 30 distinct docs (long enough to shingle)
+    val b0 = (0L until 30L).map(k => (k, doc(k))).toDF("id", "text")
+    val s0 = IncrementalDedup.admitMinhash(spark, led, b0, "id", "text")
+    s0.count() shouldBe 30 // pairwise-disjoint vocab: all admitted
+    // batch 1: exact copies of 0..9 under new ids (signature-identical →
+    // certain rejection), plus 5 genuinely new docs
+    val b1 = ((0L until 10L).map(k => (k + 1000L, doc(k))) ++
+      (0L until 5L).map(k => (k + 2000L, doc(9000L + k)))).toDF("id", "text")
+    val s1 = IncrementalDedup.admitMinhash(spark, led, b1, "id", "text")
+    s1.select("id").as[Long].collect().sorted shouldBe (0L until 5L).map(_ + 2000L).toArray
+    // near-dup of an admitted doc (one word changed out of 30) collides
+    // with overwhelming probability at 128 perms / 32 bands
+    val near = doc(0L).replace("w7 ", "wX ")
+    val b2 = Seq((3000L, near)).toDF("id", "text")
+    IncrementalDedup.admitMinhash(spark, led, b2, "id", "text").count() shouldBe 0
+    // replay of batch 0: every band self-collides — nothing admitted
+    IncrementalDedup.admitMinhash(spark, led, b0, "id", "text").count() shouldBe 0
+  }
+
+  test("minhash ledger: in-batch exact dup resolves to the smaller id") {
+    val led = ledger()
+    val same = (0 until 25).map(i => s"t$i").mkString(" ")
+    val other = (0 until 25).map(i => s"u$i").mkString(" ")
+    val b = Seq((9L, same), (4L, same), (6L, other)).toDF("id", "text")
+    IncrementalDedup.admitMinhash(spark, led, b, "id", "text")
+      .select("id").as[Long].collect().sorted shouldBe Array(4L, 6L)
+  }
+
+  test("matches a whole-corpus brute force: first batch, then min id") {
+    val led = ledger()
+    def text(k: Long): String = s"doc-${(k * 13) % 37}"
+    val batches = (0 to 2).map { b =>
+      ((0L until 60L).filter(k => k % 3 == b).map(k => (k, text(k), b.toLong)))
+        .toDF("id", "text", "batch")
+    }
+    batches.foreach(IncrementalDedup.admitExact(spark, led, _, "text", Seq("id")))
+    val got = GraftTable.read(spark, led).select("id", "batch")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = (0L until 60L).map(k => (k, text(k), k % 3))
+      .groupBy(_._2).values.map(_.minBy(r => (r._3, r._1))).map(r => (r._1, r._3))
+      .toSeq.sorted
+    got shouldBe want
+  }
+}
