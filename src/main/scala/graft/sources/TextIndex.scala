@@ -215,9 +215,25 @@ object TextIndex {
     * attempt dies invisibly before the meta swap (orphan segment dir,
     * reclaimed by [[vacuum]]); racing refreshers each commit their own
     * self-consistent (segments, stats, version) triple.
+    * `maxSegments > 0` folds the index back to one segment ([[compact]])
+    * whenever a refresh pushes the segment count past the cap — the
+    * merge policy knob for continuous maintenance.
     */
   def refresh(spark: SparkSession, tablePath: String,
-              name: String = "txt"): Option[(Int, Int)] = {
+              name: String = "txt", maxSegments: Int = 0): Option[(Int, Int)] = {
+    val r = refreshOnce(spark, tablePath, name)
+    // tiered-merge stand-in (Lucene's merge policy, coarsest form):
+    // continuous maintenance appends one segment per tick, and every
+    // query reads every segment's pruned partitions — fold back to one
+    // segment whenever the count passes the cap, as part of the same
+    // maintenance call. 0 = never (explicit compact() only).
+    if (maxSegments > 0 && r.isDefined && meta(tablePath, name).segments.size > maxSegments)
+      compact(spark, tablePath, name)
+    r
+  }
+
+  private def refreshOnce(spark: SparkSession, tablePath: String,
+                          name: String): Option[(Int, Int)] = {
     val m = meta(tablePath, name)
     val head = GraftTable.latestVersion(tablePath)
     if (head <= m.indexedVersion) return None
@@ -453,11 +469,13 @@ object TextIndex {
     */
   def streamRefresh(spark: SparkSession, tablePath: String, name: String = "txt",
                     trigger: org.apache.spark.sql.streaming.Trigger =
-                      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+                    maxSegments: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream
-      .foreachBatch { (_: DataFrame, _: Long) => refresh(spark, tablePath, name); () }
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, tablePath, name, maxSegments); () }
       .trigger(trigger)
       .start()
 

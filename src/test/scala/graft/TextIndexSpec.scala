@@ -236,6 +236,24 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
   }
 
+  test("refresh(maxSegments) folds segments back under the cap; results unchanged") {
+    val path = freshTable(120)
+    TextIndex.create(spark, path, "text")
+    for (r <- 1 to 4) {
+      GraftTable.upsert(spark, path,
+        Seq((r * 1000L, s"spark merge spark r$r", "src-0")).toDF("doc_id", "text", "src"))
+      TextIndex.refresh(spark, path, maxSegments = 2)
+      TextIndex.meta(path).segments.size should be <= 2
+    }
+    got(path, "spark merge", 20) shouldBe bruteForce(path, "spark merge", 20)
+    gotPhrase(path, "spark merge", 20) shouldBe brutePhrase(path, "spark merge", 20)
+    // fresh after the fold, and stats stayed exact
+    TextIndex.refresh(spark, path, maxSegments = 2) shouldBe None
+    val m = TextIndex.meta(path)
+    val headDocs = GraftTable.read(spark, path).filter(col("text").isNotNull)
+    m.nDocs shouldBe headDocs.count()
+  }
+
   test("null-text docs are not indexed and do not count in the statistics") {
     val path = Files.createTempDirectory("graft_tidx_null").toString + "/t"
     val df = Seq((1L, "spark table", "a"), (2L, null.asInstanceOf[String], "b"),
