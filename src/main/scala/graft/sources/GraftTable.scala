@@ -185,9 +185,14 @@ object GraftTable {
   // schema lets every snapshot read skip the mergeSchema
   // footer-listing pass at planning time as well.
 
-  /** Per-file, per-column min/max/nullCount as serialized strings. */
+  /** Per-file, per-column min/max/nullCount as serialized strings.
+    * `blooms` carries the optional per-column Bloom filters (serialized
+    * `org.apache.spark.util.sketch.BloomFilter` over xxhash64 values)
+    * for columns enabled via [[enableBloomFilters]].
+    */
   final case class ColStat(min: Option[String], max: Option[String], nullCount: Long)
-  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+  final case class FileStat(rows: Long, cols: Map[String, ColStat],
+                            blooms: Map[String, Array[Byte]] = Map.empty)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -210,6 +215,86 @@ object GraftTable {
     */
   private def statFields(schema: types.StructType): Seq[types.StructField] =
     schema.fields.filter(f => statKind(f.dataType).isDefined).take(32).toSeq
+
+  // ---- optional per-file Bloom filters (point-lookup skipping on ----
+  // ---- scattered non-key columns)                                ----
+  //
+  // min/max stats prune RANGES — useless for equality on a column whose
+  // values interleave across every file (the common case for ids,
+  // hashes, URLs that aren't the clustering key). Hudi's bloom index /
+  // Delta's bloom filters solve exactly this; here the same: an
+  // equality predicate on an enabled column tests the file's Bloom
+  // before reading it — at 100 TB that turns "open every overlapping
+  // file" into "open the handful with a positive", with the usual fpp
+  // worth of false opens (never false skips: skipping is provable
+  // absence). Blooms are collected per written file in the SAME stats
+  // job discipline (never fail a commit; attempt-segment lines), over
+  // xxhash64 of the column (Spark's own runtime-filter hashing), and
+  // tested driver-side with the identical XxHash64 expression.
+
+  private def bloomMetaPath(path: String) = new Path(path, "_bloom")
+
+  /** Enable per-file Bloom filters for `cols` on writes FROM NOW ON
+    * (existing files are untouched and simply don't bloom-prune;
+    * `compact()` rewrites them with blooms). Equality-skipping works
+    * for string/integral/float/date/timestamp/boolean columns; other
+    * types fall back to min/max behavior.
+    */
+  def enableBloomFilters(path: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty, "need at least one bloom column")
+    require(fpp > 0 && fpp < 1, s"fpp out of (0, 1): $fpp")
+    MetaIO.replaceString(bloomMetaPath(path), s"cols=${cols.mkString(",")}\nfpp=$fpp")
+  }
+
+  /** The table's bloom configuration, if any: (columns, fpp). */
+  def bloomConfig(path: String): Option[(Seq[String], Double)] =
+    if (!MetaIO.exists(bloomMetaPath(path))) None
+    else {
+      val kv = MetaIO.readString(bloomMetaPath(path)).split("\n")
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      Some((kv("cols").split(",").toSeq, kv("fpp").toDouble))
+    }
+
+  /** `#bloom=<relFile>\t<col>\t<base64>` lines for the freshly written
+    * dirs — one grouped-aggregate scan, same contract as
+    * [[collectStatLines]] (an optimization that must never fail a
+    * commit). Bits are sized from the largest written file (a bloom
+    * sized for n holds fpp for any m ≤ n).
+    */
+  private def collectBloomLines(spark: SparkSession, tableRoot: String,
+                                writtenRelDirs: Seq[String],
+                                statLines: Seq[String]): Seq[String] = {
+    val cfg = bloomConfig(tableRoot)
+    if (cfg.isEmpty || writtenRelDirs.isEmpty) return Nil
+    val (cfgCols, fpp) = cfg.get
+    val src = spark.read.parquet(writtenRelDirs.map(d => s"$tableRoot/$d"): _*)
+    val cols = cfgCols.filter(src.schema.fieldNames.contains)
+    if (cols.isEmpty) return Nil
+    val maxRows = statLines.collect {
+      case l if l.startsWith("#file=") => l.split("\t")(1).toLong
+    }.foldLeft(1000L)(math.max)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(maxRows, fpp)
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.graftshim.Bridge
+        .bloomAgg(col(s"`$c`"), maxRows, numBits).as(s"__b$i")
+    }
+    src.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect().toSeq.flatMap { r =>
+        val uri = r.getString(0)
+        writtenRelDirs.iterator.map(d => uri.indexOf(d + "/")).find(_ >= 0) match {
+          case None => Nil
+          case Some(at) =>
+            val rel = uri.substring(at)
+            cols.zipWithIndex.flatMap { case (c, i) =>
+              Option(r.get(1 + i)).map { b =>
+                val b64 = java.util.Base64.getEncoder
+                  .encodeToString(b.asInstanceOf[Array[Byte]])
+                s"#bloom=$rel\t${enc(c)}\t$b64"
+              }
+            }
+        }
+      }
+  }
 
   /** One aggregate scan over the freshly written dirs → #file/#stat
     * lines. Runs BEFORE the manifest commit (same ordering as the data
@@ -319,7 +404,8 @@ object GraftTable {
       cut > 0 && dirSet.contains(rel.substring(0, cut))
     }
     val lines = text.split("\n").toSeq ++
-      segLines.filter(l => (!l.startsWith("#file=") && !l.startsWith("#stat=")) || inSnapshot(l))
+      segLines.filter(l => (!l.startsWith("#file=") && !l.startsWith("#stat=") &&
+        !l.startsWith("#bloom=")) || inSnapshot(l))
     val rows = lines.collect { case l if l.startsWith("#file=") =>
       val p = l.stripPrefix("#file=").split("\t")
       p(0) -> p(1).toLong
@@ -330,8 +416,13 @@ object GraftTable {
         ColStat(Some(p(2)).filter(_ != "-").map(dec), Some(p(3)).filter(_ != "-").map(dec),
           p(4).toLong))
     }.groupBy(_._1)
+    val blooms = lines.collect { case l if l.startsWith("#bloom=") =>
+      val p = l.stripPrefix("#bloom=").split("\t")
+      (p(0), dec(p(1)), java.util.Base64.getDecoder.decode(p(2)))
+    }.groupBy(_._1)
     rows.map { case (f, n) =>
-      f -> FileStat(n, stats.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap)
+      f -> FileStat(n, stats.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap,
+        blooms.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap)
     }
   }
 
@@ -387,11 +478,28 @@ object GraftTable {
       for (k <- kinds.get(a); cs <- stat(a); m <- cs.min; c <- cmp(k, m, v)) yield c
     def cmpMax(a: String, v: Any): Option[Int] =
       for (k <- kinds.get(a); cs <- stat(a); m <- cs.max; c <- cmp(k, m, v)) yield c
+    // Bloom test for equality: provable ABSENCE only (mightContain
+    // false ⇒ no row holds v — modulo hash-type mismatch, so the probe
+    // hashes v only when its Literal type equals the written column's;
+    // decimals excluded: Literal precision inference diverges).
+    def bloomRules(a: String, v: Any): Boolean = v match {
+      case null => false
+      case _: java.math.BigDecimal | _: BigDecimal => false
+      case _ => st.blooms.get(a) match {
+        case None => false
+        case Some(bytes) =>
+          (for {
+            h <- org.apache.spark.sql.graftshim.Bridge.xxhash64Of(v)
+            bf <- scala.util.Try(org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))).toOption
+          } yield !bf.mightContainLong(h)).getOrElse(false)
+      }
+    }
     if (st.rows == 0L) return false // an empty file matches nothing
     f match {
       case EqualTo(a, v) =>
         !(cmpMin(a, v).exists(_ > 0) || cmpMax(a, v).exists(_ < 0) ||
-          stat(a).exists(_.nullCount == st.rows))
+          stat(a).exists(_.nullCount == st.rows) || bloomRules(a, v))
       case EqualNullSafe(a, v) =>
         if (v == null) stat(a).forall(_.nullCount > 0)
         else mayMatch(st, kinds, EqualTo(a, v))
@@ -1360,8 +1468,10 @@ object GraftTable {
       if (merged.size != existing.size) MetaIO.replaceString(seg, merged.mkString("\n"))
     }
     val freshStats =
-      try collectStatLines(spark, path, written.values.toSeq)
-      catch {
+      try {
+        val sl = collectStatLines(spark, path, written.values.toSeq)
+        sl ++ collectBloomLines(spark, path, written.values.toSeq, sl)
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] stats collection failed for $path v$v: $e"); Nil
       }

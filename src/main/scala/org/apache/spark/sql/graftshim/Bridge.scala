@@ -30,6 +30,30 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
 
+  /** Bloom-filter aggregate over xxhash64(c) — the same internal
+    * aggregate Spark's runtime row-group filtering builds
+    * (`BloomFilterAggregate`), exposed for per-file bloom collection.
+    * Returns the serialized `org.apache.spark.util.sketch.BloomFilter`
+    * as binary (readable via `BloomFilter.readFrom`).
+    */
+  def bloomAgg(c: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    ExpressionUtils.column(new BloomFilterAggregate(
+      new XxHash64(Seq(expression(c))), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** xxhash64 of a driver-side value with Spark's exact semantics (the
+    * probe side of [[bloomAgg]] — same `XxHash64` expression, seed 42,
+    * over the Literal's inferred Catalyst type). None when the value
+    * has no Literal mapping.
+    */
+  def xxhash64Of(v: Any): Option[Long] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(v))).eval(null).asInstanceOf[Long]
+  }.toOption
+
   /** Translate a user predicate over `df` into DSv1 [[Filter]]s — the
     * same `DataSourceStrategy.translateFilter` Spark applies before
     * handing filters to a `PrunedFilteredScan`, reached by analyzing

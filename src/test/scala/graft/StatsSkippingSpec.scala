@@ -27,6 +27,64 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     path
   }
 
+  test("bloom filters skip files on equality over a scattered column min/max can't prune") {
+    val path = Files.createTempDirectory("graft_bloom").toString + "/t"
+    // tag values interleave across every bucket: each file's (min, max)
+    // spans the whole domain, so range stats keep everything
+    def df(n: Int) = spark.range(0, n).toDF("k")
+      .withColumn("tag", format_string("tag-%04d", pmod(col("k") * 7919, lit(2000))))
+    GraftTable.create(df(64), path, Seq("k"), nbuckets = 8)
+    GraftTable.enableBloomFilters(path, Seq("tag"), fpp = 0.001)
+    GraftTable.bloomConfig(path) shouldBe Some((Seq("tag"), 0.001))
+    // the post-enable write carries blooms for every rewritten file
+    GraftTable.upsert(spark, path, df(4096))
+    val v = GraftTable.latestVersion(path)
+    val stats = GraftTable.manifestFileStats(path, v)
+    stats.values.foreach(_.blooms.keySet shouldBe Set("tag"))
+    // a value present in exactly one bucket's files: bloom prunes to
+    // (about) that bucket; min/max alone provably cannot prune here
+    val present = "tag-0007" // k = (7 * 7919^-1) mod 2000 … exists by construction
+    val Some((_, kept, total)) = GraftTable.prunedDataPaths(path, v,
+      Seq(org.apache.spark.sql.sources.EqualTo("tag", present)))
+    total shouldBe 8
+    kept should be < total
+    // pruned read == full-scan answer
+    val full = GraftTable.read(spark, path, v).filter(col("tag") === present)
+      .select("k").as[Long].collect().sorted
+    full should not be empty
+    GraftTable.readStatsPruned(spark, path, v,
+        Seq(org.apache.spark.sql.sources.EqualTo("tag", present))) match {
+      case Some(pruned) =>
+        pruned.filter(col("tag") === present)
+          .select("k").as[Long].collect().sorted shouldBe full
+      case None => fail("expected at least one file skipped")
+    }
+    // an absent value: provable absence everywhere (fpp 0.001 over 8
+    // files — deterministic for fixed data; a false positive would
+    // only keep a file, never break correctness)
+    val Some((_, keptAbs, _)) = GraftTable.prunedDataPaths(path, v,
+      Seq(org.apache.spark.sql.sources.EqualTo("tag", "tag-9999")))
+    keptAbs should be <= 1
+    GraftTable.read(spark, path, v).filter(col("tag") === "tag-9999").count() shouldBe 0L
+    // non-bloom column equality still behaves (min/max path untouched)
+    GraftTable.prunedDataPaths(path, v,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 5L))) should not be None
+  }
+
+  test("bloom collection failures or disabled config leave commits and pruning intact") {
+    val path = Files.createTempDirectory("graft_bloom2").toString + "/t"
+    GraftTable.create(spark.range(0, 128).toDF("k").withColumn("s", lit("x")),
+      path, Seq("k"), nbuckets = 2)
+    // no _bloom config: no bloom lines, stats still there
+    GraftTable.manifestFileStats(path, 0).values.foreach(_.blooms shouldBe empty)
+    // enabling with a column the schema lacks is harmless (filtered out)
+    GraftTable.enableBloomFilters(path, Seq("nope"))
+    GraftTable.upsert(spark, path, spark.range(0, 64).toDF("k").withColumn("s", lit("y")))
+    val v = GraftTable.latestVersion(path)
+    GraftTable.manifestFileStats(path, v).values.foreach(_.blooms shouldBe empty)
+    GraftTable.read(spark, path, v).count() shouldBe 128L
+  }
+
   test("manifests record snapshot schema and per-file min/max stats") {
     val path = freshTable()
     val stats = GraftTable.manifestFileStats(path, 0)
