@@ -334,6 +334,34 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_delete_mor" -> ((s, dir) => {
+      // merge-on-read deletes (deletion vectors) end to end: a
+      // SCATTERED key delete (%7 hits every bucket — the shape where
+      // COW approaches a full-table rewrite) commits as a DV with zero
+      // data files touched; an upsert re-inserts HALF the victims with
+      // a new status (version scoping: the newer rows must win over the
+      // carried DV); a predicate MOR delete (%13) stacks a second DV.
+      // Reads apply both DVs version-scoped; DuckDB recomputes the
+      // final state straight from parquet.
+      val tmp = s"${indexPath("dml_dv", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.deleteMor(s, path,
+        o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      GraftTable.upsert(s, path,
+        o.filter(col("o_orderkey") % 42 === 0)
+          .withColumn("o_orderstatus", lit("R")))
+      GraftTable.deleteWhereMor(s, path, col("o_orderkey") % 13 === 0)
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "embed_documents" -> ((s, dir) => {
       // model stubbed (feature hashing); batch plumbing real — rows-only check
       Embed.encode(Tables.documents(s, dir), "text", 64)
@@ -2096,6 +2124,19 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey % 3 = 0
            AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+         ORDER BY o_orderkey""",
+
+    "lakehouse_delete_mor" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 42 = 0
+         )
+         WHERE o_orderkey % 13 <> 0
          ORDER BY o_orderkey""",
 
     "lakehouse_update" ->

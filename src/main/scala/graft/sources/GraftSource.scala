@@ -92,7 +92,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val nbuckets = parameters.get("nbuckets").map(_.toInt).getOrElse(16)
     val precombine = parameters.get("precombine")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    val delete = parameters.get("operation").contains("delete")
+    val operation = parameters.getOrElse("operation", "upsert")
+    require(operation == "upsert" || operation == "delete" || operation == "delete_mor",
+      s"graft: unknown operation '$operation' (expected upsert, delete, or delete_mor)")
     // the replay marker is scoped to THIS query's checkpoint: batchIds
     // restart from 0 for every new checkpoint, so a table-global marker
     // would wrongly skip a brand-new query's first batch
@@ -100,7 +102,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .orElse(parameters.get("queryName")).getOrElse(java.util.UUID.randomUUID.toString)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(scope.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new GraftStreamSink(path, keys, nbuckets, precombine, delete, tag)
+    new GraftStreamSink(path, keys, nbuckets, precombine, operation, tag)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -138,14 +140,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val precombine = parameters.get("precombine")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val operation = parameters.getOrElse("operation", "upsert")
-    require(operation == "upsert" || operation == "delete",
-      s"graft: unknown operation '$operation' (expected upsert or delete)")
+    require(operation == "upsert" || operation == "delete" || operation == "delete_mor",
+      s"graft: unknown operation '$operation' (expected upsert, delete, or delete_mor)")
     require(operation == "upsert" || mode == SaveMode.Append,
       "graft: operation=delete requires SaveMode.Append")
     mode match {
       case SaveMode.Append if operation == "delete" =>
         require(GraftTable.exists(path), s"graft: cannot delete from missing table $path")
         GraftTable.delete(spark, path, data)
+      case SaveMode.Append if operation == "delete_mor" =>
+        // merge-on-read: commit the keys as a deletion vector — no
+        // bucket rewrite (Hudi's MOR delete / Delta's deletion vectors)
+        require(GraftTable.exists(path), s"graft: cannot delete from missing table $path")
+        GraftTable.deleteMor(spark, path, data)
       case SaveMode.Append =>
         if (GraftTable.exists(path)) GraftTable.upsert(spark, path, data, precombine)
         else GraftTable.create(data, path, keys, nbuckets)
@@ -207,7 +214,7 @@ private[sources] class GraftStreamSource(spark: SparkSession, path: String,
   */
 private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
                                        nbuckets: Int, precombine: Seq[String],
-                                       delete: Boolean, checkpointTag: String) extends Sink {
+                                       operation: String, checkpointTag: String) extends Sink {
 
   private def batchMarker = new Path(path, s"_sink_batch-$checkpointTag")
 
@@ -230,9 +237,10 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
     val batch = Bridge.internalDataFrame(spark, rows, data.schema, isStreaming = false)
     // retrying writers: an OCC loss against a concurrent compactor or
     // second writer must not kill the streaming query
-    if (delete) {
+    if (operation == "delete" || operation == "delete_mor") {
       require(GraftTable.exists(path), s"graft sink: cannot delete from missing table $path")
-      GraftTable.deleteRetry(spark, path, batch)
+      if (operation == "delete_mor") GraftTable.deleteMorRetry(spark, path, batch)
+      else GraftTable.deleteRetry(spark, path, batch)
     } else if (GraftTable.exists(path)) {
       GraftTable.upsertRetry(spark, path, batch, precombine)
     } else {

@@ -570,7 +570,13 @@ object GraftTable {
       else snapshotSchema(path, v).map { sc =>
         if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-        else spark.read.schema(sc).parquet(paths: _*)
+        else {
+          // deletion vectors apply to the pruned scan too (skipping is
+          // per-file; a kept file can still hold MOR-deleted rows)
+          val rels = paths.map(_.stripPrefix(s"$path/"))
+          readRelsWithDvs(spark, path, v, rels)(g =>
+            spark.read.schema(sc).parquet(g.map(r => s"$path/$r"): _*))
+        }
       }
     }
   }
@@ -729,10 +735,12 @@ object GraftTable {
     val touched = updates.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
     val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
+    // DV-aware base: a rewritten bucket must not resurrect rows a
+    // deletion vector removed — the rewrite MATERIALIZES those deletes
     val base =
       if (baseDirs.isEmpty) updates.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(baseDirs.map(d => s"$path/$d"): _*)
+      else readRelsWithDvs(spark, path, v, baseDirs)(g =>
+        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
     val (base2, updates2) = alignSchemas(base, updates)
     val merged = Upsert.merge(base2, updates2, keys, precombine.map(col))
     val carryOver = current.filter { case (b, _) => !touched(b) }
@@ -761,11 +769,105 @@ object GraftTable {
       .distinct().collect().map(_.getInt(0)).toSet
     val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
     if (baseDirs.isEmpty) return // no stored bucket can hold these keys
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(baseDirs.map(d => s"$path/$d"): _*)
+    val base = readRelsWithDvs(spark, path, v, baseDirs)(g =>
+      spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
     val remaining = base.join(keyOnly, keys, "left_anti")
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+  }
+
+  /** Merge-on-read delete by key (deletion vectors): commit a version
+    * whose manifest is the previous one plus a `#dv=` line naming a
+    * small parquet file of the deleted keys — NO data dir is read or
+    * rewritten. The COW [[delete]] rewrites every touched bucket, which
+    * for a scattered key set (one key per bucket — the GDPR-erasure
+    * shape) approaches a full-table rewrite at 100 TB; this path writes
+    * O(|keys|) bytes and every read applies the DV as a broadcast
+    * anti-join (version-scoped — see the deletion-vector section above;
+    * a later upsert re-inserting a deleted key wins). Deletes
+    * accumulate one tiny file per call; [[compact]] (or any rewrite of
+    * the affected buckets) folds them away. [[changes]] reports the
+    * removals with `_deleted = true` exactly like a COW delete.
+    */
+  def deleteMor(spark: SparkSession, path: String, keysDf: DataFrame): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    keys.foreach(k => require(keysDf.columns.contains(k), s"delete batch missing key column $k"))
+    val keyOnly = alignKeyTypes(spark, path, v, keys, keyTypes, keysDf)
+      .select(keys.map(col): _*).distinct()
+    if (keyOnly.isEmpty) return // no keys: no version, same as a no-op DELETE
+    commitDv(spark, path, v, defaultBuckets, keyOnly)
+  }
+
+  /** [[deleteMor]] with the optimistic-concurrency retry loop (key
+    * deletion is idempotent; a losing writer's orphaned DV file is
+    * vacuum-reclaimed like an orphaned data dir).
+    */
+  def deleteMorRetry(spark: SparkSession, path: String, keysDf: DataFrame,
+                     maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { deleteMor(spark, path, keysDf) }
+
+  /** Predicate delete, merge-on-read: the stats-pruned match scan of
+    * [[deleteWhere]] (phases 1–2) finds the matching rows, but instead
+    * of rewriting their buckets the matching KEYS are committed as a
+    * deletion vector. Read cost O(candidate buckets), write cost
+    * O(matches) — nothing is rewritten. Returns the number of rows
+    * deleted (keys are unique in a keyed table, and the DV-aware match
+    * scan never counts a row an earlier DV already removed).
+    */
+  def deleteWhereMor(spark: SparkSession, path: String, cond: Column): Long = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, _) = meta(path)
+    val current = manifest(path, v)
+    val filters = org.apache.spark.sql.graftshim.Bridge
+      .translateFilters(read(spark, path, v), cond)
+    val candidates = candidateBuckets(path, v, current, filters)
+    if (candidates.isEmpty) return 0L
+    val matched = readBuckets(spark, path, v, candidates)
+      .filter(coalesce(cond, lit(false)))
+      .select(keys.map(col): _*).distinct()
+    val n = matched.count()
+    if (n == 0L) return 0L
+    commitDv(spark, path, v, defaultBuckets, matched)
+    n
+  }
+
+  def deleteWhereMorRetry(spark: SparkSession, path: String, cond: Column,
+                          maxRetries: Int = 5): Long = {
+    var n = 0L
+    occRetry(maxRetries) { n = deleteWhereMor(spark, path, cond) }
+    n
+  }
+
+  /** Write `keyOnly` (already typed and key-projected) as version
+    * v+1's deletion vector: DV parquet first, then the manifest commit
+    * under the same put-if-absent lock every writer uses. The new
+    * manifest is the previous text verbatim (bucket lines, stats
+    * references, earlier #dv lines) plus this DV's line; a legacy
+    * manifest is upgraded with #nbuckets/#schema headers first so every
+    * DV-bearing snapshot plans from recorded metadata.
+    */
+  private def commitDv(spark: SparkSession, path: String, v: Int,
+                       defaultBuckets: Int, keyOnly: DataFrame): Unit = {
+    val rel = s"dv/v${v + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
+    // one file: a DV is small by contract (compact folds it away long
+    // before the single-writer coalesce could matter)
+    keyOnly.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$rel")
+    var lines = manifestText(path, v)
+    if (!lines.split("\n").exists(_.startsWith("#nbuckets=")))
+      lines = s"#nbuckets=${bucketsAt(path, v, defaultBuckets)}\n" + lines
+    if (!lines.split("\n").exists(_.startsWith("#schema="))) {
+      val sc = types.StructType(read(spark, path, v).schema
+        .fields.map(_.copy(nullable = true)))
+      lines = s"#schema=${enc(sc.toDDL)}\n" + lines
+    }
+    lines = lines + s"\n#dv=$rel"
+    if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer committed v${v + 1} first at $path; re-read and retry the delete")
+    MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
   }
 
   /** Buckets whose recorded file stats cannot RULE OUT a row matching
@@ -801,9 +903,29 @@ object GraftTable {
   private def bucketsWithMatches(spark: SparkSession, path: String, v: Int,
                                  candidates: Set[Int], cond: Column): (Set[Int], Long) = {
     if (candidates.isEmpty) return (Set.empty, 0L)
-    val perFile = readBuckets(spark, path, v, candidates)
+    // With deletion vectors, the match scan must (a) not count rows a DV
+    // already deleted and (b) capture input_file_name AT SCAN LEVEL —
+    // it is undefined above the DV anti-join. DV-bearing manifests
+    // always record #schema (deleteMor upgrades first), so the pinned-
+    // schema read suffices on this path.
+    val tagged = {
+      val dvs = dvEntries(path, v)
+      if (dvs.isEmpty)
+        readBuckets(spark, path, v, candidates).withColumn("__f", input_file_name())
+      else {
+        val rels = manifest(path, v).filter { case (b, _) => candidates(b) }
+          .values.toSeq
+        val sc = snapshotSchema(path, v).getOrElse(read(spark, path, v).schema)
+        if (rels.isEmpty)
+          read(spark, path, v).limit(0).withColumn("__f", lit(""))
+        else readRelsWithDvs(spark, path, v, rels)(g =>
+          spark.read.schema(sc).parquet(g.map(d => s"$path/$d"): _*)
+            .withColumn("__f", input_file_name()))
+      }
+    }
+    val perFile = tagged
       .filter(coalesce(cond, lit(false)))
-      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
       .collect()
     val buckets = perFile.flatMap(r =>
       BucketDirRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toInt)).toSet
@@ -976,6 +1098,9 @@ object GraftTable {
   def countRows(path: String, version: Int = -1): Option[Long] = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
+    // deletion vectors subtract an unknown number of rows (a DV may name
+    // keys that never existed) — the metadata answer would overcount
+    if (dvEntries(path, v).nonEmpty) return None
     val stats = manifestFileStats(path, v)
     val dirs = manifest(path, v).values.toSeq
     if (!dirs.forall(d => stats.keys.exists(_.startsWith(d + "/")))) None
@@ -1004,10 +1129,14 @@ object GraftTable {
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val dirs = manifest(path, v).values.map(d => s"$path/$d").toSeq
-    snapshotSchema(path, v) match {
-      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val rels = manifest(path, v).values.toSeq
+    val sc = snapshotSchema(path, v)
+    readRelsWithDvs(spark, path, v, rels) { g =>
+      val dirs = g.map(d => s"$path/$d")
+      sc match {
+        case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      }
     }
   }
 
@@ -1044,20 +1173,26 @@ object GraftTable {
                   buckets: Set[Int]): DataFrame = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val dirs = manifest(path, v).filter { case (b, _) => buckets(b) }
-      .values.map(d => s"$path/$d").toSeq
+    val rels = manifest(path, v).filter { case (b, _) => buckets(b) }
+      .values.toSeq
     snapshotSchema(path, v) match {
       case Some(sc) =>
         // manifest-recorded schema: the point lookup plans WITHOUT
         // listing/footer-reading the rest of the table's files — the
-        // reader itself pads columns missing from old bucket files
-        if (dirs.isEmpty)
+        // reader itself pads columns missing from old bucket files.
+        // Deletion vectors apply on top (a point-looked-up key that was
+        // MOR-deleted must be absent here exactly as in a full read).
+        if (rels.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-        else spark.read.schema(sc).parquet(dirs: _*)
-      case None => // legacy manifest: one full-relation pass for the schema
+        else readRelsWithDvs(spark, path, v, rels)(g =>
+          spark.read.schema(sc).parquet(g.map(d => s"$path/$d"): _*))
+      case None => // legacy manifest: one full-relation pass for the schema.
+        // (Never DV-bearing: deleteMor upgrades a legacy manifest with
+        // #schema before it appends the first #dv line.)
         val full = read(spark, path, v)
-        if (dirs.isEmpty) return full.limit(0)
-        val sub = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        if (rels.isEmpty) return full.limit(0)
+        val sub = spark.read.option("mergeSchema", "true")
+          .parquet(rels.map(d => s"$path/$d"): _*)
         val padded = full.schema.fields.filterNot(f => sub.columns.contains(f.name))
           .foldLeft(sub)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
         padded.select(full.columns.map(col).toIndexedSeq: _*)
@@ -1123,6 +1258,90 @@ object GraftTable {
 
   private def bucketsAt(path: String, v: Int, default: Int): Int =
     manifestBuckets(path, v).getOrElse(default)
+
+  // ---- deletion vectors (merge-on-read delete) -------------------------
+  //
+  // A MOR delete commits a new version whose manifest is the previous
+  // one plus a `#dv=dv/v<N>-<uuid>` line naming a small parquet file of
+  // the deleted KEYS — no data dir is read or rewritten. At 100 TB a
+  // scattered key delete (the GDPR-erasure shape: one key per bucket)
+  // under COW rewrites nearly every bucket; under a DV it writes
+  // O(|keys|) bytes and reads apply it as a broadcast anti-join. This
+  // is Delta's deletion-vector / Hudi's MOR-delete-block design keyed
+  // by record key instead of file position (keys are the table's
+  // identity here, and key-based DVs survive compaction reshuffles).
+  //
+  // VERSION SCOPING (the Iceberg sequence-number rule): a DV created at
+  // version V deletes keys only from data dirs written at or before V.
+  // A later upsert that re-inserts a deleted key writes a NEWER dir the
+  // DV does not apply to, so the key correctly resurfaces; the same
+  // upsert's base read is DV-aware, so rewritten buckets MATERIALIZE
+  // their deletions and the carried DV degrades to a no-op for them.
+  // A DV line is carried forward only while some carried dir is old
+  // enough for it to apply to; any full rewrite (compact, rebucket)
+  // drops all DVs — compaction is the fold-the-log step, exactly as in
+  // MOR lakehouses.
+
+  private val RelVersionRe = "^(?:data|dv)/v(\\d+)".r
+
+  /** The version a manifest-relative data/dv path was written at (the
+    * `v<N>` of its attempt dir). Unparsable = legacy pre-DV layout =
+    * older than any DV ⇒ 0 (DVs always apply — conservative-correct).
+    */
+  private def relVersion(rel: String): Int =
+    RelVersionRe.findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
+
+  /** Snapshot v's deletion vectors: (relative path, create version),
+    * ascending by version. Empty for tables without MOR deletes — every
+    * read path short-circuits to its plain plan then.
+    */
+  def dvEntries(path: String, v: Int): Seq[(String, Int)] =
+    manifestText(path, v).split("\n").toSeq
+      .collect { case l if l.startsWith("#dv=") =>
+        val rel = l.stripPrefix("#dv=").trim
+        rel -> relVersion(rel)
+      }.sortBy(_._2)
+
+  /** Total on-disk bytes of the given DV files — the broadcast-safety
+    * gate. DVs small enough to broadcast (the design contract; compact
+    * folds them away when they grow) anti-join with zero shuffle on the
+    * scan side; oversized DVs fall back to a plain (shuffled) anti-join
+    * rather than forcing an OOM-able broadcast.
+    */
+  private def dvSizeBytes(path: String, rels: Seq[String]): Long =
+    rels.map { r =>
+      scala.util.Try(MetaIO.list(new Path(path, r)).filter(_.isFile)
+        .map(_.getLen).sum).getOrElse(0L)
+    }.sum
+
+  private val DvBroadcastMaxBytes = 64L << 20
+
+  /** Read manifest-relative paths (dirs or files) with snapshot v's
+    * deletion vectors applied under version scoping. `rels` are grouped
+    * by how many DVs apply to them (DV versions ascend, so the
+    * applicable set is always a suffix of the DV list — one group per
+    * distinct suffix length, each scanned once and anti-joined against
+    * the union of its applicable DV keys). No DVs ⇒ the untouched
+    * single-scan plan from `readGroup`.
+    */
+  private def readRelsWithDvs(spark: SparkSession, path: String, v: Int,
+                              rels: Seq[String])
+                             (readGroup: Seq[String] => DataFrame): DataFrame = {
+    val dvs = dvEntries(path, v)
+    if (dvs.isEmpty) return readGroup(rels)
+    val keys = meta(path)._1
+    def dvKeys(dvRels: Seq[String]): DataFrame = {
+      val df = spark.read.parquet(dvRels.map(r => s"$path/$r"): _*)
+        .select(keys.map(col): _*).distinct()
+      if (dvSizeBytes(path, dvRels) <= DvBroadcastMaxBytes) broadcast(df) else df
+    }
+    val groups = rels.groupBy(rel => dvs.count(_._2 >= relVersion(rel)))
+    groups.toSeq.sortBy(_._1).map { case (suffix, rs) =>
+      val base = readGroup(rs)
+      if (suffix == 0) base
+      else base.join(dvKeys(dvs.takeRight(suffix).map(_._1)), keys, "left_anti")
+    }.reduce(_.unionByName(_))
+  }
 
   /** Major compaction: rewrite the current snapshot as a fresh version
     * with exactly one file per bucket. Bucket-level COW accretes files
@@ -1233,37 +1452,92 @@ object GraftTable {
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
-    val (keys, _, _) = meta(path)
+    val (keys, defaultBuckets, _) = meta(path)
     val mFrom = manifest(path, fromVersion)
     val mTo = manifest(path, toVersion)
     // changed in EITHER direction — a bucket missing from mTo was
     // entirely deleted, a bucket missing from mFrom is entirely new
     val changed = (mFrom.keySet ++ mTo.keySet).filter(b => mFrom.get(b) != mTo.get(b))
-    val newDirs = changed.toSeq.flatMap(mTo.get).map(d => s"$path/$d")
-    val oldDirs = changed.toSeq.flatMap(mFrom.get).map(d => s"$path/$d")
-    def rd(dirs: Seq[String]) =
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val newRels = changed.toSeq.flatMap(mTo.get)
+    val oldRels = changed.toSeq.flatMap(mFrom.get)
+    // each side reads DV-aware AT ITS OWN VERSION: a row a deletion
+    // vector had already removed at fromVersion is not a before-image,
+    // and a row a DV removes by toVersion is not an upsert image
+    def rdSide(ver: Int, rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(readRelsWithDvs(spark, path, ver, rels)(g =>
+        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*)))
+    val newSide = rdSide(toVersion, newRels)
+    val oldSide = rdSide(fromVersion, oldRels)
     def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
-    if (newDirs.isEmpty && oldDirs.isEmpty) {
-      val snap = read(spark, path, toVersion)
-      snap.select(sortedCols(snap): _*).limit(0).withColumn("_deleted", lit(false))
-    } else if (oldDirs.isEmpty) {
-      val n = rd(newDirs)
-      n.select(sortedCols(n): _*).withColumn("_deleted", lit(false))
-    } else if (newDirs.isEmpty) {
-      val o = rd(oldDirs)
-      o.select(sortedCols(o): _*).withColumn("_deleted", lit(true))
-    } else {
-      // schema may have evolved between the versions — align both sides
-      // (padding with typed nulls) so the full-row EXCEPT is well-typed
-      val (n2, o2) = alignSchemas(rd(newDirs), rd(oldDirs))
-      val cols = sortedCols(n2)
-      val upserts = n2.select(cols: _*).exceptAll(o2.select(cols: _*))
-        .withColumn("_deleted", lit(false))
-      val deletes = o2.select(cols: _*)
-        .join(n2.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .withColumn("_deleted", lit(true))
-      upserts.unionByName(deletes)
+    // schema may have evolved between the versions — align both sides
+    // (padding with typed nulls) so the full-row EXCEPT is well-typed
+    val upserts: Option[DataFrame] = newSide.map { n =>
+      oldSide match {
+        case None => n
+        case Some(o) =>
+          val (n2, o2) = alignSchemas(n, o)
+          val cols = sortedCols(n2)
+          n2.select(cols: _*).exceptAll(o2.select(cols: _*))
+      }
+    }
+    val dirDeletes: Option[DataFrame] = oldSide.map { o =>
+      newSide match {
+        case None => o
+        case Some(n) =>
+          o.join(n.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      }
+    }
+    // MOR deletes commit no dir change — their delta is the #dv lines
+    // added in (from, to]. The new DVs' keys are only CANDIDATES: the
+    // joins below reduce them to keys live at fromVersion and gone at
+    // toVersion, so a delete-then-reinsert in the range reports nothing
+    // and restore churn self-corrects. Cost is O(buckets the DV keys
+    // hash into), not O(table) — the same pruning a keyed delete does.
+    val dvFromRels = dvEntries(path, fromVersion).map(_._1).toSet
+    val newDvRels = dvEntries(path, toVersion).map(_._1).filterNot(dvFromRels)
+    val dvDeletes: Option[DataFrame] =
+      if (newDvRels.isEmpty) None
+      else {
+        val k = spark.read.parquet(newDvRels.map(r => s"$path/$r"): _*)
+          .select(keys.map(col): _*).distinct()
+        val kb = broadcast(k)
+        def keyBuckets(ver: Int): DataFrame = {
+          // DV keys were typed/aligned when written, so hashing them
+          // under each version's own layout lands on the right dirs
+          val nb = bucketsAt(path, ver, defaultBuckets)
+          val bs = k.select(bucketCol(keys, nb).as(BUCKET))
+            .distinct().collect().map(_.getInt(0)).toSet
+          readBuckets(spark, path, ver, bs)
+        }
+        val before = keyBuckets(fromVersion).join(kb, keys, "left_semi")
+        val still = keyBuckets(toVersion).join(kb, keys, "left_semi")
+          .select(keys.map(col): _*)
+        Some(before.join(still, keys, "left_anti"))
+      }
+    // a key can appear in BOTH delete channels (MOR-deleted, then its
+    // bucket rewritten later in the range) — images are identical
+    // (fromVersion's stored row), so dedup by key keeps the contract of
+    // one emission per key
+    val deletes: Option[DataFrame] = (dirDeletes, dvDeletes) match {
+      case (Some(a), Some(b)) =>
+        Some(a.unionByName(b, allowMissingColumns = true).dropDuplicates(keys))
+      case (a, b) => a.orElse(b)
+    }
+    (upserts, deletes) match {
+      case (None, None) =>
+        val snap = read(spark, path, toVersion)
+        snap.select(sortedCols(snap): _*).limit(0).withColumn("_deleted", lit(false))
+      case (u, d) =>
+        val uu = u.map(_.withColumn("_deleted", lit(false)))
+        val dd = d.map(_.withColumn("_deleted", lit(true)))
+        val combined = (uu, dd) match {
+          case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+          case (a, b) => a.orElse(b).get
+        }
+        combined.select(
+          (combined.columns.filterNot(_ == "_deleted").sorted.map(col)
+            :+ col("_deleted")).toIndexedSeq: _*)
     }
   }
 
@@ -1350,6 +1624,21 @@ object GraftTable {
       if (!MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")) &&
           now - vDir.getModificationTime > orphanGraceMs)
         MetaIO.delete(vDir.getPath)
+    }
+    // deletion vectors: same two-tier rule as data dirs — a DV file
+    // referenced only by expired manifests is reclaimed now; one
+    // referenced by NO manifest is a racing deleteMor's in-flight write
+    // (DV parquet lands before its manifest) and gets the orphan grace
+    val dvKept = keep.flatMap(dvEntries(path, _)).map(_._1).toSet
+    val dvAny = MetaIO.list(new Path(path, "manifests"))
+      .map(_.getPath.getName)
+      .collect { case VersionFile(n) => n.toInt }
+      .flatMap(m => dvEntries(path, m).map(_._1)).toSet
+    MetaIO.list(new Path(path, "dv")).filter(_.isDirectory).foreach { d =>
+      val rel = s"dv/${d.getPath.getName}"
+      if (!dvKept(rel) &&
+          (dvAny(rel) || now - d.getModificationTime > orphanGraceMs))
+        MetaIO.delete(d.getPath)
     }
     (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))
     // stat segments die with their attempt dirs: once vacuum has
@@ -1478,8 +1767,18 @@ object GraftTable {
     if (freshStats.nonEmpty) // this attempt's uuid is unique: no racing writer shares it
       MetaIO.replaceString(statsSegPath(path, dataRel.stripPrefix("data/")),
         freshStats.mkString("\n"))
+    // deletion vectors: carry a #dv line only while some carried dir is
+    // old enough for it to apply to (rewritten buckets materialized
+    // their deletes via the DV-aware base read above; fresh dirs are
+    // newer than every carried DV, so the DV is inert for them). A full
+    // rewrite (compact/rebucket, carryOver empty) drops all DVs — the
+    // fold-the-log step of merge-on-read.
+    val carriedDvs = prevLines.filter(_.startsWith("#dv=")).filter { l =>
+      val dvv = relVersion(l.stripPrefix("#dv=").trim)
+      carryOver.values.exists(d => relVersion(d) <= dvv)
+    }
     val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
-      keepInline ++
+      keepInline ++ carriedDvs ++
       (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins
