@@ -57,6 +57,26 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     GraftIndex.refresh(spark, path) shouldBe None
   }
 
+  test("MOR deletes (deletion vectors) flow through refresh like COW deletes") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 8)
+    // a scattered DV delete (no bucket rewrite), then a re-inserting
+    // upsert — the index must reflect the version-scoped end state
+    GraftTable.deleteMor(spark, path, (0L until 400L by 7).toDF("k"))
+    GraftTable.upsert(spark, path,
+      Seq((14L, "back-14", vec(9014L))).toDF("k", "s", "v"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val q = vec(4242L)
+    val got = GraftIndex.probe(spark, path, q, 15, nprobe = 8)
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got shouldBe exactTopK(path, q, 15)
+    // every still-deleted key is gone from the index; the re-insert is back
+    val all = GraftIndex.probe(spark, path, q, 500, nprobe = 8)
+      .select("k").as[Long].collect().toSet
+    all.filter(k => k % 7 == 0 && k != 14L) shouldBe empty
+    all should contain (14L)
+  }
+
   test("a probe against a stale index fails LOUDLY; allowStale serves the indexed snapshot") {
     val path = freshTable(200)
     GraftIndex.create(spark, path, "v", nlist = 4)

@@ -88,6 +88,24 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     TextIndex.refresh(spark, path) shouldBe None
   }
 
+  test("MOR deletes (deletion vectors) tombstone through refresh; stats track the live corpus") {
+    val path = freshTable(200)
+    TextIndex.create(spark, path, "text")
+    // scattered DV delete, zero bucket rewrite; one victim re-inserted
+    GraftTable.deleteMor(spark, path, (0L until 200L by 5).toDF("doc_id"))
+    GraftTable.upsert(spark, path,
+      Seq((10L, "spark stream spark", "src-0")).toDF("doc_id", "text", "src"))
+    TextIndex.refresh(spark, path) shouldBe Some((0, 2))
+    for (q <- Seq("spark table", "stream window", "merge query"))
+      got(path, q, 15) shouldBe bruteForce(path, q, 15)
+    val all = got(path, vocab.mkString(" "), 300).map(_._1).toSet
+    all.filter(k => k % 5 == 0 && k != 10L) shouldBe empty
+    all should contain (10L)
+    // exact stats over the DV-filtered corpus
+    val live = GraftTable.read(spark, path).filter(col("text").isNotNull)
+    TextIndex.meta(path).nDocs shouldBe live.count()
+  }
+
   test("corpus stats stay EXACT through mutations (unlike Lucene's deleted-doc drift)") {
     val path = freshTable(150)
     TextIndex.create(spark, path, "text")
