@@ -362,6 +362,36 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_upsert_mor" -> ((s, dir) => {
+      // merge-on-read upserts (delta commits) end to end: a COW-created
+      // table takes a trickle of log-only writes — %7 rows get status M
+      // as one delta (keys not divisible by 3 are brand-NEW, landing in
+      // the log only); a %13 MOR delete stacks a DV on top; a %26 delta
+      // re-inserts half the victims with status R (version scoping: the
+      // newest log event per key wins). Nothing is rewritten until the
+      // read merges the log; DuckDB recomputes the final state straight
+      // from parquet.
+      val tmp = s"${indexPath("dml_delta", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsertMor(s, path,
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("M")))
+      GraftTable.deleteMor(s, path,
+        o.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"))
+      GraftTable.upsertMor(s, path,
+        o.filter(col("o_orderkey") % 26 === 0)
+          .withColumn("o_orderstatus", lit("R")))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "embed_documents" -> ((s, dir) => {
       // model stubbed (feature hashing); batch plumbing real — rows-only check
       Embed.encode(Tables.documents(s, dir), "text", 64)
@@ -2137,6 +2167,17 @@ object SparkEntry {
            WHERE o_orderkey % 42 = 0
          )
          WHERE o_orderkey % 13 <> 0
+         ORDER BY o_orderkey""",
+
+    "lakehouse_upsert_mor" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 26 = 0 THEN 'R'
+                     WHEN o_orderkey % 7 = 0 THEN 'M'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE (o_orderkey % 3 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 26 = 0)
+           AND (o_orderkey % 13 <> 0 OR o_orderkey % 26 = 0)
          ORDER BY o_orderkey""",
 
     "lakehouse_update" ->

@@ -93,8 +93,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val precombine = parameters.get("precombine")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val operation = parameters.getOrElse("operation", "upsert")
-    require(operation == "upsert" || operation == "delete" || operation == "delete_mor",
-      s"graft: unknown operation '$operation' (expected upsert, delete, or delete_mor)")
+    require(Set("upsert", "upsert_mor", "delete", "delete_mor")(operation),
+      s"graft: unknown operation '$operation' (expected upsert, upsert_mor, delete, or delete_mor)")
     // the replay marker is scoped to THIS query's checkpoint: batchIds
     // restart from 0 for every new checkpoint, so a table-global marker
     // would wrongly skip a brand-new query's first batch
@@ -140,14 +140,21 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val precombine = parameters.get("precombine")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val operation = parameters.getOrElse("operation", "upsert")
-    require(operation == "upsert" || operation == "delete" || operation == "delete_mor",
-      s"graft: unknown operation '$operation' (expected upsert, delete, or delete_mor)")
+    require(Set("upsert", "upsert_mor", "delete", "delete_mor")(operation),
+      s"graft: unknown operation '$operation' (expected upsert, upsert_mor, delete, or delete_mor)")
     require(operation == "upsert" || mode == SaveMode.Append,
-      "graft: operation=delete requires SaveMode.Append")
+      s"graft: operation=$operation requires SaveMode.Append")
     mode match {
       case SaveMode.Append if operation == "delete" =>
         require(GraftTable.exists(path), s"graft: cannot delete from missing table $path")
         GraftTable.delete(spark, path, data)
+      case SaveMode.Append if operation == "upsert_mor" =>
+        // merge-on-read: commit the rows as a delta — no bucket rewrite
+        // (Hudi's MOR log-file write); the table must already exist
+        // (a first write IS a bulk load — that belongs on the COW path)
+        require(GraftTable.exists(path),
+          s"graft: operation=upsert_mor needs an existing table at $path (create with a COW write first)")
+        GraftTable.upsertMor(spark, path, data, precombine)
       case SaveMode.Append if operation == "delete_mor" =>
         // merge-on-read: commit the keys as a deletion vector — no
         // bucket rewrite (Hudi's MOR delete / Delta's deletion vectors)
@@ -242,7 +249,10 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
       if (operation == "delete_mor") GraftTable.deleteMorRetry(spark, path, batch)
       else GraftTable.deleteRetry(spark, path, batch)
     } else if (GraftTable.exists(path)) {
-      GraftTable.upsertRetry(spark, path, batch, precombine)
+      // upsert_mor: each micro-batch is one O(batch) delta commit — the
+      // natural MOR fit for streaming trickle ingest (compact on a cadence)
+      if (operation == "upsert_mor") GraftTable.upsertMorRetry(spark, path, batch, precombine)
+      else GraftTable.upsertRetry(spark, path, batch, precombine)
     } else {
       val k = keys.getOrElse(throw new IllegalArgumentException(
         "graft sink requires option(\"recordkey\", \"k1[,k2…]\") to create a table"))

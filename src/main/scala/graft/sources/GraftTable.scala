@@ -568,15 +568,17 @@ object GraftTable {
     prunedDataPaths(path, v, filters).flatMap { case (paths, kept, total) =>
       if (kept == total) None
       else snapshotSchema(path, v).map { sc =>
-        if (paths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-        else {
-          // deletion vectors apply to the pruned scan too (skipping is
-          // per-file; a kept file can still hold MOR-deleted rows)
-          val rels = paths.map(_.stripPrefix(s"$path/"))
-          readRelsWithDvs(spark, path, v, rels)(g =>
-            spark.read.schema(sc).parquet(g.map(r => s"$path/$r"): _*))
-        }
+        // the MOR log applies to the pruned scan too: a kept file can
+        // still hold MOR-deleted rows, and delta winner rows (not
+        // stats-indexed — they live in the log, not in files the
+        // manifest describes) may match the predicate anywhere, so
+        // emission stays table-wide (scope = None) — even when stats
+        // pruned EVERY stored file, the log can still hold matches
+        val rels = paths.map(_.stripPrefix(s"$path/"))
+        readMor(spark, path, v, rels)(g =>
+          if (g.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+          else spark.read.schema(sc).parquet(g.map(r => s"$path/$r"): _*))
       }
     }
   }
@@ -735,17 +737,99 @@ object GraftTable {
     val touched = updates.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
     val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
-    // DV-aware base: a rewritten bucket must not resurrect rows a
-    // deletion vector removed — the rewrite MATERIALIZES those deletes
-    val base =
-      if (baseDirs.isEmpty) updates.limit(0)
-      else readRelsWithDvs(spark, path, v, baseDirs)(g =>
-        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
+    // MOR-log-aware base: a rewritten bucket must not resurrect rows a
+    // deletion vector removed, and must MATERIALIZE the delta winner
+    // rows of its buckets (including buckets with no dir yet) — the
+    // rewrite folds the log for everything it touches
+    val base = readMor(spark, path, v, baseDirs, Some(touched))(g =>
+      if (g.isEmpty) updates.limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
     val (base2, updates2) = alignSchemas(base, updates)
     val merged = Upsert.merge(base2, updates2, keys, precombine.map(col))
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
+    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver, touched = touched)
   }
+
+  /** Merge-on-read upsert (delta commit): commit a version whose
+    * manifest is the previous one plus a `#delta=` line naming a small
+    * parquet file of the upserted ROWS — no bucket is read or
+    * rewritten. The COW [[upsert]] rewrites every touched bucket,
+    * which for a trickle of scattered updates (one key per bucket —
+    * the streaming-ingest shape) multiplies each written byte by the
+    * bucket size; this path writes O(batch) bytes and every read
+    * merges the log by key (version-scoped: the newest delta row for a
+    * key wins over the stored row and older log events, exactly
+    * last-writer-wins — the same outcome a COW upsert would commit).
+    * Hudi's MOR log-file write / Delta's deletion-vector counterpart
+    * for upserts, keyed by record key.
+    *
+    * `precombine` resolves repeats WITHIN the batch (Hudi's
+    * precombine-field); across commits the later version wins, which
+    * is the COW merge's rule too ([[Upsert.merge]] orders by version
+    * before precombine).
+    *
+    * Additive schema evolution works like COW: a batch may add new
+    * columns (the committed manifest records the widened snapshot
+    * schema) and may omit existing non-key columns (whole-row replace
+    * semantics — omitted columns read as null).
+    *
+    * The delta is written as ONE file: delta batches are small by
+    * contract (trickle/streaming writes — bulk loads belong on the COW
+    * path), and [[compact]] or any rewrite of the affected buckets
+    * folds them away. Reads pay one planned scan per outstanding log
+    * file, so compact regularly.
+    */
+  def upsertMor(spark: SparkSession, path: String, updates0: DataFrame,
+                precombine: Seq[String] = Nil): Unit = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val (keys, defaultBuckets, keyTypes) = meta(path)
+    keys.foreach(k => require(updates0.columns.contains(k), s"updates missing key column $k"))
+    val updates = alignKeyTypes(spark, path, v, keys, keyTypes, updates0)
+    // in-batch dedupe under the SAME winner rule the COW merge applies
+    // (precombine desc, deterministic tie-break) — the stored delta
+    // holds one row per key, so read-side merging never re-arbitrates
+    val deduped = Upsert.merge(updates.limit(0), updates, keys, precombine.map(col))
+    if (deduped.isEmpty) return // empty batch: no version, same as a no-op upsert
+    // align to the (possibly widened) snapshot schema: same-named
+    // columns cast to the table's type, omitted columns null-padded,
+    // genuinely new columns appended — the stored file IS the new
+    // snapshot schema, so schema-pinned reads never hit a type clash
+    val prevSc = snapshotSchema(path, v).getOrElse(
+      types.StructType(read(spark, path, v).schema.fields.map(_.copy(nullable = true))))
+    val newSc = types.StructType(prevSc.fields ++
+      deduped.schema.fields.filterNot(f => prevSc.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+    val aligned = deduped.select(newSc.fields.map { f =>
+      (if (deduped.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }.toIndexedSeq: _*)
+    val rel = s"delta/v${v + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
+    aligned.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$rel")
+    // manifest: previous text verbatim, headers upgraded, #schema
+    // replaced when the batch widened it, plus this delta's line
+    var lines = manifestText(path, v).split("\n").toSeq
+    if (!lines.exists(_.startsWith("#nbuckets=")))
+      lines = s"#nbuckets=${bucketsAt(path, v, defaultBuckets)}" +: lines
+    val scLine = "#schema=" + enc(newSc.toDDL)
+    lines =
+      if (lines.exists(_.startsWith("#schema=")))
+        lines.map(l => if (l.startsWith("#schema=")) scLine else l)
+      else scLine +: lines
+    lines = lines :+ s"#delta=$rel"
+    if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines.mkString("\n")))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent writer committed v${v + 1} first at $path; re-read and retry the upsert")
+    MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
+  }
+
+  /** [[upsertMor]] with the optimistic-concurrency retry loop of
+    * [[upsertRetry]] (a losing writer's orphaned delta file is
+    * vacuum-reclaimed like an orphaned data dir).
+    */
+  def upsertMorRetry(spark: SparkSession, path: String, updates: DataFrame,
+                     precombine: Seq[String] = Nil, maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { upsertMor(spark, path, updates, precombine) }
 
   /** Delete by key: drop every row whose key appears in `keysDf` (extra
     * columns are ignored). Same touched-bucket COW path as upsert — only
@@ -768,12 +852,16 @@ object GraftTable {
     val touched = keyOnly.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
     val baseDirs = current.filter { case (b, _) => touched(b) }.values.toSeq
-    if (baseDirs.isEmpty) return // no stored bucket can hold these keys
-    val base = readRelsWithDvs(spark, path, v, baseDirs)(g =>
-      spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
+    // with no stored bucket AND no delta commits, no row can hold these
+    // keys; delta rows may live in buckets with no dir, so they keep
+    // the rewrite alive
+    if (baseDirs.isEmpty && deltaEntries(path, v).isEmpty) return
+    val base = readMor(spark, path, v, baseDirs, Some(touched))(g =>
+      if (g.isEmpty) keyOnly.limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
     val remaining = base.join(keyOnly, keys, "left_anti")
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver, touched = touched)
   }
 
   /** Merge-on-read delete by key (deletion vectors): commit a version
@@ -823,7 +911,7 @@ object GraftTable {
     val current = manifest(path, v)
     val filters = org.apache.spark.sql.graftshim.Bridge
       .translateFilters(read(spark, path, v), cond)
-    val candidates = candidateBuckets(path, v, current, filters)
+    val candidates = candidateBuckets(spark, path, v, current, filters)
     if (candidates.isEmpty) return 0L
     val matched = readBuckets(spark, path, v, candidates)
       .filter(coalesce(cond, lit(false)))
@@ -874,22 +962,38 @@ object GraftTable {
     * `filters`. Stat-less dirs (legacy writes, failed stats jobs) are
     * always candidates — pruning is an optimization, never a filter.
     */
-  private def candidateBuckets(path: String, v: Int, current: Map[Int, String],
+  private def candidateBuckets(spark: SparkSession, path: String, v: Int,
+                               current: Map[Int, String],
                                filters: Seq[org.apache.spark.sql.sources.Filter])
       : Set[Int] = {
-    if (filters.isEmpty) return current.keySet
+    // delta winner rows are not stats-indexed (they live in the log,
+    // not in manifest-described files), so every bucket holding delta
+    // keys is a candidate regardless of what file stats rule out —
+    // including buckets with no data dir at all
+    val deltaBuckets: Set[Int] = {
+      val deltas = deltaEntries(path, v)
+      if (deltas.isEmpty) Set.empty
+      else {
+        val (keys, defaultBuckets, _) = meta(path)
+        val nb = bucketsAt(path, v, defaultBuckets)
+        spark.read.parquet(deltas.map(e => s"$path/${e._1}"): _*)
+          .select(bucketCol(keys, nb).as(BUCKET)).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    }
+    if (filters.isEmpty) return current.keySet ++ deltaBuckets
     val stats = manifestFileStats(path, v)
-    if (stats.isEmpty) return current.keySet
+    if (stats.isEmpty) return current.keySet ++ deltaBuckets
     val schema = snapshotSchema(path, v) match {
       case Some(sc) => sc
-      case None => return current.keySet
+      case None => return current.keySet ++ deltaBuckets
     }
     val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
     current.filter { case (_, d) =>
       val files = stats.keys.filter(_.startsWith(d + "/"))
       files.isEmpty ||
         files.exists(rel => filters.forall(fl => mayMatch(stats(rel), kinds, fl)))
-    }.keySet
+    }.keySet ++ deltaBuckets
   }
 
   private val BucketDirRe = s"$BUCKET=(\\d+)/".r
@@ -903,33 +1007,30 @@ object GraftTable {
   private def bucketsWithMatches(spark: SparkSession, path: String, v: Int,
                                  candidates: Set[Int], cond: Column): (Set[Int], Long) = {
     if (candidates.isEmpty) return (Set.empty, 0L)
-    // With deletion vectors, the match scan must (a) not count rows a DV
-    // already deleted and (b) capture input_file_name AT SCAN LEVEL —
-    // it is undefined above the DV anti-join. DV-bearing manifests
-    // always record #schema (deleteMor upgrades first), so the pinned-
-    // schema read suffices on this path.
-    val tagged = {
-      val dvs = dvEntries(path, v)
-      if (dvs.isEmpty)
-        readBuckets(spark, path, v, candidates).withColumn("__f", input_file_name())
-      else {
-        val rels = manifest(path, v).filter { case (b, _) => candidates(b) }
-          .values.toSeq
-        val sc = snapshotSchema(path, v).getOrElse(read(spark, path, v).schema)
-        if (rels.isEmpty)
-          read(spark, path, v).limit(0).withColumn("__f", lit(""))
-        else readRelsWithDvs(spark, path, v, rels)(g =>
-          spark.read.schema(sc).parquet(g.map(d => s"$path/$d"): _*)
-            .withColumn("__f", input_file_name()))
-      }
+    val hasLog = dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty
+    if (!hasLog) {
+      // pure-COW path: attribute matches to buckets via the file name,
+      // captured AT SCAN LEVEL (it is undefined above joins)
+      val perFile = readBuckets(spark, path, v, candidates)
+        .withColumn("__f", input_file_name())
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
+        .collect()
+      val buckets = perFile.flatMap(r =>
+        BucketDirRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toInt)).toSet
+      (buckets, perFile.map(_.getLong(1)).sum)
+    } else {
+      // MOR path: delta winner rows carry no file name — attribute via
+      // the SAME bucket hash the writers use (all dirs of one snapshot
+      // share its layout; rebucket is a full rewrite that drops the log)
+      val (keys, defaultBuckets, _) = meta(path)
+      val nb = bucketsAt(path, v, defaultBuckets)
+      val perBucket = readBuckets(spark, path, v, candidates)
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(bucketCol(keys, nb).as(BUCKET)).agg(count(lit(1)).as("__n"))
+        .collect()
+      (perBucket.map(_.getInt(0)).toSet, perBucket.map(_.getLong(1)).sum)
     }
-    val perFile = tagged
-      .filter(coalesce(cond, lit(false)))
-      .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
-      .collect()
-    val buckets = perFile.flatMap(r =>
-      BucketDirRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toInt)).toSet
-    (buckets, perFile.map(_.getLong(1)).sum)
   }
 
   /** Predicate delete — `DELETE FROM t WHERE cond` (Delta/Hudi DML, a
@@ -959,13 +1060,13 @@ object GraftTable {
     val current = manifest(path, v)
     val filters = org.apache.spark.sql.graftshim.Bridge
       .translateFilters(read(spark, path, v), cond)
-    val candidates = candidateBuckets(path, v, current, filters)
+    val candidates = candidateBuckets(spark, path, v, current, filters)
     val (touched, matchedRows) = bucketsWithMatches(spark, path, v, candidates, cond)
     if (touched.isEmpty) return 0L
     val remaining = readBuckets(spark, path, v, touched)
       .filter(!coalesce(cond, lit(false)))
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver)
+    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver, touched = touched)
     matchedRows
   }
 
@@ -997,7 +1098,7 @@ object GraftTable {
     }
     val current = manifest(path, v)
     val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(snapshot, cond)
-    val candidates = candidateBuckets(path, v, current, filters)
+    val candidates = candidateBuckets(spark, path, v, current, filters)
     val (touched, matchedRows) = bucketsWithMatches(spark, path, v, candidates, cond)
     if (touched.isEmpty) return 0L
     val hit = coalesce(cond, lit(false))
@@ -1010,7 +1111,7 @@ object GraftTable {
     val rewritten = readBuckets(spark, path, v, touched)
       .select(outCols.toIndexedSeq: _*)
     writeVersion(rewritten, path, keys, nbuckets, v + 1,
-      current.filter { case (b, _) => !touched(b) })
+      current.filter { case (b, _) => !touched(b) }, touched = touched)
     matchedRows
   }
 
@@ -1054,7 +1155,7 @@ object GraftTable {
     val merged = Upsert.mergeConditional(base, source, keys,
       matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet)
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver)
+    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver, touched = touched)
   }
 
   /** [[deleteWhere]]/[[update]]/[[mergeInto]] with the optimistic-
@@ -1098,9 +1199,10 @@ object GraftTable {
   def countRows(path: String, version: Int = -1): Option[Long] = {
     val v = if (version >= 0) version else latestVersion(path)
     require(v >= 0, s"no table at $path")
-    // deletion vectors subtract an unknown number of rows (a DV may name
-    // keys that never existed) — the metadata answer would overcount
-    if (dvEntries(path, v).nonEmpty) return None
+    // the MOR log changes the row count in ways metadata can't see:
+    // a DV may name keys that never existed, a delta both inserts and
+    // replaces — the stats answer would miscount either way
+    if (dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty) return None
     val stats = manifestFileStats(path, v)
     val dirs = manifest(path, v).values.toSeq
     if (!dirs.forall(d => stats.keys.exists(_.startsWith(d + "/")))) None
@@ -1131,7 +1233,7 @@ object GraftTable {
     require(v >= 0, s"no table at $path")
     val rels = manifest(path, v).values.toSeq
     val sc = snapshotSchema(path, v)
-    readRelsWithDvs(spark, path, v, rels) { g =>
+    readMor(spark, path, v, rels) { g =>
       val dirs = g.map(d => s"$path/$d")
       sc match {
         case Some(s) => spark.read.schema(s).parquet(dirs: _*)
@@ -1180,15 +1282,17 @@ object GraftTable {
         // manifest-recorded schema: the point lookup plans WITHOUT
         // listing/footer-reading the rest of the table's files — the
         // reader itself pads columns missing from old bucket files.
-        // Deletion vectors apply on top (a point-looked-up key that was
-        // MOR-deleted must be absent here exactly as in a full read).
-        if (rels.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-        else readRelsWithDvs(spark, path, v, rels)(g =>
-          spark.read.schema(sc).parquet(g.map(d => s"$path/$d"): _*))
+        // The MOR log applies on top, scoped to the requested buckets:
+        // a point-looked-up key that was MOR-deleted must be absent
+        // here exactly as in a full read, and a key living only in a
+        // delta commit (even in a bucket with no dir) must be served.
+        readMor(spark, path, v, rels, Some(buckets))(g =>
+          if (g.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+          else spark.read.schema(sc).parquet(g.map(d => s"$path/$d"): _*))
       case None => // legacy manifest: one full-relation pass for the schema.
-        // (Never DV-bearing: deleteMor upgrades a legacy manifest with
-        // #schema before it appends the first #dv line.)
+        // (Never log-bearing: the MOR commits upgrade a legacy manifest
+        // with #schema before they append the first #dv/#delta line.)
         val full = read(spark, path, v)
         if (rels.isEmpty) return full.limit(0)
         val sub = spark.read.option("mergeSchema", "true")
@@ -1259,30 +1363,35 @@ object GraftTable {
   private def bucketsAt(path: String, v: Int, default: Int): Int =
     manifestBuckets(path, v).getOrElse(default)
 
-  // ---- deletion vectors (merge-on-read delete) -------------------------
+  // ---- the MOR log (merge-on-read deletes AND upserts) -----------------
   //
-  // A MOR delete commits a new version whose manifest is the previous
-  // one plus a `#dv=dv/v<N>-<uuid>` line naming a small parquet file of
-  // the deleted KEYS — no data dir is read or rewritten. At 100 TB a
-  // scattered key delete (the GDPR-erasure shape: one key per bucket)
-  // under COW rewrites nearly every bucket; under a DV it writes
-  // O(|keys|) bytes and reads apply it as a broadcast anti-join. This
-  // is Delta's deletion-vector / Hudi's MOR-delete-block design keyed
-  // by record key instead of file position (keys are the table's
-  // identity here, and key-based DVs survive compaction reshuffles).
+  // A MOR commit appends one line to the previous manifest naming a
+  // small parquet file — `#dv=dv/v<N>-<uuid>` (deleted KEYS) or
+  // `#delta=delta/v<N>-<uuid>` (upserted ROWS) — and touches no data
+  // dir. At 100 TB a scattered key delete (the GDPR-erasure shape) or a
+  // trickle of scattered updates (the streaming-ingest shape) under COW
+  // rewrites nearly every bucket; under the log each commit writes
+  // O(batch) bytes, and reads apply the log as broadcast joins against
+  // the unshuffled base: DV/replaced keys via one anti-join per
+  // version-group, delta winner rows via a union (their per-key
+  // arbitration shuffles only the log, never the table). This is Hudi's
+  // MOR log-file design / Delta's deletion vectors, keyed by record key
+  // instead of file position (keys are the table's identity here, and
+  // key-based log entries survive compaction reshuffles).
   //
-  // VERSION SCOPING (the Iceberg sequence-number rule): a DV created at
-  // version V deletes keys only from data dirs written at or before V.
-  // A later upsert that re-inserts a deleted key writes a NEWER dir the
-  // DV does not apply to, so the key correctly resurfaces; the same
-  // upsert's base read is DV-aware, so rewritten buckets MATERIALIZE
-  // their deletions and the carried DV degrades to a no-op for them.
-  // A DV line is carried forward only while some carried dir is old
-  // enough for it to apply to; any full rewrite (compact, rebucket)
-  // drops all DVs — compaction is the fold-the-log step, exactly as in
-  // MOR lakehouses.
+  // VERSION SCOPING (the Iceberg sequence-number rule): a log entry
+  // created at version V overrides only data dirs written at or before
+  // V, and among log entries for the same key the newest version wins
+  // (a delta row after a DV re-inserts the key; a DV after a delta row
+  // deletes it). Any COW rewrite reads log-aware, so rewritten buckets
+  // MATERIALIZE their log state and the carried lines degrade to no-ops
+  // for them — a touched bucket that empties gets a tombstone dir so
+  // carried delta rows cannot resurface. DV lines are dropped once
+  // nothing carried is old enough to need them; delta lines are carried
+  // until a full rewrite (compact, rebucket) drops the whole log —
+  // compaction is the fold-the-log step, exactly as in MOR lakehouses.
 
-  private val RelVersionRe = "^(?:data|dv)/v(\\d+)".r
+  private val RelVersionRe = "^(?:data|dv|delta)/v(\\d+)".r
 
   /** The version a manifest-relative data/dv path was written at (the
     * `v<N>` of its attempt dir). Unparsable = legacy pre-DV layout =
@@ -1302,6 +1411,16 @@ object GraftTable {
         rel -> relVersion(rel)
       }.sortBy(_._2)
 
+  /** Snapshot v's delta commits (merge-on-read upserts): (relative
+    * path, create version), ascending. Empty for pure-COW tables.
+    */
+  def deltaEntries(path: String, v: Int): Seq[(String, Int)] =
+    manifestText(path, v).split("\n").toSeq
+      .collect { case l if l.startsWith("#delta=") =>
+        val rel = l.stripPrefix("#delta=").trim
+        rel -> relVersion(rel)
+      }.sortBy(_._2)
+
   /** Total on-disk bytes of the given DV files — the broadcast-safety
     * gate. DVs small enough to broadcast (the design contract; compact
     * folds them away when they grow) anti-join with zero shuffle on the
@@ -1316,31 +1435,96 @@ object GraftTable {
 
   private val DvBroadcastMaxBytes = 64L << 20
 
+  /** pad `df` with `sc`'s missing fields as typed nulls, in `sc` order */
+  private def padToSchema(df: DataFrame, sc: types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    val padded = sc.fields.filterNot(f => have(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    padded.select(sc.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Read manifest-relative paths (dirs or files) with snapshot v's
-    * deletion vectors applied under version scoping. `rels` are grouped
-    * by how many DVs apply to them (DV versions ascend, so the
-    * applicable set is always a suffix of the DV list — one group per
-    * distinct suffix length, each scanned once and anti-joined against
-    * the union of its applicable DV keys). No DVs ⇒ the untouched
-    * single-scan plan from `readGroup`.
+    * MOR log — deletion vectors AND delta commits — applied under
+    * version scoping.
+    *
+    * Base side: `rels` are grouped by how many overlays apply to them
+    * (overlay versions ascend, so the applicable set is always a
+    * suffix — one group per distinct suffix length, each scanned once
+    * and anti-joined against the union of its applicable overlay keys:
+    * a key named by ANY newer overlay is either deleted or replaced,
+    * so the stored row never survives as-is). Broadcast under the size
+    * gate; the 100 TB base never shuffles.
+    *
+    * Winner side (delta commits only): per key, the newest overlay
+    * event AT OR AFTER the key's bucket's current dir version (older
+    * events were materialized by the rewrite that produced the dir) —
+    * emitted when it is a delta row, dropped when it is a DV
+    * tombstone. `scope` restricts emission to the bucket set being
+    * served (None = whole table); a bucket with NO data dir still
+    * emits its winners — the first rows of a previously-empty bucket
+    * live only in the log until a rewrite materializes them.
+    *
+    * No overlays ⇒ the untouched single-scan plan from `readGroup`.
     */
-  private def readRelsWithDvs(spark: SparkSession, path: String, v: Int,
-                              rels: Seq[String])
-                             (readGroup: Seq[String] => DataFrame): DataFrame = {
+  private def readMor(spark: SparkSession, path: String, v: Int,
+                      rels: Seq[String], scope: Option[Set[Int]] = None)
+                     (readGroup: Seq[String] => DataFrame): DataFrame = {
     val dvs = dvEntries(path, v)
-    if (dvs.isEmpty) return readGroup(rels)
-    val keys = meta(path)._1
-    def dvKeys(dvRels: Seq[String]): DataFrame = {
-      val df = spark.read.parquet(dvRels.map(r => s"$path/$r"): _*)
-        .select(keys.map(col): _*).distinct()
-      if (dvSizeBytes(path, dvRels) <= DvBroadcastMaxBytes) broadcast(df) else df
+    val deltas = deltaEntries(path, v)
+    if (dvs.isEmpty && deltas.isEmpty) return readGroup(rels)
+    val (keys, defaultBuckets, _) = meta(path)
+    // (rel, commit version, isDelete), ascending by version — versions
+    // are unique per overlay (one log line per commit)
+    val overlays = (dvs.map(e => (e._1, e._2, true)) ++
+      deltas.map(e => (e._1, e._2, false))).sortBy(_._2)
+    def overlayKeys(os: Seq[(String, Int, Boolean)]): DataFrame = {
+      val df = os.map { case (rel, _, _) =>
+        spark.read.parquet(s"$path/$rel").select(keys.map(col): _*)
+      }.reduce(_.unionByName(_)).distinct()
+      if (dvSizeBytes(path, os.map(_._1)) <= DvBroadcastMaxBytes) broadcast(df) else df
     }
-    val groups = rels.groupBy(rel => dvs.count(_._2 >= relVersion(rel)))
-    groups.toSeq.sortBy(_._1).map { case (suffix, rs) =>
-      val base = readGroup(rs)
-      if (suffix == 0) base
-      else base.join(dvKeys(dvs.takeRight(suffix).map(_._1)), keys, "left_anti")
-    }.reduce(_.unionByName(_))
+    val base: Option[DataFrame] =
+      if (rels.isEmpty) None
+      else {
+        val groups = rels.groupBy(rel => overlays.count(_._2 >= relVersion(rel)))
+        Some(groups.toSeq.sortBy(_._1).map { case (suffix, rs) =>
+          val b = readGroup(rs)
+          if (suffix == 0) b
+          else b.join(overlayKeys(overlays.takeRight(suffix)), keys, "left_anti")
+        }.reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+    val winners: Option[DataFrame] =
+      if (deltas.isEmpty) None
+      else {
+        // delta-bearing manifests always record #schema (the delta
+        // commit upgrades first), so winner rows read schema-pinned —
+        // files written before an additive evolution pad the new
+        // columns as null, exactly like data files
+        val sc = snapshotSchema(path, v).getOrElse(throw new IllegalStateException(
+          s"delta-bearing manifest without #schema at $path v$v"))
+        val nb = bucketsAt(path, v, defaultBuckets)
+        val events = overlays.map { case (rel, ver, del) =>
+          val raw =
+            if (del) padToSchema(
+              spark.read.parquet(s"$path/$rel").select(keys.map(col): _*), sc)
+            else spark.read.schema(sc).parquet(s"$path/$rel")
+          raw.withColumn("__ver", lit(ver)).withColumn("__del", lit(del))
+        }.reduce(_.unionByName(_)).withColumn("__b", bucketCol(keys, nb))
+        val dirVer = typedLit(manifest(path, v).map { case (b, d) => b -> relVersion(d) })
+        var ev = events.filter(
+          col("__ver") >= coalesce(element_at(dirVer, col("__b")), lit(-1)))
+        scope.foreach(s =>
+          ev = ev.filter(array_contains(typedLit(s.toSeq), col("__b"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("__ver").desc)
+        Some(ev.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && !col("__del"))
+          .select(sc.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    (base, winners) match {
+      case (Some(b), Some(wn)) => b.unionByName(wn, allowMissingColumns = true)
+      case (b, wn) => b.orElse(wn).getOrElse(readGroup(rels))
+    }
   }
 
   /** Major compaction: rewrite the current snapshot as a fresh version
@@ -1463,16 +1647,21 @@ object GraftTable {
     // each side reads DV-aware AT ITS OWN VERSION: a row a deletion
     // vector had already removed at fromVersion is not a before-image,
     // and a row a DV removes by toVersion is not an upsert image
+    // each side reads MOR-aware AT ITS OWN VERSION, scoped to the
+    // changed buckets: a changed bucket's state includes the delta
+    // winners that applied to it then — even when that version had no
+    // dir for the bucket at all (its rows lived only in the log), so a
+    // materializing rewrite of log-only rows is not a false upsert
     def rdSide(ver: Int, rels: Seq[String]): Option[DataFrame] =
-      if (rels.isEmpty) None
-      else Some(readRelsWithDvs(spark, path, ver, rels)(g =>
+      if (rels.isEmpty && deltaEntries(path, ver).isEmpty) None
+      else Some(readMor(spark, path, ver, rels, Some(changed))(g =>
         spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*)))
     val newSide = rdSide(toVersion, newRels)
     val oldSide = rdSide(fromVersion, oldRels)
     def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
     // schema may have evolved between the versions — align both sides
     // (padding with typed nulls) so the full-row EXCEPT is well-typed
-    val upserts: Option[DataFrame] = newSide.map { n =>
+    val dirUpserts: Option[DataFrame] = newSide.map { n =>
       oldSide match {
         case None => n
         case Some(o) =>
@@ -1480,6 +1669,38 @@ object GraftTable {
           val cols = sortedCols(n2)
           n2.select(cols: _*).exceptAll(o2.select(cols: _*))
       }
+    }
+    // delta commits change no dir — their channel is the #delta lines
+    // added in (from, to]. Like the DV channel below, the new deltas'
+    // keys are only CANDIDATES: the state compare reduces them to keys
+    // whose live image actually changed across the range (an upsert
+    // overwritten back to its old value reports nothing). Cost is
+    // O(buckets the delta keys hash into), not O(table).
+    val deltaFromRels = deltaEntries(path, fromVersion).map(_._1).toSet
+    val newDeltaRels = deltaEntries(path, toVersion).map(_._1).filterNot(deltaFromRels)
+    val deltaUpserts: Option[DataFrame] =
+      if (newDeltaRels.isEmpty) None
+      else {
+        val k = spark.read.parquet(newDeltaRels.map(r => s"$path/$r"): _*)
+          .select(keys.map(col): _*).distinct()
+        val kb = broadcast(k)
+        def keyState(ver: Int): DataFrame = {
+          val nb = bucketsAt(path, ver, defaultBuckets)
+          val bs = k.select(bucketCol(keys, nb).as(BUCKET))
+            .distinct().collect().map(_.getInt(0)).toSet
+          readBuckets(spark, path, ver, bs).join(kb, keys, "left_semi")
+        }
+        val (n2, o2) = alignSchemas(keyState(toVersion), keyState(fromVersion))
+        val cols = sortedCols(n2)
+        Some(n2.select(cols: _*).exceptAll(o2.select(cols: _*)))
+      }
+    // a key can reach both upsert channels (delta-written, then its
+    // bucket rewritten later in the range) — both compute the same
+    // toVersion image, so dedup by key keeps one emission per key
+    val upserts: Option[DataFrame] = (dirUpserts, deltaUpserts) match {
+      case (Some(a), Some(b)) =>
+        Some(a.unionByName(b, allowMissingColumns = true).dropDuplicates(keys))
+      case (a, b) => a.orElse(b)
     }
     val dirDeletes: Option[DataFrame] = oldSide.map { o =>
       newSide match {
@@ -1625,20 +1846,24 @@ object GraftTable {
           now - vDir.getModificationTime > orphanGraceMs)
         MetaIO.delete(vDir.getPath)
     }
-    // deletion vectors: same two-tier rule as data dirs — a DV file
-    // referenced only by expired manifests is reclaimed now; one
-    // referenced by NO manifest is a racing deleteMor's in-flight write
-    // (DV parquet lands before its manifest) and gets the orphan grace
-    val dvKept = keep.flatMap(dvEntries(path, _)).map(_._1).toSet
-    val dvAny = MetaIO.list(new Path(path, "manifests"))
+    // MOR log files (dv/ and delta/): same two-tier rule as data dirs —
+    // a log file referenced only by expired manifests is reclaimed now;
+    // one referenced by NO manifest is a racing MOR writer's in-flight
+    // write (log parquet lands before its manifest) and gets the
+    // orphan grace
+    val allManifests = MetaIO.list(new Path(path, "manifests"))
       .map(_.getPath.getName)
       .collect { case VersionFile(n) => n.toInt }
-      .flatMap(m => dvEntries(path, m).map(_._1)).toSet
-    MetaIO.list(new Path(path, "dv")).filter(_.isDirectory).foreach { d =>
-      val rel = s"dv/${d.getPath.getName}"
-      if (!dvKept(rel) &&
-          (dvAny(rel) || now - d.getModificationTime > orphanGraceMs))
-        MetaIO.delete(d.getPath)
+    for ((sub, entriesOf) <- Seq(
+        "dv" -> (dvEntries _), "delta" -> (deltaEntries _))) {
+      val kept = keep.flatMap(entriesOf(path, _)).map(_._1).toSet
+      val any = allManifests.flatMap(m => entriesOf(path, m).map(_._1)).toSet
+      MetaIO.list(new Path(path, sub)).filter(_.isDirectory).foreach { d =>
+        val rel = s"$sub/${d.getPath.getName}"
+        if (!kept(rel) &&
+            (any(rel) || now - d.getModificationTime > orphanGraceMs))
+          MetaIO.delete(d.getPath)
+      }
     }
     (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))
     // stat segments die with their attempt dirs: once vacuum has
@@ -1665,7 +1890,8 @@ object GraftTable {
     */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String],
-                           sortWithin: Seq[String] = Nil, rangeSplit: Int = 1): Unit = {
+                           sortWithin: Seq[String] = Nil, rangeSplit: Int = 1,
+                           touched: Set[Int] = Set.empty): Unit = {
     // unique per-attempt dir: racing writers must not share a data path
     val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val bucketed = df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
@@ -1710,6 +1936,22 @@ object GraftTable {
       written = Map(0 -> s"$dataRel/$BUCKET=0")
     }
     val spark = df.sparkSession
+    // delta-commit interplay: when the previous manifest carries #delta
+    // lines, a TOUCHED bucket that came out empty must not simply drop
+    // from the manifest — a carried delta's rows for it would resurface
+    // (no dir = no dir version to scope them away). Write an empty
+    // tombstone dir instead: its version v marks every older log event
+    // for that bucket as materialized-away.
+    lazy val prevManifestLines: Seq[String] =
+      if (v == 0) Nil
+      else scala.util.Try(manifestText(path, v - 1).split("\n").toSeq).getOrElse(Nil)
+    if (prevManifestLines.exists(_.startsWith("#delta=")) && carryOver.nonEmpty) {
+      (touched -- written.keySet).foreach { b =>
+        prepared.drop(BUCKET).limit(0)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/$dataRel/$BUCKET=$b")
+        written += b -> s"$dataRel/$BUCKET=$b"
+      }
+    }
     // snapshot schema = previous column order, new columns appended
     // (additive evolution); recorded in the manifest so readers skip
     // the mergeSchema footer-listing pass and point lookups/pruned
@@ -1767,18 +2009,25 @@ object GraftTable {
     if (freshStats.nonEmpty) // this attempt's uuid is unique: no racing writer shares it
       MetaIO.replaceString(statsSegPath(path, dataRel.stripPrefix("data/")),
         freshStats.mkString("\n"))
-    // deletion vectors: carry a #dv line only while some carried dir is
-    // old enough for it to apply to (rewritten buckets materialized
-    // their deletes via the DV-aware base read above; fresh dirs are
-    // newer than every carried DV, so the DV is inert for them). A full
-    // rewrite (compact/rebucket, carryOver empty) drops all DVs — the
-    // fold-the-log step of merge-on-read.
+    // MOR log carry rules. Delta lines: carried through ANY partial
+    // rewrite — a delta may hold rows for buckets this write never saw
+    // (even buckets with no dir), and per-bucket content is unknowable
+    // without reading it; version scoping keeps a carried line inert
+    // for every rewritten bucket, so over-carrying is correct, just
+    // deferred work for compact. DV lines: carried while some carried
+    // dir OR carried delta is old enough for the DV to apply to —
+    // dropping a DV that still guards a carried delta's row would
+    // resurrect it. A full rewrite (compact/rebucket, carryOver empty)
+    // drops the whole log — the fold-the-log step of merge-on-read.
+    val carriedDeltas = prevLines.filter(_.startsWith("#delta="))
+    val carriedLogRels = carryOver.values.toSeq ++
+      carriedDeltas.map(_.stripPrefix("#delta=").trim)
     val carriedDvs = prevLines.filter(_.startsWith("#dv=")).filter { l =>
       val dvv = relVersion(l.stripPrefix("#dv=").trim)
-      carryOver.values.exists(d => relVersion(d) <= dvv)
+      carriedLogRels.exists(r => relVersion(r) <= dvv)
     }
     val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
-      keepInline ++ carriedDvs ++
+      keepInline ++ carriedDvs ++ carriedDeltas ++
       (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins
