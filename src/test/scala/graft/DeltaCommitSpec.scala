@@ -266,6 +266,19 @@ class DeltaCommitSpec extends AnyFunSuite with Matchers {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("ChangeFeed consumers follow delta commits incrementally") {
+    val path = freshTable("graft_dc_feed", n = 50)
+    val cur = path + "_cursor"
+    graft.sources.ChangeFeed.pollOnce(spark, path, cur)((_, _, _) => ()) // bootstrap
+    GraftTable.upsertMor(spark, path, Seq((1L, -1L, 0), (99L, 9L, 0)).toDF("k", "x", "grp"))
+    var rows: Array[(Long, Long)] = Array.empty
+    graft.sources.ChangeFeed.pollOnce(spark, path, cur) { (batch, _, _) =>
+      rows = batch.filter(!col("_deleted"))
+        .select("k", "x").as[(Long, Long)].collect().sortBy(_._1)
+    } shouldBe Some((0, 1))
+    rows shouldBe Array((1L, -1L), (99L, 9L))
+  }
+
   test("an empty batch commits nothing") {
     val path = freshTable("graft_dc_empty", n = 10)
     GraftTable.upsertMor(spark, path, Seq.empty[(Long, Long, Int)].toDF("k", "x", "grp"))

@@ -77,6 +77,26 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     all should contain (14L)
   }
 
+  test("MOR upserts (delta commits) flow through refresh like COW upserts") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 8)
+    // log-only mutations: vector-replacing delta, brand-new keys in a
+    // delta, then a DV — the index must reflect the arbitrated state
+    GraftTable.upsertMor(spark, path,
+      ((0L until 10L).map(k => (k, s"upd-$k", vec(k + 7000))) ++
+        (800L until 805L).map(k => (k, s"new-$k", vec(k)))).toDF("k", "s", "v"))
+    GraftTable.deleteMor(spark, path, Seq(1L, 800L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val q = vec(1234L)
+    val got = GraftIndex.probe(spark, path, q, 12, nprobe = 8)
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got shouldBe exactTopK(path, q, 12)
+    val all = GraftIndex.probe(spark, path, q, 400, nprobe = 8)
+      .select("k").as[Long].collect().toSet
+    all should contain allOf (801L, 804L)
+    all should contain noneOf (1L, 800L)
+  }
+
   test("a probe against a stale index fails LOUDLY; allowStale serves the indexed snapshot") {
     val path = freshTable(200)
     GraftIndex.create(spark, path, "v", nlist = 4)

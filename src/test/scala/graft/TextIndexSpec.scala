@@ -106,6 +106,25 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     TextIndex.meta(path).nDocs shouldBe live.count()
   }
 
+  test("MOR upserts (delta commits) tombstone-and-replace through refresh") {
+    val path = freshTable(150)
+    TextIndex.create(spark, path, "text")
+    // log-only text replacements + brand-new docs, then a DV over one
+    GraftTable.upsertMor(spark, path,
+      ((0L until 10L).map(k => (k, "spark spark merge", "src-0")) ++
+        (700L until 705L).map(k => (k, "stream window stream", "src-1")))
+        .toDF("doc_id", "text", "src"))
+    GraftTable.deleteMor(spark, path, Seq(3L, 700L).toDF("doc_id"))
+    TextIndex.refresh(spark, path) shouldBe Some((0, 2))
+    for (q <- Seq("spark merge", "stream window", "table index"))
+      got(path, q, 15) shouldBe bruteForce(path, q, 15)
+    val all = got(path, vocab.mkString(" "), 300).map(_._1).toSet
+    all should contain allOf (701L, 704L)
+    all should contain noneOf (3L, 700L)
+    TextIndex.meta(path).nDocs shouldBe
+      GraftTable.read(spark, path).filter(col("text").isNotNull).count()
+  }
+
   test("corpus stats stay EXACT through mutations (unlike Lucene's deleted-doc drift)") {
     val path = freshTable(150)
     TextIndex.create(spark, path, "text")
