@@ -19,9 +19,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4's reader
-    * rejects. Read nanos as long and rebuild a (µs-precision)
-    * TimestampType column — lossless here, every value is µs-aligned.
+  /** events.parquet has shipped with two different physical `ts` types
+    * across data regenerations: TIMESTAMP(MICROS) (reads natively as
+    * TimestampType) and TIMESTAMP(NANOS) (which Spark 4's reader
+    * rejects unless `nanosAsLong` maps it to LongType). The loader
+    * adapts on the OBSERVED type instead of assuming either, so a
+    * regenerated file never breaks the event-family queries again:
+    *   - TimestampType / TimestampNTZType → pass through unchanged;
+    *   - LongType (nanos-as-long)        → rebuild µs-precision
+    *     TimestampType via `timestamp_micros(ts div 1000)` — lossless
+    *     here, every generated value is µs-aligned.
     *
     * Session-wide side effect, deliberate: nanosAsLong must hold at
     * EXECUTION time of the (lazy) frame, so it cannot be set/restored
@@ -31,9 +38,26 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` column to µs TimestampType,
+    * whatever physical type the parquet writer chose (see [[events]]).
+    * Shared with the streaming reader so batch and stream agree.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected timestamp or nanos-as-long)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -18,16 +18,19 @@ object EventStreams {
 
   /** Streaming read of an events parquet directory. Schema is pinned
     * from a batch read of the same path (a stream source cannot infer).
+    * `ts` normalization is type-adaptive, shared with the batch loader
+    * ([[graft.Tables.normalizeEventTs]]) — the data generator has
+    * shipped both timestamp[us] and nanos-long physical types.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory; events.parquet is a single file
     // inside the sf dir, so stream the dir with a glob filter.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 30-minute counts per event type. Batch == stream. */
