@@ -71,6 +71,188 @@ object SparkEntry {
     }
   }
 
+  // ---- fixture builders (shared by `queries` and `benchSplit`) ------------
+  //
+  // The lakehouse/index exhibits pay a one-time fixture cost (create a
+  // GraftTable, attach an index, mutate, refresh) that at 100 TB
+  // amortizes over the table's lifetime — but on a per-rep bench board
+  // it conflates build with the ms-class serving path. Each fixture is
+  // a named builder returning its deterministic path, so the bench can
+  // time build and serve as SEPARATE rows (see [[benchSplit]]) while
+  // the correctness entries keep running the full lifecycle.
+
+  /** Table-attached vector-index fixture: lakehouse table over the
+    * embeddings, attached index, optional post-build mutations
+    * (vector-replacing upsert %97==3, delete %101==7) + refresh.
+    * Returns the table path.
+    */
+  private def gidxFixture(s: SparkSession, dir: String, tag: String,
+                          kind: String = "ivf", m: Int = 8, opq: Boolean = false,
+                          mutations: String = "both"): String = {
+    val root = indexPath(tag, dir)
+    rmTree(root)
+    val tbl = s"$root/t"
+    val emb = Tables.embeddings(s, dir)
+    GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+    GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = kind, m = m, opq = opq)
+    if (mutations != "none") {
+      val flipped = emb.filter(col("vec_id") % 97 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      GraftTable.upsert(s, tbl, flipped)
+      if (mutations == "both")
+        GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
+      GraftIndex.refresh(s, tbl)
+    }
+    tbl
+  }
+
+  /** Table-attached text-index fixture over the documents table; when
+    * `appendText` is set, %37==5 docs get the suffix appended (upsert),
+    * %41==3 docs are deleted, and the index is refreshed. Returns the
+    * table path.
+    */
+  private def tidxFixture(s: SparkSession, dir: String, tag: String,
+                          appendText: Option[String] = None): String = {
+    val root = indexPath(tag, dir)
+    rmTree(root)
+    val tbl = s"$root/t"
+    val docs = Tables.documents(s, dir)
+    GraftTable.create(docs, tbl, Seq("doc_id"), nbuckets = 8)
+    TextIndex.create(s, tbl, "text")
+    appendText.foreach { suffix =>
+      val upd = docs.filter(col("doc_id") % 37 === 5)
+        .withColumn("text", concat(col("text"), lit(suffix)))
+      GraftTable.upsert(s, tbl, upd)
+      GraftTable.delete(s, tbl, docs.filter(col("doc_id") % 41 === 3).select("doc_id"))
+      TextIndex.refresh(s, tbl)
+    }
+    tbl
+  }
+
+  /** Two-index hybrid fixture: one table holding text AND embedding,
+    * with a vector index and a text index attached. Returns the table
+    * path.
+    */
+  private def hybridFixture(s: SparkSession, dir: String, tag: String): String = {
+    val root = indexPath(tag, dir)
+    rmTree(root)
+    val tbl = s"$root/t"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    GraftTable.create(docs.join(emb, "doc_id"), tbl, Seq("doc_id"), nbuckets = 8)
+    GraftIndex.create(s, tbl, "embedding", nlist = 16)
+    TextIndex.create(s, tbl, "text")
+    tbl
+  }
+
+  /** The three crawl increments of the incremental-dedup exhibits (see
+    * the `dedup_incremental` entry for the overlap story).
+    */
+  private def incExactBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def shift(d: DataFrame, by: Long) = d.withColumn("doc_id", col("doc_id") + by)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0), 10000L))
+      .withColumn("batch", lit(0L))
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(shift(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), 20000L))
+      .withColumn("batch", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+      .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 1), 40000L))
+      .withColumn("batch", lit(2L))
+    Seq(b0, b1, b2)
+  }
+
+  /** Increments for the minhash band-ledger exhibit: batch 1 re-crawls
+    * half of batch 0 under new ids (signature-identical → rejected).
+    */
+  private def incMinhashBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") % 3 === 0).withColumn("batch", lit(0L))
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000L))
+      .withColumn("batch", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 3 === 2).withColumn("batch", lit(2L))
+    Seq(b0, b1, b2)
+  }
+
+  // ---- serving paths of the fixture-backed exhibits -----------------------
+  // Each is the steady-state query against an already-built fixture —
+  // the number that matters at scale, timed separately from the build
+  // by [[benchSplit]].
+
+  private def gidxServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def gidxPqServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16,
+        rerankFactor = Int.MaxValue)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def gidxKnnServe(s: SparkSession, tbl: String): DataFrame = {
+    val qs = GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    GraftIndex.knnJoin(s, tbl, qs, k = 5, nprobe = 16)
+      .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+      .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+  }
+
+  private def gidxHybridServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 5, nprobe = 16,
+        pred = Some(col("label") === 3))
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def gidxSqlServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val q = queryVec(s, dir, 0L)
+    s.sql(
+      s"""SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+          FROM graft_index_search('$tbl', array(${q.mkString(", ")}), 10)
+          ORDER BY score DESC, vec_id""")
+  }
+
+  private def bm25Serve(s: SparkSession, tbl: String): DataFrame =
+    TextIndex.scoredTerms(s, tbl, "table scan value graftnew", idf = "rational")
+      .groupBy("doc_id")
+      .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(10)
+
+  private def postingsServe(s: SparkSession, tbl: String): DataFrame =
+    TextIndex.scoredTerms(s, tbl, "table scan value")
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("dl").cast("long").as("dl"), col("df"))
+      .orderBy("doc_id", "token")
+
+  private def hybridTableServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    val vecLeg = operators.Fusion.rankByTopN(
+      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 50, nprobe = 16)
+        .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 50)
+    val txtLeg = operators.Fusion.rankByTopN(
+      TextIndex.scoredTerms(s, tbl, "table scan value", idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
+      "doc_id", col("sq"), 50)
+    operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
+      .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private def hybridSqlServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val q = queryVec(s, dir, 0L)
+    s.sql(
+      s"""SELECT doc_id, CAST(FLOOR(rrf_score * 10000.0) AS BIGINT) AS rrf_q
+          FROM graft_hybrid_search('$tbl', array(${q.mkString(", ")}),
+                                   'table scan value', 100, 50)
+          ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1051,18 +1233,7 @@ object SparkEntry {
       val root = indexPath("iled", dir)
       rmTree(root)
       val led = s"$root/ledger"
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      def shift(d: DataFrame, by: Long) = d.withColumn("doc_id", col("doc_id") + by)
-      val b0 = docs.filter(col("doc_id") % 3 === 0)
-        .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0), 10000L))
-        .withColumn("batch", lit(0L))
-      val b1 = docs.filter(col("doc_id") % 3 === 1)
-        .unionByName(shift(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), 20000L))
-        .withColumn("batch", lit(1L))
-      val b2 = docs.filter(col("doc_id") % 3 === 2)
-        .unionByName(shift(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 1), 40000L))
-        .withColumn("batch", lit(2L))
-      Seq(b0, b1, b2).foreach(b =>
+      incExactBatches(s, dir).foreach(b =>
         operators.IncrementalDedup.admitExact(s, led, b, "text", Seq("doc_id")))
       GraftTable.read(s, led).select(col("doc_id"), col("batch")).orderBy("doc_id")
     }),
@@ -1076,14 +1247,7 @@ object SparkEntry {
       val root = indexPath("imled", dir)
       rmTree(root)
       val led = s"$root/ledger"
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val b0 = docs.filter(col("doc_id") % 3 === 0).withColumn("batch", lit(0L))
-      val b1 = docs.filter(col("doc_id") % 3 === 1)
-        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
-          .withColumn("doc_id", col("doc_id") + 20000L))
-        .withColumn("batch", lit(1L))
-      val b2 = docs.filter(col("doc_id") % 3 === 2).withColumn("batch", lit(2L))
-      Seq(b0, b1, b2).map(b =>
+      incMinhashBatches(s, dir).map(b =>
           operators.IncrementalDedup.admitMinhash(s, led, b, "doc_id", "text")
             .select("doc_id", "batch"))
         .reduce(_.unionByName(_))
@@ -1479,19 +1643,7 @@ object SparkEntry {
       // cell rewrite; and the exhaustive probe (nprobe = nlist ⇒ exact)
       // must equal brute force over the post-mutation corpus — one
       // oracle row pinning build → mutate → refresh → probe end-to-end.
-      val root = indexPath("gidx", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val emb = Tables.embeddings(s, dir)
-      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16)
-      val flipped = emb.filter(col("vec_id") % 97 === 3)
-        .withColumn("embedding", transform(col("embedding"), x => -x))
-      GraftTable.upsert(s, tbl, flipped)
-      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
-      GraftIndex.refresh(s, tbl)
-      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      gidxServe(s, dir, gidxFixture(s, dir, "gidx"))
     }),
 
     "graft_index_pq_exhaustive" -> ((s, dir) => {
@@ -1501,20 +1653,7 @@ object SparkEntry {
       // exhaustive probe with a corpus-covering re-rank is exact
       // regardless of code quality, so the encode-on-refresh machinery
       // gets its own hard oracle row
-      val root = indexPath("gidxpq", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val emb = Tables.embeddings(s, dir)
-      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = "ivfpq", m = 8)
-      val flipped = emb.filter(col("vec_id") % 97 === 3)
-        .withColumn("embedding", transform(col("embedding"), x => -x))
-      GraftTable.upsert(s, tbl, flipped)
-      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
-      GraftIndex.refresh(s, tbl)
-      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16,
-          rerankFactor = Int.MaxValue)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      gidxPqServe(s, dir, gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8))
     }),
 
     "graft_index_knn_exhaustive" -> ((s, dir) => {
@@ -1524,23 +1663,7 @@ object SparkEntry {
       // nprobe = nlist ⇒ exact per query, so the mutated-corpus
       // brute-force cross join is the oracle. Queries are the first
       // post-mutation rows of the table itself.
-      val root = indexPath("gidxknn", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val emb = Tables.embeddings(s, dir)
-      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = "ivfpq", m = 8, opq = true)
-      val flipped = emb.filter(col("vec_id") % 97 === 3)
-        .withColumn("embedding", transform(col("embedding"), x => -x))
-      GraftTable.upsert(s, tbl, flipped)
-      GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
-      GraftIndex.refresh(s, tbl)
-      val qs = GraftTable.read(s, tbl).filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      GraftIndex.knnJoin(s, tbl, qs, k = 5, nprobe = 16)
-        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
-        .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+      gidxKnnServe(s, gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true))
     }),
 
     "graft_index_hybrid" -> ((s, dir) => {
@@ -1548,14 +1671,7 @@ object SparkEntry {
       // is pushed into the partition-pruned cell scan (beyond the
       // reference, whose hudi_vector_search declares pushdown as future
       // work) — exhaustive cells make it exact over the filtered corpus
-      val root = indexPath("gidxhy", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      GraftTable.create(Tables.embeddings(s, dir), tbl, Seq("vec_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16)
-      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 5, nprobe = 16,
-          pred = Some(col("label") === 3))
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      gidxHybridServe(s, dir, gidxFixture(s, dir, "gidxhy", mutations = "none"))
     }),
 
     "vs_sql_index_tvf" -> ((s, dir) => {
@@ -1564,22 +1680,7 @@ object SparkEntry {
       // table → attached index → graft_index_search TVF, mutated first
       // (upsert) so the refresh-synced freshness check is part of the
       // exhibit; nprobe defaults to nlist ⇒ exact ⇒ brute-force oracle
-      val root = indexPath("gidxsql", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val emb = Tables.embeddings(s, dir)
-      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16)
-      val flipped = emb.filter(col("vec_id") % 97 === 3)
-        .withColumn("embedding", transform(col("embedding"), x => -x))
-      GraftTable.upsert(s, tbl, flipped)
-      GraftIndex.refresh(s, tbl)
-      GraftFunctions.register(s)
-      val q = queryVec(s, dir, 0L)
-      s.sql(
-        s"""SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
-            FROM graft_index_search('$tbl', array(${q.mkString(", ")}), 10)
-            ORDER BY score DESC, vec_id""")
+      gidxSqlServe(s, dir, gidxFixture(s, dir, "gidxsql", mutations = "upsert"))
     }),
 
     "text_search_bm25" -> ((s, dir) => {
@@ -1589,37 +1690,14 @@ object SparkEntry {
       // terms' posting partitions. The oracle brute-forces the mutated
       // corpus; "rational" idf keeps the arithmetic log-free so the
       // per-term quantize-then-integer-sum hash-matches DuckDB exactly.
-      val root = indexPath("tidx", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val docs = Tables.documents(s, dir)
-      GraftTable.create(docs, tbl, Seq("doc_id"), nbuckets = 8)
-      TextIndex.create(s, tbl, "text")
-      val upd = docs.filter(col("doc_id") % 37 === 5)
-        .withColumn("text", concat(col("text"), lit(" graftnew graftnew")))
-      GraftTable.upsert(s, tbl, upd)
-      GraftTable.delete(s, tbl, docs.filter(col("doc_id") % 41 === 3).select("doc_id"))
-      TextIndex.refresh(s, tbl)
-      TextIndex.scoredTerms(s, tbl, "table scan value graftnew", idf = "rational")
-        .groupBy("doc_id")
-        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
-        .orderBy(col("score_q").desc, col("doc_id"))
-        .limit(10)
+      bm25Serve(s, tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")))
     }),
 
     "text_index_postings" -> ((s, dir) => {
       // the index's stored facts, integer-exact: (tf, dl, df) per
       // (doc, query term) straight off the pruned posting scan — the
       // oracle recomputes them from the raw text
-      val root = indexPath("tpost", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      GraftTable.create(Tables.documents(s, dir), tbl, Seq("doc_id"), nbuckets = 8)
-      TextIndex.create(s, tbl, "text")
-      TextIndex.scoredTerms(s, tbl, "table scan value")
-        .select(col("doc_id"), col("token"), col("tf"),
-          col("dl").cast("long").as("dl"), col("df"))
-        .orderBy("doc_id", "token")
+      postingsServe(s, tidxFixture(s, dir, "tpost"))
     }),
 
     "text_search_phrase" -> ((s, dir) => {
@@ -1628,18 +1706,8 @@ object SparkEntry {
       // refresh, then count consecutive "table scan" occurrences
       // reading only those two terms' posting partitions — the oracle
       // recounts from the mutated raw text with an indexed-lambda scan
-      val root = indexPath("tphr", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val docs = Tables.documents(s, dir)
-      GraftTable.create(docs, tbl, Seq("doc_id"), nbuckets = 8)
-      TextIndex.create(s, tbl, "text")
-      val upd = docs.filter(col("doc_id") % 37 === 5)
-        .withColumn("text", concat(col("text"), lit(" table scan table scan")))
-      GraftTable.upsert(s, tbl, upd)
-      GraftTable.delete(s, tbl, docs.filter(col("doc_id") % 41 === 3).select("doc_id"))
-      TextIndex.refresh(s, tbl)
-      TextIndex.searchPhrase(s, tbl, "table scan", 15)
+      TextIndex.searchPhrase(s,
+        tidxFixture(s, dir, "tphr", Some(" table scan table scan")), "table scan", 15)
     }),
 
     "hybrid_table_search" -> ((s, dir) => {
@@ -1647,27 +1715,7 @@ object SparkEntry {
       // table holding text AND embedding, a vector index and a text
       // index attached, each contributing its top-50 slice to RRF —
       // no corpus scan on either leg
-      val root = indexPath("thyb", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      GraftTable.create(docs.join(emb, "doc_id"), tbl, Seq("doc_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16)
-      TextIndex.create(s, tbl, "text")
-      val vecLeg = operators.Fusion.rankByTopN(
-        GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 50, nprobe = 16)
-          .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 50)
-      val txtLeg = operators.Fusion.rankByTopN(
-        TextIndex.scoredTerms(s, tbl, "table scan value", idf = "rational")
-          .groupBy("doc_id")
-          .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
-        "doc_id", col("sq"), 50)
-      operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
-        .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
-        .orderBy(col("rrf_q").desc, col("doc_id"))
-        .limit(10)
+      hybridTableServe(s, dir, hybridFixture(s, dir, "thyb"))
     }),
 
     "vs_sql_hybrid_tvf" -> ((s, dir) => {
@@ -1677,22 +1725,7 @@ object SparkEntry {
       // fused candidate set so the quantized outer cut (the oracle's
       // arithmetic) decides the final 10 — no exact-vs-quantized
       // boundary drift
-      val root = indexPath("thyb2", dir)
-      rmTree(root)
-      val tbl = s"$root/t"
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      GraftTable.create(docs.join(emb, "doc_id"), tbl, Seq("doc_id"), nbuckets = 8)
-      GraftIndex.create(s, tbl, "embedding", nlist = 16)
-      TextIndex.create(s, tbl, "text")
-      GraftFunctions.register(s)
-      val q = queryVec(s, dir, 0L)
-      s.sql(
-        s"""SELECT doc_id, CAST(FLOOR(rrf_score * 10000.0) AS BIGINT) AS rrf_q
-            FROM graft_hybrid_search('$tbl', array(${q.mkString(", ")}),
-                                     'table scan value', 100, 50)
-            ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+      hybridSqlServe(s, dir, hybridFixture(s, dir, "thyb2"))
     }),
 
     "simsearch_lsh_bucketed" -> ((s, dir) => {
@@ -1732,6 +1765,79 @@ object SparkEntry {
       EventStreams.windowedCounts(Tables.events(s, dir))
         .orderBy("win_start", "event_type"))
   )
+
+  // ---- bench build/serve split --------------------------------------------
+
+  /** Fixture-heavy entries split for the bench: `build` constructs the
+    * lakehouse/index fixture (one-time cost — at 100 TB it amortizes
+    * over the table's life), `serve` is the steady-state query against
+    * it. The bench times them as `<name>_build` / `<name>_serve` rows
+    * and reports `serve` as the entry's headline number, so the board
+    * stops conflating fixture construction with ms-class serving.
+    * `serve` re-derives the fixture path deterministically (same
+    * (tag, dir) key), so it can run standalone after any `build`.
+    *
+    * The `queries` entries keep running the FULL lifecycle — that is
+    * what the oracle pins end-to-end.
+    */
+  def benchSplit: Map[String, ((SparkSession, String) => Unit, (SparkSession, String) => DataFrame)] = {
+    def at(tag: String, dir: String) = s"${indexPath(tag, dir)}/t"
+    Map(
+      "graft_index_exhaustive" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidx"); () },
+        (s, dir) => gidxServe(s, dir, at("gidx", dir)))),
+      "graft_index_pq_exhaustive" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8); () },
+        (s, dir) => gidxPqServe(s, dir, at("gidxpq", dir)))),
+      "graft_index_knn_exhaustive" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true); () },
+        (s, dir) => gidxKnnServe(s, at("gidxknn", dir)))),
+      "graft_index_hybrid" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxhy", mutations = "none"); () },
+        (s, dir) => gidxHybridServe(s, dir, at("gidxhy", dir)))),
+      "vs_sql_index_tvf" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxsql", mutations = "upsert"); () },
+        (s, dir) => gidxSqlServe(s, dir, at("gidxsql", dir)))),
+      "text_search_bm25" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")); () },
+        (s, dir) => bm25Serve(s, at("tidx", dir)))),
+      "text_index_postings" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tpost"); () },
+        (s, dir) => postingsServe(s, at("tpost", dir)))),
+      "text_search_phrase" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tphr", Some(" table scan table scan")); () },
+        (s, dir) => TextIndex.searchPhrase(s, at("tphr", dir), "table scan", 15))),
+      "hybrid_table_search" -> ((
+        (s, dir) => { hybridFixture(s, dir, "thyb"); () },
+        (s, dir) => hybridTableServe(s, dir, at("thyb", dir)))),
+      "vs_sql_hybrid_tvf" -> ((
+        (s, dir) => { hybridFixture(s, dir, "thyb2"); () },
+        (s, dir) => hybridSqlServe(s, dir, at("thyb2", dir)))),
+      // Incremental dedup: build admits the first two crawl increments
+      // into a fresh ledger; serve admits the third — ONE anti-join
+      // against the hash-pruned ledger, the per-batch admission cost a
+      // continuous pipeline actually pays. Re-admission of the same
+      // batch is replay-safe, so serve reps are idempotent.
+      "dedup_incremental" -> ((
+        (s, dir) => {
+          val root = indexPath("iled", dir); rmTree(root)
+          incExactBatches(s, dir).take(2).foreach(b =>
+            operators.IncrementalDedup.admitExact(s, s"$root/ledger", b, "text", Seq("doc_id")))
+        },
+        (s, dir) => operators.IncrementalDedup.admitExact(
+          s, s"${indexPath("iled", dir)}/ledger",
+          incExactBatches(s, dir).last, "text", Seq("doc_id")))),
+      "dedup_incremental_minhash" -> ((
+        (s, dir) => {
+          val root = indexPath("imled", dir); rmTree(root)
+          incMinhashBatches(s, dir).take(2).foreach(b =>
+            operators.IncrementalDedup.admitMinhash(s, s"$root/ledger", b, "doc_id", "text"))
+        },
+        (s, dir) => operators.IncrementalDedup.admitMinhash(
+          s, s"${indexPath("imled", dir)}/ledger",
+          incMinhashBatches(s, dir).last, "doc_id", "text")))
+    )
+  }
 
   // ---- oracle SQL (DuckDB dialect, run by the driver at sf0.01) -----------
 
