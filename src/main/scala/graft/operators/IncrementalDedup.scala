@@ -81,17 +81,32 @@ object IncrementalDedup {
     * iff it shares ≥ 1 band bucket with the ledger or with a
     * smaller-id doc of its own batch; survivors' bands are upserted.
     * Like the batch operator, a signature collision means Jaccard is
-    * HIGH with the usual S-curve probability — but unlike the batch
-    * operator there is no exact-verify step, because verification
-    * would require storing every admitted doc's shingle set (the
-    * corpus, again) in the ledger. This is the standard
-    * signature-only dedup of crawl pipelines: tune `numPerms`/`bands`
-    * for the τ knee, accept the S-curve's false-positive tail as
-    * over-deduplication. Same scale shape as [[admitExact]]: band
-    * keys are uniform hashes, the anti-join ships (band, bucket)
-    * pairs only, the upsert touches only collided buckets; replaying
-    * a batch admits nothing (every band of every survivor is now in
-    * the ledger — exact self-collision).
+    * HIGH with the usual S-curve probability. By default there is no
+    * exact-verify step — verification against FULL shingle sets would
+    * require storing the corpus in the ledger again — and crawl
+    * pipelines tune `numPerms`/`bands` for the τ knee and accept the
+    * S-curve's false-positive tail as over-deduplication.
+    *
+    * `verifyTau` turns that tradeoff into an opt-in precision knob at
+    * bounded cost: each admitted doc also persists a BOTTOM-K sketch
+    * (its `sketchK` smallest shingle hashes — k longs, not the
+    * shingle set) in a sibling sketch table, and a band collision
+    * only rejects if the bottom-k Jaccard estimate of the colliding
+    * PAIR is ≥ τ. The estimate is |U ∩ A ∩ B| / |U| with U the k
+    * smallest of A ∪ B — unbiased with σ ≈ √(J(1−J)/k), and EXACT
+    * whenever both docs have ≤ k shingles. Cost per candidate pair is
+    * one k-long array intersection; the candidate set is only what
+    * the bands collide, so the verify join is O(collisions · k),
+    * never O(corpus). A colliding admitted doc with no stored sketch
+    * (ledger written before verify was enabled) rejects
+    * conservatively, matching band-only behavior.
+    *
+    * Same scale shape as [[admitExact]]: band keys are uniform
+    * hashes, the anti-join ships (band, bucket) pairs only, the
+    * upsert touches only collided buckets; replaying a batch admits
+    * nothing (every band of every survivor is now in the ledger —
+    * exact self-collision, and under verify the estimate of a doc
+    * against its own stored sketch is 1).
     *
     * `idCol` must be a single 64-bit id (the MinHash machinery's doc
     * identity). Returns the admitted rows.
@@ -99,7 +114,8 @@ object IncrementalDedup {
   def admitMinhash(spark: SparkSession, ledgerPath: String, batch: DataFrame,
                    idCol: String, textCol: String,
                    numPerms: Int = 128, bands: Int = 32,
-                   nbuckets: Int = 16): DataFrame = {
+                   nbuckets: Int = 16,
+                   verifyTau: Option[Double] = None, sketchK: Int = 64): DataFrame = {
     val docs = batch.filter(col(textCol).isNotNull)
     // (doc_id, band, bucket) — one row per band per doc; docs whose
     // text yields no shingles (< k tokens) have no bands and are
@@ -111,16 +127,62 @@ object IncrementalDedup {
     val banded = Dedup.bandedFromShingles(sh, numPerms, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v0 = GraftTable.latestVersion(ledgerPath)
-    val vsLedger =
-      if (v0 < 0) banded.limit(0).select(col("doc_id"))
-      else banded.join(
-        GraftTable.read(spark, ledgerPath, v0).select("band", "bucket"),
-        Seq("band", "bucket"), "left_semi").select(col("doc_id"))
-    val vsBatch = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id"))
-    val rejected = vsLedger.union(vsBatch).distinct()
+    val sketchPath = ledgerPath + "_sketches"
+
+    val rejected = verifyTau match {
+      case None =>
+        val vsLedger =
+          if (v0 < 0) banded.limit(0).select(col("doc_id"))
+          else banded.join(
+            GraftTable.read(spark, ledgerPath, v0).select("band", "bucket"),
+            Seq("band", "bucket"), "left_semi").select(col("doc_id"))
+        val vsBatch = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id"))
+        vsLedger.union(vsBatch).distinct()
+
+      case Some(tau) =>
+        // bottom-k Jaccard estimate of two sketches (k smallest of the
+        // union vs the pair's common elements)
+        def estimate(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) = {
+          val u = slice(array_sort(array_union(sa, sb)), 1, sketchK)
+          size(array_intersect(u, array_intersect(sa, sb))).cast("double") /
+            size(u).cast("double")
+        }
+        val sketches = sh.select(col("doc_id"),
+          slice(array_sort(col("hs")), 1, sketchK).as("sk"))
+        val vsLedger =
+          if (v0 < 0) banded.limit(0).select(col("doc_id"))
+          else {
+            val cands = banded.join(
+                GraftTable.read(spark, ledgerPath, v0)
+                  .select(col("band"), col("bucket"), col("admitted_id")),
+                Seq("band", "bucket"))
+              .select(col("doc_id"), col("admitted_id")).distinct()
+            val sv = GraftTable.latestVersion(sketchPath)
+            val stored =
+              if (sv < 0) cands.limit(0).select(col("admitted_id"))
+                .withColumn("lsk", lit(null).cast("array<bigint>"))
+              else GraftTable.read(spark, sketchPath, sv)
+                .select(col("admitted_id"), col("sk").as("lsk"))
+            cands.join(sketches, "doc_id")
+              .join(stored, Seq("admitted_id"), "left")
+              // missing stored sketch → conservative band-only rejection
+              .filter(coalesce(estimate(col("sk"), col("lsk")), lit(1.0)) >= tau)
+              .select(col("doc_id"))
+          }
+        val vsBatch = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id").as("other")).distinct()
+          .join(sketches, "doc_id")
+          .join(sketches.select(col("doc_id").as("other"), col("sk").as("osk")), "other")
+          .filter(estimate(col("sk"), col("osk")) >= tau)
+          .select(col("doc_id"))
+        vsLedger.union(vsBatch).distinct()
+    }
+
     val survivors = docs.join(
       rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
     val ledgerRows = banded
@@ -130,6 +192,16 @@ object IncrementalDedup {
       GraftTable.create(ledgerRows, ledgerPath, Seq("band", "bucket"), nbuckets)
     else
       GraftTable.upsert(spark, ledgerPath, ledgerRows)
+    verifyTau.foreach { _ =>
+      val survSketches = sh
+        .join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("admitted_id"),
+          slice(array_sort(col("hs")), 1, sketchK).as("sk"))
+      if (GraftTable.latestVersion(sketchPath) < 0)
+        GraftTable.create(survSketches, sketchPath, Seq("admitted_id"), nbuckets)
+      else
+        GraftTable.upsert(spark, sketchPath, survSketches)
+    }
     banded.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     survivors

@@ -80,6 +80,62 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers {
       .select("id").as[Long].collect().sorted shouldBe Array(4L, 6L)
   }
 
+  test("verifyTau: a borderline near-dup that band-only rejects is admitted under verify") {
+    // numPerms = bands = 64 (one signature row per band): a single
+    // matching minhash row collides, so band-only rejection fires with
+    // P ≈ 1-(1-J)^64 — near-certain even at J ≈ 0.5. The bottom-k
+    // verify then measures the pair's ACTUAL Jaccard and admits
+    // anything below τ. All hashing is deterministic, so these
+    // outcomes are fixed for fixed texts.
+    def tokens(r: Range) = r.map(i => s"v$i").mkString(" ")
+    val base = tokens(0 until 40)
+    val borderline = tokens(20 until 60) // shares tokens 20..39 with base
+    val b0 = Seq((1L, base)).toDF("id", "text")
+    val b1 = Seq((2L, borderline)).toDF("id", "text")
+
+    // band-only: the borderline doc is swallowed by the S-curve tail
+    val ledBand = ledger()
+    IncrementalDedup.admitMinhash(spark, ledBand, b0, "id", "text",
+      numPerms = 64, bands = 64).count() shouldBe 1
+    IncrementalDedup.admitMinhash(spark, ledBand, b1, "id", "text",
+      numPerms = 64, bands = 64).count() shouldBe 0
+
+    // verify at τ = 0.8: the same pair's true Jaccard is well below τ
+    // (18/58 on 3-shingles), so the sketch check rescues the admission
+    val ledVer = ledger()
+    IncrementalDedup.admitMinhash(spark, ledVer, b0, "id", "text",
+      numPerms = 64, bands = 64, verifyTau = Some(0.8)).count() shouldBe 1
+    IncrementalDedup.admitMinhash(spark, ledVer, b1, "id", "text",
+      numPerms = 64, bands = 64, verifyTau = Some(0.8)).count() shouldBe 1
+
+    // a true near-dup (one token changed in 40) is still rejected
+    val near = base.replace("v7 ", "vX ")
+    IncrementalDedup.admitMinhash(spark, ledVer, Seq((3L, near)).toDF("id", "text"),
+      "id", "text", numPerms = 64, bands = 64, verifyTau = Some(0.8)).count() shouldBe 0
+
+    // replay under verify: self-estimate is 1 ⇒ nothing re-admitted
+    IncrementalDedup.admitMinhash(spark, ledVer, b0, "id", "text",
+      numPerms = 64, bands = 64, verifyTau = Some(0.8)).count() shouldBe 0
+
+    // in-batch borderline pair under verify: both admitted
+    val ledBatch = ledger()
+    IncrementalDedup.admitMinhash(spark, ledBatch,
+      Seq((1L, base), (2L, borderline)).toDF("id", "text"), "id", "text",
+      numPerms = 64, bands = 64, verifyTau = Some(0.8)).count() shouldBe 2
+  }
+
+  test("verifyTau: colliding doc with no stored sketch rejects conservatively") {
+    // ledger written WITHOUT verify (no sketch table) — enabling verify
+    // later must not silently admit dups of pre-verify admissions
+    val led = ledger()
+    val text = (0 until 30).map(i => s"m$i").mkString(" ")
+    IncrementalDedup.admitMinhash(spark, led,
+      Seq((1L, text)).toDF("id", "text"), "id", "text").count() shouldBe 1
+    IncrementalDedup.admitMinhash(spark, led,
+      Seq((2L, text)).toDF("id", "text"), "id", "text",
+      verifyTau = Some(0.8)).count() shouldBe 0
+  }
+
   test("matches a whole-corpus brute force: first batch, then min id") {
     val led = ledger()
     def text(k: Long): String = s"doc-${(k * 13) % 37}"
