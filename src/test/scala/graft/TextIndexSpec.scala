@@ -222,6 +222,47 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming text end-to-end: writeStream(graft) -> streamRefresh -> BM25 + phrase equal brute force") {
+    // the TextIndex twin of GraftIndexSpec's streaming ANN exhibit:
+    // the lakehouse is CREATED and grown by a stream, the text index
+    // attaches and follows under its own streaming ticker, and both
+    // serving paths (BM25 and positional phrase) must equal driver
+    // brute force over the live table once the ticker catches up
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft_tidx_stream").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    def runBatch(rows: Seq[(Long, String, String)]): Unit = {
+      in.addData(rows: _*)
+      val q = in.toDF().toDF("doc_id", "text", "src")
+        .writeStream.format("graft")
+        .option("recordkey", "doc_id").option("nbuckets", "2")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    runBatch((0L until 60L).map(k => (k, docText(k), s"src-${k % 3}")))
+    TextIndex.create(spark, dst, "text")
+    val ticker = TextIndex.streamRefresh(spark, dst,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // more events stream in, including an UPDATE planting a phrase
+      runBatch((60L until 90L).map(k => (k, docText(k), s"src-${k % 3}")))
+      runBatch(Seq((0L, "query window query window query", "src-0")))
+      val target = GraftTable.latestVersion(dst)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (TextIndex.meta(dst).indexedVersion < target && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      TextIndex.meta(dst).indexedVersion shouldBe target
+      got(dst, "query window", 10) shouldBe bruteForce(dst, "query window", 10)
+      gotPhrase(dst, "query window", 200) shouldBe brutePhrase(dst, "query window", 200)
+      // the streamed update's phrase starts at positions 0 and 2
+      gotPhrase(dst, "query window", 200).find(_._1 == 0L).map(_._2) shouldBe Some(2L)
+    } finally ticker.stop()
+  }
+
   /** driver brute force for phrase occurrence counting (overlaps allowed) */
   private def brutePhrase(path: String, phrase: String, k: Int): Seq[(Long, Long)] = {
     val q = TextIndex.tokenize(phrase)
