@@ -13,8 +13,11 @@ import scala.util.hashing.MurmurHash3
   * Spark-side shape — mapPartitions, model constructed ONCE per
   * partition, explicit size-B batch accumulation, `array<float>` output
   * column, no shuffle — is real and testable without model jars.
-  * Swapping in a real model = replacing [[Embed.StubEncoder]] with a
-  * transformer-backed class exposing the same `encodeBatch` call.
+  * The deterministic [[Embed.StubEncoder]] is the oracle path;
+  * [[Embed.ProcessEncoder]] is the production path — it runs the
+  * actual model as an external worker process per partition (the
+  * reference's own deployment shape), selected per call via
+  * `encoderFactory`.
   */
 object Embed {
 
@@ -27,6 +30,62 @@ object Embed {
     */
   trait BatchEncoder extends Serializable {
     def encodeBatch(texts: Array[String]): Array[Array[Float]]
+    /** release task-side resources (worker processes, native sessions);
+      * called once per partition when the task completes
+      */
+    def close(): Unit = ()
+  }
+
+  /** The PRODUCTION seam for models that do not run in the JVM — the
+    * reference's model is exactly that (a SentenceTransformer forward
+    * pass in a Python process, demo.ipynb cell 7). One worker process
+    * per partition, batched over a line protocol:
+    *
+    *   request:  one line `<n>`, then n lines of base64(UTF-8 text)
+    *             (base64 framing — raw text could contain newlines);
+    *   response: n lines, each the embedding as space-separated floats.
+    *
+    * `command` is the worker launch line (e.g. a Python script wrapping
+    * `model.encode(batch)`); it ships to executors as a Seq[String],
+    * the process itself is constructed lazily task-side and reaped by
+    * [[encode]]'s task-completion hook. Worker stderr passes through
+    * to the task's stderr for diagnostics. An in-JVM ONNX session
+    * would plug into the same [[BatchEncoder]] contract directly —
+    * this class covers every model with a CLI, no jar required.
+    */
+  final class ProcessEncoder(command: Seq[String]) extends BatchEncoder {
+    import java.nio.charset.StandardCharsets.UTF_8
+    @transient private lazy val proc = {
+      val pb = new ProcessBuilder(command: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start()
+    }
+    @transient private lazy val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
+    @transient private lazy val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+
+    def encodeBatch(texts: Array[String]): Array[Array[Float]] = {
+      out.write(texts.length.toString); out.newLine()
+      texts.foreach { t =>
+        out.write(java.util.Base64.getEncoder.encodeToString(
+          (if (t == null) "" else t).getBytes(UTF_8)))
+        out.newLine()
+      }
+      out.flush()
+      texts.map { _ =>
+        val line = in.readLine()
+        if (line == null) throw new IllegalStateException(
+          "encoder worker closed its stdout" +
+            (if (proc.isAlive) "" else s" (exit=${proc.exitValue()})"))
+        line.trim.split("\\s+").map(_.toFloat)
+      }
+    }
+
+    override def close(): Unit = {
+      try out.close() catch { case _: java.io.IOException => }
+      proc.destroy()
+    }
   }
 
   /** Stand-in for the external model — deterministic feature hashing,
@@ -71,6 +130,10 @@ object Embed {
     val factory = encoderFactory.getOrElse(() => new StubEncoder(dim))
     df.mapPartitions { it =>
       val model = factory() // "loaded" once per partition
+      // reap task-side resources (worker processes, native sessions)
+      // whether the task finishes or fails
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => model.close()))
       it.grouped(batchSize).flatMap { batch =>
         batchCounter.foreach(_.add(1))
         val vecs = model.encodeBatch(batch.map(r => r.getAs[String](idx)).toArray)

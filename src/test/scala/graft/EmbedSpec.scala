@@ -55,6 +55,50 @@ class EmbedSpec extends AnyFunSuite with Matchers {
     out.foreach(_.getSeq[Float](0) shouldBe Seq(1f, 0f, 0f))
   }
 
+  test("ProcessEncoder: a real external worker process encodes a corpus through the seam") {
+    // the production path, end-to-end: the "model" is an actual child
+    // process per partition speaking the batch line protocol — the
+    // same deployment shape as the reference's Python
+    // SentenceTransformer, with a deterministic arithmetic stand-in
+    // for the forward pass so the spec can recompute expectations
+    val script = java.nio.file.Files.createTempFile("graft_encoder", ".py")
+    java.nio.file.Files.writeString(script,
+      """import sys, base64, math
+        |while True:
+        |    line = sys.stdin.readline()
+        |    if not line:
+        |        break
+        |    n = int(line)
+        |    for _ in range(n):
+        |        t = base64.b64decode(sys.stdin.readline().strip()).decode('utf-8')
+        |        v = [float(len(t)), float(len(t.split())), 1.0]
+        |        norm = math.sqrt(sum(x * x for x in v))
+        |        sys.stdout.write(' '.join(repr(x / norm) for x in v) + '\n')
+        |    sys.stdout.flush()
+        |""".stripMargin)
+    val cmd = Seq("python3", script.toString)
+    import spark.implicits._
+    // includes an embedded newline (base64 framing) and a null text
+    val corpus = Seq((0L, "alpha beta gamma"), (1L, "one\ntwo"),
+      (2L, null.asInstanceOf[String]), (3L, "x")) ++
+      (10L until 40L).map(k => (k, s"doc $k " + ("tok " * (k % 5).toInt).trim))
+    val df = corpus.toDF("doc_id", "text").repartition(2)
+    val got = Embed.encode(df, "text", batchSize = 8,
+        encoderFactory = Some(() => new Embed.ProcessEncoder(cmd)))
+      .select("doc_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    def expect(t: String): Seq[Float] = {
+      val s = if (t == null) "" else t
+      val v = Seq(s.length.toDouble, s.split("\\s+").count(_.nonEmpty).toDouble, 1.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    got.size shouldBe corpus.size
+    corpus.foreach { case (id, t) =>
+      assert(got(id) == expect(t), s"doc $id")
+    }
+  }
+
   test("MLlib pipeline encoder: unit norm, fixed dim, searchable output") {
     val emb = Embed.encodePipeline(docs, "text", 64).cache()
     emb.select(vector_norm(col("embedding")).as("n"))
