@@ -253,6 +253,37 @@ object SparkEntry {
           ORDER BY rrf_q DESC, doc_id LIMIT 10""")
   }
 
+  /** Serving paths of the standalone ANN entries: probe an already-
+    * built layout via the model persisted inside it (IvfIndex.load /
+    * PqIndex.load) — no refit. Shared by the `queries` entries (which
+    * build-then-serve for the oracle) and [[benchSplit]].
+    */
+  private def ivfProbeServe(s: SparkSession, dir: String, path: String,
+                            nprobe: Int, k: Int = 10,
+                            pred: Option[Column] = None): DataFrame =
+    IvfIndex.probe(s, IvfIndex.load(s, path), "vec_id", "embedding",
+        queryVec(s, dir, 0L), k, nprobe, pred)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def pqProbeServe(s: SparkSession, dir: String, path: String,
+                           nprobe: Int, rerankFactor: Int = 4): DataFrame =
+    operators.PqIndex.probe(s, operators.PqIndex.load(s, path), "vec_id", "embedding",
+        queryVec(s, dir, 0L), 10, nprobe, rerankFactor = rerankFactor)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def ivfKnnServe(s: SparkSession, dir: String, path: String,
+                          nprobe: Int, exhaustiveOrder: Boolean): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val joined = IvfIndex.knnJoin(s, IvfIndex.load(s, path), "vec_id", "embedding",
+        qs, k = 5, nprobe = nprobe)
+      .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+    if (exhaustiveOrder) joined.orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+    else joined.orderBy("qid", "score_q", "vec_id")
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1549,88 +1580,63 @@ object SparkEntry {
 
     "simsearch_ivf" -> ((s, dir) => {
       // approximate (nprobe < nlist) → rows-only; recall vs brute force in spec
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivf", dir)
-      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
-      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 4)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      IvfIndex.build(Tables.embeddings(s, dir), "embedding", nlist = 16, path, "cosine")
+      ivfProbeServe(s, dir, path, nprobe = 4)
     }),
 
     "simsearch_ivfpq" -> ((s, dir) => {
       // lossy codes + approximate probe → rows-only; recall in AnnIndexSpec
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivfpq", dir)
-      val model = operators.PqIndex.build(emb, "vec_id", "embedding",
+      operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = 16, m = 8, path, "cosine")
-      operators.PqIndex.probe(s, model, "vec_id", "embedding",
-          queryVec(s, dir, 0L), 10, nprobe = 4)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      pqProbeServe(s, dir, path, nprobe = 4)
     }),
 
     "simsearch_ivf_exhaustive" -> ((s, dir) => {
       // nprobe = nlist reads every cell → exact top-k through the index
       // machinery → SQL-expressible → a HARD oracle row for the ANN path
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivf_ex", dir)
-      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
-      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 10, nprobe = 16)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      IvfIndex.build(Tables.embeddings(s, dir), "embedding", nlist = 16, path, "cosine")
+      ivfProbeServe(s, dir, path, nprobe = 16)
     }),
 
     "simsearch_ivfpq_exhaustive" -> ((s, dir) => {
       // nprobe = nlist reads every cell, and rerankFactor ≥ corpus/k
       // means the ADC pass discards nothing — the exact re-rank then
       // returns true top-k REGARDLESS of code quality, so the whole
-      // ADC + re-rank machinery gets a hard DuckDB oracle row
-      val emb = Tables.embeddings(s, dir)
-      val path = indexPath("ivfpq_ex", dir)
-      val model = operators.PqIndex.build(emb, "vec_id", "embedding",
-        nlist = 16, m = 8, path, "cosine")
+      // ADC + re-rank machinery gets a hard DuckDB oracle row.
       // rerankFactor = Int.MaxValue ⇒ the ADC pass discards nothing
       // (probe caps k·f in long math) — no corpus count() needed
-      operators.PqIndex.probe(s, model, "vec_id", "embedding",
-          queryVec(s, dir, 0L), 10, nprobe = 16, rerankFactor = Int.MaxValue)
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      val path = indexPath("ivfpq_ex", dir)
+      operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, m = 8, path, "cosine")
+      pqProbeServe(s, dir, path, nprobe = 16, rerankFactor = Int.MaxValue)
     }),
 
     "vs_hybrid_ivf" -> ((s, dir) => {
       // predicate pushed INTO the IVF probe (the reference's declared
       // future work); nprobe = nlist makes it exact ⇒ DuckDB-verifiable
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivf_hy", dir)
-      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
-      IvfIndex.probe(s, model, "vec_id", "embedding", queryVec(s, dir, 0L), 5,
-          nprobe = 16, pred = Some(col("label") === 3))
-        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+      IvfIndex.build(Tables.embeddings(s, dir), "embedding", nlist = 16, path, "cosine")
+      ivfProbeServe(s, dir, path, nprobe = 16, k = 5, pred = Some(col("label") === 3))
     }),
 
     "vs_knn_join_ivf" -> ((s, dir) => {
       // batched ANN join through the index: each query reads only its
       // nprobe cells (approximate → rows-only; recall in AnnIndexSpec)
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivf_knn", dir)
-      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
-      val qs = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      IvfIndex.knnJoin(s, model, "vec_id", "embedding", qs, k = 5, nprobe = 4)
-        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
-        .orderBy("qid", "score_q", "vec_id")
+      IvfIndex.build(Tables.embeddings(s, dir), "embedding", nlist = 16, path, "cosine")
+      ivfKnnServe(s, dir, path, nprobe = 4, exhaustiveOrder = false)
     }),
 
     "vs_knn_join_ivf_exhaustive" -> ((s, dir) => {
       // nprobe = nlist: every query probes every cell, so the batched
       // ANN join degenerates to the exact k-NN join — the broadcast
       // probe-table machinery gets a hard DuckDB oracle row
-      val emb = Tables.embeddings(s, dir)
       val path = indexPath("ivf_knnex", dir)
-      val model = IvfIndex.build(emb, "embedding", nlist = 16, path, "cosine")
-      val qs = emb.filter(col("vec_id") < 10)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      IvfIndex.knnJoin(s, model, "vec_id", "embedding", qs, k = 5, nprobe = 16)
-        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
-        .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+      IvfIndex.build(Tables.embeddings(s, dir), "embedding", nlist = 16, path, "cosine")
+      ivfKnnServe(s, dir, path, nprobe = 16, exhaustiveOrder = true)
     }),
 
     "graft_index_exhaustive" -> ((s, dir) => {
@@ -1835,7 +1841,41 @@ object SparkEntry {
         },
         (s, dir) => operators.IncrementalDedup.admitMinhash(
           s, s"${indexPath("imled", dir)}/ledger",
-          incMinhashBatches(s, dir).last, "doc_id", "text")))
+          incMinhashBatches(s, dir).last, "doc_id", "text"))),
+      // Standalone ANN layouts: build persists the model inside the
+      // layout (IvfIndex/PqIndex save), serve reloads it — no refit.
+      "simsearch_ivf" -> ((
+        (s, dir) => { IvfIndex.build(Tables.embeddings(s, dir), "embedding",
+          nlist = 16, indexPath("ivf", dir), "cosine"); () },
+        (s, dir) => ivfProbeServe(s, dir, indexPath("ivf", dir), nprobe = 4))),
+      "simsearch_ivf_exhaustive" -> ((
+        (s, dir) => { IvfIndex.build(Tables.embeddings(s, dir), "embedding",
+          nlist = 16, indexPath("ivf_ex", dir), "cosine"); () },
+        (s, dir) => ivfProbeServe(s, dir, indexPath("ivf_ex", dir), nprobe = 16))),
+      "simsearch_ivfpq" -> ((
+        (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
+          "embedding", nlist = 16, m = 8, indexPath("ivfpq", dir), "cosine"); () },
+        (s, dir) => pqProbeServe(s, dir, indexPath("ivfpq", dir), nprobe = 4))),
+      "simsearch_ivfpq_exhaustive" -> ((
+        (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
+          "embedding", nlist = 16, m = 8, indexPath("ivfpq_ex", dir), "cosine"); () },
+        (s, dir) => pqProbeServe(s, dir, indexPath("ivfpq_ex", dir), nprobe = 16,
+          rerankFactor = Int.MaxValue))),
+      "vs_hybrid_ivf" -> ((
+        (s, dir) => { IvfIndex.build(Tables.embeddings(s, dir), "embedding",
+          nlist = 16, indexPath("ivf_hy", dir), "cosine"); () },
+        (s, dir) => ivfProbeServe(s, dir, indexPath("ivf_hy", dir), nprobe = 16,
+          k = 5, pred = Some(col("label") === 3)))),
+      "vs_knn_join_ivf" -> ((
+        (s, dir) => { IvfIndex.build(Tables.embeddings(s, dir), "embedding",
+          nlist = 16, indexPath("ivf_knn", dir), "cosine"); () },
+        (s, dir) => ivfKnnServe(s, dir, indexPath("ivf_knn", dir), nprobe = 4,
+          exhaustiveOrder = false))),
+      "vs_knn_join_ivf_exhaustive" -> ((
+        (s, dir) => { IvfIndex.build(Tables.embeddings(s, dir), "embedding",
+          nlist = 16, indexPath("ivf_knnex", dir), "cosine"); () },
+        (s, dir) => ivfKnnServe(s, dir, indexPath("ivf_knnex", dir), nprobe = 16,
+          exhaustiveOrder = true)))
     )
   }
 

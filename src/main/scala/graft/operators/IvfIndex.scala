@@ -78,7 +78,40 @@ object IvfIndex {
     val model = km.fit(fitInput)
     model.transform(feat).drop("_feat")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
+    val m = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
+    save(data.sparkSession, m)
+    m
+  }
+
+  /** Persist the fitted model INSIDE its layout (`<path>/_model` —
+    * underscore-prefixed, so both the layout scan's partition discovery
+    * and the table-attached index's manifest lister ignore it): build
+    * once, [[load]] + probe from any later process without refitting.
+    * [[build]] saves automatically. Row scheme matches the
+    * table-attached index's model files ((part, i, j, vec) rows, plus
+    * a metric carrier row using the string column).
+    */
+  def save(spark: SparkSession, model: Model): Unit = {
+    import spark.implicits._
+    val rows: Seq[(String, Int, Int, Seq[Float], String)] =
+      ("metric", 0, 0, Seq.empty[Float], model.metric) +:
+      model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+        ("coarse", i, 0, c.toSeq, null.asInstanceOf[String]) }
+    rows.toDF("part", "i", "j", "vec", "s").repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"${model.path}/_model")
+  }
+
+  /** Reconstruct a saved [[Model]] from its layout path (see [[save]]).
+    * The returned model scans the layout directory (no pinned file set)
+    * — the standalone-layout serving shape.
+    */
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/_model").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](3), r.getString(4)))
+    val metric = rows.find(_._1 == "metric")
+      .getOrElse(throw new IllegalStateException(s"no saved model under $path"))._4
+    val centroids = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._3.toArray)
+    Model(path, centroids, metric)
   }
 
   /** Top-k against the index, reading only the nprobe nearest cells.

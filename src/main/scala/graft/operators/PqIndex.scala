@@ -102,7 +102,44 @@ object PqIndex {
       .withColumn("pq_code", encodeUdf(col("_v")))
       .drop("_v")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    Model(path, coarse, codebooks, m, dsub, metric, rot)
+    val built = Model(path, coarse, codebooks, m, dsub, metric, rot)
+    save(spark, built)
+    built
+  }
+
+  /** Persist the fitted model INSIDE its layout (`<path>/_model`,
+    * ignored by partition discovery and manifest listing) — the PQ twin
+    * of [[IvfIndex.save]]; [[build]] saves automatically. m/dsub are
+    * derivable from the codebook rows, so the scheme stays the shared
+    * (part, i, j, vec) + metric-carrier one.
+    */
+  def save(spark: SparkSession, model: Model): Unit = {
+    import spark.implicits._
+    val rows: Seq[(String, Int, Int, Seq[Float], String)] =
+      (("metric", 0, 0, Seq.empty[Float], model.metric) +:
+        model.coarse.zipWithIndex.toSeq.map { case (c, i) =>
+          ("coarse", i, 0, c.toSeq, null.asInstanceOf[String]) }) ++
+      model.codebooks.zipWithIndex.toSeq.flatMap { case (book, mi) =>
+        book.zipWithIndex.toSeq.map { case (c, ci) =>
+          ("book", mi, ci, c.toSeq, null.asInstanceOf[String]) } } ++
+      model.rot.toSeq.flatMap(_.zipWithIndex.toSeq.map { case (r, i) =>
+        ("rot", i, 0, r.toSeq, null.asInstanceOf[String]) })
+    rows.toDF("part", "i", "j", "vec", "s").repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"${model.path}/_model")
+  }
+
+  /** Reconstruct a saved [[Model]] from its layout path (see [[save]]). */
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/_model").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3), r.getString(4)))
+    val metric = rows.find(_._1 == "metric")
+      .getOrElse(throw new IllegalStateException(s"no saved model under $path"))._5
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4.toArray)
+    val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, bs) => bs.sortBy(_._3).map(_._4.toArray) }.toArray
+    val rotRows = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4.toArray)
+    val rot = if (rotRows.isEmpty) None else Some(rotRows)
+    Model(path, coarse, books, books.length, books(0)(0).length, metric, rot)
   }
 
   /** OPQ (Ge et al., CVPR'13), driver-side on the fit sample: learn an

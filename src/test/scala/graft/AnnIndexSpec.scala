@@ -139,6 +139,35 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     (got.intersect(exactTop10).size.toDouble / 10) should be >= 0.7
   }
 
+  test("saved models round-trip: load from the layout probes identically (IVF and OPQ-PQ)") {
+    import graft.operators.PqIndex
+    // build persists the model inside the layout; a FRESH process (here:
+    // a fresh load) must serve without refitting
+    val ivfPath = Files.createTempDirectory("ivf_saved").toString
+    val built = IvfIndex.build(emb, "embedding", nlist = 8, ivfPath, "cosine")
+    val loaded = IvfIndex.load(spark, ivfPath)
+    loaded.metric shouldBe built.metric
+    loaded.centroids.map(_.toSeq) shouldBe built.centroids.map(_.toSeq)
+    IvfIndex.probe(spark, loaded, "vec_id", "embedding", query, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe exactTop10
+
+    val pqPath = Files.createTempDirectory("pq_saved").toString
+    val pqBuilt = PqIndex.build(emb, "vec_id", "embedding", nlist = 8, m = 8,
+      pqPath, "cosine", opq = true)
+    val pqLoaded = PqIndex.load(spark, pqPath)
+    pqLoaded.m shouldBe pqBuilt.m
+    pqLoaded.dsub shouldBe pqBuilt.dsub
+    pqLoaded.rot.isDefined shouldBe true
+    pqLoaded.rot.get.map(_.toSeq) shouldBe pqBuilt.rot.get.map(_.toSeq)
+    pqLoaded.codebooks.map(_.map(_.toSeq).toSeq) shouldBe
+      pqBuilt.codebooks.map(_.map(_.toSeq).toSeq)
+    val viaBuilt = PqIndex.probe(spark, pqBuilt, "vec_id", "embedding", query, 10,
+      nprobe = 8, rerankFactor = Int.MaxValue).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val viaLoaded = PqIndex.probe(spark, pqLoaded, "vec_id", "embedding", query, 10,
+      nprobe = 8, rerankFactor = Int.MaxValue).select("vec_id").collect().map(_.getLong(0)).toSeq
+    viaLoaded shouldBe viaBuilt
+  }
+
   test("IVF append: appended vectors are probed, exhaustive stays exact") {
     val path = Files.createTempDirectory("ivf_app").toString
     val model = IvfIndex.build(emb.filter(col("vec_id") < 250), "embedding",
