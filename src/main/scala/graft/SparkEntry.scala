@@ -1463,6 +1463,14 @@ object SparkEntry {
           n = 3, minDocs = 4)
         .orderBy("doc_id")),
 
+    "text_dup_spans" -> ((s, dir) =>
+      // maximal duplicated spans per doc: WHERE the boilerplate sits
+      // (token ranges ready for trimming), merged from adjacent
+      // corpus-duplicated 3-gram windows
+      TextAnalysis.dupSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDocs = 4)
+        .orderBy("doc_id", "span_idx")),
+
     "text_keywords" -> ((s, dir) =>
       // rare-term keyword extraction: top-3 tokens per doc by
       // (df asc, tf desc, token) — integer-exact tf-idf ordering
@@ -2984,6 +2992,27 @@ object SparkEntry {
                   / CAST(count(*) AS DOUBLE) AS dup_frac
          FROM w LEFT JOIN flagged f ON w.ngram = f.ngram
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+
+    "text_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         w AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS ngram
+               FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+         flagged AS (SELECT ngram FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 4),
+         d AS (SELECT w.doc_id, w.i FROM w JOIN flagged f ON w.ngram = f.ngram),
+         marks AS (SELECT doc_id, i,
+                 CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 3
+                      THEN 1 ELSE 0 END AS newspan
+                 FROM d),
+         grp AS (SELECT doc_id, i,
+                 sum(newspan) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING) AS g
+                 FROM marks)
+         SELECT doc_id, CAST(g + 1 AS BIGINT) AS span_idx,
+                CAST(min(i) - 1 AS BIGINT) AS start_tok,
+                CAST(max(i) - 1 + 3 AS BIGINT) AS end_tok,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_idx""",
 
     "text_keywords" ->
       """WITH tf AS (

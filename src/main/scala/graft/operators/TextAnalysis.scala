@@ -234,6 +234,56 @@ object TextAnalysis {
     kept
   }
 
+  /** Maximal corpus-duplicated SPANS per document — the trim stage of
+    * passage-level dedup: adjacent/overlapping duplicated n-token
+    * windows merged into one (start, end) token range, so curation can
+    * CUT the boilerplate passage instead of dropping the whole doc
+    * ([[dupCoverage]] says how much is duplicated; this says WHERE).
+    * A window is duplicated iff its n-gram appears in ≥ `minDocs`
+    * distinct docs; two duplicated windows merge while the later
+    * starts within n tokens of the earlier (no uncovered token
+    * between them). Output per span: 1-based `span_idx` in start
+    * order, 0-based `start_tok`, EXCLUSIVE `end_tok`, and the window
+    * count — integer-exact, so the DuckDB oracle pins it.
+    *
+    * Plan shape: the positioned window stream is persisted once and
+    * feeds both the corpus flag aggregate and the span assembly; the
+    * merge itself is a lag/cumsum window PARTITIONED BY DOC (state
+    * bounded by tokens/doc, never corpus-wide). Same shuffle family
+    * as [[dupCoverage]], no all-pairs anywhere.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(__tk) - ${n - 1}), " +
+        s"i -> array_join(slice(__tk, i, $n), ' '))")))
+      .withColumnRenamed("col", "ngram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = wins.groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("ngram")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val out = wins.join(flagged, Seq("ngram"), "left_semi")
+      .withColumn("__new",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(n), 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(n)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), (col("__g") + 1L).as("span_idx"),
+        col("start_tok"), col("end_tok"), col("n_windows"))
+    val kept = out.localCheckpoint(true)
+    wins.unpersist(blocking = false)
+    kept
+  }
+
   /** Rare-term keyword extraction: each doc's top-k tokens ranked by
     * (document frequency ASC, term frequency DESC, token ASC) — the
     * tf-idf ordering restated with integer-exact keys (df is the idf

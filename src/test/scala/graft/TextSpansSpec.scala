@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.TextAnalysis
+
+/** Maximal duplicated-span extraction: merging, boundaries, and the
+  * trim-ready contract (0-based start, exclusive end).
+  */
+class TextSpansSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def spans(docs: Seq[(Long, String)], minDocs: Int = 2) =
+    TextAnalysis.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, minDocs = minDocs)
+      .orderBy("doc_id", "span_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("overlapping and adjacent duplicated windows merge into one span; gaps split") {
+    // "a b c d" appears in both docs → windows "a b c" and "b c d"
+    // (overlapping) merge into one span [0, 4). Doc 1 repeats the
+    // phrase later with unique filler between → a SECOND span.
+    val docs = Seq(
+      (1L, "a b c d u1 u2 u3 u4 a b c d"),
+      (2L, "a b c d v1 v2 v3 v4"))
+    val got = spans(docs)
+    got.filter(_._1 == 1L) shouldBe Seq(
+      (1L, 1L, 0L, 4L, 2L),   // tokens 0..3, two windows (starts 0, 1)
+      (1L, 2L, 8L, 12L, 2L))  // the repeat at tokens 8..11
+    got.filter(_._1 == 2L) shouldBe Seq((2L, 1L, 0L, 4L, 2L))
+  }
+
+  test("exactly-adjacent windows (no uncovered token) merge; one-token gap splits") {
+    // shared phrase of 6 tokens: windows at starts 0..3 chain-merge
+    // (each within n of the previous) into [0, 6)
+    val phrase = "p q r s t u"
+    val docs = Seq((1L, s"$phrase x y z"), (2L, s"m n $phrase"))
+    val got = spans(docs)
+    got.filter(_._1 == 1L) shouldBe Seq((1L, 1L, 0L, 6L, 4L))
+    got.filter(_._1 == 2L) shouldBe Seq((2L, 1L, 2L, 8L, 4L))
+  }
+
+  test("docs with no duplicated windows emit nothing") {
+    spans(Seq((1L, "all unique tokens here now"), (2L, "other words entirely")),
+      minDocs = 2) shouldBe empty
+  }
+}
