@@ -1471,6 +1471,13 @@ object SparkEntry {
           n = 3, minDocs = 4)
         .orderBy("doc_id", "span_idx")),
 
+    "text_trim_spans" -> ((s, dir) =>
+      // the trimmed corpus those spans imply: boilerplate CUT, doc kept
+      // (hash-exact: per-doc kept-token count + md5 of the trimmed text)
+      TextAnalysis.trimDupSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDocs = 4)
+        .orderBy("doc_id")),
+
     "text_keywords" -> ((s, dir) =>
       // rare-term keyword extraction: top-3 tokens per doc by
       // (df asc, tf desc, token) — integer-exact tf-idf ordering
@@ -3013,6 +3020,35 @@ object SparkEntry {
                 CAST(max(i) - 1 + 3 AS BIGINT) AS end_tok,
                 CAST(count(*) AS BIGINT) AS n_windows
          FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_idx""",
+
+    "text_trim_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         w AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS ngram
+               FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+         flagged AS (SELECT ngram FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 4),
+         d AS (SELECT w.doc_id, w.i FROM w JOIN flagged f ON w.ngram = f.ngram),
+         marks AS (SELECT doc_id, i,
+                 CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 3
+                      THEN 1 ELSE 0 END AS newspan
+                 FROM d),
+         grp AS (SELECT doc_id, i,
+                 sum(newspan) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING) AS g
+                 FROM marks),
+         spans AS (SELECT doc_id, min(i) - 1 AS s, max(i) - 1 + 3 AS e
+                   FROM grp GROUP BY doc_id, g),
+         tok_pos AS (SELECT doc_id, i, t[i] AS tok
+                     FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tok_pos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                    WHERE s.doc_id = tp.doc_id
+                                      AND tp.i - 1 >= s.s AND tp.i - 1 < s.e))
+         SELECT toks.doc_id,
+                CAST(count(kept.i) AS BIGINT) AS n_kept,
+                md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.i), '')) AS clean_md5
+         FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
+         GROUP BY toks.doc_id ORDER BY toks.doc_id""",
 
     "text_keywords" ->
       """WITH tf AS (

@@ -284,6 +284,33 @@ object TextAnalysis {
     kept
   }
 
+  /** The trimmed corpus: every doc with its [[dupSpans]] ranges CUT —
+    * the end product passage-level dedup ships (quoted boilerplate
+    * removed, the document kept). Spark-first shape: spans collapse to
+    * ONE array per doc (dimension-sized join key side), and the cut is
+    * a codegen'd higher-order `filter((tok, i) -> …)` over the token
+    * array against that row's span list — the corpus is never
+    * exploded, per-row cost is tokens × spans-in-doc (spans per doc is
+    * small by construction). Docs without spans pass through whole.
+    * Returns (id, n_kept tokens, md5 of the trimmed text) —
+    * hash-exact against the SQL oracle without shipping long strings.
+    */
+  def trimDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDocs: Int): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__tk")).otherwise(expr(
+          "filter(__tk, (x, i) -> " +
+          "NOT exists(__spans, s -> i >= s.start_tok AND i < s.end_tok))")))
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(array_join(col("__kept"), " ").cast("binary")).as("clean_md5"))
+  }
+
   /** Rare-term keyword extraction: each doc's top-k tokens ranked by
     * (document frequency ASC, term frequency DESC, token ASC) — the
     * tf-idf ordering restated with integer-exact keys (df is the idf

@@ -45,4 +45,24 @@ class TextSpansSpec extends AnyFunSuite with Matchers {
     spans(Seq((1L, "all unique tokens here now"), (2L, "other words entirely")),
       minDocs = 2) shouldBe empty
   }
+
+  test("trimDupSpans cuts exactly the span tokens and keeps everything else") {
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    val docs = Seq(
+      (1L, "a b c d u1 u2 u3 u4"), // span [0,4) → kept "u1 u2 u3 u4"
+      (2L, "m n a b c d"),         // span [2,6) → kept "m n"
+      (3L, "a b c d"),             // fully duplicated → kept ""
+      (4L, "totally unique words only")) // no spans → kept whole
+    val got = TextAnalysis.trimDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def h(s: String): String =
+      spark.range(1).select(md5(lit(s).cast("binary"))).head().getString(0)
+    got shouldBe Seq(
+      (1L, 4L, h("u1 u2 u3 u4")),
+      (2L, 2L, h("m n")),
+      (3L, 0L, h("")),
+      (4L, 4L, h("totally unique words only")))
+  }
 }
