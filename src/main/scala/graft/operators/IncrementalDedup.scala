@@ -206,4 +206,42 @@ object IncrementalDedup {
     sh.unpersist(blocking = false)
     survivors
   }
+
+  /** CONTINUOUS curation, end to end: follow a live [[GraftTable]]'s
+    * change feed (`readStream.format("graft")`), admit each
+    * micro-batch against the ledger, and upsert the survivors into a
+    * curated destination table — crawl table in, deduplicated corpus
+    * out, no batch job in the loop.
+    *
+    * Each micro-batch is one [[admitExact]] call (one anti-join + one
+    * ledger upsert, O(batch)) plus one keyed upsert of the survivors
+    * into `dstTablePath`; deleted change-feed rows are dropped
+    * (deletion is not new content — the curated table keeps the
+    * first-seen copy). Delivery: at-least-once per micro-batch
+    * (pass `checkpointLocation` to survive restarts); a replayed
+    * batch re-admits nothing and re-upserts identical rows, so the
+    * ledger AND the curated table converge — the same idempotence
+    * argument as [[graft.streaming.EventStreams.streamUpsertInto]].
+    */
+  def streamAdmitExact(spark: SparkSession, srcTablePath: String, ledgerPath: String,
+                       dstTablePath: String, textCol: String, keyCols: Seq[String],
+                       checkpointLocation: Option[String] = None,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                       nbuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = spark.readStream.format("graft").load(srcTablePath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val live = batch.filter(!col("_deleted")).drop("_deleted")
+        val admitted = admitExact(spark, ledgerPath, live, textCol, keyCols, nbuckets)
+        if (!GraftTable.exists(dstTablePath))
+          GraftTable.create(admitted, dstTablePath, keyCols, nbuckets)
+        else
+          GraftTable.upsert(spark, dstTablePath, admitted)
+        ()
+      }
+      .trigger(trigger)
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
 }

@@ -136,6 +136,33 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers {
       verifyTau = Some(0.8)).count() shouldBe 0
   }
 
+  test("streamAdmitExact: a live table's change feed dedups continuously into a curated table") {
+    val tmp = Files.createTempDirectory("graft_sadmit").toString
+    val src = s"$tmp/src"; val led = s"$tmp/led"; val dst = s"$tmp/dst"; val cp = s"$tmp/cp"
+    def run(): Unit =
+      IncrementalDedup.streamAdmitExact(spark, src, led, dst, "text", Seq("id"),
+        checkpointLocation = Some(cp)).awaitTermination()
+    def dstIds(): Seq[Long] =
+      GraftTable.read(spark, dst).select("id").as[Long].collect().sorted.toSeq
+
+    // crawl table with an in-batch dup: min id wins, dup dropped
+    GraftTable.create(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text"),
+      src, Seq("id"), nbuckets = 4)
+    run()
+    dstIds() shouldBe Seq(1L, 2L)
+    // new crawl increment: a re-crawl of "beta" rejects, "gamma" admits
+    GraftTable.upsert(spark, src, Seq((10L, "beta"), (11L, "gamma")).toDF("id", "text"))
+    run()
+    dstIds() shouldBe Seq(1L, 2L, 11L)
+    // restart with nothing new: checkpoint resumes, nothing re-admitted
+    run()
+    dstIds() shouldBe Seq(1L, 2L, 11L)
+    // a source delete is not new content; the curated first-seen copy stays
+    GraftTable.delete(spark, src, Seq(1L).toDF("id"))
+    run()
+    dstIds() shouldBe Seq(1L, 2L, 11L)
+  }
+
   test("matches a whole-corpus brute force: first batch, then min id") {
     val led = ledger()
     def text(k: Long): String = s"doc-${(k * 13) % 37}"
