@@ -115,6 +115,40 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dupSpans agrees with a naive span construction (10 random corpora)") {
+    import graft.operators.TextAnalysis
+    val n = 3
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      // small vocab forces cross-doc n-gram collisions
+      val docs = (0L until (4 + rnd.nextInt(6)).toLong).map { id =>
+        (id, Seq.fill(n + rnd.nextInt(25))(s"w${rnd.nextInt(8)}").mkString(" "))
+      }
+      val minDocs = 2
+      val got = TextAnalysis.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          n, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // naive reference: flag windows by distinct-doc count, merge runs
+      val wins = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ").toSeq.sliding(n).map(_.mkString(" ")).toSeq
+      }.toMap
+      val flagged = wins.toSeq.flatMap { case (id, ws) => ws.distinct.map(g => (g, id)) }
+        .groupBy(_._1).filter(_._2.size >= minDocs).keySet
+      val want = wins.toSeq.flatMap { case (id, ws) =>
+        val starts = ws.zipWithIndex.collect { case (g, i) if flagged(g) => i }
+        val groups = starts.foldLeft(List.empty[List[Int]]) {
+          case (acc, s) if acc.nonEmpty && s <= acc.head.head + n => (s :: acc.head) :: acc.tail
+          case (acc, s) => List(s) :: acc
+        }.reverse.map(_.reverse)
+        groups.zipWithIndex.map { case (g, gi) =>
+          (id, (gi + 1).toLong, g.head.toLong, (g.last + n).toLong, g.size.toLong)
+        }
+      }.toSet
+      withClue(s"seed=$seed: ") { got shouldBe want }
+    }
+  }
+
   test("shingles UDF agrees with a naive k-gram set (20 random docs)") {
     val words = Array("a", "b", "c", "dd", "ee")
     val rnd = new Random(99)
