@@ -37,10 +37,12 @@ object Audit {
         // executes as; there is no key to hash-join on.
         // q_sample_temperature and q_balance_deciles broadcast the same
         // one-row shape (corpus-wide normalizer / percentile boundaries);
-        // q_events_funnel cross-joins three ONE-ROW stage aggregates.
+        // q_events_funnel cross-joins three ONE-ROW stage aggregates;
+        // q11_important_stock broadcasts its ONE-ROW grand total (the
+        // Q11 scalar-subquery threshold).
         val expectedBnlj =
           Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature",
-            "q_balance_deciles", "q_events_funnel")
+            "q_balance_deciles", "q_events_funnel", "q11_important_stock")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

@@ -1116,6 +1116,138 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape: the minimum-cost supplier per part within a
+      // region (the classic correlated-MIN subquery, decorrelated into
+      // a min-match join). No partsupp in this schema, so the offer
+      // relation is DERIVED from lineitem: a supplier "offers" a part
+      // at its cheapest observed extended price (exact cents — no
+      // double min can flip a tie). The part filter joins BEFORE the
+      // offer aggregation, so at 100 TB only the selected parts'
+      // lineitems are aggregated; supplier/nation/region dims all
+      // broadcast. The per-part best price is a second keyed agg
+      // joined back on partkey (NOT broadcast: |selected parts| scales
+      // with the catalog), exactly the q15/q17 correlated-agg pattern.
+      val priceC = floor(col("l_extendedprice") * 100).cast("long")
+      val euSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"), col("p_brand"))
+        .agg(min(priceC).as("min_price_c"))
+      val best = offers.groupBy(col("l_partkey").as("bp_key"))
+        .agg(min(col("min_price_c")).as("best_price_c"))
+      offers.join(best,
+          col("l_partkey") === col("bp_key") && col("min_price_c") === col("best_price_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_brand"), col("min_price_c"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape: parts whose value from ONE nation's suppliers
+      // exceeds a fixed fraction of that nation's total (the
+      // HAVING-vs-scalar-subquery pattern). Value is exact cents; the
+      // threshold compare is integer-exact (value·1000 > total, i.e.
+      // fraction 1/1000) so no double rounding at the boundary. The
+      // grand total is ONE aggregate row broadcast back — a scalar
+      // compare, never a second shuffle of the per-part values.
+      val priceC = floor(col("l_extendedprice") * 100).cast("long")
+      val natSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(priceC).as("value_c"))
+      val total = value.agg(sum(col("value_c")).as("total_c"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_c") * 1000 > col("total_c"))
+        .select(col("partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("partkey"))
+    }),
+
+    "q12_late_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape: two-way conditional counts (urgent vs other
+      // order priorities) over a fact⋈fact join, grouped by line
+      // status (no l_shipmode in this schema; "late" = shipped > 30
+      // days after the order date, as q4). The shipdate year window is
+      // a pushed parquet filter on the lineitem scan; the only shuffle
+      // is lineitem ⋈ orders on orderkey. CASE-sums are map-side
+      // partial aggregates — the classic one-pass pivot.
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("l_linestatus").as("ship_channel"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_channel")
+    }),
+
+    "q16_supplier_part_counts" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct-supplier counts per part attribute
+      // triple, with a NOT-IN supplier exclusion. The offer relation is
+      // lineitem-derived (no partsupp); the NOT IN becomes a broadcast
+      // LEFT ANTI join (the exclusion side is |suppliers|-small; never
+      // a shuffled subquery). countDistinct expands per (brand, type,
+      // size) group — bounded keys, uniform shuffle. Part filters join
+      // before the distinct, pruning the Expand input at the scan.
+      val badSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(
+          col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    "q20_excess_suppliers" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers holding an excess share of a part
+      // family (the nested correlated-agg semi-join). A supplier is
+      // "excess" on a part if its shipped quantity in the year window
+      // exceeds HALF the part's total — integer-exact (2·supp > tot on
+      // integral quantity sums). Name-filtered parts broadcast-join
+      // BEFORE the per-(part,supplier) aggregation (at 100 TB only the
+      // family's lineitems aggregate); the part total is a second
+      // keyed agg joined back on partkey; the supplier set is a
+      // DISTINCT semi-join reduced to |suppliers| before the broadcast
+      // dim join. Region filter via nation⋈region as q5.
+      val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("bolt"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+      val tot = shipped.groupBy(col("l_partkey").as("tp_key"))
+        .agg(sum(col("supp_qty")).as("tot_qty"))
+      val excess = shipped.join(tot, col("l_partkey") === col("tp_key"))
+        .filter(col("supp_qty") * 2 > col("tot_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
     "q_nation_balance_full_outer" -> ((s, dir) => {
       // FULL OUTER join surface: rich-customer vs rich-supplier counts
       // per nation, either side absent for some nations (null-merged).
@@ -1131,6 +1263,22 @@ object SparkEntry {
           coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
         .orderBy("nationkey")
     }),
+
+    "q_orders_cube" -> ((s, dir) =>
+      // multi-grouping surface: CUBE over (status, priority) — one
+      // Expand-based pass computes all four grouping sets (Catalyst
+      // expands 4× then partially aggregates map-side; never four
+      // scans). NULL grouping slots are labeled 'ALL' (the data's own
+      // columns are non-null, so the label is unambiguous).
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price_c"))
+        .orderBy("status", "priority")),
 
     "q_orders_semi_anti" -> ((s, dir) => {
       // semi/anti join coverage: orders with vs without any lineitem
@@ -1483,6 +1631,14 @@ object SparkEntry {
       // (df asc, tf desc, token) — integer-exact tf-idf ordering
       TextAnalysis.rareTermKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")),
+
+    "text_lm_score" -> ((s, dir) =>
+      // corpus bigram-LM surprisal (the perplexity quality filter):
+      // per-doc NLL under MLE conditional bigram probabilities fitted
+      // on the corpus itself, integer micro-nats per term so the sum
+      // is engine-exact
+      TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     "text_chunk" -> ((s, dir) =>
       // 64-token windows every 48 tokens (16-token overlap)
@@ -2546,6 +2702,77 @@ object SparkEntry {
          WHERE p_name LIKE '%bolt%'
          GROUP BY 1, 2, 3 ORDER BY nation, o_year DESC""",
 
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         offers AS (
+           SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name, p_brand,
+                  CAST(min(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c
+           FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN eu ON l_suppkey = s_suppkey
+           WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         best AS (SELECT l_partkey, min(min_price_c) AS best_price_c FROM offers GROUP BY 1)
+         SELECT o.s_acctbal, o.s_name, o.n_name, o.l_partkey AS p_partkey, o.p_brand, o.min_price_c
+         FROM offers o JOIN best b ON o.l_partkey = b.l_partkey AND o.min_price_c = b.best_price_c
+         ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, p_partkey LIMIT 100""",
+
+    "q11_important_stock" ->
+      """WITH val AS (
+           SELECT l_partkey AS partkey,
+                  CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3'
+           GROUP BY 1)
+         SELECT partkey, value_c
+         FROM val, (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM val)
+         WHERE value_c * 1000 > total_c
+         ORDER BY value_c DESC, partkey""",
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus AS ship_channel,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1 ORDER BY 1""",
+
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND p_name LIKE '%bolt%'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS tot_qty FROM shipped GROUP BY 1),
+         excess AS (
+           SELECT DISTINCT s.l_suppkey
+           FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+           WHERE s.supp_qty * 2 > t.tot_qty)
+         SELECT s_name, s_acctbal
+         FROM supplier
+           JOIN excess ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+         ORDER BY s_name""",
+
     "q_nation_balance_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
                     FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
@@ -2665,6 +2892,15 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
 
     "q_orders_semi_anti" ->
       """WITH w AS (SELECT 'with_items' AS bucket, o_orderkey FROM orders
@@ -3063,6 +3299,21 @@ object SparkEntry {
            FROM tf JOIN dfq USING (token))
          SELECT doc_id, rnk, token, tf, df FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+                  unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+           FROM toks),
+         bgc AS (SELECT bg, count(*) AS bc FROM bg GROUP BY 1),
+         pfx AS (SELECT w1, count(*) AS pfc FROM bg GROUP BY 1)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+                CAST(sum(CAST(FLOOR(ln(pfx.pfc) * 1e6) AS BIGINT)
+                       - CAST(FLOOR(ln(bgc.bc) * 1e6) AS BIGINT)) AS BIGINT) AS surprisal_q6
+         FROM bg JOIN bgc USING (bg) JOIN pfx USING (w1)
+         GROUP BY 1 ORDER BY 1""",
 
     // documents are all-ASCII (asserted at build time), so DuckDB VARCHAR
     // char-ops equal Spark's byte-ops on the utf-8 payload.

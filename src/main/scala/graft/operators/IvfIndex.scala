@@ -53,7 +53,8 @@ object IvfIndex {
     */
   def build(data: DataFrame, vecCol: String, nlist: Int, path: String,
             metric: String = "cosine", seed: Long = 42L,
-            fitSampleFraction: Option[Double] = None): Model = {
+            fitSampleFraction: Option[Double] = None,
+            persistModel: Boolean = true): Model = {
     val feat =
       if (metric == "cosine")
         data.withColumn("_n", vector_norm(col(vecCol))) // hoisted: norm once per row, not per element
@@ -79,7 +80,10 @@ object IvfIndex {
     model.transform(feat).drop("_feat")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     val m = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
-    save(data.sparkSession, m)
+    // opt-out for callers that version the model themselves (the
+    // table-attached GraftIndex): a layout-local `_model` there would
+    // be redundant AND go stale across refresh generations
+    if (persistModel) save(data.sparkSession, m)
     m
   }
 

@@ -50,7 +50,7 @@ object PqIndex {
   def build(data: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
             path: String, metric: String = "cosine", seed: Long = 42L,
             sampleSize: Int = 20000, opq: Boolean = false,
-            opqIters: Int = 4): Model = {
+            opqIters: Int = 4, persistModel: Boolean = true): Model = {
     val spark = data.sparkSession
     require(data.columns.contains(idCol),
       s"id column $idCol not in ${data.columns.mkString(",")}") // probe() fetches ids by this name
@@ -103,7 +103,9 @@ object PqIndex {
       .drop("_v")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     val built = Model(path, coarse, codebooks, m, dsub, metric, rot)
-    save(spark, built)
+    // opt-out for callers that version the model themselves (see
+    // IvfIndex.build) — GraftIndex keeps models in generation files
+    if (persistModel) save(spark, built)
     built
   }
 

@@ -336,6 +336,49 @@ object TextAnalysis {
       .select(col(idCol), col("rnk"), col("token"), col("tf"), col("df"))
   }
 
+  /** Corpus bigram-LM surprisal score — the CCNet/Gopher
+    * perplexity-filter shape with the corpus itself as the language
+    * model. The model is MLE conditional bigram probability
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) fitted in one aggregation pass over the
+    * whole corpus (prefix counts come from the bigram relation itself,
+    * so the conditionals normalize exactly); each document's score is
+    * its total negative log-likelihood under that model. Every log
+    * term is quantized to integer micro-nats (floor(1e6·ln)) BEFORE
+    * the per-doc sum, so totals are order-independent exact integers —
+    * a raw double sum would drift with partial-agg order and never
+    * hash-match another engine. High surprisal = atypical text (the
+    * quality-filter signal); docs with < 2 tokens carry no evidence
+    * and are absent by construction.
+    *
+    * Scale: bigram instances explode at the scan (rows of one doc stay
+    * in their input partition, so the per-doc sum collapses map-side);
+    * the two model tables are keyed aggs on bounded-vocabulary keys,
+    * broadcast back to the instances — at web scale (vocab² too big to
+    * broadcast) the same plan degrades to keyed shuffle joins on
+    * uniform keys. Nothing is O(corpus²).
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .withColumn("_toks", tokens(col(textCol)))
+      // zip_with over two shifted slices: no sequence() (which would
+      // count DOWN for 1-token docs and emit null-padded bigrams)
+      .withColumn("_bg", expr(
+        """zip_with(slice(_toks, 1, size(_toks) - 1),
+          |         slice(_toks, 2, size(_toks) - 1),
+          |         (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))""".stripMargin))
+      .select(col(idCol), explode(col("_bg")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("bc"))
+    val prefixCounts = bg.groupBy(col("w1").as("pw")).agg(count(lit(1)).as("pfc"))
+    def lnQ6(c: Column): Column = floor(log(c) * 1e6).cast("long")
+    bg
+      .join(broadcast(bgCounts), Seq("bg"))
+      .join(broadcast(prefixCounts), col("w1") === col("pw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnQ6(col("pfc")) - lnQ6(col("bc"))).as("surprisal_q6"))
+  }
+
   /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -272,11 +272,11 @@ object GraftIndex {
     val snap = GraftTable.read(spark, tablePath, v).filter(col(vecCol).isNotNull)
     if (kind == "ivf") {
       val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
-        metric, fitSampleFraction = fitSampleFraction)
+        metric, fitSampleFraction = fitSampleFraction, persistModel = false)
       saveModel(spark, tablePath, name, model.centroids, None, None, Some(0))
     } else {
       val model = PqIndex.build(snap, keys.head, vecCol, nlist, m,
-        dataPath(tablePath, name), metric, opq = opq)
+        dataPath(tablePath, name), metric, opq = opq, persistModel = false)
       saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot, Some(0))
     }
     // generation 0 = the build's own files; meta lands LAST (commit point)
@@ -312,13 +312,14 @@ object GraftIndex {
     val snap = GraftTable.read(spark, tablePath, head).filter(col(meta0.vecCol).isNotNull)
     if (meta0.kind == "ivf") {
       val model = IvfIndex.build(snap, meta0.vecCol, newNlist, layout,
-        meta0.metric, fitSampleFraction = fitSampleFraction)
+        meta0.metric, fitSampleFraction = fitSampleFraction, persistModel = false)
       saveModel(spark, tablePath, name, model.centroids, None, None, Some(newModelGen))
     } else {
       // defaults for the PQ shape come from the CURRENT model
       val cur = loadModel(spark, tablePath, meta0, None).toOption.get
       val model = PqIndex.build(snap, meta0.keyCols.head, meta0.vecCol, newNlist,
-        m.getOrElse(cur.m), layout, meta0.metric, opq = opq.getOrElse(cur.rot.isDefined))
+        m.getOrElse(cur.m), layout, meta0.metric, opq = opq.getOrElse(cur.rot.isDefined),
+        persistModel = false)
       saveModel(spark, tablePath, name, model.coarse, Some(model.codebooks), model.rot,
         Some(newModelGen))
     }
