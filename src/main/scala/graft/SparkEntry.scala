@@ -1640,6 +1640,21 @@ object SparkEntry {
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "text_winnow" -> ((s, dir) =>
+      // winnowing (MOSS) fingerprints: min-hash of each 5-window of
+      // 4-gram hashes — any ≥8-token shared run guarantees a shared
+      // fingerprint; 32-bit md5-prefix hashes are engine-identical
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 5)
+        .orderBy("doc_id", "fp")),
+
+    "dedup_winnow" -> ((s, dir) =>
+      // near-dup candidates from shared winnowing fingerprints:
+      // df-capped inverted-index join (≥3 shared = candidate pair)
+      TextAnalysis.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 5, maxDf = 50, minShared = 3)
+        .orderBy("doc_a", "doc_b")),
+
     "text_chunk" -> ((s, dir) =>
       // 64-token windows every 48 tokens (16-token overlap)
       TextAnalysis.chunk(Tables.documents(s, dir), "text", chunkSize = 64, stride = 48)
@@ -3314,6 +3329,49 @@ object SparkEntry {
                        - CAST(FLOOR(ln(bgc.bc) * 1e6) AS BIGINT)) AS BIGINT) AS surprisal_q6
          FROM bg JOIN bgc USING (bg) JOIN pfx USING (w1)
          GROUP BY 1 ORDER BY 1""",
+
+    "text_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  unnest(range(1, len(ts) - 2)) AS pos,
+                  unnest(list_transform(range(1, len(ts) - 2),
+                         i -> array_to_string(list_slice(ts, i, i + 3), ' '))) AS gram
+           FROM toks WHERE len(ts) >= 8),
+         hashed AS (
+           SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM grams),
+         wins AS (
+           SELECT doc_id, pos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+                  max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           FROM hashed)
+         SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 4
+         ORDER BY doc_id, fp""",
+
+    "dedup_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  unnest(range(1, len(ts) - 2)) AS pos,
+                  unnest(list_transform(range(1, len(ts) - 2),
+                         i -> array_to_string(list_slice(ts, i, i + 3), ' '))) AS gram
+           FROM toks WHERE len(ts) >= 8),
+         hashed AS (
+           SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM grams),
+         wins AS (
+           SELECT doc_id, pos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+                  max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           FROM hashed),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 4),
+         rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+         kept AS (SELECT fps.* FROM fps JOIN rare USING (fp))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY doc_a, doc_b""",
 
     // documents are all-ASCII (asserted at build time), so DuckDB VARCHAR
     // char-ops equal Spark's byte-ops on the utf-8 payload.

@@ -379,6 +379,74 @@ object TextAnalysis {
         sum(lnQ6(col("pfc")) - lnQ6(col("bc"))).as("surprisal_q6"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * scheme): hash every k-token gram, then keep the MINIMUM hash of
+    * each w-gram window. The selected set is position-independent and
+    * guarantees that any shared run of ≥ k+w-1 tokens between two
+    * documents yields at least one shared fingerprint — local document
+    * edits only perturb nearby fingerprints. Output: DISTINCT
+    * (doc, fp) rows; docs shorter than k+w-1 tokens have no full
+    * window and are absent (mirrored by the oracle's length filter).
+    *
+    * Engine-exact by construction: the hash is the first 8 hex chars
+    * of md5 (a 32-bit integer both engines derive identically), and
+    * min-per-window needs no tie rule beyond the value itself.
+    *
+    * Scale: grams explode at the scan; both window functions (frame
+    * min, partition max) share ONE shuffle partitioned by doc —
+    * per-doc state is bounded by doc length, keys are uniform.
+    * Nothing is pairwise here; candidate generation happens in
+    * [[winnowPairs]] through the fingerprint inverted index.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= k + w - 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(__tk) - ${k - 1}), " +
+        s"i -> array_join(slice(__tk, i, $k), ' '))")).as(Seq("pos", "gram")))
+      .withColumn("h",
+        conv(substring(md5(to_binary(col("gram"), lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(col(idCol))
+    grams
+      // min BEFORE the full-window filter: truncated tail windows must
+      // not select, but their rows still participate in earlier frames
+      .withColumn("fp", min(col("h")).over(frame))
+      .withColumn("__maxpos", max(col("pos")).over(whole))
+      .filter(col("pos") <= col("__maxpos") - (w - 1))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the
+    * inverted-index join over [[winnowFingerprints]]. `maxDf` drops
+    * viral fingerprints (boilerplate shared by more than maxDf docs)
+    * before pairing, the same frequency cap that keeps every banded
+    * join in this codebase from exploding on stop-grams; `minShared`
+    * is the match evidence threshold. At 100 TB the join shuffles on
+    * the 32-bit fingerprint key — uniform, df-bounded fan-out, never
+    * O(corpus²).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5,
+                  maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col(idCol).as("doc_a"))
+    val b = kept.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content fingerprints: md5 + sha256 (byte-identical across engines). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs
