@@ -1754,6 +1754,29 @@ object SparkEntry {
         .orderBy("source", "pack")
     }),
 
+    "pipeline_curate_winnow" -> ((s, dir) => {
+      // the round's new curation signals composed: bigram-LM quality
+      // gate (drop the most atypical ~10 % by integer micro-nat
+      // surprisal — the compare is surprisal < n·T, never a division)
+      // → winnow near-dup drop (of each candidate pair keep the
+      // smaller doc_id) → per-source survivor stats. One declarative
+      // plan; both model fits and the fingerprint join are the exact
+      // standalone-query shapes.
+      val docs = Tables.documents(s, dir)
+      val lm = TextAnalysis.lmSurprisal(docs, "doc_id", "text")
+      val typical = docs.join(lm, Seq("doc_id"))
+        .filter(col("surprisal_q6") < col("n_bigrams") * lit(3430000L))
+      val dupLosers = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+          k = 4, w = 5, maxDf = 50, minShared = 3)
+        .select(col("doc_b").as("doc_id")).distinct()
+      typical.join(dupLosers, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("n_bigrams")).cast("long").as("sum_bigrams"))
+        .orderBy("source")
+    }),
+
     "q_label_centroids" -> ((s, dir) =>
       // TypedImperativeAggregate pooling; double-sum order sensitivity → rows-only
       Tables.embeddings(s, dir).groupBy("label")
@@ -3372,6 +3395,50 @@ object SparkEntry {
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY doc_a, doc_b""",
+
+    "pipeline_curate_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+                  unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+           FROM toks),
+         bgc AS (SELECT bg, count(*) AS bc FROM bg GROUP BY 1),
+         pfx AS (SELECT w1, count(*) AS pfc FROM bg GROUP BY 1),
+         lm AS (
+           SELECT bg.doc_id, count(*) AS n_bigrams,
+                  CAST(sum(CAST(FLOOR(ln(pfx.pfc) * 1e6) AS BIGINT)
+                         - CAST(FLOOR(ln(bgc.bc) * 1e6) AS BIGINT)) AS BIGINT) AS surprisal_q6
+           FROM bg JOIN bgc USING (bg) JOIN pfx USING (w1)
+           GROUP BY 1),
+         grams AS (
+           SELECT doc_id,
+                  unnest(range(1, len(ts) - 2)) AS pos,
+                  unnest(list_transform(range(1, len(ts) - 2),
+                         i -> array_to_string(list_slice(ts, i, i + 3), ' '))) AS gram
+           FROM toks WHERE len(ts) >= 8),
+         hashed AS (
+           SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM grams),
+         wins AS (
+           SELECT doc_id, pos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+                  max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           FROM hashed),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= maxpos - 4),
+         rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+         kept AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+         FROM documents JOIN lm USING (doc_id)
+         WHERE surprisal_q6 < n_bigrams * 3430000
+           AND doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+         GROUP BY 1 ORDER BY 1""",
 
     // documents are all-ASCII (asserted at build time), so DuckDB VARCHAR
     // char-ops equal Spark's byte-ops on the utf-8 payload.
