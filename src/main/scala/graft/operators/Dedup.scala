@@ -368,7 +368,21 @@ object Dedup {
     val spark = emb.sparkSession
     val cover = 2.0 * math.sqrt(math.max(0.0, 2.0 - 2.0 * tau))
 
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val full = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // EXACT-DUPLICATE COLLAPSE before the geometry: duplicate-heavy
+    // corpora (the real 100 TB regime — crawl snapshots, mirrored docs)
+    // put every copy of a vector in the same cell, so the cover join's
+    // candidate stream grows quadratically per duplicate clique. All
+    // copies are byte-identical, so the expensive part (cell assignment,
+    // cover explode, candidate kernel) runs on ONE representative per
+    // distinct vector; clique pairs are reconstructed afterwards through
+    // id-only joins with the kernel evaluated once per GROUP (identical
+    // bytes ⇒ identical kernel result — output stays bit-equal to brute
+    // force). The reconstruction itself is output-bound: a clique of m
+    // docs IS m(m-1)/2 qualifying pairs under all-pairs semantics.
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    val memb = full.withColumn("gid", min(col("id")).over(grpW))
+    val base = memb.filter(col("id") === col("gid")).select(col("gid").as("id"), col("v"))
     // deterministic bounded sample (lowest ids) — centroid quality only
     // shapes pruning, never correctness, so 20k rows is plenty at 100 TB
     val sample = base.orderBy("id").limit(sampleSize).select("v").collect()
@@ -406,11 +420,32 @@ object Dedup {
     // shuffle_hash: cell keys are few and heavy — hashing one side beats
     // sort-merge's equal-key-run buffering; still a shuffled (bounded-
     // memory-per-task) join, never a table broadcast
-    primary.as("x").hint("shuffle_hash").join(coverSide.as("y"),
+    val repPairs = primary.as("x").hint("shuffle_hash").join(coverSide.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .withColumn("cos", cosine_similarity(col("x.v"), col("y.v")))
       .filter(col("cos") >= tau)
-      .select(col("x.id").as("i"), col("y.id").as("j"), col("cos"))
+      .select(col("x.id").as("gi"), col("y.id").as("gj"), col("cos"))
+
+    // expand representative pairs back to document pairs (id-only joins)
+    val ids = memb.select(col("id"), col("gid"))
+    // intra-clique: every pair inside a duplicate group; kernel once per
+    // group (the τ filter mirrors brute force — identical vectors score
+    // ~1.0, but a degenerate τ > 1 must still exclude them)
+    val grpCos = base.withColumn("cos", cosine_similarity(col("v"), col("v")))
+      .filter(col("cos") >= tau).select(col("id").as("g"), col("cos"))
+    val intra = ids.as("a").join(ids.as("b"),
+        col("a.gid") === col("b.gid") && col("a.id") < col("b.id"))
+      .join(grpCos, col("a.gid") === col("g"))
+      .select(col("a.id").as("i"), col("b.id").as("j"), col("cos"))
+    // inter-clique: a qualifying representative pair qualifies every
+    // member cross-pair (identical bytes per group); re-order each pair
+    // by id to match the brute-force i < j convention
+    val inter = repPairs
+      .join(ids.as("ma"), col("gi") === col("ma.gid"))
+      .join(ids.as("mb"), col("gj") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("i"),
+        greatest(col("ma.id"), col("mb.id")).as("j"), col("cos"))
+    inter.unionByName(intra)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
