@@ -68,7 +68,13 @@ object Dedup {
     // sides of the verify join — without it the (non-codegen) HOF
     // shingling is re-evaluated once per reuse. Disk-spillable, so at
     // cluster scale this is bounded by executor storage, not heap.
-    val sh = hashedShingles(docs, idCol, textCol, k)
+    val shAll = hashedShingles(docs, idCol, textCol, k)
+    // exact-duplicate collapse (see [[embeddingCosine]]): docs with the
+    // IDENTICAL shingle set are J=1 twins — one representative runs the
+    // prefix index and verification; clique pairs expand afterwards.
+    // PPJoin exactness only needs SOME consistent total shingle order,
+    // so rep-level document frequencies keep the proof intact.
+    val (sh, memb) = collapseBy(shAll, col("sh"))
 
     // global document frequency per shingle → rarest-first canonical order
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
@@ -92,7 +98,46 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    finalizePairs(verifyJaccard(candidates, sh, tau), sh, ranked)
+    val repPairs = verifyJaccard(candidates, sh, tau)
+    finalizePairs(expandPairs(repPairs, memb, "jaccard", lit(1.0)), shAll, ranked)
+  }
+
+  /** Exact-duplicate collapse for pair miners: rows whose `key` column
+    * is byte-identical behave identically everywhere downstream, so the
+    * candidate/verify machinery runs on ONE representative (min doc_id)
+    * per distinct key. Duplicate-heavy corpora — the realistic 100 TB
+    * regime — otherwise grow every bucket/block/cell join quadratically
+    * per duplicate clique. Returns (reps, membership(doc_id, gid)).
+    */
+  private def collapseBy(df: DataFrame, key: Column): (DataFrame, DataFrame) = {
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val memb = df.withColumn("gid", min(col("doc_id")).over(grpW))
+    val reps = memb.filter(col("doc_id") === col("gid")).drop("gid")
+    (reps, memb.select(col("doc_id"), col("gid")))
+  }
+
+  /** Expand representative-level pairs back to document pairs — the
+    * inverse of [[collapseBy]], output-bound by the pair semantics
+    * themselves (a clique of m docs IS m(m-1)/2 qualifying pairs).
+    * Intra-clique pairs carry `selfScore` (identical keys score
+    * trivially: J = 1.0, hamming = 0); inter-clique pairs inherit their
+    * representatives' score (identical keys ⇒ identical score for
+    * every member cross-pair) and re-order by id to keep the i < j
+    * convention. All joins are id-only — no payloads move.
+    */
+  private def expandPairs(repPairs: DataFrame, memb: DataFrame,
+                          scoreCol: String, selfScore: Column): DataFrame = {
+    val intra = memb.as("a").join(memb.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        selfScore.as(scoreCol))
+    val inter = repPairs
+      .select(col("i").as("gi"), col("j").as("gj"), col(scoreCol))
+      .join(memb.select(col("gid").as("gi"), col("doc_id").as("ia")), "gi")
+      .join(memb.select(col("gid").as("gj"), col("doc_id").as("jb")), "gj")
+      .select(least(col("ia"), col("jb")).as("i"),
+        greatest(col("ia"), col("jb")).as("j"), col(scoreCol))
+    inter.unionByName(intra)
   }
 
   /** Materialize the (small) pair output, then release the bulky
@@ -205,7 +250,11 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, tau: Double,
                  numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = hashedShingles(docs, idCol, textCol)
+    val shAll = hashedShingles(docs, idCol, textCol)
+    // exact-duplicate collapse (see [[collapseBy]]): identical shingle
+    // sets sign identically into every band — signatures, buckets, and
+    // verification run once per distinct set
+    val (sh, memb) = collapseBy(shAll, col("sh"))
     val banded = bandedFromShingles(sh, numPerms, bands)
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the bucket self-join
 
@@ -215,7 +264,8 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    finalizePairs(verifyJaccard(candidates, sh, tau), sh, banded)
+    val repPairs = verifyJaccard(candidates, sh, tau)
+    finalizePairs(expandPairs(repPairs, memb, "jaccard", lit(1.0)), shAll, banded)
   }
 
   /** Benchmark decontamination: flag every training doc sharing at
@@ -319,22 +369,28 @@ object Dedup {
     val fpUdf = udf { (t: String) =>
       simhash64(Option(t).getOrElse("").split(" ").toSeq)
     }
-    val fps = docs.select(col(idCol).as("doc_id"),
+    val allFps = docs.select(col(idCol).as("doc_id"),
       fpUdf(lower(col(textCol))).as("fp"))
+    // exact-duplicate collapse on the FINGERPRINT itself (see
+    // [[collapseBy]]): equal-fp docs are hamming-0 twins — stronger
+    // than a text collapse, it also merges distinct texts that
+    // fingerprint identically
+    val (fps, memb) = collapseBy(allFps, col("fp"))
 
     val blocks = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> named_struct('blk', b, 'key', (fp >> (b*16)) & 65535))")).as("e"))
       .select(col("doc_id"), col("fp"), col("e.blk"), col("e.key"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the block self-join
 
-    val pairs = blocks.as("a").join(blocks.as("b"),
+    val repPairs = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(expr("a.fp ^ b.fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    finalizePairs(pairs, blocks)
+    finalizePairs(
+      expandPairs(repPairs, memb, "hamming", lit(0).cast("int")), blocks)
   }
 
   /** Embedding near-dup: all pairs with cosine ≥ tau — EXACT, via a
