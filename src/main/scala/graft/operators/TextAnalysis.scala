@@ -358,7 +358,18 @@ object TextAnalysis {
     * uniform keys. Nothing is O(corpus²).
     */
   def lmSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docs
+    // exact-duplicate collapse: byte-identical texts explode identical
+    // bigrams and score identically, so the explode/join/sum runs once
+    // per DISTINCT text; the model stays corpus-exact by weighting each
+    // representative's instances with its clique size (sum(m) == the
+    // instance count brute force would see), and members inherit their
+    // representative's score. Duplicate-heavy corpora pay for distinct
+    // content, not copies.
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+    val memb = docs.select(col(idCol), col(textCol))
+      .withColumn("gid", min(col(idCol)).over(grpW))
+      .withColumn("m", count(lit(1)).over(grpW))
+    val bg = memb.filter(col(idCol) === col("gid"))
       .withColumn("_toks", tokens(col(textCol)))
       // zip_with over two shifted slices: no sequence() (which would
       // count DOWN for 1-token docs and emit null-padded bigrams)
@@ -366,17 +377,20 @@ object TextAnalysis {
         """zip_with(slice(_toks, 1, size(_toks) - 1),
           |         slice(_toks, 2, size(_toks) - 1),
           |         (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))""".stripMargin))
-      .select(col(idCol), explode(col("_bg")).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.bg").as("bg"))
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("bc"))
-    val prefixCounts = bg.groupBy(col("w1").as("pw")).agg(count(lit(1)).as("pfc"))
+      .select(col("gid"), col("m"), explode(col("_bg")).as("b"))
+      .select(col("gid"), col("m"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(sum(col("m")).as("bc"))
+    val prefixCounts = bg.groupBy(col("w1").as("pw")).agg(sum(col("m")).as("pfc"))
     def lnQ6(c: Column): Column = floor(log(c) * 1e6).cast("long")
-    bg
+    val repScores = bg
       .join(broadcast(bgCounts), Seq("bg"))
       .join(broadcast(prefixCounts), col("w1") === col("pw"))
-      .groupBy(col(idCol))
+      .groupBy(col("gid"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(lnQ6(col("pfc")) - lnQ6(col("bc"))).as("surprisal_q6"))
+    memb.select(col(idCol), col("gid"))
+      .join(repScores, Seq("gid"))
+      .select(col(idCol), col("n_bigrams"), col("surprisal_q6"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
@@ -401,25 +415,34 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // exact-duplicate collapse: the fingerprint set is a pure function
+    // of the text, so gram hashing and both window passes run once per
+    // DISTINCT text; members inherit their representative's set
+    val grpW = Window.partitionBy(col(textCol))
+    val memb = docs.select(col(idCol), col(textCol))
+      .withColumn("gid", min(col(idCol)).over(grpW))
+    val grams = memb.filter(col(idCol) === col("gid"))
       .withColumn("__tk", tokens(col(textCol)))
       .filter(size(col("__tk")) >= k + w - 1)
-      .select(col(idCol), posexplode(expr(
+      .select(col("gid"), posexplode(expr(
         s"transform(sequence(1, size(__tk) - ${k - 1}), " +
         s"i -> array_join(slice(__tk, i, $k), ' '))")).as(Seq("pos", "gram")))
       .withColumn("h",
         conv(substring(md5(to_binary(col("gram"), lit("utf-8"))), 1, 8), 16, 10)
           .cast("long"))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val frame = Window.partitionBy(col("gid")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val whole = Window.partitionBy(col(idCol))
-    grams
+    val whole = Window.partitionBy(col("gid"))
+    val repFps = grams
       // min BEFORE the full-window filter: truncated tail windows must
       // not select, but their rows still participate in earlier frames
       .withColumn("fp", min(col("h")).over(frame))
       .withColumn("__maxpos", max(col("pos")).over(whole))
       .filter(col("pos") <= col("__maxpos") - (w - 1))
-      .select(col(idCol), col("fp")).distinct()
+      .select(col("gid"), col("fp")).distinct()
+    memb.select(col(idCol), col("gid"))
+      .join(repFps, Seq("gid"))
+      .select(col(idCol), col("fp"))
   }
 
   /** Near-dup candidate pairs from shared winnowing fingerprints — the
