@@ -255,30 +255,44 @@ object TextAnalysis {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
+    // exact-duplicate collapse: span structure is a function of (text,
+    // corpus window stats), so the explode and both window passes run
+    // once per DISTINCT text; the corpus stat stays doc-exact by
+    // weighting each representative with its clique size (n_docs =
+    // Σ m over groups containing the window), and members inherit
+    // their representative's spans
+    val grpW = Window.partitionBy(col(textCol))
+    val memb = docs.select(col(idCol), col(textCol))
+      .withColumn("gid", min(col(idCol)).over(grpW))
+      .withColumn("m", count(lit(1)).over(grpW))
+    val wins = memb.filter(col(idCol) === col("gid"))
       .withColumn("__tk", tokens(col(textCol)))
       .filter(size(col("__tk")) >= n)
-      .select(col(idCol), posexplode(expr(
+      .select(col("gid"), col("m"), posexplode(expr(
         s"transform(sequence(1, size(__tk) - ${n - 1}), " +
         s"i -> array_join(slice(__tk, i, $n), ' '))")))
       .withColumnRenamed("col", "ngram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val flagged = wins.groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
-      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+    val flagged = wins.groupBy(col("gid"), col("ngram")).agg(max(col("m")).as("__m"))
+      .groupBy("ngram").agg(sum(col("__m")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("ngram")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val out = wins.join(flagged, Seq("ngram"), "left_semi")
+    val w = Window.partitionBy(col("gid")).orderBy(col("pos"))
+    val repSpans = wins.join(flagged, Seq("ngram"), "left_semi")
       .withColumn("__new",
         when(col("pos") > lag(col("pos"), 1).over(w) + lit(n), 1L).otherwise(0L))
       .withColumn("__g", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__g"))
+      .groupBy(col("gid"), col("__g"))
       .agg(min(col("pos")).cast("long").as("start_tok"),
         (max(col("pos")) + lit(n)).cast("long").as("end_tok"),
         count(lit(1)).as("n_windows"))
-      .select(col(idCol), (col("__g") + 1L).as("span_idx"),
+      .select(col("gid"), (col("__g") + 1L).as("span_idx"),
         col("start_tok"), col("end_tok"), col("n_windows"))
+    val out = memb.select(col(idCol), col("gid"))
+      .join(repSpans, Seq("gid"))
+      .select(col(idCol), col("span_idx"), col("start_tok"), col("end_tok"),
+        col("n_windows"))
     val kept = out.localCheckpoint(true)
     wins.unpersist(blocking = false)
     kept
@@ -297,18 +311,30 @@ object TextAnalysis {
     */
   def trimDupSpans(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate texts carry identical spans (dupSpans is text- and
+    // corpus-stat-determined), so the tokenize + HOF cut also runs once
+    // per DISTINCT text and members inherit (n_kept, clean_md5)
+    val memb = docs.select(col(idCol), col(textCol))
+      .withColumn("gid", min(col(idCol)).over(Window.partitionBy(col(textCol))))
+    val reps = memb.filter(col(idCol) === col("gid"))
     val spans = dupSpans(docs, idCol, textCol, n, minDocs)
-      .groupBy(col(idCol))
+      .withColumnRenamed(idCol, "gid")
+      .join(reps.select("gid"), Seq("gid"), "left_semi")
+      .groupBy(col("gid"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
+    val trimmed = reps.join(spans, Seq("gid"), "left")
       .withColumn("__tk", tokens(col(textCol)))
       .withColumn("__kept",
         when(col("__spans").isNull, col("__tk")).otherwise(expr(
           "filter(__tk, (x, i) -> " +
           "NOT exists(__spans, s -> i >= s.start_tok AND i < s.end_tok))")))
-      .select(col(idCol),
+      .select(col("gid"),
         size(col("__kept")).cast("long").as("n_kept"),
         md5(array_join(col("__kept"), " ").cast("binary")).as("clean_md5"))
+    memb.select(col(idCol), col("gid"))
+      .join(trimmed, Seq("gid"))
+      .select(col(idCol), col("n_kept"), col("clean_md5"))
   }
 
   /** Rare-term keyword extraction: each doc's top-k tokens ranked by
