@@ -158,28 +158,32 @@ object TextAnalysis {
       .withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
       .withColumn("text_scrubbed", regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
 
-  /** All n-token windows of each doc as (id, ngram) rows — the shared
-    * explode for [[duplicatedNgrams]] / [[dupCoverage]]. Docs shorter
-    * than n tokens have no window and drop out (the oracle's WHERE).
+  /** Per-(doc, ngram) window counts under the exact-duplicate
+    * collapse — the shared first-level aggregate both passage-dedup
+    * reports reduce from: counts per (representative, ngram) with the
+    * clique size `m` carried, plus the (doc → gid) membership for
+    * expanding per-doc results. Weighted sums (Σ m, Σ cnt·m) reproduce
+    * the doc-level stats exactly while exploding each distinct text
+    * once — duplicate-heavy corpora pay for content, not copies. Docs
+    * shorter than n tokens have no window and drop out (the oracle's
+    * WHERE); keyed on (gid, ngram) so the map-side partial collapses a
+    * doc's repeated windows BEFORE the shuffle.
     */
-  private def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    docs
+  private def perDocNgramCollapsed(docs: DataFrame, idCol: String, textCol: String,
+                                   n: Int): (DataFrame, DataFrame) = {
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+    val memb = docs.select(col(idCol), col(textCol))
+      .withColumn("gid", min(col(idCol)).over(grpW))
+      .withColumn("m", count(lit(1)).over(grpW))
+    val pdn = memb.filter(col(idCol) === col("gid"))
       .withColumn("__tk", tokens(col(textCol)))
       .filter(size(col("__tk")) >= n)
-      .select(col(idCol), explode(expr(
+      .select(col("gid"), col("m"), explode(expr(
         s"transform(sequence(1, size(__tk) - ${n - 1}), " +
         s"i -> array_join(slice(__tk, i, $n), ' '))")).as("ngram"))
-
-  /** Per-(doc, ngram) occurrence counts — the shared first-level
-    * aggregate both passage-dedup reports reduce from. Keyed on
-    * (doc, ngram) so the map-side partial collapses each doc's
-    * repeated windows BEFORE the shuffle.
-    */
-  private def perDocNgram(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
-    ngramWindows(docs, idCol, textCol, n)
-      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gid"), col("m"), col("ngram")).agg(count(lit(1)).as("cnt"))
+    (pdn, memb.select(col(idCol), col("gid")))
+  }
 
   /** Corpus-duplicated passage report (the detection stage of
     * passage-level dedup à la "Deduplicating Training Data Makes
@@ -196,9 +200,11 @@ object TextAnalysis {
     */
   def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocs: Int): DataFrame =
-    perDocNgram(docs, idCol, textCol, n)
+    // weighted collapse: n_docs = Σ clique sizes, occurrences = Σ cnt·m
+    // — doc-exact corpus stats from one explode per distinct text
+    perDocNgramCollapsed(docs, idCol, textCol, n)._1
       .groupBy("ngram")
-      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occurrences"))
+      .agg(sum(col("m")).as("n_docs"), sum(col("cnt") * col("m")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document duplicated-passage coverage: what fraction of a doc's
@@ -212,17 +218,21 @@ object TextAnalysis {
     */
   def dupCoverage(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minDocs: Int): DataFrame = {
-    val pdn = perDocNgram(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val flagged = pdn.groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+    val (pdnRep, memb) = perDocNgramCollapsed(docs, idCol, textCol, n)
+    val pdn = pdnRep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = pdn.groupBy("ngram").agg(sum(col("m")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("ngram"), lit(1).as("__dup"))
-    val out = pdn.join(flagged, Seq("ngram"), "left")
-      .groupBy(idCol)
+    // per-REP coverage (identical for every clique member), expanded to
+    // docs through the membership join
+    val repOut = pdn.join(flagged, Seq("ngram"), "left")
+      .groupBy("gid")
       .agg(sum(col("cnt")).as("n_windows"),
         sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         try_divide(col("n_dup_windows").cast("double"), col("n_windows").cast("double")))
+    val out = memb.join(repOut, Seq("gid"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_frac"))
     // materialize the (small, per-doc) result and CUT its lineage from
     // pdn, so the window-level intermediate can be released here rather
     // than leaked for the session's lifetime. localCheckpoint (not a
