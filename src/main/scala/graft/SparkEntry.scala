@@ -178,6 +178,24 @@ object SparkEntry {
     Seq(b0, b1, b2)
   }
 
+  /** Per-JVM BPE model cache keyed by sf dir: training is deterministic
+    * (BpeSpec pins it), so Verify/Bench calls that share a JVM reuse one
+    * fit instead of re-collecting the word dict per query entry.
+    */
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Bpe.BpeModel]()
+  private def bpeModel(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel =
+    bpeModels.computeIfAbsent(dir, _ =>
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text",
+        numMerges = 200, maxWords = 50000, minCount = 2))
+
+  /** Per-JVM quality-classifier cache, same contract as [[bpeModel]]:
+    * the fit is a bounded-sample artifact; serving reuses it.
+    */
+  private val qModels = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.classification.LogisticRegressionModel]()
+  private def qModel(s: SparkSession, dir: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    qModels.computeIfAbsent(dir, _ =>
+      graft.operators.QualityModel.train(Tables.documents(s, dir), "doc_id", "text"))
+
   // ---- serving paths of the fixture-backed exhibits -----------------------
   // Each is the steady-state query against an already-built fixture —
   // the number that matters at scale, timed separately from the build
@@ -1546,6 +1564,15 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "corpus_export_manifest" -> ((s, dir) =>
+      // corpus release OUTPUT stage: deterministic md5-bucket shard
+      // assignment + per-shard integrity manifest whose checksum is an
+      // ORDER-INDEPENDENT xor-fold of 60-bit content hashes (mergeable
+      // map-side — no per-shard ordered state at 100 TB). Both the
+      // assignment and the checksum are engine-agreed → hard oracle.
+      graft.sources.ShardExport.manifest(Tables.documents(s, dir),
+        "doc_id", "text", nShards = 8)),
+
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition filters: dup-trigram fraction + top-bigram share
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
@@ -1654,6 +1681,39 @@ object SparkEntry {
       TextAnalysis.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 4, w = 5, maxDf = 50, minShared = 3)
         .orderBy("doc_a", "doc_b")),
+
+    "text_quality_model" -> ((s, dir) => {
+      // model-based quality filtering (the CCNet/DCLM/FineWeb
+      // distillation stage): fastText-style LR over hashed
+      // unigram+bigram counts, fitted on the md5-sampled half with the
+      // heuristic gate as teacher, then judged on the HELD-OUT half —
+      // per-source agreement/confusion report, all exact integers.
+      // Model coefficients are float-iterative → rows-only; accuracy
+      // and plan shape pinned in QualityModelSpec.
+      val docs = Tables.documents(s, dir)
+      graft.operators.QualityModel.agreementReport(docs, "doc_id", "text",
+        qModel(s, dir))
+    }),
+
+    "text_bpe_vocab" -> ((s, dir) =>
+      // REAL BPE tokenizer training (Sennrich 2016): the learned merge
+      // table, fitted from one distributed word-frequency pass + a
+      // driver loop bounded by the truncated dict (never the corpus).
+      // Merge choice is hash-free and deterministic (count desc, pair
+      // asc) but not SQL-expressible → rows-only; BpeSpec cross-checks
+      // an independent naive implementation exactly.
+      graft.operators.Bpe.mergeTable(s,
+          graft.operators.Bpe.train(Tables.documents(s, dir), "text",
+            numMerges = 200, maxWords = 50000, minCount = 2))
+        .orderBy("rank")),
+
+    "text_bpe_tokens" -> ((s, dir) =>
+      // per-doc REAL-tokenizer accounting (the packing/mixing
+      // denominator): broadcast merge table, scan-parallel greedy
+      // encode, per-executor word memo — zero shuffle
+      graft.operators.Bpe.withTokenStats(Tables.documents(s, dir),
+          "doc_id", "text", bpeModel(s, dir))
+        .orderBy("doc_id")),
 
     "text_chunk" -> ((s, dir) =>
       // 64-token windows every 48 tokens (16-token overlap)
@@ -2028,6 +2088,17 @@ object SparkEntry {
       "vs_sql_hybrid_tvf" -> ((
         (s, dir) => { hybridFixture(s, dir, "thyb2"); () },
         (s, dir) => hybridSqlServe(s, dir, at("thyb2", dir)))),
+      // BPE: build = the tokenizer fit (word-dict collect + driver merge
+      // loop, a one-time artifact cost at scale); serve = the encode
+      // scan the pipeline actually pays per corpus pass.
+      "text_bpe_tokens" -> ((
+        (s, dir) => { bpeModels.remove(dir); bpeModel(s, dir); () },
+        (s, dir) => queries("text_bpe_tokens")(s, dir))),
+      // Quality classifier: build = the bounded-sample fit; serve = the
+      // held-out scoring scan (broadcast coefficients, zero shuffle).
+      "text_quality_model" -> ((
+        (s, dir) => { qModels.remove(dir); qModel(s, dir); () },
+        (s, dir) => queries("text_quality_model")(s, dir))),
       // Incremental dedup: build admits the first two crawl increments
       // into a fresh ledger; serve admits the third — ONE anti-join
       // against the hash-pruned ledger, the per-batch admission cost a
@@ -3251,6 +3322,14 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
          FROM documents ORDER BY doc_id""",
+
+    "corpus_export_manifest" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                  AS shard,
+                count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS checksum
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "text_dup_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
