@@ -261,6 +261,31 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** hybrid recall (both legs index-served, fused top-50) → cross-
+    * encoder rerank (stub scorer: integer distinct-token overlap, the
+    * oracle-checkable stand-in wired through the real per-partition
+    * batched pair-scoring seam) → precision cut at 10.
+    */
+  private def hybridRerankServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    val vecLeg = operators.Fusion.rankByTopN(
+      GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 50, nprobe = 16)
+        .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 50)
+    val txtLeg = operators.Fusion.rankByTopN(
+      TextIndex.scoredTerms(s, tbl, "table scan value", idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
+      "doc_id", col("sq"), 50)
+    val cands = operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
+      .select(col("doc_id"), q4(col("rrf_score")).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(50)
+      .join(GraftTable.read(s, tbl).select("doc_id", "text"), "doc_id")
+    operators.Rerank.rerank(cands, "table scan value", "text")
+      .select(col("doc_id"), col("ce_score").cast("long").as("ce"), col("rrf_q"))
+      .orderBy(col("ce").desc, col("rrf_q").desc, col("doc_id"))
+      .limit(10)
+  }
+
   private def hybridSqlServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
     GraftFunctions.register(s)
     val q = queryVec(s, dir, 0L)
@@ -1501,6 +1526,17 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("i", "j")),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup,
+      // keep-farthest-from-centroid per duplicate group. Clustering-
+      // dependent → rows-only; SemDedupSpec pins the invariants and
+      // measures the approximation against the exact operator.
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          tau = 0.4, k = 16)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("grp"), q4(col("cdist")).as("cdist_q"))
+        .orderBy("vec_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.4)
         .select(col("i"), col("j"), q4(col("cos")).as("cos_q"))
@@ -1993,6 +2029,14 @@ object SparkEntry {
       hybridTableServe(s, dir, hybridFixture(s, dir, "thyb"))
     }),
 
+    "hybrid_rerank" -> ((s, dir) => {
+      // retrieval + PRECISION stage: hybrid top-50 → batched
+      // cross-encoder pair scoring (stub = integer token overlap →
+      // hard oracle; a real model drops into the same BatchScorer
+      // seam) → top-10
+      hybridRerankServe(s, dir, hybridFixture(s, dir, "thyb3"))
+    }),
+
     "vs_sql_hybrid_tvf" -> ((s, dir) => {
       // the same two-index hybrid, as the reference's ONE SQL call:
       // graft_hybrid_search fuses the vector index's top-50 and the
@@ -2088,6 +2132,9 @@ object SparkEntry {
       "vs_sql_hybrid_tvf" -> ((
         (s, dir) => { hybridFixture(s, dir, "thyb2"); () },
         (s, dir) => hybridSqlServe(s, dir, at("thyb2", dir)))),
+      "hybrid_rerank" -> ((
+        (s, dir) => { hybridFixture(s, dir, "thyb3"); () },
+        (s, dir) => hybridRerankServe(s, dir, at("thyb3", dir)))),
       // BPE: build = the tokenizer fit (word-dict collect + driver merge
       // loop, a one-time artifact cost at scale); serve = the encode
       // scan the pipeline actually pays per corpus pass.
@@ -2217,6 +2264,26 @@ object SparkEntry {
             FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id)
           SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
           FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10"""
+
+  /** the fused pipeline extended by the cross-encoder stage: top-50
+    * RRF candidates rescored by the stub scorer's distinct-token
+    * overlap (an exact integer both engines compute), precision cut
+    * at 10 — shared shape with hybrid_rerank's Scala composition */
+  private val hybridRerankOracle: String = {
+    val ctes = hybridFusionOracle.substring(0,
+      hybridFusionOracle.lastIndexOf("SELECT doc_id, CAST(FLOOR"))
+    s"""$ctes, cand AS (
+            SELECT doc_id, CAST(FLOOR(rrf * 10000.0) AS BIGINT) AS rrf_q
+            FROM f ORDER BY rrf_q DESC, doc_id LIMIT 50)
+          SELECT c.doc_id,
+                 CAST(len(list_intersect(
+                        ['table', 'scan', 'value'],
+                        list_distinct(list_filter(string_split(lower(d.text), ' '),
+                                                  x -> len(x) > 0)))) AS BIGINT) AS ce,
+                 c.rrf_q
+          FROM cand c JOIN documents d USING (doc_id)
+          ORDER BY ce DESC, rrf_q DESC, doc_id LIMIT 10"""
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2448,6 +2515,8 @@ object SparkEntry {
     // corpus, top-50 each, fused by RRF — the two table-attached
     // indexes' fusion must match
     "hybrid_table_search" -> hybridFusionOracle,
+
+    "hybrid_rerank" -> hybridRerankOracle,
 
     // the one-call SQL TVF builds the identical two-index fusion
     "vs_sql_hybrid_tvf" -> hybridFusionOracle,

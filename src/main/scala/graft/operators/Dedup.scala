@@ -602,4 +602,92 @@ object Dedup {
     while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
     out
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): SEMANTIC dedup of an
+    * embedded corpus — cluster the embedding space with k-means, call
+    * two docs duplicates when they land in the SAME cluster with cosine
+    * ≥ τ, and keep ONE doc per duplicate group: the member FARTHEST
+    * from its centroid (the paper's keep-low-centroid-similarity rule —
+    * it retains the atypical example and drops the redundant core),
+    * ties broken by min id.
+    *
+    * This is [[embeddingCosine]]'s blocked geometry with the 2R cover
+    * DELIBERATELY removed: cross-cluster near-dup pairs are missed BY
+    * DESIGN — that approximation is what makes SemDeDup linear-ish at
+    * web scale (the paper dedups LAION/C4 this way), and the recall
+    * cost is measured, not guessed (SemDedupSpec quantifies it against
+    * the exact operator). Everything else keeps the house disciplines:
+    * exact-duplicate vectors collapse to one representative before the
+    * geometry (a replica clique is ALWAYS cos = 1 ⇒ same group ⇒ the
+    * collapse is semantics-preserving here, not just a speedup); the
+    * per-cell pair join shuffles on the cell id and never broadcasts
+    * the corpus; group resolution reuses [[connectedComponents]]
+    * (components cannot cross cells — pairs only exist inside one).
+    *
+    * Returns the KEPT corpus rows: (idCol, cell, grp, cdist) — cdist
+    * the distance to the cell centroid (the keep-rule score), grp the
+    * duplicate-group label (= min rep id; grp == id for singletons).
+    *
+    * Scale: one centroid broadcast (k × dim floats), one cell-keyed
+    * shuffle for the pair join (cell sizes ~n/k; SemDeDup at 100 TB
+    * runs k ∝ corpus/50k so cells stay task-sized), CC rounds bounded
+    * by duplicate-chain diameter. No O(n²) term outside a cell.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+               k: Int = 16, sampleSize: Int = 20000,
+               seed: Long = 42L): DataFrame = {
+    import graft.functions.vectors._
+    val spark = emb.sparkSession
+    val full = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // exact-duplicate collapse (see scaladoc: lossless for SemDeDup)
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    val memb = full.withColumn("gid", min(col("id")).over(grpW))
+    val base = memb.filter(col("id") === col("gid"))
+      .select(col("gid").as("id"), col("v"))
+    val sample = base.orderBy("id").limit(sampleSize).select("v").collect()
+      .map(r => unitNorm(r.getSeq[Float](0).toArray))
+    if (sample.isEmpty)
+      return full.select(col("id").as(idCol), lit(0).as("cell"),
+        col("id").as("grp"), lit(0.0).as("cdist")).limit(0)
+    val fit = if (sample.length <= 4096) sample
+              else Array.tabulate(4096)(i => sample(i * (sample.length / 4096)))
+    val cents = PqIndex.lloyd(fit, k, iters = 8, seed)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    // primary-cell assignment on the UNIT sphere (cosine geometry), plus
+    // the centroid distance the keep-rule ranks by
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val u = unitNorm(v.toArray)
+      val cs = bcCents.value
+      var best = Double.MaxValue; var bestC = 0; var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < u.length) { val t = cs(c)(i).toDouble - u(i).toDouble; s += t * t; i += 1 }
+        if (s < best) { best = s; bestC = c }
+        c += 1
+      }
+      (bestC, math.sqrt(best))
+    }
+    val assigned = base.withColumn("a", assignUdf(col("v")))
+      .select(col("id"), col("v"), col("a._1").as("cell"), col("a._2").as("cdist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize once: pair join + rank both read it
+    // intra-cell near-dup pairs — the SemDeDup approximation IS this
+    // equi-join's blocking key
+    val pairs = assigned.as("x").hint("shuffle_hash").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("cos", cosine_similarity(col("x.v"), col("y.v")))
+      .filter(col("cos") >= tau)
+      .select(col("x.id").as("i"), col("y.id").as("j"))
+    val groups = connectedComponents(assigned.select("id"), "id", pairs, "i", "j")
+      .select(col("node").as("id"), col("cluster").as("grp"))
+    // keep-rule: one row per group — (cdist DESC, id ASC) winner
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("cdist").desc, col("id").asc)
+    val kept = assigned.join(groups, "id")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("cell"), col("grp"), col("cdist"))
+    kept
+  }
 }
