@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Embed, IvfIndex, LshIndex, Skew, TextAnalysis, Upsert, VectorSearch}
-import graft.sources.{GraftIndex, GraftTable, TextIndex}
+import graft.sources.{GraftIndex, GraftTable, IncrementalView, TextIndex}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.functions.vectors._
@@ -327,6 +327,37 @@ object SparkEntry {
     else joined.orderBy("qid", "score_q", "vec_id")
   }
 
+  /** Incremental-view bench fixture: orders-%3 source table + a
+    * per-customer (count, spend) view bootstrapped from its snapshot.
+    * [[ivmServe]] is one full maintenance tick — commit a 2 % price-
+    * churn batch to the source, fold its retraction feed into the view
+    * — the steady-state cost a fresh-view pipeline pays per commit.
+    * The tick counter varies each batch's prices so every rep applies
+    * a real (non-cancelling) delta.
+    */
+  private val ivmTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def ivmSums: Map[String, Column] =
+    Map("price_c_sum" -> floor(col("o_totalprice") * 100).cast("long"))
+  private def ivmFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("ivmb", dir); rmTree(root)
+    GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0),
+      s"$root/src", Seq("o_orderkey"), nbuckets = 8)
+    IncrementalView.bootstrap(s, s"$root/src", s"$root/view",
+      Seq("o_custkey"), ivmSums, nbuckets = 8)
+  }
+  private def ivmServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("ivmb", dir)
+    val n = ivmTick.incrementAndGet().toDouble
+    // the trickle commits as a delta (MOR): O(batch) write, no bucket
+    // rewrite — the streaming-ingest shape an IVM pipeline rides on
+    GraftTable.upsertMor(s, s"$root/src",
+      Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(n)))
+    IncrementalView.applyOnce(s, s"$root/src", s"$root/view",
+      Seq("o_custkey"), ivmSums)
+    IncrementalView.read(s, s"$root/view")
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -646,6 +677,42 @@ object SparkEntry {
         .localCheckpoint()
       rmTree(tmp)
       out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_incremental_view" -> ((s, dir) => {
+      // incrementally-maintained materialized aggregate: a per-customer
+      // (count, spend) view bootstrapped from the table snapshot, then
+      // kept fresh by folding the RETRACTION feed (z-set: +new images,
+      // −before-images — updates subtract their old contribution) into
+      // the view through one bucket-pruned merge per source commit.
+      // Batch 1 is a COW upsert that bumps prices, MOVES half its rows
+      // to different groups, and inserts brand-new keys; batch 2 is a
+      // predicate delete. The final view must equal DuckDB's full
+      // GROUP BY over the mutated state — without ever recomputing it.
+      val tmp = s"${indexPath("ivm", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val view = s"$tmp/view"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        src, Seq("o_orderkey"), nbuckets = 8)
+      val sums = Map("price_c_sum" -> floor(col("o_totalprice") * 100).cast("long"))
+      graft.sources.IncrementalView.bootstrap(s, src, view,
+        Seq("o_custkey"), sums, nbuckets = 8)
+      GraftTable.upsert(s, src,
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0, col("o_custkey") + 500000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+      graft.sources.IncrementalView.applyOnce(s, src, view, Seq("o_custkey"), sums)
+      GraftTable.deleteWhere(s, src,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      graft.sources.IncrementalView.applyOnce(s, src, view, Seq("o_custkey"), sums)
+      val out = graft.sources.IncrementalView.read(s, view)
+        .select("o_custkey", "cnt", "price_c_sum").localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_custkey")
     }),
 
     "embed_documents" -> ((s, dir) => {
@@ -2135,6 +2202,12 @@ object SparkEntry {
       "hybrid_rerank" -> ((
         (s, dir) => { hybridFixture(s, dir, "thyb3"); () },
         (s, dir) => hybridRerankServe(s, dir, at("thyb3", dir)))),
+      // Incremental view: build = source table + view bootstrap (the
+      // one-time snapshot aggregate); serve = one maintenance tick
+      // (source commit + retraction feed folded into the view).
+      "lakehouse_incremental_view" -> ((
+        (s, dir) => ivmFixture(s, dir),
+        (s, dir) => ivmServe(s, dir))),
       // BPE: build = the tokenizer fit (word-dict collect + driver merge
       // loop, a one-time artifact cost at scale); serve = the encode
       // scan the pipeline actually pays per corpus pass.
@@ -2674,6 +2747,29 @@ object SparkEntry {
          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 26 = 0)
            AND (o_orderkey % 13 <> 0 OR o_orderkey % 26 = 0)
          ORDER BY o_orderkey""",
+
+    "lakehouse_incremental_view" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey + 500000
+                       ELSE o_custkey END AS o_custkey,
+                  o_orderstatus,
+                  o_totalprice + 1000 AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ups
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+         SELECT o_custkey,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+         FROM final GROUP BY o_custkey
+         ORDER BY o_custkey""",
 
     "lakehouse_update" ->
       """SELECT o_orderkey,

@@ -1762,6 +1762,131 @@ object GraftTable {
     }
   }
 
+  /** The RETRACTION form of [[changes]]: the (fromVersion, toVersion]
+    * delta as a z-set (Green et al.'s ring of multiplicities; DBSP's
+    * stream element) — table columns (sorted by name) plus a trailing
+    * `_weight` int: every row image PRESENT at toVersion but not at
+    * fromVersion carries +1, every image present at fromVersion but
+    * gone at toVersion carries −1. An UPDATE therefore emits BOTH its
+    * after-image (+1) and its before-image (−1) — the piece
+    * [[changes]]' Hudi-style surface omits — which is exactly what a
+    * downstream incremental aggregate needs to SUBTRACT a key's old
+    * contribution without keeping per-key state of its own: any
+    * linear aggregate (count, sum — avg/stddev via their moment sums)
+    * over the table equals the same aggregate over the z-set applied
+    * additively, group by group.
+    *
+    * Same cost model as [[changes]]: the dir channel diffs only
+    * buckets whose manifest entry differs (symmetric `EXCEPT ALL`
+    * both ways, so a row carried unchanged through a
+    * rewrite/compaction cancels and reports nothing); delta-commit
+    * keys and deletion-vector keys are CANDIDATE channels reduced by
+    * the same state compare, read bucket-pruned at each endpoint
+    * version — O(changed buckets + touched-key buckets), never
+    * O(table). Cross-channel, a key appears at most once per sign
+    * (images at a given version are identical whichever channel
+    * computed them).
+    */
+  def retractions(spark: SparkSession, path: String, fromVersion: Int,
+                  toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val (keys, defaultBuckets, _) = meta(path)
+    val mFrom = manifest(path, fromVersion)
+    val mTo = manifest(path, toVersion)
+    val changed = (mFrom.keySet ++ mTo.keySet).filter(b => mFrom.get(b) != mTo.get(b))
+    val newRels = changed.toSeq.flatMap(mTo.get)
+    val oldRels = changed.toSeq.flatMap(mFrom.get)
+    def rdSide(ver: Int, rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty && deltaEntries(path, ver).isEmpty) None
+      else Some(readMor(spark, path, ver, rels, Some(changed))(g =>
+        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*)))
+    val newSide = rdSide(toVersion, newRels)
+    val oldSide = rdSide(fromVersion, oldRels)
+    def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
+    // a channel's z-set in ONE aggregation pass (each endpoint state
+    // scanned once — the two-directional EXCEPT ALL alternative scans
+    // each side twice): net weight per full row image is +1 (only at
+    // to), −1 (only at from), or 0 (carried unchanged — e.g. through a
+    // compaction rewrite — and dropped). Keys are unique per snapshot,
+    // so net weights beyond ±1 cannot occur.
+    def zdiff(to: Option[DataFrame], from: Option[DataFrame]): Option[DataFrame] = {
+      def w(df: DataFrame, v: Int) = {
+        val cols = sortedCols(df)
+        df.select(cols: _*).withColumn("_weight", lit(v))
+      }
+      val both = (to, from) match {
+        case (Some(t), Some(f)) =>
+          val (t2, f2) = alignSchemas(t, f)
+          Some(w(t2, 1).unionByName(w(f2, -1)))
+        case (Some(t), None) => Some(w(t, 1))
+        case (None, Some(f)) => Some(w(f, -1))
+        case (None, None) => None
+      }
+      both.map { u =>
+        val grp = u.columns.filterNot(_ == "_weight").map(col).toSeq
+        u.groupBy(grp: _*).agg(sum(col("_weight")).cast("int").as("_weight"))
+          .filter(col("_weight") =!= 0)
+      }
+    }
+    val dirZ = zdiff(newSide, oldSide)
+    // delta-commit channel: new #delta lines' keys are candidates; the
+    // endpoint-state compare reduces them to keys whose live image
+    // actually changed, each side read bucket-pruned at its own version
+    val deltaFromRels = deltaEntries(path, fromVersion).map(_._1).toSet
+    val newDeltaRels = deltaEntries(path, toVersion).map(_._1).filterNot(deltaFromRels)
+    val deltaZ =
+      if (newDeltaRels.isEmpty) None
+      else {
+        val k = spark.read.parquet(newDeltaRels.map(r => s"$path/$r"): _*)
+          .select(keys.map(col): _*).distinct()
+        val kb = broadcast(k)
+        def keyState(ver: Int): DataFrame = {
+          val nb = bucketsAt(path, ver, defaultBuckets)
+          val bs = k.select(bucketCol(keys, nb).as(BUCKET))
+            .distinct().collect().map(_.getInt(0)).toSet
+          readBuckets(spark, path, ver, bs).join(kb, keys, "left_semi")
+        }
+        zdiff(Some(keyState(toVersion)), Some(keyState(fromVersion)))
+      }
+    // deletion-vector channel: DV commits touch no dir, so their keys'
+    // before-images surface here — live at fromVersion, gone at
+    // toVersion (delete-then-reinsert reports through the + channels)
+    val dvFromRels = dvEntries(path, fromVersion).map(_._1).toSet
+    val newDvRels = dvEntries(path, toVersion).map(_._1).filterNot(dvFromRels)
+    val dvZ: Option[DataFrame] =
+      if (newDvRels.isEmpty) None
+      else {
+        val k = spark.read.parquet(newDvRels.map(r => s"$path/$r"): _*)
+          .select(keys.map(col): _*).distinct()
+        val kb = broadcast(k)
+        def keyBuckets(ver: Int): DataFrame = {
+          val nb = bucketsAt(path, ver, defaultBuckets)
+          val bs = k.select(bucketCol(keys, nb).as(BUCKET))
+            .distinct().collect().map(_.getInt(0)).toSet
+          readBuckets(spark, path, ver, bs)
+        }
+        val before = keyBuckets(fromVersion).join(kb, keys, "left_semi")
+        val still = keyBuckets(toVersion).join(kb, keys, "left_semi")
+          .select(keys.map(col): _*)
+        Some(before.join(still, keys, "left_anti").withColumn("_weight", lit(-1)))
+      }
+    // one emission per (key, sign): a key reaching two channels (e.g.
+    // delta-written, bucket rewritten later in the range) computed the
+    // same endpoint images in both — dedup keeps one
+    val parts = Seq(dirZ, deltaZ, dvZ).flatten
+    if (parts.isEmpty) {
+      val snap = read(spark, path, toVersion)
+      snap.select(sortedCols(snap): _*).limit(0)
+        .withColumn("_weight", lit(1))
+    } else {
+      val combined = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .dropDuplicates(keys :+ "_weight")
+      combined.select(
+        (combined.columns.filterNot(_ == "_weight").sorted.map(col)
+          :+ col("_weight")).toIndexedSeq: _*)
+    }
+  }
+
   /** Roll the table back to `version`: commit a NEW head whose manifest
     * is a copy of the old one (Hudi's savepoint/restore, Delta's
     * RESTORE). Nothing is rewritten — the new manifest points at the

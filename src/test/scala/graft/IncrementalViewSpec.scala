@@ -1,0 +1,208 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftTable, IncrementalView}
+import java.nio.file.Files
+
+/** Retraction feed + incremental view maintenance. The contract under
+  * test: `retractions(from, to)` is the exact z-set between the two
+  * snapshots (apply it additively to the `from` multiset and you get
+  * the `to` multiset — updates included, which `changes` can't
+  * express), and a count/sum view folded from those feeds equals a
+  * full recompute after EVERY commit, through COW upserts, predicate
+  * deletes, MOR delta commits, deletion vectors, compaction no-ops,
+  * group births and deaths, and replays.
+  */
+class IncrementalViewSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshSrc(prefix: String, n: Long = 400): String = {
+    val path = Files.createTempDirectory(prefix).toString + "/src"
+    val base = spark.range(0, n).toDF("k")
+      .withColumn("grp", (col("k") % 7).cast("int"))
+      .withColumn("m", col("k") * 3)
+    GraftTable.create(base, path, Seq("k"), nbuckets = 8)
+    path
+  }
+
+  private def viewFor(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/view"
+
+  private val sums = Map("m_sum" -> col("m"))
+  private def apply1(src: String, view: String) =
+    IncrementalView.applyOnce(spark, src, view, Seq("grp"), sums)
+
+  private def recompute(src: String): DataFrame =
+    GraftTable.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m_sum"))
+
+  private def assertConverged(src: String, view: String): Unit = {
+    val got = IncrementalView.read(spark, view)
+      .select("grp", "cnt", "m_sum").orderBy("grp").collect().toSeq
+    val want = recompute(src).orderBy("grp").collect().toSeq
+    got shouldBe want
+  }
+
+  // multiset apply: from ⊎ plus ∖ minus == to, over full row images
+  private def assertZset(src: String, from: Int, to: Int): Unit = {
+    val feed = GraftTable.retractions(spark, src, from, to)
+    def bag(df: DataFrame): Map[String, Int] = {
+      val cols = df.columns.sorted
+      df.select(cols.map(col).toIndexedSeq: _*).collect()
+        .map(_.toString).groupBy(identity).map { case (s, a) => s -> a.length }
+    }
+    val fromBag = bag(GraftTable.read(spark, src, from))
+    val toBag = bag(GraftTable.read(spark, src, to))
+    val plus = bag(feed.filter(col("_weight") === 1).drop("_weight"))
+    val minus = bag(feed.filter(col("_weight") === -1).drop("_weight"))
+    val applied = (fromBag.keySet ++ plus.keySet).flatMap { k =>
+      val n = fromBag.getOrElse(k, 0) + plus.getOrElse(k, 0) - minus.getOrElse(k, 0)
+      if (n > 0) Some(k -> n) else None
+    }.toMap
+    applied shouldBe toBag
+  }
+
+  test("retractions carries +new and -old images for an update") {
+    val src = freshSrc("ivm_ret_upd")
+    GraftTable.upsert(spark, src, Seq((5L, 99, 1234L)).toDF("k", "grp", "m"))
+    val feed = GraftTable.retractions(spark, src, 0, 1)
+    val rows = feed.filter(col("k") === 5L)
+      .select("grp", "m", "_weight").collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    rows shouldBe Set((99, 1234L, 1), (5 % 7, 15L, -1))
+    assertZset(src, 0, 1)
+  }
+
+  test("retractions: inserts are +1 only, deletes are -1 only, untouched rows absent") {
+    val src = freshSrc("ivm_ret_insdel")
+    GraftTable.upsert(spark, src, Seq((5000L, 3, 7L)).toDF("k", "grp", "m"))
+    GraftTable.deleteWhere(spark, src, col("k") === 10L)
+    val f1 = GraftTable.retractions(spark, src, 0, 1)
+    f1.count() shouldBe 1
+    f1.head.getAs[Int]("_weight") shouldBe 1
+    val f2 = GraftTable.retractions(spark, src, 1, 2)
+    f2.select("k", "_weight").collect().map(r => (r.getLong(0), r.getInt(1))).toSet shouldBe
+      Set((10L, -1))
+    // cross-version window covers both commits
+    assertZset(src, 0, 2)
+  }
+
+  test("retractions spans MOR channels: delta commits and deletion vectors") {
+    val src = freshSrc("ivm_ret_mor")
+    GraftTable.upsertMor(spark, src, Seq((7L, 0, 777L), (9000L, 5, 1L)).toDF("k", "grp", "m"))
+    GraftTable.deleteWhereMor(spark, src, col("k") === 21L)
+    assertZset(src, 0, 1)
+    assertZset(src, 1, 2)
+    assertZset(src, 0, 2)
+    val feed = GraftTable.retractions(spark, src, 0, 2)
+    feed.filter(col("k") === 7L).count() shouldBe 2   // before + after image
+    feed.filter(col("k") === 21L).select("_weight").head.getInt(0) shouldBe -1
+  }
+
+  test("a compaction rewrite retracts nothing") {
+    val src = freshSrc("ivm_ret_compact")
+    GraftTable.upsertMor(spark, src, Seq((3L, 3, 33L)).toDF("k", "grp", "m"))
+    GraftTable.compact(spark, src)
+    GraftTable.retractions(spark, src, 1, 2).count() shouldBe 0L
+  }
+
+  test("view converges after every commit and tracks group births/deaths") {
+    val src = freshSrc("ivm_view_conv")
+    val view = viewFor("ivm_view_conv_v")
+    IncrementalView.bootstrap(spark, src, view, Seq("grp"), sums, nbuckets = 4) shouldBe 0
+    assertConverged(src, view)
+
+    // updates that MOVE rows between groups + fresh inserts (new group 9)
+    GraftTable.upsert(spark, src,
+      Seq((0L, 9, 1000L), (1L, 9, 2000L), (5000L, 9, 5L), (5001L, 2, 6L))
+        .toDF("k", "grp", "m"))
+    apply1(src, view) shouldBe Some((0, 1))
+    assertConverged(src, view)
+
+    // kill group 9 entirely: its view row must disappear
+    GraftTable.deleteWhere(spark, src, col("grp") === 9)
+    apply1(src, view) shouldBe Some((1, 2))
+    assertConverged(src, view)
+    IncrementalView.read(spark, view).filter(col("grp") === 9).count() shouldBe 0L
+
+    // MOR trickle: delta-commit upsert + DV delete, folded in one tick
+    GraftTable.upsertMor(spark, src, Seq((2L, 2, -50L), (6000L, 6, 60L)).toDF("k", "grp", "m"))
+    GraftTable.deleteWhereMor(spark, src, col("k") === 14L)
+    apply1(src, view) shouldBe Some((2, 4))
+    assertConverged(src, view)
+
+    // caught up: no-op
+    apply1(src, view) shouldBe None
+  }
+
+  test("an update touching no measure or group column writes nothing to the view") {
+    val path = Files.createTempDirectory("ivm_noop").toString + "/src"
+    val base = spark.range(0, 100).toDF("k")
+      .withColumn("grp", (col("k") % 5).cast("int"))
+      .withColumn("m", col("k"))
+      .withColumn("note", lit("a"))
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+    val view = viewFor("ivm_noop_v")
+    IncrementalView.bootstrap(spark, path, view, Seq("grp"), sums, nbuckets = 4)
+    val vHead = GraftTable.latestVersion(view)
+    GraftTable.update(spark, path, col("k") === 3L, Map("note" -> lit("b")))
+    apply1(path, view) shouldBe Some((0, 1))
+    // delta was all-zero -> mergeInto saw an empty source -> no view commit;
+    // the sidecar watermark still advances so the range is never re-diffed
+    GraftTable.latestVersion(view) shouldBe vHead
+    IncrementalView.appliedTo(spark, view) shouldBe 1
+    assertConverged(path, view)
+  }
+
+  test("streamMaintain follows a live source table to convergence") {
+    val src = freshSrc("ivm_stream")
+    val view = viewFor("ivm_stream_v")
+    IncrementalView.bootstrap(spark, src, view, Seq("grp"), sums, nbuckets = 4)
+    val q = IncrementalView.streamMaintain(spark, src, view, Seq("grp"), sums,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      GraftTable.upsert(spark, src, Seq((9100L, 3, 5L), (4L, 6, 40L)).toDF("k", "grp", "m"))
+      GraftTable.deleteWhere(spark, src, col("k") === 2L)
+      val deadline = System.currentTimeMillis() + 60000
+      def caughtUp = IncrementalView.appliedTo(spark, view) >= GraftTable.latestVersion(src)
+      while (!caughtUp && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      caughtUp shouldBe true
+      assertConverged(src, view)
+    } finally q.stop()
+  }
+
+  test("replay safety: a lost sidecar after a delete-only batch re-applies idempotently") {
+    val src = freshSrc("ivm_replay")
+    val view = viewFor("ivm_replay_v")
+    IncrementalView.bootstrap(spark, src, view, Seq("grp"), sums, nbuckets = 4)
+
+    // mixed batch: row stamps carry the watermark even without the sidecar
+    GraftTable.upsert(spark, src, Seq((11L, 4, 111L)).toDF("k", "grp", "m"))
+    apply1(src, view)
+    new java.io.File(view, "_ivm_applied").delete() shouldBe true
+    IncrementalView.appliedTo(spark, view) shouldBe 1   // from row stamps
+    apply1(src, view) shouldBe None                      // replay refused
+    assertConverged(src, view)
+
+    // a batch whose merge is PURE group death stamps no surviving row,
+    // so losing the sidecar re-applies the range — deleting an absent
+    // group is a no-op, so the view must not change
+    GraftTable.upsert(spark, src, Seq((8000L, 9, 1L), (8001L, 9, 2L)).toDF("k", "grp", "m"))
+    apply1(src, view) shouldBe Some((1, 2))              // group 9 born (stamped 2)
+    GraftTable.deleteWhere(spark, src, col("grp") === 9) // group 9 dies at v3
+    apply1(src, view) shouldBe Some((2, 3))
+    assertConverged(src, view)
+    new java.io.File(view, "_ivm_applied").delete() shouldBe true
+    // the death deleted the only stamp-2 row, so the watermark falls all
+    // the way back to the k=11 batch's stamp — the re-applied window is
+    // the whole birth+death range, whose z-set is empty (born and died
+    // inside it), and the view must come through untouched
+    IncrementalView.appliedTo(spark, view) shouldBe 1
+    apply1(src, view) shouldBe Some((1, 3))              // re-applied...
+    assertConverged(src, view)                           // ...with no double effect
+    apply1(src, view) shouldBe None
+  }
+}
