@@ -358,6 +358,30 @@ object SparkEntry {
     IncrementalView.read(s, s"$root/view")
   }
 
+  /** Sketch-view bench fixture: events-%3 source + per-type HLL view.
+    * [[skvServe]] = one tick: a delta-commit trickle of brand-new
+    * events (ids shifted per tick), the new rows sketched and unioned
+    * into the stored per-group sketches, estimates read back.
+    */
+  private val skvTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def skvFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("skvb", dir); rmTree(root)
+    GraftTable.create(Tables.events(s, dir).filter(col("event_id") % 3 === 0),
+      s"$root/src", Seq("event_id"), nbuckets = 8)
+    graft.sources.SketchView.bootstrap(s, s"$root/src", s"$root/view",
+      Seq("event_type"), "user_id", nbuckets = 8)
+  }
+  private def skvServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("skvb", dir)
+    val n = skvTick.incrementAndGet()
+    GraftTable.upsertMor(s, s"$root/src",
+      Tables.events(s, dir).filter(col("event_id") % 50 === 0)
+        .withColumn("event_id", col("event_id") + lit(n * 100000000L)))
+    graft.sources.SketchView.applyOnce(s, s"$root/src", s"$root/view",
+      Seq("event_type"), "user_id")
+    graft.sources.SketchView.estimates(s, s"$root/view")
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -713,6 +737,42 @@ object SparkEntry {
         .select("o_custkey", "cnt", "price_c_sum").localCheckpoint()
       rmTree(tmp)
       out.orderBy("o_custkey")
+    }),
+
+    "q_events_distinct_sketch" -> ((s, dir) => {
+      // mergeable-sketch distinct rollup: per-(type, day) HLL partials
+      // — the granularity you'd PERSIST per ingest segment at 100 TB —
+      // unioned to per-type distinct users without re-touching rows.
+      // Estimates are sketch-valued → rows-only; error bound + merge
+      // semantics pinned in SketchViewSpec.
+      val parts = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      parts.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    "sketch_view_incremental" -> ((s, dir) => {
+      // incrementally-maintained distinct-count view: per-event-type
+      // HLL sketches stored in a GraftTable, each source commit folded
+      // in by sketching ONLY the new rows (union is idempotent →
+      // replay-safe by construction). Estimates sketch-valued →
+      // rows-only; convergence vs direct sketch in SketchViewSpec.
+      val tmp = s"${indexPath("skv", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val view = s"$tmp/view"
+      val ev = Tables.events(s, dir)
+      GraftTable.create(ev.filter(col("event_id") % 3 === 0),
+        src, Seq("event_id"), nbuckets = 8)
+      graft.sources.SketchView.bootstrap(s, src, view,
+        Seq("event_type"), "user_id", nbuckets = 8)
+      GraftTable.upsert(s, src, ev.filter(col("event_id") % 5 === 0))
+      graft.sources.SketchView.applyOnce(s, src, view, Seq("event_type"), "user_id")
+      val out = graft.sources.SketchView.estimates(s, view)
+        .select(col("event_type"), col("distinct_est").as("approx_users"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("event_type")
     }),
 
     "embed_documents" -> ((s, dir) => {
@@ -2208,6 +2268,12 @@ object SparkEntry {
       "lakehouse_incremental_view" -> ((
         (s, dir) => ivmFixture(s, dir),
         (s, dir) => ivmServe(s, dir))),
+      // Sketch view: same split — build = events table + per-type HLL
+      // bootstrap; serve = one tick (MOR trickle of NEW events,
+      // sketch-only delta unioned in, estimates read).
+      "sketch_view_incremental" -> ((
+        (s, dir) => skvFixture(s, dir),
+        (s, dir) => skvServe(s, dir))),
       // BPE: build = the tokenizer fit (word-dict collect + driver merge
       // loop, a one-time artifact cost at scale); serve = the encode
       // scan the pipeline actually pays per corpus pass.

@@ -101,7 +101,13 @@ object IncrementalView {
     val from = appliedTo(spark, viewPath)
     val head = GraftTable.latestVersion(srcPath)
     if (head <= from) return None
-    val feed = GraftTable.retractions(spark, srcPath, from, head)
+    // watermark at -1 means the view is EMPTY (every stamped row gone)
+    // AND the sidecar is lost — the full snapshot at weight +1 is then
+    // exactly the delta that rebuilds it
+    val feed =
+      if (from < 0)
+        GraftTable.read(spark, srcPath, head).withColumn("_weight", lit(1))
+      else GraftTable.retractions(spark, srcPath, from, head)
     val delta = aggregate(feed, groupCols, sums)
     // groups whose delta is all-zero (e.g. an update that only touched
     // non-measure columns) need no write at all
