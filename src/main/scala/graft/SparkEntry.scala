@@ -739,6 +739,41 @@ object SparkEntry {
       out.orderBy("o_custkey")
     }),
 
+    "lakehouse_incremental_join_view" -> ((s, dir) => {
+      // STAR-SCHEMA incremental view: revenue per NATION maintained
+      // from the orders feed joined to the static customer dimension
+      // (the delta-join rule Δ(A ⋈ D) = ΔA ⋈ D) — group moves here
+      // cross the dim boundary (a re-custkeyed order retracts from its
+      // old nation and lands in the new one via the −/+ images' joins)
+      val tmp = s"${indexPath("ivmj", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val view = s"$tmp/view"
+      val o = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val enrich = (df: DataFrame) =>
+        df.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        src, Seq("o_orderkey"), nbuckets = 8)
+      val sums = Map("price_c_sum" -> floor(col("o_totalprice") * 100).cast("long"))
+      IncrementalView.bootstrap(s, src, view, Seq("c_nationkey"), sums,
+        nbuckets = 8, enrich = enrich)
+      GraftTable.upsert(s, src,
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0, col("o_custkey") % 100)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+      IncrementalView.applyOnce(s, src, view, Seq("c_nationkey"), sums, enrich)
+      GraftTable.deleteWhere(s, src,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      IncrementalView.applyOnce(s, src, view, Seq("c_nationkey"), sums, enrich)
+      val out = IncrementalView.read(s, view)
+        .select("c_nationkey", "cnt", "price_c_sum").localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("c_nationkey")
+    }),
+
     "q_events_distinct_sketch" -> ((s, dir) => {
       // mergeable-sketch distinct rollup: per-(type, day) HLL partials
       // — the granularity you'd PERSIST per ingest segment at 100 TB —
@@ -2813,6 +2848,30 @@ object SparkEntry {
          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 26 = 0)
            AND (o_orderkey % 13 <> 0 OR o_orderkey % 26 = 0)
          ORDER BY o_orderkey""",
+
+    "lakehouse_incremental_join_view" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey % 100
+                       ELSE o_custkey END AS o_custkey,
+                  o_orderstatus,
+                  o_totalprice + 1000 AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ups
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+         SELECT c_nationkey,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+         FROM final JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
 
     "lakehouse_incremental_view" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),

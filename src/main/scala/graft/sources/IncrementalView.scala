@@ -68,14 +68,28 @@ object IncrementalView {
   /** Create the view table from the source's CURRENT snapshot (pinned
     * at one version) and stamp it as applied through that version.
     * Returns the bootstrapped source version.
+    *
+    * `enrich` extends the maintainable class from single-table GROUP
+    * BYs to STAR-SCHEMA rollups: it transforms the ±-weighted feed
+    * (carrying `_weight`) before aggregation — canonically a join to
+    * dimension tables (`fact ⋈ dim GROUP BY dim.attr`), the standard
+    * delta-join rule Δ(A ⋈ D) = ΔA ⋈ D for a STATIC D. Requirements,
+    * stated loudly: enrich must be deterministic, row-wise (each feed
+    * row maps to exactly one output row, `_weight` carried through —
+    * an inner 1:1/N:1 join qualifies; aggregations or row-multiplying
+    * joins do not), and the dimension side must not change between
+    * ticks — a changing dimension needs the symmetric
+    * A ⋈ ΔD term, which is a rebootstrap here.
     */
   def bootstrap(spark: SparkSession, srcPath: String, viewPath: String,
                 groupCols: Seq[String], sums: Map[String, Column],
-                nbuckets: Int = 16): Int = {
+                nbuckets: Int = 16,
+                enrich: DataFrame => DataFrame = identity): Int = {
     val head = GraftTable.latestVersion(srcPath)
     require(head >= 0, s"no table at $srcPath")
     val snap = GraftTable.read(spark, srcPath, head).withColumn("_weight", lit(1))
-    val agg = aggregate(snap, groupCols, sums).withColumn("_applied_to", lit(head))
+    val agg = aggregate(enrich(snap), groupCols, sums)
+      .withColumn("_applied_to", lit(head))
     GraftTable.create(agg, viewPath, groupCols, nbuckets)
     GraftTable.MetaIO.replaceString(watermarkPath(viewPath), head.toString)
     head
@@ -97,7 +111,8 @@ object IncrementalView {
     * already caught up. `groupCols`/`sums` must be the bootstrap's.
     */
   def applyOnce(spark: SparkSession, srcPath: String, viewPath: String,
-                groupCols: Seq[String], sums: Map[String, Column]): Option[(Int, Int)] = {
+                groupCols: Seq[String], sums: Map[String, Column],
+                enrich: DataFrame => DataFrame = identity): Option[(Int, Int)] = {
     val from = appliedTo(spark, viewPath)
     val head = GraftTable.latestVersion(srcPath)
     if (head <= from) return None
@@ -108,7 +123,7 @@ object IncrementalView {
       if (from < 0)
         GraftTable.read(spark, srcPath, head).withColumn("_weight", lit(1))
       else GraftTable.retractions(spark, srcPath, from, head)
-    val delta = aggregate(feed, groupCols, sums)
+    val delta = aggregate(enrich(feed), groupCols, sums)
     // groups whose delta is all-zero (e.g. an update that only touched
     // non-measure columns) need no write at all
     val sumNames = sums.keys.toSeq.sorted
@@ -151,12 +166,13 @@ object IncrementalView {
   def streamMaintain(spark: SparkSession, srcPath: String, viewPath: String,
                      groupCols: Seq[String], sums: Map[String, Column],
                      trigger: org.apache.spark.sql.streaming.Trigger =
-                       org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+                       org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+                     enrich: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        applyOnce(spark, srcPath, viewPath, groupCols, sums); ()
+        applyOnce(spark, srcPath, viewPath, groupCols, sums, enrich); ()
       }
       .trigger(trigger)
       .start()

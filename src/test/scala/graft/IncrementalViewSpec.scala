@@ -157,6 +157,37 @@ class IncrementalViewSpec extends AnyFunSuite with Matchers {
     assertConverged(path, view)
   }
 
+  test("enrich: a star-schema join view tracks dim-crossing group moves") {
+    val src = freshSrc("ivm_join")           // grp plays the dim FOREIGN KEY here
+    val view = viewFor("ivm_join_v")
+    val dim = Seq((0, "r0"), (1, "r0"), (2, "r1"), (3, "r1"), (4, "r2"),
+      (5, "r2"), (6, "r2"), (9, "r9")).toDF("d_key", "region")
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      df.join(broadcast(dim), col("grp") === col("d_key"))
+    def recomputeJoin() =
+      enrich(GraftTable.read(spark, src).withColumn("_weight", lit(1)))
+        .groupBy("region").agg(count(lit(1)).as("cnt"), sum(col("m")).as("m_sum"))
+        .orderBy("region").collect().toSeq
+    def viewRows() = IncrementalView.read(spark, view)
+      .select("region", "cnt", "m_sum").orderBy("region").collect().toSeq
+
+    IncrementalView.bootstrap(spark, src, view, Seq("region"), sums,
+      nbuckets = 4, enrich = enrich)
+    viewRows() shouldBe recomputeJoin()
+
+    // moves that cross the dim boundary: grp 1 (r0) -> 9 (r9) retracts
+    // from one REGION and lands in another through the ± images' joins
+    GraftTable.upsert(spark, src,
+      Seq((1L, 9, 2000L), (8L, 9, 3000L), (7000L, 0, 70L)).toDF("k", "grp", "m"))
+    IncrementalView.applyOnce(spark, src, view, Seq("region"), sums, enrich) shouldBe Some((0, 1))
+    viewRows() shouldBe recomputeJoin()
+
+    GraftTable.deleteWhere(spark, src, col("grp") === 9)   // region r9 dies
+    IncrementalView.applyOnce(spark, src, view, Seq("region"), sums, enrich) shouldBe Some((1, 2))
+    viewRows() shouldBe recomputeJoin()
+    IncrementalView.read(spark, view).filter(col("region") === "r9").count() shouldBe 0L
+  }
+
   test("streamMaintain follows a live source table to convergence") {
     val src = freshSrc("ivm_stream")
     val view = viewFor("ivm_stream_v")
