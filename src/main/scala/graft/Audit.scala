@@ -40,9 +40,14 @@ object Audit {
         // q_events_funnel cross-joins three ONE-ROW stage aggregates;
         // q11_important_stock broadcasts its ONE-ROW grand total (the
         // Q11 scalar-subquery threshold).
+        // q_segment_overlap_sketch/_sql: non-equi (a < b) self-join of a
+        // 5-ROW aggregated sketch frame — the pair matrix of segments,
+        // inherently tiny (segments², never corpus), broadcast BNLJ is
+        // the right plan.
         val expectedBnlj =
           Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature",
-            "q_balance_deciles", "q_events_funnel", "q11_important_stock")
+            "q_balance_deciles", "q_events_funnel", "q11_important_stock",
+            "q_segment_overlap_sketch", "q_segment_overlap_sql")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

@@ -774,6 +774,48 @@ object SparkEntry {
       out.orderBy("c_nationkey")
     }),
 
+    "q_segment_overlap_sketch" -> ((s, dir) => {
+      // audience-overlap matrix from PERSISTED-shape theta sketches:
+      // per-type user sketches, pairwise intersect/difference — the
+      // set ops HLL structurally cannot do. Below k = 4096 distinct
+      // keys a theta sketch is EXACT (θ = 1, every hash retained), so
+      // at the oracle SF this is a hard DuckDB row — the whole
+      // aggregate → intersect → estimate path is integer-checked, and
+      // the same plan degrades to ±1.6 % estimates at web scale.
+      import graft.functions.theta._
+      val sks = Tables.events(s, dir).groupBy("event_type")
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      val a = sks.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sks.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(theta_estimate(col("ska"))).cast("long").as("users_a"),
+          round(theta_estimate(col("skb"))).cast("long").as("users_b"),
+          round(theta_estimate(theta_intersection(col("ska"), col("skb"))))
+            .cast("long").as("overlap_users"),
+          round(theta_estimate(theta_a_not_b(col("ska"), col("skb"))))
+            .cast("long").as("only_a_users"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    "q_segment_overlap_sql" -> ((s, dir) => {
+      // the same overlap matrix through the registered SQL surface —
+      // theta_* are session extensions like the vector kernels
+      GraftFunctions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("ev_theta")
+      s.sql("""
+        WITH sks AS (
+          SELECT event_type, theta_sketch_agg(user_id) AS sk
+          FROM ev_theta GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(round(theta_estimate(a.sk)) AS BIGINT) AS users_a,
+               CAST(round(theta_estimate(b.sk)) AS BIGINT) AS users_b,
+               CAST(round(theta_estimate(theta_intersection(a.sk, b.sk))) AS BIGINT) AS overlap_users,
+               CAST(round(theta_estimate(theta_a_not_b(a.sk, b.sk))) AS BIGINT) AS only_a_users
+        FROM sks a JOIN sks b ON a.event_type < b.event_type
+        ORDER BY type_a, type_b""")
+    }),
+
     "q_events_distinct_sketch" -> ((s, dir) => {
       // mergeable-sketch distinct rollup: per-(type, day) HLL partials
       // — the granularity you'd PERSIST per ingest segment at 100 TB —
@@ -2848,6 +2890,38 @@ object SparkEntry {
          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 26 = 0)
            AND (o_orderkey % 13 <> 0 OR o_orderkey % 26 = 0)
          ORDER BY o_orderkey""",
+
+    "q_segment_overlap_sketch" ->
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+         cnt AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY 1),
+         ov AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS o
+                FROM su a JOIN su b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                CAST(ca.n AS BIGINT) AS users_a,
+                CAST(cb.n AS BIGINT) AS users_b,
+                CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap_users,
+                CAST(ca.n - COALESCE(ov.o, 0) AS BIGINT) AS only_a_users
+         FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+         LEFT JOIN ov ON ov.ta = ca.event_type AND ov.tb = cb.event_type
+         ORDER BY type_a, type_b""",
+
+    "q_segment_overlap_sql" ->
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+         cnt AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY 1),
+         ov AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS o
+                FROM su a JOIN su b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                CAST(ca.n AS BIGINT) AS users_a,
+                CAST(cb.n AS BIGINT) AS users_b,
+                CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap_users,
+                CAST(ca.n - COALESCE(ov.o, 0) AS BIGINT) AS only_a_users
+         FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+         LEFT JOIN ov ON ov.ta = ca.event_type AND ov.tb = cb.event_type
+         ORDER BY type_a, type_b""",
 
     "lakehouse_incremental_join_view" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
