@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import graft.functions.{CosineSimilarity, DotProduct, L2Distance, VectorNorm}
-import graft.functions.{ThetaANotB, ThetaEstimate, ThetaIntersection, ThetaSketchAgg, ThetaUnionAgg, ThetaUnionBin}
 
 /** SQL surface for the vector kernels — the Spark-native analog of the
   * reference exposing search through SQL (`hudi_vector_search(...)`,
@@ -66,34 +65,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, s"expected 1 argument, got ${args.length}")
         VectorNorm(args.head)
-      }),
-    ("theta_sketch_agg",
-      info("theta_sketch_agg", "theta_sketch_agg(key) - theta sketch of a group's distinct keys"),
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"expected 1 argument, got ${args.length}")
-        ThetaSketchAgg(args.head)
-      }),
-    ("theta_union_agg",
-      info("theta_union_agg", "theta_union_agg(sketch) - union of persisted theta sketches"),
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"expected 1 argument, got ${args.length}")
-        ThetaUnionAgg(args.head)
-      }),
-    ("theta_estimate",
-      info("theta_estimate", "theta_estimate(sketch) - distinct estimate of a theta sketch"),
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"expected 1 argument, got ${args.length}")
-        ThetaEstimate(args.head)
-      }),
-    ("theta_intersection",
-      info("theta_intersection", "theta_intersection(a, b) - sketch of the key-set intersection"),
-      binary(ThetaIntersection.apply) _),
-    ("theta_a_not_b",
-      info("theta_a_not_b", "theta_a_not_b(a, b) - sketch of the key-set difference"),
-      binary(ThetaANotB.apply) _),
-    ("theta_union",
-      info("theta_union", "theta_union(a, b) - pairwise sketch union"),
-      binary(ThetaUnionBin.apply) _)
+      })
+    // NOTE deliberately NO theta_* registrations: Spark 4.1 ships the
+    // DataSketches theta family natively (theta_sketch_agg,
+    // theta_union[_agg], theta_intersection[_agg], theta_difference,
+    // theta_sketch_estimate) — registering shadows here would hide the
+    // builtins' codegen'd implementations behind house copies.
   )
 
   /** `graft_vector_search(path, vecCol, queryVec, k [, metric])` — the

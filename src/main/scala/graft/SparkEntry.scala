@@ -777,41 +777,44 @@ object SparkEntry {
     "q_segment_overlap_sketch" -> ((s, dir) => {
       // audience-overlap matrix from PERSISTED-shape theta sketches:
       // per-type user sketches, pairwise intersect/difference — the
-      // set ops HLL structurally cannot do. Below k = 4096 distinct
-      // keys a theta sketch is EXACT (θ = 1, every hash retained), so
-      // at the oracle SF this is a hard DuckDB row — the whole
-      // aggregate → intersect → estimate path is integer-checked, and
-      // the same plan degrades to ±1.6 % estimates at web scale.
-      import graft.functions.theta._
+      // set ops HLL structurally cannot do. Spark 4.1 ships the
+      // DataSketches theta family natively (theta_sketch_agg /
+      // theta_intersection / theta_difference / theta_sketch_estimate)
+      // so this is pure builtin aggregation — no custom expression.
+      // lgK pinned at 12: below k = 4096 distinct keys a theta sketch
+      // is EXACT (θ = 1, every hash retained), so at the oracle SF
+      // this is a hard DuckDB row — the whole aggregate → intersect →
+      // estimate path is integer-checked, and the same plan degrades
+      // to ±1.6 % estimates at web scale.
       val sks = Tables.events(s, dir).groupBy("event_type")
-        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+        .agg(theta_sketch_agg(col("user_id"), 12).as("sk"))
       val a = sks.select(col("event_type").as("type_a"), col("sk").as("ska"))
       val b = sks.select(col("event_type").as("type_b"), col("sk").as("skb"))
       a.join(b, col("type_a") < col("type_b"))
         .select(col("type_a"), col("type_b"),
-          round(theta_estimate(col("ska"))).cast("long").as("users_a"),
-          round(theta_estimate(col("skb"))).cast("long").as("users_b"),
-          round(theta_estimate(theta_intersection(col("ska"), col("skb"))))
+          round(theta_sketch_estimate(col("ska"))).cast("long").as("users_a"),
+          round(theta_sketch_estimate(col("skb"))).cast("long").as("users_b"),
+          round(theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))))
             .cast("long").as("overlap_users"),
-          round(theta_estimate(theta_a_not_b(col("ska"), col("skb"))))
+          round(theta_sketch_estimate(theta_difference(col("ska"), col("skb"))))
             .cast("long").as("only_a_users"))
         .orderBy("type_a", "type_b")
     }),
 
     "q_segment_overlap_sql" -> ((s, dir) => {
-      // the same overlap matrix through the registered SQL surface —
-      // theta_* are session extensions like the vector kernels
-      GraftFunctions.register(s)
+      // the same overlap matrix through plain SQL — the theta family
+      // is native in Spark 4.1's FunctionRegistry, so no extension
+      // registration is needed at all
       Tables.events(s, dir).createOrReplaceTempView("ev_theta")
       s.sql("""
         WITH sks AS (
-          SELECT event_type, theta_sketch_agg(user_id) AS sk
+          SELECT event_type, theta_sketch_agg(user_id, 12) AS sk
           FROM ev_theta GROUP BY event_type)
         SELECT a.event_type AS type_a, b.event_type AS type_b,
-               CAST(round(theta_estimate(a.sk)) AS BIGINT) AS users_a,
-               CAST(round(theta_estimate(b.sk)) AS BIGINT) AS users_b,
-               CAST(round(theta_estimate(theta_intersection(a.sk, b.sk))) AS BIGINT) AS overlap_users,
-               CAST(round(theta_estimate(theta_a_not_b(a.sk, b.sk))) AS BIGINT) AS only_a_users
+               CAST(round(theta_sketch_estimate(a.sk)) AS BIGINT) AS users_a,
+               CAST(round(theta_sketch_estimate(b.sk)) AS BIGINT) AS users_b,
+               CAST(round(theta_sketch_estimate(theta_intersection(a.sk, b.sk))) AS BIGINT) AS overlap_users,
+               CAST(round(theta_sketch_estimate(theta_difference(a.sk, b.sk))) AS BIGINT) AS only_a_users
         FROM sks a JOIN sks b ON a.event_type < b.event_type
         ORDER BY type_a, type_b""")
     }),
