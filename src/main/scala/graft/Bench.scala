@@ -163,18 +163,22 @@ object Bench {
       s"\"" + k + "\":" + ts.map(t =>
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // The stdout line is the driver's machine channel and its capture
-    // window is finite: keep it COMPACT (round 5's inlined per-rep
-    // arrays pushed the line past the driver's tail buffer and
-    // BENCH_r05 recorded parsed:null). Per-rep spreads — the
-    // noise-diagnosis artifact — go to a sibling file instead.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    // Two channels, different shapes. The FILE carries the full board
+    // (every per-query time + failures) — the committed, machine-
+    // parseable artifact. The STDOUT line is the driver's capture
+    // channel and its tail window is finite: three rounds running, the
+    // full board outgrew it (r5 per-rep arrays, r6 failure strings,
+    // r7 the 165-row board itself) — so stdout now carries only a
+    // compact summary (total, row count, failure count, file pointer)
+    // that always fits and always parses.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    Files.writeString(Paths.get(outPath), line + "\n")
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), fileLine + "\n")
     val repsPath = outPath.stripSuffix(".json") + "_reps.json"
     Files.writeString(Paths.get(repsPath),
       s"""{"reps":$repsJson,"failures":${failJson(2000)},"sf":"$sfDir"}""" + "\n")
-    println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""failed":${failures.size},"file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,35 +205,146 @@ class IncrementalViewSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
-  test("replay safety: a lost sidecar after a delete-only batch re-applies idempotently") {
+  test("exactly-once: the intent protocol survives sidecar loss, including pure group death + rebirth") {
     val src = freshSrc("ivm_replay")
     val view = viewFor("ivm_replay_v")
     IncrementalView.bootstrap(spark, src, view, Seq("grp"), sums, nbuckets = 4)
 
-    // mixed batch: row stamps carry the watermark even without the sidecar
+    // mixed batch: the resolved intent carries the watermark even
+    // without the sidecar (the view head moved past the intent's
+    // recorded pre-merge version, proving the merge landed)
     GraftTable.upsert(spark, src, Seq((11L, 4, 111L)).toDF("k", "grp", "m"))
     apply1(src, view)
     new java.io.File(view, "_ivm_applied").delete() shouldBe true
-    IncrementalView.appliedTo(spark, view) shouldBe 1   // from row stamps
+    IncrementalView.appliedTo(spark, view) shouldBe 1   // from the intent
     apply1(src, view) shouldBe None                      // replay refused
     assertConverged(src, view)
 
-    // a batch whose merge is PURE group death stamps no surviving row,
-    // so losing the sidecar re-applies the range — deleting an absent
-    // group is a no-op, so the view must not change
+    // the hole a row-stamp scheme can't close: a PURE-group-death batch
+    // stamps no surviving row, so crashing between its merge and its
+    // sidecar write used to regress the watermark — and if the dead
+    // group was then re-inserted before the next tick, the replayed
+    // window netted death + rebirth into a cnt-0/partial delta that the
+    // insert guard dropped. The intent must hold the watermark at the
+    // death commit, so the next tick sees the rebirth as a clean +feed.
     GraftTable.upsert(spark, src, Seq((8000L, 9, 1L), (8001L, 9, 2L)).toDF("k", "grp", "m"))
-    apply1(src, view) shouldBe Some((1, 2))              // group 9 born (stamped 2)
+    apply1(src, view) shouldBe Some((1, 2))              // group 9 born
     GraftTable.deleteWhere(spark, src, col("grp") === 9) // group 9 dies at v3
-    apply1(src, view) shouldBe Some((2, 3))
+    apply1(src, view) shouldBe Some((2, 3))              // pure-death merge
     assertConverged(src, view)
-    new java.io.File(view, "_ivm_applied").delete() shouldBe true
-    // the death deleted the only stamp-2 row, so the watermark falls all
-    // the way back to the k=11 batch's stamp — the re-applied window is
-    // the whole birth+death range, whose z-set is empty (born and died
-    // inside it), and the view must come through untouched
-    IncrementalView.appliedTo(spark, view) shouldBe 1
-    apply1(src, view) shouldBe Some((1, 3))              // re-applied...
-    assertConverged(src, view)                           // ...with no double effect
+    new java.io.File(view, "_ivm_applied").delete() shouldBe true  // crash window
+    IncrementalView.appliedTo(spark, view) shouldBe 3    // intent holds the line
+    // rebirth with the SAME row count but different measures — the
+    // z-set over a regressed (1, 4] window would net cnt 0 and be
+    // dropped; over the correct (3, 4] window it is a plain insert
+    GraftTable.upsert(spark, src, Seq((8000L, 9, 5L), (8001L, 9, 7L)).toDF("k", "grp", "m"))
+    apply1(src, view) shouldBe Some((3, 4))
+    assertConverged(src, view)
+    IncrementalView.read(spark, view).filter(col("grp") === 9).count() shouldBe 1L
     apply1(src, view) shouldBe None
+  }
+
+  test("NULL measures contribute zero and can never poison the accumulator") {
+    val path = Files.createTempDirectory("ivm_null").toString + "/src"
+    // group 5 starts with BOTH rows' measure NULL — the view must hold
+    // 0 (SUM(COALESCE(m, 0)) semantics), not NULL
+    val base = spark.range(0, 20).toDF("k")
+      .withColumn("grp", (col("k") % 5).cast("int"))
+      .withColumn("m", when(col("grp") === 0, lit(null).cast("long")).otherwise(col("k")))
+      .withColumn("grp", when(col("grp") === 0, 5).otherwise(col("grp")))
+    GraftTable.create(base, path, Seq("k"), nbuckets = 4)
+    val view = viewFor("ivm_null_v")
+    IncrementalView.bootstrap(spark, path, view, Seq("grp"), sums, nbuckets = 4)
+    def g5() = IncrementalView.read(spark, view).filter(col("grp") === 5)
+      .select("cnt", "m_sum").head()
+    g5().getLong(1) shouldBe 0L
+    // an all-NULL-measure delta batch: sum(m·w) alone would be NULL and
+    // t.m_sum + NULL would null the group forever — it must add zero
+    GraftTable.upsert(spark, path,
+      Seq((100L, 5, Option.empty[Long]), (101L, 5, Option.empty[Long])).toDF("k", "grp", "m"))
+    IncrementalView.applyOnce(spark, path, view, Seq("grp"), sums)
+    g5() .getLong(0) shouldBe 6L
+    g5().getLong(1) shouldBe 0L
+    // and a later real measure lands on an intact accumulator
+    GraftTable.upsert(spark, path, Seq((102L, 5, Option(40L))).toDF("k", "grp", "m"))
+    IncrementalView.applyOnce(spark, path, view, Seq("grp"), sums)
+    g5().getLong(1) shouldBe 40L
+  }
+
+  test("staticDims pin: applyOnce refuses loudly after the dimension table moved") {
+    val src = freshSrc("ivm_pin")
+    val view = viewFor("ivm_pin_v")
+    val dimPath = Files.createTempDirectory("ivm_pin_d").toString + "/dim"
+    GraftTable.create(
+      Seq((0, "r0"), (1, "r0"), (2, "r1"), (3, "r1"), (4, "r2"), (5, "r2"), (6, "r2"))
+        .toDF("d_key", "region"), dimPath, Seq("d_key"), nbuckets = 2)
+    val enrich = (df: DataFrame) =>
+      df.join(broadcast(GraftTable.read(spark, dimPath)), col("grp") === col("d_key"))
+    IncrementalView.bootstrap(spark, src, view, Seq("region"), sums,
+      nbuckets = 4, enrich = enrich, staticDims = Seq(dimPath))
+    // while the dim is static, ticks work as usual
+    GraftTable.upsert(spark, src, Seq((3L, 4, 30L)).toDF("k", "grp", "m"))
+    IncrementalView.applyOnce(spark, src, view, Seq("region"), sums, enrich) shouldBe Some((0, 1))
+    // the dim moves -> a silently wrong view is exactly what must NOT happen
+    GraftTable.upsert(spark, dimPath, Seq((0, "r9")).toDF("d_key", "region"))
+    GraftTable.upsert(spark, src, Seq((6L, 1, 60L)).toDF("k", "grp", "m"))
+    val e = intercept[IllegalStateException] {
+      IncrementalView.applyOnce(spark, src, view, Seq("region"), sums, enrich)
+    }
+    e.getMessage should include("pinned dimension")
+  }
+
+  test("joined view: maintained through fact churn, dim churn, and both at once") {
+    val root = Files.createTempDirectory("ivm_jd").toString
+    val src = s"$root/src"; val dimPath = s"$root/dim"; val view = s"$root/view"
+    val base = spark.range(0, 400).toDF("k")
+      .withColumn("fk", (col("k") % 7).cast("int"))
+      .withColumn("m", col("k") * 3)
+    GraftTable.create(base, src, Seq("k"), nbuckets = 8)
+    GraftTable.create(
+      Seq((0, "r0"), (1, "r0"), (2, "r1"), (3, "r1"), (4, "r2"), (5, "r2"), (6, "r2"))
+        .toDF("d_key", "region"), dimPath, Seq("d_key"), nbuckets = 2)
+    def recomputeJoin() = {
+      val f = GraftTable.read(spark, src); val d = GraftTable.read(spark, dimPath)
+      f.join(d, f("fk") === d("d_key")).groupBy("region")
+        .agg(count(lit(1)).as("cnt"), sum(col("m")).as("m_sum"))
+        .orderBy("region").collect().toSeq
+    }
+    def viewRows() = IncrementalView.read(spark, view)
+      .select("region", "cnt", "m_sum").orderBy("region").collect().toSeq
+    def tick() = IncrementalView.applyOnceJoined(
+      spark, src, dimPath, "fk", "d_key", view, Seq("region"), sums)
+
+    IncrementalView.bootstrapJoined(spark, src, dimPath, "fk", "d_key",
+      view, Seq("region"), sums, nbuckets = 4) shouldBe ((0, 0))
+    viewRows() shouldBe recomputeJoin()
+
+    // fact-only churn (ΔA ⋈ D term)
+    GraftTable.upsert(spark, src, Seq((1L, 6, 2000L), (9000L, 0, 70L)).toDF("k", "fk", "m"))
+    tick() shouldBe Some(((0, 1), (0, 0)))
+    viewRows() shouldBe recomputeJoin()
+
+    // dim-only churn (A ⋈ ΔD term): d_key 6 moves r2 -> r9, every fact
+    // row pointing at it migrates region in one tick
+    GraftTable.upsert(spark, dimPath, Seq((6, "r9")).toDF("d_key", "region"))
+    tick() shouldBe Some(((1, 1), (0, 1)))
+    viewRows() shouldBe recomputeJoin()
+
+    // both sides at once, including a dim DELETE that orphans fact rows
+    // (inner join -> they leave the view) — the single tick must land
+    GraftTable.upsert(spark, src, Seq((2L, 5, -100L), (9001L, 6, 5L)).toDF("k", "fk", "m"))
+    GraftTable.deleteWhere(spark, src, col("fk") === 0)
+    GraftTable.upsert(spark, dimPath, Seq((3, "r9")).toDF("d_key", "region"))
+    GraftTable.delete(spark, dimPath, Seq(4).toDF("d_key"))
+    tick() shouldBe Some(((1, 3), (1, 3)))
+    viewRows() shouldBe recomputeJoin()
+
+    // caught up
+    tick() shouldBe None
+
+    // the intent protocol holds for joined watermarks too
+    new java.io.File(view, "_ivm_applied").delete() shouldBe true
+    IncrementalView.appliedToJoined(spark, view) shouldBe ((3, 3))
+    tick() shouldBe None
   }
 }
