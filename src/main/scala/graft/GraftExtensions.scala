@@ -274,6 +274,52 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_knn_join(tablePath, queryTable, k[, nprobe[, name]])` —
+    * the BATCH shape of index serving as one SQL call: every row of
+    * `queryTable` (a SQL-visible table/view carrying the index's key
+    * and vector columns) gets its top-k neighbors from the
+    * table-attached ANN index, returned as (qid, key, score). This is
+    * the SQL surface of [[graft.sources.GraftIndex.knnJoin]]: the
+    * query batch is the SMALL side by contract — it is collected at
+    * plan time because the per-query probe cells are ranked
+    * driver-side to shape ONE partition-pruned scan over the union of
+    * all queries' cells (cells shared between queries are read once).
+    * The index is stale-checked at plan time like the other index
+    * TVFs; nprobe defaults to nlist (exhaustive = exact per query).
+    */
+  private def knnJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      s"graft_knn_join(tablePath, queryTable, k[, nprobe[, name]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_knn_join: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val qtable = lit(1, "queryTable").toString
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val nprobe = if (args.length >= 4) lit(3, "nprobe").asInstanceOf[Number].intValue() else -1
+    val name = if (args.length == 5) lit(4, "name").toString else "vec"
+    val spark = SparkSession.active
+    val m = graft.sources.GraftIndex.meta(path, name)
+    val np = if (nprobe > 0) nprobe else m.nlist
+    val key = m.keyCols.head
+    val qs = spark.table(qtable)
+      .select(col(key).cast("long"), col(m.vecCol)).collect().toSeq
+      .map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case i: Int => i.toFloat
+          case l: Long => l.toFloat
+          case d: java.math.BigDecimal => d.floatValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_knn_join: unsupported vector element $other")
+        })
+      }
+    graft.sources.GraftIndex.knnJoin(spark, path, qs, k, np, name)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -298,7 +344,11 @@ object GraftFunctions {
     ("graft_hybrid_search",
       info("graft_hybrid_search",
         "graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]]) - RRF fusion of the table-attached vector index's top-n and the text index's BM25 top-n (both stale-checked)"),
-      hybridSearchPlan _))
+      hybridSearchPlan _),
+    ("graft_knn_join",
+      info("graft_knn_join",
+        "graft_knn_join(tablePath, queryTable, k[, nprobe[, name]]) - batched top-k ANN join: each row of queryTable against the table-attached index (stale-checked)"),
+      knnJoinPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

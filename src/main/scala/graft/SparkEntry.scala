@@ -2273,6 +2273,22 @@ object SparkEntry {
       gidxKnnServe(s, gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true))
     }),
 
+    "vs_sql_knn_tvf" -> ((s, dir) => {
+      // the BATCHED production shape through SQL: graft_knn_join joins
+      // every row of a query view to its index-served top-k in one
+      // call — completing the SQL story next to the single-query
+      // graft_index_search. Same mutated ivfpq+OPQ fixture and
+      // exhaustive nprobe as graft_index_knn_exhaustive, so the
+      // brute-force cross join over the mutated corpus is the oracle.
+      val tbl = gidxFixture(s, dir, "gidxknnsql", kind = "ivfpq", m = 8, opq = true)
+      GraftFunctions.register(s)
+      GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").createOrReplaceTempView("graft_knn_q")
+      s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                FROM graft_knn_join('$tbl', 'graft_knn_q', 5)
+                ORDER BY qid, score_q DESC, vec_id""")
+    }),
+
     "graft_index_hybrid" -> ((s, dir) => {
       // filtered search THROUGH the table-attached index: the predicate
       // is pushed into the partition-pruned cell scan (beyond the
@@ -2407,6 +2423,17 @@ object SparkEntry {
       "graft_index_knn_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true); () },
         (s, dir) => gidxKnnServe(s, at("gidxknn", dir)))),
+      "vs_sql_knn_tvf" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxknnsql", kind = "ivfpq", m = 8, opq = true); () },
+        (s, dir) => {
+          val tbl = at("gidxknnsql", dir)
+          GraftFunctions.register(s)
+          GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+            .select("vec_id", "embedding").createOrReplaceTempView("graft_knn_q")
+          s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                    FROM graft_knn_join('$tbl', 'graft_knn_q', 5)
+                    ORDER BY qid, score_q DESC, vec_id""")
+        })),
       "graft_index_hybrid" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxhy", mutations = "none"); () },
         (s, dir) => gidxHybridServe(s, dir, at("gidxhy", dir)))),
@@ -2714,6 +2741,26 @@ object SparkEntry {
     // exhaustive ⇒ exact: per-query brute force over the mutated corpus,
     // query side = the first post-mutation rows of the same corpus
     "graft_index_knn_exhaustive" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings WHERE vec_id % 101 <> 7),
+         scored AS (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_cosine_similarity(e.e, q.e) AS s
+           FROM corpus e CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 10) q),
+         ranked AS (
+           SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored)
+         SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
+         ORDER BY qid, score_q DESC, vec_id""",
+
+    // the same batched join through the graft_knn_join SQL TVF: same
+    // mutated fixture, exhaustive nprobe ⇒ identical brute-force oracle
+    "vs_sql_knn_tvf" ->
       """WITH corpus AS (
            SELECT vec_id, label,
                   CASE WHEN vec_id % 97 = 3

@@ -436,7 +436,13 @@ object Dedup {
     // bytes ⇒ identical kernel result — output stays bit-equal to brute
     // force). The reconstruction itself is output-bound: a clique of m
     // docs IS m(m-1)/2 qualifying pairs under all-pairs semantics.
-    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    // The collapse SHUFFLE key is md5 of the rendered vector, not the
+    // raw 64-float array — same discipline as the text miners' md5
+    // collapse keys: a 16-byte key instead of ~260 bytes per row on
+    // the wire at 100 TB (the float→string render is exact per bit
+    // pattern, so distinct vectors keep distinct keys).
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("v").cast("string")))
     val memb = full.withColumn("gid", min(col("id")).over(grpW))
     val base = memb.filter(col("id") === col("gid")).select(col("gid").as("id"), col("v"))
     // deterministic bounded sample (lowest ids) — centroid quality only
@@ -640,8 +646,11 @@ object Dedup {
     import graft.functions.vectors._
     val spark = emb.sparkSession
     val full = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // exact-duplicate collapse (see scaladoc: lossless for SemDeDup)
-    val grpW = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    // exact-duplicate collapse (see scaladoc: lossless for SemDeDup);
+    // keyed on md5(rendered vector) — the narrow-shuffle-key discipline
+    // of the text miners, not the raw float array
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("v").cast("string")))
     val memb = full.withColumn("gid", min(col("id")).over(grpW))
     val base = memb.filter(col("id") === col("gid"))
       .select(col("gid").as("id"), col("v"))
