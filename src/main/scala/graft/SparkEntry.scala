@@ -519,6 +519,46 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "vs_topk_hamming" -> ((s, dir) => {
+      // 1-bit sign quantization search: each embedding packs to
+      // ceil(dim/64) longs (one BIT per dimension — 32× smaller scans
+      // than float32 at 100 TB; in production the packed column is
+      // STORED, here it's packed in-plan) and ranks by XOR+POPCNT
+      // Hamming distance, both codegen'd Catalyst expressions
+      // (functions/SignBits.scala). A sign test involves zero
+      // rounding, so the DuckDB oracle counting sign disagreements
+      // over the raw float column reproduces the packed result
+      // exactly. orderBy+limit → TakeOrderedAndProject (per-partition
+      // heap, no full sort).
+      val q = sign_pack(typedlit(queryVec(s, dir, 0L)))
+      Tables.embeddings(s, dir)
+        .withColumn("hamming",
+          hamming_distance(sign_pack(col("embedding")), q).cast("long"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "hamming")
+    }),
+
+    "vs_topk_hamming_rerank" -> ((s, dir) => {
+      // the production two-stage shape (faiss IndexBinaryFlat serving):
+      // Hamming candidate stage keeps 40 over the packed bits, exact
+      // cosine re-ranks the survivors to the final 10. Both stages are
+      // deterministic (ties broken on vec_id), so the WHOLE pipeline is
+      // DuckDB-reproducible — the oracle replays candidate selection
+      // and re-rank, not just the final scores.
+      val qv = typedlit(queryVec(s, dir, 0L))
+      val cand = Tables.embeddings(s, dir)
+        .withColumn("hamming",
+          hamming_distance(sign_pack(col("embedding")), sign_pack(qv)))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(40)
+      cand
+        .withColumn("score", cosine_similarity(col("embedding"), qv))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_sql_tvf" -> ((s, dir) => {
       // the reference's literal entry point: ONE SQL table-function call
       // (demo.ipynb cell 11) — registered live, query vector via scalar
@@ -689,6 +729,41 @@ object SparkEntry {
         .localCheckpoint()
       rmTree(tmp)
       out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_stats_profile" -> ((s, dir) => {
+      // METADATA-ONLY column profile: build a real GraftTable (create →
+      // key-adding upsert → predicate delete = three stat-segment
+      // generations with carried-over dirs), then answer rows / nulls /
+      // min / max for five columns WITHOUT opening a single data file —
+      // GraftTable.statsProfile folds the manifest's per-file stats
+      // segments. At 100 TB this is the per-commit drift audit: the
+      // numbers a full scan would cost hours to recompute, for O(files)
+      // metadata lines. The DuckDB oracle replays the DML over the raw
+      // parquet — metadata must equal the full recompute EXACTLY.
+      // (o_orderdate is a timestamp → bounds in epoch micros, the
+      // stats' serialized form, mirrored in the oracle.)
+      val tmp = s"${indexPath("statprof", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsert(s, path,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L))
+      GraftTable.deleteWhere(s, path,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      val (nRows, prof) = GraftTable.statsProfile(path).getOrElse(
+        throw new IllegalStateException("stats profile declined on a log-free table"))
+      rmTree(tmp)
+      import s.implicits._
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus")
+        .map { c =>
+          val p = prof(c)
+          (c, nRows, p.nullCount, p.min.orNull, p.max.orNull)
+        }
+        .toDF("col_name", "n_rows", "n_null", "min_s", "max_s")
+        .orderBy("col_name")
     }),
 
     "lakehouse_delete_mor" -> ((s, dir) => {
@@ -1244,6 +1319,30 @@ object SparkEntry {
       s1.agg(count(lit(1)).as("n_signup"))
         .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
         .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
+    "q_events_gapfill" -> ((s, dir) => {
+      // time-series gap fill (resample-to-daily): per-(type, day)
+      // counts with missing days ZERO-FILLED over the global
+      // [min_day, max_day] spine. The spine is dimension-sized —
+      // distinct types × a sequence() exploded from ONE broadcast
+      // aggregate row — so the only fact-sized work is the keyed
+      // daily aggregate; the fill join is broadcast, never a row-scan
+      // cross join. The shape dashboards need at 100 TB: a day with
+      // zero rows must REPORT zero, not vanish.
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = ev
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val spine = ev.select("event_type").distinct().crossJoin(days)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          // string-rendered day (house convention — engine-neutral compare)
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
     }),
 
     "q_orders_enriched_skew" -> ((s, dir) => {
@@ -2110,6 +2209,34 @@ object SparkEntry {
         .orderBy("source", "pack")
     }),
 
+    "pipeline_profile" -> ((s, dir) => {
+      // data-quality PROFILE of the corpus (the expectations report a
+      // release gate reads): every column's row/null/distinct counts
+      // and min/max, computed in ONE aggregate scan and unpivoted with
+      // stack() to a per-column report. The multi-countDistinct
+      // compiles to one Expand pass (|cols| projections of one scan —
+      // the exact-NDV cost is real and stated); a 100 TB profile swaps
+      // countDistinct for approx_count_distinct (the q_approx_stats
+      // path) and keeps this exact shape for release audits. min/max
+      // aggregate on the NATIVE type, cast to string only for the
+      // report (lexicographic-vs-numeric ordering bugs stay impossible).
+      val d = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = count(lit(1)).cast("long").as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nnull"),
+          countDistinct(col(c)).as(s"${c}__ndv"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max")))
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, `${c}__nnull`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      d.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) " +
+          "as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"))
+        .orderBy("col_name")
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // END-TO-END curation pipeline — the operators composed the way a
       // real corpus release runs them: quality gate → exact dedup →
@@ -2930,6 +3057,36 @@ object SparkEntry {
          SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
          FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
 
+    // sign-bit Hamming = count of sign-disagreeing dimensions: DuckDB
+    // recomputes it straight from the float column (no packing needed —
+    // a sign test has no rounding, so the two formulations are equal
+    // by construction, not just numerically close)
+    "vs_topk_hamming" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         h AS (
+           SELECT e.vec_id, e.label,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    CASE WHEN (x >= 0) <> (q.qe[i] >= 0) THEN 1 ELSE 0 END)) AS hamming
+           FROM embeddings e, q)
+         SELECT vec_id, label, CAST(hamming AS BIGINT) AS hamming
+         FROM h ORDER BY hamming, vec_id LIMIT 10""",
+
+    "vs_topk_hamming_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         h AS (
+           SELECT e.vec_id, e.label, e.embedding,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    CASE WHEN (x >= 0) <> (q.qe[i] >= 0) THEN 1 ELSE 0 END)) AS hamming
+           FROM embeddings e, q),
+         cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40),
+         scored AS (
+           SELECT c.vec_id, c.label,
+                  list_cosine_similarity(c.embedding::DOUBLE[],
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM cand c)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+
     "vs_hybrid_rrf_topn" ->
       s"""WITH kw AS (
             SELECT doc_id, r FROM (
@@ -3187,6 +3344,47 @@ object SparkEntry {
          SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+
+    // metadata-only profile vs the full recompute: replay the DML
+    // (create %3 → upsert %5 with shifted custkey → predicate delete)
+    // and profile the final state straight from parquet; the Spark side
+    // answered the same numbers from manifest stats alone. Timestamp
+    // bounds in epoch micros — the stats segments' serialized form.
+    "lakehouse_stats_profile" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+         SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                CAST(min(o_custkey) AS VARCHAR) AS min_s,
+                CAST(max(o_custkey) AS VARCHAR) AS max_s FROM final
+         UNION ALL SELECT 'o_orderdate', count(*),
+                count(*) FILTER (WHERE o_orderdate IS NULL),
+                CAST(epoch_ns(min(o_orderdate)) // 1000 AS VARCHAR),
+                CAST(epoch_ns(max(o_orderdate)) // 1000 AS VARCHAR) FROM final
+         UNION ALL SELECT 'o_orderkey', count(*),
+                count(*) FILTER (WHERE o_orderkey IS NULL),
+                CAST(min(o_orderkey) AS VARCHAR),
+                CAST(max(o_orderkey) AS VARCHAR) FROM final
+         UNION ALL SELECT 'o_orderpriority', count(*),
+                count(*) FILTER (WHERE o_orderpriority IS NULL),
+                CAST(min(o_orderpriority) AS VARCHAR),
+                CAST(max(o_orderpriority) AS VARCHAR) FROM final
+         UNION ALL SELECT 'o_orderstatus', count(*),
+                count(*) FILTER (WHERE o_orderstatus IS NULL),
+                CAST(min(o_orderstatus) AS VARCHAR),
+                CAST(max(o_orderstatus) AS VARCHAR) FROM final
+         ORDER BY col_name""",
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -3519,6 +3717,22 @@ object SparkEntry {
                 (SELECT count(*) FROM s2) AS n_click_after,
                 (SELECT count(*) FROM s3) AS n_purchase_after""",
 
+    "q_events_gapfill" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (
+           SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM events)
+         SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+                CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+         FROM types t CROSS JOIN days d
+         LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+         ORDER BY t.event_type, day""",
+
     "q_orders_enriched_skew" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
@@ -3738,6 +3952,38 @@ object SparkEntry {
                        FROM tsh JOIN esh USING (s))
          SELECT eval_id, count(*) AS n_train_docs
          FROM hits GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_profile" ->
+      """WITH a AS (
+           SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE doc_id IS NULL) AS doc_id_nnull,
+             count(DISTINCT doc_id) AS doc_id_ndv,
+             CAST(min(doc_id) AS VARCHAR) AS doc_id_min,
+             CAST(max(doc_id) AS VARCHAR) AS doc_id_max,
+             count(*) FILTER (WHERE lang IS NULL) AS lang_nnull,
+             count(DISTINCT lang) AS lang_ndv,
+             CAST(min(lang) AS VARCHAR) AS lang_min,
+             CAST(max(lang) AS VARCHAR) AS lang_max,
+             count(*) FILTER (WHERE n_chars IS NULL) AS n_chars_nnull,
+             count(DISTINCT n_chars) AS n_chars_ndv,
+             CAST(min(n_chars) AS VARCHAR) AS n_chars_min,
+             CAST(max(n_chars) AS VARCHAR) AS n_chars_max,
+             count(*) FILTER (WHERE source IS NULL) AS source_nnull,
+             count(DISTINCT source) AS source_ndv,
+             CAST(min(source) AS VARCHAR) AS source_min,
+             CAST(max(source) AS VARCHAR) AS source_max,
+             count(*) FILTER (WHERE text IS NULL) AS text_nnull,
+             count(DISTINCT text) AS text_ndv,
+             CAST(min(text) AS VARCHAR) AS text_min,
+             CAST(max(text) AS VARCHAR) AS text_max
+           FROM documents)
+         SELECT 'doc_id' AS col_name, n_rows, doc_id_nnull AS n_null,
+                doc_id_ndv AS n_distinct, doc_id_min AS min_s, doc_id_max AS max_s FROM a
+         UNION ALL SELECT 'lang', n_rows, lang_nnull, lang_ndv, lang_min, lang_max FROM a
+         UNION ALL SELECT 'n_chars', n_rows, n_chars_nnull, n_chars_ndv, n_chars_min, n_chars_max FROM a
+         UNION ALL SELECT 'source', n_rows, source_nnull, source_ndv, source_min, source_max FROM a
+         UNION ALL SELECT 'text', n_rows, text_nnull, text_ndv, text_min, text_max FROM a
+         ORDER BY col_name""",
 
     "pipeline_curate" ->
       """WITH quality AS (

@@ -23,4 +23,15 @@ object vectors {
 
   def vector_norm(a: Column): Column =
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
+
+  /** 1-bit sign quantization: array<float|double> → packed array<long>
+    * (bit per dimension, 32× smaller than float32 — see [[SignPack]]).
+    */
+  def sign_pack(a: Column): Column =
+    ExpressionUtils.column(SignPack(ExpressionUtils.expression(a)))
+
+  /** XOR+POPCNT distance over two [[sign_pack]] outputs = count of
+    * sign-disagreeing dimensions.
+    */
+  def hamming_distance(a: Column, b: Column): Column = lift2(HammingDistance.apply)(a, b)
 }

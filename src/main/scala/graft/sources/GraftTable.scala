@@ -206,7 +206,9 @@ object GraftTable {
     case _: types.DecimalType => Some("num")
     case types.StringType => Some("str")
     case types.DateType => Some("date")
-    case types.TimestampType => Some("ts")
+    // NTZ serializes through a session-tz cast; with the UTC session
+    // this library standardizes on, bounds are the wall-clock micros
+    case types.TimestampType | types.TimestampNTZType => Some("ts")
     case _ => None
   }
 
@@ -254,6 +256,88 @@ object GraftTable {
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
       Some((kv("cols").split(",").toSeq, kv("fpp").toDouble))
     }
+
+  // ---- CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` semantics) --
+  //
+  // Stored in a `_constraints` sidecar (one `name=<url-encoded SQL>`
+  // line each — same config pattern as the bloom sidecar). SQL CHECK
+  // semantics: a row VIOLATES only when the expression evaluates to
+  // FALSE; NULL (unknown) passes, as in every ANSI engine. Enforcement
+  // is NOT a pre-pass: [[constraintGuard]] weaves a row-level assert
+  // into the write plan itself (`RaiseError` in the non-satisfied
+  // branch only, so the failing row's JSON renders lazily), which means
+  // validation rides the write job at ZERO extra scans and a violating
+  // batch fails the job BEFORE the commit marker lands — the table
+  // never exposes a violating version, the same loud-or-safe discipline
+  // as every other commit path. Both write families are guarded: COW
+  // rewrites via [[writeVersion]] (create/upsert/mergeInto/update/
+  // compact/rebucket and the format("graft")/streaming writers that
+  // funnel through them) and MOR delta files via [[upsertMor]].
+
+  private def constraintsPath(path: String) = new Path(path, "_constraints")
+
+  /** The table's CHECK constraints: name → SQL expression text. */
+  def constraints(path: String): Map[String, String] =
+    if (!MetaIO.exists(constraintsPath(path))) Map.empty
+    else MetaIO.readString(constraintsPath(path)).split("\n").filter(_.nonEmpty)
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> dec(v) }.toMap
+
+  /** Add a CHECK constraint. Like Delta, the EXISTING snapshot is
+    * validated first (one scan) — a constraint the current data
+    * violates is refused with examples, never recorded.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    checkSql: String): Unit = {
+    require(latestVersion(path) >= 0, s"no table at $path")
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      s"bad constraint name: '$name'")
+    val violates = !coalesce(expr(checkSql), lit(true))
+    val bad = read(spark, path).filter(violates)
+    val examples = bad.limit(3).toJSON.collect()
+    if (examples.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint '$name' ($checkSql): existing rows violate it, " +
+          s"e.g. ${examples.mkString("; ")}")
+    MetaIO.replaceString(constraintsPath(path),
+      (constraints(path) + (name -> checkSql))
+        .map { case (k, v) => s"$k=${enc(v)}" }.mkString("\n"))
+  }
+
+  def dropConstraint(path: String, name: String): Unit = {
+    val remaining = constraints(path) - name
+    if (remaining.isEmpty) MetaIO.delete(constraintsPath(path))
+    else MetaIO.replaceString(constraintsPath(path),
+      remaining.map { case (k, v) => s"$k=${enc(v)}" }.mkString("\n"))
+  }
+
+  /** Wrap `df` with the table's CHECK guards: each row either satisfies
+    * every constraint or raises with the constraint name and the row
+    * rendered as JSON. Columns a check references that the frame lacks
+    * read as null — exactly what the stored row's omitted columns
+    * become under whole-row-replace semantics — so the guard judges the
+    * row as it will be stored. Zero-cost when no constraints exist.
+    */
+  private def constraintGuard(path: String, df: DataFrame): DataFrame = {
+    val cs = constraints(path)
+    if (cs.isEmpty) return df
+    val orig: Seq[String] = df.columns.toSeq
+    // augment once with every referenced-but-absent column as null
+    val referenced: Set[String] = cs.values.flatMap { sql =>
+      org.apache.spark.sql.graftshim.Bridge.expression(expr(sql)).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      }
+    }.toSet
+    val augmented = (referenced -- orig.toSet)
+      .foldLeft(df)((d, m) => d.withColumn(m, lit(null)))
+    val guarded = cs.toSeq.sortBy(_._1).foldLeft(augmented) { case (d, (name, sql)) =>
+      val ok = coalesce(expr(sql), lit(true))
+      d.filter(when(ok, lit(true)).otherwise(
+        raise_error(concat(
+          lit(s"CHECK constraint '$name' ($sql) violated by row: "),
+          to_json(struct(orig.map(col): _*)))).isNotNull))
+    }
+    guarded.select(orig.map(col): _*)
+  }
 
   /** `#bloom=<relFile>\t<col>\t<base64>` lines for the freshly written
     * dirs — one grouped-aggregate scan, same contract as
@@ -311,7 +395,11 @@ object GraftTable {
     val aggs = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(s"`${f.name}`")
       val (mn, mx) = f.dataType match {
-        case types.TimestampType => (unix_micros(min(c)), unix_micros(max(c)))
+        case types.TimestampType =>
+          (unix_micros(min(c)), unix_micros(max(c)))
+        case types.TimestampNTZType =>
+          (unix_micros(min(c).cast(types.TimestampType)),
+            unix_micros(max(c).cast(types.TimestampType)))
         case _ => (min(c), max(c))
       }
       Seq(mn.cast("string").as(s"__mn$i"), mx.cast("string").as(s"__mx$i"),
@@ -467,6 +555,9 @@ object GraftTable {
             Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000)
           case i: java.time.Instant =>
             Some(i.getEpochSecond * 1000000L + i.getNano.toLong / 1000)
+          case d: java.time.LocalDateTime => // NTZ filter value, UTC-session rule
+            Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+              + d.getNano.toLong / 1000)
           case _ => None
         }
         for (b <- scala.util.Try(bound.toLong).toOption; m <- micros)
@@ -805,7 +896,9 @@ object GraftTable {
        else lit(null).cast(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
     val rel = s"delta/v${v + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
-    aligned.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$rel")
+    // same CHECK guard as the COW path — a delta row is a stored row
+    constraintGuard(path, aligned).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$rel")
     // manifest: previous text verbatim, headers upgraded, #schema
     // replaced when the batch widened it, plus this delta's line
     var lines = manifestText(path, v).split("\n").toSeq
@@ -1208,6 +1301,97 @@ object GraftTable {
     if (!dirs.forall(d => stats.keys.exists(_.startsWith(d + "/")))) None
     else Some(dirs.flatMap(d =>
       stats.collect { case (rel, st) if rel.startsWith(d + "/") => st.rows }).sum)
+  }
+
+  /** Per-column slice of a metadata-only snapshot profile: exact null
+    * count, min/max in the stats' serialized rendering (numerics as
+    * decimal strings, strings as text, timestamps as epoch-micros).
+    * A None bound means "not exactly answerable from metadata", never
+    * a guess.
+    */
+  final case class ColumnProfile(nullCount: Long, min: Option[String], max: Option[String])
+
+  /** Metadata-only column profile of a snapshot — the release-audit
+    * twin of the full-scan `pipeline_profile` query: snapshot row count
+    * plus per-column null counts and min/max, derived ENTIRELY from the
+    * manifest's stats segments. Zero data-file IO, so profiling every
+    * commit (and diffing profiles across versions — the drift audit a
+    * 100 TB ingest pipeline wants) costs O(files) metadata lines at any
+    * table size.
+    *
+    * Loud-or-safe exactness rules (None / dropped instead of wrong):
+    *  - declines entirely while a MOR log is outstanding (a DV may name
+    *    keys that never existed, a delta inserts AND replaces — the
+    *    [[countRows]] rule) or when any referenced dir lacks stats
+    *    coverage (legacy manifests).
+    *  - a bound any covering file can't answer exactly reports None:
+    *    oversized text max, possibly-truncated 120-char text min.
+    *  - a file with stats but no line for a column predates that
+    *    column's additive evolution — its rows read as null and are
+    *    counted exactly; columns beyond the 32-column stat cap are
+    *    dropped from the report instead of misread as all-null.
+    *  - string bounds merge under UTF-8 byte order (Spark/DuckDB binary
+    *    collation), not Java's UTF-16 compareTo.
+    */
+  def statsProfile(path: String, version: Int = -1): Option[(Long, Map[String, ColumnProfile])] = {
+    val v = if (version >= 0) version else latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    if (dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty) return None
+    val sc = snapshotSchema(path, v).getOrElse(return None)
+    val stats = manifestFileStats(path, v)
+    val dirs = manifest(path, v).values.toSeq
+    if (!dirs.forall(d => stats.keys.exists(_.startsWith(d + "/")))) return None
+    val files = stats.filter { case (rel, _) =>
+      val cut = rel.lastIndexOf('/')
+      cut > 0 && dirs.contains(rel.substring(0, cut))
+    }.values.toSeq
+    val totalRows = files.map(_.rows).sum
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(StandardCharsets.UTF_8); val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+    def pick(kind: String, vals: Seq[String], isMin: Boolean): String = kind match {
+      case "num" => if (isMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
+      case "ts"  => if (isMin) vals.minBy(_.toLong) else vals.maxBy(_.toLong)
+      case _ =>
+        val ord = Ordering.fromLessThan[String]((a, b) => utf8Cmp(a, b) < 0)
+        if (isMin) vals.min(ord) else vals.max(ord)
+    }
+    val profiled = statFields(sc).map { f =>
+      val kind = statKind(f.dataType).get
+      // per-file contribution: Right(Some(bound)) exact, Right(None) no
+      // non-null values, Left(()) unknown → whole column bound unknown
+      def bound(st: FileStat, isMin: Boolean): Either[Unit, Option[String]] =
+        st.cols.get(f.name) match {
+          case None => Right(None) // pre-evolution file: all rows null
+          case Some(cs) =>
+            val raw = if (isMin) cs.min else cs.max
+            raw match {
+              case Some(s) if isMin && kind == "str" && s.length >= 120 => Left(())
+              case Some(s) => Right(Some(s))
+              case None if cs.nullCount == st.rows => Right(None)
+              case None => Left(())
+            }
+        }
+      def merged(isMin: Boolean): Option[String] = {
+        val bs = files.map(bound(_, isMin))
+        if (bs.exists(_.isLeft)) None
+        else {
+          val vs = bs.collect { case Right(Some(s)) => s }
+          if (vs.isEmpty) None else Some(pick(kind, vs, isMin))
+        }
+      }
+      val nulls = files.map(st =>
+        st.cols.get(f.name).map(_.nullCount).getOrElse(st.rows)).sum
+      f.name -> ColumnProfile(nulls, merged(isMin = true), merged(isMin = false))
+    }.toMap
+    Some((totalRows, profiled))
   }
 
   /** pad each side with the other's missing columns as typed nulls */
@@ -2019,7 +2203,9 @@ object GraftTable {
                            touched: Set[Int] = Set.empty): Unit = {
     // unique per-attempt dir: racing writers must not share a data path
     val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
-    val bucketed = df.withColumn(BUCKET, bucketCol(keyCols, nbuckets))
+    // CHECK guard rides the write job itself (no pre-pass): a violating
+    // row fails the job here, before any manifest or commit marker
+    val bucketed = constraintGuard(path, df).withColumn(BUCKET, bucketCol(keyCols, nbuckets))
     // sortWithin: transient cluster-sort columns (e.g. compact's
     // z-value) — each task's rows arrive sorted by (bucket, sortCols),
     // which satisfies the writer's required partition-column ordering,
