@@ -860,6 +860,39 @@ object SparkEntry {
       out.orderBy("o_custkey")
     }),
 
+    "lakehouse_incremental_minmax_view" -> ((s, dir) => {
+      // MIN/MAX view — the first NON-LINEAR aggregate under incremental
+      // maintenance: insertions fold additively (least/greatest), but a
+      // retraction REACHING a stored extremum triggers the per-group
+      // recompute path (one head-snapshot aggregate semi-joined to
+      // exactly the invalidated groups — see
+      // IncrementalView.bootstrapExtrema). Batch 1 bumps prices (new
+      // maxima fold in, old per-key prices retract — keys that held
+      // their group's min/max invalidate it); batch 2 deletes the
+      // expensive rows wholesale (retracting group maxima en masse).
+      // The final view must equal DuckDB's full GROUP BY recompute.
+      val tmp = s"${indexPath("ivmx", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val view = s"$tmp/view"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        src, Seq("o_orderkey"), nbuckets = 8)
+      val ext = Map("price_c" -> floor(col("o_totalprice") * 100).cast("long"))
+      graft.sources.IncrementalView.bootstrapExtrema(s, src, view,
+        Seq("o_custkey"), ext, nbuckets = 8)
+      GraftTable.upsert(s, src,
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+      graft.sources.IncrementalView.applyOnceExtrema(s, src, view, Seq("o_custkey"), ext)
+      GraftTable.deleteWhere(s, src, col("o_totalprice") >= 250000.0)
+      graft.sources.IncrementalView.applyOnceExtrema(s, src, view, Seq("o_custkey"), ext)
+      val out = graft.sources.IncrementalView.read(s, view)
+        .select("o_custkey", "cnt", "price_c_min", "price_c_max").localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_custkey")
+    }),
+
     "lakehouse_incremental_join_view" -> ((s, dir) => {
       // STAR-SCHEMA incremental view: revenue per NATION maintained
       // from the orders feed joined to the static customer dimension
@@ -1033,6 +1066,27 @@ object SparkEntry {
         .select(col("doc_id"), size(col("embedding")).as("dim"),
           q4(vector_norm(col("embedding"))).as("norm_q"))
         .orderBy("doc_id")
+    }),
+
+    "embed_search_process" -> ((s, dir) => {
+      // the reference's headline demo (cell 11: find documents matching
+      // a query BY MEANING) end-to-end through the PRODUCTION encoder
+      // seam: corpus and query both encoded by a real external worker
+      // process per partition — the bundled reference worker
+      // (resources/graft/encoder_worker.py: the actual
+      // sentence-transformers model when installed, a deterministic
+      // hashed projection otherwise; same protocol either way) — then
+      // exact top-k cosine over the encoded corpus. Model-dependent
+      // output → rows-only; the worker protocol, ranking and self-match
+      // invariants are pinned in EmbedSpec.
+      val docs = Tables.documents(s, dir)
+      val enc = Embed.encode(docs, "text", batchSize = 64,
+        encoderFactory = Some(() => new Embed.ProcessEncoder(Embed.bundledWorkerCommand())))
+      val qText = docs.filter(col("doc_id") === 0L).select("text").head().getString(0)
+      val qEnc = new Embed.ProcessEncoder(Embed.bundledWorkerCommand())
+      val qVec = try qEnc.encodeBatch(Array(qText))(0).toSeq finally qEnc.close()
+      operators.VectorSearch.topK(enc, "embedding", "doc_id", qVec, 10, "cosine")
+        .select(col("doc_id"), q4(col("score")).as("score_q"))
     }),
 
     // == Spark-native analytics (TPC-H-ish) =================================
@@ -3308,6 +3362,25 @@ object SparkEntry {
          SELECT o_custkey,
                 CAST(COUNT(*) AS BIGINT) AS cnt,
                 CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+         FROM final GROUP BY o_custkey
+         ORDER BY o_custkey""",
+
+    "lakehouse_incremental_minmax_view" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 100000 AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM ups
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)),
+         final AS (SELECT * FROM merged WHERE o_totalprice < 250000)
+         SELECT o_custkey,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_min,
+                CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_max
          FROM final GROUP BY o_custkey
          ORDER BY o_custkey""",
 

@@ -88,6 +88,26 @@ object Embed {
     }
   }
 
+  /** Launch command for the BUNDLED reference worker
+    * (resources/graft/encoder_worker.py — the worked example of the
+    * [[ProcessEncoder]] protocol: the real sentence-transformers model
+    * when installed, a deterministic hashed projection otherwise).
+    * Extracts the script from the jar to a temp file; call INSIDE the
+    * encoder factory so extraction happens task-side on each executor
+    * (the jar is on every executor's classpath, the temp path is
+    * executor-local).
+    */
+  def bundledWorkerCommand(): Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/encoder_worker.py")
+    require(in != null, "bundled encoder worker resource missing")
+    val f = java.nio.file.Files.createTempFile("graft_encoder_worker", ".py")
+    try java.nio.file.Files.copy(in, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    f.toFile.deleteOnExit()
+    Seq("python3", f.toString)
+  }
+
   /** Stand-in for the external model — deterministic feature hashing,
     * so the operator stays testable without model jars.
     */

@@ -203,6 +203,131 @@ object IncrementalView {
     Some((from, head))
   }
 
+  // ---- extrema views: MIN/MAX, the first non-linear aggregate -------------
+
+  /** Bootstrap a MIN/MAX view: `SELECT g…, count(*) cnt, min(m)
+    * <n>_min, max(m) <n>_max GROUP BY g…` over the source snapshot.
+    * `extremes` maps a measure NAME to its row expression; the view
+    * stores `<name>_min`/`<name>_max` columns. NULL measure values are
+    * ignored exactly as SQL MIN/MAX ignores them (an all-NULL group
+    * holds NULL extrema).
+    *
+    * MIN/MAX is NOT linear in the z-set — an insertion only ever
+    * improves an extremum (`least`/`greatest` fold, O(delta)), but a
+    * RETRACTION of the current extremum needs the next-best value,
+    * which the view does not hold. [[applyOnceExtrema]] therefore
+    * splits each tick's groups: groups whose retracted values provably
+    * cannot displace the stored extremum (every retracted m strictly
+    * inside the stored bounds) fold additively; the rest RECOMPUTE
+    * their extrema with one aggregate over the head snapshot filtered
+    * to exactly those groups (a keyed semi-join — with the group key
+    * z-ordered or stats-clustered this prunes to the touched files;
+    * worst case it is one scan, paid only on ticks that retract a
+    * current extremum — the same loudly-stated term as the joined
+    * view's A ⋈ ΔD scan). This is the standard IVM treatment of
+    * non-invertible aggregates (DBSP/Materialize's reduce operator);
+    * the alternative — keeping per-(group, value) counts — trades it
+    * for state proportional to the DISTINCT VALUES of the source,
+    * which at 100 TB is the worse deal for high-cardinality measures.
+    */
+  def bootstrapExtrema(spark: SparkSession, srcPath: String, viewPath: String,
+                       groupCols: Seq[String], extremes: Map[String, Column],
+                       nbuckets: Int = 16): Int = {
+    val head = GraftTable.latestVersion(srcPath)
+    require(head >= 0, s"no table at $srcPath")
+    val snap = GraftTable.read(spark, srcPath, head)
+    val aggs = count(lit(1)).cast("long").as("cnt") +:
+      extremes.toSeq.sortBy(_._1).flatMap { case (n, e) =>
+        Seq(min(e).as(s"${n}_min"), max(e).as(s"${n}_max"))
+      }
+    val agg = snap.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("_applied_to", lit(head))
+    GraftTable.create(agg, viewPath, groupCols, nbuckets)
+    GraftTable.MetaIO.replaceString(watermarkPath(viewPath), head.toString)
+    head
+  }
+
+  /** One maintenance tick of an extrema view — see [[bootstrapExtrema]]
+    * for the fold-or-recompute split. Exactly-once through the same
+    * intent protocol as the linear views; the merge carries ABSOLUTE
+    * new values (not deltas), so the view row after the merge is the
+    * recomputed/folded truth for its group.
+    */
+  def applyOnceExtrema(spark: SparkSession, srcPath: String, viewPath: String,
+                       groupCols: Seq[String],
+                       extremes: Map[String, Column]): Option[(Int, Int)] = {
+    val from = appliedTo(spark, viewPath)
+    val head = GraftTable.latestVersion(srcPath)
+    if (head <= from) return None
+    val names = extremes.keys.toSeq.sorted
+    val feed =
+      if (from < 0)
+        GraftTable.read(spark, srcPath, head).withColumn("_weight", lit(1))
+      else GraftTable.retractions(spark, srcPath, from, head)
+    val w = col("_weight")
+    // one pass over the feed: count delta + per-measure extrema of the
+    // inserted (+) and retracted (−) sides separately
+    val dAggs = sum(w).cast("long").as("cnt_d") +:
+      names.flatMap { n =>
+        val e = extremes(n)
+        Seq(min(when(w > 0, e)).as(s"${n}_min_p"), max(when(w > 0, e)).as(s"${n}_max_p"),
+          min(when(w < 0, e)).as(s"${n}_min_m"), max(when(w < 0, e)).as(s"${n}_max_m"))
+      }
+    val delta = feed.groupBy(groupCols.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val stored = GraftTable.read(spark, viewPath)
+      .select((groupCols.map(col) :+ col("cnt").as("cnt_s")) ++
+        names.flatMap(n => Seq(col(s"${n}_min").as(s"${n}_min_s"),
+          col(s"${n}_max").as(s"${n}_max_s"))): _*)
+    // delta ⋈ stored, materialized once — consumed by the unsafe-key
+    // selection AND the final assembly
+    val joined = delta.join(stored, groupCols, "left").localCheckpoint()
+    val isNew = col("cnt_s").isNull
+    // a group is unsafe iff some retracted value reaches the stored
+    // bound (equality included: the retracted row may BE the extremum;
+    // a duplicate holding the same value would survive, but the view
+    // cannot tell without per-value counts — recompute decides)
+    val unsafe = !isNew && names.map { n =>
+      (col(s"${n}_min_m").isNotNull &&
+        (col(s"${n}_min_s").isNull || col(s"${n}_min_m") <= col(s"${n}_min_s"))) ||
+      (col(s"${n}_max_m").isNotNull &&
+        (col(s"${n}_max_s").isNull || col(s"${n}_max_m") >= col(s"${n}_max_s")))
+    }.reduce(_ || _)
+    val unsafeKeys = joined.filter(unsafe).select(groupCols.map(col): _*)
+    val rAggs = lit(true).as("_rec") +: names.flatMap { n =>
+      Seq(min(extremes(n)).as(s"${n}_min_r"), max(extremes(n)).as(s"${n}_max_r"))
+    }
+    val rec = GraftTable.read(spark, srcPath, head)
+      .join(unsafeKeys, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*).agg(rAggs.head, rAggs.tail: _*)
+    val full = joined.join(rec, groupCols, "left")
+    def minFinal(n: String) = when(col("_rec").isNotNull, col(s"${n}_min_r"))
+      .otherwise(when(isNew, col(s"${n}_min_p"))
+        .otherwise(least(col(s"${n}_min_s"), col(s"${n}_min_p"))))
+    def maxFinal(n: String) = when(col("_rec").isNotNull, col(s"${n}_max_r"))
+      .otherwise(when(isNew, col(s"${n}_max_p"))
+        .otherwise(greatest(col(s"${n}_max_s"), col(s"${n}_max_p"))))
+    val cntFinal = coalesce(col("cnt_s"), lit(0L)) + col("cnt_d")
+    // drop no-op groups: count unchanged, not recomputed, extrema equal
+    val changed = (col("cnt_d") =!= 0L) || col("_rec").isNotNull || isNew ||
+      names.map(n => !(minFinal(n) <=> col(s"${n}_min_s")) ||
+        !(maxFinal(n) <=> col(s"${n}_max_s"))).reduce(_ || _)
+    val outCols = (groupCols.map(col) :+ cntFinal.as("cnt")) ++
+      names.flatMap(n => Seq(minFinal(n).as(s"${n}_min"), maxFinal(n).as(s"${n}_max")))
+    val touched = full.filter(changed).select(outCols: _*)
+      .withColumn("_applied_to", lit(head))
+      .localCheckpoint()
+    GraftTable.MetaIO.replaceString(intentPath(viewPath),
+      s"$head|${GraftTable.latestVersion(viewPath)}")
+    GraftTable.mergeInto(spark, viewPath, touched,
+      matchedDelete = Some(col("s.cnt") === 0L),
+      matchedUpdate = Some((lit(true),
+        ((names.flatMap(n => Seq(s"${n}_min", s"${n}_max")) :+ "cnt" :+ "_applied_to")
+          .map(c => c -> col(s"s.$c"))).toMap)),
+      notMatchedInsert = Some(col("s.cnt") > 0L))
+    GraftTable.MetaIO.replaceString(watermarkPath(viewPath), head.toString)
+    Some((from, head))
+  }
+
   // ---- joined views: fact ⋈ CHANGING dimension ----------------------------
 
   private def joinWatermarks(viewPath: String): (Int, Int) = {

@@ -99,6 +99,29 @@ class EmbedSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bundled reference worker: the headline semantic-search demo end-to-end") {
+    // the worked example shipped in resources/graft/encoder_worker.py:
+    // extract-from-jar → one worker process per partition → unit-norm
+    // embeddings → exact top-k cosine, query encoded through the SAME
+    // worker. (Here the worker runs its deterministic fallback — with
+    // sentence-transformers installed the identical wiring serves the
+    // real model.)
+    val enc = Embed.encode(docs, "text", batchSize = 16,
+        encoderFactory = Some(() => new Embed.ProcessEncoder(Embed.bundledWorkerCommand())))
+      .cache()
+    enc.select(vector_norm(col("embedding")).as("n")).collect()
+      .foreach(_.getDouble(0) shouldBe 1.0 +- 1e-5)
+    val qText = docs.filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val w = new Embed.ProcessEncoder(Embed.bundledWorkerCommand())
+    val qVec = try w.encodeBatch(Array(qText))(0).toSeq finally w.close()
+    val top = graft.operators.VectorSearch
+      .topK(enc, "embedding", "doc_id", qVec, 5, "cosine").collect()
+    top should have length 5
+    // the query IS doc 0's text encoded by the same model → self-match first
+    top(0).getAs[Long]("doc_id") shouldBe 0L
+    enc.unpersist()
+  }
+
   test("MLlib pipeline encoder: unit norm, fixed dim, searchable output") {
     val emb = Embed.encodePipeline(docs, "text", 64).cache()
     emb.select(vector_norm(col("embedding")).as("n"))

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftTable, IncrementalView}
+import java.nio.file.Files
+
+/** MIN/MAX incremental views (IncrementalView.bootstrapExtrema /
+  * applyOnceExtrema) — the first non-linear aggregate under
+  * maintenance. The contract: after every tick the view equals a full
+  * `GROUP BY g: count, min(m), max(m)` recompute, through the additive
+  * fold path (insertions, harmless retractions), the per-group
+  * RECOMPUTE path (retraction of a stored extremum), duplicate
+  * extremum values, group births/deaths, all-NULL-measure groups, and
+  * no-op ticks.
+  */
+class ExtremaViewSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val ext = Map("m" -> col("m"))
+
+  private def fresh(prefix: String): (String, String) = {
+    val root = Files.createTempDirectory(prefix).toString
+    (root + "/src", root + "/view")
+  }
+
+  private def tick(src: String, view: String) =
+    IncrementalView.applyOnceExtrema(spark, src, view, Seq("grp"), ext)
+
+  private def assertConverged(src: String, view: String): Unit = {
+    val got = IncrementalView.read(spark, view)
+      .select("grp", "cnt", "m_min", "m_max").orderBy("grp").collect().toSeq
+    val want = GraftTable.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), min(col("m")).as("m_min"), max(col("m")).as("m_max"))
+      .orderBy("grp").collect().toSeq
+    got shouldBe want
+  }
+
+  test("bootstrap equals a direct aggregate; caught-up tick is a no-op") {
+    val (src, view) = fresh("xv_boot")
+    GraftTable.create(spark.range(0, 300).toDF("k")
+      .withColumn("grp", (col("k") % 5).cast("int"))
+      .withColumn("m", col("k") * 2), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    assertConverged(src, view)
+    tick(src, view) shouldBe None
+  }
+
+  test("insert-only ticks fold additively and stay exact") {
+    val (src, view) = fresh("xv_ins")
+    GraftTable.create(spark.range(0, 200).toDF("k")
+      .withColumn("grp", (col("k") % 4).cast("int"))
+      .withColumn("m", col("k")), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    // new maxima AND new minima (negative values), plus interior values
+    GraftTable.upsert(spark, src, spark.range(200, 260).toDF("k")
+      .withColumn("grp", (col("k") % 4).cast("int"))
+      .withColumn("m", when(col("k") % 2 === 0, col("k") * 10).otherwise(-col("k"))))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+  }
+
+  test("retracting the extremum holder triggers the recompute path and lands the next-best") {
+    val (src, view) = fresh("xv_rec")
+    GraftTable.create(spark.range(0, 100).toDF("k")
+      .withColumn("grp", (col("k") % 2).cast("int"))
+      .withColumn("m", col("k")), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    // delete the max holders of both groups (k=98,99) and the min
+    // holders (k=0,1) in one commit
+    GraftTable.delete(spark, src, Seq(0L, 1L, 98L, 99L).toDF("k"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+    // and again: an update that MOVES the extremum inward (retract old
+    // max image, insert a smaller one under the same key)
+    GraftTable.upsert(spark, src, Seq((97L, 1, 5L)).toDF("k", "grp", "m"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+  }
+
+  test("a duplicated extremum survives retraction of one holder") {
+    val (src, view) = fresh("xv_dup")
+    // both k=10 and k=11 hold m=1000 in grp 0
+    val base = Seq((10L, 0, 1000L), (11L, 0, 1000L), (12L, 0, 3L)).toDF("k", "grp", "m")
+    GraftTable.create(base, src, Seq("k"), nbuckets = 2)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 2)
+    GraftTable.delete(spark, src, Seq(10L).toDF("k"))
+    tick(src, view) should not be None
+    // recompute must find the surviving duplicate, not drop to 3
+    IncrementalView.read(spark, view).filter(col("grp") === 0)
+      .head().getAs[Long]("m_max") shouldBe 1000L
+    assertConverged(src, view)
+  }
+
+  test("group birth and death in one tick") {
+    val (src, view) = fresh("xv_bd")
+    GraftTable.create(Seq((1L, 0, 5L), (2L, 0, 7L), (3L, 1, 9L)).toDF("k", "grp", "m"),
+      src, Seq("k"), nbuckets = 2)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 2)
+    // grp 1 dies, grp 2 is born
+    GraftTable.delete(spark, src, Seq(3L).toDF("k"))
+    GraftTable.upsert(spark, src, Seq((4L, 2, 100L)).toDF("k", "grp", "m"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+    IncrementalView.read(spark, view).filter(col("grp") === 1).count() shouldBe 0L
+  }
+
+  test("all-NULL measures: extrema NULL, counts exact, retraction harmless") {
+    val (src, view) = fresh("xv_null")
+    val base = Seq((1L, 0, Option.empty[Long]), (2L, 0, Option.empty[Long]),
+      (3L, 1, Some(4L))).toDF("k", "grp", "m")
+    GraftTable.create(base, src, Seq("k"), nbuckets = 2)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 2)
+    val g0 = IncrementalView.read(spark, view).filter(col("grp") === 0).head()
+    g0.getAs[Long]("cnt") shouldBe 2L
+    g0.isNullAt(g0.fieldIndex("m_min")) shouldBe true
+    GraftTable.delete(spark, src, Seq(1L).toDF("k"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+  }
+
+  test("MOR delta + DV commits feed the view like COW commits") {
+    val (src, view) = fresh("xv_mor")
+    GraftTable.create(spark.range(0, 120).toDF("k")
+      .withColumn("grp", (col("k") % 3).cast("int"))
+      .withColumn("m", col("k")), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    GraftTable.upsertMor(spark, src, Seq((500L, 0, 9999L)).toDF("k", "grp", "m"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+    GraftTable.deleteMor(spark, src, Seq(500L, 119L).toDF("k"))
+    tick(src, view) should not be None
+    assertConverged(src, view)
+  }
+}
