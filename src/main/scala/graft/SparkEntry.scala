@@ -362,6 +362,34 @@ object SparkEntry {
     IncrementalView.read(s, s"$root/view")
   }
 
+  /** Extrema-view bench fixture: build = source + MIN/MAX bootstrap;
+    * [[ivmxServe]] = one tick of a price-raising trickle over existing
+    * keys (retracting old images — extremum holders included, so the
+    * tick exercises the per-group recompute term, not just the
+    * additive fold).
+    */
+  private val ivmxTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def ivmxExt: Map[String, Column] =
+    Map("price_c" -> floor(col("o_totalprice") * 100).cast("long"))
+  private def ivmxFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("ivmxb", dir); rmTree(root)
+    GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0),
+      s"$root/src", Seq("o_orderkey"), nbuckets = 8)
+    IncrementalView.bootstrapExtrema(s, s"$root/src", s"$root/view",
+      Seq("o_custkey"), ivmxExt, nbuckets = 8)
+  }
+  private def ivmxServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("ivmxb", dir)
+    val n = ivmxTick.incrementAndGet()
+    GraftTable.upsertMor(s, s"$root/src",
+      Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(n * 100.0)))
+    if (n % 8 == 0) GraftTable.compact(s, s"$root/src")
+    IncrementalView.applyOnceExtrema(s, s"$root/src", s"$root/view",
+      Seq("o_custkey"), ivmxExt)
+    IncrementalView.read(s, s"$root/view")
+  }
+
   /** Star-schema join-view bench fixture, split like its sibling:
     * build = source + dim tables + the joined bootstrap; serve = one
     * fact-side maintenance tick (MOR trickle + Δfact ⋈ dim fold) —
@@ -2645,6 +2673,15 @@ object SparkEntry {
       "lakehouse_incremental_view" -> ((
         (s, dir) => ivmFixture(s, dir),
         (s, dir) => ivmServe(s, dir))),
+      // Extrema (MIN/MAX) view: build = source + bootstrap; serve = one
+      // tick whose trickle RAISES prices under existing keys — each
+      // batch retracts old images (some of which hold their group's
+      // extremum), so the serve row prices the fold + the per-group
+      // recompute term a real retraction stream pays, not just the
+      // additive fast path.
+      "lakehouse_incremental_minmax_view" -> ((
+        (s, dir) => ivmxFixture(s, dir),
+        (s, dir) => ivmxServe(s, dir))),
       // Join views: build = tables + joined bootstrap; serve = one
       // maintenance tick. The plain row ticks the fact side only (the
       // steady state — dim changes are the rare event); the _dim row
