@@ -1058,6 +1058,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_events_heavy_hitters" -> ((s, dir) => {
+      // HEAVY HITTERS (frequent items) per event type from MERGEABLE
+      // sketch partials — Spark 4.1's native DataSketches frequent-
+      // items family: per-(type, day) approx_top_k_accumulate partials
+      // (the granularity a 100 TB pipeline persists per ingest
+      // segment), approx_top_k_combine folds them per type, one
+      // estimate at the end — rows never re-touched, the same
+      // persist-partials-once shape as q_events_distinct_sketch.
+      // maxItemsTracked is sized above the gate's distinct-user count,
+      // where the frequent-items sketch is EXACT; at web scale the
+      // identical plan degrades to the sketch's documented error
+      // envelope. Sketch-valued intermediates + boundary-tie selection
+      // → rows-only; HeavyHittersSpec pins exactness vs a full GROUP BY
+      // at this size.
+      val parts = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(user_id, 20000)").as("sk"))
+      parts.groupBy("event_type")
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 20000), 5)").as("top"))
+        .select(col("event_type"), explode(col("top")).as("hh"))
+        .select(col("event_type"), col("hh.item").as("user_id"),
+          col("hh.count").as("n"))
+        .orderBy(col("event_type"), col("n").desc, col("user_id"))
+    }),
+
     "sketch_view_incremental" -> ((s, dir) => {
       // incrementally-maintained distinct-count view: per-event-type
       // HLL sketches stored in a GraftTable, each source commit folded
