@@ -2624,6 +2624,27 @@ object SparkEntry {
             Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"), stride = 32))
         .orderBy("doc_id", "frame_idx")),
 
+    "mm_dedup_phash" -> ((s, dir) => {
+      // multimodal NEAR-DUP dedup by perceptual hash: frame features →
+      // 64-bit aHash signature (sign_pack kernel) → SimHash-banded
+      // candidate join (inverted index on (band, 16-bit value) — never
+      // all-pairs) → XOR+POPCNT verify. τ = 3 makes banding EXACT by
+      // pigeonhole (3 flipped bits can't touch all 4 bands). The corpus
+      // is the documents table plus byte-DIFFERENT copies of every 20th
+      // long payload (trailing bytes appended past the sampled frames —
+      // the padding/metadata-tail shape an exact byte hash misses);
+      // those pairs hash identically and must surface. Hash-valued
+      // intermediates → rows-only; MultimodalSpec pins exactness vs
+      // brute force.
+      val base = Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text")
+      val padded = base
+        .filter(col("doc_id") % 20 === 0 && octet_length(col("payload")) >= 520)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("payload"), expr("to_binary(repeat('7a', 64), 'hex')")).as("payload"))
+      Multimodal.phashNearDups(base.select("doc_id", "payload").union(padded), tau = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // == Structured Streaming (same transform, batch run for the oracle) ====
 
     "stream_event_counts" -> ((s, dir) =>

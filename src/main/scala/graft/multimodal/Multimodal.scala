@@ -90,4 +90,65 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
+
+  /** Perceptual-hash signature per payload — the multimodal NEAR-DUP
+    * primitive (pHash/aHash family): sample the payload's frame
+    * features ([[frameSample]] → [[frameFeatures]], the stubbed codec
+    * stage a real DCT/embedding drops into), take the first
+    * `nFrames × dim = 64` values as the signal, binarize each against
+    * the payload's own mean (classic aHash rule), pack the sign bits
+    * into ONE 64-bit word with the [[graft.functions.SignPack]]
+    * kernel. Payloads missing trailing frames read 0 there —
+    * deterministic, so truncated copies still collide on their shared
+    * prefix bits.
+    */
+  def phash(binTable: DataFrame, stride: Int = 32, nFrames: Int = 16,
+            dim: Int = 4): DataFrame = {
+    require(nFrames * dim == 64, "phash packs exactly one 64-bit word")
+    val feats = frameFeatures(frameSample(binTable, stride), dim)
+    val stackArgs = (0 until dim).map(d => s"$d, f$d").mkString(", ")
+    val longf = feats.filter(col("frame_idx") < nFrames)
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"stack($dim, $stackArgs)").as(Seq("fidx", "v")))
+    val perDoc = longf.groupBy("doc_id").agg(
+      map_from_entries(collect_list(struct(
+        (col("frame_idx") * dim + col("fidx")).cast("int").as("k"),
+        col("v").as("v")))).as("m"),
+      avg(col("v")).as("mu"))
+    // signal - mean as a 64-vector (absent slots read 0), sign-packed
+    perDoc.select(col("doc_id"),
+      graft.functions.vectors.sign_pack(
+        transform(sequence(lit(0), lit(63)),
+          p => coalesce(element_at(col("m"), p.cast("int")), lit(0L)).cast("double")
+            - col("mu"))).as("ph"))
+  }
+
+  /** Near-duplicate payload pairs by perceptual hash: SimHash-style
+    * banded candidate generation (the 64-bit signature splits into 4
+    * bands of 16 bits; candidates = pairs agreeing on ANY band — an
+    * inverted-index equi-join keyed by (band, value), never all-pairs)
+    * verified by the XOR+POPCNT [[graft.functions.HammingDistance]]
+    * kernel. For `tau <= 3` the banding is EXACT by pigeonhole: at
+    * most 3 differing bits cannot touch all 4 bands, so every
+    * qualifying pair shares a clean band and reaches verification —
+    * provable recall, not a heuristic (the PropertySpec-style claim
+    * MultimodalSpec pins against brute force). Returns
+    * (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def phashNearDups(binTable: DataFrame, tau: Int = 3, stride: Int = 32): DataFrame = {
+    import graft.functions.vectors.hamming_distance
+    val ph = phash(binTable, stride)
+    val bands = ph.select(col("doc_id"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("(element_at(ph, 1) >> (band * 16)) & 65535"))
+    val a = bands.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("ph").as("ph_a"))
+    val b = bands.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("ph").as("ph_b"))
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming_distance(col("ph_a"), col("ph_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= tau)
+  }
 }

@@ -57,4 +57,34 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     joined.filter(col("n_frames") =!=
       ceil(col("n_bytes").cast("double") / stride).cast("long")).count() shouldBe 0L
   }
+
+  test("phash: byte-identical and past-frame-padded payloads hash identically") {
+    val long = bin.filter(octet_length(col("payload")) >= 520)
+      .select("doc_id", "payload").limit(5)
+    val copies = long.select((col("doc_id") + 5000L).as("doc_id"), col("payload"))
+    val padded = long.select((col("doc_id") + 9000L).as("doc_id"),
+      concat(col("payload"), expr("to_binary(repeat('ff', 64), 'hex')")).as("payload"))
+    val ph = Multimodal.phash(long.union(copies).union(padded))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    long.collect().map(_.getLong(0)).foreach { id =>
+      ph(id + 5000L) shouldBe ph(id)
+      ph(id + 9000L) shouldBe ph(id) // frames ≥ 16 never enter the hash
+    }
+  }
+
+  test("banded near-dup join is EXACT vs brute force for tau <= 3 (pigeonhole)") {
+    val corpus = bin.select("doc_id", "payload").limit(120)
+      .union(bin.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("payload")).limit(12))
+    val got = Multimodal.phashNearDups(corpus, tau = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Multimodal.phash(corpus)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).head))
+    val brute = (for {
+      (ida, pa) <- sigs; (idb, pb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (ida, idb, h.toLong)).toSet
+    got shouldBe brute
+    brute.count(_._3 == 0L) should be >= 12 // the planted exact copies
+  }
 }
