@@ -441,4 +441,22 @@ object IncrementalView {
       }
       .trigger(trigger)
       .start()
+
+  /** [[streamMaintain]]'s extrema twin: drive [[applyOnceExtrema]]
+    * ticks under a Structured Streaming trigger — the MIN/MAX view
+    * follows the live source with no checkpoints to manage (the view's
+    * own intent protocol is the progress log).
+    */
+  def streamMaintainExtrema(spark: SparkSession, srcPath: String, viewPath: String,
+                            groupCols: Seq[String], extremes: Map[String, Column],
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyOnceExtrema(spark, srcPath, viewPath, groupCols, extremes); ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -121,6 +121,25 @@ class ExtremaViewSpec extends AnyFunSuite with Matchers {
     assertConverged(src, view)
   }
 
+  test("streamMaintainExtrema follows a live source to convergence") {
+    val (src, view) = fresh("xv_stream")
+    GraftTable.create(spark.range(0, 80).toDF("k")
+      .withColumn("grp", (col("k") % 4).cast("int"))
+      .withColumn("m", col("k")), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    val q = IncrementalView.streamMaintainExtrema(spark, src, view, Seq("grp"), ext,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      GraftTable.upsert(spark, src, Seq((500L, 0, -7L)).toDF("k", "grp", "m"))
+      GraftTable.delete(spark, src, Seq(79L).toDF("k")) // retract a max holder
+      val deadline = System.currentTimeMillis() + 60000
+      def caughtUp = IncrementalView.appliedTo(spark, view) >= GraftTable.latestVersion(src)
+      while (!caughtUp && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      caughtUp shouldBe true
+      assertConverged(src, view)
+    } finally q.stop()
+  }
+
   test("MOR delta + DV commits feed the view like COW commits") {
     val (src, view) = fresh("xv_mor")
     GraftTable.create(spark.range(0, 120).toDF("k")
