@@ -136,19 +136,47 @@ object Multimodal {
     * (doc_a, doc_b, hamming), doc_a < doc_b.
     */
   def phashNearDups(binTable: DataFrame, tau: Int = 3, stride: Int = 32): DataFrame = {
-    import graft.functions.vectors.hamming_distance
-    val ph = phash(binTable, stride)
-    val bands = ph.select(col("doc_id"), col("ph"),
+    // Exact-duplicate COLLAPSE before the geometry (the same replica-
+    // clique discipline as the text/vector miners): byte-copies hash to
+    // the SAME 64-bit word, and at crawl scale every payload has many
+    // copies — banding raw doc rows would put c identical signatures in
+    // every band bucket and grow candidates ~c² per clique. Instead the
+    // banded join runs over DISTINCT signatures only; clique pairs
+    // (hamming 0) and cross-group member pairs are reconstructed
+    // OUTPUT-BOUND afterwards (those joins produce exactly the result
+    // rows, nothing transient). Distance on the single packed word is
+    // plain `bit_count(xor)` — codegen'd builtins, no array wrapping.
+    // materialized once: the signature pipeline (frame explode + md5 +
+    // per-doc map aggregation) feeds FOUR consumers below (bands via
+    // groups, both cross-expansion sides, the intra clique join) and is
+    // far more expensive than its (doc_id, word) output is wide
+    val sigs = phash(binTable, stride)
+      .select(col("doc_id"), expr("element_at(ph, 1)").as("w"))
+      .localCheckpoint()
+    val groups = sigs.groupBy("w")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
+    val bands = groups.select(col("w"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bv", expr("(element_at(ph, 1) >> (band * 16)) & 65535"))
-    val a = bands.select(col("band"), col("bv"),
-      col("doc_id").as("doc_a"), col("ph").as("ph_a"))
-    val b = bands.select(col("band"), col("bv"),
-      col("doc_id").as("doc_b"), col("ph").as("ph_b"))
-    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming_distance(col("ph_a"), col("ph_b")).cast("long").as("hamming"))
-      .distinct()
+      .withColumn("bv", expr("(w >> (band * 16)) & 65535"))
+    val a = bands.select(col("band"), col("bv"), col("w").as("w_a"))
+    val b = bands.select(col("band"), col("bv"), col("w").as("w_b"))
+    // distinct-signature candidate pairs agreeing on ≥ 1 band
+    val sigPairs = a.join(b, Seq("band", "bv")).filter(col("w_a") < col("w_b"))
+      .select("w_a", "w_b").distinct()
+      .withColumn("hamming", expr("bit_count(w_a ^ w_b)").cast("long"))
       .filter(col("hamming") <= tau)
+    // cross-group expansion: every member of A × every member of B
+    val cross = sigPairs
+      .join(sigs.select(col("w").as("w_a"), col("doc_id").as("id_a")), "w_a")
+      .join(sigs.select(col("w").as("w_b"), col("doc_id").as("id_b")), "w_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    // intra-group cliques: identical signatures pair at hamming 0
+    val sa = sigs.select(col("w"), col("doc_id").as("doc_a"))
+    val sb = sigs.select(col("w"), col("doc_id").as("doc_b"))
+    val intra = sa.join(sb, "w").filter(col("doc_a") < col("doc_b"))
+      .join(groups.filter(col("sz") > 1).select("w"), "w")
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.union(intra)
   }
 }
