@@ -759,6 +759,40 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_spj_join" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN end-to-end: two GraftTables
+      // co-bucketed on o_orderkey join through the DSv2 catalog
+      // (graft.sources.v2) with v2 bucketing enabled — Spark aligns
+      // bucket i with bucket i from the reported KeyGroupedPartitioning
+      // and plans NO exchange on either join side (SpjSpec pins the
+      // plan; this row pins the RESULT of the v2 read path against
+      // DuckDB's replay). At 100 TB this is the headline saving: the
+      // fact ⋈ fact shuffle is the cost SPJ deletes.
+      val tmp = s"${indexPath("spj", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val a = s"$tmp/a"; val b = s"$tmp/b"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), a, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_orderstatus"), b, Seq("o_orderkey"), nbuckets = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val out =
+        try s.table(s"graft.`$a`").join(s.table(s"graft.`$b`"), "o_orderkey")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+            col("o_orderstatus"))
+          .localCheckpoint()
+        finally prevBucketing match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -3500,6 +3534,17 @@ object SparkEntry {
          SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+
+    "lakehouse_spj_join" ->
+      """WITH a AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT a.o_orderkey, a.o_custkey,
+                CAST(FLOOR(a.o_totalprice * 100) AS BIGINT) AS price_c,
+                b.o_orderstatus
+         FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+         ORDER BY a.o_orderkey""",
 
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)

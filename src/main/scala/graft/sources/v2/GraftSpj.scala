@@ -1,0 +1,227 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.GraftTable
+
+/** STORAGE-PARTITIONED JOINS for GraftTable — the DSv2 read path that
+  * teaches Spark the table's physical bucketing, so two tables
+  * co-bucketed on their record keys JOIN WITH ZERO SHUFFLE (Spark's
+  * SPJ machinery, the same contract Iceberg's bucket transform uses):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  *   spark.table("graft.`/data/orders`")
+  *     .join(spark.table("graft.`/data/returns`"), "o_orderkey")
+  *   // == SortMergeJoin over per-bucket partitions, NO Exchange
+  * }}}
+  *
+  * Why this matters at 100 TB: the shuffle of a fact ⋈ fact join IS
+  * the dominant cost; both tables already live hash-bucketed on the
+  * join key (GraftTable's write layout), and this scan surfaces that
+  * layout as a [[KeyGroupedPartitioning]] over the `bucket(n, keys…)`
+  * transform — one input partition per bucket, `partitionKey` = the
+  * bucket id — so Catalyst aligns bucket i with bucket i instead of
+  * re-hashing 100 TB. The bucket function the catalog exports
+  * evaluates the IDENTICAL `pmod(xxhash64(keys), n)` expression the
+  * write path places rows with ([[Bridge.bucketExprEval]]).
+  *
+  * Scope, stated loudly: batch READ of the head snapshot only, and
+  * only while NO MOR log is outstanding — deltas/DVs change row
+  * visibility in ways a per-bucket file scan must merge, so the scan
+  * REFUSES (compact first, or read through [[GraftTable.read]], which
+  * handles the full log). Writes keep going through the GraftTable
+  * API. Column pruning is pushed into the parquet read; rows are
+  * decoded by Spark's own `ParquetFileFormat` reader closure — the
+  * exact machinery FileSourceScanExec ships to executors.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString("/")
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (GraftTable.latestVersion(path) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftV2Table(path)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.latestVersion(pathOf(ident)) >= 0
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed catalog: enumeration is not meaningful
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created through GraftTable.create (bucketed, versioned)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("use the GraftTable API")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("use the GraftTable API")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("use the GraftTable API")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** The catalog's `bucket(n, keys…)` — bound per key-type signature;
+  * `canonicalName` is what SPJ compares across the two join sides to
+  * prove the layouts agree.
+  */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, keys...): graft's pmod(xxhash64(keys), n) placement hash"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2 &&
+      inputType.fields.head.dataType == IntegerType,
+      s"bucket(n, keys...): got ${inputType.catalogString}")
+    new BoundBucket(inputType.fields.drop(1).map(_.dataType).toSeq)
+  }
+}
+
+class BoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = (IntegerType +: keyTypes).toArray
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  @transient private lazy val eval = Bridge.bucketExprEval(keyTypes, 0)
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // re-derive with the row's own n (the literal travels per call)
+    val row = InternalRow.fromSeq(
+      keyTypes.indices.map(i => input.get(i + 1, keyTypes(i))))
+    Bridge.bucketExprEval(keyTypes, n)(row)
+  }
+}
+
+class GraftV2Table(path: String) extends Table with SupportsRead {
+  private[v2] val snapVersion = GraftTable.latestVersion(path)
+  private[v2] val tableSchema: StructType =
+    GraftTable.snapshotSchema(path, snapVersion).getOrElse(
+      throw new IllegalStateException(
+        s"$path: no recorded snapshot schema (legacy manifest) — " +
+          "read via GraftTable.read, or commit once to upgrade"))
+  private[v2] val keys: Seq[String] = GraftTable.keyColumns(path)
+  private[v2] val nbuckets: Int =
+    GraftTable.manifestBuckets(path, snapVersion).getOrElse(16)
+
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(nbuckets, keys: _*))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets)
+}
+
+class GraftScanBuilder(path: String, version: Int, full: StructType,
+                       keys: Seq[String], nbuckets: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftScan(path, version, full, required, keys, nbuckets)
+}
+
+class GraftScan(path: String, version: Int, dataSchema: StructType,
+                requiredSchema: StructType, keys: Seq[String], nbuckets: Int)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")})"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(nbuckets, keys: _*)), nbuckets)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // MOR log entries change row visibility beyond the bucket files —
+    // refuse rather than silently return stale rows (loud-or-safe)
+    if (GraftTable.dvEntries(path, version).nonEmpty ||
+        GraftTable.deltaEntries(path, version).nonEmpty)
+      throw new IllegalStateException(
+        s"$path has outstanding MOR log entries (deltas/deletion vectors): " +
+          "the storage-partitioned scan reads bucket files directly and cannot " +
+          "merge the log. GraftTable.compact(...) first, or read via GraftTable.read")
+    val dirs = GraftTable.manifest(path, version)
+    // EVERY bucket id gets a partition (possibly file-less), so the two
+    // sides of a join always expose identical partition-value sets
+    (0 until nbuckets).map { b =>
+      val files = dirs.get(b).toSeq.flatMap { rel =>
+        GraftTable.MetaIO.list(new Path(s"$path/$rel"))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, f.getLen))
+      }
+      GraftInputPartition(b, files.toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    GraftReaderFactory(Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema))
+  }
+}
+
+final case class GraftInputPartition(bucket: Int, files: Array[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+final case class GraftReaderFactory(
+    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      // the parquet closure may yield ColumnarBatch disguised as
+      // InternalRow (FileScanRDD's contract) — unwrap both shapes
+      private val it: Iterator[InternalRow] = p.files.iterator
+        .flatMap { case (f, len) => readFile(Bridge.partitionedFile(f, len)) }
+        .asInstanceOf[Iterator[Any]]
+        .flatMap {
+          case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -54,6 +54,50 @@ object Bridge {
     new XxHash64(Seq(Literal(v))).eval(null).asInstanceOf[Long]
   }.toOption
 
+  /** Task-side parquet row reader factory — the exact
+    * `ParquetFileFormat.buildReaderWithPartitionValues` closure Spark's
+    * own FileSourceScanExec serializes into FileScanRDD, exposed so the
+    * DSv2 storage-partitioned read path (graft.sources.v2) reuses
+    * Spark's parquet machinery instead of reimplementing it. The
+    * returned function is designed to ship to executors. NOTE: with the
+    * vectorized reader enabled the iterator's elements may be
+    * `ColumnarBatch`es disguised as InternalRow (FileScanRDD's
+    * contract) — callers must unwrap both shapes.
+    */
+  def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
+                           requiredSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow] = {
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    fmt.buildReaderWithPartitionValues(
+      cs, dataSchema, new StructType(), requiredSchema, Nil,
+      // rows, not ColumnarBatch: the v2 PartitionReader contract here
+      // is row-at-a-time (the vectorized reader still decodes pages)
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      cs.sessionState.newHadoopConf())
+  }
+
+  def partitionedFile(path: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      InternalRow.empty, org.apache.spark.paths.SparkPath.fromPathString(path),
+      0L, length, Array.empty)
+
+  /** Evaluate Spark's own bucket arithmetic — `pmod(xxhash64(keys), n)`
+    * — over a bound InternalRow; the DSv2 bucket function
+    * (graft.sources.v2) must reproduce the write path's placement
+    * bit-for-bit, so it evaluates the IDENTICAL expression tree.
+    */
+  def bucketExprEval(keyTypes: Seq[org.apache.spark.sql.types.DataType],
+                     nbuckets: Int): InternalRow => Int = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, Pmod, XxHash64, Cast}
+    val refs = keyTypes.zipWithIndex.map { case (dt, i) => BoundReference(i, dt, nullable = true) }
+    val e = Cast(Pmod(new XxHash64(refs), Literal(nbuckets.toLong)),
+      org.apache.spark.sql.types.IntegerType)
+    row => e.eval(row).asInstanceOf[Int]
+  }
+
   /** Translate a user predicate over `df` into DSv1 [[Filter]]s — the
     * same `DataSourceStrategy.translateFilter` Spark applies before
     * handing filters to a `PrunedFilteredScan`, reached by analyzing

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Storage-partitioned joins over GraftTable's DSv2 catalog
+  * (graft.sources.v2): two tables co-bucketed on their record keys
+  * must JOIN WITH ZERO SHUFFLE, results identical to the merging read
+  * path; the scan refuses MOR-logged snapshots loudly.
+  */
+class SpjSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def withSpjConf[T](body: => T): T = {
+    val confs = Seq(
+      "spark.sql.catalog.graft" -> classOf[graft.sources.v2.GraftCatalog].getName,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed join runs with ZERO shuffle and matches the merging read") {
+    val root = Files.createTempDirectory("spj").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    GraftTable.create(
+      spark.range(0, 2000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 8)
+    GraftTable.create(
+      spark.range(500, 2500).toDF("k").withColumn("y", col("k") % 7),
+      b, Seq("k"), nbuckets = 8)
+    withSpjConf {
+      val joined = spark.table(s"graft.`$a`")
+        .join(spark.table(s"graft.`$b`"), "k")
+        .groupBy("y").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val plan = finalPlan(joined)
+      // the join itself must not exchange: with SPJ active the only
+      // shuffle in the plan is the groupBy's
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      withClue(plan) {
+        plan should include("SortMergeJoin")
+        exchanges should be <= 1 // groupBy only; the join sides have none
+        plan should not include "Exchange rangepartitioning"
+      }
+      val got = joined.orderBy("y").collect().toSeq
+      val want = GraftTable.read(spark, a).join(GraftTable.read(spark, b), "k")
+        .groupBy("y").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .orderBy("y").collect().toSeq
+      got shouldBe want
+    }
+  }
+
+  test("v2 snapshot read equals the merging read after upserts and deletes") {
+    val root = Files.createTempDirectory("spj_rw").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 500).toDF("k").withColumn("x", col("k")),
+      a, Seq("k"), nbuckets = 4)
+    GraftTable.upsert(spark, a,
+      spark.range(400, 600).toDF("k").withColumn("x", col("k") * 10))
+    GraftTable.deleteWhere(spark, a, col("k") % 9 === 0)
+    withSpjConf {
+      val got = spark.table(s"graft.`$a`").orderBy("k").collect().toSeq
+      val want = GraftTable.read(spark, a).orderBy("k").collect().toSeq
+      got shouldBe want
+    }
+  }
+
+  test("column pruning reaches the v2 scan") {
+    val root = Files.createTempDirectory("spj_prune").toString
+    val a = s"$root/t"
+    GraftTable.create(spark.range(0, 100).toDF("k")
+      .withColumn("x", col("k")).withColumn("s", concat(lit("v"), col("k"))),
+      a, Seq("k"), nbuckets = 2)
+    withSpjConf {
+      val df = spark.table(s"graft.`$a`").select("k")
+      // the BatchScan's output column list is the pruned schema: only k
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan) {
+        "BatchScan [^\\[]*\\[k#\\d+L\\]".r.findFirstIn(plan) should not be None
+      }
+      df.count() shouldBe 100L
+    }
+  }
+
+  test("outstanding MOR log refuses the storage-partitioned scan loudly") {
+    val root = Files.createTempDirectory("spj_mor").toString
+    val a = s"$root/t"
+    GraftTable.create(spark.range(0, 100).toDF("k").withColumn("x", col("k")),
+      a, Seq("k"), nbuckets = 2)
+    GraftTable.upsertMor(spark, a, Seq((500L, 1L)).toDF("k", "x"))
+    withSpjConf {
+      val e = intercept[Exception] {
+        spark.table(s"graft.`$a`").collect()
+      }
+      e.getMessage should include("MOR log")
+      // compact folds the log; the scan serves again
+      GraftTable.compact(spark, a)
+      spark.table(s"graft.`$a`").count() shouldBe 101L
+    }
+  }
+}
