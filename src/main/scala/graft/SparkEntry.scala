@@ -362,6 +362,31 @@ object SparkEntry {
     IncrementalView.read(s, s"$root/view")
   }
 
+  /** SPJ bench fixture: build = the two co-bucketed tables; serve =
+    * the storage-partitioned join itself through the DSv2 catalog
+    * (the steady-state cost — at scale the tables exist already).
+    */
+  private def spjFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("spjb", dir); rmTree(root)
+    val o = Tables.orders(s, dir)
+    GraftTable.create(o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      s"$root/a", Seq("o_orderkey"), nbuckets = 8)
+    GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_orderstatus"),
+      s"$root/b", Seq("o_orderkey"), nbuckets = 8)
+  }
+  private def spjServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("spjb", dir)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.table(s"graft.`$root/a`").join(s.table(s"graft.`$root/b`"), "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+        col("o_orderstatus"))
+  }
+
   /** Extrema-view bench fixture: build = source + MIN/MAX bootstrap;
     * [[ivmxServe]] = one tick of a price-raising trickle over existing
     * keys (retracting old images — extremum holders included, so the
@@ -2762,6 +2787,11 @@ object SparkEntry {
       "lakehouse_incremental_minmax_view" -> ((
         (s, dir) => ivmxFixture(s, dir),
         (s, dir) => ivmxServe(s, dir))),
+      // SPJ: build = the two co-bucketed tables; serve = the
+      // zero-shuffle storage-partitioned join through the DSv2 catalog.
+      "lakehouse_spj_join" -> ((
+        (s, dir) => spjFixture(s, dir),
+        (s, dir) => spjServe(s, dir))),
       // Join views: build = tables + joined bootstrap; serve = one
       // maintenance tick. The plain row ticks the fact side only (the
       // steady state — dim changes are the rare event); the _dim row
