@@ -618,6 +618,26 @@ object GraftTable {
     * filter sets. A filter only prunes when EVERY file of a dir is
     * covered by stats or provably skippable.
     */
+  /** Conservative per-file keep test for snapshot `v` under DSv1
+    * filters — the stats machinery behind [[prunedDataPaths]] exposed
+    * per RELATIVE file path, so the DSv2 storage-partitioned scan
+    * (graft.sources.v2) can skip files WITHIN its per-bucket
+    * partitions without flattening the bucket structure. None when
+    * stats cannot prune (legacy manifest, empty filters): read
+    * everything. Unknown files keep (conservative).
+    */
+  def fileKeepPredicate(path: String, v: Int,
+                        filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Boolean] = {
+    if (filters.isEmpty) return None
+    val stats = manifestFileStats(path, v)
+    if (stats.isEmpty) return None
+    val schema = snapshotSchema(path, v).getOrElse(return None)
+    val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
+    Some(rel => stats.get(rel)
+      .forall(st => filters.forall(fl => mayMatch(st, kinds, fl))))
+  }
+
   def prunedDataPaths(path: String, v: Int,
                       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[(Seq[String], Int, Int)] = {

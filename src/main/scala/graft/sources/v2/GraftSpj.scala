@@ -147,22 +147,37 @@ class GraftV2Table(path: String) extends Table with SupportsRead {
 
 class GraftScanBuilder(path: String, version: Int, full: StructType,
                        keys: Seq[String], nbuckets: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Filters are USED (stats-segment file skipping inside each bucket
+    * partition + parquet row-group pruning in the reader) but not
+    * GUARANTEED — every filter is returned as residual, so Spark
+    * re-applies it post-scan and conservative skipping stays safe.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GraftScan(path, version, full, required, keys, nbuckets)
+    new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq)
 }
 
 class GraftScan(path: String, version: Int, dataSchema: StructType,
-                requiredSchema: StructType, keys: Seq[String], nbuckets: Int)
+                requiredSchema: StructType, keys: Seq[String], nbuckets: Int,
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")})"
+    s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")}" +
+      (if (filters.nonEmpty) s", pushed: [${filters.mkString(", ")}]" else "") + ")"
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -178,12 +193,18 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
           "the storage-partitioned scan reads bucket files directly and cannot " +
           "merge the log. GraftTable.compact(...) first, or read via GraftTable.read")
     val dirs = GraftTable.manifest(path, version)
+    // pushed filters skip whole files from the stats segments alone —
+    // the same may-match metadata pruning the DSv1 paths use, kept
+    // INSIDE the bucket structure (None = no stats, keep everything)
+    val keep = GraftTable.fileKeepPredicate(path, version, filters)
+      .getOrElse((_: String) => true)
     // EVERY bucket id gets a partition (possibly file-less), so the two
     // sides of a join always expose identical partition-value sets
     (0 until nbuckets).map { b =>
       val files = dirs.get(b).toSeq.flatMap { rel =>
         GraftTable.MetaIO.list(new Path(s"$path/$rel"))
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .filter(f => keep(s"$rel/${f.getPath.getName}"))
           .map(f => (f.getPath.toString, f.getLen))
       }
       GraftInputPartition(b, files.toArray): InputPartition
@@ -192,7 +213,9 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    GraftReaderFactory(Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema))
+    // filters reach the parquet reader too → row-group pruning
+    GraftReaderFactory(
+      Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema, filters))
   }
 }
 

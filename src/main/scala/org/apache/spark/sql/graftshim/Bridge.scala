@@ -65,12 +65,13 @@ object Bridge {
     * contract) — callers must unwrap both shapes.
     */
   def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
-                           requiredSchema: StructType)
+                           requiredSchema: StructType,
+                           filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow] = {
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     fmt.buildReaderWithPartitionValues(
-      cs, dataSchema, new StructType(), requiredSchema, Nil,
+      cs, dataSchema, new StructType(), requiredSchema, filters,
       // rows, not ColumnarBatch: the v2 PartitionReader contract here
       // is row-at-a-time (the vectorized reader still decodes pages)
       Map(org.apache.spark.sql.execution.datasources.FileFormat

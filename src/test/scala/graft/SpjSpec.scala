@@ -101,6 +101,37 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("pushed filters skip files inside buckets and prune parquet row groups") {
+    val root = Files.createTempDirectory("spj_filter").toString
+    val a = s"$root/t"
+    GraftTable.create(spark.range(0, 4000).toDF("k")
+      .withColumn("x", col("k")).withColumn("grp", (col("k") % 100).cast("int")),
+      a, Seq("k"), nbuckets = 2)
+    // range-split each bucket into 4 x-ordered files so stats can skip
+    GraftTable.compact(spark, a, clusterBy = Some(("x", "x")), targetFilesPerBucket = 4)
+    withSpjConf {
+      // filtered v2 read equals the merging read under the same filter
+      val cond = col("x") >= 3500
+      val got = spark.table(s"graft.`$a`").filter(cond).orderBy("k").collect().toSeq
+      val want = GraftTable.read(spark, a).filter(cond).orderBy("k").collect().toSeq
+      got shouldBe want
+      got.length shouldBe 500
+      // unit-level: the scan plans FEWER files under the pushed filter
+      val v = GraftTable.latestVersion(a)
+      val sc = GraftTable.snapshotSchema(a, v).get
+      def filesPlanned(fs: Seq[org.apache.spark.sql.sources.Filter]): Int =
+        new graft.sources.v2.GraftScan(a, v, sc, sc, Seq("k"), 2, fs)
+          .planInputPartitions()
+          .map(_.asInstanceOf[graft.sources.v2.GraftInputPartition].files.length).sum
+      val all = filesPlanned(Nil)
+      val pruned = filesPlanned(Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("x", 3500L)))
+      withClue(s"all=$all pruned=$pruned") {
+        all should be >= 8
+        pruned should be < all
+      }
+    }
+  }
+
   test("outstanding MOR log refuses the storage-partitioned scan loudly") {
     val root = Files.createTempDirectory("spj_mor").toString
     val a = s"$root/t"
