@@ -818,6 +818,38 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_dml" -> ((s, dir) => {
+      // the PLAIN-SQL DML surface end-to-end through the DSv2 catalog:
+      // INSERT INTO runs the keyed upsert (last-wins on o_orderkey,
+      // constraints/stats/OCC all apply), DELETE FROM hands Spark's
+      // fully-translated filters to the stats-pruned COW delete —
+      // no graft-specific syntax anywhere. DuckDB replays both
+      // statements over the raw parquet.
+      val tmp = s"${indexPath("sqldml", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("S").as("o_orderstatus"))
+        .createOrReplaceTempView("sqldml_src")
+      s.sql(s"INSERT INTO graft.`$path` SELECT * FROM sqldml_src")
+      s.sql(s"DELETE FROM graft.`$path` " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderstatus"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -3575,6 +3607,27 @@ object SparkEntry {
                 b.o_orderstatus
          FROM a JOIN b ON a.o_orderkey = b.o_orderkey
          ORDER BY a.o_orderkey""",
+
+    "lakehouse_sql_dml" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ins AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+                  'S' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT * FROM ins
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ins i ON b.o_orderkey = i.o_orderkey
+           WHERE i.o_orderkey IS NULL),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000))
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                o_orderstatus
+         FROM final ORDER BY o_orderkey""",
 
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)

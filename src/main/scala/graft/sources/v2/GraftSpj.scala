@@ -123,7 +123,9 @@ class BoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Integer] {
   }
 }
 
-class GraftV2Table(path: String) extends Table with SupportsRead {
+class GraftV2Table(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private[v2] val snapVersion = GraftTable.latestVersion(path)
   private[v2] val tableSchema: StructType =
     GraftTable.snapshotSchema(path, snapVersion).getOrElse(
@@ -137,12 +139,80 @@ class GraftV2Table(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(nbuckets, keys: _*))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets)
+
+  /** `INSERT INTO graft.`path`` — V1Write fallback routing the batch
+    * into the table's KEYED UPSERT (last-wins on the record key, the
+    * table's one write semantic; constraints, stats, OCC all apply).
+    * INSERT OVERWRITE refuses: truncate-and-replace has no keyed
+    * meaning here.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (df: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported: graft writes are keyed upserts " +
+                  "(use deleteWhere + insert, or the GraftTable API)")
+              GraftTable.upsertRetry(df.sparkSession, path, df)
+            }
+        }
+    }
+
+  /** `DELETE FROM graft.`path` WHERE …` — Spark hands the condition as
+    * DSv1 filters (only when FULLY translatable; otherwise the command
+    * itself fails, never a partial delete); they convert to one Column
+    * and run through the stats-pruned touched-bucket COW delete.
+    */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.map(GraftV2Table.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftTable.deleteWhereRetry(SparkSession.active, path, cond)
+    ()
+  }
+}
+
+object GraftV2Table {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.{sources => f}
+
+  /** DSv1 Filter → Column (the delete path's condition rebuild).
+    * Unknown filter types fail LOUDLY — deleting with a silently
+    * dropped conjunct would delete the wrong rows.
+    */
+  private[v2] def filterToColumn(flt: f.Filter): Column = flt match {
+    case f.EqualTo(a, v) => col(a) === lit(v)
+    case f.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case f.GreaterThan(a, v) => col(a) > lit(v)
+    case f.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case f.LessThan(a, v) => col(a) < lit(v)
+    case f.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case f.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case f.IsNull(a) => col(a).isNull
+    case f.IsNotNull(a) => col(a).isNotNull
+    case f.StringStartsWith(a, v) => col(a).startsWith(v)
+    case f.StringEndsWith(a, v) => col(a).endsWith(v)
+    case f.StringContains(a, v) => col(a).contains(v)
+    case f.And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case f.Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case f.Not(c) => not(filterToColumn(c))
+    case f.AlwaysTrue() => lit(true)
+    case f.AlwaysFalse() => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"DELETE condition filter $other has no column form — " +
+        "use GraftTable.deleteWhere with an explicit Column")
+  }
 }
 
 class GraftScanBuilder(path: String, version: Int, full: StructType,

@@ -132,6 +132,36 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SQL DML through the catalog: INSERT INTO upserts, DELETE FROM prunes and deletes") {
+    val root = Files.createTempDirectory("spj_dml").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 100).toDF("k").withColumn("x", col("k"))
+        .withColumn("grp", (col("k") % 5).cast("int")),
+      a, Seq("k"), nbuckets = 4)
+    withSpjConf {
+      // INSERT = keyed upsert: k=50 exists (last-wins), k=500 is new
+      spark.range(0, 1).toDF("i").createOrReplaceTempView("spj_dml_src")
+      spark.sql(s"INSERT INTO graft.`$a` VALUES (50, 999, 1), (500, 42, 2)")
+      val t = GraftTable.read(spark, a)
+      t.count() shouldBe 101L
+      t.filter(col("k") === 50).head().getLong(1) shouldBe 999L
+      t.filter(col("k") === 500).head().getLong(1) shouldBe 42L
+
+      // DELETE WHERE runs the stats-pruned COW delete
+      spark.sql(s"DELETE FROM graft.`$a` WHERE grp = 3 AND x < 40")
+      val left = GraftTable.read(spark, a)
+      left.filter(col("grp") === 3 && col("x") < 40).count() shouldBe 0L
+      left.count() shouldBe 93L // 8 rows matched (k=3,8,...,38)
+
+      // INSERT OVERWRITE refuses loudly
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE graft.`$a` VALUES (1, 1, 1)")
+      }
+      e.getMessage.toLowerCase should include("overwrite")
+    }
+  }
+
   test("outstanding MOR log refuses the storage-partitioned scan loudly") {
     val root = Files.createTempDirectory("spj_mor").toString
     val a = s"$root/t"
