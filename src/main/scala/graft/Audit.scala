@@ -44,13 +44,14 @@ object Audit {
         // 5-ROW aggregated sketch frame — the pair matrix of segments,
         // inherently tiny (segments², never corpus), broadcast BNLJ is
         // the right plan.
-        // q_events_gapfill cross-joins distinct event types (~5 rows)
-        // with the exploded day spine of ONE aggregate row — the
-        // dimension-sized date spine, never a fact-sized side.
+        // q_events_gapfill / _ffill cross-join distinct event types
+        // (~5 rows) with the exploded day spine of ONE aggregate row —
+        // the dimension-sized date spine, never a fact-sized side.
         val expectedBnlj =
           Set("vs_knn_join", "q22_idle_rich_customers", "q_sample_temperature",
             "q_balance_deciles", "q_events_funnel", "q11_important_stock",
-            "q_segment_overlap_sketch", "q_segment_overlap_sql", "q_events_gapfill")
+            "q_segment_overlap_sketch", "q_segment_overlap_sql", "q_events_gapfill",
+            "q_events_gapfill_ffill")
         val danger =
           (if (plan.contains("BroadcastNestedLoopJoin") && !expectedBnlj(name)) " !!BNLJ" else "") +
           (if (plan.contains("CartesianProduct")) " !!CARTESIAN" else "")

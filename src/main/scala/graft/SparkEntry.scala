@@ -1543,6 +1543,32 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "q_events_gapfill_ffill" -> ((s, dir) => {
+      // resample + FORWARD FILL (pandas .resample().ffill()): a sparse
+      // gauge (every 37th event) observed per (type, day), re-gridded
+      // onto the full daily spine with the last observation carried
+      // forward — `last(v, ignoreNulls)` over a running frame
+      // partitioned by type. The window runs over the DIMENSION-sized
+      // spine (types × days); the only fact-sized work is the daily
+      // aggregate. Days before a type's first observation stay NULL —
+      // ffill has nothing to carry, and both engines agree on that.
+      val ev = Tables.events(s, dir)
+      val obs = ev.filter(col("event_id") % 37 === 0)
+      val daily = obs.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(max(floor(col("value") * 100).cast("long")).as("vmax_c"))
+      val days = ev
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val spine = obs.select("event_type").distinct().crossJoin(days)
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("vmax_ff", last(col("vmax_c"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("vmax_ff"))
+        .orderBy("event_type", "day")
+    }),
+
     "q_orders_enriched_skew" -> ((s, dir) => {
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
@@ -4016,6 +4042,28 @@ object SparkEntry {
          FROM types t CROSS JOIN days d
          LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
          ORDER BY t.event_type, day""",
+
+    "q_events_gapfill_ffill" ->
+      """WITH obs AS (SELECT * FROM events WHERE event_id % 37 = 0),
+         daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  max(CAST(FLOOR(value * 100) AS BIGINT)) AS vmax_c
+           FROM obs GROUP BY 1, 2),
+         span AS (
+           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (
+           SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM obs),
+         spine AS (
+           SELECT t.event_type, d.day, daily.vmax_c
+           FROM types t CROSS JOIN days d
+           LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                last_value(vmax_c IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_ff
+         FROM spine ORDER BY event_type, day""",
 
     "q_orders_enriched_skew" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -140,6 +140,39 @@ class ExtremaViewSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("randomized soak: 12 mixed commits, view converges after every tick") {
+    // fold-vs-recompute classification under adversarial mixes the
+    // directed tests can't enumerate: seeded random upserts (some
+    // moving extremum holders), key deletes, predicate deletes,
+    // group-moving updates — after EVERY tick the view must equal the
+    // full recompute
+    val (src, view) = fresh("xv_soak")
+    val rnd = new scala.util.Random(42)
+    GraftTable.create(spark.range(0, 300).toDF("k")
+      .withColumn("grp", (col("k") % 6).cast("int"))
+      .withColumn("m", col("k") * 5 % 997), src, Seq("k"), nbuckets = 4)
+    IncrementalView.bootstrapExtrema(spark, src, view, Seq("grp"), ext, nbuckets = 4)
+    (1 to 12).foreach { i =>
+      rnd.nextInt(3) match {
+        case 0 => // upsert: random keys, random groups/values (± extremes)
+          val rows = Seq.fill(20)((rnd.nextInt(400).toLong,
+            rnd.nextInt(7), (rnd.nextInt(4000) - 2000).toLong))
+          GraftTable.upsert(spark, src, rows.toDF("k", "grp", "m"))
+        case 1 => // key delete of a random slice
+          val ks = Seq.fill(15)(rnd.nextInt(400).toLong).distinct
+          GraftTable.delete(spark, src, ks.toDF("k"))
+        case 2 => // predicate delete clipping a value band
+          val lo = rnd.nextInt(900)
+          GraftTable.deleteWhere(spark, src,
+            col("m") >= lo && col("m") < lo + 120)
+      }
+      withClue(s"tick $i") {
+        tick(src, view)
+        assertConverged(src, view)
+      }
+    }
+  }
+
   test("MOR delta + DV commits feed the view like COW commits") {
     val (src, view) = fresh("xv_mor")
     GraftTable.create(spark.range(0, 120).toDF("k")

@@ -159,6 +159,13 @@ class SpjSpec extends AnyFunSuite with Matchers {
         spark.sql(s"INSERT OVERWRITE graft.`$a` VALUES (1, 1, 1)")
       }
       e.getMessage.toLowerCase should include("overwrite")
+
+      // TRUNCATE TABLE = delete-all through the same SupportsDelete path
+      spark.sql(s"TRUNCATE TABLE graft.`$a`")
+      GraftTable.read(spark, a).count() shouldBe 0L
+      // and the emptied table still accepts SQL inserts
+      spark.sql(s"INSERT INTO graft.`$a` VALUES (7, 7, 0)")
+      GraftTable.read(spark, a).count() shouldBe 1L
     }
   }
 
