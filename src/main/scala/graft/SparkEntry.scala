@@ -592,6 +592,20 @@ object SparkEntry {
         .select("vec_id", "label", "hamming")
     }),
 
+    "vs_range_hamming" -> ((s, dir) => {
+      // RANGE search over the packed bits: every vector within a
+      // Hamming radius of the query (the dedup/near-copy shape, vs the
+      // top-k retrieval shape) — a pure codegen'd filter, fully
+      // parallel, no top-k bottleneck, 1 bit/dim scan bytes.
+      val q = sign_pack(typedlit(queryVec(s, dir, 0L)))
+      Tables.embeddings(s, dir)
+        .withColumn("hamming",
+          hamming_distance(sign_pack(col("embedding")), q).cast("long"))
+        .filter(col("hamming") <= 24)
+        .select("vec_id", "label", "hamming")
+        .orderBy("hamming", "vec_id")
+    }),
+
     "vs_topk_hamming_rerank" -> ((s, dir) => {
       // the production two-stage shape (faiss IndexBinaryFlat serving):
       // Hamming candidate stage keeps 40 over the packed bits, exact
@@ -3329,6 +3343,16 @@ object SparkEntry {
            FROM embeddings e, q)
          SELECT vec_id, label, CAST(hamming AS BIGINT) AS hamming
          FROM h ORDER BY hamming, vec_id LIMIT 10""",
+
+    "vs_range_hamming" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         h AS (
+           SELECT e.vec_id, e.label,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    CASE WHEN (x >= 0) <> (q.qe[i] >= 0) THEN 1 ELSE 0 END)) AS hamming
+           FROM embeddings e, q)
+         SELECT vec_id, label, CAST(hamming AS BIGINT) AS hamming
+         FROM h WHERE hamming <= 24 ORDER BY hamming, vec_id""",
 
     "vs_topk_hamming_rerank" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
