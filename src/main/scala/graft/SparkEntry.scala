@@ -362,6 +362,30 @@ object SparkEntry {
     IncrementalView.read(s, s"$root/view")
   }
 
+  /** Run `body` with the graft DSv2 catalog (and, when asked, v2
+    * bucketing) configured, RESTORING both confs afterwards — SQL/SPJ
+    * entries must not leak session state into whatever query the
+    * harness runs next. Execution that depends on the confs (the SPJ
+    * planner consults bucketing at physical planning) must happen
+    * INSIDE body — materialize (localCheckpoint) before returning.
+    */
+  private[graft] def withGraftCatalog[T](s: SparkSession, bucketing: Boolean = false)
+                                        (body: => T): T = {
+    val prevCat = s.conf.getOption("spark.sql.catalog.graft")
+    val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.v2.GraftCatalog].getName)
+    if (bucketing) s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try body
+    finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      restore("spark.sql.catalog.graft", prevCat)
+      if (bucketing) restore("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+    }
+  }
+
   /** SPJ bench fixture: build = the two co-bucketed tables; serve =
     * the storage-partitioned join itself through the DSv2 catalog
     * (the steady-state cost — at scale the tables exist already).
@@ -378,13 +402,16 @@ object SparkEntry {
   }
   private def spjServe(s: SparkSession, dir: String): DataFrame = {
     val root = indexPath("spjb", dir)
-    s.conf.set("spark.sql.catalog.graft",
-      classOf[graft.sources.v2.GraftCatalog].getName)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.table(s"graft.`$root/a`").join(s.table(s"graft.`$root/b`"), "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
-        col("o_orderstatus"))
+    // the zero-shuffle plan depends on the bucketing conf at PHYSICAL
+    // planning, so the join executes (localCheckpoint) inside the
+    // conf-restoring scope — the serve row times the materialization
+    withGraftCatalog(s, bucketing = true) {
+      s.table(s"graft.`$root/a`").join(s.table(s"graft.`$root/b`"), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderstatus"))
+        .localCheckpoint()
+    }
   }
 
   /** Extrema-view bench fixture: build = source + MIN/MAX bootstrap;
@@ -814,20 +841,13 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice"), a, Seq("o_orderkey"), nbuckets = 8)
       GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_orderstatus"), b, Seq("o_orderkey"), nbuckets = 8)
-      s.conf.set("spark.sql.catalog.graft",
-        classOf[graft.sources.v2.GraftCatalog].getName)
-      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val out =
-        try s.table(s"graft.`$a`").join(s.table(s"graft.`$b`"), "o_orderkey")
+      val out = withGraftCatalog(s, bucketing = true) {
+        s.table(s"graft.`$a`").join(s.table(s"graft.`$b`"), "o_orderkey")
           .select(col("o_orderkey"), col("o_custkey"),
             floor(col("o_totalprice") * 100).cast("long").as("price_c"),
             col("o_orderstatus"))
           .localCheckpoint()
-        finally prevBucketing match {
-          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
+      }
       rmTree(tmp)
       out.orderBy("o_orderkey")
     }),
@@ -845,16 +865,16 @@ object SparkEntry {
       GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
         path, Seq("o_orderkey"), nbuckets = 8)
-      s.conf.set("spark.sql.catalog.graft",
-        classOf[graft.sources.v2.GraftCatalog].getName)
       o.filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") * 2).as("o_totalprice"),
           lit("S").as("o_orderstatus"))
         .createOrReplaceTempView("sqldml_src")
-      s.sql(s"INSERT INTO graft.`$path` SELECT * FROM sqldml_src")
-      s.sql(s"DELETE FROM graft.`$path` " +
-        "WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+      withGraftCatalog(s) {
+        s.sql(s"INSERT INTO graft.`$path` SELECT * FROM sqldml_src")
+        s.sql(s"DELETE FROM graft.`$path` " +
+          "WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+      }
       val out = GraftTable.read(s, path)
         .select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice") * 100).cast("long").as("price_c"),

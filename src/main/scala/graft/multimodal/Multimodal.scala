@@ -136,6 +136,11 @@ object Multimodal {
     * (doc_a, doc_b, hamming), doc_a < doc_b.
     */
   def phashNearDups(binTable: DataFrame, tau: Int = 3, stride: Int = 32): DataFrame = {
+    // the pigeonhole exactness above holds ONLY for tau <= 3 with 4
+    // bands — a larger tau would silently return partial recall, so it
+    // refuses instead (widen the band count before widening tau)
+    require(tau >= 0 && tau <= 3,
+      s"phashNearDups: tau=$tau breaks the 4-band pigeonhole exactness bound (tau <= 3)")
     // Exact-duplicate COLLAPSE before the geometry (the same replica-
     // clique discipline as the text/vector miners): byte-copies hash to
     // the SAME 64-bit word, and at crawl scale every payload has many

@@ -398,8 +398,16 @@ object GraftTable {
         case types.TimestampType =>
           (unix_micros(min(c)), unix_micros(max(c)))
         case types.TimestampNTZType =>
-          (unix_micros(min(c).cast(types.TimestampType)),
-            unix_micros(max(c).cast(types.TimestampType)))
+          // the NTZ→Timestamp cast interprets the local time in the
+          // SESSION timezone; the read side (mayMatch) converts NTZ
+          // filter values at UTC. Bounds written under any other zone
+          // would disagree with the probe and over-prune, so they are
+          // recorded as unknown instead (the library API does not pin
+          // the session zone — only this repo's entry points do)
+          if (spark.conf.get("spark.sql.session.timeZone") == "UTC")
+            (unix_micros(min(c).cast(types.TimestampType)),
+              unix_micros(max(c).cast(types.TimestampType)))
+          else (lit(null).cast("string"), lit(null).cast("string"))
         case _ => (min(c), max(c))
       }
       Seq(mn.cast("string").as(s"__mn$i"), mx.cast("string").as(s"__mx$i"),
@@ -555,7 +563,12 @@ object GraftTable {
             Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000)
           case i: java.time.Instant =>
             Some(i.getEpochSecond * 1000000L + i.getNano.toLong / 1000)
-          case d: java.time.LocalDateTime => // NTZ filter value, UTC-session rule
+          case d: java.time.LocalDateTime =>
+            // NTZ filter value (zone-free by definition): convert
+            // as-if-UTC, the SAME convention collectStatLines records
+            // NTZ bounds under (it declines to record them at all from
+            // a non-UTC writer session), so bound and probe always
+            // share an epoch convention whatever zone this reader runs
             Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
               + d.getNano.toLong / 1000)
           case _ => None

@@ -112,15 +112,37 @@ class BoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = (IntegerType +: keyTypes).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
-  override def canonicalName(): String = "graft.bucket"
-  @transient private lazy val eval = Bridge.bucketExprEval(keyTypes, 0)
+  /** Key TYPES are part of the identity: the placement hash is
+    * xxhash64 over the key's Catalyst representation, so `bucket` over
+    * an int key and over a long key send the same VALUE to different
+    * buckets. Two join sides may only be deemed layout-compatible when
+    * their canonical names — types included — agree (Iceberg encodes
+    * the SQL type into its transform canonicalName for the same
+    * reason); a type-blind name would let SPJ align bucket i with a
+    * bucket i holding DIFFERENT key values and silently drop matches.
+    */
+  override def canonicalName(): String =
+    s"graft.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    // re-derive with the row's own n (the literal travels per call)
     val row = InternalRow.fromSeq(
       keyTypes.indices.map(i => input.get(i + 1, keyTypes(i))))
-    Bridge.bucketExprEval(keyTypes, n)(row)
+    BoundBucket.evaluator(keyTypes, n)(row)
   }
+}
+
+object BoundBucket {
+  /** One evaluator construction per (keyTypes, n) — `produceResult` may
+    * be mapped over ROWS (e.g. partially-clustered SPJ evaluating the
+    * transform on data), and rebuilding the BoundReference/XxHash64/
+    * Pmod tree per call would pay object construction per row. n is a
+    * query constant, so the map stays tiny.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[DataType], Int), InternalRow => Int]()
+  private[v2] def evaluator(keyTypes: Seq[DataType], n: Int): InternalRow => Int =
+    cache.computeIfAbsent((keyTypes, n),
+      { case (kt, nb) => Bridge.bucketExprEval(kt, nb) })
 }
 
 class GraftV2Table(path: String) extends Table with SupportsRead
