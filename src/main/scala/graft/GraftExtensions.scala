@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.tableFunctions.foreach { case (name, info, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL UPDATE / MERGE INTO / general-condition DELETE over
+    // graft.`path` tables — routed into GraftTable's stats-pruned COW
+    // engine (graft.sources.v2.GraftDmlRule); post-hoc so conditions,
+    // assignments, and the MERGE source are fully resolved first
+    ext.injectPostHocResolutionRule(spark => graft.sources.v2.GraftDmlRule(spark))
   }
 }
 

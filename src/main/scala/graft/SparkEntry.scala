@@ -884,6 +884,66 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_update" -> ((s, dir) => {
+      // plain-SQL UPDATE through the DSv2 catalog: GraftDmlRule
+      // (injected via spark.sql.extensions) routes the statement into
+      // GraftTable.update's stats-pruned touched-bucket COW — the same
+      // engine lakehouse_update proves through the Scala API; this row
+      // pins the SQL surface end-to-end against DuckDB's replay.
+      val tmp = s"${indexPath("sqlup", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      withGraftCatalog(s) {
+        s.sql(s"UPDATE graft.`$path` SET o_orderstatus = 'P', " +
+          "o_custkey = o_custkey + 1000000 " +
+          "WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000")
+      }
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_sql_merge" -> ((s, dir) => {
+      // plain-SQL MERGE INTO through the catalog: the full clause
+      // family (conditional DELETE, conditional UPDATE, conditional
+      // INSERT with an explicit column list), source keyed under a
+      // DIFFERENT column name (`k`) so the ON-pair rename path runs —
+      // routed into GraftTable.mergeInto's touched-bucket COW.
+      val tmp = s"${indexPath("sqlmi", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")).as("k"),
+          col("o_custkey").as("s_custkey"),
+          (col("o_totalprice") * 2).as("s_price"))
+        .createOrReplaceTempView("sqlmerge_src")
+      withGraftCatalog(s) {
+        s.sql(s"""MERGE INTO graft.`$path` t USING sqlmerge_src s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED AND s.k % 9 = 0 THEN DELETE
+          WHEN MATCHED AND s.s_price >= 200000 THEN
+            UPDATE SET o_orderstatus = 'U', o_totalprice = s.s_price
+          WHEN NOT MATCHED AND s.s_price < 300000 THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            VALUES (s.k, s.s_custkey, 'S', s.s_price)""")
+      }
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -3698,6 +3758,44 @@ object SparkEntry {
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
                 o_orderstatus
          FROM final ORDER BY o_orderkey""",
+
+    "lakehouse_sql_update" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+                     THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+                     THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
+
+    "lakehouse_sql_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         src AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+                  o_custkey AS s_custkey,
+                  o_totalprice * 2 AS s_price
+           FROM orders WHERE o_orderkey % 5 = 0),
+         kept AS (
+           SELECT b.o_orderkey, b.o_custkey,
+                  CASE WHEN s.k IS NOT NULL AND s.s_price >= 200000 THEN 'U'
+                       ELSE b.o_orderstatus END AS o_orderstatus,
+                  CASE WHEN s.k IS NOT NULL AND s.s_price >= 200000 THEN s.s_price
+                       ELSE b.o_totalprice END AS o_totalprice
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.k
+           WHERE s.k IS NULL OR s.k % 9 <> 0),
+         ins AS (
+           SELECT s.k AS o_orderkey, s.s_custkey AS o_custkey,
+                  'S' AS o_orderstatus, s.s_price AS o_totalprice
+           FROM src s LEFT JOIN base b ON s.k = b.o_orderkey
+           WHERE b.o_orderkey IS NULL AND s.s_price < 300000)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
 
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)

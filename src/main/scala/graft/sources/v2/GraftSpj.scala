@@ -145,7 +145,7 @@ object BoundBucket {
       { case (kt, nb) => Bridge.bucketExprEval(kt, nb) })
 }
 
-class GraftV2Table(path: String) extends Table with SupportsRead
+class GraftV2Table(val path: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private[v2] val snapVersion = GraftTable.latestVersion(path)

@@ -124,4 +124,14 @@ object Bridge {
         .translateFilter(p, supportNestedPredicatePushdown = false)
     }
   }
+
+  /** DataFrame over an already-analyzed logical plan —
+    * `Dataset.ofRows`, the constructor every internal command uses to
+    * re-enter the public API from a plan fragment (here: the SQL DML
+    * rule handing MERGE's resolved source query to GraftTable).
+    */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

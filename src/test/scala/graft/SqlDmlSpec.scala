@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Plain-SQL UPDATE / MERGE INTO / general-condition DELETE through
+  * the DSv2 catalog (GraftDmlRule): exact routing into GraftTable's
+  * COW engine, and the loud-or-safe contract — any untranslatable
+  * construct fails the whole statement BEFORE a write starts (the
+  * table's version must not move).
+  */
+class SqlDmlSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def withCatalog[T](body: => T): T = {
+    val k = "spark.sql.catalog.graft"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, classOf[graft.sources.v2.GraftCatalog].getName)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("sqldml").toString + "/t"
+    GraftTable.create(
+      spark.range(0, 1000).toDF("k")
+        .withColumn("v", col("k") % 10)
+        .withColumn("s", concat(lit("row"), col("k"))),
+      path, Seq("k"), nbuckets = 4)
+    path
+  }
+
+  test("SQL UPDATE routes into the COW engine with exact semantics") {
+    val path = freshTable()
+    withCatalog {
+      spark.sql(s"UPDATE graft.`$path` SET v = v + 100, s = upper(s) WHERE k % 7 = 0")
+    }
+    val got = GraftTable.read(spark, path)
+      .select("k", "v", "s").as[(Long, Long, String)].collect().sortBy(_._1)
+    val want = (0L until 1000L).map { k =>
+      if (k % 7 == 0) (k, k % 10 + 100, s"ROW$k") else (k, k % 10, s"row$k")
+    }
+    got.toSeq shouldBe want
+  }
+
+  test("SQL UPDATE with no WHERE rewrites every matching row") {
+    val path = freshTable()
+    withCatalog { spark.sql(s"UPDATE graft.`$path` SET v = 1") }
+    GraftTable.read(spark, path).agg(sum("v")).head().getLong(0) shouldBe 1000L
+  }
+
+  test("SQL DELETE with a non-DSv1-translatable condition still deletes") {
+    val path = freshTable()
+    withCatalog {
+      // substr(s, 4) isn't a DSv1 filter — the SupportsDelete path
+      // alone would refuse; the rule routes it through deleteWhere
+      spark.sql(s"DELETE FROM graft.`$path` WHERE CAST(substr(s, 4) AS LONG) % 2 = 0")
+    }
+    GraftTable.read(spark, path).count() shouldBe 500L
+  }
+
+  test("SQL MERGE runs the full clause family, source keyed under another name") {
+    val path = freshTable()
+    spark.range(500, 1500).toDF("id")
+      .withColumn("nv", col("id") * 10)
+      .createOrReplaceTempView("sqldml_merge_src")
+    withCatalog {
+      spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_merge_src s
+        ON t.k = s.id
+        WHEN MATCHED AND s.id % 3 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED AND s.id < 1200 THEN INSERT (k, v) VALUES (s.id, s.nv)""")
+    }
+    val got = GraftTable.read(spark, path)
+      .select("k", "v", "s").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val kept = (0L until 500L).map(k => (k, k % 10, s"row$k"))
+    val updated = (500L until 1000L).filterNot(_ % 3 == 0).map(k => (k, k * 10, s"row$k"))
+    val inserted = (1000L until 1200L)
+      .map(k => (k, k * 10, null: String)) // unassigned column: ANSI NULL
+    got shouldBe (kept ++ updated ++ inserted)
+  }
+
+  test("MERGE clause order is honoured when UPDATE precedes DELETE") {
+    val path = freshTable()
+    spark.range(0, 100).toDF("id").createOrReplaceTempView("sqldml_ud_src")
+    withCatalog {
+      // SQL: first matching clause wins — rows with id%4=0 AND id%2=0
+      // take the UPDATE, never the DELETE
+      spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_ud_src s
+        ON t.k = s.id
+        WHEN MATCHED AND s.id % 4 = 0 THEN UPDATE SET v = -1
+        WHEN MATCHED AND s.id % 2 = 0 THEN DELETE""")
+    }
+    val vs = GraftTable.read(spark, path).select("k", "v")
+      .as[(Long, Long)].collect().toMap
+    vs.contains(2L) shouldBe false // deleted (matched %2, not %4)
+    vs(4L) shouldBe -1L            // updated, NOT deleted
+    vs(3L) shouldBe 3L             // untouched
+    vs.size shouldBe 1000 - 25     // 25 keys in 0..99 hit the delete arm
+  }
+
+  private def assertNoNewVersion[T](path: String)(body: => T): Throwable = {
+    val before = GraftTable.latestVersion(path)
+    val e = intercept[Throwable](body)
+    GraftTable.latestVersion(path) shouldBe before
+    e
+  }
+
+  test("untranslatable statements fail LOUDLY with no partial write") {
+    val path = freshTable()
+    spark.range(0, 10).toDF("id").createOrReplaceTempView("sqldml_bad_src")
+    withCatalog {
+      // subquery in UPDATE condition
+      assertNoNewVersion(path) {
+        spark.sql(s"UPDATE graft.`$path` SET v = 0 " +
+          s"WHERE k IN (SELECT id FROM sqldml_bad_src)")
+      }.getMessage should include("subquery")
+      // subquery in SET value
+      assertNoNewVersion(path) {
+        spark.sql(s"UPDATE graft.`$path` SET v = (SELECT max(id) FROM sqldml_bad_src)")
+      }.getMessage should include("subquery")
+      // key-column SET refuses (a key update moves the bucket)
+      assertNoNewVersion(path) {
+        spark.sql(s"UPDATE graft.`$path` SET k = k + 1")
+      }.getMessage should include("key column")
+      // non-key-equality merge condition
+      assertNoNewVersion(path) {
+        spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
+          ON t.k > s.id WHEN MATCHED THEN DELETE""")
+      }.getMessage should include("MERGE ON")
+      // NOT MATCHED BY SOURCE unsupported
+      assertNoNewVersion(path) {
+        spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
+          ON t.k = s.id
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      }.getMessage should include("BY SOURCE")
+      // INSERT must assign the key from the ON-paired source column
+      assertNoNewVersion(path) {
+        spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
+          ON t.k = s.id
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.id + 1, 0)""")
+      }.getMessage should include("key column")
+    }
+  }
+}
