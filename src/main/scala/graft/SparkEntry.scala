@@ -944,6 +944,32 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_time_travel" -> ((s, dir) => {
+      // SQL time travel through the catalog: three commits (create →
+      // upsert → delete), then `VERSION AS OF 1` must read the
+      // pre-delete snapshot — the TableCatalog time-travel load pinning
+      // the same manifest GraftTable.read(path, 1) serves. DuckDB
+      // replays create+upsert only.
+      val tmp = s"${indexPath("sqltt", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsert(s, path, o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+          col("o_totalprice"), lit("S").as("o_orderstatus")))
+      GraftTable.deleteWhere(s, path, col("o_orderstatus") === "F")
+      val out = withGraftCatalog(s) {
+        s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(FLOOR(o_totalprice * 100) AS LONG) AS price_c " +
+          s"FROM graft.`$path` VERSION AS OF 1")
+          .localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -3796,6 +3822,23 @@ object SparkEntry {
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+
+    "lakehouse_sql_time_travel" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+                  o_totalprice, 'S' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 5 = 0),
+         v1 AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM v1 ORDER BY o_orderkey""",
 
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)

@@ -44,6 +44,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(GraftTarget(table, _), assignments, condition) if u.resolved =>
+      requireHead(table, "UPDATE")
       val set = assignments.map { a =>
         targetColumnName(a.key, "UPDATE SET") -> unresolved(a.value, "UPDATE SET value")
       }.toMap
@@ -56,17 +57,25 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // GraftTable.deleteWhere takes an arbitrary Column (still loud on
       // subqueries), so e.g. `WHERE substr(status, 1, 1) = 'F'` deletes
       // instead of refusing. Same stats-pruned COW underneath.
+      requireHead(table, "DELETE")
       GraftDeleteCommand(table.path, unresolved(condition, "DELETE condition"))
 
     case m @ MergeIntoTable(GraftTarget(table, tgtAttrs), source, cond,
         matchedActions, notMatchedActions, notMatchedBySource, withSchemaEvolution)
         if m.resolved =>
+      requireHead(table, "MERGE INTO")
       translateMerge(table, tgtAttrs, source, cond, matchedActions, notMatchedActions,
         notMatchedBySource, withSchemaEvolution)
   }
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graft SQL DML: $msg")
+
+  private def requireHead(table: GraftV2Table, what: String): Unit =
+    table.pinned.foreach { v =>
+      fail(s"$what against ${table.path} VERSION AS OF $v — historical snapshots " +
+        "are read-only (restoreTo makes a version current)")
+    }
 
   /** Re-target a resolved expression at [[GraftTable]]'s snapshot frame:
     * attribute references become plain unresolved names (the snapshot

@@ -41,7 +41,8 @@ import graft.sources.GraftTable
   * evaluates the IDENTICAL `pmod(xxhash64(keys), n)` expression the
   * write path places rows with ([[Bridge.bucketExprEval]]).
   *
-  * Scope, stated loudly: batch READ of the head snapshot only, and
+  * Scope, stated loudly: batch READ of the head snapshot (or a
+  * `VERSION AS OF` / `TIMESTAMP AS OF` pinned one), and
   * only while NO MOR log is outstanding — deltas/DVs change row
   * visibility in ways a per-bucket file scan must merge, so the scan
   * REFUSES (compact first, or read through [[GraftTable.read]], which
@@ -65,6 +66,39 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (GraftTable.latestVersion(path) < 0)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new GraftV2Table(path)
+  }
+
+  /** SQL time travel — `SELECT … FROM graft.`path` VERSION AS OF 3`:
+    * pins the named commit version, the same snapshot
+    * `GraftTable.read(spark, path, 3)` (and the `graft_table` TVF)
+    * serves. The pinned table is read-only: DML against the past
+    * refuses loudly.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"graft VERSION AS OF takes an integer commit version, got '$version'"))
+    val committed = GraftTable.commitLog(path).map(_._1)
+    if (!committed.contains(v))
+      throw new IllegalArgumentException(
+        s"$path has no committed version $v (committed: ${committed.mkString(", ")})")
+    new GraftV2Table(path, pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands the instant in MICROseconds; the
+    * snapshot is the last commit at or before it ([[GraftTable
+    * .readAsOf]]'s wall-clock rule, against the commit markers'
+    * recorded times).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+    val eligible = GraftTable.commitLog(path).filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"$path has no commit at or before epoch-millis $tsMillis " +
+          s"(earliest: ${GraftTable.commitLog(path).headOption.map(_._2).getOrElse(-1L)})")
+    new GraftV2Table(path, pinned = Some(eligible.last._1))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -145,10 +179,16 @@ object BoundBucket {
       { case (kt, nb) => Bridge.bucketExprEval(kt, nb) })
 }
 
-class GraftV2Table(val path: String) extends Table with SupportsRead
+class GraftV2Table(val path: String, val pinned: Option[Int] = None)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  private[v2] val snapVersion = GraftTable.latestVersion(path)
+  private[v2] val snapVersion = pinned.getOrElse(GraftTable.latestVersion(path))
+  private def refuseTimeTravelWrite(): Unit = pinned.foreach { v =>
+    throw new UnsupportedOperationException(
+      s"$path VERSION AS OF $v is a read-only historical snapshot — " +
+        "writes/DML go to the head table (use restoreTo to make a version current)")
+  }
   private[v2] val tableSchema: StructType =
     GraftTable.snapshotSchema(path, snapVersion).getOrElse(
       throw new IllegalStateException(
@@ -176,7 +216,8 @@ class GraftV2Table(val path: String) extends Table with SupportsRead
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseTimeTravelWrite()
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -189,6 +230,7 @@ class GraftV2Table(val path: String) extends Table with SupportsRead
             }
         }
     }
+  }
 
   /** `DELETE FROM graft.`path` WHERE …` — Spark hands the condition as
     * DSv1 filters (only when FULLY translatable; otherwise the command
@@ -196,6 +238,7 @@ class GraftV2Table(val path: String) extends Table with SupportsRead
     * and run through the stats-pruned touched-bucket COW delete.
     */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseTimeTravelWrite()
     val cond = filters.map(GraftV2Table.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
