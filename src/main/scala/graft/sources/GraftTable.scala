@@ -56,6 +56,11 @@ object GraftTable {
   @volatile private var lockProvider: Option[GraftLockProvider] = None
   def setLockProvider(p: Option[GraftLockProvider]): Unit = { lockProvider = p }
 
+  /** Total filesystem directory listings performed so far (test-facing:
+    * the planning-IO regression guard reads the delta across a query).
+    */
+  def metaListCalls: Long = MetaIO.listCalls.get()
+
   /** Metadata IO, routed through the Hadoop FileSystem of each path. */
   private[sources] object MetaIO {
     def conf: Configuration =
@@ -145,8 +150,15 @@ object GraftTable {
       }
     }
 
-    def list(p: Path): Seq[FileStatus] =
+    // counts every directory listing — the planning-IO regression
+    // guard: SpjSpec asserts a metadata-planned scan performs ZERO
+    // listings (at 100 TB file counts, per-query driver FS listing is
+    // the planning bottleneck manifests exist to delete)
+    val listCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+    def list(p: Path): Seq[FileStatus] = {
+      listCalls.incrementAndGet()
       if (!exists(p)) Seq.empty else fs(p).listStatus(p).toSeq
+    }
 
     def delete(p: Path): Unit = {
       val f = fs(p)
@@ -191,8 +203,15 @@ object GraftTable {
     * for columns enabled via [[enableBloomFilters]].
     */
   final case class ColStat(min: Option[String], max: Option[String], nullCount: Long)
+  /** `bytes` = the parquet file's on-disk length, recorded so scan
+    * PLANNING (the DSv2 storage-partitioned read) can build its file
+    * list from metadata alone — no per-query driver-side filesystem
+    * listing. -1 for stats written before the field existed (readers
+    * fall back to listing that file's dir).
+    */
   final case class FileStat(rows: Long, cols: Map[String, ColStat],
-                            blooms: Map[String, Array[Byte]] = Map.empty)
+                            blooms: Map[String, Array[Byte]] = Map.empty,
+                            bytes: Long = -1L)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -413,6 +432,14 @@ object GraftTable {
       Seq(mn.cast("string").as(s"__mn$i"), mx.cast("string").as(s"__mx$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nl$i"))
     }
+    // on-disk lengths, keyed by rel path: one list per freshly-written
+    // dir (O(touched) at WRITE time — the writer just created these
+    // files) so QUERY planning never has to list anything
+    val sizes: Map[String, Long] = writtenRelDirs.flatMap { d =>
+      MetaIO.list(new Path(s"$tableRoot/$d"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$d/${f.getPath.getName}" -> f.getLen)
+    }.toMap
     src.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect().toSeq.flatMap { r =>
         val uri = r.getString(0)
@@ -423,7 +450,7 @@ object GraftTable {
           case None => Nil
           case Some(at) =>
             val rel = uri.substring(at)
-            val fileLine = s"#file=$rel\t${r.getLong(1)}"
+            val fileLine = s"#file=$rel\t${r.getLong(1)}\t${sizes.getOrElse(rel, -1L)}"
             val statLines = fields.zipWithIndex.map { case (f, i) =>
               // long string values (document text…) must not bloat the
               // manifest. A TRUNCATED min is still a valid lower bound
@@ -503,8 +530,9 @@ object GraftTable {
       segLines.filter(l => (!l.startsWith("#file=") && !l.startsWith("#stat=") &&
         !l.startsWith("#bloom=")) || inSnapshot(l))
     val rows = lines.collect { case l if l.startsWith("#file=") =>
+      // 2-field legacy lines carry no byte length (bytes = -1)
       val p = l.stripPrefix("#file=").split("\t")
-      p(0) -> p(1).toLong
+      p(0) -> (p(1).toLong, if (p.length >= 3) p(2).toLong else -1L)
     }.toMap
     val stats = lines.collect { case l if l.startsWith("#stat=") =>
       val p = l.stripPrefix("#stat=").split("\t")
@@ -516,9 +544,9 @@ object GraftTable {
       val p = l.stripPrefix("#bloom=").split("\t")
       (p(0), dec(p(1)), java.util.Base64.getDecoder.decode(p(2)))
     }.groupBy(_._1)
-    rows.map { case (f, n) =>
+    rows.map { case (f, (n, bytes)) =>
       f -> FileStat(n, stats.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap,
-        blooms.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap)
+        blooms.getOrElse(f, Seq.empty).map(s => s._2 -> s._3).toMap, bytes)
     }
   }
 

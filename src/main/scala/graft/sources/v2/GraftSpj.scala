@@ -333,14 +333,32 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     // INSIDE the bucket structure (None = no stats, keep everything)
     val keep = GraftTable.fileKeepPredicate(path, version, filters)
       .getOrElse((_: String) => true)
+    // Planning is METADATA-ONLY for stats-bearing snapshots: the
+    // manifest's per-file stats lines name every (file, byte-length) in
+    // each dir, so the file list comes straight from them — zero
+    // driver-side filesystem listing per query (at 100 TB file counts
+    // a per-bucket LIST per query is the planning bottleneck; on
+    // object stores it's a LIST storm). A dir with no stats coverage
+    // (legacy write, failed stats job, or pre-byte-length lines) falls
+    // back to listing JUST that dir — never a wrong file list. Files
+    // with zero rows carry no stats line and are correctly absent.
+    val stats = GraftTable.manifestFileStats(path, version)
     // EVERY bucket id gets a partition (possibly file-less), so the two
     // sides of a join always expose identical partition-value sets
     (0 until nbuckets).map { b =>
       val files = dirs.get(b).toSeq.flatMap { rel =>
-        GraftTable.MetaIO.list(new Path(s"$path/$rel"))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .filter(f => keep(s"$rel/${f.getPath.getName}"))
-          .map(f => (f.getPath.toString, f.getLen))
+        val covered = stats.collect {
+          case (f, st) if f.startsWith(rel + "/") => (f, st.bytes)
+        }.toSeq
+        if (covered.nonEmpty && covered.forall(_._2 >= 0L))
+          covered.filter { case (f, _) => keep(f) }
+            .map { case (f, len) => (s"$path/$f", len) }
+            .sortBy(_._1)
+        else
+          GraftTable.MetaIO.list(new Path(s"$path/$rel"))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .filter(f => keep(s"$rel/${f.getPath.getName}"))
+            .map(f => (f.getPath.toString, f.getLen))
       }
       GraftInputPartition(b, files.toArray): InputPartition
     }.toArray

@@ -169,6 +169,26 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("scan planning is metadata-only: ZERO filesystem listings per query") {
+    val root = Files.createTempDirectory("spj_meta").toString
+    val a = s"$root/t"
+    GraftTable.create(spark.range(0, 2000).toDF("k").withColumn("x", col("k") * 3),
+      a, Seq("k"), nbuckets = 4)
+    withSpjConf {
+      val df = spark.table(s"graft.`$a`").filter(col("x") < 600)
+      // planning (planInputPartitions) happens at action time; a
+      // stats-bearing snapshot must derive its file list from the
+      // manifest's #file lines — byte lengths included — with no
+      // MetaIO.list call anywhere in the query
+      val before = GraftTable.metaListCalls
+      val got = df.orderBy("k").collect().toSeq
+      val listed = GraftTable.metaListCalls - before
+      withClue(s"listings during query: $listed") { listed shouldBe 0L }
+      got shouldBe GraftTable.read(spark, a).filter(col("x") < 600)
+        .orderBy("k").collect().toSeq
+    }
+  }
+
   test("outstanding MOR log refuses the storage-partitioned scan loudly") {
     val root = Files.createTempDirectory("spj_mor").toString
     val a = s"$root/t"
