@@ -198,15 +198,34 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
   private[v2] val nbuckets: Int =
     GraftTable.manifestBuckets(path, snapVersion).getOrElse(16)
 
+  /** Bucket count REPORTED to Spark — `spark.sql.graft.spj.coalesceBuckets=m`
+    * lets a table bucketed at a MULTIPLE of m present the m-bucket
+    * layout by merging dir groups, which makes SPJ work across bucket-
+    * count evolution (after `rebucket` doubles one side of a join pair,
+    * n and 2n layouts are incompatible to Spark's key-grouped matcher,
+    * so the join would pay a FULL shuffle). Exactness: placement is
+    * `pmod(xxhash64(k), n)`, and `pmod(h, c·m) ≡ pmod(h, m) (mod m)` —
+    * every row in physical bucket b belongs to coalesced bucket
+    * `b mod m` under the m-bucket hash, bit-for-bit. A table whose
+    * count m does not divide keeps its natural layout (the join then
+    * shuffles — correct, just not aligned; check `.explain`).
+    */
+  private[v2] val reportedBuckets: Int =
+    SparkSession.active.conf.getOption("spark.sql.graft.spj.coalesceBuckets")
+      .flatMap(_.toIntOption)
+      .filter(m => m >= 1 && nbuckets % m == 0)
+      .getOrElse(nbuckets)
+
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(nbuckets, keys: _*))
+    Array(Expressions.bucket(reportedBuckets, keys: _*))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets)
+    new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets,
+      reportedBuckets)
 
   /** `INSERT INTO graft.`path`` — V1Write fallback routing the batch
     * into the table's KEYED UPSERT (last-wins on the record key, the
@@ -281,7 +300,8 @@ object GraftV2Table {
 }
 
 class GraftScanBuilder(path: String, version: Int, full: StructType,
-                       keys: Seq[String], nbuckets: Int)
+                       keys: Seq[String], nbuckets: Int,
+                       reportedBuckets: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -300,23 +320,29 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq)
+    new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
+      reportedBuckets)
 }
 
 class GraftScan(path: String, version: Int, dataSchema: StructType,
                 requiredSchema: StructType, keys: Seq[String], nbuckets: Int,
-                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                reportedBuckets0: Int = -1)
     extends Scan with Batch with SupportsReportPartitioning {
+  // -1 (direct construction in tests) = report the physical layout
+  private val reportedBuckets =
+    if (reportedBuckets0 > 0) reportedBuckets0 else nbuckets
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")}" +
+      (if (reportedBuckets != nbuckets) s", coalesced to $reportedBuckets" else "") +
       (if (filters.nonEmpty) s", pushed: [${filters.mkString(", ")}]" else "") + ")"
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(nbuckets, keys: _*)), nbuckets)
+      Array(Expressions.bucket(reportedBuckets, keys: _*)), reportedBuckets)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // MOR log entries change row visibility beyond the bucket files —
@@ -343,10 +369,14 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     // back to listing JUST that dir — never a wrong file list. Files
     // with zero rows carry no stats line and are correctly absent.
     val stats = GraftTable.manifestFileStats(path, version)
-    // EVERY bucket id gets a partition (possibly file-less), so the two
-    // sides of a join always expose identical partition-value sets
-    (0 until nbuckets).map { b =>
-      val files = dirs.get(b).toSeq.flatMap { rel =>
+    // EVERY reported bucket id gets a partition (possibly file-less),
+    // so the two sides of a join always expose identical partition-
+    // value sets. Coalesced layouts (reportedBuckets < nbuckets) merge
+    // the physical dirs whose id ≡ p (mod reportedBuckets) — exact by
+    // the pmod nesting property (see GraftV2Table.reportedBuckets).
+    (0 until reportedBuckets).map { p =>
+      val physical = (p until nbuckets by reportedBuckets)
+      val files = physical.flatMap(b => dirs.get(b).toSeq).flatMap { rel =>
         val covered = stats.collect {
           case (f, st) if f.startsWith(rel + "/") => (f, st.bytes)
         }.toSeq
@@ -360,7 +390,7 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
             .filter(f => keep(s"$rel/${f.getPath.getName}"))
             .map(f => (f.getPath.toString, f.getLen))
       }
-      GraftInputPartition(b, files.toArray): InputPartition
+      GraftInputPartition(p, files.toArray): InputPartition
     }.toArray
   }
 

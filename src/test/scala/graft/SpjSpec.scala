@@ -189,6 +189,38 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bucket-count evolution: coalesceBuckets aligns n vs 2n with zero shuffle") {
+    val root = Files.createTempDirectory("spj_evo").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    GraftTable.create(spark.range(0, 3000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 4)
+    GraftTable.create(spark.range(1000, 4000).toDF("k").withColumn("y", col("k") % 5),
+      b, Seq("k"), nbuckets = 4)
+    GraftTable.rebucket(spark, b, 8) // b evolves to 2n
+    withSpjConf {
+      // stock Spark declines n-vs-2n alignment: the un-coalesced join
+      // shuffles (documented fallback — results stay correct)
+      val plain = spark.table(s"graft.`$a`").join(spark.table(s"graft.`$b`"), "k")
+      val want = GraftTable.read(spark, a).join(GraftTable.read(spark, b), "k")
+        .orderBy("k").collect().toSeq
+      plain.orderBy("k").collect().toSeq shouldBe want
+
+      // coalesced: the 8-bucket side presents the 4-bucket layout
+      // (pmod(h, 8) mod 4 == pmod(h, 4), so dir pairs merge exactly)
+      // and the join plans with NO exchange on either side
+      spark.conf.set("spark.sql.graft.spj.coalesceBuckets", "4")
+      try {
+        val joined = spark.table(s"graft.`$a`").join(spark.table(s"graft.`$b`"), "k")
+        val plan = finalPlan(joined)
+        withClue(plan) {
+          plan should include("SortMergeJoin")
+          plan should not include "Exchange hashpartitioning"
+        }
+        joined.orderBy("k").collect().toSeq shouldBe want
+      } finally spark.conf.unset("spark.sql.graft.spj.coalesceBuckets")
+    }
+  }
+
   test("outstanding MOR log refuses the storage-partitioned scan loudly") {
     val root = Files.createTempDirectory("spj_mor").toString
     val a = s"$root/t"
