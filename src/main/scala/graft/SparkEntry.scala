@@ -1005,6 +1005,44 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    "lakehouse_stats_drift" -> ((s, dir) => {
+      // METADATA-ONLY drift report across a mutating commit sequence
+      // (create → null-injecting upsert → predicate delete): row-count
+      // movement plus per-column null/bound movement between v0 and v2,
+      // from manifest stats alone — the per-commit release-gate diff at
+      // 100 TB, zero data IO. DuckDB recomputes BOTH states from
+      // parquet and joins their profiles; metadata must equal the full
+      // recompute exactly (o_orderdate drifts to a nonzero null count,
+      // o_custkey's max moves — real drift, not a no-op diff).
+      val tmp = s"${indexPath("statdrift", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsert(s, path,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .withColumn("o_orderdate",
+            lit(null).cast(o.schema("o_orderdate").dataType)))
+      GraftTable.deleteWhere(s, path,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      val (rowsFrom, rowsTo, cols) = GraftTable.statsDrift(path, 0, 2).getOrElse(
+        throw new IllegalStateException("stats drift declined on a log-free table"))
+      rmTree(tmp)
+      import s.implicits._
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+        .map { c =>
+          val d = cols(c)
+          val a = d.from.getOrElse(throw new IllegalStateException(s"no v0 profile for $c"))
+          val b = d.to.getOrElse(throw new IllegalStateException(s"no v2 profile for $c"))
+          (c, rowsFrom, rowsTo, a.nullCount, b.nullCount,
+            a.min.orNull, b.min.orNull, a.max.orNull, b.max.orNull)
+        }
+        .toDF("col_name", "rows_from", "rows_to", "null_from", "null_to",
+          "min_from", "min_to", "max_from", "max_to")
+        .orderBy("col_name")
+    }),
+
     "lakehouse_delete_mor" -> ((s, dir) => {
       // merge-on-read deletes (deletion vectors) end to end: a
       // SCATTERED key delete (%7 hits every bucket — the shape where
@@ -3879,6 +3917,64 @@ object SparkEntry {
                 count(*) FILTER (WHERE o_orderstatus IS NULL),
                 CAST(min(o_orderstatus) AS VARCHAR),
                 CAST(max(o_orderstatus) AS VARCHAR) FROM final
+         ORDER BY col_name""",
+
+    // drift = both states profiled from parquet, joined per column;
+    // the Spark side answered the same from manifest stats alone
+    "lakehouse_stats_drift" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+                  o_totalprice, CAST(NULL AS TIMESTAMP) AS o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)),
+         p0 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_custkey) AS VARCHAR) AS max_s FROM base
+           UNION ALL SELECT 'o_orderdate', count(*),
+                  count(*) FILTER (WHERE o_orderdate IS NULL),
+                  CAST(epoch_ns(min(o_orderdate)) // 1000 AS VARCHAR),
+                  CAST(epoch_ns(max(o_orderdate)) // 1000 AS VARCHAR) FROM base
+           UNION ALL SELECT 'o_orderkey', count(*),
+                  count(*) FILTER (WHERE o_orderkey IS NULL),
+                  CAST(min(o_orderkey) AS VARCHAR),
+                  CAST(max(o_orderkey) AS VARCHAR) FROM base
+           UNION ALL SELECT 'o_orderstatus', count(*),
+                  count(*) FILTER (WHERE o_orderstatus IS NULL),
+                  CAST(min(o_orderstatus) AS VARCHAR),
+                  CAST(max(o_orderstatus) AS VARCHAR) FROM base),
+         p2 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_custkey) AS VARCHAR) AS max_s FROM final
+           UNION ALL SELECT 'o_orderdate', count(*),
+                  count(*) FILTER (WHERE o_orderdate IS NULL),
+                  CAST(epoch_ns(min(o_orderdate)) // 1000 AS VARCHAR),
+                  CAST(epoch_ns(max(o_orderdate)) // 1000 AS VARCHAR) FROM final
+           UNION ALL SELECT 'o_orderkey', count(*),
+                  count(*) FILTER (WHERE o_orderkey IS NULL),
+                  CAST(min(o_orderkey) AS VARCHAR),
+                  CAST(max(o_orderkey) AS VARCHAR) FROM final
+           UNION ALL SELECT 'o_orderstatus', count(*),
+                  count(*) FILTER (WHERE o_orderstatus IS NULL),
+                  CAST(min(o_orderstatus) AS VARCHAR),
+                  CAST(max(o_orderstatus) AS VARCHAR) FROM final)
+         SELECT p0.col_name,
+                p0.n_rows AS rows_from, p2.n_rows AS rows_to,
+                p0.n_null AS null_from, p2.n_null AS null_to,
+                p0.min_s AS min_from, p2.min_s AS min_to,
+                p0.max_s AS max_from, p2.max_s AS max_to
+         FROM p0 JOIN p2 USING (col_name)
          ORDER BY col_name""",
 
     "q3_shipping_priority" ->

@@ -1455,6 +1455,32 @@ object GraftTable {
     Some((totalRows, profiled))
   }
 
+  /** One column's profile on each side of a [[statsDrift]] — None for a
+    * side where the column has no exact profile (absent pre-evolution,
+    * or past the stat cap) instead of a guessed bound.
+    */
+  final case class ColumnDrift(from: Option[ColumnProfile], to: Option[ColumnProfile])
+
+  /** Metadata-only DRIFT report between two committed snapshots — the
+    * release-gate diff a 100 TB ingest pipeline reads per commit: row-
+    * count movement plus per-column null-count and bound movement,
+    * derived entirely from the two versions' [[statsProfile]]s. Zero
+    * data-file IO, so diffing every commit costs O(files) metadata
+    * lines per side at any table size — vs the two full scans the same
+    * report costs from data. Loud-or-safe inherits from statsProfile:
+    * None when EITHER side declines (outstanding MOR log, missing stats
+    * coverage) — never a report built on partial metadata.
+    */
+  def statsDrift(path: String, fromVersion: Int, toVersion: Int)
+      : Option[(Long, Long, Map[String, ColumnDrift])] =
+    for {
+      (rowsFrom, profFrom) <- statsProfile(path, fromVersion)
+      (rowsTo, profTo) <- statsProfile(path, toVersion)
+    } yield (rowsFrom, rowsTo,
+      (profFrom.keySet ++ profTo.keySet).map { c =>
+        c -> ColumnDrift(profFrom.get(c), profTo.get(c))
+      }.toMap)
+
   /** pad each side with the other's missing columns as typed nulls */
   private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     val aCols = a.columns.toSet
