@@ -970,6 +970,57 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_ctas" -> ((s, dir) => {
+      // SQL CREATE TABLE AS SELECT through the DSv2 catalog: the
+      // standard v2 CTAS plan (catalog.createTable with the
+      // bucket(n, key) transform, then the table's keyed-upsert write,
+      // dropTable as failure cleanup) lays the query result out as a
+      // real graft table — bucketed, versioned, DML-able. DuckDB
+      // replays the defining SELECT over the raw parquet.
+      val tmp = s"${indexPath("sqlctas", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      Tables.orders(s, dir).createOrReplaceTempView("sqlctas_orders")
+      val out = withGraftCatalog(s) {
+        s.sql(s"""CREATE TABLE graft.`$path`
+          PARTITIONED BY (bucket(8, o_orderkey))
+          AS SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CAST(FLOOR(o_totalprice * 100) AS LONG) AS price_c
+          FROM sqlctas_orders WHERE o_orderkey % 3 = 0""")
+        GraftTable.read(s, path).localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_runtime_prune" -> ((s, dir) => {
+      // Runtime (dynamic) pruning end-to-end: a fact ⋈ filtered-dim
+      // join through the catalog, where Spark re-enters the fact scan
+      // at execution with the dim's actual key set
+      // (SupportsRuntimeV2Filtering) — whole buckets the probe keys
+      // don't hash into are skipped, and the surviving files are
+      // stats/bloom-pruned per value. The result must be identical to
+      // the unpruned join; DuckDB replays it over the raw parquet.
+      val tmp = s"${indexPath("rtprune", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("probe_key"))
+        .createOrReplaceTempView("rtprune_dim")
+      val out = withGraftCatalog(s) {
+        s.sql(s"""SELECT /*+ BROADCAST(d) */
+            f.o_orderkey, f.o_custkey,
+            CAST(FLOOR(f.o_totalprice * 100) AS LONG) AS price_c
+          FROM graft.`$path` f
+          JOIN rtprune_dim d ON f.o_orderkey = d.probe_key""")
+          .localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -3877,6 +3928,22 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM v1 ORDER BY o_orderkey""",
+
+    // CTAS: replay the defining SELECT over the raw parquet
+    "lakehouse_sql_ctas" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""",
+
+    // runtime-pruned fact ⋈ dim join: pruning must be invisible in the
+    // result — the oracle is the plain join
+    "lakehouse_runtime_prune" ->
+      """SELECT f.o_orderkey, f.o_custkey,
+                CAST(FLOOR(f.o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) f
+         JOIN (SELECT o_orderkey AS probe_key FROM orders WHERE o_orderkey % 97 = 0) d
+           ON f.o_orderkey = d.probe_key
+         ORDER BY f.o_orderkey""",
 
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)

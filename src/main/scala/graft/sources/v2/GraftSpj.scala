@@ -107,15 +107,70 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed catalog: enumeration is not meaningful
 
+  /** SQL `CREATE TABLE` / `CREATE TABLE … AS SELECT` — the record key
+    * and bucket count come from the bucket transform
+    * (`PARTITIONED BY (bucket(8, k))`, the Iceberg-shaped spelling) or
+    * from `TBLPROPERTIES (keys='k', buckets='8')`. A graft table IS a
+    * keyed bucketed table, so a statement naming neither refuses
+    * loudly rather than guessing a layout. CTAS composes from the
+    * standard non-atomic v2 plan: this create, then the table's write
+    * builder (a keyed upsert into the just-created empty table), with
+    * [[dropTable]] as Spark's failure cleanup.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created through GraftTable.create (bucketed, versioned)")
+                           properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    val path = pathOf(ident)
+    val fromTransform: Option[(Seq[String], Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.head match {
+          case l: V2Literal[_] => l.value.toString.toInt
+          case other => throw new UnsupportedOperationException(
+            s"bucket(n, keys…): first argument must be a literal count, got $other")
+        }
+        val cols = t.arguments.tail.toSeq.map {
+          case r: NamedReference => r.fieldNames.mkString(".")
+          case other => throw new UnsupportedOperationException(
+            s"bucket(n, keys…): key arguments must be column references, got $other")
+        }
+        Some((cols, n))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables take exactly one bucket(n, keys…) transform, got " +
+          other.mkString("[", ", ", "]"))
+    }
+    val fromProps: Option[(Seq[String], Int)] =
+      Option(properties.get("keys")).map { ks =>
+        (ks.split(",").map(_.trim).toSeq,
+          Option(properties.get("buckets")).map(_.trim.toInt).getOrElse(16))
+      }
+    val (keys, n) = fromTransform.orElse(fromProps).getOrElse(
+      throw new UnsupportedOperationException(
+        "a graft table is keyed and bucketed: declare the layout with " +
+          "PARTITIONED BY (bucket(n, key…)) or TBLPROPERTIES (keys='k1,k2', buckets='n')"))
+    val missing = keys.filterNot(k => schema.fieldNames.contains(k))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"key column(s) ${missing.mkString(", ")} not in schema ${schema.catalogString}")
+    require(n >= 1, s"buckets must be >= 1, got $n")
+    val spark = SparkSession.active
+    GraftTable.create(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      path, keys, n)
+    new GraftV2Table(path)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("use the GraftTable API")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("use the GraftTable API")
+  /** SQL `DROP TABLE` (and CTAS's failure cleanup): removes the table
+    * directory — data, manifests, commit log, the lot. False when
+    * nothing existed (the v2 IF EXISTS contract).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (GraftTable.latestVersion(path) < 0) return false
+    val p = new Path(path)
+    p.getFileSystem(GraftTable.MetaIO.conf).delete(p, true)
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("use the GraftTable API")
 
@@ -328,7 +383,8 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
                 requiredSchema: StructType, keys: Seq[String], nbuckets: Int,
                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
                 reportedBuckets0: Int = -1)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   // -1 (direct construction in tests) = report the physical layout
   private val reportedBuckets =
     if (reportedBuckets0 > 0) reportedBuckets0 else nbuckets
@@ -338,7 +394,106 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
   override def description(): String =
     s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")}" +
       (if (reportedBuckets != nbuckets) s", coalesced to $reportedBuckets" else "") +
-      (if (filters.nonEmpty) s", pushed: [${filters.mkString(", ")}]" else "") + ")"
+      (if (filters.nonEmpty) s", pushed: [${filters.mkString(", ")}]" else "") +
+      (if (runtimeFilters.nonEmpty) s", runtime: [${runtimeFilters.mkString(", ")}]" else "") + ")"
+
+  // ------------------------------------------------------------------
+  // Statistics from table METADATA (SupportsReportStatistics): without
+  // these, a DSv2 relation prices at spark.sql.defaultSizeInBytes
+  // (Long.Max-ish), so the STATIC planner can never choose a broadcast
+  // join for a small graft table — only AQE's runtime rescue. The
+  // manifest's stats lines already carry per-file (rows, bytes), so
+  // the honest numbers cost zero data IO. Pushed filters shrink the
+  // estimate through the same may-match file pruning the scan itself
+  // uses — an upper bound, which is the safe direction for join
+  // sizing. Loud-or-safe: MOR logs / stat-less legacy snapshots
+  // report UNKNOWN rather than a number the log could falsify.
+  // ------------------------------------------------------------------
+  override def estimateStatistics(): Statistics = {
+    def stat(size: java.util.OptionalLong, rows: java.util.OptionalLong): Statistics =
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = size
+        override def numRows(): java.util.OptionalLong = rows
+      }
+    val none = java.util.OptionalLong.empty()
+    if (GraftTable.dvEntries(path, version).nonEmpty ||
+        GraftTable.deltaEntries(path, version).nonEmpty)
+      return stat(none, none) // MOR log changes visibility: don't guess
+    val dirs = GraftTable.manifest(path, version)
+    if (dirs.isEmpty) return stat(java.util.OptionalLong.of(1L), java.util.OptionalLong.of(0L))
+    val st = GraftTable.manifestFileStats(path, version)
+    if (st.isEmpty) return stat(none, none) // legacy snapshot: no stats recorded
+    val keep = GraftTable.fileKeepPredicate(path, version, filters ++ runtimeFilters)
+      .getOrElse((_: String) => true)
+    val kept = st.collect { case (f, s) if keep(f) => s }
+    val rows = java.util.OptionalLong.of(kept.map(_.rows).sum)
+    if (kept.exists(_.bytes < 0L)) return stat(none, rows) // pre-byte-length lines
+    // scale by the projected column fraction, the FileScan estimate:
+    // a 2-column read of a 30-column table shouldn't price a broadcast
+    // at the full row width
+    val ratio =
+      if (dataSchema.defaultSize <= 0) 1.0
+      else requiredSchema.defaultSize.toDouble / dataSchema.defaultSize
+    val bytes = math.max(1L, (kept.map(_.bytes).sum * ratio).toLong)
+    stat(java.util.OptionalLong.of(bytes), rows)
+  }
+
+  // ------------------------------------------------------------------
+  // Runtime filtering (SupportsRuntimeV2Filtering) — the DSv2 dynamic
+  // partition pruning hook. On a fact ⋈ filtered-dim join, Spark
+  // re-enters the fact scan at EXECUTION time with the dim side's
+  // actual join-key values (an IN predicate over filterAttributes);
+  // the scan then prunes with metadata only, twice over:
+  //   1. bucket-level — each key value hashes to exactly one bucket
+  //      (the write path's own pmod(xxhash64(k), m)), so buckets no
+  //      value lands in are skipped WHOLESALE (their partitions stay
+  //      in the plan file-less, preserving the KeyGroupedPartitioning
+  //      value set SPJ alignment depends on);
+  //   2. file-level — the values run through the same stats/bloom
+  //      may-match pruning as pushed filters, skipping files whose
+  //      min/max (or bloom) exclude every probe value.
+  // At 100 TB this is the difference between scanning the whole fact
+  // table and touching |dim-match| buckets of it. Untranslatable
+  // predicates are DROPPED (less pruning, never wrong rows).
+  // ------------------------------------------------------------------
+  private var runtimeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+  private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keys.map(k => Expressions.column(k)).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimeFilters = predicates.toSeq.flatMap(Bridge.predicateToV1)
+    runtimeBuckets = bucketsHit(runtimeFilters)
+  }
+
+  /** Bucket ids the runtime key values can possibly live in — only
+    * derivable for single-key tables (the placement hash covers ALL
+    * keys jointly, so one key's values don't pin a bucket when there
+    * are several). None = no bucket-level pruning (file-level still
+    * applies). Null probe values are ignored: an equi-join never
+    * matches null. Any conversion failure degrades to None, never to
+    * a wrong bucket set.
+    */
+  private def bucketsHit(fs: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[Int]] = {
+    if (keys.size != 1) return None
+    val k = keys.head
+    val kt = dataSchema.fields.find(_.name == k).map(_.dataType).getOrElse(return None)
+    val valueSets = fs.collect {
+      case org.apache.spark.sql.sources.In(c, vs) if c == k => vs.toSet
+      case org.apache.spark.sql.sources.EqualTo(c, v) if c == k => Set(v)
+    }
+    if (valueSets.isEmpty) return None
+    val values = valueSets.reduce(_ intersect _).filter(_ != null)
+    val eval = BoundBucket.evaluator(Seq(kt), reportedBuckets)
+    val buckets = values.map { v =>
+      Bridge.toCatalystValue(v, kt) match {
+        case Some(cv) => eval(InternalRow(cv))
+        case None => return None
+      }
+    }
+    Some(buckets)
+  }
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -354,10 +509,10 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
           "the storage-partitioned scan reads bucket files directly and cannot " +
           "merge the log. GraftTable.compact(...) first, or read via GraftTable.read")
     val dirs = GraftTable.manifest(path, version)
-    // pushed filters skip whole files from the stats segments alone —
-    // the same may-match metadata pruning the DSv1 paths use, kept
-    // INSIDE the bucket structure (None = no stats, keep everything)
-    val keep = GraftTable.fileKeepPredicate(path, version, filters)
+    // pushed + runtime filters skip whole files from the stats segments
+    // alone — the same may-match metadata pruning the DSv1 paths use,
+    // kept INSIDE the bucket structure (None = no stats, keep everything)
+    val keep = GraftTable.fileKeepPredicate(path, version, filters ++ runtimeFilters)
       .getOrElse((_: String) => true)
     // Planning is METADATA-ONLY for stats-bearing snapshots: the
     // manifest's per-file stats lines name every (file, byte-length) in
@@ -375,7 +530,12 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     // the physical dirs whose id ≡ p (mod reportedBuckets) — exact by
     // the pmod nesting property (see GraftV2Table.reportedBuckets).
     (0 until reportedBuckets).map { p =>
-      val physical = (p until nbuckets by reportedBuckets)
+      // runtime bucket pruning: a bucket no probe value hashes into is
+      // emitted FILE-LESS (the partition VALUE must survive so both
+      // SPJ sides keep identical partition-value sets)
+      val physical =
+        if (runtimeBuckets.exists(rb => !rb.contains(p))) Seq.empty[Int]
+        else (p until nbuckets by reportedBuckets)
       val files = physical.flatMap(b => dirs.get(b).toSeq).flatMap { rel =>
         val covered = stats.collect {
           case (f, st) if f.startsWith(rel + "/") => (f, st.bytes)
@@ -390,19 +550,60 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
             .filter(f => keep(s"$rel/${f.getPath.getName}"))
             .map(f => (f.getPath.toString, f.getLen))
       }
-      GraftInputPartition(p, files.toArray): InputPartition
-    }.toArray
+      // Within a bucket, parallelism is FILE-AND-BYTE-RANGE, not
+      // one-task-per-bucket: each file splits at maxPartitionBytes
+      // boundaries (the parquet reader serves row groups by midpoint,
+      // Spark's standard rule) and chunks bin-pack under the same
+      // maxPartitionBytes/openCostInBytes sizing FileSourceScanExec
+      // uses. Every emitted partition still carries the bucket id as
+      // its partition key, so SPJ GROUPING (BatchScanExec
+      // .groupPartitions, active under the bucketing conf) reassembles
+      // one aligned partition per bucket for joins — while a plain
+      // scan of a 100 TB table fans out over chunks instead of being
+      // capped at nbuckets tasks. A file-less bucket still emits one
+      // EMPTY partition: both join sides must expose identical
+      // partition-value sets.
+      if (files.isEmpty)
+        Seq(GraftInputPartition(p, Array.empty): InputPartition)
+      else {
+        val maxBytes = math.max(1L, Bridge.filesMaxPartitionBytes)
+        val openCost = math.max(0L, Bridge.filesOpenCostInBytes)
+        val chunks = files.flatMap { case (f, len) =>
+          if (len <= maxBytes) Seq((f, 0L, len))
+          else (0L until len by maxBytes).map(s => (f, s, math.min(maxBytes, len - s)))
+        }
+        val packed = Seq.newBuilder[InputPartition]
+        var cur = List.empty[(String, Long, Long)]
+        var curBytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          packed += GraftInputPartition(p, cur.reverse.toArray); cur = Nil; curBytes = 0L
+        }
+        chunks.foreach { c =>
+          val cost = c._3 + openCost
+          if (curBytes > 0L && curBytes + cost > maxBytes) flush()
+          cur ::= c; curBytes += cost
+        }
+        flush()
+        packed.result()
+      }
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    // filters reach the parquet reader too → row-group pruning
+    // pushed AND runtime filters reach the parquet reader too →
+    // row-group pruning (runtime IN values are sound to apply: they
+    // are exactly the join's surviving key set)
     GraftReaderFactory(
-      Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema, filters))
+      Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema,
+        filters ++ runtimeFilters))
   }
 }
 
-final case class GraftInputPartition(bucket: Int, files: Array[(String, Long)])
+/** `files` = byte-range chunks (path, start, length); a whole file is
+  * the single chunk (path, 0, fileLen).
+  */
+final case class GraftInputPartition(bucket: Int, files: Array[(String, Long, Long)])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -417,7 +618,7 @@ final case class GraftReaderFactory(
       // the parquet closure may yield ColumnarBatch disguised as
       // InternalRow (FileScanRDD's contract) — unwrap both shapes
       private val it: Iterator[InternalRow] = p.files.iterator
-        .flatMap { case (f, len) => readFile(Bridge.partitionedFile(f, len)) }
+        .flatMap { case (f, start, len) => readFile(Bridge.partitionedFile(f, start, len)) }
         .asInstanceOf[Iterator[Any]]
         .flatMap {
           case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala

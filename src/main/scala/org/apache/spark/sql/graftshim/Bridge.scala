@@ -81,9 +81,27 @@ object Bridge {
 
   def partitionedFile(path: String, length: Long)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    partitionedFile(path, 0L, length)
+
+  /** Byte-range chunk of a file — the parquet reader serves the row
+    * groups whose MIDPOINT falls in [start, start+length), Spark's
+    * standard split rule, so chunks partition a file's rows exactly
+    * once with no coordination.
+    */
+  def partitionedFile(path: String, start: Long, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(
       InternalRow.empty, org.apache.spark.paths.SparkPath.fromPathString(path),
-      0L, length, Array.empty)
+      start, length, Array.empty)
+
+  /** The session's file-split sizing knobs (`spark.sql.files.
+    * maxPartitionBytes` / `openCostInBytes`) — the same numbers
+    * FileSourceScanExec packs splits with.
+    */
+  def filesMaxPartitionBytes: Long =
+    org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+  def filesOpenCostInBytes: Long =
+    org.apache.spark.sql.internal.SQLConf.get.filesOpenCostInBytes
 
   /** Evaluate Spark's own bucket arithmetic — `pmod(xxhash64(keys), n)`
     * — over a bound InternalRow; the DSv2 bucket function
@@ -124,6 +142,26 @@ object Bridge {
         .translateFilter(p, supportNestedPredicatePushdown = false)
     }
   }
+
+  /** DSv2 [[org.apache.spark.sql.connector.expressions.filter.Predicate]]
+    * → DSv1 [[org.apache.spark.sql.sources.Filter]] — the exact
+    * `PredicateUtils.toV1` conversion Spark applies when feeding v2
+    * runtime filters to v1-shaped pruning. None when the predicate has
+    * no v1 shape (caller treats that as "cannot prune", never wrong).
+    */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
+  /** External (Scala/Java) value → Catalyst internal representation for
+    * `dt` (String → UTF8String, Timestamp → micros, …) — how the DSv2
+    * runtime-filter values (v1 Filter literals) re-enter expression
+    * evaluation. None when the value cannot represent `dt`.
+    */
+  def toCatalystValue(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    scala.util.Try(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)(v)
+    ).toOption
 
   /** DataFrame over an already-analyzed logical plan —
     * `Dataset.ofRows`, the constructor every internal command uses to

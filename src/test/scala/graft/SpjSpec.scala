@@ -237,4 +237,155 @@ class SpjSpec extends AnyFunSuite with Matchers {
       spark.table(s"graft.`$a`").count() shouldBe 101L
     }
   }
+
+  test("scan reports manifest statistics, shrunk by pushed filters") {
+    val root = Files.createTempDirectory("spj_stats").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 5000).toDF("k")
+        .withColumn("x", col("k") * 2).withColumn("s", concat(lit("v"), col("k"))),
+      a, Seq("k"), nbuckets = 4)
+    val v = GraftTable.latestVersion(a)
+    val schema = GraftTable.read(spark, a).schema
+    val full = new graft.sources.v2.GraftScan(a, v, schema, schema, Seq("k"), 4)
+    val st = full.estimateStatistics()
+    st.numRows.getAsLong shouldBe 5000L
+    st.sizeInBytes.isPresent shouldBe true
+    st.sizeInBytes.getAsLong should be > 0L
+    // a pushed filter excluding every file must shrink the estimate to
+    // zero rows through the same may-match pruning the scan itself uses
+    val none = new graft.sources.v2.GraftScan(a, v, schema, schema, Seq("k"), 4,
+      filters = Seq(org.apache.spark.sql.sources.GreaterThan("k", 999999L)))
+    none.estimateStatistics().numRows.getAsLong shouldBe 0L
+    // column pruning prices the projected fraction, not the full row
+    val pruned = new graft.sources.v2.GraftScan(a, v, schema,
+      org.apache.spark.sql.types.StructType(schema.fields.filter(_.name == "k")),
+      Seq("k"), 4)
+    pruned.estimateStatistics().sizeInBytes.getAsLong should be <
+      st.sizeInBytes.getAsLong
+  }
+
+  test("manifest statistics let the STATIC planner broadcast a small graft table") {
+    val root = Files.createTempDirectory("spj_bcast").toString
+    val dim = s"$root/dim"
+    GraftTable.create(
+      spark.range(0, 50).toDF("k").withColumn("name", concat(lit("n"), col("k"))),
+      dim, Seq("k"), nbuckets = 2)
+    withSpjConf {
+      // withSpjConf disables auto-broadcast; restore a real threshold
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      try {
+        val fact = spark.range(0, 10000).toDF("k").withColumn("amt", col("k") % 97)
+        val joined = fact.join(spark.table(s"graft.`$dim`"), "k")
+        // sparkPlan = the STATIC choice, before any AQE runtime rescue:
+        // without reported statistics a DSv2 relation prices at
+        // defaultSizeInBytes and this would be a sort-merge join
+        val staticPlan = joined.queryExecution.sparkPlan.toString
+        withClue(staticPlan) { staticPlan should include("BroadcastHashJoin") }
+        joined.count() shouldBe 50L
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+  }
+
+  test("runtime IN filter prunes buckets wholesale and keeps partition values") {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val root = Files.createTempDirectory("spj_rt").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 4000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 8)
+    val v = GraftTable.latestVersion(a)
+    val schema = GraftTable.read(spark, a).schema
+    val scan = new graft.sources.v2.GraftScan(a, v, schema, schema, Seq("k"), 8)
+    val all = scan.planInputPartitions()
+    all.length shouldBe 8
+    all.forall(_.asInstanceOf[graft.sources.v2.GraftInputPartition].files.nonEmpty) shouldBe true
+    // two probe values → at most two buckets keep files; partition
+    // VALUES all survive (SPJ alignment needs identical value sets)
+    scan.filter(Array(new Predicate("IN",
+      Array[V2Expr](Expressions.column("k"),
+        Expressions.literal(17L), Expressions.literal(23L)))))
+    val pruned = scan.planInputPartitions()
+    pruned.length shouldBe 8
+    val withFiles = pruned.map(_.asInstanceOf[graft.sources.v2.GraftInputPartition])
+      .filter(_.files.nonEmpty)
+    withFiles.length should be <= 2
+    // and the kept buckets are exactly where the write path placed 17/23
+    val stats = scan.estimateStatistics()
+    stats.numRows.getAsLong should be < 4000L
+  }
+
+  test("scan parallelism is file-and-byte-range, not one-task-per-bucket") {
+    val root = Files.createTempDirectory("spj_chunk").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 60000).toDF("k")
+        .withColumn("s", concat(lit("padpadpadpad"), col("k"))),
+      a, Seq("k"), nbuckets = 2)
+    val v = GraftTable.latestVersion(a)
+    val schema = GraftTable.read(spark, a).schema
+    val scan = new graft.sources.v2.GraftScan(a, v, schema, schema, Seq("k"), 2)
+    val natural = scan.planInputPartitions()
+    // force splitting: a tiny maxPartitionBytes must break each bucket
+    // file into many byte-range chunks, every chunk keyed by its bucket
+    val kMax = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(kMax)
+    spark.conf.set(kMax, (64 * 1024).toString)
+    try {
+      val scan2 = new graft.sources.v2.GraftScan(a, v, schema, schema, Seq("k"), 2)
+      val chunked = scan2.planInputPartitions()
+      chunked.length should be > natural.length
+      chunked.length should be > 2
+      val parts = chunked.map(_.asInstanceOf[graft.sources.v2.GraftInputPartition])
+      parts.map(_.bucket).toSet shouldBe Set(0, 1)
+      // chunks must partition the rows EXACTLY once (the row-group
+      // midpoint rule): reading every chunk reproduces the table
+      val factory = scan2.createReaderFactory()
+      var rows = 0L
+      chunked.foreach { p =>
+        val r = factory.createReader(p)
+        while (r.next()) rows += 1
+        r.close()
+      }
+      rows shouldBe 60000L
+    } finally spark.conf.set(kMax, prev)
+    // and through the full stack: a chunk-split scan serves identical
+    // results (SPJ grouping reassembles buckets under the conf)
+    withSpjConf {
+      spark.conf.set(kMax, (64 * 1024).toString)
+      try {
+        spark.table(s"graft.`$a`").count() shouldBe 60000L
+      } finally spark.conf.set(kMax, prev)
+    }
+  }
+
+  test("dynamic partition pruning reaches the fact scan on a fact-dim join") {
+    val root = Files.createTempDirectory("spj_dpp").toString
+    val fact = s"$root/fact"
+    GraftTable.create(
+      spark.range(0, 8000).toDF("k").withColumn("amt", col("k") % 101),
+      fact, Seq("k"), nbuckets = 8)
+    withSpjConf {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      try {
+        val dim = spark.range(0, 8000).toDF("id")
+          .withColumn("grp", col("id") % 1000).where(col("grp") === 7)
+        dim.createOrReplaceTempView("spj_dpp_dim")
+        spark.table(s"graft.`$fact`").createOrReplaceTempView("spj_dpp_fact")
+        val q = spark.sql(
+          """SELECT sum(f.amt) AS s, count(1) AS n
+            |FROM spj_dpp_fact f JOIN spj_dpp_dim d ON f.k = d.id""".stripMargin)
+        val plan = finalPlan(q)
+        // the fact-side BatchScan must carry the dim's runtime key set
+        // (DPP subquery → SupportsRuntimeV2Filtering.filter)
+        withClue(plan) { plan should include("dynamicpruning") }
+        val row = q.collect().head
+        val want = GraftTable.read(spark, fact).filter(col("k") % 1000 === 7)
+          .agg(sum("amt"), count(lit(1))).collect().head
+        row.getLong(0) shouldBe want.getLong(0)
+        row.getLong(1) shouldBe want.getLong(1)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+  }
 }

@@ -184,4 +184,53 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       }.getMessage should include("key column")
     }
   }
+
+  test("SQL CREATE TABLE with a bucket transform, INSERT, DROP TABLE") {
+    withCatalog {
+      val path = Files.createTempDirectory("sqlddl").toString + "/t"
+      spark.sql(
+        s"CREATE TABLE graft.`$path` (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+      GraftTable.keyColumns(path) shouldBe Seq("k")
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (1, 10), (2, 20)")
+      spark.table(s"graft.`$path`").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))
+        ).toSeq shouldBe Seq((1L, 10L), (2L, 20L))
+      spark.sql(s"DROP TABLE graft.`$path`")
+      GraftTable.latestVersion(path) shouldBe -1
+    }
+  }
+
+  test("SQL CTAS lays the query result out bucketed and keyed") {
+    withCatalog {
+      val src = freshTable()
+      val path = Files.createTempDirectory("sqlctas").toString + "/t"
+      spark.sql(
+        s"""CREATE TABLE graft.`$path` PARTITIONED BY (bucket(4, k))
+           |AS SELECT k, v * 100 AS v100 FROM graft.`$src` WHERE k < 50""".stripMargin)
+      GraftTable.keyColumns(path) shouldBe Seq("k")
+      val got = spark.table(s"graft.`$path`").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got shouldBe (0L until 50L).map(k => (k, (k % 10) * 100))
+      // and the CTAS table is a full graft table: DML works against it
+      spark.sql(s"UPDATE graft.`$path` SET v100 = 0 WHERE k = 7")
+      spark.table(s"graft.`$path`").filter(col("k") === 7)
+        .select("v100").head().getLong(0) shouldBe 0L
+    }
+  }
+
+  test("CREATE TABLE without a declared key layout refuses loudly") {
+    withCatalog {
+      val path = Files.createTempDirectory("sqlddl_bad").toString + "/t"
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` (k BIGINT, v BIGINT)")
+      }
+      e.getMessage should include("bucket")
+      GraftTable.latestVersion(path) shouldBe -1
+      // TBLPROPERTIES spelling works as the alternative
+      spark.sql(
+        s"CREATE TABLE graft.`$path` (k BIGINT, v BIGINT) " +
+          "TBLPROPERTIES (keys='k', buckets='2')")
+      GraftTable.keyColumns(path) shouldBe Seq("k")
+      spark.sql(s"DROP TABLE graft.`$path`")
+    }
+  }
 }
