@@ -944,6 +944,37 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_merge_by_source" -> ((s, dir) => {
+      // SQL:2023 `WHEN NOT MATCHED BY SOURCE` — target rows with no
+      // source pair swept in the same statement (the Delta parity
+      // piece): paired rows take the source price, unpaired 'F' rows
+      // are deleted, the remaining unpaired rows are flagged. The
+      // clauses force a full-table rewrite (every bucket may hold
+      // unpaired rows) — the cost class is stated in mergeInto.
+      val tmp = s"${indexPath("sqlbs", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("s_price"))
+        .createOrReplaceTempView("sqlbs_src")
+      withGraftCatalog(s) {
+        s.sql(s"""MERGE INTO graft.`$path` t USING sqlbs_src s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.s_price
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""")
+      }
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_time_travel" -> ((s, dir) => {
       // SQL time travel through the catalog: three commits (create →
       // upsert → delete), then `VERSION AS OF 1` must read the
@@ -3928,6 +3959,27 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM v1 ORDER BY o_orderkey""",
+
+    // by-source merge: left join target→source; paired rows take the
+    // source price, unpaired 'F' rows drop, other unpaired rows flag
+    "lakehouse_sql_merge_by_source" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         src AS (
+           SELECT o_orderkey AS k, o_totalprice * 2 AS s_price
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT b.o_orderkey, b.o_custkey,
+                  CASE WHEN s.k IS NOT NULL THEN s.s_price
+                       ELSE b.o_totalprice END AS o_totalprice,
+                  CASE WHEN s.k IS NOT NULL THEN b.o_orderstatus
+                       ELSE 'X' END AS o_orderstatus
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.k
+           WHERE NOT (s.k IS NULL AND b.o_orderstatus = 'F'))
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM merged ORDER BY o_orderkey""",
 
     // CTAS: replay the defining SELECT over the raw parquet
     "lakehouse_sql_ctas" ->

@@ -63,6 +63,9 @@ object Upsert {
     *   - `matchedDelete`:   WHEN MATCHED AND cond THEN DELETE
     *   - `matchedUpdate`:   WHEN MATCHED AND cond THEN UPDATE SET …
     *   - `notMatchedInsert`: WHEN NOT MATCHED AND cond THEN INSERT
+    *   - `bySourceDelete`/`bySourceUpdate`: WHEN NOT MATCHED BY SOURCE
+    *     AND cond THEN DELETE / UPDATE SET … (SQL:2023; target rows
+    *     with no source pair — conditions/SETs may reference only `t`)
     *
     * Clause precedence is fixed and documented: for a matched key the
     * DELETE condition is evaluated first, then UPDATE; a matched row
@@ -95,7 +98,10 @@ object Upsert {
                        matchedDelete: Option[Column] = None,
                        matchedUpdate: Option[(Column, Map[String, Column])] = None,
                        notMatchedInsert: Option[Column] = Some(lit(true)),
-                       notMatchedInsertSet: Map[String, Column] = Map.empty): DataFrame = {
+                       notMatchedInsertSet: Map[String, Column] = Map.empty,
+                       bySourceDelete: Option[Column] = None,
+                       bySourceUpdate: Option[(Column, Map[String, Column])] = None)
+      : DataFrame = {
     keyCols.foreach { k =>
       require(base.columns.contains(k), s"target missing key column $k")
       require(updates.columns.contains(k), s"source missing key column $k")
@@ -107,12 +113,23 @@ object Upsert {
 
     val matched = coalesce(col("t.__t"), lit(false)) && coalesce(col("s.__s"), lit(false))
     val srcOnly = col("t.__t").isNull && coalesce(col("s.__s"), lit(false))
+    // WHEN NOT MATCHED BY SOURCE (SQL:2023 / Delta): target rows whose
+    // key has NO source pair — the third disjoint row class of the
+    // full-outer join. Same fixed precedence as the matched pair:
+    // DELETE first, then UPDATE (callers encoding SQL clause order
+    // guard conditions upstream, exactly as for matched clauses).
+    // By-source conditions may reference only the `t` side — the `s`
+    // side is all-null on these rows by construction.
+    val tgtOnly = coalesce(col("t.__t"), lit(false)) && col("s.__s").isNull
     def holds(c: Option[Column]) = c.map(x => coalesce(x, lit(false))).getOrElse(lit(false))
     val del = matched && holds(matchedDelete)
     val upd = matched && !holds(matchedDelete) && holds(matchedUpdate.map(_._1))
     val ins = srcOnly && holds(notMatchedInsert)
+    val bsDel = tgtOnly && holds(bySourceDelete)
+    val bsUpd = tgtOnly && !holds(bySourceDelete) && holds(bySourceUpdate.map(_._1))
 
     val set = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val bsSet = bySourceUpdate.map(_._2).getOrElse(Map.empty)
     val srcCols = updates.columns.toSet
     val outCols = base.schema.fields.map { f =>
       val insVal = notMatchedInsertSet.get(f.name).map(_.cast(f.dataType))
@@ -121,11 +138,14 @@ object Upsert {
           else lit(null).cast(f.dataType))
       val updVal = set.get(f.name)
         .map(_.cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      val bsVal = bsSet.get(f.name)
+        .map(_.cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
       when(srcOnly, insVal)
         .when(upd, updVal)
+        .when(bsUpd, bsVal)
         .otherwise(col(s"t.${f.name}"))
         .as(f.name)
     }
-    j.filter(!del && (!srcOnly || ins)).select(outCols.toIndexedSeq: _*)
+    j.filter(!del && !bsDel && (!srcOnly || ins)).select(outCols.toIndexedSeq: _*)
   }
 }

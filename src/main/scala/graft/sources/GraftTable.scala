@@ -1282,7 +1282,9 @@ object GraftTable {
                 matchedDelete: Option[Column] = None,
                 matchedUpdate: Option[(Column, Map[String, Column])] = None,
                 notMatchedInsert: Option[Column] = Some(lit(true)),
-                notMatchedInsertSet: Map[String, Column] = Map.empty): Unit = {
+                notMatchedInsertSet: Map[String, Column] = Map.empty,
+                bySourceDelete: Option[Column] = None,
+                bySourceUpdate: Option[(Column, Map[String, Column])] = None): Unit = {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, defaultBuckets, keyTypes) = meta(path)
@@ -1292,9 +1294,9 @@ object GraftTable {
     // would leave the row in the bucket its OLD key hashed to — point
     // lookups and future upserts would then miss it. Delete + upsert is
     // the supported way to move a row's key.
-    matchedUpdate.foreach { case (_, set) =>
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { case (_, set) =>
       set.keys.foreach(c => require(!keys.contains(c),
-        s"cannot SET key column $c in WHEN MATCHED UPDATE — a key update moves " +
+        s"cannot SET key column $c in a MERGE UPDATE clause — a key update moves " +
           "the row's bucket; delete + upsert instead"))
     }
     notMatchedInsertSet.keys.foreach(c => require(!keys.contains(c),
@@ -1302,12 +1304,27 @@ object GraftTable {
         "row was bucketed by its source key; insert the desired key in the source instead"))
     val source = alignKeyTypes(spark, path, v, keys, keyTypes, source0)
     val current = manifest(path, v)
-    val touched = source.select(bucketCol(keys, nbuckets).as(BUCKET))
+    // WHEN NOT MATCHED BY SOURCE reaches target rows in EVERY bucket
+    // (any row may lack a source pair), so the statement is a
+    // full-table rewrite — the same cost Delta pays for these clauses.
+    // Stated loudly here because the clause changes the cost class:
+    // without by-source clauses a 0.1 % MERGE touches ~0.1 % of the
+    // buckets; with them it rewrites the table.
+    val bySource = bySourceDelete.nonEmpty || bySourceUpdate.nonEmpty
+    val sourceBuckets = source.select(bucketCol(keys, nbuckets).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return // empty source: nothing to merge, no new version
+    // by-source: every manifest bucket PLUS the source's (an insert may
+    // hash into a bucket the manifest doesn't hold yet)
+    val touched =
+      if (bySource) current.keys.toSet ++ sourceBuckets else sourceBuckets
+    // empty source: without by-source clauses nothing can change (no
+    // new version); WITH them, every target row is not-matched-by-
+    // source and the clauses must still run
+    if (touched.isEmpty && !bySource) return
     val base = readBuckets(spark, path, v, touched)
     val merged = Upsert.mergeConditional(base, source, keys,
-      matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet)
+      matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet,
+      bySourceDelete, bySourceUpdate)
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(merged, path, keys, nbuckets, v + 1, carryOver, touched = touched)
   }
@@ -1336,10 +1353,12 @@ object GraftTable {
                      matchedUpdate: Option[(Column, Map[String, Column])] = None,
                      notMatchedInsert: Option[Column] = Some(lit(true)),
                      notMatchedInsertSet: Map[String, Column] = Map.empty,
+                     bySourceDelete: Option[Column] = None,
+                     bySourceUpdate: Option[(Column, Map[String, Column])] = None,
                      maxRetries: Int = 5): Unit =
     occRetry(maxRetries) {
       mergeInto(spark, path, source, matchedDelete, matchedUpdate,
-        notMatchedInsert, notMatchedInsertSet)
+        notMatchedInsert, notMatchedInsertSet, bySourceDelete, bySourceUpdate)
     }
 
   /** Metadata-only row count — Delta's `SELECT COUNT(*)` fast path: the

@@ -113,10 +113,6 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (withSchemaEvolution)
       fail("MERGE WITH SCHEMA EVOLUTION is not supported — evolve additively " +
         "by writing the new column through the GraftTable API first")
-    if (notMatchedBySource.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported — express target-side " +
-        "cleanup as a separate DELETE/UPDATE statement")
-
     val keys = GraftTable.keyColumns(table.path)
     val tgtSet = AttributeSet(tgtAttrs)
     val srcSet = AttributeSet(source.output)
@@ -248,8 +244,58 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"got ${other.size}")
     }
 
+    // NOT MATCHED BY SOURCE (SQL:2023) — target rows with no source
+    // pair. The source side is all-NULL on these rows by construction,
+    // so a condition/SET referencing a source column is refused rather
+    // than silently evaluating to NULL. Same DELETE-before-UPDATE
+    // engine precedence and the same clause-order guard as the matched
+    // pair. Cost class stated where the engine pays it: these clauses
+    // make the MERGE a full-table rewrite (every bucket may hold
+    // unpaired rows) — the same cost Delta pays.
+    var bySourceDelete: Option[Column] = None
+    var bySourceUpdate: Option[(Column, Map[String, Column])] = None
+    def tSided(e: Expression, what: String): Column = {
+      e.foreach {
+        case a: AttributeReference if srcSet.contains(a) =>
+          fail(s"$what references source column '${a.name}' — on NOT MATCHED BY " +
+            "SOURCE rows the source side is all-NULL; reference only target columns")
+        case _ => ()
+      }
+      sided(e, what)
+    }
+    def tHolds(c: Option[Expression], what: String): Column =
+      c.map(tSided(_, what)).getOrElse(lit(true))
+    def bsUpdateSet(assignments: Seq[Assignment]): Map[String, Column] =
+      assignments.map { a =>
+        targetColumnName(a.key, "BY SOURCE UPDATE SET") ->
+          tSided(a.value, "BY SOURCE UPDATE SET value")
+      }.toMap
+    notMatchedBySource match {
+      case Seq() => ()
+      case Seq(DeleteAction(dc)) =>
+        bySourceDelete = Some(tHolds(dc, "BY SOURCE DELETE condition"))
+      case Seq(UpdateAction(uc, as, _)) =>
+        bySourceUpdate = Some((tHolds(uc, "BY SOURCE UPDATE condition"), bsUpdateSet(as)))
+      case Seq(DeleteAction(dc), UpdateAction(uc, as, _)) =>
+        bySourceDelete = Some(tHolds(dc, "BY SOURCE DELETE condition"))
+        bySourceUpdate = Some((tHolds(uc, "BY SOURCE UPDATE condition"), bsUpdateSet(as)))
+      case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) =>
+        // SQL first-clause-wins: DELETE fires only where the UPDATE
+        // condition does NOT hold; unconditional update-first makes the
+        // delete unreachable
+        bySourceUpdate = Some((tHolds(uc, "BY SOURCE UPDATE condition"), bsUpdateSet(as)))
+        uc match {
+          case Some(u) =>
+            bySourceDelete = Some(tHolds(dc, "BY SOURCE DELETE condition") &&
+              not(coalesce(tSided(u, "BY SOURCE UPDATE condition"), lit(false))))
+          case None => () // unreachable delete
+        }
+      case other => fail(s"at most one BY SOURCE UPDATE and one BY SOURCE DELETE " +
+        s"are supported; got ${other.size} clauses")
+    }
+
     GraftMergeCommand(table.path, sourceDf, matchedDelete, matchedUpdate,
-      notMatchedInsert, notMatchedInsertSet)
+      notMatchedInsert, notMatchedInsertSet, bySourceDelete, bySourceUpdate)
   }
 
   /** Matches a (possibly aliased) DSv2 relation over a graft table,
@@ -301,11 +347,14 @@ case class GraftMergeCommand(path: String, source: org.apache.spark.sql.DataFram
                              matchedDelete: Option[Column],
                              matchedUpdate: Option[(Column, Map[String, Column])],
                              notMatchedInsert: Option[Column],
-                             notMatchedInsertSet: Map[String, Column])
+                             notMatchedInsertSet: Map[String, Column],
+                             bySourceDelete: Option[Column] = None,
+                             bySourceUpdate: Option[(Column, Map[String, Column])] = None)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     GraftTable.mergeIntoRetry(sparkSession, path, source,
-      matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet)
+      matchedDelete, matchedUpdate, notMatchedInsert, notMatchedInsertSet,
+      bySourceDelete, bySourceUpdate)
     Seq.empty
   }
 }

@@ -183,6 +183,43 @@ class GraftDmlSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(path) shouldBe 0
   }
 
+  test("mergeInto NOT MATCHED BY SOURCE updates/deletes unpaired target rows") {
+    val path = freshTable("graft_merge_bysrc", n = 100, nbuckets = 4)
+    // source pairs with k < 20 only; by-source clauses sweep the rest:
+    // delete unpaired rows with grp = 9, flag the other unpaired rows
+    val source = spark.range(0, 20).toDF("k").withColumn("nx", col("k") * 100)
+    GraftTable.mergeInto(spark, path, source,
+      matchedUpdate = Some((lit(true), Map("x" -> col("s.nx")))),
+      notMatchedInsert = None,
+      bySourceDelete = Some(col("t.grp") === 9),
+      bySourceUpdate = Some((lit(true), Map("x" -> lit(-1L)))))
+    val t = GraftTable.read(spark, path)
+    t.count() shouldBe 92L // 100 - 8 unpaired grp=9 rows (k=29,39,...,99)
+    // matched rows took the source value
+    t.filter(col("k") === 5L).head().getLong(1) shouldBe 500L
+    // unpaired survivors took the by-source update
+    t.filter(col("k") === 25L).head().getLong(1) shouldBe -1L
+    t.filter(col("k") === 29L).count() shouldBe 0L // grp=9, unpaired → deleted
+    t.filter(col("k") === 9L).head().getLong(1) shouldBe 900L // grp=9 but PAIRED → updated
+  }
+
+  test("mergeInto by-source clauses run even with an EMPTY source") {
+    val path = freshTable("graft_merge_bysrc_empty", n = 50, nbuckets = 4)
+    val source = spark.range(0, 0).toDF("k").withColumn("nx", col("k"))
+    // no source rows: every target row is not-matched-by-source
+    GraftTable.mergeInto(spark, path, source,
+      notMatchedInsert = None,
+      bySourceDelete = Some(col("t.grp") < 5))
+    GraftTable.read(spark, path).count() shouldBe 25L
+    // and the key-SET invariant holds for by-source updates too
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.mergeInto(spark, path, source,
+        notMatchedInsert = None,
+        bySourceUpdate = Some((lit(true), Map("k" -> lit(0L)))))
+    }
+    e.getMessage should include("key column k")
+  }
+
   test("countRows answers from metadata and tracks DML") {
     val path = freshTable("graft_cnt")
     GraftTable.countRows(path) shouldBe Some(1000L)

@@ -170,18 +170,42 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
         spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
           ON t.k > s.id WHEN MATCHED THEN DELETE""")
       }.getMessage should include("MERGE ON")
-      // NOT MATCHED BY SOURCE unsupported
+      // a by-source clause referencing the (all-NULL) source side:
+      // Spark's ANALYZER already scopes by-source conditions to target
+      // columns (UNRESOLVED_COLUMN), so the statement dies before the
+      // rule — the rule's own source-reference fence stays as defense
+      // in depth for the engine API path
       assertNoNewVersion(path) {
         spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
           ON t.k = s.id
-          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-      }.getMessage should include("BY SOURCE")
+          WHEN NOT MATCHED BY SOURCE AND s.id > 0 THEN DELETE""")
+      }.getMessage should include("cannot be resolved")
       // INSERT must assign the key from the ON-paired source column
       assertNoNewVersion(path) {
         spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bad_src s
           ON t.k = s.id
           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.id + 1, 0)""")
       }.getMessage should include("key column")
+    }
+  }
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE sweeps unpaired target rows") {
+    val path = freshTable() // k 0..999, v = k % 10
+    spark.range(0, 100).toDF("id").withColumn("nv", lit(77L))
+      .createOrReplaceTempView("sqldml_bysrc")
+    withCatalog {
+      spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_bysrc s
+        ON t.k = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED BY SOURCE AND t.v = 9 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""")
+      val t = GraftTable.read(spark, path)
+      // unpaired (k >= 100) with v=9: k=109,119,…,999 → 90 deleted
+      t.count() shouldBe 910L
+      t.filter(col("k") === 5).head().getAs[Long]("v") shouldBe 77L   // matched
+      t.filter(col("k") === 205).head().getAs[Long]("v") shouldBe -1L // unpaired survivor
+      t.filter(col("k") === 209).count() shouldBe 0L                  // unpaired v=9
+      t.filter(col("k") === 9).head().getAs[Long]("v") shouldBe 77L   // paired v=9 → updated
     }
   }
 
