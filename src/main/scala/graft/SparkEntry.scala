@@ -2459,6 +2459,18 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_sha256")
         .orderBy("doc_id")),
 
+    "corpus_shuffle_epoch" -> ((s, dir) =>
+      // seeded epoch shuffle: the deterministic pseudo-random
+      // permutation a training loader consumes — (shard, pos) from
+      // md5(seed:id), one uniform hash shuffle + per-shard sort,
+      // never a global sort. Different seed → different permutation;
+      // same seed → bit-identical replay (resumable training).
+      graft.sources.ShardExport.epochShuffle(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        seed = 7L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     "corpus_export_manifest" -> ((s, dir) =>
       // corpus release OUTPUT stage: deterministic md5-bucket shard
       // assignment + per-shard integrity manifest whose checksum is an
@@ -4848,6 +4860,21 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
          FROM documents ORDER BY doc_id""",
+
+    // epoch shuffle: identical (shard, pos) from the same md5
+    // arithmetic — the permutation is a pure function of (seed, id)
+    "corpus_shuffle_epoch" ->
+      """WITH e AS (
+           SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS ek
+           FROM documents),
+         s AS (
+           SELECT doc_id, ek,
+                  CAST(('0x' || substr(ek, 1, 8)) AS BIGINT) % 8 AS shard
+           FROM e)
+         SELECT doc_id, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ek, doc_id)
+                     AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
 
     "corpus_export_manifest" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8

@@ -43,6 +43,38 @@ object ShardExport {
   def contentHash60(textCol: Column): Column =
     conv(substring(md5(textCol.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Seeded EPOCH SHUFFLE — the training-loader contract: a
+    * deterministic pseudo-random permutation of the corpus, different
+    * per seed, WITHOUT a global sort. Each record gets
+    * `(shard, pos)`: shard = md5-bucket of `seed:id` (so reshuffling
+    * an epoch re-deals shard membership too, not just order), pos =
+    * the record's rank inside its shard under the same md5 key.
+    *
+    * Scale shape: ONE hash shuffle on the shard id (uniform by md5
+    * construction — no hot shards) and a per-shard sort; a 100 TB
+    * epoch shuffle never range-partitions or globally sorts anything.
+    * `nShards` sizes per-shard memory: pick corpus / nShards ≈ a few
+    * GB and the sort spills nowhere. Engine-agreed: DuckDB recomputes
+    * the identical (shard, pos) from the same md5 arithmetic, so the
+    * permutation is oracle-checkable end to end.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ek = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))
+      .cast("binary"))
+    val withKey = docs.withColumn("__ek", ek)
+      .withColumn("shard",
+        pmod(conv(substring(col("__ek"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    withKey
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("__ek"), col(idCol)))
+          .cast("long"))
+      .drop("__ek")
+  }
+
   /** The integrity manifest: per-shard doc count, byte mass, and the
     * xor-folded content checksum. One exact aggregation, map-side
     * combinable, no ordered state.

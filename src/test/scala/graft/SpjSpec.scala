@@ -360,6 +360,47 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("partially-clustered SPJ handles skew over the chunked partitions") {
+    val root = Files.createTempDirectory("spj_pc").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    // a: heavy fact (many rows per key), b: lean side
+    GraftTable.create(
+      spark.range(0, 40000).toDF("i")
+        .withColumn("k", col("i") % 50)   // 800 rows per key, few buckets hot
+        .withColumn("x", col("i")),
+      a, Seq("k"), nbuckets = 4)
+    GraftTable.create(
+      spark.range(0, 50).toDF("k").withColumn("y", col("k") * 3),
+      b, Seq("k"), nbuckets = 4)
+    withSpjConf {
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.files.maxPartitionBytes" -> (32 * 1024).toString)
+      val old = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      try {
+        val joined = spark.table(s"graft.`$a`")
+          .join(spark.table(s"graft.`$b`"), "k")
+          .groupBy("y").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val plan = finalPlan(joined)
+        withClue(plan) {
+          plan should include("SortMergeJoin")
+          // the join itself must still not exchange (groupBy's is the one)
+          "Exchange hashpartitioning".r.findAllIn(plan).length should be <= 1
+        }
+        val got = joined.orderBy("y").collect().toSeq
+        val want = GraftTable.read(spark, a).join(GraftTable.read(spark, b), "k")
+          .groupBy("y").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .orderBy("y").collect().toSeq
+        got shouldBe want
+      } finally old.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+    }
+  }
+
   test("dynamic partition pruning reaches the fact scan on a fact-dim join") {
     val root = Files.createTempDirectory("spj_dpp").toString
     val fact = s"$root/fact"
