@@ -1001,6 +1001,33 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_alter" -> ((s, dir) => {
+      // SQL ALTER TABLE ADD COLUMNS: a METADATA-ONLY commit (the new
+      // manifest re-points every data dir and extends #schema; zero
+      // data IO — Delta's ALTER cost). Existing rows read the new
+      // column as NULL; a later upsert fills it. DuckDB replays the
+      // same evolution as a left join.
+      val tmp = s"${indexPath("sqlalter", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      withGraftCatalog(s) {
+        s.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (bonus BIGINT)")
+      }
+      GraftTable.upsert(s, path, o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 100).as("bonus")))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("bonus"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_ctas" -> ((s, dir) => {
       // SQL CREATE TABLE AS SELECT through the DSv2 catalog: the
       // standard v2 CTAS plan (catalog.createTable with the
@@ -3992,6 +4019,26 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM merged ORDER BY o_orderkey""",
+
+    // ALTER ADD COLUMNS + filling upsert: pre-evolution rows read NULL
+    "lakehouse_sql_alter" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  o_orderkey % 100 AS bonus
+           FROM orders WHERE o_orderkey % 7 = 0),
+         final AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, NULL AS bonus
+           FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                CAST(bonus AS BIGINT) AS bonus
+         FROM final ORDER BY o_orderkey""",
 
     // CTAS: replay the defining SELECT over the raw parquet
     "lakehouse_sql_ctas" ->

@@ -806,6 +806,45 @@ object GraftTable {
     writeVersion(df, path, keyCols, nbuckets, v = 0, carryOver = Map.empty)
   }
 
+  /** ALTER TABLE ADD COLUMNS — additive schema evolution as a
+    * METADATA-ONLY commit (Delta's ALTER cost): the new version's
+    * manifest is the head's with an extended `#schema=` line; every
+    * data dir, stats segment, and MOR log line carries over verbatim,
+    * zero data IO. Existing rows read the new columns as NULL (the
+    * same padding the read paths already do for columns an upsert
+    * batch introduced), so columns are forced nullable — a NOT NULL
+    * add would instantly be violated by every existing row and
+    * refuses upstream. Only top-level ADDs exist here: drops/renames/
+    * type changes would silently orphan or reinterpret recorded stats
+    * and bloom filters, so they refuse rather than guess.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 newCols: Seq[types.StructField], maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) {
+      require(newCols.nonEmpty, "ADD COLUMNS: no columns given")
+      val v = latestVersion(path)
+      require(v >= 0, s"no table at $path")
+      val schema = snapshotSchema(path, v).getOrElse(throw new IllegalStateException(
+        s"$path: no recorded snapshot schema (legacy manifest) — " +
+          "commit once through a write to upgrade, then ALTER"))
+      newCols.foreach { f =>
+        require(!schema.fieldNames.contains(f.name),
+          s"ADD COLUMNS: column '${f.name}' already exists")
+      }
+      val dup = newCols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+      require(dup.isEmpty, s"ADD COLUMNS: duplicate column(s) ${dup.mkString(", ")}")
+      val extended = types.StructType(
+        schema.fields ++ newCols.map(_.copy(nullable = true)))
+      val lines = manifestText(path, v).split("\n").map {
+        case l if l.startsWith("#schema=") => "#schema=" + enc(extended.toDDL)
+        case l => l
+      }.mkString("\n")
+      if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer committed v${v + 1} first at $path")
+      MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
+    }
+
   /** Upsert = merge into the touched buckets only; untouched buckets are
     * carried over by manifest reference (no rewrite, no read).
     *

@@ -159,8 +159,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       path, keys, n)
     new GraftV2Table(path)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("use the GraftTable API")
+  /** SQL `ALTER TABLE graft.\`path\` ADD COLUMNS (…)` — additive
+    * schema evolution as a metadata-only commit
+    * ([[GraftTable.addColumns]]). Adds are forced nullable (every
+    * existing row reads NULL); any other change kind — drop, rename,
+    * type change, NOT NULL — refuses loudly rather than reinterpret
+    * recorded data or stats.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"ALTER TABLE ADD COLUMNS supports top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ADD COLUMNS ${a.fieldNames.head} NOT NULL: every existing row would " +
+            "violate it — add the column nullable, backfill, then constrain")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS only, got $other")
+    }
+    GraftTable.addColumns(SparkSession.active, path, adds)
+    new GraftV2Table(path)
+  }
   /** SQL `DROP TABLE` (and CTAS's failure cleanup): removes the table
     * directory — data, manifests, commit log, the lot. False when
     * nothing existed (the v2 IF EXISTS contract).

@@ -241,6 +241,36 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS is a metadata-only commit") {
+    withCatalog {
+      val path = freshTable() // (k, v, s), 1000 rows, v0
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score DOUBLE, tag STRING)")
+      GraftTable.latestVersion(path) shouldBe 1
+      // existing rows read the new columns as NULL, through BOTH paths
+      val t = GraftTable.read(spark, path)
+      t.schema.fieldNames.toSeq shouldBe Seq("k", "v", "s", "score", "tag")
+      t.filter(col("score").isNotNull).count() shouldBe 0L
+      spark.table(s"graft.`$path`").filter(col("tag").isNotNull).count() shouldBe 0L
+      // a later upsert fills them; time travel still serves the old shape
+      GraftTable.upsert(spark, path,
+        Seq((5L, 50L, "r5", 0.5, "hot")).toDF("k", "v", "s", "score", "tag"))
+      spark.table(s"graft.`$path`").filter(col("k") === 5)
+        .head().getAs[Double]("score") shouldBe 0.5
+      spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 0")
+        .schema.fieldNames should not contain "score"
+      // refusals: duplicate add, NOT NULL add, non-add changes
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score DOUBLE)")
+      }.getMessage should include("already exists")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (nn BIGINT NOT NULL)")
+      }.getMessage should include("NOT NULL")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN tag")
+      }.getMessage should include("ADD COLUMNS only")
+    }
+  }
+
   test("CREATE TABLE without a declared key layout refuses loudly") {
     withCatalog {
       val path = Files.createTempDirectory("sqlddl_bad").toString + "/t"
