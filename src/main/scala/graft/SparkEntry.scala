@@ -1079,6 +1079,63 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_agg_pushdown" -> ((s, dir) => {
+      // Aggregate pushdown from table METADATA: an un-filtered
+      // COUNT(*)/COUNT(col)/MIN/MAX over graft.`path` collapses to ONE
+      // driver-local row computed from the manifest's stats segments —
+      // zero data IO, zero tasks (a LocalTableScan; MetaAggSpec pins
+      // the plan and every loud-decline case). At 100 TB this is
+      // `SELECT count(*)` answered in milliseconds from a few metadata
+      // lines. DuckDB recomputes the same aggregates from raw parquet.
+      val tmp = s"${indexPath("aggpd", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+          "o_orderdate"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      val out = withGraftCatalog(s) {
+        s.sql(s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+            CAST(FLOOR(min(o_totalprice) * 100) AS LONG) AS min_price_c,
+            CAST(FLOOR(max(o_totalprice) * 100) AS LONG) AS max_price_c,
+            min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+            CAST(min(o_orderdate) AS STRING) AS min_date,
+            CAST(max(o_orderdate) AS STRING) AS max_date
+          FROM graft.`$path`""").localCheckpoint()
+      }
+      rmTree(tmp)
+      out
+    }),
+
+    "lakehouse_sql_call" -> ((s, dir) => {
+      // the SQL CALL maintenance surface (DSv2 ProcedureCatalog) end-to-
+      // end: a predicate delete undone by CALL restore_to, the layout
+      // evolved by CALL rebucket, history reclaimed by CALL vacuum, the
+      // head rewritten by CALL compact — four verbs, each routed into
+      // the verified GraftTable API (GraftProceduresSpec covers the
+      // rest). The sequence is content-neutral past the restore, so
+      // DuckDB replays just the create selection.
+      val tmp = s"${indexPath("sqlcall", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.deleteWhere(s, path, col("o_orderstatus") === "F")
+      withGraftCatalog(s) {
+        s.sql(s"CALL graft.restore_to('$path', 0)").collect()
+        s.sql(s"CALL graft.rebucket('$path', 16)").collect()
+        s.sql(s"CALL graft.vacuum('$path', 1)").collect()
+        s.sql(s"CALL graft.compact('$path')").collect()
+      }
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderstatus"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -1150,6 +1207,35 @@ object SparkEntry {
         .toDF("col_name", "rows_from", "rows_to", "null_from", "null_to",
           "min_from", "min_to", "max_from", "max_to")
         .orderBy("col_name")
+    }),
+
+    "lakehouse_sql_drift" -> ((s, dir) => {
+      // the same metadata-only drift report as lakehouse_stats_drift,
+      // issued through the SQL CALL surface (ProcedureCatalog):
+      // `CALL graft.stats_drift(path, 0, 2)` returns one row per
+      // profiled column straight from the two versions' stats segments
+      // — the release-gate diff a SQL analyst runs per commit, zero
+      // data IO. Same DuckDB dual-state recompute as the Scala row.
+      val tmp = s"${indexPath("sqldrift", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsert(s, path,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .withColumn("o_orderdate",
+            lit(null).cast(o.schema("o_orderdate").dataType)))
+      GraftTable.deleteWhere(s, path,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+      val out = withGraftCatalog(s) {
+        s.sql(s"CALL graft.stats_drift('$path', 0, 2)")
+          .filter(col("col_name").isin(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"))
+          .localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("col_name")
     }),
 
     "lakehouse_delete_mor" -> ((s, dir) => {
@@ -4056,6 +4142,29 @@ object SparkEntry {
            ON f.o_orderkey = d.probe_key
          ORDER BY f.o_orderkey""",
 
+    // metadata-only aggregates vs the full recompute: DuckDB scans the
+    // data; the Spark side answered from manifest stats alone
+    "lakehouse_agg_pushdown" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                CAST(FLOOR(min(o_totalprice) * 100) AS BIGINT) AS min_price_c,
+                CAST(FLOOR(max(o_totalprice) * 100) AS BIGINT) AS max_price_c,
+                min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+                CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+                CAST(max(o_orderdate) AS VARCHAR) AS max_date
+         FROM base""",
+
+    // CALL restore_to undoes the delete; rebucket/vacuum/compact are
+    // content-neutral — the oracle is the create selection itself
+    "lakehouse_sql_call" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                o_orderstatus
+         FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""",
+
     // metadata-only profile vs the full recompute: replay the DML
     // (create %3 → upsert %5 with shifted custkey → predicate delete)
     // and profile the final state straight from parquet; the Spark side
@@ -4100,6 +4209,64 @@ object SparkEntry {
     // drift = both states profiled from parquet, joined per column;
     // the Spark side answered the same from manifest stats alone
     "lakehouse_stats_drift" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+                  o_totalprice, CAST(NULL AS TIMESTAMP) AS o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL),
+         final AS (
+           SELECT * FROM merged
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)),
+         p0 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_custkey) AS VARCHAR) AS max_s FROM base
+           UNION ALL SELECT 'o_orderdate', count(*),
+                  count(*) FILTER (WHERE o_orderdate IS NULL),
+                  CAST(epoch_ns(min(o_orderdate)) // 1000 AS VARCHAR),
+                  CAST(epoch_ns(max(o_orderdate)) // 1000 AS VARCHAR) FROM base
+           UNION ALL SELECT 'o_orderkey', count(*),
+                  count(*) FILTER (WHERE o_orderkey IS NULL),
+                  CAST(min(o_orderkey) AS VARCHAR),
+                  CAST(max(o_orderkey) AS VARCHAR) FROM base
+           UNION ALL SELECT 'o_orderstatus', count(*),
+                  count(*) FILTER (WHERE o_orderstatus IS NULL),
+                  CAST(min(o_orderstatus) AS VARCHAR),
+                  CAST(max(o_orderstatus) AS VARCHAR) FROM base),
+         p2 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+                  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_custkey) AS VARCHAR) AS max_s FROM final
+           UNION ALL SELECT 'o_orderdate', count(*),
+                  count(*) FILTER (WHERE o_orderdate IS NULL),
+                  CAST(epoch_ns(min(o_orderdate)) // 1000 AS VARCHAR),
+                  CAST(epoch_ns(max(o_orderdate)) // 1000 AS VARCHAR) FROM final
+           UNION ALL SELECT 'o_orderkey', count(*),
+                  count(*) FILTER (WHERE o_orderkey IS NULL),
+                  CAST(min(o_orderkey) AS VARCHAR),
+                  CAST(max(o_orderkey) AS VARCHAR) FROM final
+           UNION ALL SELECT 'o_orderstatus', count(*),
+                  count(*) FILTER (WHERE o_orderstatus IS NULL),
+                  CAST(min(o_orderstatus) AS VARCHAR),
+                  CAST(max(o_orderstatus) AS VARCHAR) FROM final)
+         SELECT p0.col_name,
+                p0.n_rows AS rows_from, p2.n_rows AS rows_to,
+                p0.n_null AS null_from, p2.n_null AS null_to,
+                p0.min_s AS min_from, p2.min_s AS min_to,
+                p0.max_s AS max_from, p2.max_s AS max_to
+         FROM p0 JOIN p2 USING (col_name)
+         ORDER BY col_name""",
+
+    // the CALL surface must return the identical drift report — same
+    // dual-state recompute as lakehouse_stats_drift
+    "lakehouse_sql_drift" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
          ups AS (
            SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,

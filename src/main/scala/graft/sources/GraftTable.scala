@@ -1493,6 +1493,12 @@ object GraftTable {
             val raw = if (isMin) cs.min else cs.max
             raw match {
               case Some(s) if isMin && kind == "str" && s.length >= 120 => Left(())
+              // a rendering `pick` can't order exactly (double NaN/
+              // Infinity cast to string) is UNKNOWN, never a crash
+              case Some(s) if kind == "num" &&
+                scala.util.Try(BigDecimal(s)).isFailure => Left(())
+              case Some(s) if kind == "ts" &&
+                scala.util.Try(s.toLong).isFailure => Left(())
               case Some(s) => Right(Some(s))
               case None if cs.nullCount == st.rows => Right(None)
               case None => Left(())

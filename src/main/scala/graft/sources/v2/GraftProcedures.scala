@@ -1,0 +1,353 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.GraftTable
+
+/** The SQL `CALL` surface — lakehouse MAINTENANCE verbs through the
+  * DSv2 [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+  * (the Iceberg `CALL catalog.system.compact(...)` shape, on Spark
+  * 4.1's native procedure machinery; reference analog: the Hudi/Delta
+  * table-service commands behind demo.ipynb's maintenance cells):
+  *
+  * {{{
+  *   CALL graft.compact(table => '/data/orders')
+  *   CALL graft.compact('/data/orders', 'ts,price', 4)   -- z-order
+  *   CALL graft.vacuum('/data/orders', 3)
+  *   CALL graft.restore_to('/data/orders', 7)
+  *   CALL graft.rebucket('/data/orders', 64)
+  *   CALL graft.add_constraint('/data/orders', 'pos', 'price > 0')
+  *   CALL graft.drop_constraint('/data/orders', 'pos')
+  *   CALL graft.enable_blooms('/data/orders', 'url', 0.01)
+  *   SHOW PROCEDURES IN graft; DESCRIBE PROCEDURE graft.compact
+  * }}}
+  *
+  * Each procedure routes into the already-verified GraftTable API
+  * (OCC, stats, constraints all apply) and returns ONE summary row as
+  * a driver-local scan. Version/file counts in the summaries come from
+  * commit-log and manifest METADATA only — a CALL never scans data
+  * beyond what the routed operation itself does. Unknown procedures
+  * and malformed arguments refuse loudly (never a silent no-op): at
+  * 100 TB a maintenance verb that "succeeded" without running is how
+  * tables rot.
+  */
+object GraftProcedures {
+
+  /** Driver-local result rows (planned as a LocalTableScan). */
+  private final case class ProcResultScan(schema: StructType, out: Array[InternalRow],
+                                          desc: String) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = out
+    override def description(): String = desc
+  }
+
+  /** All graft procedures are self-binding (signatures are static —
+    * nothing depends on the CALL's argument types). Maintenance verbs
+    * return one summary row; the metadata reports (stats_profile /
+    * stats_drift) return one row per column.
+    */
+  private abstract class Proc(procName: String, val parameters: Array[ProcedureParameter],
+                              out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // side-effecting by design
+    protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList[Scan](
+        ProcResultScan(out, run(SparkSession.active, input), s"CALL graft.$procName"))
+        .iterator()
+  }
+
+  private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, sqlDefault: String) =
+    ProcedureParameter.in(name, dt).defaultValue(sqlDefault).build()
+
+  private def str(input: InternalRow, i: Int): String = {
+    require(!input.isNullAt(i), s"argument #${i + 1} must not be NULL")
+    input.getUTF8String(i).toString
+  }
+  private def tablePath(input: InternalRow): String = {
+    val p = str(input, 0)
+    require(GraftTable.latestVersion(p) >= 0, s"no graft table at $p")
+    p
+  }
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  /** Snapshot file count from manifest metadata (-1 = legacy snapshot
+    * without stats coverage — unknown, never a guess).
+    */
+  private def fileCount(path: String, v: Int): Long = {
+    val dirs = GraftTable.manifest(path, v).values.toSet
+    val st = GraftTable.manifestFileStats(path, v).keys
+      .filter { rel => val c = rel.lastIndexOf('/'); c > 0 && dirs(rel.substring(0, c)) }
+    if (dirs.nonEmpty && st.isEmpty) -1L else st.size.toLong
+  }
+
+  private val compact = new Proc("compact",
+    Array(in("table", StringType),
+      inDefault("zorder_by", StringType, "NULL"),
+      inDefault("target_files_per_bucket", IntegerType, "1")),
+    StructType(Seq(
+      StructField("version_before", IntegerType, nullable = false),
+      StructField("version_after", IntegerType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "rewrite the head snapshot compacted (folds MOR logs/DVs away); " +
+        "zorder_by = 'colA,colB' additionally Z-orders each bucket"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val cluster = Option.when(!input.isNullAt(1))(str(input, 1)).map { s =>
+        s.split(",").map(_.trim).filter(_.nonEmpty) match {
+          case Array(a, b) => (a, b)
+          case other => throw new IllegalArgumentException(
+            s"zorder_by takes exactly two columns 'a,b', got '${other.mkString(",")}'")
+        }
+      }
+      val v0 = GraftTable.latestVersion(path)
+      GraftTable.compact(spark, path, cluster, input.getInt(2))
+      val v1 = GraftTable.latestVersion(path)
+      Array(InternalRow(v0, v1, fileCount(path, v0), fileCount(path, v1)))
+    }
+  }
+
+  private val vacuum = new Proc("vacuum",
+    Array(in("table", StringType),
+      inDefault("keep_versions", IntegerType, "1"),
+      inDefault("orphan_grace_hours", DoubleType, "24.0")),
+    StructType(Seq(
+      StructField("head_version", IntegerType, nullable = false),
+      StructField("dirs_before", LongType, nullable = false),
+      StructField("dirs_after", LongType, nullable = false)))) {
+    override def description(): String =
+      "drop snapshots older than the last keep_versions; never-referenced " +
+        "dirs are reclaimed only after orphan_grace_hours of inactivity"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      def dataDirs(): Long = {
+        val root = new org.apache.hadoop.fs.Path(path, "data")
+        if (!GraftTable.MetaIO.exists(root)) 0L
+        else GraftTable.MetaIO.list(root).filter(_.isDirectory).map(d =>
+          GraftTable.MetaIO.list(d.getPath).count(_.isDirectory).toLong).sum
+      }
+      val before = dataDirs()
+      GraftTable.vacuum(path, input.getInt(1),
+        (input.getDouble(2) * 3600 * 1000).toLong)
+      Array(InternalRow(GraftTable.latestVersion(path), before, dataDirs()))
+    }
+  }
+
+  private val restoreTo = new Proc("restore_to",
+    Array(in("table", StringType), in("version", IntegerType)),
+    StructType(Seq(
+      StructField("restored_version", IntegerType, nullable = false),
+      StructField("new_head", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "make a historical version current again as a NEW commit (metadata-only)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val v = input.getInt(1)
+      GraftTable.restoreTo(path, v)
+      Array(InternalRow(v, GraftTable.latestVersion(path)))
+    }
+  }
+
+  private val rebucket = new Proc("rebucket",
+    Array(in("table", StringType), in("buckets", IntegerType)),
+    StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "rewrite the head snapshot under a new bucket count (layout evolution)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      GraftTable.rebucket(spark, path, input.getInt(1))
+      Array(InternalRow(GraftTable.latestVersion(path), input.getInt(1)))
+    }
+  }
+
+  private val addConstraint = new Proc("add_constraint",
+    Array(in("table", StringType), in("name", StringType), in("check_sql", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("check_sql", StringType, nullable = false)))) {
+    override def description(): String =
+      "add a CHECK constraint (existing rows validated first; writes enforce it)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      GraftTable.addConstraint(spark, path, str(input, 1), str(input, 2))
+      Array(InternalRow(utf8(str(input, 1)), utf8(str(input, 2))))
+    }
+  }
+
+  private val dropConstraint = new Proc("drop_constraint",
+    Array(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String = "drop a CHECK constraint by name"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      val existed = GraftTable.constraints(path).contains(name)
+      GraftTable.dropConstraint(path, name)
+      Array(InternalRow(utf8(name), existed))
+    }
+  }
+
+  private val enableBlooms = new Proc("enable_blooms",
+    Array(in("table", StringType), in("columns", StringType),
+      inDefault("fpp", DoubleType, "0.01")),
+    StructType(Seq(
+      StructField("columns", StringType, nullable = false),
+      StructField("fpp", DoubleType, nullable = false)))) {
+    override def description(): String =
+      "record per-file Bloom filters for 'colA,colB' on writes from now on " +
+        "(compact() rewrites existing files with them)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val cols = str(input, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fpp = input.getDouble(2)
+      GraftTable.enableBloomFilters(path, cols, fpp)
+      Array(InternalRow(utf8(cols.mkString(",")), fpp))
+    }
+  }
+
+  /** METADATA-ONLY column profile as a result set — one row per
+    * profiled column, the numbers [[GraftTable.statsProfile]] folds
+    * from the manifest's stats segments (zero data IO at any table
+    * size). Declines LOUDLY when metadata can't answer exactly
+    * (outstanding MOR log, stat-less legacy snapshot) — never a
+    * partial report.
+    */
+  private val statsProfile = new Proc("stats_profile",
+    Array(in("table", StringType), inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_null", LongType, nullable = false),
+      StructField("min_s", StringType),
+      StructField("max_s", StringType)))) {
+    override def description(): String =
+      "metadata-only column profile of a snapshot (rows, nulls, min/max " +
+        "in the stats' serialized rendering); version = -1 reads head"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val (rows, prof) = GraftTable.statsProfile(path, input.getInt(1)).getOrElse(
+        throw new IllegalStateException(
+          s"$path: stats profile is not exactly answerable from metadata " +
+            "(outstanding MOR log or missing stats coverage) — compact first"))
+      prof.toSeq.sortBy(_._1).map { case (c, p) =>
+        InternalRow(utf8(c), rows, p.nullCount,
+          p.min.map(utf8).orNull, p.max.map(utf8).orNull)
+      }.toArray
+    }
+  }
+
+  /** METADATA-ONLY drift report between two snapshots — the per-commit
+    * release-gate diff ([[GraftTable.statsDrift]]) as a result set.
+    * A column missing one side's profile (pre-evolution, past the stat
+    * cap) reports NULL fields for that side rather than a guess.
+    */
+  private val statsDrift = new Proc("stats_drift",
+    Array(in("table", StringType), in("from_version", IntegerType),
+      in("to_version", IntegerType)),
+    StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("rows_from", LongType, nullable = false),
+      StructField("rows_to", LongType, nullable = false),
+      StructField("null_from", LongType),
+      StructField("null_to", LongType),
+      StructField("min_from", StringType),
+      StructField("min_to", StringType),
+      StructField("max_from", StringType),
+      StructField("max_to", StringType)))) {
+    override def description(): String =
+      "metadata-only drift report between two committed snapshots " +
+        "(row/null/bound movement per column, zero data IO)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val (rowsFrom, rowsTo, cols) =
+        GraftTable.statsDrift(path, input.getInt(1), input.getInt(2)).getOrElse(
+          throw new IllegalStateException(
+            s"$path: stats drift is not exactly answerable from metadata " +
+              "(outstanding MOR log or missing stats coverage on a side) — compact first"))
+      cols.toSeq.sortBy(_._1).map { case (c, d) =>
+        InternalRow(utf8(c), rowsFrom, rowsTo,
+          d.from.map(p => p.nullCount: java.lang.Long).orNull,
+          d.to.map(p => p.nullCount: java.lang.Long).orNull,
+          d.from.flatMap(_.min).map(utf8).orNull,
+          d.to.flatMap(_.min).map(utf8).orNull,
+          d.from.flatMap(_.max).map(utf8).orNull,
+          d.to.flatMap(_.max).map(utf8).orNull)
+      }.toArray
+    }
+  }
+
+  /** Commit history (the Delta `DESCRIBE HISTORY` / Iceberg
+    * `snapshots` analog): one row per committed version from the
+    * commit markers — metadata only.
+    */
+  private val history = new Proc("history",
+    Array(in("table", StringType)),
+    StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("commit_millis", LongType, nullable = false),
+      StructField("is_head", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "commit history from the commit markers (version, wall-clock millis)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val log = GraftTable.commitLog(path)
+      val head = log.map(_._1).max
+      log.map { case (v, ts) => InternalRow(v, ts, v == head) }.toArray
+    }
+  }
+
+  /** Per-file layout report (the Iceberg `files` metadata-table
+    * analog) from the manifest's stats segments — zero data IO; rows
+    * and bytes are -1 for files a stat-less legacy dir can only name
+    * by listing (loudly visible, never a guess).
+    */
+  private val files = new Proc("files",
+    Array(in("table", StringType), inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))) {
+    override def description(): String =
+      "per-file (bucket, path, rows, bytes) from manifest metadata; " +
+        "version = -1 reads head"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val v = if (input.getInt(1) >= 0) input.getInt(1)
+              else GraftTable.latestVersion(path)
+      val stats = GraftTable.manifestFileStats(path, v)
+      GraftTable.manifest(path, v).toSeq.sortBy(_._1).flatMap { case (b, dir) =>
+        val covered = stats.collect {
+          case (rel, st) if rel.startsWith(dir + "/") => (rel, st.rows, st.bytes)
+        }.toSeq
+        val rows =
+          if (covered.nonEmpty) covered
+          else GraftTable.MetaIO.list(new org.apache.hadoop.fs.Path(s"$path/$dir"))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (s"$dir/${f.getPath.getName}", -1L, f.getLen))
+        rows.sortBy(_._1).map { case (rel, n, bytes) =>
+          InternalRow(b, utf8(rel), n, bytes)
+        }
+      }.toArray
+    }
+  }
+
+  private[v2] val all: Map[String, UnboundProcedure] = Seq(
+    compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
+    enableBlooms, statsProfile, statsDrift, history, files)
+    .map(p => p.name() -> (p: UnboundProcedure)).toMap
+}

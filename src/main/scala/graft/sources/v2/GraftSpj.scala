@@ -51,7 +51,7 @@ import graft.sources.GraftTable
   * decoded by Spark's own `ParquetFileFormat` reader closure — the
   * exact machinery FileSourceScanExec ships to executors.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
   private var catalogName = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -201,6 +201,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  /** SQL `CALL graft.compact('/path')` etc. — the maintenance verbs
+    * ([[GraftProcedures]]). A one-level `system` namespace is accepted
+    * as an alias (the Iceberg spelling); anything else refuses.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val nsOk = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    if (!nsOk) throw new IllegalArgumentException(
+      s"unknown procedure namespace ${ident.namespace.mkString(".")} " +
+        "(graft procedures live at the catalog root, or under `system`)")
+    GraftProcedures.all.getOrElse(ident.name, throw new IllegalArgumentException(
+      s"unknown procedure graft.${ident.name} " +
+        s"(available: ${GraftProcedures.all.keys.toSeq.sorted.mkString(", ")})"))
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.all.keys.toSeq.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 }
 
 /** The catalog's `bucket(n, keys…)` — bound per key-type signature;
@@ -299,6 +319,23 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(reportedBuckets, keys: _*))
+  /** Surfaced in `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
+    * layout and snapshot facts an operator asks first, from metadata
+    * already in hand (zero extra IO beyond the constraint sidecar).
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("keys", keys.mkString(","))
+    m.put("buckets", nbuckets.toString)
+    m.put("version", snapVersion.toString)
+    pinned.foreach(v => m.put("pinned", v.toString))
+    val cs = GraftTable.constraints(path)
+    if (cs.nonEmpty) m.put("constraints", cs.keys.toSeq.sorted.mkString(","))
+    GraftTable.bloomConfig(path).foreach { case (cols, fpp) =>
+      m.put("bloom.columns", cols.mkString(",")); m.put("bloom.fpp", fpp.toString)
+    }
+    m
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets,
@@ -380,7 +417,7 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
                        keys: Seq[String], nbuckets: Int,
                        reportedBuckets: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -396,9 +433,125 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
-      reportedBuckets)
+
+  // ------------------------------------------------------------------
+  // Aggregate pushdown from table METADATA: an un-filtered, un-grouped
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over a graft table is
+  // EXACTLY the statsProfile read — the manifest's per-file stats lines
+  // already carry (rows, nullCount, min, max) per column — so the whole
+  // query collapses to ONE driver-local row with ZERO data IO and zero
+  // tasks (`SELECT count(*) FROM graft.t` at 100 TB = a few metadata
+  // lines, the Iceberg/Delta "answer from manifests" behavior).
+  //
+  // COMPLETE pushdown only, loud-or-safe: every aggregate must be
+  // exactly answerable or the whole pushdown declines to the ordinary
+  // scan. Declines: any GROUP BY; any pushed filter (Spark already
+  // blocks agg pushdown behind residual filters — belt and braces);
+  // outstanding MOR log / missing stats coverage (statsProfile's rules);
+  // a column outside the stat set (ineligible type or past the 32-col
+  // cap); a bound metadata can't state exactly (possibly-truncated
+  // ≥120-char text min, oversized text max, NaN/Infinity renderings,
+  // NTZ bounds recorded under a non-UTC session); COUNT(DISTINCT …),
+  // SUM/AVG and every other function (not derivable from bounds).
+  // MIN/MAX over an all-null or empty column answer NULL — exact, the
+  // profile's nullCount proves it. Aggregation over a pinned
+  // `VERSION AS OF` snapshot answers from THAT version's metadata.
+  // ------------------------------------------------------------------
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = translateAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    // any statsProfile decline (MOR log, legacy manifest, stat gaps) →
+    // no pushdown; a throw (corrupt metadata) must never fail the query
+    val (rows, prof) = scala.util.Try(GraftTable.statsProfile(path, version))
+      .toOption.flatten.getOrElse(return None)
+    def colName(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def fieldOf(c: String): Option[StructField] = full.fields.find(_.name == c)
+    // serialized bound rendering → the column type's Catalyst value
+    // (the inverse of collectStatLines' cast-to-string); any parse
+    // failure declines the pushdown rather than guessing
+    def decode(s: String, dt: DataType): Option[Any] = scala.util.Try[Option[Any]](dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case FloatType =>
+        val f = s.toFloat; if (f.isNaN || f.isInfinite) None else Some(f)
+      case DoubleType =>
+        val d = s.toDouble; if (d.isNaN || d.isInfinite) None else Some(d)
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType => Some(s.toLong) // epoch micros
+      case _ => None
+    }).toOption.flatten
+    // Some(value) = exactly answerable (null for all-null/empty — the
+    // profile's nullCount proves no non-null value exists); None = not
+    def bound(p: GraftTable.ColumnProfile, dt: DataType, isMin: Boolean): Option[Any] =
+      if (p.nullCount == rows) Some(null)
+      else (if (isMin) p.min else p.max).flatMap(decode(_, dt))
+    val results: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(StructField("count(*)", LongType, nullable = false) -> (rows: Any))
+      case c: Count if !c.isDistinct =>
+        for { n <- colName(c.column()); p <- prof.get(n) }
+          yield StructField(s"count($n)", LongType, nullable = false) ->
+            ((rows - p.nullCount): Any)
+      case m: Min =>
+        for { n <- colName(m.column()); f <- fieldOf(n); p <- prof.get(n)
+              v <- bound(p, f.dataType, isMin = true) }
+          yield StructField(s"min($n)", f.dataType) -> v
+      case m: Max =>
+        for { n <- colName(m.column()); f <- fieldOf(n); p <- prof.get(n)
+              v <- bound(p, f.dataType, isMin = false) }
+          yield StructField(s"max($n)", f.dataType) -> v
+      case _ => None // SUM/AVG/DISTINCT/…: not derivable from bounds
+    }
+    if (results.exists(_.isEmpty)) None
+    else {
+      val rs = results.flatten
+      Some((StructType(rs.map(_._1)), InternalRow.fromSeq(rs.map(_._2))))
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) =>
+      GraftMetaAggScan(schema, row,
+        s"GraftMetaAggScan($path v$version: ${schema.fieldNames.mkString(", ")})")
+    case None =>
+      new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
+        reportedBuckets)
+  }
+}
+
+/** The completely-pushed-aggregate result: one driver-local row, zero
+  * tasks, zero data IO (planned as a LocalTableScan). Values were
+  * derived from the manifest's stats segments alone.
+  */
+final case class GraftMetaAggScan(schema: StructType, row: InternalRow,
+                                  desc: String) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = desc
 }
 
 class GraftScan(path: String, version: Int, dataSchema: StructType,

@@ -1,0 +1,225 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** SQL `CALL` procedures through the DSv2 ProcedureCatalog
+  * (GraftProcedures): every maintenance verb — compact, vacuum,
+  * restore_to, rebucket, constraints, blooms — must route into the
+  * GraftTable API and return an honest summary row; unknown verbs and
+  * bad arguments refuse loudly.
+  */
+class GraftProceduresSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+
+  private def withCatalog[T](body: => T): T = {
+    val k = "spark.sql.catalog.graft"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, classOf[graft.sources.v2.GraftCatalog].getName)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private def mkTable(n: Int = 500, buckets: Int = 4): String = {
+    val root = Files.createTempDirectory("proc").toString + "/t"
+    GraftTable.create(
+      spark.range(0, n).toDF("k").withColumn("x", col("k") * 3),
+      root, Seq("k"), nbuckets = buckets)
+    root
+  }
+
+  test("CALL compact folds an outstanding MOR log; summary counts are honest") {
+    val root = mkTable()
+    GraftTable.upsertMor(spark, root,
+      spark.range(450, 550).toDF("k").withColumn("x", lit(-1L)))
+    GraftTable.deltaEntries(root, GraftTable.latestVersion(root)) should not be empty
+    withCatalog {
+      val r = spark.sql(s"CALL graft.compact('$root')").collect().head
+      val (v0, v1) = (r.getInt(0), r.getInt(1))
+      v1 shouldBe v0 + 1
+      r.getLong(3) should be > 0L // files_after
+      GraftTable.deltaEntries(root, v1) shouldBe empty
+      // the compacted snapshot reads identically through the v2 path
+      spark.table(s"graft.`$root`").count() shouldBe 550L
+      GraftTable.read(spark, root).filter(col("x") === -1L).count() shouldBe 100L
+    }
+  }
+
+  test("CALL with named arguments and the system namespace alias") {
+    val root = mkTable()
+    withCatalog {
+      val r = spark.sql(
+        s"CALL graft.system.compact(table => '$root', zorder_by => 'k,x')")
+        .collect().head
+      r.getInt(1) shouldBe r.getInt(0) + 1
+    }
+  }
+
+  test("CALL vacuum reclaims expired-committed dirs immediately") {
+    val root = mkTable()
+    // three more commits → old versions' dirs become reclaimable
+    (1 to 3).foreach { i =>
+      GraftTable.upsert(spark, root,
+        spark.range(0, 500).toDF("k").withColumn("x", col("k") + i))
+    }
+    withCatalog {
+      val r = spark.sql(s"CALL graft.vacuum('$root', 1)").collect().head
+      r.getInt(0) shouldBe 3 // head version
+      r.getLong(2) should be < r.getLong(1) // dirs reclaimed
+      GraftTable.read(spark, root).filter(col("x") === col("k") + 3)
+        .count() shouldBe 500L
+    }
+  }
+
+  test("CALL restore_to makes the old snapshot current as a NEW commit") {
+    val root = mkTable()
+    GraftTable.deleteWhere(spark, root, col("k") >= 100)
+    GraftTable.read(spark, root).count() shouldBe 100L
+    withCatalog {
+      val r = spark.sql(s"CALL graft.restore_to('$root', 0)").collect().head
+      r.getInt(0) shouldBe 0
+      r.getInt(1) shouldBe 2
+      spark.table(s"graft.`$root`").count() shouldBe 500L
+    }
+  }
+
+  test("CALL rebucket evolves the layout; reads stay exact") {
+    val root = mkTable(buckets = 4)
+    withCatalog {
+      val r = spark.sql(s"CALL graft.rebucket('$root', 8)").collect().head
+      r.getInt(1) shouldBe 8
+      GraftTable.manifestBuckets(root, r.getInt(0)) shouldBe Some(8)
+      GraftTable.read(spark, root).count() shouldBe 500L
+    }
+  }
+
+  test("CALL add_constraint enforces on the next write; drop_constraint releases") {
+    val root = mkTable()
+    withCatalog {
+      spark.sql(s"CALL graft.add_constraint('$root', 'xpos', 'x >= 0')")
+        .collect().head.getString(0) shouldBe "xpos"
+      intercept[Exception] {
+        GraftTable.upsert(spark, root,
+          spark.range(0, 5).toDF("k").withColumn("x", lit(-5L)))
+      }
+      val d = spark.sql(s"CALL graft.drop_constraint('$root', 'xpos')").collect().head
+      d.getBoolean(1) shouldBe true
+      GraftTable.upsert(spark, root,
+        spark.range(0, 5).toDF("k").withColumn("x", lit(-5L)))
+      GraftTable.read(spark, root).filter(col("x") === -5L).count() shouldBe 5L
+    }
+  }
+
+  test("CALL enable_blooms records the config for future writes") {
+    val root = mkTable()
+    withCatalog {
+      val r = spark.sql(s"CALL graft.enable_blooms('$root', 'x', 0.02)").collect().head
+      r.getString(0) shouldBe "x"
+      GraftTable.bloomConfig(root) shouldBe Some((Seq("x"), 0.02))
+    }
+  }
+
+  test("unknown procedures and a violated add_constraint refuse loudly") {
+    val root = mkTable()
+    withCatalog {
+      val ex = intercept[Exception] {
+        spark.sql(s"CALL graft.optimize('$root')").collect()
+      }
+      // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE — the
+      // loud listing is in the cause chain
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      chain should include("unknown procedure")
+      // current data violates the check → refused, nothing recorded
+      intercept[Exception] {
+        spark.sql(s"CALL graft.add_constraint('$root', 'neg', 'x < 0')").collect()
+      }
+      GraftTable.constraints(root) shouldBe empty
+    }
+  }
+
+  test("CALL stats_profile / stats_drift report the metadata-only numbers") {
+    val root = mkTable() // v0: k 0..499, x = 3k
+    GraftTable.upsert(spark, root, // v1: +100 rows, x null there
+      spark.range(500, 600).toDF("k").withColumn("x", lit(null).cast("long")))
+    withCatalog {
+      val prof = spark.sql(s"CALL graft.stats_profile('$root')").collect()
+        .map(r => r.getString(0) -> r).toMap
+      prof.keySet shouldBe Set("k", "x")
+      prof("k").getLong(1) shouldBe 600L // n_rows
+      prof("k").getString(3) shouldBe "0" // min_s
+      prof("k").getString(4) shouldBe "599"
+      prof("x").getLong(2) shouldBe 100L // n_null
+      prof("x").getString(4) shouldBe (499L * 3).toString
+      val drift = spark.sql(s"CALL graft.stats_drift('$root', 0, 1)").collect()
+        .map(r => r.getString(0) -> r).toMap
+      drift("k").getLong(1) shouldBe 500L // rows_from
+      drift("k").getLong(2) shouldBe 600L // rows_to
+      drift("x").getLong(3) shouldBe 0L // null_from
+      drift("x").getLong(4) shouldBe 100L // null_to
+      drift("k").getString(7) shouldBe "499" // max_from
+      drift("k").getString(8) shouldBe "599" // max_to
+    }
+  }
+
+  test("stats_profile refuses loudly while a MOR log is outstanding") {
+    val root = mkTable()
+    GraftTable.upsertMor(spark, root,
+      spark.range(0, 5).toDF("k").withColumn("x", lit(9L)))
+    withCatalog {
+      val ex = intercept[Exception] {
+        spark.sql(s"CALL graft.stats_profile('$root')").collect()
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      chain should include("compact first")
+    }
+  }
+
+  test("CALL history and files report the commit log and layout from metadata") {
+    val root = mkTable(buckets = 4)
+    GraftTable.upsert(spark, root,
+      spark.range(500, 600).toDF("k").withColumn("x", col("k")))
+    withCatalog {
+      val hist = spark.sql(s"CALL graft.history('$root')").collect()
+      hist.map(_.getInt(0)).sorted shouldBe Array(0, 1)
+      hist.filter(_.getBoolean(2)).map(_.getInt(0)) shouldBe Array(1)
+      val fs = spark.sql(s"CALL graft.files('$root')").collect()
+      fs.map(_.getLong(2)).sum shouldBe 600L // total rows across files
+      all(fs.map(_.getLong(3))) should be > 0L // byte lengths recorded
+      fs.map(_.getInt(0)).distinct.sorted shouldBe (0 until 4).toArray
+      // pinned version: the create-time layout only
+      spark.sql(s"CALL graft.files('$root', 0)").collect()
+        .map(_.getLong(2)).sum shouldBe 500L
+    }
+  }
+
+  test("SHOW TBLPROPERTIES surfaces the layout facts") {
+    val root = mkTable(buckets = 4)
+    GraftTable.addConstraint(spark, root, "xpos", "x >= 0")
+    withCatalog {
+      val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      props("keys") shouldBe "k"
+      props("buckets") shouldBe "4"
+      props("version") shouldBe "0"
+      props("constraints") shouldBe "xpos"
+    }
+  }
+
+  test("SHOW PROCEDURES lists the verbs") {
+    withCatalog {
+      val names = spark.sql("SHOW PROCEDURES IN graft")
+        .collect().map(_.toString).mkString("\n")
+      names should include("compact")
+      names should include("restore_to")
+      names should include("vacuum")
+    }
+  }
+}
