@@ -417,7 +417,8 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
                        keys: Seq[String], nbuckets: Int,
                        reportedBuckets: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -433,6 +434,22 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  // ------------------------------------------------------------------
+  // Limit pushdown (PARTIAL): `SELECT … LIMIT n` caps every partition
+  // reader at n rows — each task stops reading parquet after n rows
+  // instead of draining its whole bucket chunk, and Spark's global
+  // CollectLimit still applies on top (isPartiallyPushed). At 100 TB
+  // this is the difference between a "peek at the table" query
+  // touching ~n rows per task and scanning whole row groups for rows
+  // it will throw away. Spark only pushes the limit when every filter
+  // is already pushed-and-removed; ours stay residual, so a WHERE
+  // blocks the pushdown — correct, since a filtered limit must not
+  // stop at n pre-filter rows.
+  // ------------------------------------------------------------------
+  private var limit: Option[Int] = None
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   // ------------------------------------------------------------------
   // Aggregate pushdown from table METADATA: an un-filtered, un-grouped
@@ -539,7 +556,7 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
         s"GraftMetaAggScan($path v$version: ${schema.fieldNames.mkString(", ")})")
     case None =>
       new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
-        reportedBuckets)
+        reportedBuckets, limit)
   }
 }
 
@@ -557,7 +574,8 @@ final case class GraftMetaAggScan(schema: StructType, row: InternalRow,
 class GraftScan(path: String, version: Int, dataSchema: StructType,
                 requiredSchema: StructType, keys: Seq[String], nbuckets: Int,
                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                reportedBuckets0: Int = -1)
+                reportedBuckets0: Int = -1,
+                limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   // -1 (direct construction in tests) = report the physical layout
@@ -570,6 +588,7 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")}" +
       (if (reportedBuckets != nbuckets) s", coalesced to $reportedBuckets" else "") +
       (if (filters.nonEmpty) s", pushed: [${filters.mkString(", ")}]" else "") +
+      limit.map(n => s", limit: $n").getOrElse("") +
       (if (runtimeFilters.nonEmpty) s", runtime: [${runtimeFilters.mkString(", ")}]" else "") + ")"
 
   // ------------------------------------------------------------------
@@ -771,7 +790,7 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     // are exactly the join's surviving key set)
     GraftReaderFactory(
       Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema,
-        filters ++ runtimeFilters))
+        filters ++ runtimeFilters), limit)
   }
 }
 
@@ -784,7 +803,8 @@ final case class GraftInputPartition(bucket: Int, files: Array[(String, Long, Lo
 }
 
 final case class GraftReaderFactory(
-    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow])
+    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -792,13 +812,17 @@ final case class GraftReaderFactory(
     new PartitionReader[InternalRow] {
       // the parquet closure may yield ColumnarBatch disguised as
       // InternalRow (FileScanRDD's contract) — unwrap both shapes
-      private val it: Iterator[InternalRow] = p.files.iterator
+      private val raw: Iterator[InternalRow] = p.files.iterator
         .flatMap { case (f, start, len) => readFile(Bridge.partitionedFile(f, start, len)) }
         .asInstanceOf[Iterator[Any]]
         .flatMap {
           case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala
           case r: InternalRow => Iterator.single(r)
         }
+      // pushed LIMIT n: this task stops pulling from the parquet reader
+      // after n rows (lazy iterators — row groups past the cap are
+      // never decoded); the global limit still applies above
+      private val it: Iterator[InternalRow] = limit.fold(raw)(raw.take)
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false

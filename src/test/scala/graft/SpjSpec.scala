@@ -429,4 +429,27 @@ class SpjSpec extends AnyFunSuite with Matchers {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     }
   }
+
+  test("pushed LIMIT caps partition readers; a WHERE blocks the pushdown") {
+    val root = Files.createTempDirectory("spj_limit").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 5000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 4)
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("\n")
+    withSpjConf {
+      val q = spark.sql(s"SELECT k FROM graft.`$a` LIMIT 7")
+      withClue(scanDesc(q)) { scanDesc(q) should include("limit: 7") }
+      q.collect().length shouldBe 7
+      // residual filters block the pushdown: capping pre-filter rows at
+      // n would under-deliver — the full-count result proves no cap
+      val w = spark.sql(s"SELECT k FROM graft.`$a` WHERE x % 4 = 0 LIMIT 2600")
+      withClue(scanDesc(w)) { scanDesc(w) should not include "limit:" }
+      w.collect().length shouldBe 2500
+    }
+  }
 }
