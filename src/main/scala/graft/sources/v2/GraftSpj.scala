@@ -279,7 +279,8 @@ object BoundBucket {
 class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with SupportsMetadataColumns {
   private[v2] val snapVersion = pinned.getOrElse(GraftTable.latestVersion(path))
   private def refuseTimeTravelWrite(): Unit = pinned.foreach { v =>
     throw new UnsupportedOperationException(
@@ -337,6 +338,18 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     m
   }
 
+  /** Row-level lineage columns (the Iceberg `_file`/`_partition`
+    * shape): `SELECT _bucket, _file, … FROM graft.\`path\`` — which
+    * physical bucket and data file each row came from, at zero reader
+    * cost (per-chunk constants appended to the row). The debugging
+    * query a 100 TB table needs when one file misbehaves.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftV2Table.MetaCol("_bucket", IntegerType,
+      "physical bucket id = pmod(xxhash64(keys), nbuckets)"),
+    GraftV2Table.MetaCol("_file", org.apache.spark.sql.types.StringType,
+      "data file the row was read from, relative to the table root"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, snapVersion, tableSchema, keys, nbuckets,
       reportedBuckets)
@@ -381,6 +394,12 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
 }
 
 object GraftV2Table {
+  private[v2] val MetaColNames = Set("_bucket", "_file")
+  private[v2] final case class MetaCol(name: String, dataType: DataType,
+                                       override val comment: String)
+      extends MetadataColumn {
+    override def isNullable: Boolean = false
+  }
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.{sources => f}
@@ -420,9 +439,18 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
   private var required: StructType = full
+  private var requestedMeta: Seq[org.apache.spark.sql.types.StructField] = Nil
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** Metadata columns (_bucket/_file) arrive here mixed into the
+    * required schema — split them out so the parquet read sees only
+    * real data fields; the reader re-appends them per chunk.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (meta, data) = requiredSchema.fields.partition(f =>
+      GraftV2Table.MetaColNames.contains(f.name) && !full.fieldNames.contains(f.name))
+    required = StructType(data)
+    requestedMeta = meta.toSeq
+  }
   /** Filters are USED (stats-segment file skipping inside each bucket
     * partition + parquet row-group pruning in the reader) but not
     * GUARANTEED — every filter is returned as residual, so Spark
@@ -556,7 +584,7 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
         s"GraftMetaAggScan($path v$version: ${schema.fieldNames.mkString(", ")})")
     case None =>
       new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
-        reportedBuckets, limit)
+        reportedBuckets, limit, requestedMeta)
   }
 }
 
@@ -575,14 +603,16 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
                 requiredSchema: StructType, keys: Seq[String], nbuckets: Int,
                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
                 reportedBuckets0: Int = -1,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                metaFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   // -1 (direct construction in tests) = report the physical layout
   private val reportedBuckets =
     if (reportedBuckets0 > 0) reportedBuckets0 else nbuckets
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    StructType(requiredSchema.fields.toSeq ++ metaFields)
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan($path v$version, ${nbuckets}-bucketed on ${keys.mkString(",")}" +
@@ -790,7 +820,7 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     // are exactly the join's surviving key set)
     GraftReaderFactory(
       Bridge.parquetReaderFactory(spark, dataSchema, requiredSchema,
-        filters ++ runtimeFilters), limit)
+        filters ++ runtimeFilters), limit, metaFields.map(_.name))
   }
 }
 
@@ -804,20 +834,37 @@ final case class GraftInputPartition(bucket: Int, files: Array[(String, Long, Lo
 
 final case class GraftReaderFactory(
     readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    metaCols: Seq[String] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
+      // requested metadata columns (_bucket/_file) are per-CHUNK
+      // constants: one tiny row built per file chunk, joined onto every
+      // data row via a reused JoinedRow — zero per-row allocation
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private def withMeta(f: String)(rows: Iterator[InternalRow]): Iterator[InternalRow] =
+        if (metaCols.isEmpty) rows
+        else {
+          val rel = { val i = f.indexOf("/data/"); if (i >= 0) f.substring(i + 1) else f }
+          val meta = InternalRow.fromSeq(metaCols.map {
+            case "_bucket" => p.bucket
+            case "_file" => org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+          })
+          rows.map(r => joined(r, meta))
+        }
       // the parquet closure may yield ColumnarBatch disguised as
       // InternalRow (FileScanRDD's contract) — unwrap both shapes
       private val raw: Iterator[InternalRow] = p.files.iterator
-        .flatMap { case (f, start, len) => readFile(Bridge.partitionedFile(f, start, len)) }
-        .asInstanceOf[Iterator[Any]]
-        .flatMap {
-          case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala
-          case r: InternalRow => Iterator.single(r)
+        .flatMap { case (f, start, len) =>
+          withMeta(f)(readFile(Bridge.partitionedFile(f, start, len))
+            .asInstanceOf[Iterator[Any]]
+            .flatMap {
+              case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala
+              case r: InternalRow => Iterator.single(r)
+            })
         }
       // pushed LIMIT n: this task stops pulling from the parquet reader
       // after n rows (lazy iterators — row groups past the cap are

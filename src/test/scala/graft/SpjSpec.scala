@@ -452,4 +452,26 @@ class SpjSpec extends AnyFunSuite with Matchers {
       w.collect().length shouldBe 2500
     }
   }
+
+  test("_bucket and _file metadata columns give row-level lineage") {
+    val root = Files.createTempDirectory("spj_meta").toString
+    val a = s"$root/t"
+    GraftTable.create(
+      spark.range(0, 2000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 4)
+    withSpjConf {
+      val df = spark.sql(s"SELECT k, x, _bucket, _file FROM graft.`$a`")
+      df.count() shouldBe 2000
+      // every row's _bucket must equal the WRITE placement hash
+      df.filter(expr("_bucket != pmod(xxhash64(k), 4)")).count() shouldBe 0L
+      // _file groups must agree with the files metadata report exactly
+      val byFile = df.groupBy("_file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val reported = spark.sql(s"CALL graft.files('$a')").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      byFile shouldBe reported
+      // plain reads are untouched: no metadata fields unless asked
+      spark.table(s"graft.`$a`").columns.toSeq shouldBe Seq("k", "x")
+    }
+  }
 }
