@@ -414,6 +414,57 @@ object SparkEntry {
     }
   }
 
+  /** Metadata-aggregate bench fixture: build = the graft table; serve =
+    * the pushed-down COUNT/MIN/MAX — a driver-local metadata fold whose
+    * cost must stay FLAT at any SF (the whole point of answering from
+    * manifests).
+    */
+  private def aggpdFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("aggpdb", dir); rmTree(root)
+    GraftTable.create(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate"),
+      s"$root/t", Seq("o_orderkey"), nbuckets = 8)
+  }
+  private def aggpdServe(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${indexPath("aggpdb", dir)}/t"
+    withGraftCatalog(s) {
+      s.sql(s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          CAST(FLOOR(min(o_totalprice) * 100) AS LONG) AS min_price_c,
+          CAST(FLOOR(max(o_totalprice) * 100) AS LONG) AS max_price_c,
+          min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+          CAST(min(o_orderdate) AS STRING) AS min_date,
+          CAST(max(o_orderdate) AS STRING) AS max_date
+        FROM graft.`$path`""").localCheckpoint()
+    }
+  }
+
+  /** Drift-report bench fixture: build = the three-commit history;
+    * serve = `CALL graft.stats_drift(path, 0, 2)` — metadata-only, so
+    * the serve row must stay near-flat at any SF.
+    */
+  private def sqlDriftFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("sqldriftb", dir); rmTree(root)
+    val path = s"$root/t"
+    val o = Tables.orders(s, dir)
+    GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+      path, Seq("o_orderkey"), nbuckets = 8)
+    GraftTable.upsert(s, path,
+      o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .withColumn("o_orderdate",
+          lit(null).cast(o.schema("o_orderdate").dataType)))
+    GraftTable.deleteWhere(s, path,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+  }
+  private def sqlDriftServe(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${indexPath("sqldriftb", dir)}/t"
+    withGraftCatalog(s) {
+      s.sql(s"CALL graft.stats_drift('$path', 0, 2)").localCheckpoint()
+    }
+  }
+
   /** Extrema-view bench fixture: build = source + MIN/MAX bootstrap;
     * [[ivmxServe]] = one tick of a price-raising trickle over existing
     * keys (retracting old images — extremum holders included, so the
@@ -3215,6 +3266,13 @@ object SparkEntry {
       "lakehouse_spj_join" -> ((
         (s, dir) => spjFixture(s, dir),
         (s, dir) => spjServe(s, dir))),
+      // metadata-only serves: both must stay flat at any SF
+      "lakehouse_agg_pushdown" -> ((
+        (s, dir) => aggpdFixture(s, dir),
+        (s, dir) => aggpdServe(s, dir))),
+      "lakehouse_sql_drift" -> ((
+        (s, dir) => sqlDriftFixture(s, dir),
+        (s, dir) => sqlDriftServe(s, dir))),
       // Join views: build = tables + joined bootstrap; serve = one
       // maintenance tick. The plain row ticks the fact side only (the
       // steady state — dim changes are the rare event); the _dim row
