@@ -72,6 +72,19 @@ object GraftProcedures {
     require(!input.isNullAt(i), s"argument #${i + 1} must not be NULL")
     input.getUTF8String(i).toString
   }
+  /** NULL numeric arguments refuse loudly — InternalRow.getInt/getDouble
+    * would silently read 0 (e.g. a NULL vacuum grace becoming
+    * reclaim-immediately, exactly the corruption window the grace
+    * exists to close).
+    */
+  private def reqInt(input: InternalRow, i: Int): Int = {
+    require(!input.isNullAt(i), s"argument #${i + 1} must not be NULL")
+    input.getInt(i)
+  }
+  private def reqDouble(input: InternalRow, i: Int): Double = {
+    require(!input.isNullAt(i), s"argument #${i + 1} must not be NULL")
+    input.getDouble(i)
+  }
   private def tablePath(input: InternalRow): String = {
     val p = str(input, 0)
     require(GraftTable.latestVersion(p) >= 0, s"no graft table at $p")
@@ -111,7 +124,7 @@ object GraftProcedures {
         }
       }
       val v0 = GraftTable.latestVersion(path)
-      GraftTable.compact(spark, path, cluster, input.getInt(2))
+      GraftTable.compact(spark, path, cluster, reqInt(input, 2))
       val v1 = GraftTable.latestVersion(path)
       Array(InternalRow(v0, v1, fileCount(path, v0), fileCount(path, v1)))
     }
@@ -137,8 +150,8 @@ object GraftProcedures {
           GraftTable.MetaIO.list(d.getPath).count(_.isDirectory).toLong).sum
       }
       val before = dataDirs()
-      GraftTable.vacuum(path, input.getInt(1),
-        (input.getDouble(2) * 3600 * 1000).toLong)
+      GraftTable.vacuum(path, reqInt(input, 1),
+        (reqDouble(input, 2) * 3600 * 1000).toLong)
       Array(InternalRow(GraftTable.latestVersion(path), before, dataDirs()))
     }
   }
@@ -152,7 +165,7 @@ object GraftProcedures {
       "make a historical version current again as a NEW commit (metadata-only)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      val v = input.getInt(1)
+      val v = reqInt(input, 1)
       GraftTable.restoreTo(path, v)
       Array(InternalRow(v, GraftTable.latestVersion(path)))
     }
@@ -167,8 +180,9 @@ object GraftProcedures {
       "rewrite the head snapshot under a new bucket count (layout evolution)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      GraftTable.rebucket(spark, path, input.getInt(1))
-      Array(InternalRow(GraftTable.latestVersion(path), input.getInt(1)))
+      val n = reqInt(input, 1)
+      GraftTable.rebucket(spark, path, n)
+      Array(InternalRow(GraftTable.latestVersion(path), n))
     }
   }
 
@@ -213,7 +227,7 @@ object GraftProcedures {
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val cols = str(input, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val fpp = input.getDouble(2)
+      val fpp = reqDouble(input, 2)
       GraftTable.enableBloomFilters(path, cols, fpp)
       Array(InternalRow(utf8(cols.mkString(",")), fpp))
     }
@@ -239,7 +253,7 @@ object GraftProcedures {
         "in the stats' serialized rendering); version = -1 reads head"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      val (rows, prof) = GraftTable.statsProfile(path, input.getInt(1)).getOrElse(
+      val (rows, prof) = GraftTable.statsProfile(path, reqInt(input, 1)).getOrElse(
         throw new IllegalStateException(
           s"$path: stats profile is not exactly answerable from metadata " +
             "(outstanding MOR log or missing stats coverage) — compact first"))
@@ -274,7 +288,7 @@ object GraftProcedures {
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val (rowsFrom, rowsTo, cols) =
-        GraftTable.statsDrift(path, input.getInt(1), input.getInt(2)).getOrElse(
+        GraftTable.statsDrift(path, reqInt(input, 1), reqInt(input, 2)).getOrElse(
           throw new IllegalStateException(
             s"$path: stats drift is not exactly answerable from metadata " +
               "(outstanding MOR log or missing stats coverage on a side) — compact first"))
@@ -327,7 +341,7 @@ object GraftProcedures {
         "version = -1 reads head"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      val v = if (input.getInt(1) >= 0) input.getInt(1)
+      val v = if (reqInt(input, 1) >= 0) reqInt(input, 1)
               else GraftTable.latestVersion(path)
       val stats = GraftTable.manifestFileStats(path, v)
       GraftTable.manifest(path, v).toSeq.sortBy(_._1).flatMap { case (b, dir) =>

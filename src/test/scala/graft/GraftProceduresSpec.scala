@@ -213,6 +213,19 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("NULL numeric arguments refuse loudly (a NULL grace must not mean zero)") {
+    val root = mkTable()
+    withCatalog {
+      val ex = intercept[Exception] {
+        spark.sql(s"CALL graft.vacuum('$root', 1, CAST(NULL AS DOUBLE))").collect()
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+      chain should include("must not be NULL")
+      GraftTable.latestVersion(root) shouldBe 0 // nothing happened
+    }
+  }
+
   test("SHOW PROCEDURES lists the verbs") {
     withCatalog {
       val names = spark.sql("SHOW PROCEDURES IN graft")
