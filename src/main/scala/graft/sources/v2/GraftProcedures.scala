@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.GraftTable
+import graft.sources.{GraftIndex, GraftTable}
 
 /** The SQL `CALL` surface — lakehouse MAINTENANCE verbs through the
   * DSv2 [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
@@ -360,8 +360,69 @@ object GraftProcedures {
     }
   }
 
+  private def reqBool(input: InternalRow, i: Int): Boolean = {
+    require(!input.isNullAt(i), s"argument #${i + 1} must not be NULL")
+    input.getBoolean(i)
+  }
+
+  /** Vector-index lifecycle through SQL — the missing half of the
+    * serving TVFs (`graft_vector_search` / `graft_knn_join` already
+    * query an index; these verbs BUILD and MAINTAIN it). Routed into
+    * [[graft.sources.GraftIndex]]'s MVCC index: create snapshots the
+    * table's current version, refresh folds the CDC delta since the
+    * indexed version into a new generation.
+    */
+  private val indexCreate = new Proc("index_create",
+    Array(in("table", StringType), in("vec_col", StringType),
+      in("nlist", IntegerType),
+      inDefault("metric", StringType, "'cosine'"),
+      inDefault("name", StringType, "'vec'"),
+      inDefault("kind", StringType, "'ivf'"),
+      inDefault("m", IntegerType, "8"),
+      inDefault("opq", BooleanType, "false")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("indexed_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "build an IVF / IVF-PQ ANN index over a vector column from the " +
+        "table's current snapshot (kind = 'ivf' | 'ivfpq'; opq = learned rotation)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 4)
+      GraftIndex.create(spark, path, vecCol = str(input, 1),
+        nlist = reqInt(input, 2), metric = str(input, 3), name = name,
+        kind = str(input, 5), m = reqInt(input, 6), opq = reqBool(input, 7))
+      Array(InternalRow(utf8(name), utf8(str(input, 5)),
+        GraftTable.latestVersion(path)))
+    }
+  }
+
+  private val indexRefresh = new Proc("index_refresh",
+    Array(in("table", StringType), inDefault("name", StringType, "'vec'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("from_version", IntegerType, nullable = false),
+      StructField("to_version", IntegerType, nullable = false),
+      StructField("refreshed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "fold the table's CDC delta since the indexed version into a new " +
+        "index generation (no-op row with refreshed = false when already current)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      GraftIndex.refresh(spark, path, name) match {
+        case Some((from, to)) => Array(InternalRow(utf8(name), from, to, true))
+        case None =>
+          val head = GraftTable.latestVersion(path)
+          Array(InternalRow(utf8(name), head, head, false))
+      }
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
-    enableBlooms, statsProfile, statsDrift, history, files)
+    enableBlooms, statsProfile, statsDrift, history, files,
+    indexCreate, indexRefresh)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -213,6 +213,33 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL index_create / index_refresh run the vector-index lifecycle") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_idx").toString + "/t"
+    def vecs(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, Array((i + 1).toFloat, (i % 7).toFloat, (i % 3).toFloat)))
+      .toDF("k", "emb")
+    GraftTable.create(vecs(0, 200), root, Seq("k"), nbuckets = 4)
+    withCatalog {
+      val c = spark.sql(s"CALL graft.index_create('$root', 'emb', 4)").collect().head
+      (c.getString(0), c.getString(1), c.getInt(2)) shouldBe (("vec", "ivf", 0))
+      graft.sources.GraftIndex.exists(root) shouldBe true
+      // already current → honest no-op row
+      spark.sql(s"CALL graft.index_refresh('$root')").collect()
+        .head.getBoolean(3) shouldBe false
+      GraftTable.upsert(spark, root, vecs(200, 260))
+      val r = spark.sql(s"CALL graft.index_refresh('$root')").collect().head
+      (r.getInt(1), r.getInt(2), r.getBoolean(3)) shouldBe ((0, 1, true))
+      // the refreshed index serves the NEW rows: query row 221's exact
+      // vector (no other row is proportional) → cosine 1.0 top hit
+      val hits = graft.sources.GraftIndex.probe(spark, root,
+        Seq(222f, 4f, 2f), k = 3, nprobe = 4, rerankFactor = 1000)
+        .collect()
+      hits.length shouldBe 3
+      hits.head.getLong(0) shouldBe 221L
+    }
+  }
+
   test("NULL numeric arguments refuse loudly (a NULL grace must not mean zero)") {
     val root = mkTable()
     withCatalog {
