@@ -504,6 +504,19 @@ object GraftTable {
   private def statsSegPath(path: String, attempt: String) =
     new Path(new Path(path, "manifests"), s"$attempt.stats")
 
+  /** The snapshot's recorded whole-file sort columns (`#sorted=`
+    * manifest header) — present only when EVERY data file of the
+    * snapshot was written internally sorted by them (ascending, nulls
+    * first), i.e. after a full key-sorted rewrite (compact/rebucket).
+    * Partial commits write no header, so the claim lapses
+    * conservatively. None = no claim, never a guess.
+    */
+  def sortedBy(path: String, v: Int): Option[Seq[String]] =
+    manifestText(path, v).split("\n").collectFirst {
+      case l if l.startsWith("#sorted=") =>
+        dec(l.stripPrefix("#sorted=")).split(",").toSeq
+    }
+
   /** relFile → recorded stats for snapshot `v` (empty for legacy
     * manifests). Inline lines (written before the segment format) and
     * per-attempt segments are merged; either alone is complete for the
@@ -1899,13 +1912,18 @@ object GraftTable {
     val snap = read(spark, path, v)
     clusterBy match {
       case None =>
-        writeVersion(snap.repartition(nbuckets, bucketCol(keys, nbuckets)),
-          path, keys, nbuckets, v + 1, carryOver = Map.empty)
+        // plain compaction doubles as the SORTED-layout rewrite: each
+        // bucket's file comes out key-ordered (the in-task sort rides
+        // the ordering pass partitionBy pays anyway) and the manifest
+        // records it — co-bucketed joins of two compacted tables then
+        // skip the SMJ sorts as well as the shuffle
+        writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
+          sortWithin = keys, recordSorted = true)
       case Some((a, b)) =>
         graft.operators.Layout.zcolumn(snap, a, b) match {
           case None => // empty/all-null dimension: plain compaction
-            writeVersion(snap.repartition(nbuckets, bucketCol(keys, nbuckets)),
-              path, keys, nbuckets, v + 1, carryOver = Map.empty)
+            writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
+              sortWithin = keys, recordSorted = true)
           case Some(z) =>
             writeVersion(snap.withColumn("__zc", z), path, keys, nbuckets,
               v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"),
@@ -1934,9 +1952,8 @@ object GraftTable {
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, _, _) = meta(path)
-    val snapshot = read(spark, path, v)
-      .repartition(newBuckets, bucketCol(keys, newBuckets))
-    writeVersion(snapshot, path, keys, newBuckets, v + 1, carryOver = Map.empty)
+    writeVersion(read(spark, path, v), path, keys, newBuckets, v + 1,
+      carryOver = Map.empty, sortWithin = keys, recordSorted = true)
   }
 
   /** The full snapshot at `version`, shaped as a change-feed batch
@@ -2351,7 +2368,8 @@ object GraftTable {
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String],
                            sortWithin: Seq[String] = Nil, rangeSplit: Int = 1,
-                           touched: Set[Int] = Set.empty): Unit = {
+                           touched: Set[Int] = Set.empty,
+                           recordSorted: Boolean = false): Unit = {
     // unique per-attempt dir: racing writers must not share a data path
     val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     // CHECK guard rides the write job itself (no pre-pass): a violating
@@ -2377,8 +2395,12 @@ object GraftTable {
             bucketed.repartitionByRange(nbuckets * rangeSplit,
               (BUCKET +: sortWithin).map(col): _*)
           else bucketed.repartition(nbuckets, col(BUCKET))
+        // only TRANSIENT cluster columns (the "__" convention, e.g.
+        // compact's __zc z-value) are projected away after the sort;
+        // sorting by real table columns (the key-sorted compact layout)
+        // must keep them
         parted.sortWithinPartitions((BUCKET +: sortWithin).map(col): _*)
-          .drop(sortWithin: _*)
+          .drop(sortWithin.filter(_.startsWith("__")): _*)
       }
     prepared.write.mode(SaveMode.Overwrite).partitionBy(BUCKET)
       .parquet(s"$path/$dataRel")
@@ -2488,8 +2510,17 @@ object GraftTable {
       val dvv = relVersion(l.stripPrefix("#dv=").trim)
       carriedLogRels.exists(r => relVersion(r) <= dvv)
     }
+    // #sorted= : every data file of THIS snapshot is internally sorted
+    // by the record key (ascending, nulls first — Spark's default sort)
+    // — only a FULL rewrite (compact/rebucket, carryOver empty) can
+    // claim it; any later partial commit writes a manifest without the
+    // header and the claim conservatively lapses. The DSv2 scan turns
+    // the claim into a reported output ordering (zero-sort SPJ joins).
+    val sortedLine =
+      if (recordSorted && carryOver.isEmpty && sortWithin == keyCols)
+        Seq("#sorted=" + enc(keyCols.mkString(","))) else Nil
     val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
-      keepInline ++ carriedDvs ++ carriedDeltas ++
+      sortedLine ++ keepInline ++ carriedDvs ++ carriedDeltas ++
       (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins

@@ -606,7 +606,8 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
                 limit: Option[Int] = None,
                 metaFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportOrdering {
   // -1 (direct construction in tests) = report the physical layout
   private val reportedBuckets =
     if (reportedBuckets0 > 0) reportedBuckets0 else nbuckets
@@ -722,6 +723,49 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(reportedBuckets, keys: _*)), reportedBuckets)
+
+  // ------------------------------------------------------------------
+  // Reported ordering (SupportsReportOrdering) — ZERO-SORT joins on top
+  // of the zero-shuffle ones: after a key-sorted full rewrite (plain
+  // compact / rebucket record `#sorted=keys` in the manifest), every
+  // partition this scan emits is one whole key-ordered file, so the
+  // scan declares `keys ASC NULLS FIRST` per partition and SortMergeJoin
+  // drops BOTH its sorts (EnsureRequirements sees the ordering already
+  // satisfied). The claim is made ONLY when it provably holds:
+  //   - the manifest records exactly this key list as sorted;
+  //   - no bucket coalescing (merging dir groups concatenates sorted
+  //     runs — not sorted);
+  //   - every bucket holds at most ONE stats-covered file, small enough
+  //     (≤ maxPartitionBytes) that the chunker emits it whole — one
+  //     partition per bucket, rows exactly the file's order (this is
+  //     precisely the post-compact regime; multi-file buckets fall back
+  //     to SMJ's own sorts, correct and merely not free);
+  //   - the key columns survive column pruning (an ordering over pruned
+  //     columns would be unresolvable).
+  // Runtime-pruned (file-less) partitions and pushed limits preserve
+  // the claim: an empty sequence and a prefix of a sorted file are
+  // sorted.
+  // ------------------------------------------------------------------
+  private lazy val provablyOrdered: Boolean =
+    reportedBuckets == nbuckets &&
+      keys.forall(k => requiredSchema.fieldNames.contains(k)) &&
+      GraftTable.sortedBy(path, version).contains(keys) && {
+        val stats = GraftTable.manifestFileStats(path, version)
+        val maxBytes = math.max(1L, Bridge.filesMaxPartitionBytes)
+        GraftTable.manifest(path, version).values.forall { d =>
+          val sizes = stats.collect {
+            case (f, st) if f.startsWith(d + "/") => st.bytes
+          }.toSeq
+          sizes.length <= 1 && sizes.forall(b => b >= 0L && b <= maxBytes)
+        }
+      }
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!provablyOrdered) Array.empty
+    else keys.map(k => Expressions.sort(
+      Expressions.column(k),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)).toArray
 
   override def planInputPartitions(): Array[InputPartition] = {
     // MOR log entries change row visibility beyond the bucket files —

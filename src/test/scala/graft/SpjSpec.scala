@@ -453,6 +453,53 @@ class SpjSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ZERO-SORT SPJ: compacted key-sorted tables join with no exchange and no sort") {
+    val root = Files.createTempDirectory("spj_sorted").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    GraftTable.create(
+      spark.range(0, 3000).toDF("k").withColumn("x", col("k") * 2),
+      a, Seq("k"), nbuckets = 4)
+    GraftTable.create(
+      spark.range(1000, 4000).toDF("k").withColumn("y", col("k") % 7),
+      b, Seq("k"), nbuckets = 4)
+    // the key-sorted full rewrite records #sorted=k in both manifests
+    GraftTable.compact(spark, a)
+    GraftTable.compact(spark, b)
+    GraftTable.sortedBy(a, 1) shouldBe Some(Seq("k"))
+    GraftTable.sortedBy(b, 1) shouldBe Some(Seq("k"))
+    withSpjConf {
+      val joined = spark.table(s"graft.`$a`")
+        .join(spark.table(s"graft.`$b`"), "k")
+        .select(col("k"), col("x"), col("y"))
+      val plan = finalPlan(joined)
+      withClue(plan) {
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange hashpartitioning"
+        // the scan-reported ordering must satisfy SMJ's requirement:
+        // zero Sort nodes anywhere in the plan
+        "Sort \\[".r.findAllIn(plan).length shouldBe 0
+      }
+      val got = joined.orderBy("k").collect().toSeq
+      val want = GraftTable.read(spark, a).join(GraftTable.read(spark, b), "k")
+        .select(col("k"), col("x"), col("y")).orderBy("k").collect().toSeq
+      got shouldBe want
+    }
+    // an upsert lapses the claim — the next join sorts again, correctly
+    GraftTable.upsert(spark, a,
+      spark.range(1000, 1010).toDF("k").withColumn("x", lit(-1L)))
+    GraftTable.sortedBy(a, 2) shouldBe None
+    withSpjConf {
+      val joined2 = spark.table(s"graft.`$a`")
+        .join(spark.table(s"graft.`$b`"), "k")
+        .select(col("k"), col("x"), col("y"))
+      val plan2 = finalPlan(joined2)
+      withClue(plan2) {
+        "Sort \\[".r.findAllIn(plan2).length should be >= 1
+      }
+      joined2.filter(col("x") === -1L).count() shouldBe 10 // the upserted keys
+    }
+  }
+
   test("_bucket and _file metadata columns give row-level lineage") {
     val root = Files.createTempDirectory("spj_meta").toString
     val a = s"$root/t"
