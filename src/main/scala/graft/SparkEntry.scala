@@ -414,6 +414,35 @@ object SparkEntry {
     }
   }
 
+  /** ZERO-SORT SPJ bench fixture: build additionally COMPACTS both
+    * tables (the key-sorted rewrite that records `#sorted=`), so the
+    * serve row prices the sortless streaming merge — the steady-state
+    * post-maintenance join cost, directly comparable to the plain
+    * `lakehouse_spj_join_serve` row which still pays SMJ's two sorts.
+    */
+  private def spjSortedFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("spjsb", dir); rmTree(root)
+    val o = Tables.orders(s, dir)
+    GraftTable.create(o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      s"$root/a", Seq("o_orderkey"), nbuckets = 8)
+    GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_orderstatus"),
+      s"$root/b", Seq("o_orderkey"), nbuckets = 8)
+    GraftTable.compact(s, s"$root/a")
+    GraftTable.compact(s, s"$root/b")
+  }
+  private def spjSortedServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("spjsb", dir)
+    withGraftCatalog(s, bucketing = true) {
+      s.table(s"graft.`$root/a`").join(s.table(s"graft.`$root/b`"), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderstatus"))
+        .localCheckpoint()
+    }
+  }
+
   /** Metadata-aggregate bench fixture: build = the graft table; serve =
     * the pushed-down COUNT/MIN/MAX — a driver-local metadata fold whose
     * cost must stay FLAT at any SF (the whole point of answering from
@@ -892,6 +921,33 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice"), a, Seq("o_orderkey"), nbuckets = 8)
       GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_orderstatus"), b, Seq("o_orderkey"), nbuckets = 8)
+      val out = withGraftCatalog(s, bucketing = true) {
+        s.table(s"graft.`$a`").join(s.table(s"graft.`$b`"), "o_orderkey")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+            col("o_orderstatus"))
+          .localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_spj_sorted_join" -> ((s, dir) => {
+      // ZERO-SORT storage-partitioned join: both tables COMPACTED first
+      // (the key-sorted full rewrite records #sorted=o_orderkey), so
+      // the scan reports its ordering and SortMergeJoin drops the sorts
+      // as well as the shuffle — a pure streaming merge of pre-sorted
+      // files (SpjSpec pins the plan; this row pins the RESULT against
+      // DuckDB's replay).
+      val tmp = s"${indexPath("spjsort", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val a = s"$tmp/a"; val b = s"$tmp/b"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), a, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_orderstatus"), b, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.compact(s, a)
+      GraftTable.compact(s, b)
       val out = withGraftCatalog(s, bucketing = true) {
         s.table(s"graft.`$a`").join(s.table(s"graft.`$b`"), "o_orderkey")
           .select(col("o_orderkey"), col("o_custkey"),
@@ -3266,6 +3322,11 @@ object SparkEntry {
       "lakehouse_spj_join" -> ((
         (s, dir) => spjFixture(s, dir),
         (s, dir) => spjServe(s, dir))),
+      // Zero-sort twin: build pays the extra key-sorted compaction;
+      // serve is the sortless merge (compare directly with the row above)
+      "lakehouse_spj_sorted_join" -> ((
+        (s, dir) => spjSortedFixture(s, dir),
+        (s, dir) => spjSortedServe(s, dir))),
       // metadata-only serves: both must stay flat at any SF
       "lakehouse_agg_pushdown" -> ((
         (s, dir) => aggpdFixture(s, dir),
@@ -4057,6 +4118,17 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     "lakehouse_spj_join" ->
+      """WITH a AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT a.o_orderkey, a.o_custkey,
+                CAST(FLOOR(a.o_totalprice * 100) AS BIGINT) AS price_c,
+                b.o_orderstatus
+         FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+         ORDER BY a.o_orderkey""",
+
+    "lakehouse_spj_sorted_join" ->
       """WITH a AS (
            SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
          b AS (
