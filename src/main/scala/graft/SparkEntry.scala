@@ -1108,6 +1108,36 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_tag" -> ((s, dir) => {
+      // TAGS end-to-end through SQL: CALL tag_create pins the freshly
+      // created snapshot under a name, two further mutations move the
+      // head, CALL vacuum(keep_versions=1) reclaims every UNTAGGED old
+      // version — and `VERSION AS OF 'release'` must still serve the
+      // pinned snapshot exactly (the Iceberg keep-tagged-snapshots
+      // retention rule). DuckDB replays just the defining selection.
+      val tmp = s"${indexPath("sqltag", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      val out = withGraftCatalog(s) {
+        s.sql(s"CALL graft.tag_create('$path', 'release')").collect()
+        GraftTable.upsert(s, path, o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+            col("o_totalprice"), lit("S").as("o_orderstatus")))
+        GraftTable.deleteWhere(s, path, col("o_orderstatus") === "F")
+        // grace 0: this table is private to the query, nothing in-flight
+        s.sql(s"CALL graft.vacuum('$path', 1, 0.0)").collect()
+        s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(FLOOR(o_totalprice * 100) AS LONG) AS price_c " +
+          s"FROM graft.`$path` VERSION AS OF 'release'")
+          .localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_alter" -> ((s, dir) => {
       // SQL ALTER TABLE ADD COLUMNS: a METADATA-ONLY commit (the new
       // manifest re-points every data dir and extends #schema; zero
@@ -4214,6 +4244,14 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM v1 ORDER BY o_orderkey""",
+
+    // the tag pins the CREATE snapshot; later mutations and the vacuum
+    // never touch it, so the oracle is just the defining selection
+    "lakehouse_sql_tag" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
 
     // by-source merge: left join target→source; paired rows take the
     // source price, unpaired 'F' rows drop, other unpaired rows flag

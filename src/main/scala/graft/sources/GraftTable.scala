@@ -2239,6 +2239,84 @@ object GraftTable {
     }
   }
 
+  // ---- tags: named immutable version refs (Iceberg tags / Hudi ----
+  // ---- savepoints / Delta "pin this snapshot" retention)       ----
+  //
+  // A tag is a tiny `refs/<name>` file holding a committed version
+  // number. Two contracts give tags their value at 100 TB:
+  //   1. RESOLUTION — `VERSION AS OF 'name'` (and the Scala API) reads
+  //      the tagged snapshot by name, so release pins travel through
+  //      SQL without anyone memorizing version integers.
+  //   2. RETENTION — [[vacuum]] keeps every tagged version's manifest
+  //      and files regardless of `keepVersions` (the Iceberg
+  //      keep-tagged-snapshots rule): tagging IS the statement "this
+  //      snapshot outlives the retention window". Dropping the tag
+  //      releases the files to the next vacuum.
+  // Tags are immutable: re-pointing is an explicit delete + create,
+  // never a silent overwrite (a moved release pin is how audits rot).
+
+  private def refPath(path: String, name: String) = new Path(new Path(path, "refs"), name)
+
+  /** Tag name contract: filesystem-safe, and NOT all digits — an
+    * all-digit name would be indistinguishable from an integer version
+    * in `VERSION AS OF`, which parses numerics first.
+    */
+  private def requireRefName(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"tag name '$name' must match [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — ambiguous with an integer version in VERSION AS OF")
+  }
+
+  /** Create tag `name` → `version` (default: the current head). The
+    * version must still be READABLE (committed AND its manifest not yet
+    * vacuumed) — a tag that can't serve its snapshot is a lie.
+    */
+  def tagCreate(path: String, name: String, version: Int = -1): Int = {
+    requireRefName(name)
+    val head = latestVersion(path)
+    require(head >= 0, s"no table at $path")
+    val v = if (version < 0) head else version
+    require(commitVersions(path).contains(v),
+      s"$path has no committed version $v (committed: ${commitVersions(path).mkString(", ")})")
+    require(MetaIO.exists(manifestPath(path, v)),
+      s"version $v of $path was vacuumed — its snapshot is no longer readable")
+    if (!MetaIO.putIfAbsent(refPath(path, name), v.toString))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists at $path (→ v${resolveTag(path, name).getOrElse(-1)}); " +
+          "tags are immutable — tagDelete then tagCreate to re-point")
+    v
+  }
+
+  /** Drop tag `name`; false when it didn't exist (the IF EXISTS
+    * contract — callers that must be loud check the return).
+    */
+  def tagDelete(path: String, name: String): Boolean = {
+    val p = refPath(path, name)
+    val existed = MetaIO.exists(p)
+    if (existed) MetaIO.delete(p)
+    existed
+  }
+
+  /** All tags as (name, version), name-sorted. */
+  def tags(path: String): Seq[(String, Int)] =
+    MetaIO.list(new Path(path, "refs")).filter(_.isFile)
+      .map(f => f.getPath.getName -> MetaIO.readString(f.getPath).trim.toInt)
+      .sortBy(_._1)
+
+  def resolveTag(path: String, name: String): Option[Int] = {
+    val p = refPath(path, name)
+    if (MetaIO.exists(p)) Some(MetaIO.readString(p).trim.toInt) else None
+  }
+
+  /** Whether version `v`'s snapshot is still servable: committed AND
+    * its manifest not vacuumed. (tagCreate guarantees this at create
+    * time and tag-aware vacuum preserves it; false can only describe a
+    * tag written by a pre-tag-aware engine build.)
+    */
+  def isVersionReadable(path: String, v: Int): Boolean =
+    commitVersions(path).contains(v) && MetaIO.exists(manifestPath(path, v))
+
   /** Roll the table back to `version`: commit a NEW head whose manifest
     * is a copy of the old one (Hudi's savepoint/restore, Delta's
     * RESTORE). Nothing is rewritten — the new manifest points at the
@@ -2274,6 +2352,9 @@ object GraftTable {
 
   /** Drop snapshots older than the last `keepVersions`: delete data
     * dirs no surviving manifest references, plus their manifests.
+    * TAGGED versions (see [[tagCreate]]) are always retained — the
+    * Iceberg keep-tagged-snapshots rule — so a release pin below the
+    * window keeps exactly its own manifest and files alive.
     * Time travel past the horizon is gone (standard lakehouse vacuum
     * semantics); the commit markers keep their full history for audit.
     * Long-lived tables need this — bucket-level COW leaks one dir per
@@ -2295,7 +2376,11 @@ object GraftTable {
     require(keepVersions >= 1, "must keep at least the current version")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
-    val keep = (math.max(0, v - keepVersions + 1) to v).toSeq
+    // tagged versions are RETAINED regardless of the keep window (the
+    // Iceberg keep-tagged-snapshots rule) — a tag is the durable claim
+    // "this snapshot must stay readable"; drop the tag to release it
+    val tagged = tags(path).map(_._2).filter(t => MetaIO.exists(manifestPath(path, t)))
+    val keep = ((math.max(0, v - keepVersions + 1) to v) ++ tagged).distinct.sorted
     val referenced = keep.flatMap(manifest(path, _).values).toSet
     // every dir ANY surviving manifest file references (incl. those
     // past the horizon): membership distinguishes expired-committed
@@ -2342,7 +2427,10 @@ object GraftTable {
           MetaIO.delete(d.getPath)
       }
     }
-    (0 until keep.head).foreach(old => MetaIO.delete(manifestPath(path, old)))
+    // drop every non-kept manifest below head (the keep set is no
+    // longer contiguous once tags pin versions below the window)
+    val keepSet = keep.toSet
+    (0 until v).filterNot(keepSet).foreach(old => MetaIO.delete(manifestPath(path, old)))
     // stat segments die with their attempt dirs: once vacuum has
     // reclaimed data/<attempt> entirely, no surviving manifest can
     // resolve files under it, so its segment is unreachable by name

@@ -420,9 +420,64 @@ object GraftProcedures {
     }
   }
 
+  /** Tags — named immutable version refs with vacuum retention (see
+    * [[GraftTable.tagCreate]]): `CALL graft.tag_create(t, 'release')`
+    * pins the head; `SELECT … VERSION AS OF 'release'` reads it by
+    * name; vacuum keeps it alive until `CALL graft.tag_delete`.
+    */
+  private val tagCreate = new Proc("tag_create",
+    Array(in("table", StringType), in("name", StringType),
+      inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "pin a committed version under an immutable name (version = -1 " +
+        "pins the head); tagged versions survive vacuum and read via " +
+        "VERSION AS OF '<name>'"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      val v = GraftTable.tagCreate(path, name, reqInt(input, 2))
+      Array(InternalRow(utf8(name), v))
+    }
+  }
+
+  private val tagDelete = new Proc("tag_delete",
+    Array(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "drop a tag (existed = false when absent — the IF EXISTS " +
+        "contract); the pinned version joins the normal vacuum window"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftTable.tagDelete(path, name)))
+    }
+  }
+
+  private val tagsReport = new Proc("tags",
+    Array(in("table", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("readable", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "all tags as (name, version, readable); readable = false flags a " +
+        "legacy tag whose snapshot predates tag-aware vacuum"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      GraftTable.tags(path).map { case (name, v) =>
+        InternalRow(utf8(name), v, GraftTable.isVersionReadable(path, v))
+      }.toArray
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files,
-    indexCreate, indexRefresh)
+    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

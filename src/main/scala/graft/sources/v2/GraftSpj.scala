@@ -76,12 +76,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"graft VERSION AS OF takes an integer commit version, got '$version'"))
-    val committed = GraftTable.commitLog(path).map(_._1)
-    if (!committed.contains(v))
-      throw new IllegalArgumentException(
-        s"$path has no committed version $v (committed: ${committed.mkString(", ")})")
+    // integers pin a commit version; anything else resolves as a TAG
+    // name (refs/<name> — tag names are never all-digit, so the two
+    // namespaces cannot collide)
+    val v = version.toIntOption match {
+      case Some(n) =>
+        val committed = GraftTable.commitLog(path).map(_._1)
+        if (!committed.contains(n))
+          throw new IllegalArgumentException(
+            s"$path has no committed version $n (committed: ${committed.mkString(", ")})")
+        n
+      case None =>
+        GraftTable.resolveTag(path, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path has no tag '$version' (tags: " +
+              s"${GraftTable.tags(path).map { case (t, tv) => s"$t→v$tv" }.mkString(", ")})"))
+    }
     new GraftV2Table(path, pinned = Some(v))
   }
 
