@@ -1138,6 +1138,41 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_clone" -> ((s, dir) => {
+      // DEEP CLONE end-to-end: create (v0) → MOR delta upsert (v1,
+      // outstanding log) → CALL graft.clone — a distributed
+      // byte-for-byte copy whose v0 carries the manifest, stats
+      // segments, and the UNFOLDED delta log verbatim. The source then
+      // mutates and vacuums; the clone must still serve the cloned
+      // snapshot exactly (no shared files). DuckDB replays create +
+      // delta merge.
+      val tmp = s"${indexPath("clone", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val dst = s"$tmp/c"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        src, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsertMor(s, src, o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+          col("o_totalprice"), lit("S").as("o_orderstatus")))
+      withGraftCatalog(s) {
+        s.sql(s"CALL graft.clone('$src', '$dst')").collect()
+      }
+      // the source moves on and reclaims its history — the clone is
+      // unaffected by design (independence is the point of DEEP)
+      GraftTable.deleteWhere(s, src, col("o_orderkey") % 2 === 0)
+      GraftTable.vacuum(src, keepVersions = 1, orphanGraceMs = 0L)
+      // the clone still carries the UNFOLDED delta log, so it reads
+      // through the MOR-merging path (the v2 bucket scan refuses logs
+      // loudly — that refusal is its own pinned contract in SpjSpec)
+      val out = GraftTable.read(s, dst)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_alter" -> ((s, dir) => {
       // SQL ALTER TABLE ADD COLUMNS: a METADATA-ONLY commit (the new
       // manifest re-points every data dir and extends #schema; zero
@@ -4229,6 +4264,26 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     "lakehouse_sql_time_travel" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+                  o_totalprice, 'S' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 5 = 0),
+         v1 AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM v1 ORDER BY o_orderkey""",
+
+    // the clone pins create+delta; the source's later delete/vacuum
+    // must not leak into it (same replay as lakehouse_sql_time_travel's
+    // v1 state)
+    "lakehouse_clone" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
            FROM orders WHERE o_orderkey % 3 = 0),

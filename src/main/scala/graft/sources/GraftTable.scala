@@ -2350,6 +2350,85 @@ object GraftTable {
     MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
   }
 
+  /** DEEP CLONE: materialize version `version` (default head) of `src`
+    * as a NEW independent table at `dst` (Delta's DEEP CLONE, Iceberg's
+    * snapshot-export shape). The physical layout carries over
+    * byte-for-byte — data files, MOR log files (DVs + deltas), stats
+    * segments, the `#sorted=` claim, constraints, and bloom config are
+    * COPIED verbatim and the clone's v0 manifest IS the source
+    * snapshot's text — so the clone spends ZERO compute re-bucketing,
+    * re-sorting, or re-encoding, and every metadata-derived behavior
+    * (stats skipping, SPJ planning, zero-sort joins, metadata
+    * aggregates) holds on the clone immediately. The copy itself runs
+    * as a DISTRIBUTED job, one task per file group (at 100 TB a
+    * driver-streamed copy is the bug — the cluster moves the bytes,
+    * the driver moves only metadata). The clone starts a fresh history
+    * (its v0 = the cloned snapshot): no file is shared with `src`, so
+    * source vacuum/commits can never corrupt it — the cross-table GC
+    * hazard a shallow clone carries is structurally absent.
+    *
+    * Returns (files copied, bytes copied).
+    */
+  def cloneTo(spark: SparkSession, src: String, dst: String,
+              version: Int = -1): (Long, Long) = {
+    val head = latestVersion(src)
+    require(head >= 0, s"no table at $src")
+    val v = if (version < 0) head else version
+    require(isVersionReadable(src, v),
+      s"$src has no readable version $v (committed: ${commitVersions(src).mkString(", ")})")
+    require(latestVersion(dst) < 0, s"a graft table already exists at $dst")
+    require(new Path(src).toUri != new Path(dst).toUri, "clone onto itself")
+    val text = manifestText(src, v)
+    // everything the snapshot references, as table-relative paths:
+    // data dirs + MOR log dirs, plus the stats segments derived from
+    // the dir names (the same derivation rule readers use)
+    val dirRels = manifest(src, v).values.toSeq.distinct
+    val logRels = (dvEntries(src, v) ++ deltaEntries(src, v)).map(_._1).distinct
+    val segRels = dirRels.map(d => d.split("/")(1)).distinct
+      .map(att => s"manifests/$att.stats")
+      .filter(rel => MetaIO.exists(new Path(src, rel)))
+    // enumerate files ON THE DRIVER (O(files) metadata, one-time);
+    // move bytes ON THE CLUSTER
+    val files: Seq[(String, Long)] = (dirRels ++ logRels).flatMap { rel =>
+      MetaIO.list(new Path(src, rel)).filter(_.isFile)
+        .map(f => (s"$rel/${f.getPath.getName}", f.getLen))
+    } ++ segRels.flatMap { rel =>
+      MetaIO.list(new Path(src, rel).getParent)
+        .find(_.getPath.getName == rel.stripPrefix("manifests/"))
+        .map(st => (rel, st.getLen))
+    }
+    val sc = spark.sparkContext
+    val confB = org.apache.spark.sql.graftshim.Bridge.broadcastHadoopConf(sc)
+    val (srcRoot, dstRoot) = (src, dst)
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
+    if (files.nonEmpty) sc.parallelize(files.map(_._1), slices).foreach { rel =>
+      val conf = org.apache.spark.sql.graftshim.Bridge.hadoopConfOf(confB)
+      val from = new Path(srcRoot, rel)
+      val to = new Path(dstRoot, rel)
+      org.apache.hadoop.fs.FileUtil.copy(
+        from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+        /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+    }
+    // sidecars: `_keys` (record key + bucket-count identity — a table
+    // is not readable without it), plus the data-quality gates and
+    // bloom write config (they describe the data, which is identical)
+    for (side <- Seq("_keys", "_constraints", "_bloom")) {
+      val p = new Path(src, side)
+      if (MetaIO.exists(p)) MetaIO.replaceString(new Path(dst, side), MetaIO.readString(p))
+    }
+    // legacy manifests without a #nbuckets header get one prepended so
+    // writers on top of the clone bucket correctly (restoreTo's rule)
+    val text0 =
+      if (text.split("\n").exists(_.startsWith("#nbuckets="))) text
+      else s"#nbuckets=${bucketsAt(src, v, meta(src)._2)}\n" + text
+    // standard commit ordering: data (copied above) → manifest → marker
+    if (!MetaIO.putIfAbsent(manifestPath(dst, 0), text0))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent cloner committed v0 first at $dst")
+    MetaIO.replaceString(commitMarker(dst, 0), System.currentTimeMillis().toString)
+    (files.size.toLong, files.map(_._2).sum)
+  }
+
   /** Drop snapshots older than the last `keepVersions`: delete data
     * dirs no surviving manifest references, plus their manifests.
     * TAGGED versions (see [[tagCreate]]) are always retained — the

@@ -475,9 +475,35 @@ object GraftProcedures {
     }
   }
 
+  /** Deep clone — a DISTRIBUTED byte-for-byte snapshot copy into a new
+    * independent table ([[GraftTable.cloneTo]]): the manifest, stats
+    * segments, MOR logs, and sidecars carry over verbatim, so zero
+    * compute is spent re-bucketing and every metadata behavior holds
+    * on the clone immediately.
+    */
+  private val cloneProc = new Proc("clone",
+    Array(in("table", StringType), in("dest", StringType),
+      inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("source_version", IntegerType, nullable = false),
+      StructField("files_copied", LongType, nullable = false),
+      StructField("bytes_copied", LongType, nullable = false)))) {
+    override def description(): String =
+      "deep-clone a snapshot (version = -1 clones the head) to dest as " +
+        "a new independent table; the copy runs as a distributed job " +
+        "and preserves the physical layout byte-for-byte"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val version = reqInt(input, 2)
+      val v = if (version < 0) GraftTable.latestVersion(path) else version
+      val (nFiles, nBytes) = GraftTable.cloneTo(spark, path, str(input, 1), version)
+      Array(InternalRow(v, nFiles, nBytes))
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files,
-    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport)
+    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport, cloneProc)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -20,6 +20,19 @@ import org.apache.spark.sql.types.StructType
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Broadcast the driver's Hadoop conf for executor-side FileSystem
+    * access (`SerializableConfiguration` is `private[spark]`; this is
+    * the same broadcast every Spark file source ships its conf with).
+    * Read it back task-side with [[hadoopConfOf]].
+    */
+  def broadcastHadoopConf(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.broadcast.Broadcast[_] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(sc)
+
+  def hadoopConfOf(b: org.apache.spark.broadcast.Broadcast[_])
+      : org.apache.hadoop.conf.Configuration =
+    b.value.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** DataFrame over pre-computed InternalRows; `isStreaming = true`
