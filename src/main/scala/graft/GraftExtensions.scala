@@ -156,8 +156,9 @@ object GraftFunctions {
   }
 
   /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot
-    * (latest, or a time-travel version). The lakehouse analog of the
-    * reference reading its Hudi table into SQL.
+    * (latest, an integer time-travel version, or a TAG name — the same
+    * name/version duality the catalog's `VERSION AS OF` resolves). The
+    * lakehouse analog of the reference reading its Hudi table into SQL.
     */
   private def tablePlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1 || args.length == 2,
@@ -170,8 +171,16 @@ object GraftFunctions {
     // exactly like spark.read.format("graft")
     val reader = SparkSession.active.read.format("graft")
     val versioned =
-      if (args.length == 2)
-        reader.option("version", args(1).eval(null).asInstanceOf[Number].intValue())
+      if (args.length == 2) args(1).eval(null) match {
+        case n: Number => reader.option("version", n.intValue())
+        case tag => // tag names are never all-digit — no ambiguity
+          val name = tag.toString
+          reader.option("version",
+            graft.sources.GraftTable.resolveTag(path, name).getOrElse(
+              throw new IllegalArgumentException(
+                s"$path has no tag '$name' (tags: ${graft.sources.GraftTable.tags(path)
+                  .map { case (t, v) => s"$t→v$v" }.mkString(", ")})")))
+      }
       else reader
     versioned.load(path).queryExecution.logical
   }

@@ -157,17 +157,42 @@ object GraftProcedures {
   }
 
   private val restoreTo = new Proc("restore_to",
-    Array(in("table", StringType), in("version", IntegerType)),
+    Array(in("table", StringType),
+      inDefault("version", IntegerType, "-1"),
+      inDefault("tag", StringType, "NULL")),
     StructType(Seq(
       StructField("restored_version", IntegerType, nullable = false),
       StructField("new_head", IntegerType, nullable = false)))) {
     override def description(): String =
-      "make a historical version current again as a NEW commit (metadata-only)"
+      "make a historical version current again as a NEW commit " +
+        "(metadata-only); name it by integer version OR tag => '<name>'"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      val v = reqInt(input, 1)
+      val v = resolveVersionOrTag(path, input, 1, 2)
       GraftTable.restoreTo(path, v)
       Array(InternalRow(v, GraftTable.latestVersion(path)))
+    }
+  }
+
+  /** Exactly one of (version >= 0 at `vi`, non-NULL tag at `ti`) names
+    * the snapshot — both or neither refuse loudly (a verb that guesses
+    * which pin the caller meant is how the wrong snapshot ships).
+    */
+  private def resolveVersionOrTag(path: String, input: InternalRow,
+                                  vi: Int, ti: Int): Int = {
+    val version = reqInt(input, vi)
+    val tag = Option.when(!input.isNullAt(ti))(input.getUTF8String(ti).toString)
+    (version, tag) match {
+      case (v, None) if v >= 0 => v
+      case (-1, Some(name)) =>
+        GraftTable.resolveTag(path, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path has no tag '$name' (tags: " +
+              s"${GraftTable.tags(path).map { case (t, v) => s"$t→v$v" }.mkString(", ")})"))
+      case (v, Some(name)) if v >= 0 => throw new IllegalArgumentException(
+        s"give either version ($v) or tag ('$name'), not both")
+      case _ => throw new IllegalArgumentException(
+        "name the snapshot: version => <n> or tag => '<name>'")
     }
   }
 
@@ -483,20 +508,25 @@ object GraftProcedures {
     */
   private val cloneProc = new Proc("clone",
     Array(in("table", StringType), in("dest", StringType),
-      inDefault("version", IntegerType, "-1")),
+      inDefault("version", IntegerType, "-1"),
+      inDefault("tag", StringType, "NULL")),
     StructType(Seq(
       StructField("source_version", IntegerType, nullable = false),
       StructField("files_copied", LongType, nullable = false),
       StructField("bytes_copied", LongType, nullable = false)))) {
     override def description(): String =
-      "deep-clone a snapshot (version = -1 clones the head) to dest as " +
-        "a new independent table; the copy runs as a distributed job " +
-        "and preserves the physical layout byte-for-byte"
+      "deep-clone a snapshot (by integer version, tag => '<name>', or " +
+        "the head when neither is given) to dest as a new independent " +
+        "table; the copy runs as a distributed job and preserves the " +
+        "physical layout byte-for-byte"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
-      val version = reqInt(input, 2)
-      val v = if (version < 0) GraftTable.latestVersion(path) else version
-      val (nFiles, nBytes) = GraftTable.cloneTo(spark, path, str(input, 1), version)
+      // head is a valid default here (unlike restore_to, where "restore
+      // to where we already are" is a caller mistake)
+      val v =
+        if (reqInt(input, 2) < 0 && input.isNullAt(3)) GraftTable.latestVersion(path)
+        else resolveVersionOrTag(path, input, 2, 3)
+      val (nFiles, nBytes) = GraftTable.cloneTo(spark, path, str(input, 1), v)
       Array(InternalRow(v, nFiles, nBytes))
     }
   }

@@ -141,6 +141,40 @@ class TagSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("tags resolve in the graft_table TVF, restore_to, and clone") {
+    val root = mkTable()
+    GraftTable.upsert(spark, root,
+      spark.range(0, 300).toDF("k").withColumn("x", col("k") * 7)) // v1
+    GraftTable.tagCreate(root, "release", 0)
+    // TVF by tag == TVF by version
+    spark.sql(s"SELECT sum(x) FROM graft_table('$root', 'release')")
+      .collect().head.getLong(0) shouldBe (0L until 300L).map(_ * 3).sum
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$root', 'nope')").collect()
+    }.getMessage should include("release")
+    withCatalog {
+      // restore_to by tag commits a new head serving the tagged snapshot
+      val r = spark.sql(
+        s"CALL graft.restore_to('$root', tag => 'release')").collect().head
+      (r.getInt(0), r.getInt(1)) shouldBe (0, 2)
+      GraftTable.read(spark, root).agg(sum("x")).collect()
+        .head.getLong(0) shouldBe (0L until 300L).map(_ * 3).sum
+      // naming both pins refuses; naming neither refuses
+      intercept[Exception](spark.sql(
+        s"CALL graft.restore_to('$root', 0, 'release')").collect())
+        .getMessage should include("not both")
+      intercept[Exception](spark.sql(
+        s"CALL graft.restore_to('$root')").collect())
+        .getMessage should include("name the snapshot")
+      // clone by tag
+      val c = s"${root}_c"
+      spark.sql(s"CALL graft.clone('$root', '$c', tag => 'release')")
+        .collect().head.getInt(0) shouldBe 0
+      GraftTable.read(spark, c).agg(sum("x")).collect()
+        .head.getLong(0) shouldBe (0L until 300L).map(_ * 3).sum
+    }
+  }
+
   test("tag-pinned tables are read-only (same contract as integer pins)") {
     val root = mkTable()
     GraftTable.tagCreate(root, "rel", 0)
