@@ -2452,6 +2452,25 @@ object GraftTable {
     */
   def vacuum(path: String, keepVersions: Int = 1,
              orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+    reclaim(path, keepVersions, orphanGraceMs, execute = true)
+    ()
+  }
+
+  /** Read-only PREVIEW of [[vacuum]]: the (kind, table-relative path)
+    * list the same-argument vacuum would reclaim right now — kinds:
+    * `data` (a bucket dir), `log` (a dv/delta dir), `manifest`.
+    * Attempt-dir husks and stats segments follow their data dirs and
+    * are not separately listed. Nothing is touched — the ops
+    * "what would this reclaim?" question answered from metadata before
+    * committing to an irreversible delete (VacuumSpec cross-checks
+    * plan == actual reclamation, kind by kind).
+    */
+  def vacuumPlan(path: String, keepVersions: Int = 1,
+                 orphanGraceMs: Long = 24L * 3600 * 1000): Seq[(String, String)] =
+    reclaim(path, keepVersions, orphanGraceMs, execute = false)
+
+  private def reclaim(path: String, keepVersions: Int,
+                      orphanGraceMs: Long, execute: Boolean): Seq[(String, String)] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
@@ -2469,6 +2488,7 @@ object GraftTable {
       .collect { case VersionFile(n) => n.toInt }
       .flatMap(m => manifest(path, m).values).toSet
     val now = System.currentTimeMillis()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     MetaIO.list(new Path(path, "data")).filter(_.isDirectory).foreach { vDir =>
       val vName = vDir.getPath.getName
       MetaIO.list(vDir.getPath)
@@ -2476,14 +2496,17 @@ object GraftTable {
         .foreach { bDir =>
           val rel = s"data/$vName/${bDir.getPath.getName}"
           if (!referenced(rel) &&
-              (referencedAny(rel) || now - bDir.getModificationTime > orphanGraceMs))
-            MetaIO.delete(bDir.getPath)
+              (referencedAny(rel) || now - bDir.getModificationTime > orphanGraceMs)) {
+            actions += (("data", rel))
+            if (execute) MetaIO.delete(bDir.getPath)
+          }
         }
       // nothing referenced left in this attempt dir → reclaim it whole
       // (removes the _SUCCESS marker and any stray committer files too).
       // Grace-guarded as well: a JUST-STARTED writer's attempt dir holds
       // only _temporary staging — no bucket dirs yet — and must survive
-      if (!MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")) &&
+      if (execute &&
+          !MetaIO.list(vDir.getPath).exists(_.getPath.getName.startsWith(s"$BUCKET=")) &&
           now - vDir.getModificationTime > orphanGraceMs)
         MetaIO.delete(vDir.getPath)
     }
@@ -2502,22 +2525,30 @@ object GraftTable {
       MetaIO.list(new Path(path, sub)).filter(_.isDirectory).foreach { d =>
         val rel = s"$sub/${d.getPath.getName}"
         if (!kept(rel) &&
-            (any(rel) || now - d.getModificationTime > orphanGraceMs))
-          MetaIO.delete(d.getPath)
+            (any(rel) || now - d.getModificationTime > orphanGraceMs)) {
+          actions += (("log", rel))
+          if (execute) MetaIO.delete(d.getPath)
+        }
       }
     }
     // drop every non-kept manifest below head (the keep set is no
     // longer contiguous once tags pin versions below the window)
     val keepSet = keep.toSet
-    (0 until v).filterNot(keepSet).foreach(old => MetaIO.delete(manifestPath(path, old)))
+    (0 until v).filterNot(keepSet)
+      .filter(old => MetaIO.exists(manifestPath(path, old)))
+      .foreach { old =>
+        actions += (("manifest", s"manifests/v$old"))
+        if (execute) MetaIO.delete(manifestPath(path, old))
+      }
     // stat segments die with their attempt dirs: once vacuum has
     // reclaimed data/<attempt> entirely, no surviving manifest can
     // resolve files under it, so its segment is unreachable by name
-    MetaIO.list(new Path(path, "manifests"))
+    if (execute) MetaIO.list(new Path(path, "manifests"))
       .map(_.getPath.getName).filter(_.endsWith(".stats")).foreach { n =>
         if (!MetaIO.exists(new Path(path, s"data/${n.stripSuffix(".stats")}")))
           MetaIO.delete(new Path(new Path(path, "manifests"), n))
       }
+    actions.toSeq
   }
 
   /** Write snapshot v: data dir → manifest → commit marker.

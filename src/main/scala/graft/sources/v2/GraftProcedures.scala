@@ -338,14 +338,20 @@ object GraftProcedures {
     StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("commit_millis", LongType, nullable = false),
-      StructField("is_head", BooleanType, nullable = false)))) {
+      StructField("is_head", BooleanType, nullable = false),
+      StructField("tags", StringType, nullable = true)))) {
     override def description(): String =
-      "commit history from the commit markers (version, wall-clock millis)"
+      "commit history from the commit markers (version, wall-clock " +
+        "millis, tag names pinning the version)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val log = GraftTable.commitLog(path)
       val head = log.map(_._1).max
-      log.map { case (v, ts) => InternalRow(v, ts, v == head) }.toArray
+      val byV = GraftTable.tags(path).groupBy(_._2)
+      log.map { case (v, ts) =>
+        val t = byV.get(v).map(ns => utf8(ns.map(_._1).mkString(","))).orNull
+        InternalRow(v, ts, v == head, t)
+      }.toArray
     }
   }
 
@@ -531,9 +537,33 @@ object GraftProcedures {
     }
   }
 
+  /** Read-only vacuum preview ([[GraftTable.vacuumPlan]]): what WOULD
+    * the same-argument vacuum reclaim — the check an operator runs
+    * BEFORE the irreversible delete (Delta's VACUUM DRY RUN).
+    */
+  private val vacuumPreview = new Proc("vacuum_preview",
+    Array(in("table", StringType),
+      inDefault("keep_versions", IntegerType, "1"),
+      inDefault("orphan_grace_hours", DoubleType, "24.0")),
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("path", StringType, nullable = false)))) {
+    override def description(): String =
+      "read-only preview of vacuum: each (kind, relative path) the " +
+        "same-argument vacuum would reclaim (kind = data | log | " +
+        "manifest); touches nothing"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      GraftTable.vacuumPlan(path, reqInt(input, 1),
+        (reqDouble(input, 2) * 3600 * 1000).toLong)
+        .map { case (kind, rel) => InternalRow(utf8(kind), utf8(rel)) }.toArray
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files,
-    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport, cloneProc)
+    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport, cloneProc,
+    vacuumPreview)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -345,6 +345,9 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     GraftTable.bloomConfig(path).foreach { case (cols, fpp) =>
       m.put("bloom.columns", cols.mkString(",")); m.put("bloom.fpp", fpp.toString)
     }
+    val tg = GraftTable.tags(path)
+    if (tg.nonEmpty)
+      m.put("tags", tg.map { case (n, tv) => s"$n=v$tv" }.mkString(","))
     m
   }
 

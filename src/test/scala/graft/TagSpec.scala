@@ -175,6 +175,52 @@ class TagSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("vacuum_preview == what vacuum then reclaims; tags surface in history and properties") {
+    val root = mkTable()
+    (1 to 2).foreach { i =>
+      GraftTable.upsert(spark, root,
+        spark.range(0, 300).toDF("k").withColumn("x", col("k") * (3 + i)))
+    }
+    GraftTable.upsertMor(spark, root,
+      spark.range(0, 10).toDF("k").withColumn("x", lit(-1L))) // v3: delta log
+    GraftTable.compact(spark, root) // v4: folds it; v3's delta expires below
+    GraftTable.tagCreate(root, "pin", 1)
+    // the read-only plan, cross-checked against actual reclamation
+    val plan = GraftTable.vacuumPlan(root, keepVersions = 1)
+    plan should not be empty
+    plan.map(_._1).toSet.subsetOf(Set("data", "log", "manifest")) shouldBe true
+    // tagged v1's dirs must not appear in the plan
+    val v1dirs = GraftTable.manifest(root, 1).values.toSet
+    plan.collect { case ("data", rel) => rel }.toSet
+      .intersect(v1dirs) shouldBe empty
+    plan should contain ("manifest", "manifests/v0")
+    plan should not contain ("manifest", "manifests/v1")
+    withCatalog {
+      val pv = spark.sql(s"CALL graft.vacuum_preview('$root')").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      pv shouldBe plan // the CALL surface reports the same plan
+      // preview touched nothing: every old version still reads
+      GraftTable.read(spark, root, 0).count() shouldBe 300L
+      // history annotates the tagged version
+      val hist = spark.sql(s"CALL graft.history('$root')").collect()
+      hist.find(_.getInt(0) == 1).get.getString(3) shouldBe "pin"
+      hist.find(_.getInt(0) == 0).get.isNullAt(3) shouldBe true
+      // SHOW TBLPROPERTIES lists the pins
+      spark.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+        .find(_.getString(0) == "tags").get.getString(1) shouldBe "pin=v1"
+    }
+    GraftTable.vacuum(root, keepVersions = 1)
+    // everything planned is gone, exactly
+    plan.foreach { case (_, rel) =>
+      new java.io.File(root, rel).exists() shouldBe false
+    }
+    // and the tagged snapshot still serves
+    GraftTable.read(spark, root, 1).agg(sum("x")).collect()
+      .head.getLong(0) shouldBe (0L until 300L).map(_ * 4).sum
+    // post-vacuum plan is empty (fixed point)
+    GraftTable.vacuumPlan(root, keepVersions = 1) shouldBe empty
+  }
+
   test("tag-pinned tables are read-only (same contract as integer pins)") {
     val root = mkTable()
     GraftTable.tagCreate(root, "rel", 0)
