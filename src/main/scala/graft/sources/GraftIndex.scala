@@ -446,6 +446,25 @@ object GraftIndex {
     * deleted. Same single-maintainer discipline as [[refresh]]: do not
     * vacuum while a refresh is in flight.
     */
+  /** Drop index `name` entirely (its whole `_index/<name>` tree —
+    * data, models, manifests, meta). False when absent (the IF EXISTS
+    * contract). The table is untouched: an index is derived state.
+    */
+  def drop(tablePath: String, name: String = "vec"): Boolean = {
+    val existed = exists(tablePath, name)
+    if (existed) GraftTable.MetaIO.delete(new Path(root(tablePath, name)))
+    existed
+  }
+
+  /** All indexes on the table, name-sorted — each `_index/<name>` dir
+    * with a committed meta (a dir without one is an in-flight or
+    * aborted create and is not reported as servable).
+    */
+  def list(tablePath: String): Seq[IndexMeta] =
+    GraftTable.MetaIO.list(new Path(tablePath, "_index"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .filter(n => exists(tablePath, n)).map(n => meta(tablePath, n))
+
   def vacuum(tablePath: String, name: String = "vec", keepGens: Int = 1): Int = {
     require(keepGens >= 1, "keepGens must be >= 1")
     val m = meta(tablePath, name)

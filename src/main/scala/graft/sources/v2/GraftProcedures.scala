@@ -537,6 +537,44 @@ object GraftProcedures {
     }
   }
 
+  private val indexDrop = new Proc("index_drop",
+    Array(in("table", StringType), inDefault("name", StringType, "'vec'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "drop a vector index entirely (existed = false when absent); the " +
+        "table itself is untouched — an index is derived state"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftIndex.drop(path, name)))
+    }
+  }
+
+  private val indexesReport = new Proc("indexes",
+    Array(in("table", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("vec_col", StringType, nullable = false),
+      StructField("metric", StringType, nullable = false),
+      StructField("nlist", IntegerType, nullable = false),
+      StructField("indexed_version", IntegerType, nullable = false),
+      StructField("stale", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "all vector indexes on the table; stale = true when the table has " +
+        "commits the index hasn't folded (CALL index_refresh)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val head = GraftTable.latestVersion(path)
+      GraftIndex.list(path).map { m =>
+        InternalRow(utf8(m.name), utf8(m.kind), utf8(m.vecCol), utf8(m.metric),
+          m.nlist, m.indexedVersion, m.indexedVersion < head)
+      }.toArray
+    }
+  }
+
   /** Read-only vacuum preview ([[GraftTable.vacuumPlan]]): what WOULD
     * the same-argument vacuum reclaim — the check an operator runs
     * BEFORE the irreversible delete (Delta's VACUUM DRY RUN).
@@ -563,7 +601,7 @@ object GraftProcedures {
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files,
-    indexCreate, indexRefresh, tagCreate, tagDelete, tagsReport, cloneProc,
-    vacuumPreview)
+    indexCreate, indexRefresh, indexDrop, indexesReport,
+    tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

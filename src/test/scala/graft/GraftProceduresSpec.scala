@@ -237,6 +237,20 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
         .collect()
       hits.length shouldBe 3
       hits.head.getLong(0) shouldBe 221L
+      // the indexes report: current after refresh, stale after a commit
+      val listed = spark.sql(s"CALL graft.indexes('$root')").collect()
+      listed.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(5), r.getBoolean(6))) shouldBe Array(("vec", "ivf", "emb", 1, false))
+      GraftTable.upsert(spark, root, vecs(260, 270))
+      spark.sql(s"CALL graft.indexes('$root')").collect()
+        .head.getBoolean(6) shouldBe true // stale flags the unfolded commit
+      // drop completes the lifecycle; IF EXISTS contract on the repeat
+      spark.sql(s"CALL graft.index_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe true
+      graft.sources.GraftIndex.exists(root) shouldBe false
+      spark.sql(s"CALL graft.index_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe false
+      spark.sql(s"CALL graft.indexes('$root')").collect() shouldBe empty
     }
   }
 
