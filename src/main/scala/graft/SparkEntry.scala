@@ -733,6 +733,43 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "vs_topk_adc" -> ((s, dir) => {
+      // ASYMMETRIC 1-bit scoring (ADC, the faiss/PQ trick): the query
+      // stays FLOAT, the database side is the packed sign bits — score
+      // = ⟨q, sign(v)⟩. Ranking fidelity sits between symmetric Hamming
+      // (which quantizes the query too) and full float dot, while the
+      // scan still reads 1 bit/dim — at 100 TB the sweep is memory-
+      // bound, so scan bytes ARE the cost. Codegen'd bit-test loop
+      // (functions/SignBits.scala AdcDot); orderBy+limit →
+      // TakeOrderedAndProject.
+      val qv = typedlit(queryVec(s, dir, 0L))
+      Tables.embeddings(s, dir)
+        .withColumn("score", adc_dot(qv, sign_pack(col("embedding"))))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
+    "vs_topk_adc_rerank" -> ((s, dir) => {
+      // two-stage ADC serving: 1-bit asymmetric candidates (top-40 by
+      // ⟨q, sign(v)⟩ over packed bits) → exact cosine re-rank to the
+      // final 10 on the float column. Same pipeline shape as the
+      // Hamming rerank row, but the candidate stage ranks with the
+      // query's full precision — tighter candidates at identical scan
+      // bytes. Deterministic ties (vec_id) keep the whole pipeline
+      // DuckDB-replayable end-to-end.
+      val qv = typedlit(queryVec(s, dir, 0L))
+      val cand = Tables.embeddings(s, dir)
+        .withColumn("adc", adc_dot(qv, sign_pack(col("embedding"))))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(40)
+      cand
+        .withColumn("score", cosine_similarity(col("embedding"), qv))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+    }),
+
     "vs_sql_tvf" -> ((s, dir) => {
       // the reference's literal entry point: ONE SQL table-function call
       // (demo.ipynb cell 11) — registered live, query vector via scalar
@@ -3897,6 +3934,32 @@ object SparkEntry {
                     CASE WHEN (x >= 0) <> (q.qe[i] >= 0) THEN 1 ELSE 0 END)) AS hamming
            FROM embeddings e, q),
          cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40),
+         scored AS (
+           SELECT c.vec_id, c.label,
+                  list_cosine_similarity(c.embedding::DOUBLE[],
+                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+           FROM cand c)
+         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+
+    "vs_topk_adc" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qd FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT e.vec_id, e.label,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    CASE WHEN x >= 0 THEN q.qd[i] ELSE -q.qd[i] END)) AS score
+           FROM embeddings e, q)
+         SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "vs_topk_adc_rerank" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qd FROM embeddings WHERE vec_id = 0),
+         a AS (
+           SELECT e.vec_id, e.label, e.embedding,
+                  list_sum(list_transform(e.embedding, (x, i) ->
+                    CASE WHEN x >= 0 THEN q.qd[i] ELSE -q.qd[i] END)) AS adc
+           FROM embeddings e, q),
+         cand AS (SELECT * FROM a ORDER BY adc DESC, vec_id LIMIT 40),
          scored AS (
            SELECT c.vec_id, c.label,
                   list_cosine_similarity(c.embedding::DOUBLE[],

@@ -137,3 +137,85 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** adc_dot(q, packed): ASYMMETRIC scoring over sign-quantized vectors —
+  * the query stays FLOAT, the database side is the 1-bit [[SignPack]]
+  * column: score = Σ_i (bit_i ? q_i : −q_i) = ⟨q, sign(v)⟩ with
+  * sign(v) ∈ {−1,+1}^d. The faiss-style ADC trick (asymmetric distance
+  * computation, Jégou et al., PQ paper §III): keeping the query
+  * unquantized preserves most of the ranking fidelity symmetric
+  * Hamming throws away (Hamming collapses each q_i to its sign too),
+  * while the SCAN still reads only 1 bit/dim — the memory-bandwidth
+  * term that dominates a 100 TB serving sweep. The loop is ALU-trivial
+  * (a bit test + signed add per dim) against 32× fewer scan bytes.
+  *
+  * Width contract: packed must carry exactly ceil(q.len/64) words —
+  * mismatches fail loudly (a silent prefix score would be
+  * plausible-but-wrong). Terms are the query's floats widened to
+  * double and summed left-to-right, the house accumulation order every
+  * float kernel here shares with the DuckDB oracle.
+  */
+case class AdcDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "adc_dot"
+  override def dataType: DataType = DoubleType
+
+  private def qElemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array query, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(qt, _), ArrayType(LongType, _)) if qt == FloatType || qt == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double> query, array<bigint> sign_pack output), " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val p = r.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    val words = (n + 63) >>> 6
+    if (p.numElements() != words)
+      throw new IllegalArgumentException(
+        s"$prettyName: query dim $n needs $words packed words, got ${p.numElements()}")
+    val isFloat = qElemType == FloatType
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      if (((p.getLong(i >>> 6) >>> (i & 63)) & 1L) == 1L) s += x else s -= x
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, p) => {
+      val n = ctx.freshName("n"); val w = ctx.freshName("w")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val get = qElemType match {
+        case FloatType  => s"(double) $q.getFloat($i)"
+        case DoubleType => s"$q.getDouble($i)"
+        case _          => throw new IllegalStateException("unreachable")
+      }
+      s"""
+         |int $n = $q.numElements();
+         |int $w = ($n + 63) >>> 6;
+         |if ($p.numElements() != $w) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: query dim " + $n + " needs " + $w +
+         |    " packed words, got " + $p.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ((($p.getLong($i >>> 6) >>> ($i & 63)) & 1L) == 1L) { $s += ($get); }
+         |  else { $s -= ($get); }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

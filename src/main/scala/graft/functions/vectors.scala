@@ -34,4 +34,10 @@ object vectors {
     * sign-disagreeing dimensions.
     */
   def hamming_distance(a: Column, b: Column): Column = lift2(HammingDistance.apply)(a, b)
+
+  /** Asymmetric sign-bit score ⟨q, sign(v)⟩: float query × packed
+    * [[sign_pack]] column — 1 bit/dim scan bytes at near-dot ranking
+    * fidelity (see [[AdcDot]]).
+    */
+  def adc_dot(query: Column, packed: Column): Column = lift2(AdcDot.apply)(query, packed)
 }

@@ -97,6 +97,76 @@ class SignBitsSpec extends AnyFunSuite with Matchers {
     reranked shouldBe exact
   }
 
+  test("adc_dot equals the naive asymmetric score (float and double)") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(50) {
+      (Seq.fill(96)(rnd.nextGaussian().toFloat), Seq.fill(96)(rnd.nextGaussian().toFloat))
+    }
+    // naive: sum left-to-right in double, query floats widened — the
+    // expression's documented accumulation order
+    val naive = pairs.map { case (q, v) =>
+      q.zip(v).foldLeft(0.0) { case (s, (qi, vi)) =>
+        if (vi >= 0.0f) s + qi.toDouble else s - qi.toDouble
+      }
+    }
+    val df = pairs.toDF("q", "v")
+    df.select(graft.functions.vectors.adc_dot(col("q"), sign_pack(col("v"))))
+      .collect().map(_.getDouble(0)).toSeq shouldBe naive
+    val dd = pairs.map { case (q, v) => (q.map(_.toDouble), v.map(_.toDouble)) }.toDF("q", "v")
+    dd.select(graft.functions.vectors.adc_dot(col("q"), sign_pack(col("v"))))
+      .collect().map(_.getDouble(0)).toSeq shouldBe naive
+  }
+
+  test("adc_dot codegen and interpreted paths agree; width mismatch fails loudly") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(30)(Seq.fill(80)(rnd.nextGaussian().toFloat)).toDF("v")
+    val q = typedlit(Seq.fill(80)(rnd.nextGaussian().toFloat))
+    val expr = graft.functions.vectors.adc_dot(q, sign_pack(col("v")))
+    val withCodegen = rows.select(expr).collect().map(_.getDouble(0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      rows.select(expr).collect().map(_.getDouble(0)).toSeq shouldBe withCodegen
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // a 128-dim query scored against 64-dim packed bits must refuse —
+    // a silent prefix score would be plausible-but-wrong
+    val bad = Seq((Seq.fill(128)(1.0f), Seq.fill(64)(1.0f))).toDF("q", "v")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.vectors.adc_dot(col("q"), sign_pack(col("v")))).collect()
+    }
+    e.getMessage should include("packed words")
+  }
+
+  test("adc ranking dominates symmetric hamming on recall@10 vs exact dot") {
+    // the point of ADC: at identical scan bytes (1 bit/dim), keeping
+    // the query float must rank closer to the exact dot ordering than
+    // quantizing both sides. Checked as recall of the exact dot top-10
+    // within each method's top-10 over the sf0.001 embeddings.
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val qv = typedlit(
+      emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0))
+    def top10(scored: org.apache.spark.sql.DataFrame, desc: Boolean) = {
+      val ord = if (desc) col("s").desc else col("s").asc
+      scored.orderBy(ord, col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val exact = top10(emb.withColumn("s",
+      graft.functions.vectors.dot_product(col("embedding"), qv)), desc = true)
+    val adc = top10(emb.withColumn("s",
+      graft.functions.vectors.adc_dot(qv, sign_pack(col("embedding")))), desc = true)
+    val ham = top10(emb.withColumn("s",
+      hamming_distance(sign_pack(col("embedding")), sign_pack(qv))), desc = false)
+    val adcRecall = (exact intersect adc).size
+    val hamRecall = (exact intersect ham).size
+    withClue(s"adc=$adcRecall ham=$hamRecall: ") { adcRecall should be >= hamRecall }
+    emb.unpersist()
+    ()
+  }
+
   test("packed literal query folds at plan time and the plan is a top-k, not a sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qv = typedlit(Seq.fill(64)(0.5f))
