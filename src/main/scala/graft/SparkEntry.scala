@@ -2952,6 +2952,25 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    "text_line_stats" -> ((s, dir) =>
+      // LINE-level boilerplate report (CCNet's per-paragraph dedup
+      // granularity): which 8-token lines repeat across >= 2 distinct
+      // docs — the sub-document repetition doc-level dedup never sees.
+      // One map-side-combined shuffle keyed on the line text.
+      TextAnalysis.lineStats(Tables.documents(s, dir), "doc_id", "text", span = 8)
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("line"))),
+
+    "text_line_dedup" -> ((s, dir) =>
+      // the CCNet/RefinedWeb line-dedup PASS: rewrite every document
+      // without its boilerplate lines (>= 2-doc repeats), original line
+      // order preserved; all-boilerplate docs survive empty (dropping
+      // them is the caller's curation decision). Linear in corpus
+      // tokens — segment, one frequency shuffle, anti-join, reassemble.
+      TextAnalysis.lineDedup(Tables.documents(s, dir), "doc_id", "text",
+          span = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
     "q_sample_per_source" -> ((s, dir) => {
       // training-data mixing: exact-N-per-stratum deterministic sample —
       // md5 of the id is a stable pseudo-random order both engines share,
@@ -5356,6 +5375,36 @@ object SparkEntry {
                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
                 md5(chunk_text) AS chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "text_line_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ln AS (
+           SELECT doc_id, c AS line_idx,
+                  array_to_string(t[c*8+1 : c*8+8], ' ') AS line
+           FROM toks, LATERAL unnest(generate_series(0, (len(t)-1)//8)) AS g(c))
+         SELECT line, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occurrences DESC, line""",
+
+    "text_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ln AS (
+           SELECT doc_id, c AS line_idx,
+                  array_to_string(t[c*8+1 : c*8+8], ' ') AS line
+           FROM toks, LATERAL unnest(generate_series(0, (len(t)-1)//8)) AS g(c)),
+         freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY line),
+         keep AS (
+           SELECT l.doc_id, l.line_idx, l.line
+           FROM ln l JOIN freq f ON l.line = f.line WHERE f.nd < 2),
+         tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+         re AS (
+           SELECT doc_id, array_to_string(list(line ORDER BY line_idx), ' ') AS clean_text,
+                  count(*) AS n_kept
+           FROM keep GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(re.clean_text, '') AS clean_text,
+                CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(t.n_lines - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id ORDER BY t.doc_id""",
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256

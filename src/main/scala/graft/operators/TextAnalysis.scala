@@ -511,4 +511,73 @@ object TextAnalysis {
     docs
       .withColumn("fp_md5", md5(to_binary(col(textCol), lit("utf-8"))))
       .withColumn("fp_sha256", sha2(to_binary(col(textCol), lit("utf-8")), 256))
+
+  // --------------------------------------------------------------------
+  // LINE-level corpus dedup (the CCNet / RefinedWeb pass): boilerplate —
+  // headers, footers, cookie banners, licence blurbs — repeats VERBATIM
+  // across documents at sub-document granularity, so document-level
+  // dedup never sees it. CCNet (Wenzek et al., 2020) deduplicates web
+  // text per PARAGRAPH before anything else; RefinedWeb (Penedo et al.,
+  // 2023) runs the same line-wise filter. The corpus here carries no
+  // newlines, so the "line" is a deterministic segmentation parameter:
+  // consecutive non-overlapping `span`-token windows (the same rule the
+  // DuckDB oracle replays). A line occurring in >= minDocs DISTINCT
+  // documents is boilerplate; lineDedup rewrites each document without
+  // its boilerplate lines, preserving original line order.
+  // --------------------------------------------------------------------
+
+  /** Every document segmented into its lines: (…, line_idx, line).
+    * One explode, corpus_tokens/span output rows, zero shuffle.
+    */
+  def corpusLines(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame =
+    chunk(docs.select(col(idCol), col(textCol)), textCol, span, span)
+      .select(col(idCol), col("chunk_idx").as("line_idx"), col("chunk_text").as("line"))
+
+  /** Per-line corpus frequency: (line, n_docs, n_occurrences) — the
+    * boilerplate report read before choosing a minDocs threshold. ONE
+    * shuffle, keyed on the line text itself: a line is <= span tokens
+    * (tens of bytes — the same order as any string groupBy key; hashing
+    * it first would force a second pass to recover the reportable
+    * text). Map-side partial aggregation collapses each partition's
+    * repeats before the exchange, so shuffle volume tracks DISTINCT
+    * lines per partition, not corpus size.
+    */
+  def lineStats(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame =
+    corpusLines(docs, idCol, textCol, span)
+      .groupBy("line")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occurrences"))
+
+  /** The corpus with boilerplate lines removed: (idCol, clean_text,
+    * n_kept, n_dropped). Cost shape at 100 TB: segment (scan-speed
+    * explode) → line-frequency aggregate (one shuffle, map-side
+    * combined) → LEFT ANTI join lines against the boilerplate set
+    * (shuffle keyed on the line; AQE broadcasts when the boilerplate
+    * set is small, which it is unless the corpus is mostly boilerplate)
+    * → per-document reassembly (one shuffle on the doc id, the output's
+    * natural key). Everything is linear in corpus tokens; no stage
+    * holds more than one document's lines in memory. A document whose
+    * EVERY line is boilerplate survives with clean_text = '' (dropping
+    * it is a separate curation decision — the caller filters).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                span: Int, minDocs: Int): DataFrame = {
+    require(span > 0 && minDocs >= 2, s"need span > 0, minDocs >= 2; got $span, $minDocs")
+    val lines = corpusLines(docs, idCol, textCol, span)
+    val boiler = lineStats(docs, idCol, textCol, span)
+      .filter(col("n_docs") >= minDocs).select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          c => c("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("__n_lines"))
+    totals
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

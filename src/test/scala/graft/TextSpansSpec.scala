@@ -65,4 +65,43 @@ class TextSpansSpec extends AnyFunSuite with Matchers {
       (3L, 0L, h("")),
       (4L, 4L, h("totally unique words only")))
   }
+
+  test("lineDedup drops cross-doc repeated lines, keeps order, empties all-boilerplate docs") {
+    // span=2 lines; "hdr txt" repeats in docs 1..3 (boilerplate), each
+    // doc's body lines are unique; doc 3 is NOTHING BUT the header →
+    // survives with clean_text = ''. Trailing partial line ("solo") is
+    // a legitimate line.
+    val docs = Seq(
+      (1L, "hdr txt aa bb cc dd"),
+      (2L, "hdr txt ee ff solo"),
+      (3L, "hdr txt"),
+      (4L, "gg hh ii jj"))
+    val got = TextAnalysis.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        span = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Seq(
+      (1L, "aa bb cc dd", 2L, 1L),
+      (2L, "ee ff solo", 2L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "gg hh ii jj", 2L, 0L))
+  }
+
+  test("lineDedup with no cross-doc repeats is the identity rewrite") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i"))
+    val got = TextAnalysis.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        span = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    got shouldBe Seq((1L, "a b c d e", 0L), (2L, "f g h i", 0L))
+  }
+
+  test("lineStats counts distinct docs and total occurrences per line") {
+    // "x y" appears twice in doc 1 and once in doc 2: n_docs=2, n_occ=3
+    val docs = Seq((1L, "x y x y"), (2L, "x y z w"))
+    val got = TextAnalysis.lineStats(docs.toDF("doc_id", "text"), "doc_id", "text", span = 2)
+      .filter($"n_docs" >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Seq(("x y", 2L, 3L))
+  }
 }
