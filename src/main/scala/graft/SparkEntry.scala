@@ -2674,6 +2674,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "corpus_split_by_cluster" -> ((s, dir) => {
+      // LEAKAGE-SAFE train/holdout split: the split unit is the
+      // near-dup CLUSTER, not the document — a boundary must never
+      // separate two near-duplicates (that's eval contamination by
+      // construction: the holdout doc's near-copy trains). Each
+      // cluster's canonical id hashes to a deterministic 80/20 bucket
+      // via the md5 arithmetic both engines share, so the assignment
+      // is reproducible run-to-run and engine-to-engine. Singleton
+      // docs are their own cluster (cluster = own id).
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.8)
+      val cc = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "i", "j")
+      val bucket = pmod(
+        conv(substring(md5(col("cluster").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(10))
+      cc.withColumn("split", when(bucket < 8, lit("train")).otherwise(lit("holdout")))
+        .select(col("node").as("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_source_overlap" -> ((s, dir) => {
       // which sources duplicate each other: near-dup pair counts per
       // unordered source pair — the overlap report run before mixing
@@ -5125,6 +5145,23 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
 
     "dedup_clusters" -> clustersOracle,
+
+    "corpus_split_by_cluster" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+          edges AS (SELECT i AS u, j AS w FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+          reach AS (
+            SELECT u AS node, w AS r FROM edges
+            UNION
+            SELECT reach.node, edges.w FROM reach JOIN edges ON reach.r = edges.u),
+          lbl AS (
+            SELECT d.doc_id AS node,
+                   least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS cluster
+            FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+            GROUP BY d.doc_id)
+          SELECT node AS doc_id, cluster,
+                 CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+                      THEN 'train' ELSE 'holdout' END AS split
+          FROM lbl ORDER BY node""",
 
     "dedup_source_overlap" ->
       s"""WITH $jaccardCtes

@@ -81,6 +81,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     got shouldBe Map(1L -> 1L, 2L -> 2L)
   }
 
+  test("split-by-cluster never separates near-duplicates across the boundary") {
+    // the leakage-safety property behind corpus_split_by_cluster: split
+    // assignment is a pure function of the CLUSTER id, so any two docs
+    // in one near-dup cluster land on the same side — checked over the
+    // sf0.001 corpus with the real miner + real split arithmetic
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.8)
+    val cc = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "i", "j")
+    val bucket = pmod(
+      conv(substring(md5(col("cluster").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(10))
+    val split = cc.withColumn("split",
+      when(bucket < 8, lit("train")).otherwise(lit("holdout")))
+    split.groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() shouldBe 0L
+    // and specifically: every mined PAIR sits in one split
+    val sides = split.select(col("node"), col("split"))
+    val straddled = pairs
+      .join(sides.withColumnRenamed("node", "i").withColumnRenamed("split", "si"), "i")
+      .join(sides.withColumnRenamed("node", "j").withColumnRenamed("split", "sj"), "j")
+      .filter(col("si") =!= col("sj"))
+    straddled.count() shouldBe 0L
+  }
+
   test("embeddingCosine plan is a blocked equi-join, not an all-pairs broadcast") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4)
