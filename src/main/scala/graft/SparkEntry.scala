@@ -770,6 +770,23 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
     }),
 
+    "vs_topk_mmr" -> ((s, dir) => {
+      // DIVERSIFIED top-k (MMR, Carbonell & Goldstein 1998): greedy
+      // λ·rel − (1−λ)·max-sim-to-selected re-rank of the distributed
+      // top-50 relevance slice — ten near-identical hits collapse to
+      // one representative + nine different results. The greedy argmax
+      // is sequential by definition, so it runs driver-side over the
+      // serving-sized candidate set; the 100 TB cost is stage 1's
+      // TakeOrderedAndProject scan. Deterministic ties ⇒ reproducible,
+      // but the iterative greedy has no SQL form → rows-only
+      // (VectorSearchSpec pins semantics vs a naive reference greedy).
+      VectorSearch.mmrTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
+          queryVec(s, dir, 0L), k = 10, lambda = 0.7, candidates = 50)
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          q4(col("rel_score")).as("rel_q"), q4(col("mmr_score")).as("mmr_q"))
+        .orderBy("rank")
+    }),
+
     "vs_sql_tvf" -> ((s, dir) => {
       // the reference's literal entry point: ONE SQL table-function call
       // (demo.ipynb cell 11) — registered live, query vector via scalar

@@ -62,6 +62,99 @@ object VectorSearch {
     scored.orderBy(ord, asc(idCol)).limit(k)
   }
 
+  /** MMR — Maximal Marginal Relevance (Carbonell & Goldstein, 1998):
+    * diversity-aware top-k. Greedy selection maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — each pick trades query
+    * relevance against similarity to what's already selected, so ten
+    * near-identical hits collapse to one representative plus nine
+    * genuinely different results (the serving-layer dedup every
+    * retrieval UI wants).
+    *
+    * Two stages, the production shape: (1) DISTRIBUTED relevance
+    * top-`candidates` (TakeOrderedAndProject — per-partition heaps, one
+    * scan, no shuffle; this is where 100 TB is paid); (2) the greedy
+    * re-rank over those ≤ `candidates` rows on the driver — the greedy
+    * argmax is inherently sequential (each pick depends on all previous
+    * picks), and `candidates` is serving-sized (50–1000), so driver-
+    * local is the CORRECT placement, not a compromise: k·candidates
+    * dot products of data that already fits in a reply payload.
+    * Deterministic: ties break on ascending id at both stages.
+    *
+    * Cosine / dot metrics only (MMR needs a SIMILARITY for the
+    * diversity term; an L2 variant would silently mix scales — refuse
+    * loudly instead). λ=1 degenerates to plain relevance order
+    * (spec-pinned), λ=0 to pure diversity.
+    */
+  def mmrTopK(data: DataFrame, vecCol: String, idCol: String, query: Seq[Float],
+              k: Int, lambda: Double, candidates: Int,
+              metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "dot",
+      s"mmrTopK needs a similarity metric (cosine|dot), got $metric")
+    require(k >= 1 && candidates >= k, s"need 1 <= k <= candidates, got k=$k, c=$candidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = data.sparkSession
+    val cand = score(data, vecCol, query, metric)
+      .orderBy(desc("score"), asc(idCol))
+      .limit(candidates)
+      .select(col(idCol), col(vecCol).cast("array<float>").as("__v"), col("score"))
+      .collect()
+    // driver-side greedy over the candidate slice; similarity uses the
+    // SAME left-to-right double accumulation as the scan kernels
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (metric == "dot") dot
+      else if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    final case class C(id: Any, v: Seq[Float], rel: Double, var maxSim: Double)
+    def idLt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long) => a < b
+      case (a: Int, b: Int) => a < b
+      case (a: String, b: String) => a < b
+      case (a, b) => String.valueOf(a) < String.valueOf(b)
+    }
+    val pool = mutable.ArrayBuffer.from(cand.map(r =>
+      C(r.get(0), r.getSeq[Float](1), r.getDouble(2), Double.NegativeInfinity)))
+    val picked = mutable.ArrayBuffer.empty[(Int, Any, Double, Double)] // rank, id, rel, mmr
+    while (picked.length < math.min(k, cand.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.length) {
+        val c = pool(i)
+        val m =
+          if (picked.isEmpty) lambda * c.rel // no diversity term yet
+          else lambda * c.rel - (1.0 - lambda) * c.maxSim
+        if (m > bestScore || (m == bestScore && (best < 0 || idLt(c.id, pool(best).id)))) {
+          best = i; bestScore = m
+        }
+        i += 1
+      }
+      val chosen = pool.remove(best)
+      picked += ((picked.length + 1, chosen.id, chosen.rel, bestScore))
+      pool.foreach(c => c.maxSim = math.max(c.maxSim, sim(c.v, chosen.v)))
+    }
+    val idField = cand.headOption.map(_.schema.head)
+      .getOrElse(org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      idField.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("rel_score", org.apache.spark.sql.types.DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("mmr_score", org.apache.spark.sql.types.DoubleType,
+        nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      picked.map { case (rk, id, rel, m) => Row(rk, id, rel, m) }.toList.asJava, schema)
+  }
+
   /** Hybrid search, done right: predicate first (pushes to the scan),
     * then exact top-k over the filtered rows only.
     */

@@ -85,6 +85,68 @@ class VectorSearchSpec extends AnyFunSuite with Matchers {
     viaString shouldBe viaLong
   }
 
+  test("mmrTopK with lambda=1 degenerates to plain relevance order") {
+    val plain = VectorSearch.topK(emb, "embedding", "vec_id", query, 10, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val mmr = VectorSearch.mmrTopK(emb, "embedding", "vec_id", query,
+        k = 10, lambda = 1.0, candidates = 50)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    mmr shouldBe plain
+  }
+
+  test("mmrTopK equals a naive reference greedy over the same candidates") {
+    import spark.implicits._
+    // hand-built: query along e0; a tight clone cluster near e0 and one
+    // distinct direction — MMR must pick a clone first (most relevant),
+    // then the DIFFERENT vector before the remaining clones
+    val rows = Seq(
+      (1L, Seq(0.99f, 0.10f, 0f)), (2L, Seq(0.98f, 0.11f, 0f)),
+      (3L, Seq(0.97f, 0.12f, 0f)), (4L, Seq(0.60f, 0f, 0.80f)),
+      (5L, Seq(0.95f, 0.13f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0f, 0f)
+    val got = VectorSearch.mmrTopK(df, "embedding", "vec_id", q,
+        k = 3, lambda = 0.5, candidates = 5)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    // naive reference greedy, recomputed independently
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    var pool = rows.map { case (id, v) => (id, v, cos(v, q)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(5)
+    var sel = Seq.empty[(Long, Seq[Float])]
+    val expected = Seq.newBuilder[Long]
+    while (sel.length < 3) {
+      val scored = pool.map { case (id, v, rel) =>
+        val div = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+        (id, v, if (sel.isEmpty) 0.5 * rel else 0.5 * rel - 0.5 * div)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }
+      expected += best._1
+      sel :+= ((best._1, best._2))
+      pool = pool.filterNot(_._1 == best._1)
+    }
+    got shouldBe expected.result()
+    // the diversity property itself: the off-axis vector outranks the
+    // remaining clones once one clone is selected
+    got.take(2) shouldBe Seq(1L, 4L)
+  }
+
+  test("mmrTopK refuses l2 and bad parameters loudly") {
+    intercept[IllegalArgumentException] {
+      VectorSearch.mmrTopK(emb, "embedding", "vec_id", query, 10, 0.5, 50, "l2")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.mmrTopK(emb, "embedding", "vec_id", query, 10, 1.5, 50)
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.mmrTopK(emb, "embedding", "vec_id", query, 10, 0.5, 5)
+    }
+  }
+
   test("topK plan is TakeOrderedAndProject (no full sort/shuffle)") {
     val plan = VectorSearch.topK(emb, "embedding", "vec_id", query, 10, "cosine")
       .queryExecution.executedPlan.toString
