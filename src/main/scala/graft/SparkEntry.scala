@@ -1397,6 +1397,36 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    "lakehouse_analyze" -> ((s, dir) => {
+      // ANALYZE TABLE … FOR COLUMNS: one aggregate scan records exact
+      // per-column NDV (+ string byte lengths) in the _ndv sidecar —
+      // the numbers the v2 scan then serves to Spark's CBO through
+      // Statistics.columnStats() (AnalyzeSpec pins the attributeStats
+      // translation). Built over a real mutated table (create → null-
+      // injecting upsert) and issued as SQL CALL; the DuckDB oracle
+      // recomputes every count(distinct) from the replayed state —
+      // exact regime (approx => true is the 100 TB HLL path, spec'd).
+      val tmp = s"${indexPath("analyze", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      GraftTable.upsert(s, path,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderpriority", lit(null).cast("string")))
+      val out = withGraftCatalog(s) {
+        s.sql(s"CALL graft.analyze('$path')")
+          .select(col("col_name"), col("n_distinct"), col("max_len"))
+          .collect().toSeq
+      }
+      rmTree(tmp)
+      import s.implicits._
+      out.map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toDF("col_name", "n_distinct", "max_len")
+        .orderBy("col_name")
+    }),
+
     "lakehouse_stats_drift" -> ((s, dir) => {
       // METADATA-ONLY drift report across a mutating commit sequence
       // (create → null-injecting upsert → predicate delete): row-count
@@ -4512,6 +4542,27 @@ object SparkEntry {
     // and profile the final state straight from parquet; the Spark side
     // answered the same numbers from manifest stats alone. Timestamp
     // bounds in epoch micros — the stats segments' serialized form.
+    "lakehouse_analyze" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                  CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 5 = 0),
+         fin AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups))
+         SELECT 'o_custkey' AS col_name, count(DISTINCT o_custkey) AS n_distinct,
+                CAST(NULL AS BIGINT) AS max_len FROM fin
+         UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate), NULL FROM fin
+         UNION ALL SELECT 'o_orderkey', count(DISTINCT o_orderkey), NULL FROM fin
+         UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority),
+                          max(strlen(o_orderpriority)) FROM fin
+         UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus),
+                          max(strlen(o_orderstatus)) FROM fin
+         UNION ALL SELECT 'o_totalprice', count(DISTINCT o_totalprice), NULL FROM fin
+         ORDER BY col_name""",
+
     "lakehouse_stats_profile" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
          ups AS (

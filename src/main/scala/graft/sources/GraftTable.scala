@@ -1558,6 +1558,108 @@ object GraftTable {
         c -> ColumnDrift(profFrom.get(c), profTo.get(c))
       }.toMap)
 
+  // ---- ANALYZE: column NDV statistics for the query planner ------------
+  //
+  // The `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` analog (Delta/
+  // Hive): ONE aggregate scan computes per-column distinct counts (and
+  // byte lengths for strings), recorded in a `_ndv` sidecar stamped
+  // with the analyzed version. The v2 scan serves these through
+  // `Statistics.columnStats()`, which Spark's `transformV2Stats`
+  // translates into catalyst per-attribute ColumnStat — the numbers
+  // the cost-based optimizer prices joins and aggregates with
+  // (`spark.sql.cbo.enabled`). Null counts and min/max bounds do NOT
+  // live here: the manifest's stats segments already carry them
+  // snapshot-EXACTLY at zero scan cost; ANALYZE records only what
+  // metadata cannot know (distinctness). Planner numbers are estimates
+  // by contract, so a stale NDV (commits since the analyze) is served
+  // as-is with its version visible — re-ANALYZE after bulk changes,
+  // exactly like every warehouse.
+
+  private def ndvPath(path: String) = new Path(path, "_ndv")
+
+  /** One analyzed column: distinct count, plus (avgLen, maxLen) in
+    * bytes for strings (the broadcast-sizing inputs CBO wants).
+    */
+  final case class ColumnNdv(ndv: Long, strLen: Option[(Long, Long)])
+
+  /** Run the analyze scan and record the `_ndv` sidecar; returns the
+    * per-column numbers. Exact NDV by default — a multi-column
+    * countDistinct compiles to one Expand pass (|cols| projections of
+    * one scan; the cost is real and stated). `approx = true` swaps in
+    * HLL `approx_count_distinct` — the 100 TB path: one true scan, no
+    * expansion, ±2% — planner estimates don't need the exact regime.
+    * Complex-typed columns (array/map/struct/binary) are skipped: CBO
+    * never prices them and their NDV is ill-defined for planning.
+    */
+  def analyze(spark: SparkSession, path: String,
+              approx: Boolean = false): Map[String, ColumnNdv] = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    val df = read(spark, path)
+    val eligible = df.schema.fields.toSeq.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    })
+    require(eligible.nonEmpty, s"$path: no analyzable (atomic-typed) columns")
+    // index-based aliases: column names are user-controlled and may
+    // collide with any suffix convention
+    val aggs = eligible.zipWithIndex.flatMap { case (f, i) =>
+      val nd = if (approx) approx_count_distinct(col(f.name)) else countDistinct(col(f.name))
+      Seq(nd.cast("long").as(s"c${i}_ndv")) ++ (f.dataType match {
+        case org.apache.spark.sql.types.StringType => Seq(
+          ceil(avg(octet_length(col(f.name)))).cast("long").as(s"c${i}_avg"),
+          max(octet_length(col(f.name))).cast("long").as(s"c${i}_max"))
+        case _ => Nil
+      })
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val out = eligible.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getAs[Long](s"c${i}_ndv")
+      val strLen = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          // all-null string column: no lengths to record
+          if (row.isNullAt(row.fieldIndex(s"c${i}_avg"))) None
+          else Some((row.getAs[Long](s"c${i}_avg"), row.getAs[Long](s"c${i}_max")))
+        case _ => None
+      }
+      f.name -> ColumnNdv(ndv, strLen)
+    }.toMap
+    val body = (s"version=$v" +: s"approx=$approx" +:
+      out.toSeq.sortBy(_._1).map { case (c, n) =>
+        s"${enc(c)}=${n.ndv}${n.strLen.map { case (a, m) => s",$a,$m" }.getOrElse("")}"
+      }).mkString("\n")
+    MetaIO.replaceString(ndvPath(path), body)
+    out
+  }
+
+  /** The recorded analyze numbers: (analyzed version, per-column NDV).
+    * None when the table was never analyzed. Malformed sidecars fail
+    * loudly — a planner fed garbage estimates is worse than one fed
+    * none.
+    */
+  def ndvProfile(path: String): Option[(Int, Map[String, ColumnNdv])] =
+    if (!MetaIO.exists(ndvPath(path))) None
+    else {
+      val lines = MetaIO.readString(ndvPath(path)).split("\n").filter(_.nonEmpty)
+      val kv = lines.map(_.split("=", 2)).collect { case Array(k, s) => k -> s }.toMap
+      val v = kv.getOrElse("version",
+        throw new IllegalStateException(s"$path/_ndv: missing version line")).toInt
+      val cols = lines.filterNot(l =>
+        l.startsWith("version=") || l.startsWith("approx=")).map { l =>
+        val Array(k, s) = l.split("=", 2)
+        val parts = s.split(",")
+        dec(k) -> (parts match {
+          case Array(n) => ColumnNdv(n.toLong, None)
+          case Array(n, a, m) => ColumnNdv(n.toLong, Some((a.toLong, m.toLong)))
+          case _ => throw new IllegalStateException(s"$path/_ndv: bad line '$l'")
+        })
+      }.toMap
+      Some((v, cols))
+    }
+
   /** pad each side with the other's missing columns as typed nulls */
   private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     val aCols = a.columns.toSet

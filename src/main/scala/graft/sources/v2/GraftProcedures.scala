@@ -289,6 +289,38 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL graft.analyze(t)` — the ANALYZE TABLE … COMPUTE STATISTICS
+    * FOR COLUMNS verb: one aggregate scan records per-column distinct
+    * counts (+ string byte lengths) in the `_ndv` sidecar, which the v2
+    * scan serves to the cost-based optimizer through
+    * `Statistics.columnStats()`. `approx => true` swaps exact
+    * countDistinct (one Expand pass, cost stated) for HLL — the 100 TB
+    * path. Returns the recorded numbers, one row per column.
+    */
+  private val analyze = new Proc("analyze",
+    Array(in("table", StringType), inDefault("approx", BooleanType, "false")),
+    StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("avg_len", LongType),
+      StructField("max_len", LongType)))) {
+    override def description(): String =
+      "one-scan column NDV statistics for the CBO (exact by default; " +
+        "approx => true for the HLL scale path), recorded in the _ndv sidecar"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val approx = !input.isNullAt(1) && input.getBoolean(1)
+      val out = GraftTable.analyze(spark, path, approx)
+      val v = GraftTable.ndvProfile(path).map(_._1).getOrElse(-1)
+      out.toSeq.sortBy(_._1).map { case (c, n) =>
+        InternalRow(utf8(c), v, n.ndv,
+          n.strLen.map(_._1).map(Long.box).orNull,
+          n.strLen.map(_._2).map(Long.box).orNull)
+      }.toArray
+    }
+  }
+
   /** METADATA-ONLY drift report between two snapshots — the per-commit
     * release-gate diff ([[GraftTable.statsDrift]]) as a result set.
     * A column missing one side's profile (pre-evolution, past the stat
@@ -600,7 +632,7 @@ object GraftProcedures {
 
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
-    enableBlooms, statsProfile, statsDrift, history, files,
+    enableBlooms, statsProfile, statsDrift, history, files, analyze,
     indexCreate, indexRefresh, indexDrop, indexesReport,
     tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap

@@ -543,25 +543,7 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
       case _ => None
     }
     def fieldOf(c: String): Option[StructField] = full.fields.find(_.name == c)
-    // serialized bound rendering → the column type's Catalyst value
-    // (the inverse of collectStatLines' cast-to-string); any parse
-    // failure declines the pushdown rather than guessing
-    def decode(s: String, dt: DataType): Option[Any] = scala.util.Try[Option[Any]](dt match {
-      case ByteType => Some(s.toByte)
-      case ShortType => Some(s.toShort)
-      case IntegerType => Some(s.toInt)
-      case LongType => Some(s.toLong)
-      case FloatType =>
-        val f = s.toFloat; if (f.isNaN || f.isInfinite) None else Some(f)
-      case DoubleType =>
-        val d = s.toDouble; if (d.isNaN || d.isInfinite) None else Some(d)
-      case d: DecimalType =>
-        Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
-      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
-      case TimestampType | TimestampNTZType => Some(s.toLong) // epoch micros
-      case _ => None
-    }).toOption.flatten
+    def decode(s: String, dt: DataType): Option[Any] = GraftStatDecode.decode(s, dt)
     // Some(value) = exactly answerable (null for all-null/empty — the
     // profile's nullCount proves no non-null value exists); None = not
     def bound(p: GraftTable.ColumnProfile, dt: DataType, isMin: Boolean): Option[Any] =
@@ -599,6 +581,32 @@ class GraftScanBuilder(path: String, version: Int, full: StructType,
       new GraftScan(path, version, full, required, keys, nbuckets, pushed.toSeq,
         reportedBuckets, limit, requestedMeta)
   }
+}
+
+/** Serialized stat-bound rendering → the column type's Catalyst value
+  * (the inverse of collectStatLines' cast-to-string). Any parse failure
+  * is None — callers decline (no pushdown / no stat) rather than guess.
+  * Shared by the metadata aggregate pushdown and the column-statistics
+  * report ([[GraftScan.estimateStatistics]]).
+  */
+private[v2] object GraftStatDecode {
+  import org.apache.spark.sql.types._
+  def decode(s: String, dt: DataType): Option[Any] = scala.util.Try[Option[Any]](dt match {
+    case ByteType => Some(s.toByte)
+    case ShortType => Some(s.toShort)
+    case IntegerType => Some(s.toInt)
+    case LongType => Some(s.toLong)
+    case FloatType =>
+      val f = s.toFloat; if (f.isNaN || f.isInfinite) None else Some(f)
+    case DoubleType =>
+      val d = s.toDouble; if (d.isNaN || d.isInfinite) None else Some(d)
+    case d: DecimalType =>
+      Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+    case TimestampType | TimestampNTZType => Some(s.toLong) // epoch micros
+    case _ => None
+  }).toOption.flatten
 }
 
 /** The completely-pushed-aggregate result: one driver-local row, zero
@@ -652,6 +660,10 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong = size
         override def numRows(): java.util.OptionalLong = rows
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          columnStatsMap
       }
     val none = java.util.OptionalLong.empty()
     if (GraftTable.dvEntries(path, version).nonEmpty ||
@@ -674,6 +686,72 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
       else requiredSchema.defaultSize.toDouble / dataSchema.defaultSize
     val bytes = math.max(1L, (kept.map(_.bytes).sum * ratio).toLong)
     stat(java.util.OptionalLong.of(bytes), rows)
+  }
+
+  // ------------------------------------------------------------------
+  // Column-level statistics for the COST-BASED OPTIMIZER: per-column
+  // null counts and typed min/max come from the manifest's stats
+  // segments (snapshot-EXACT, zero data IO); distinct counts (and
+  // string byte lengths) come from the `_ndv` sidecar the ANALYZE verb
+  // records. Spark's transformV2Stats turns these into catalyst
+  // per-attribute ColumnStat, which `spark.sql.cbo.enabled` prices
+  // joins/aggregates with — the ANALYZE TABLE … FOR COLUMNS contract
+  // of every warehouse, at metadata cost. Served only on UNFILTERED
+  // scans (a filter changes every per-column number; rows/bytes above
+  // already shrink through file pruning, column stats would not —
+  // better absent than wrong-shaped). NDV is an estimate by contract
+  // (stamped with its analyzed version; re-ANALYZE after bulk
+  // changes); bounds/nulls decline per column when metadata can't
+  // state them exactly (the statsProfile rules).
+  // ------------------------------------------------------------------
+  private lazy val columnStatsMap: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    val prof: Map[String, GraftTable.ColumnProfile] =
+      if (filters.nonEmpty || runtimeFilters.nonEmpty) Map.empty
+      else scala.util.Try(GraftTable.statsProfile(path, version)).toOption.flatten
+        .map(_._2).getOrElse(Map.empty)
+    val ndv: Map[String, GraftTable.ColumnNdv] =
+      if (filters.nonEmpty || runtimeFilters.nonEmpty) Map.empty
+      else scala.util.Try(GraftTable.ndvProfile(path)).toOption.flatten
+        .map(_._2).getOrElse(Map.empty)
+    requiredSchema.fields.foreach { f =>
+      val p = prof.get(f.name)
+      val n = ndv.get(f.name)
+      if (p.isDefined || n.isDefined) {
+        val minV = p.flatMap(_.min).flatMap(GraftStatDecode.decode(_, f.dataType))
+          .filterNot(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        val maxV = p.flatMap(_.max).flatMap(GraftStatDecode.decode(_, f.dataType))
+          .filterNot(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        val lens: Option[(Long, Long)] = n.flatMap(_.strLen)
+          .orElse(if (f.dataType == org.apache.spark.sql.types.StringType) None
+                  else Some((f.dataType.defaultSize.toLong, f.dataType.defaultSize.toLong)))
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            n.map(x => java.util.OptionalLong.of(x.ndv))
+              .getOrElse(java.util.OptionalLong.empty())
+          override def nullCount(): java.util.OptionalLong =
+            p.map(x => java.util.OptionalLong.of(x.nullCount))
+              .getOrElse(java.util.OptionalLong.empty())
+          override def min(): java.util.Optional[Object] =
+            minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty())
+          override def max(): java.util.Optional[Object] =
+            maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty())
+          override def avgLen(): java.util.OptionalLong =
+            lens.map(l => java.util.OptionalLong.of(l._1))
+              .getOrElse(java.util.OptionalLong.empty())
+          override def maxLen(): java.util.OptionalLong =
+            lens.map(l => java.util.OptionalLong.of(l._2))
+              .getOrElse(java.util.OptionalLong.empty())
+        })
+      }
+    }
+    out
   }
 
   // ------------------------------------------------------------------
