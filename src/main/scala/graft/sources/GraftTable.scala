@@ -1578,9 +1578,14 @@ object GraftTable {
   private def ndvPath(path: String) = new Path(path, "_ndv")
 
   /** One analyzed column: distinct count, plus (avgLen, maxLen) in
-    * bytes for strings (the broadcast-sizing inputs CBO wants).
+    * bytes for strings (the broadcast-sizing inputs CBO wants), plus
+    * an optional equi-height histogram (height, bins as
+    * (lo, hi, ndv) over the column's double-projected domain — the
+    * internal rep Catalyst's estimation uses: days for dates, micros
+    * for timestamps).
     */
-  final case class ColumnNdv(ndv: Long, strLen: Option[(Long, Long)])
+  final case class ColumnNdv(ndv: Long, strLen: Option[(Long, Long)],
+                             hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
 
   /** Run the analyze scan and record the `_ndv` sidecar; returns the
     * per-column numbers. Exact NDV by default — a multi-column
@@ -1591,8 +1596,28 @@ object GraftTable {
     * Complex-typed columns (array/map/struct/binary) are skipped: CBO
     * never prices them and their NDV is ill-defined for planning.
     */
+  /** The double projection of a column Catalyst's estimation reasons
+    * in: numerics as-is, dates as epoch DAYS, timestamps as epoch
+    * MICROS. None = no histogram for this type (strings, booleans,
+    * NTZ — NTZ's epoch projection is timezone-ambiguous, so its
+    * histogram is withheld rather than recorded under one guess).
+    */
+  private def histProjection(f: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           _: DecimalType => Some(col(f.name).cast("double"))
+      case DateType => Some(unix_date(col(f.name)).cast("double"))
+      case TimestampType => Some(unix_micros(col(f.name)).cast("double"))
+      case _ => None
+    }
+  }
+
   def analyze(spark: SparkSession, path: String,
-              approx: Boolean = false): Map[String, ColumnNdv] = {
+              approx: Boolean = false, histogramBins: Int = 0): Map[String, ColumnNdv] = {
+    require(histogramBins >= 0 && histogramBins <= 254,
+      s"histogramBins in [0, 254], got $histogramBins")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val df = read(spark, path)
@@ -1613,9 +1638,54 @@ object GraftTable {
           ceil(avg(octet_length(col(f.name)))).cast("long").as(s"c${i}_avg"),
           max(octet_length(col(f.name))).cast("long").as(s"c${i}_max"))
         case _ => Nil
-      })
+      }) ++ (if (histogramBins > 0 && histProjection(f).isDefined) Seq(
+        // equi-height boundaries: histogramBins+1 percentile cuts of the
+        // double projection (same pass as the NDV aggregate)
+        percentile_approx(histProjection(f).get,
+          typedlit((0 to histogramBins).map(_.toDouble / histogramBins)),
+          lit(10000)).as(s"c${i}_pct"),
+        count(histProjection(f).get).as(s"c${i}_nn")) else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // pass B (histograms only): per-bin distinct counts. One explode of
+    // (histogram column, bin index, value) triples → one shuffle with
+    // |cols|·bins groups — the same expansion class the exact-NDV
+    // Expand already pays; ANALYZE is a paid maintenance verb and the
+    // cost is stated. Distinctness is counted on the double projection
+    // (injective for every histogrammed type except bigints beyond
+    // 2^53 — an estimate-grade edge, noted here).
+    val histCols: Seq[(org.apache.spark.sql.types.StructField, Int, Array[Double], Long)] =
+      if (histogramBins == 0) Nil
+      else eligible.zipWithIndex.flatMap { case (f, i) =>
+        histProjection(f).map { _ =>
+          val cuts = row.getSeq[Double](row.fieldIndex(s"c${i}_pct")).toArray
+          (f, i, cuts, row.getAs[Long](s"c${i}_nn"))
+        }
+      }.filter(_._4 > 0L) // all-null columns carry no histogram
+    val binNdv: Map[(Int, Int), Long] =
+      if (histCols.isEmpty) Map.empty
+      else {
+        val entries = histCols.map { case (f, i, cuts, _) =>
+          val inner = typedlit(cuts.slice(1, cuts.length - 1).toSeq)
+          val vv = histProjection(f).get
+          val bi = least(lit(histogramBins - 1),
+            size(filter(inner, b => vv > b))).cast("int")
+          struct(lit(i).as("ci"), bi.as("bi"), vv.as("v"))
+        }
+        df.select(explode(array(entries: _*)).as("e"))
+          .filter(col("e.v").isNotNull)
+          .groupBy(col("e.ci"), col("e.bi"))
+          .agg(countDistinct(col("e.v")).as("ndv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      }
+    val hists: Map[Int, (Double, Seq[(Double, Double, Long)])] =
+      histCols.map { case (_, i, cuts, nonNull) =>
+        val bins = (0 until histogramBins).map { b =>
+          (cuts(b), cuts(b + 1), binNdv.getOrElse((i, b), 0L))
+        }
+        i -> (nonNull.toDouble / histogramBins, bins)
+      }.toMap
     val out = eligible.zipWithIndex.map { case (f, i) =>
       val ndv = row.getAs[Long](s"c${i}_ndv")
       val strLen = f.dataType match {
@@ -1625,12 +1695,17 @@ object GraftTable {
           else Some((row.getAs[Long](s"c${i}_avg"), row.getAs[Long](s"c${i}_max")))
         case _ => None
       }
-      f.name -> ColumnNdv(ndv, strLen)
+      f.name -> ColumnNdv(ndv, strLen, hists.get(i))
     }.toMap
     val body = (s"version=$v" +: s"approx=$approx" +:
-      out.toSeq.sortBy(_._1).map { case (c, n) =>
+      (out.toSeq.sortBy(_._1).map { case (c, n) =>
         s"${enc(c)}=${n.ndv}${n.strLen.map { case (a, m) => s",$a,$m" }.getOrElse("")}"
-      }).mkString("\n")
+      } ++
+      out.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+        n.hist.map { case (h, bins) =>
+          s"hist:${enc(c)}=$h;" + bins.map { case (lo, hi, nd) => s"$lo:$hi:$nd" }.mkString(",")
+        }
+      })).mkString("\n")
     MetaIO.replaceString(ndvPath(path), body)
     out
   }
@@ -1647,13 +1722,26 @@ object GraftTable {
       val kv = lines.map(_.split("=", 2)).collect { case Array(k, s) => k -> s }.toMap
       val v = kv.getOrElse("version",
         throw new IllegalStateException(s"$path/_ndv: missing version line")).toInt
+      val hists: Map[String, (Double, Seq[(Double, Double, Long)])] = lines
+        .filter(_.startsWith("hist:")).map { l =>
+          val Array(k, s) = l.stripPrefix("hist:").split("=", 2)
+          val Array(h, binsS) = s.split(";", 2)
+          val bins = binsS.split(",").toSeq.map { b =>
+            b.split(":") match {
+              case Array(lo, hi, nd) => (lo.toDouble, hi.toDouble, nd.toLong)
+              case _ => throw new IllegalStateException(s"$path/_ndv: bad hist bin '$b'")
+            }
+          }
+          dec(k) -> (h.toDouble, bins)
+        }.toMap
       val cols = lines.filterNot(l =>
-        l.startsWith("version=") || l.startsWith("approx=")).map { l =>
+        l.startsWith("version=") || l.startsWith("approx=") || l.startsWith("hist:")).map { l =>
         val Array(k, s) = l.split("=", 2)
         val parts = s.split(",")
-        dec(k) -> (parts match {
-          case Array(n) => ColumnNdv(n.toLong, None)
-          case Array(n, a, m) => ColumnNdv(n.toLong, Some((a.toLong, m.toLong)))
+        val c = dec(k)
+        c -> (parts match {
+          case Array(n) => ColumnNdv(n.toLong, None, hists.get(c))
+          case Array(n, a, m) => ColumnNdv(n.toLong, Some((a.toLong, m.toLong)), hists.get(c))
           case _ => throw new IllegalStateException(s"$path/_ndv: bad line '$l'")
         })
       }.toMap

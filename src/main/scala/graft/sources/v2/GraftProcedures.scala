@@ -298,25 +298,29 @@ object GraftProcedures {
     * path. Returns the recorded numbers, one row per column.
     */
   private val analyze = new Proc("analyze",
-    Array(in("table", StringType), inDefault("approx", BooleanType, "false")),
+    Array(in("table", StringType), inDefault("approx", BooleanType, "false"),
+      inDefault("histogram_bins", IntegerType, "0")),
     StructType(Seq(
       StructField("col_name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false),
       StructField("n_distinct", LongType, nullable = false),
       StructField("avg_len", LongType),
-      StructField("max_len", LongType)))) {
+      StructField("max_len", LongType),
+      StructField("hist_bins", LongType)))) {
     override def description(): String =
-      "one-scan column NDV statistics for the CBO (exact by default; " +
-        "approx => true for the HLL scale path), recorded in the _ndv sidecar"
+      "column NDV statistics for the CBO (exact by default; approx => true " +
+        "for the HLL scale path; histogram_bins => n adds equi-height " +
+        "histograms on numeric/date/ts columns), recorded in the _ndv sidecar"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val approx = !input.isNullAt(1) && input.getBoolean(1)
-      val out = GraftTable.analyze(spark, path, approx)
+      val out = GraftTable.analyze(spark, path, approx, reqInt(input, 2))
       val v = GraftTable.ndvProfile(path).map(_._1).getOrElse(-1)
       out.toSeq.sortBy(_._1).map { case (c, n) =>
         InternalRow(utf8(c), v, n.ndv,
           n.strLen.map(_._1).map(Long.box).orNull,
-          n.strLen.map(_._2).map(Long.box).orNull)
+          n.strLen.map(_._2).map(Long.box).orNull,
+          n.hist.map(h => Long.box(h._2.length.toLong)).orNull)
       }.toArray
     }
   }

@@ -748,6 +748,25 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
           override def maxLen(): java.util.OptionalLong =
             lens.map(l => java.util.OptionalLong.of(l._2))
               .getOrElse(java.util.OptionalLong.empty())
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            n.flatMap(_.hist) match {
+              case None => java.util.Optional.empty()
+              case Some((h, binSeq)) =>
+                java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      binSeq.map { case (l, u, nd) =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = u
+                          override def ndv(): Long = nd
+                        }
+                      }.toArray
+                  })
+            }
         })
       }
     }

@@ -120,6 +120,47 @@ class AnalyzeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("equi-height histograms: bins cover the domain, per-bin NDV sums to the column NDV") {
+    val root = mkTable()
+    val out = GraftTable.analyze(spark, root, histogramBins = 8)
+    val (height, bins) = out("k").hist.get
+    bins.length shouldBe 8
+    height shouldBe 50.0 // 400 non-null rows / 8 bins
+    bins.head._1 shouldBe 0.0   // lo of first bin = min
+    bins.last._2 shouldBe 399.0 // hi of last bin = max
+    // every boundary is non-decreasing and each distinct value lands in
+    // exactly one bin → per-bin NDVs sum to the column NDV
+    bins.sliding(2).foreach { case Seq(a, b) => a._2 shouldBe b._1 }
+    bins.map(_._3).sum shouldBe 400L
+    // strings carry no histogram; round-trip through the sidecar
+    out("s").hist shouldBe None
+    GraftTable.ndvProfile(root).get._2 shouldBe out
+  }
+
+  test("histograms reach the catalyst attribute stats under CBO") {
+    val root = mkTable()
+    GraftTable.analyze(spark, root, histogramBins = 4)
+    withCatalog {
+      withConf("spark.sql.cbo.enabled" -> "true") {
+        val st = spark.table(s"graft.`$root`").queryExecution.optimizedPlan.stats
+        val kStat = st.attributeStats.find(_._1.name == "k").get._2
+        val h = kStat.histogram.get
+        h.bins.length shouldBe 4
+        h.height shouldBe 100.0
+        h.bins.map(_.ndv).sum shouldBe 400L
+      }
+    }
+  }
+
+  test("CALL analyze with histogram_bins reports bin counts") {
+    val root = mkTable()
+    withCatalog {
+      val rows = spark.sql(s"CALL graft.analyze('$root', histogram_bins => 6)").collect()
+      rows.find(_.getString(0) == "k").get.getLong(5) shouldBe 6L
+      rows.find(_.getString(0) == "s").get.isNullAt(5) shouldBe true // strings: no histogram
+    }
+  }
+
   test("stale NDV is served as an estimate; filtered scans withhold column stats") {
     val root = mkTable()
     GraftTable.analyze(spark, root)
