@@ -1715,6 +1715,206 @@ object GraftTable {
     * loudly — a planner fed garbage estimates is worse than one fed
     * none.
     */
+  // ---- INCREMENTAL analyze: per-file HLL sketches ----------------------
+  //
+  // The Iceberg-puffin NDV model: data files are IMMUTABLE, so a
+  // distinct-count sketch computed per (file, column) is valid for the
+  // file's whole life — refreshing the table's NDV after a commit
+  // means sketching only files the sketch store hasn't seen (COW
+  // rewrites touch only the mutated buckets; untouched buckets' files
+  // keep their names and their sketches), then unioning per column.
+  // At 100 TB this turns the ANALYZE cost from O(table) per refresh
+  // into O(new data) — the difference between "stats are always
+  // current" and "stats are from last quarter". NDV is HLL-estimated
+  // by construction (exact below the sketch's coupon threshold, ±2%
+  // above — the planner-estimate contract); string lengths fold
+  // exactly from per-file (sum, max, count). Histograms are full-scan
+  // only (percentile cuts don't compose file-wise).
+  //
+  // `_ndvsketch` sidecar, one line per (file, column):
+  //   lgk=12
+  //   <enc(file)>|<enc(col)>=<base64 HLL>   (or `-` = no non-null values)
+  //   len:<enc(file)>|<enc(col)>=<sumLen>,<maxLen>,<nonNull>   (strings)
+  // Files no longer in the head snapshot are dropped at each refresh —
+  // the store tracks the live file set, bounded by it.
+
+  private def ndvSketchPath(path: String) = new Path(path, "_ndvsketch")
+  private val SketchLgK = 12
+
+  /** Injective projection of an atomic column into a sketchable domain
+    * (DataSketches HLL updates take longs/strings/binary): integrals
+    * and date/ts as longs (days / micros), everything else through its
+    * deterministic string rendering. Distinctness is preserved, which
+    * is all a distinct-count sketch needs.
+    */
+  private def sketchProjection(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        col(f.name).cast("long")
+      case DateType => unix_date(col(f.name)).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case StringType => col(f.name)
+      case _ => col(f.name).cast("string")
+    }
+  }
+
+  /** Refresh the table's column NDV statistics INCREMENTALLY: sketch
+    * only the head snapshot's files absent from the `_ndvsketch` store,
+    * union per column, and write the same `_ndv` sidecar the full
+    * [[analyze]] writes (the serving path — `columnStats()` → CBO — is
+    * shared and cannot tell the two apart). Returns the new profile.
+    *
+    * Refuses while a MOR log is outstanding: deltas/DVs change row
+    * visibility in ways that cannot be attributed to immutable files —
+    * compact first (the statsProfile rule). After this call the NDV is
+    * CURRENT for the head version by construction, not an estimate of
+    * a past snapshot.
+    */
+  def analyzeIncremental(spark: SparkSession, path: String): Map[String, ColumnNdv] = {
+    val v = latestVersion(path)
+    require(v >= 0, s"no table at $path")
+    require(dvEntries(path, v).isEmpty && deltaEntries(path, v).isEmpty,
+      s"$path has outstanding MOR log entries: per-file sketches cannot attribute " +
+        "merged rows to immutable files — GraftTable.compact(...) first")
+    val sc = snapshotSchema(path, v).getOrElse(
+      throw new IllegalStateException(s"$path: no recorded snapshot schema"))
+    val eligible = sc.fields.toSeq.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    })
+    require(eligible.nonEmpty, s"$path: no analyzable (atomic-typed) columns")
+    // head snapshot's file list: from the stats segments (metadata-
+    // only), falling back to listing just the dirs without coverage
+    val dirs = manifest(path, v).values.toSeq
+    val stats = manifestFileStats(path, v)
+    val files: Seq[String] = dirs.flatMap { rel =>
+      val covered = stats.keys.filter(_.startsWith(rel + "/")).toSeq
+      if (covered.nonEmpty) covered
+      else MetaIO.list(new Path(s"$path/$rel"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$rel/${f.getPath.getName}")
+    }
+    // load the store; retain only live files
+    val (storedSketch, storedLen) = readSketchStore(path)
+    val live = files.toSet
+    val colNames = eligible.map(_.name)
+    val uncovered = files.filter(f =>
+      !colNames.forall(c => storedSketch.contains((f, c))))
+    val (newSketch, newLen) =
+      if (uncovered.isEmpty) (Map.empty[(String, String), Option[Array[Byte]]],
+        Map.empty[(String, String), (Long, Long, Long)])
+      else {
+        val absolute = uncovered.map(f => s"$path/$f")
+        val aggs = eligible.zipWithIndex.flatMap { case (f, i) =>
+          Seq(hll_sketch_agg(sketchProjection(f), lit(SketchLgK)).as(s"c${i}_sk")) ++
+            (f.dataType match {
+              case org.apache.spark.sql.types.StringType => Seq(
+                sum(octet_length(col(f.name))).cast("long").as(s"c${i}_sum"),
+                max(octet_length(col(f.name))).cast("long").as(s"c${i}_mx"),
+                count(col(f.name)).as(s"c${i}_ct"))
+              case _ => Nil
+            })
+        }
+        val rows = spark.read.schema(sc).parquet(absolute: _*)
+          .withColumn("__f", input_file_name())
+          .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+          .collect()
+        def relOf(uri: String): String =
+          uncovered.find(f => uri.endsWith(f)).getOrElse(
+            throw new IllegalStateException(s"sketched file $uri matches no planned file"))
+        val sk = rows.flatMap { r =>
+          val rel = relOf(r.getAs[String]("__f"))
+          eligible.zipWithIndex.map { case (f, i) =>
+            (rel, f.name) -> Option(r.getAs[Array[Byte]](s"c${i}_sk"))
+          }
+        }.toMap
+        val ln = rows.flatMap { r =>
+          val rel = relOf(r.getAs[String]("__f"))
+          eligible.zipWithIndex.collect {
+            case (f, i) if f.dataType == org.apache.spark.sql.types.StringType &&
+                !r.isNullAt(r.fieldIndex(s"c${i}_sum")) =>
+              (rel, f.name) -> (r.getAs[Long](s"c${i}_sum"), r.getAs[Long](s"c${i}_mx"),
+                r.getAs[Long](s"c${i}_ct"))
+          }
+        }.toMap
+        // a planned file the scan never yielded rows for (empty file)
+        // still needs covering entries, else every refresh rescans it
+        val missing = uncovered.flatMap(f => eligible.map(ff => (f, ff.name)))
+          .filterNot(sk.contains)
+        (sk ++ missing.map(_ -> None).toMap, ln)
+      }
+    val mergedSketch: Map[(String, String), Option[Array[Byte]]] =
+      storedSketch.filter { case ((f, _), _) => live(f) } ++ newSketch
+    val mergedLen: Map[(String, String), (Long, Long, Long)] =
+      storedLen.filter { case ((f, _), _) => live(f) } ++ newLen
+    writeSketchStore(path, mergedSketch, mergedLen)
+    // union per column → the NDV profile; exact-fold the string lengths
+    import spark.implicits._
+    val skRows = mergedSketch.toSeq.collect {
+      case ((f, c), Some(b)) if live(f) => (c, b)
+    }
+    val ndvByCol: Map[String, Long] =
+      if (skRows.isEmpty) Map.empty
+      else skRows.toDF("c", "sk").groupBy("c")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("ndv"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = eligible.map { f =>
+      val lens = mergedLen.collect { case ((file, c), t) if c == f.name && live(file) => t }
+      val strLen =
+        if (f.dataType != org.apache.spark.sql.types.StringType || lens.isEmpty) None
+        else {
+          val cnt = lens.map(_._3).sum
+          if (cnt == 0L) None
+          else Some((math.ceil(lens.map(_._1).sum.toDouble / cnt).toLong, lens.map(_._2).max))
+        }
+      f.name -> ColumnNdv(ndvByCol.getOrElse(f.name, 0L), strLen, None)
+    }.toMap
+    val body = (s"version=$v" +: s"approx=true" +:
+      out.toSeq.sortBy(_._1).map { case (c, n) =>
+        s"${enc(c)}=${n.ndv}${n.strLen.map { case (a, m) => s",$a,$m" }.getOrElse("")}"
+      }).mkString("\n")
+    MetaIO.replaceString(ndvPath(path), body)
+    out
+  }
+
+  private def readSketchStore(path: String)
+      : (Map[(String, String), Option[Array[Byte]]], Map[(String, String), (Long, Long, Long)]) =
+    if (!MetaIO.exists(ndvSketchPath(path))) (Map.empty, Map.empty)
+    else {
+      val lines = MetaIO.readString(ndvSketchPath(path)).split("\n").filter(_.nonEmpty)
+      val sk = lines.filterNot(l => l.startsWith("lgk=") || l.startsWith("len:")).map { l =>
+        val Array(k, s) = l.split("=", 2)
+        val Array(f, c) = k.split("\\|", 2)
+        (dec(f), dec(c)) -> (if (s == "-") None
+                             else Some(java.util.Base64.getDecoder.decode(s)))
+      }.toMap
+      val ln = lines.filter(_.startsWith("len:")).map { l =>
+        val Array(k, s) = l.stripPrefix("len:").split("=", 2)
+        val Array(f, c) = k.split("\\|", 2)
+        val Array(a, m, n) = s.split(",", 3)
+        (dec(f), dec(c)) -> ((a.toLong, m.toLong, n.toLong))
+      }.toMap
+      (sk, ln)
+    }
+
+  private def writeSketchStore(path: String,
+      sk: Map[(String, String), Option[Array[Byte]]],
+      ln: Map[(String, String), (Long, Long, Long)]): Unit = {
+    val body = (s"lgk=$SketchLgK" +:
+      (sk.toSeq.sortBy { case ((f, c), _) => (f, c) }.map { case ((f, c), b) =>
+        s"${enc(f)}|${enc(c)}=" + b.map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
+      } ++
+      ln.toSeq.sortBy { case ((f, c), _) => (f, c) }.map { case ((f, c), (a, m, n)) =>
+        s"len:${enc(f)}|${enc(c)}=$a,$m,$n"
+      })).mkString("\n")
+    MetaIO.replaceString(ndvSketchPath(path), body)
+  }
+
   def ndvProfile(path: String): Option[(Int, Map[String, ColumnNdv])] =
     if (!MetaIO.exists(ndvPath(path))) None
     else {

@@ -299,7 +299,8 @@ object GraftProcedures {
     */
   private val analyze = new Proc("analyze",
     Array(in("table", StringType), inDefault("approx", BooleanType, "false"),
-      inDefault("histogram_bins", IntegerType, "0")),
+      inDefault("histogram_bins", IntegerType, "0"),
+      inDefault("incremental", BooleanType, "false")),
     StructType(Seq(
       StructField("col_name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false),
@@ -310,11 +311,18 @@ object GraftProcedures {
     override def description(): String =
       "column NDV statistics for the CBO (exact by default; approx => true " +
         "for the HLL scale path; histogram_bins => n adds equi-height " +
-        "histograms on numeric/date/ts columns), recorded in the _ndv sidecar"
+        "histograms on numeric/date/ts columns; incremental => true sketches " +
+        "only files added since the last refresh), recorded in the _ndv sidecar"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val approx = !input.isNullAt(1) && input.getBoolean(1)
-      val out = GraftTable.analyze(spark, path, approx, reqInt(input, 2))
+      val incremental = !input.isNullAt(3) && input.getBoolean(3)
+      if (incremental && reqInt(input, 2) > 0) throw new IllegalArgumentException(
+        "incremental analyze cannot build histograms: percentile cuts do not " +
+          "compose file-wise — run a full analyze with histogram_bins")
+      val out =
+        if (incremental) GraftTable.analyzeIncremental(spark, path)
+        else GraftTable.analyze(spark, path, approx, reqInt(input, 2))
       val v = GraftTable.ndvProfile(path).map(_._1).getOrElse(-1)
       out.toSeq.sortBy(_._1).map { case (c, n) =>
         InternalRow(utf8(c), v, n.ndv,

@@ -14,6 +14,7 @@ import java.nio.file.Files
   */
 class AnalyzeSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
+  import spark.implicits._
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -159,6 +160,67 @@ class AnalyzeSpec extends AnyFunSuite with Matchers {
       rows.find(_.getString(0) == "k").get.getLong(5) shouldBe 6L
       rows.find(_.getString(0) == "s").get.isNullAt(5) shouldBe true // strings: no histogram
     }
+  }
+
+  test("incremental analyze: first refresh matches exact NDV; later refreshes reuse sketches") {
+    val root = mkTable()
+    // HLL is exact below its coupon threshold, so at this size the
+    // incremental estimate must EQUAL the exact counts
+    val out = GraftTable.analyzeIncremental(spark, root)
+    // HLL at lgK=12: exact for small sets, ~±2% at hundreds — grp/s are
+    // exact, k gets the estimate tolerance
+    out("k").ndv.toDouble shouldBe 400.0 +- 12.0
+    out("grp").ndv shouldBe 10L
+    out("s").ndv shouldBe 20L
+    out("s").strLen.get._2 shouldBe 6L
+    // the _ndv sidecar is the shared serving path (version-stamped, approx)
+    val (v, prof) = GraftTable.ndvProfile(root).get
+    v shouldBe GraftTable.latestVersion(root)
+    prof("k").ndv.toDouble shouldBe 400.0 +- 12.0
+    // capture the store, upsert keys that rewrite ONE bucket's files,
+    // then refresh: untouched buckets' sketch lines must be reused
+    // bit-identically (COW immutability is what makes this incremental)
+    def store(): Set[String] = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_ndvsketch"))).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("lgk=")).toSet
+    val store0 = store()
+    val oneBucketKeys = (400L until 500L).filter(k =>
+      GraftTable.bucketFor(spark, root, -1, Map("k" -> k)) == 0).take(20)
+    GraftTable.upsert(spark, root,
+      oneBucketKeys.toDF("k").withColumn("grp", col("k") % 10)
+        .withColumn("s", lit("brand_new_value"))
+        .withColumn("v", typedlit(Seq(1.0f, 2.0f))))
+    val out2 = GraftTable.analyzeIncremental(spark, root)
+    out2("k").ndv.toDouble shouldBe (400.0 + oneBucketKeys.length) +- 14.0
+    out2("s").ndv shouldBe 21L
+    out2("s").strLen.get._2 shouldBe 15L // "brand_new_value"
+    val store1 = store()
+    // every line about a file that survived the commit is carried verbatim
+    val survivors = store0.filter { l =>
+      val file = l.stripPrefix("len:").split("\\|", 2)(0)
+      store1.exists(_.contains(file))
+    }
+    (survivors -- store1) shouldBe empty
+    survivors.nonEmpty shouldBe true
+  }
+
+  test("incremental analyze refuses MOR logs; CALL surface routes it") {
+    val root = mkTable()
+    withCatalog {
+      spark.sql(s"CALL graft.analyze('$root', incremental => true)")
+        .collect().find(_.getString(0) == "k").get.getLong(2).toDouble shouldBe 400.0 +- 12.0
+      intercept[Exception] {
+        spark.sql(
+          s"CALL graft.analyze('$root', incremental => true, histogram_bins => 4)")
+          .collect()
+      }.getMessage should include("histogram")
+    }
+    GraftTable.upsertMor(spark, root,
+      spark.range(0, 5).toDF("k").withColumn("grp", col("k") % 10)
+        .withColumn("s", lit("x")).withColumn("v", typedlit(Seq(1.0f, 2.0f))))
+    intercept[IllegalArgumentException] {
+      GraftTable.analyzeIncremental(spark, root)
+    }.getMessage should include("MOR")
   }
 
   test("stale NDV is served as an estimate; filtered scans withhold column stats") {
