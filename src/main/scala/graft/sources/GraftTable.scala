@@ -2806,6 +2806,22 @@ object GraftTable {
       val p = new Path(src, side)
       if (MetaIO.exists(p)) MetaIO.replaceString(new Path(dst, side), MetaIO.readString(p))
     }
+    // the ANALYZE sketch store travels too, FILTERED to the cloned
+    // snapshot's files: data files copy byte-for-byte under the same
+    // relative paths, so their per-file HLL sketches stay valid on the
+    // clone — its first `analyze(incremental = true)` scans nothing
+    // and materializes a fresh `_ndv`. The `_ndv` profile itself does
+    // NOT copy (it may reflect a different source version; a stamp
+    // from another table's history would be a lie).
+    locally {
+      val (sk, ln) = readSketchStore(src)
+      if (sk.nonEmpty) {
+        val cloned = files.map(_._1).toSet
+        val skF = sk.filter { case ((f, _), _) => cloned(f) }
+        val lnF = ln.filter { case ((f, _), _) => cloned(f) }
+        if (skF.nonEmpty) writeSketchStore(dst, skF, lnF)
+      }
+    }
     // legacy manifests without a #nbuckets header get one prepended so
     // writers on top of the clone bucket correctly (restoreTo's rule)
     val text0 =

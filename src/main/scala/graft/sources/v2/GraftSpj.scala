@@ -348,6 +348,10 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     val tg = GraftTable.tags(path)
     if (tg.nonEmpty)
       m.put("tags", tg.map { case (n, tv) => s"$n=v$tv" }.mkString(","))
+    GraftTable.ndvProfile(path).foreach { case (av, cols) =>
+      m.put("analyze.version", av.toString)
+      m.put("analyze.columns", cols.keys.toSeq.sorted.mkString(","))
+    }
     m
   }
 

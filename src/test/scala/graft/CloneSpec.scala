@@ -108,6 +108,29 @@ class CloneSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(s"$d/c") shouldBe 0 // nothing committed
   }
 
+  test("analyze sketch store travels with the clone; profile does not") {
+    val s = tmp(); val d = tmp()
+    mkTable(s"$s/t")
+    GraftTable.analyzeIncremental(spark, s"$s/t")
+    GraftTable.cloneTo(spark, s"$s/t", s"$d/c")
+    // the _ndv profile (version-stamped to the SOURCE history) must not copy…
+    GraftTable.ndvProfile(s"$d/c") shouldBe None
+    // …but the per-file sketches do (files are byte-identical under the
+    // same rel paths), so the clone's first incremental refresh scans
+    // NOTHING: pin via the sketch store being carried verbatim and the
+    // refresh producing the same NDV
+    val srcStore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$s/t", "_ndvsketch")))
+    val dstStore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/c", "_ndvsketch")))
+    dstStore shouldBe srcStore
+    val out = GraftTable.analyzeIncremental(spark, s"$d/c")
+    out("k").ndv shouldBe GraftTable.ndvProfile(s"$s/t").get._2("k").ndv
+    // and the store is unchanged by the refresh — nothing was rescanned
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/c", "_ndvsketch"))) shouldBe srcStore
+  }
+
   test("refusals: existing dest, unreadable version, self-clone") {
     val d = tmp(); val src = s"$d/src"
     mkTable(src)
