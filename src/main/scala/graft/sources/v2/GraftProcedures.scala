@@ -333,6 +333,63 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL graft.skipping_report(t, 'pred')` — EXPLAIN for file
+    * skipping: how many files/bytes the stats segments (+ blooms)
+    * would prune for a predicate, from METADATA alone — the
+    * layout-tuning feedback loop (is this z-order / bloom config
+    * earning its keep?) without scanning anything. The predicate is
+    * translated through the SAME DataSourceStrategy path the read
+    * planners use and evaluated with the SAME may-match keep rule, so
+    * the report IS the pruning the scan will do, not an estimate of
+    * it. Refuses loudly when nothing is pushable or stats are absent —
+    * a report that silently says "0 skipped" about a predicate it
+    * dropped would send the operator tuning the wrong thing.
+    */
+  private val skippingReport = new Proc("skipping_report",
+    Array(in("table", StringType), in("predicate", StringType),
+      inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("files_total", LongType, nullable = false),
+      StructField("files_kept", LongType, nullable = false),
+      StructField("files_skipped", LongType, nullable = false),
+      StructField("bytes_total", LongType),
+      StructField("bytes_skipped", LongType),
+      StructField("pushed_filters", StringType, nullable = false)))) {
+    override def description(): String =
+      "metadata-only file-skipping report for a predicate: files/bytes the " +
+        "stats segments and blooms would prune (version = -1 reads head)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val pred = str(input, 1)
+      val v0 = reqInt(input, 2)
+      val v = if (v0 >= 0) v0 else GraftTable.latestVersion(path)
+      val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
+        GraftTable.read(spark, path, v),
+        org.apache.spark.sql.functions.expr(pred))
+      if (filters.isEmpty) throw new IllegalArgumentException(
+        s"predicate '$pred' has no pushable (DSv1 filter) form — " +
+          "the scan cannot skip files on it, so there is nothing to report")
+      val keep = GraftTable.fileKeepPredicate(path, v, filters).getOrElse(
+        throw new IllegalStateException(
+          s"$path v$v has no stats coverage — nothing can be skipped (legacy " +
+            "snapshot; compact or re-commit to generate stats segments)"))
+      val dirs = GraftTable.manifest(path, v).values.toSeq
+      val stats = GraftTable.manifestFileStats(path, v).filter { case (rel, _) =>
+        val cut = rel.lastIndexOf('/')
+        cut > 0 && dirs.contains(rel.substring(0, cut))
+      }
+      val total = stats.size.toLong
+      val kept = stats.filter { case (rel, _) => keep(rel) }
+      val haveBytes = stats.values.forall(_.bytes >= 0L)
+      Array(InternalRow(v, total, kept.size.toLong, total - kept.size,
+        if (haveBytes) Long.box(stats.values.map(_.bytes).sum) else null,
+        if (haveBytes) Long.box(stats.values.map(_.bytes).sum -
+          kept.values.map(_.bytes).sum) else null,
+        utf8(filters.mkString(", "))))
+    }
+  }
+
   /** METADATA-ONLY drift report between two snapshots — the per-commit
     * release-gate diff ([[GraftTable.statsDrift]]) as a result set.
     * A column missing one side's profile (pre-evolution, past the stat
@@ -644,7 +701,7 @@ object GraftProcedures {
 
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
-    enableBlooms, statsProfile, statsDrift, history, files, analyze,
+    enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
     indexCreate, indexRefresh, indexDrop, indexesReport,
     tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap

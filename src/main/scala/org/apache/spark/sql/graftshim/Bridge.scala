@@ -146,8 +146,13 @@ object Bridge {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    val analyzed = df.filter(cond).queryExecution.analyzed
-    val preds = analyzed.collect {
+    // the OPTIMIZED plan, not the analyzed one: analysis leaves literal
+    // coercions as `cast(7 as bigint)` around constants, which
+    // DataSourceStrategy refuses to translate — constant folding turns
+    // them back into literals, making strictly more conjuncts pushable
+    // (a SQL-text predicate like 'k = 7' translates only after folding)
+    val optimized = df.filter(cond).queryExecution.optimizedPlan
+    val preds = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
     }.flatten
     preds.flatMap { p =>

@@ -276,4 +276,37 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
       names should include("vacuum")
     }
   }
+
+  test("CALL skipping_report: metadata pruning counts match the scan's own rule") {
+    // keys 0..499 across 4 buckets; a point predicate on the record key
+    // must keep exactly the files whose min/max admit the value —
+    // cross-checked against fileKeepPredicate, the rule the scans use
+    val root = mkTable()
+    withCatalog {
+      val r = spark.sql(
+        s"CALL graft.skipping_report('$root', 'k = 7')").collect().head
+      val (total, kept, skipped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      total shouldBe (kept + skipped)
+      total should be > 0L
+      kept should be < total // a point lookup must skip most files
+      r.getString(6) should include("EqualTo")
+      // bytes columns are present and consistent
+      (r.getLong(4) >= r.getLong(5)) shouldBe true
+      // the report equals the read path's own pruning
+      val filters = Seq(org.apache.spark.sql.sources.EqualTo("k", 7L))
+      val keep = GraftTable.fileKeepPredicate(root, GraftTable.latestVersion(root), filters).get
+      val dirs = GraftTable.manifest(root, GraftTable.latestVersion(root)).values.toSeq
+      val stats = GraftTable.manifestFileStats(root, GraftTable.latestVersion(root))
+        .filter { case (rel, _) =>
+          val cut = rel.lastIndexOf('/')
+          cut > 0 && dirs.contains(rel.substring(0, cut))
+        }
+      kept shouldBe stats.keys.count(keep)
+      // a predicate with no pushable form refuses loudly (coalesce is
+      // null-tolerant, so not even an IsNotNull constraint survives)
+      intercept[Exception] {
+        spark.sql(s"CALL graft.skipping_report('$root', 'coalesce(k, x) > 100')").collect()
+      }.getMessage should include("no pushable")
+    }
+  }
 }
