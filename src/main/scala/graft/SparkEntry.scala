@@ -308,6 +308,11 @@ object SparkEntry {
         queryVec(s, dir, 0L), k, nprobe, pred)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
+  private def hnswProbeServe(s: SparkSession, dir: String, path: String): DataFrame =
+    operators.HnswIndex.probe(s, operators.HnswIndex.load(s, path), "vec_id",
+        queryVec(s, dir, 0L), 10, ef = 64)
+      .select(col("vec_id"), q4(col("score")).as("score_q"))
+
   private def pqProbeServe(s: SparkSession, dir: String, path: String,
                            nprobe: Int, rerankFactor: Int = 4): DataFrame =
     operators.PqIndex.probe(s, operators.PqIndex.load(s, path), "vec_id", "embedding",
@@ -3197,6 +3202,16 @@ object SparkEntry {
       ivfProbeServe(s, dir, path, nprobe = 4)
     }),
 
+    "simsearch_hnsw" -> ((s, dir) => {
+      // graph-based ANN (per-partition segment HNSW — the Lucene/Milvus
+      // shape). Approximate BY NATURE: no exhaustive setting exists →
+      // rows-only; recall + determinism pinned in HnswSpec
+      val path = indexPath("hnsw", dir)
+      operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        path, m = 8, efConstruction = 64, metric = "cosine", nPartitions = 4)
+      hnswProbeServe(s, dir, path)
+    }),
+
     "simsearch_ivfpq" -> ((s, dir) => {
       // lossy codes + approximate probe → rows-only; recall in AnnIndexSpec
       val path = indexPath("ivfpq", dir)
@@ -3588,6 +3603,11 @@ object SparkEntry {
         (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
           "embedding", nlist = 16, m = 8, indexPath("ivfpq", dir), "cosine"); () },
         (s, dir) => pqProbeServe(s, dir, indexPath("ivfpq", dir), nprobe = 4))),
+      "simsearch_hnsw" -> ((
+        (s, dir) => { operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id",
+          "embedding", indexPath("hnsw", dir), m = 8, efConstruction = 64,
+          metric = "cosine", nPartitions = 4); () },
+        (s, dir) => hnswProbeServe(s, dir, indexPath("hnsw", dir)))),
       "simsearch_ivfpq_exhaustive" -> ((
         (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
           "embedding", nlist = 16, m = 8, indexPath("ivfpq_ex", dir), "cosine"); () },

@@ -2707,6 +2707,139 @@ object GraftTable {
   def isVersionReadable(path: String, v: Int): Boolean =
     commitVersions(path).contains(v) && MetaIO.exists(manifestPath(path, v))
 
+  /** One fsck finding: a named consistency check with how many items it
+    * examined, how many failed, and a detail string naming the first
+    * few offenders (None when clean).
+    */
+  final case class FsckRow(check: String, ok: Boolean, checked: Long,
+                           problems: Long, detail: Option[String])
+
+  /** FSCK — audit one snapshot's metadata↔filesystem consistency (the
+    * Delta `FSCK`/Iceberg table-integrity shape): does every file the
+    * manifest's metadata promises actually exist, with the recorded
+    * length, and do all sidecars still parse? Read-only; repairs are
+    * the operator's call (restore, re-ANALYZE, tag_delete…), never
+    * automatic — an auto-"repair" that drops a missing file silently
+    * turns storage loss into silent row loss.
+    *
+    * Cost, honestly: per-file existence/length verification is O(files)
+    * filesystem metadata RPCs — that IS what fsck means. The per-file
+    * probes run DISTRIBUTED (the [[cloneTo]] conf-broadcast pattern),
+    * so a 100 TB audit is a short parallel job, not a driver loop;
+    * everything else is O(dirs + sidecars) driver metadata. Run as a
+    * periodic audit, not per query — routine reads already get their
+    * integrity from the manifest contract this verifies.
+    *
+    * Checks: manifest parse + schema header; every data dir exists;
+    * every stats-recorded file exists with the recorded byte length;
+    * stats coverage (files present but stat-less — legacy, prunes
+    * nothing); MOR log files (`#dv=`/`#delta=`) exist; `_keys` parses
+    * and agrees with the manifest's bucket count; `_constraints`
+    * parse; every tag resolves to a committed, readable version; the
+    * `_ndv` ANALYZE sidecar parses and names a committed version.
+    */
+  def fsck(spark: SparkSession, path: String, version: Int = -1): Seq[FsckRow] = {
+    val head = latestVersion(path)
+    require(head >= 0, s"no graft table at $path")
+    val v = if (version < 0) head else version
+    val text = manifestText(path, v) // throws loudly for unknown/vacuumed
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckRow]
+    def row(check: String, checked: Long, bad: Seq[String]): Unit =
+      out += FsckRow(check, bad.isEmpty, checked, bad.size.toLong,
+        if (bad.isEmpty) None else Some(bad.take(3).mkString("; ")))
+
+    // -- manifest structure + schema header --
+    val dirs = manifest(path, v)
+    row("manifest_parse", dirs.size.toLong, Seq.empty)
+    row("schema_header", 1L,
+      if (snapshotSchema(path, v).isDefined) Seq.empty
+      else Seq("no #schema= header (legacy manifest; planning falls back to footer reads)"))
+
+    // -- every referenced data dir exists --
+    val missingDirs = dirs.values.toSeq.distinct.sorted
+      .filterNot(d => MetaIO.exists(new Path(path, d)))
+    row("data_dirs", dirs.values.toSeq.distinct.size.toLong, missingDirs)
+
+    // -- every stats-recorded file exists with the recorded length --
+    val dirSet = dirs.values.toSet
+    val logRels = (dvEntries(path, v) ++ deltaEntries(path, v)).map(_._1)
+    val stats = manifestFileStats(path, v).filter { case (rel, _) =>
+      val cut = rel.lastIndexOf('/')
+      cut > 0 && dirSet(rel.substring(0, cut))
+    }
+    val probed: Seq[(String, Long)] =
+      stats.toSeq.map { case (rel, st) => (rel, st.bytes) }.sortBy(_._1)
+    val badFiles: Seq[String] =
+      if (probed.isEmpty) Seq.empty
+      else {
+        val sc = spark.sparkContext
+        val confB = org.apache.spark.sql.graftshim.Bridge.broadcastHadoopConf(sc)
+        val root = path
+        val slices = math.max(1, math.min(probed.size, sc.defaultParallelism * 2))
+        sc.parallelize(probed, slices).flatMap { case (rel, bytes) =>
+          val conf = org.apache.spark.sql.graftshim.Bridge.hadoopConfOf(confB)
+          val p = new Path(root, rel)
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) Some(s"$rel: MISSING")
+          else if (bytes >= 0 && fs.getFileStatus(p).getLen != bytes)
+            Some(s"$rel: length ${fs.getFileStatus(p).getLen} != recorded $bytes")
+          else None
+        }.collect().toSeq.sorted
+      }
+    row("data_files", probed.size.toLong, badFiles)
+
+    // -- coverage: files on disk the stats never recorded (legacy dirs
+    // prune nothing and plan by listing — visible, not an error) --
+    val statNames = stats.keySet
+    val uncovered = dirs.values.toSeq.distinct.sorted.flatMap { d =>
+      MetaIO.list(new Path(path, d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$d/${f.getPath.getName}")
+        .filterNot(statNames)
+    }
+    out += FsckRow("stats_coverage", uncovered.isEmpty,
+      (statNames.size + uncovered.size).toLong, uncovered.size.toLong,
+      if (uncovered.isEmpty) None
+      else Some(uncovered.take(3).mkString("; ") + " (stat-less: skipping/SPJ fall back to listing)"))
+
+    // -- MOR log files named by the manifest --
+    val missingLogs = logRels.distinct.sorted
+      .filterNot(rel => MetaIO.exists(new Path(path, rel)))
+    row("mor_log_files", logRels.distinct.size.toLong, missingLogs)
+
+    // -- sidecars --
+    val keysBad = scala.util.Try {
+      val (keyCols, n, _) = meta(path)
+      require(keyCols.nonEmpty && n > 0, s"_keys: empty keys or buckets=$n")
+      val mb = manifestBuckets(path, v)
+      // a rebucket changes the per-snapshot count; _keys keeps the
+      // CREATE-time count — only a non-positive header is corruption
+      require(mb.forall(_ > 0), s"manifest #nbuckets=${mb.get} invalid")
+    }.failed.toOption.map(_.getMessage).toSeq
+    row("sidecar_keys", 1L, keysBad)
+    row("sidecar_constraints", 1L,
+      scala.util.Try(constraints(path)).failed.toOption
+        .map(e => s"_constraints: ${e.getMessage}").toSeq)
+
+    // -- tags resolve to committed, readable versions --
+    val tagRows = scala.util.Try(tags(path)).getOrElse(Seq.empty)
+    val badTags = tagRows.collect {
+      case (name, tv) if !isVersionReadable(path, tv) =>
+        s"refs/$name -> v$tv (not committed/readable)"
+    }
+    row("tags_resolve", tagRows.size.toLong, badTags)
+
+    // -- ANALYZE sidecar parses and names a committed version --
+    val ndvBad = scala.util.Try(ndvProfile(path)).map {
+      case Some((nv, _)) if !commitVersions(path).contains(nv) =>
+        Seq(s"_ndv: analyzed version $nv is not a committed version")
+      case _ => Seq.empty[String]
+    }.recover { case e => Seq(s"_ndv: ${e.getMessage}") }.get
+    row("sidecar_ndv", 1L, ndvBad)
+
+    out.toSeq
+  }
+
   /** Roll the table back to `version`: commit a NEW head whose manifest
     * is a copy of the old one (Hudi's savepoint/restore, Delta's
     * RESTORE). Nothing is rewritten — the new manifest points at the

@@ -699,10 +699,38 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL graft.fsck(t[, version])` — snapshot metadata↔filesystem
+    * integrity audit ([[GraftTable.fsck]]): one row per check (does
+    * every promised file exist with the recorded length, do the
+    * sidecars parse, do tags resolve…). READ-ONLY — findings name the
+    * offenders; repair is the operator's explicit next CALL, never
+    * automatic. Per-file probes run distributed; everything else is
+    * driver metadata.
+    */
+  private val fsck = new Proc("fsck",
+    Array(in("table", StringType), inDefault("version", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("checked", LongType, nullable = false),
+      StructField("problems", LongType, nullable = false),
+      StructField("detail", StringType, nullable = true)))) {
+    override def description(): String =
+      "read-only snapshot integrity audit: manifest/stats/sidecar/tag " +
+        "consistency vs the filesystem (version = -1 audits head)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      GraftTable.fsck(spark, path, reqInt(input, 1)).map { r =>
+        InternalRow(utf8(r.check), r.ok, r.checked, r.problems,
+          r.detail.map(utf8).orNull)
+      }.toArray
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
     indexCreate, indexRefresh, indexDrop, indexesReport,
-    tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview)
+    tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -309,4 +309,67 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
       }.getMessage should include("no pushable")
     }
   }
+
+  test("CALL fsck: a healthy table passes every check") {
+    val root = mkTable()
+    // give it the full surface: MOR log, constraint, tag, analyze stats
+    GraftTable.upsertMor(spark, root,
+      spark.range(0, 10).toDF("k").withColumn("x", lit(-5L)))
+    GraftTable.addConstraint(spark, root, "kpos", "k >= 0")
+    GraftTable.tagCreate(root, "audit")
+    GraftTable.analyze(spark, root)
+    withCatalog {
+      val rows = spark.sql(s"CALL graft.fsck('$root')").collect()
+      rows.map(_.getString(0)).toSet should contain allOf
+        ("manifest_parse", "data_dirs", "data_files", "mor_log_files",
+          "sidecar_keys", "sidecar_constraints", "tags_resolve", "sidecar_ndv")
+      all(rows.map(_.getBoolean(1))) shouldBe true
+      all(rows.map(_.getLong(3))) shouldBe 0L
+      // the file check actually probed files, the log check saw the delta
+      rows.find(_.getString(0) == "data_files").get.getLong(2) should be > 0L
+      rows.find(_.getString(0) == "mor_log_files").get.getLong(2) should be > 0L
+      all(rows.map(r => Option(r.getString(4)))) shouldBe None
+    }
+  }
+
+  test("fsck reports a data file deleted behind the table's back") {
+    val root = mkTable()
+    val v = GraftTable.latestVersion(root)
+    val rel = GraftTable.manifestFileStats(root, v).keys.toSeq.sorted.head
+    new java.io.File(s"$root/$rel").delete() shouldBe true
+    val bad = GraftTable.fsck(spark, root).find(_.check == "data_files").get
+    bad.ok shouldBe false
+    bad.problems shouldBe 1L
+    bad.detail.get should include("MISSING")
+    bad.detail.get should include(rel)
+  }
+
+  test("fsck reports a length mismatch (silent truncation/corruption)") {
+    val root = mkTable()
+    val v = GraftTable.latestVersion(root)
+    val rel = GraftTable.manifestFileStats(root, v).keys.toSeq.sorted.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$rel"),
+      Array[Byte](1, 2, 3))
+    val bad = GraftTable.fsck(spark, root).find(_.check == "data_files").get
+    bad.ok shouldBe false
+    bad.detail.get should include("length 3")
+  }
+
+  test("fsck reports a tag pointing at a non-committed version") {
+    val root = mkTable()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/refs"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/refs/ghost"), "99")
+    val bad = GraftTable.fsck(spark, root).find(_.check == "tags_resolve").get
+    bad.ok shouldBe false
+    bad.detail.get should include("ghost")
+  }
+
+  test("fsck audits the requested version and refuses unknown ones") {
+    val root = mkTable()
+    GraftTable.upsert(spark, root, spark.range(0, 5).toDF("k").withColumn("x", lit(0L)))
+    GraftTable.fsck(spark, root, version = 0).foreach(_.ok shouldBe true)
+    intercept[IllegalArgumentException] {
+      GraftTable.fsck(spark, root, version = 42)
+    }.getMessage should include("no committed version")
+  }
 }
