@@ -700,14 +700,32 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
   // records. Spark's transformV2Stats turns these into catalyst
   // per-attribute ColumnStat, which `spark.sql.cbo.enabled` prices
   // joins/aggregates with — the ANALYZE TABLE … FOR COLUMNS contract
-  // of every warehouse, at metadata cost. Served only on UNFILTERED
-  // scans (a filter changes every per-column number; rows/bytes above
-  // already shrink through file pruning, column stats would not —
-  // better absent than wrong-shaped). NDV is an estimate by contract
-  // (stamped with its analyzed version; re-ANALYZE after bulk
-  // changes); bounds/nulls decline per column when metadata can't
-  // state them exactly (the statsProfile rules).
+  // of every warehouse, at metadata cost. Filtered scans serve column
+  // stats ONLY while the pushed filters prune ZERO files: the residual
+  // Filter node is always kept, so Spark's FilterEstimation applies
+  // the selectivity itself — over snapshot-exact inputs, which is
+  // exactly right when pruning removed nothing (the interleaved-layout
+  // common case, where histograms are the CBO's only lever — the
+  // broadcast-flip AnalyzeSpec pins). Once pruning DOES drop files,
+  // rows/bytes above already shrink, and serving snapshot-level column
+  // stats on top would double-count the filter — withheld (better
+  // absent than wrong-shaped). NDV is an estimate by contract (stamped
+  // with its analyzed version; re-ANALYZE after bulk changes);
+  // bounds/nulls decline per column when metadata can't state them
+  // exactly (the statsProfile rules).
   // ------------------------------------------------------------------
+  /** True iff the pushed + runtime filters keep EVERY stat-covered
+    * file (vacuously true with no filters). Evaluated once: column
+    * stats feed the optimizer, which runs before runtime filters
+    * arrive — conservative either way.
+    */
+  private lazy val pruningRemovesNothing: Boolean =
+    (filters.isEmpty && runtimeFilters.isEmpty) || {
+      val st = GraftTable.manifestFileStats(path, version)
+      st.nonEmpty &&
+        GraftTable.fileKeepPredicate(path, version, filters ++ runtimeFilters)
+          .forall(keep => st.keys.forall(keep))
+    }
   private lazy val columnStatsMap: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -715,11 +733,11 @@ class GraftScan(path: String, version: Int, dataSchema: StructType,
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
     val prof: Map[String, GraftTable.ColumnProfile] =
-      if (filters.nonEmpty || runtimeFilters.nonEmpty) Map.empty
+      if (!pruningRemovesNothing) Map.empty
       else scala.util.Try(GraftTable.statsProfile(path, version)).toOption.flatten
         .map(_._2).getOrElse(Map.empty)
     val ndv: Map[String, GraftTable.ColumnNdv] =
-      if (filters.nonEmpty || runtimeFilters.nonEmpty) Map.empty
+      if (!pruningRemovesNothing) Map.empty
       else scala.util.Try(GraftTable.ndvProfile(path)).toOption.flatten
         .map(_._2).getOrElse(Map.empty)
     requiredSchema.fields.foreach { f =>

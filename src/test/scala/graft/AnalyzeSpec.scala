@@ -239,12 +239,75 @@ class AnalyzeSpec extends AnyFunSuite with Matchers {
       .map { case (ref, st) => ref.fieldNames.head -> st }.toMap
     byName("k").distinctCount().getAsLong shouldBe 400L // analyze-time estimate
     byName("k").max().get() shouldBe 499L               // snapshot-exact bound
-    // filtered scan: column stats withheld (they would not reflect the filter)
+    // a filter that PRUNES files: column stats withheld (rows/bytes
+    // already shrank through pruning; snapshot-level column stats on
+    // top would double-count the filter)
     val sb = tbl.newScanBuilder(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
     sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
-      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("k", 100L)))
+      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("k", 100000L)))
     sb.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics().columnStats().isEmpty shouldBe true
+    // a filter that prunes NOTHING (every file's range straddles it):
+    // snapshot stats describe the scan exactly — SERVED, so the CBO's
+    // own FilterEstimation shrinks from exact inputs
+    val sb2 = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+    sb2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("k", 100L)))
+    sb2.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats().isEmpty shouldBe false
+  }
+
+  test("ANALYZE stats flip a filtered-dim join to broadcast (the CBO payoff)") {
+    // The end-to-end "so what": identical query, identical data — the
+    // ONLY difference is whether the dim was ANALYZEd. With histogram
+    // stats the CBO prices the 1%-selective filter at ~1% of the dim
+    // and broadcasts it; without column stats the filter estimate
+    // stays near the full size and the join stays sort-merge. At
+    // 100 TB this decision is the difference between shipping a few MB
+    // and shuffling the fact table.
+    def mkPair(tag: String): (String, String) = {
+      val base = Files.createTempDirectory(s"cbo_$tag").toString
+      val fact = spark.range(0, 8000).toDF("k")
+        .withColumn("val", col("k") * 2)
+      val dim = spark.range(0, 3000).toDF("k")
+        // the filter column INTERLEAVES densely across every file (each
+        // ~180-row bucket file sees all 10 values many times), so
+        // min/max file pruning can see nothing — the histogram/NDV is
+        // the only selectivity lever
+        .withColumn("cat", col("k") % 10)
+        // INCOMPRESSIBLE wide payload (a constant pad parquet-compresses
+        // to nothing and the manifest-bytes estimate lands under any
+        // threshold) so the UNFILTERED dim prices above the threshold
+        .withColumn("pad", concat(md5(col("k").cast("string")),
+          md5((col("k") + 1).cast("string")), md5((col("k") + 2).cast("string")),
+          md5((col("k") + 3).cast("string")), md5((col("k") + 4).cast("string"))))
+      GraftTable.create(fact, s"$base/fact", Seq("k"), nbuckets = 4)
+      GraftTable.create(dim, s"$base/dim", Seq("k"), nbuckets = 4)
+      (s"$base/fact", s"$base/dim")
+    }
+    def joinPlan(factP: String, dimP: String): String = {
+      val dimF = spark.table(s"graft.`$dimP`").filter(col("cat") < 1)
+      spark.table(s"graft.`$factP`").join(dimF, "k")
+        .queryExecution.executedPlan.toString
+    }
+    withCatalog {
+      // threshold sits between the two deterministic estimates: without
+      // column stats the CBO cannot price `cat < 1` and keeps a
+      // default-selectivity size (~113 KiB here); with NDV+histogram
+      // stats the filter prices at one 8-bin histogram bucket (~72 KiB)
+      withConf("spark.sql.cbo.enabled" -> "true",
+               "spark.sql.autoBroadcastJoinThreshold" -> "98304",
+               "spark.sql.adaptive.enabled" -> "false") { // static planner only
+        val (f1, d1) = mkPair("with")
+        GraftTable.analyze(spark, f1, histogramBins = 8)
+        GraftTable.analyze(spark, d1, histogramBins = 8)
+        joinPlan(f1, d1) should include("BroadcastHashJoin")
+
+        val (f2, d2) = mkPair("without")
+        joinPlan(f2, d2) should include("SortMergeJoin")
+      }
+    }
   }
 }
