@@ -3416,6 +3416,27 @@ object SparkEntry {
             Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"), stride = 32))
         .orderBy("doc_id", "frame_idx")),
 
+    "mm_audio_match" -> ((s, dir) => {
+      // Shazam-style landmark matching: clips cut from every 25th long
+      // payload (20 frames starting at frame 3) must locate their
+      // source at t_offset = 3 by offset-consistent landmark votes —
+      // the SUBSEQUENCE relation whole-payload hashes can't see. The
+      // md5 "peak" is the stubbed spectral extractor; windowing,
+      // landmark pairing, the inverted-index join, and offset voting
+      // are the real algorithm, and the integer chain is replayed
+      // end-to-end by the DuckDB oracle.
+      val corpus = Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "payload")
+      val clips = corpus
+        .filter(col("doc_id") % 25 === 0 && octet_length(col("payload")) >= 736)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          expr("substring(payload, 3*32+1, 20*32)").as("payload"))
+      Multimodal.audioMatch(clips, corpus, stride = 32, fanout = 3, minVotes = 5)
+        .select(col("clip_id"), col("src_id"), col("t_offset"),
+          col("votes").cast("long").as("votes"))
+        .orderBy("clip_id", "src_id", "t_offset")
+    }),
+
     "mm_dedup_phash" -> ((s, dir) => {
       // multimodal NEAR-DUP dedup by perceptual hash: frame features →
       // 64-bit aHash signature (sign_pack kernel) → SimHash-banded
@@ -5770,6 +5791,38 @@ object SparkEntry {
                 CAST(('0x' || substr(m, 17, 8)) AS BIGINT) AS f2,
                 CAST(('0x' || substr(m, 25, 8)) AS BIGINT) AS f3
          FROM fr ORDER BY doc_id, frame_idx""",
+
+    "mm_audio_match" ->
+      """WITH clips AS (
+           SELECT doc_id + 5000000 AS doc_id, substring(text, 3*32+1, 20*32) AS text
+           FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 736),
+         cf AS (
+           SELECT doc_id, CAST(f AS BIGINT) AS t,
+                  CAST(('0x' || substr(md5(substring(text, CAST(f*32+1 AS INT), 32)), 1, 4)) AS BIGINT) AS p
+           FROM documents, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS g(f)),
+         qf AS (
+           SELECT doc_id, CAST(f AS BIGINT) AS t,
+                  CAST(('0x' || substr(md5(substring(text, CAST(f*32+1 AS INT), 32)), 1, 4)) AS BIGINT) AS p
+           FROM clips, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS g(f)),
+         cl AS (
+           SELECT doc_id, t, p, lead(p,1) OVER w AS p1, lead(p,2) OVER w AS p2, lead(p,3) OVER w AS p3
+           FROM cf WINDOW w AS (PARTITION BY doc_id ORDER BY t)),
+         ql AS (
+           SELECT doc_id, t, p, lead(p,1) OVER w AS p1, lead(p,2) OVER w AS p2, lead(p,3) OVER w AS p3
+           FROM qf WINDOW w AS (PARTITION BY doc_id ORDER BY t)),
+         ch AS (
+           SELECT doc_id, t, p*1048576 + p1*16 + 1 AS lh FROM cl WHERE p1 IS NOT NULL
+           UNION ALL SELECT doc_id, t, p*1048576 + p2*16 + 2 FROM cl WHERE p2 IS NOT NULL
+           UNION ALL SELECT doc_id, t, p*1048576 + p3*16 + 3 FROM cl WHERE p3 IS NOT NULL),
+         qh AS (
+           SELECT doc_id, t, p*1048576 + p1*16 + 1 AS lh FROM ql WHERE p1 IS NOT NULL
+           UNION ALL SELECT doc_id, t, p*1048576 + p2*16 + 2 FROM ql WHERE p2 IS NOT NULL
+           UNION ALL SELECT doc_id, t, p*1048576 + p3*16 + 3 FROM ql WHERE p3 IS NOT NULL)
+         SELECT q.doc_id AS clip_id, c.doc_id AS src_id,
+                c.t - q.t AS t_offset, CAST(count(*) AS BIGINT) AS votes
+         FROM qh q JOIN ch c ON q.lh = c.lh
+         GROUP BY 1, 2, 3 HAVING count(*) >= 5
+         ORDER BY clip_id, src_id, t_offset""",
 
     "stream_event_counts" ->
       """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 AS BIGINT) AS win_start,

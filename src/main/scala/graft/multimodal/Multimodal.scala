@@ -123,6 +123,72 @@ object Multimodal {
             - col("mu"))).as("ph"))
   }
 
+  /** Landmark FINGERPRINTS per payload — the Shazam-family audio
+    * matching primitive (Wang 2003, "An Industrial-Strength Audio
+    * Search Algorithm"): fixed-size windows ([[frameSample]] — the
+    * audio framing), one salient "peak" per window (STUBBED: 16 bits
+    * of the frame md5 stand in for the FFT peak bin this container's
+    * codec-less environment can't compute — the real spectral
+    * extractor drops into exactly this frame→peak slot), and each
+    * peak paired with the next `fanout` peaks into landmark hashes
+    * `(p_a, p_b, dt)` packed as one long. Everything besides the peak
+    * stub — windowing, landmark pairing via per-doc `lead` windows
+    * (one shuffle keyed on the doc, never a self-join), the packed
+    * hash — IS the production algorithm shape.
+    *
+    * Output: (doc_id, t, lh) — one row per landmark, ~fanout rows per
+    * frame, linear in corpus bytes.
+    */
+  def audioFingerprint(binTable: DataFrame, stride: Int = 32, fanout: Int = 3): DataFrame = {
+    require(fanout >= 1 && fanout <= 15, s"fanout in [1,15] (4 packed bits), got $fanout")
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(binTable, stride)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("t"),
+        conv(substring(col("frame_md5"), 1, 4), 16, 10).cast("long").as("p"))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+    val leads = (1 to fanout).foldLeft(frames) { (df, k) =>
+      df.withColumn(s"pb$k", lead(col("p"), k).over(w))
+    }
+    val stackArgs = (1 to fanout).map(k => s"${k}L, pb$k").mkString(", ")
+    leads
+      .select(col("doc_id"), col("t"), col("p"),
+        expr(s"stack($fanout, $stackArgs)").as(Seq("dt", "pb")))
+      .filter(col("pb").isNotNull)
+      // (16-bit p_a, 16-bit p_b, 4-bit dt) → one long; multiplication,
+      // not shifts — the DuckDB oracle replays the identical arithmetic
+      .select(col("doc_id"), col("t"),
+        (col("p") * 1048576L + col("pb") * 16L + col("dt")).as("lh"))
+  }
+
+  /** Clip → source MATCHING by offset-consistent landmark votes (the
+    * Shazam retrieval step, and the multimodal answer to "which corpus
+    * item contains this segment?" — a SUBSEQUENCE relation perceptual
+    * whole-payload hashes like [[phashNearDups]] cannot see): both
+    * sides fingerprint, candidates come from the landmark-hash
+    * EQUI-JOIN (an inverted index over `lh` — clips are the small side
+    * and broadcast; never all-pairs against the corpus), and every
+    * joined landmark pair votes for the time offset `t_src − t_clip`.
+    * A true containment aligns MANY landmarks at ONE offset; random
+    * hash collisions scatter across offsets and die under `minVotes`
+    * — the offset histogram is the noise filter, which is why the
+    * scheme survives a 16-bit stubbed peak. Output:
+    * (clip_id, src_id, t_offset, votes), votes ≥ minVotes.
+    *
+    * Deterministic end-to-end (md5 peaks + integer votes) ⇒ a DuckDB
+    * oracle replays the full chain exactly.
+    */
+  def audioMatch(clips: DataFrame, corpus: DataFrame, stride: Int = 32,
+                 fanout: Int = 3, minVotes: Int = 5): DataFrame = {
+    val qf = audioFingerprint(clips, stride, fanout)
+      .select(col("doc_id").as("clip_id"), col("t").as("qt"), col("lh"))
+    val cf = audioFingerprint(corpus, stride, fanout)
+      .select(col("doc_id").as("src_id"), col("t").as("ct"), col("lh"))
+    cf.join(qf, "lh")
+      .groupBy(col("clip_id"), col("src_id"), (col("ct") - col("qt")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
+
   /** Near-duplicate payload pairs by perceptual hash: SimHash-style
     * banded candidate generation (the 64-bit signature splits into 4
     * bands of 16 bits; candidates = pairs agreeing on ANY band — an

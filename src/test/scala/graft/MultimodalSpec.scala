@@ -87,4 +87,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     got shouldBe brute
     brute.count(_._3 == 0L) should be >= 12 // the planted exact copies
   }
+
+  test("audio landmark match: a clip locates its source at the exact offset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toByte)
+    // two unrelated 1 KiB payloads; the clip is bytes of doc 1 from
+    // frame 3 for 20 full frames (stride 32)
+    val p1 = blob(1024); val p2 = blob(1024)
+    val corpus = Seq((1L, p1), (2L, p2)).toDF("doc_id", "payload")
+    val clip = Seq((100L, p1.slice(3 * 32, 23 * 32))).toDF("doc_id", "payload")
+    val rows = Multimodal.audioMatch(clip, corpus, stride = 32, fanout = 3, minVotes = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one offset-consistent match: source doc 1 at offset 3,
+    // with every within-clip landmark voting: (20-1)+(20-2)+(20-3) = 54
+    rows.toSeq shouldBe Seq((100L, 1L, 3L, 54L))
+  }
+
+  test("audio match: identical corpus payloads both match a shared clip") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val p = Array.fill(2048)(('a' + rnd.nextInt(26)).toByte)
+    val corpus = Seq((1L, p), (2L, p.clone())).toDF("doc_id", "payload")
+    val clip = Seq((100L, p.slice(0, 640))).toDF("doc_id", "payload")
+    val rows = Multimodal.audioMatch(clip, corpus, minVotes = 5)
+      .orderBy("src_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq((1L, 0L), (2L, 0L))
+  }
+
+  test("audio fingerprint refuses a fanout past the packed width") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioFingerprint(bin, fanout = 16)
+  }
 }
