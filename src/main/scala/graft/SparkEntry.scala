@@ -3462,7 +3462,23 @@ object SparkEntry {
 
     "stream_event_counts" -> ((s, dir) =>
       EventStreams.windowedCounts(Tables.events(s, dir))
-        .orderBy("win_start", "event_type"))
+        .orderBy("win_start", "event_type")),
+
+    "stream_user_stats_tws" -> ((s, dir) => {
+      // Spark 4's transformWithState (arbitrary-state v2: named typed
+      // ValueState + TTL eviction for unbounded key spaces) — unified
+      // batch/stream semantics let the oracle check the BATCH run;
+      // the streaming execution on RocksDB state is pinned equal in
+      // EventStreamsSpec. n_events is exact; max_value is a raw column
+      // max (no arithmetic) so the double compares exactly.
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+      EventStreams.userStatsTws(ev).toDF()
+        .select(col("user_id"), col("n_events"), col("max_value"))
+        .orderBy("user_id")
+    })
   )
 
   // ---- bench build/serve split --------------------------------------------
@@ -5828,7 +5844,13 @@ object SparkEntry {
       """SELECT CAST((epoch_ns(ts) // 1000000000) // 1800 * 1800 AS BIGINT) AS win_start,
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_q4
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_user_stats_tws" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+                count(*) AS n_events,
+                max(CAST(value AS DOUBLE)) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 
   /** Mirrors [[graft.operators.Dedup.shingles]] (k=3) + the inverted-index

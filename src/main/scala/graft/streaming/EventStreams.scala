@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming over the events table. Every transform here is
   * a pure DataFrame→DataFrame function, so the SAME code runs in batch
@@ -74,6 +75,53 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** [[userStats]] on Spark 4's arbitrary-state v2 API
+    * (`transformWithState`, SPARK-42931): same semantics, but the
+    * state is a NAMED, TYPED `ValueState` with an explicit
+    * exists/update lifecycle — and, the part `mapGroupsWithState`
+    * cannot express without hand-rolled timeout bookkeeping, a TTL
+    * that EVICTS idle keys' state. At 100 TB-scale streams the key
+    * space (users, sessions, devices) grows without bound; TTL'd state
+    * is what keeps a months-running query's store from growing with
+    * every key ever seen. `ttl` = None keeps state forever
+    * (`TimeMode.None`); Some(d) switches to processing-time mode and
+    * lets the store drop entries idle past d — a user active again
+    * later simply restarts from zero (the documented trade).
+    *
+    * Streaming runs need the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider` — transformWithState refuses
+    * the HDFS-backed default); EventStreamsSpec runs it end-to-end.
+    */
+  def userStatsTws(events: Dataset[(Long, Double)],
+                   ttl: Option[java.time.Duration] = None): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    // batch-mode transformWithState still plans StateStoreRDDs whose
+    // executors look up the driver's coordinator endpoint — which only
+    // streaming query startup registers; ensure it exists (idempotent)
+    org.apache.spark.sql.graftshim.Bridge.ensureStateStoreCoordinator(events.sparkSession)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor(ttl.orNull), timeMode,
+        OutputMode.Update())
+  }
+
+  private class UserStatsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Double), UserStat] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+      state = getHandle.getValueState("stat", Encoders.product[(Long, Double)], cfg)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserStat] = {
+      var (n, mx) = if (state.exists()) state.get() else (0L, Double.MinValue)
+      rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+      state.update((n, mx))
+      Iterator.single(UserStat(user, n, mx))
+    }
   }
 
   /** Streaming ingest into a [[graft.sources.GraftTable]] — the

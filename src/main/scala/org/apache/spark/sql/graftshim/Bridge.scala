@@ -190,4 +190,20 @@ object Bridge {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Create-or-get the driver's StateStoreCoordinator RPC endpoint.
+    * Streaming queries register it through StreamingQueryManager, but
+    * BATCH-mode `transformWithState` plans StateStoreRDDs too and its
+    * executors look the endpoint up — in a session that never ran a
+    * streaming query the lookup fails (CANNOT_LOAD_STATE_STORE).
+    * `forDriver` is create-or-get (it falls back to the existing ref
+    * on a name collision), so calling it first is idempotent and safe
+    * alongside any later streaming query.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit = {
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        spark.sessionState.conf)
+    ()
+  }
 }

@@ -77,4 +77,44 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
     got shouldBe want
   }
+
+  private lazy val batchUserAgg: Map[Long, (Long, Double)] =
+    Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), max("value").as("mx"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+  test("transformWithState userStatsTws (batch) == batch aggregate") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    val got = EventStreams.userStatsTws(ev)
+      .collect().map(u => (u.user_id, (u.n_events, u.max_value))).toMap
+    got shouldBe batchUserAgg
+  }
+
+  test("transformWithState streams on RocksDB state: last update per user == batch aggregate") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = EventStreams.runAvailableNow(spark, sf0001,
+        df => EventStreams.userStatsTws(
+          df.select(col("user_id").cast("long"), col("value").cast("double"))
+            .as[(Long, Double)]).toDF(),
+        "tws_user_stats", org.apache.spark.sql.streaming.OutputMode.Update())
+      // update mode re-emits a user on every micro-batch that touches
+      // it; the FINAL emission (max n_events — the count is monotone)
+      // is the converged state
+      val got = out.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"))).as("s"))
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1)))).toMap
+      got shouldBe batchUserAgg
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
