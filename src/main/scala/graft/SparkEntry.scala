@@ -593,6 +593,26 @@ object SparkEntry {
     graft.sources.SketchView.estimates(s, s"$root/view")
   }
 
+  private val qvTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def qvFixture(s: SparkSession, dir: String): Unit = {
+    val root = indexPath("qvb", dir); rmTree(root)
+    GraftTable.create(Tables.events(s, dir).filter(col("event_id") % 3 === 0),
+      s"$root/src", Seq("event_id"), nbuckets = 8)
+    graft.sources.QuantileView.bootstrap(s, s"$root/src", s"$root/view",
+      Seq("event_type"), "value", nbuckets = 8)
+  }
+  private def qvServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexPath("qvb", dir)
+    val n = qvTick.incrementAndGet()
+    GraftTable.upsertMor(s, s"$root/src",
+      Tables.events(s, dir).filter(col("event_id") % 50 === 0)
+        .withColumn("event_id", col("event_id") + lit(n * 100000000L)))
+    if (n % 8 == 0) GraftTable.compact(s, s"$root/src")
+    graft.sources.QuantileView.applyOnce(s, s"$root/src", s"$root/view",
+      Seq("event_type"), "value")
+    graft.sources.QuantileView.quantiles(s, s"$root/view", Seq(0.5, 0.95, 0.99))
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1808,6 +1828,29 @@ object SparkEntry {
         .localCheckpoint()
       rmTree(tmp)
       out.orderBy("event_type")
+    }),
+
+    "quantile_view_incremental" -> ((s, dir) => {
+      // incrementally-maintained QUANTILE view: per-event-type KLL
+      // sketches in a GraftTable, each source commit folded in by
+      // sketching ONLY the new rows under the exactly-once intent
+      // protocol (KLL merge is NOT idempotent, unlike HLL). Estimates
+      // sketch-valued → rows-only; rank-error bound + tick semantics
+      // in QuantileViewSpec.
+      val tmp = s"${indexPath("qv", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val src = s"$tmp/src"; val view = s"$tmp/view"
+      val ev = Tables.events(s, dir)
+      GraftTable.create(ev.filter(col("event_id") % 3 === 0),
+        src, Seq("event_id"), nbuckets = 8)
+      graft.sources.QuantileView.bootstrap(s, src, view,
+        Seq("event_type"), "value", nbuckets = 8)
+      GraftTable.upsert(s, src, ev.filter(col("event_id") % 5 === 0))
+      graft.sources.QuantileView.applyOnce(s, src, view, Seq("event_type"), "value")
+      val out = graft.sources.QuantileView.quantiles(s, view, Seq(0.5, 0.95, 0.99))
+        .select(col("event_type"), col("rank"), q4(col("value")).as("value_q"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("event_type", "rank")
     }),
 
     "embed_documents" -> ((s, dir) => {
@@ -3592,6 +3635,9 @@ object SparkEntry {
       "sketch_view_incremental" -> ((
         (s, dir) => skvFixture(s, dir),
         (s, dir) => skvServe(s, dir))),
+      "quantile_view_incremental" -> ((
+        (s, dir) => qvFixture(s, dir),
+        (s, dir) => qvServe(s, dir))),
       // BPE: build = the tokenizer fit (word-dict collect + driver merge
       // loop, a one-time artifact cost at scale); serve = the encode
       // scan the pipeline actually pays per corpus pass.
