@@ -3461,8 +3461,8 @@ object SparkEntry {
 
     "mm_audio_match" -> ((s, dir) => {
       // Shazam-style landmark matching: clips cut from every 25th long
-      // payload (20 frames starting at frame 3) must locate their
-      // source at t_offset = 3 by offset-consistent landmark votes —
+      // payload (6 frames starting at frame 2) must locate their
+      // source at t_offset = 2 by offset-consistent landmark votes —
       // the SUBSEQUENCE relation whole-payload hashes can't see. The
       // md5 "peak" is the stubbed spectral extractor; windowing,
       // landmark pairing, the inverted-index join, and offset voting
@@ -3470,10 +3470,14 @@ object SparkEntry {
       // end-to-end by the DuckDB oracle.
       val corpus = Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text")
         .select("doc_id", "payload")
+      // clips sized for the corpus: documents run 44-580 bytes, so a
+      // clip is 6 frames (192 B) cut at frame 2 from payloads >= 10
+      // frames — a few eligible clips at sf0.001, dozens at sf0.1
+      // (VERIFIED NON-VACUOUS: a 0-clip gate would pass on emptiness)
       val clips = corpus
-        .filter(col("doc_id") % 25 === 0 && octet_length(col("payload")) >= 736)
+        .filter(col("doc_id") % 25 === 0 && octet_length(col("payload")) >= 320)
         .select((col("doc_id") + 5000000L).as("doc_id"),
-          expr("substring(payload, 3*32+1, 20*32)").as("payload"))
+          expr("substring(payload, 2*32+1, 6*32)").as("payload"))
       Multimodal.audioMatch(clips, corpus, stride = 32, fanout = 3, minVotes = 5)
         .select(col("clip_id"), col("src_id"), col("t_offset"),
           col("votes").cast("long").as("votes"))
@@ -5856,8 +5860,8 @@ object SparkEntry {
 
     "mm_audio_match" ->
       """WITH clips AS (
-           SELECT doc_id + 5000000 AS doc_id, substring(text, 3*32+1, 20*32) AS text
-           FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 736),
+           SELECT doc_id + 5000000 AS doc_id, substring(text, 2*32+1, 6*32) AS text
+           FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 320),
          cf AS (
            SELECT doc_id, CAST(f AS BIGINT) AS t,
                   CAST(('0x' || substr(md5(substring(text, CAST(f*32+1 AS INT), 32)), 1, 4)) AS BIGINT) AS p
