@@ -313,6 +313,14 @@ object SparkEntry {
         queryVec(s, dir, 0L), 10, ef = 64)
       .select(col("vec_id"), q4(col("score")).as("score_q"))
 
+  private def hnswKnnServe(s: SparkSession, dir: String, path: String): DataFrame = {
+    val qs = (0L to 4L).map(i => i -> queryVec(s, dir, i))
+    operators.HnswIndex.knnJoin(s, operators.HnswIndex.load(s, path), "vec_id",
+        qs, k = 5, ef = 64)
+      .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+      .orderBy("qid", "vec_id")
+  }
+
   private def pqProbeServe(s: SparkSession, dir: String, path: String,
                            nprobe: Int, rerankFactor: Int = 4): DataFrame =
     operators.PqIndex.probe(s, operators.PqIndex.load(s, path), "vec_id", "embedding",
@@ -3255,6 +3263,16 @@ object SparkEntry {
       hnswProbeServe(s, dir, path)
     }),
 
+    "vs_knn_join_hnsw" -> ((s, dir) => {
+      // batched ANN join through the segment graphs: each graph loads
+      // once and serves every query (approximate → rows-only; recall
+      // vs the exact join in HnswSpec)
+      val path = indexPath("hnswknn", dir)
+      operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        path, m = 8, efConstruction = 64, metric = "cosine", nPartitions = 4)
+      hnswKnnServe(s, dir, path)
+    }),
+
     "simsearch_ivfpq" -> ((s, dir) => {
       // lossy codes + approximate probe → rows-only; recall in AnnIndexSpec
       val path = indexPath("ivfpq", dir)
@@ -3695,6 +3713,11 @@ object SparkEntry {
           "embedding", indexPath("hnsw", dir), m = 8, efConstruction = 64,
           metric = "cosine", nPartitions = 4); () },
         (s, dir) => hnswProbeServe(s, dir, indexPath("hnsw", dir)))),
+      "vs_knn_join_hnsw" -> ((
+        (s, dir) => { operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id",
+          "embedding", indexPath("hnswknn", dir), m = 8, efConstruction = 64,
+          metric = "cosine", nPartitions = 4); () },
+        (s, dir) => hnswKnnServe(s, dir, indexPath("hnswknn", dir)))),
       "simsearch_ivfpq_exhaustive" -> ((
         (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
           "embedding", nlist = 16, m = 8, indexPath("ivfpq_ex", dir), "cosine"); () },

@@ -315,31 +315,34 @@ object HnswIndex {
     Model(path, r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
-  /** Top-k probe: every existing segment is searched by ONE task over
-    * its complete graph (`.coalesce(1)` — a narrowing, never a
-    * shuffle), per-segment candidates union into a global
-    * TakeOrdered k. `ef` is the recall/cost knob (beam width at level
-    * 0). Output: (idCol, score) with the metric's score sense, ties on
-    * ascending id.
-    *
-    * Scale note: segment dirs are enumerated once on the driver
-    * (O(nPartitions) metadata) and each probe task's work is the
-    * ef-bounded walk — at serving volume the graph frames should be
-    * `.cache()`d by the caller so repeated probes skip the parquet
-    * read, which is exactly what [[graft.SparkEntry]]'s bench serve
-    * row prices without (cold read each rep — the honest worst case).
+  /** Existing segment dirs under the layout (one `pid=<n>/` per
+    * segment — [[build]]'s initial partitions plus every [[append]]ed
+    * flush), name-sorted for deterministic plan shape. One driver
+    * listing, O(segments) metadata.
     */
-  def probe(spark: SparkSession, model: Model, idCol: String,
-            query: Seq[Float], k: Int, ef: Int): DataFrame = {
-    val q = query.toArray
-    val fs = new org.apache.hadoop.fs.Path(model.path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = (0 until model.nPartitions)
-      .map(p => s"${model.path}/pid=$p")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+  private def segmentDirs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("pid="))
+      .map(_.getPath.toString).sortBy(d => d.substring(d.lastIndexOf('=') + 1).toInt)
+  }
+
+  /** Run every query against every segment: each segment's complete
+    * graph loads in ONE task (`.coalesce(1)` — a narrowing, never a
+    * shuffle) and is walked once PER QUERY with a bounded-`ef` beam —
+    * load once, search many (the query set rides the task closure;
+    * serving-sized by contract). Output: (qid, id, score) candidates,
+    * k per (query, segment).
+    */
+  private def searchSegments(spark: SparkSession, model: Model,
+                             queries: Seq[(Long, Array[Float])],
+                             k: Int, ef: Int): DataFrame = {
+    val dirs = segmentDirs(spark, model.path)
     require(dirs.nonEmpty, s"no segments under ${model.path} — build first")
     val metric = model.metric
-    val outEnc = Encoders.product[(Long, Double)]
+    val outEnc = Encoders.product[(Long, Long, Double)]
     val locals = dirs.map { dir =>
       spark.read.schema(graphSchema).parquet(dir).coalesce(1)
         .mapPartitions { it =>
@@ -378,12 +381,83 @@ object HnswIndex {
             }
             g.entry = best
             g.maxLevel = g.links(best).length - 1
-            g.search(q, k, ef).iterator.map { case (d, id) => (id, score(metric, d)) }
+            queries.iterator.flatMap { case (qid, q) =>
+              g.search(q, k, ef).iterator.map { case (d, id) =>
+                (qid, id, score(metric, d))
+              }
+            }
           }
         }(outEnc)
     }
-    val all = locals.reduce(_.union(_)).toDF(idCol, "score")
-    val ord = if (metric == "l2") asc("score") else desc("score")
+    locals.reduce(_.union(_)).toDF("qid", "id", "score")
+  }
+
+  /** Top-k probe: per-segment candidates union into a global
+    * TakeOrdered k. `ef` is the recall/cost knob (beam width at level
+    * 0). Output: (idCol, score) with the metric's score sense, ties on
+    * ascending id.
+    *
+    * Scale note: segment dirs are enumerated once on the driver
+    * (O(segments) metadata) and each probe task's work is the
+    * ef-bounded walk — at serving volume the graph frames should be
+    * `.cache()`d by the caller so repeated probes skip the parquet
+    * read, which is exactly what [[graft.SparkEntry]]'s bench serve
+    * row prices without (cold read each rep — the honest worst case).
+    */
+  def probe(spark: SparkSession, model: Model, idCol: String,
+            query: Seq[Float], k: Int, ef: Int): DataFrame = {
+    val all = searchSegments(spark, model, Seq((0L, query.toArray)), k, ef)
+      .select(col("id").as(idCol), col("score"))
+    val ord = if (model.metric == "l2") asc("score") else desc("score")
     all.orderBy(ord, asc(idCol)).limit(k)
+  }
+
+  /** Append a batch as `nNewSegments` NEW segment graphs — the Lucene
+    * flush model: existing segments are immutable, new vectors become
+    * new segments visible to the next probe (which discovers segments
+    * by listing). Per-probe cost grows with the segment COUNT, so
+    * periodic [[build]] over the full corpus is the merge/compaction
+    * step — exactly Lucene's background-merge contract, stated here
+    * instead of hidden. Returns the first new segment id.
+    */
+  def append(spark: SparkSession, model: Model, batch: DataFrame,
+             idCol: String, vecCol: String, nNewSegments: Int = 1): Int = {
+    require(nNewSegments >= 1, s"need nNewSegments >= 1, got $nNewSegments")
+    val existing = segmentDirs(spark, model.path)
+      .map(d => d.substring(d.lastIndexOf('=') + 1).toInt)
+    require(existing.nonEmpty, s"no index under ${model.path} — build first")
+    val base = existing.max + 1
+    val (m, efC, metric) = (model.m, model.efConstruction, model.metric)
+    val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
+      +: graphSchema.fields.toSeq))
+    val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .repartition(nNewSegments, col(idCol))
+      .mapPartitions { it =>
+        val pid = base + TaskContext.getPartitionId()
+        val g = buildSegment(metric, m, efC, seed = pid.toLong,
+          it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+        (0 until g.ids.length).iterator.map { n =>
+          Row(pid, g.ids(n), g.vecs(n).toSeq,
+            g.links(n).toSeq.map(_.map(x => g.ids(x)).toSeq))
+        }
+      }(enc)
+    rows.write.mode("append").partitionBy("pid").parquet(model.path)
+    base
+  }
+
+  /** Batched ANN k-NN join: every query row gets its approximate top-k
+    * neighbors — each segment graph loads ONCE and serves ALL queries
+    * (|queries| ef-bounded walks per segment, never a scan of the
+    * vectors), then the per-(query, segment) candidates reduce through
+    * the bounded-heap [[VectorSearch.perQueryTopK]] (no full-candidate
+    * window shuffle). The graph twin of [[IvfIndex.knnJoin]]; queries
+    * are the serving-sized side by definition and ride the closure.
+    */
+  def knnJoin(spark: SparkSession, model: Model, idCol: String,
+              queries: Seq[(Long, Seq[Float])], k: Int, ef: Int): DataFrame = {
+    val scored = searchSegments(spark, model,
+        queries.map { case (qid, v) => (qid, v.toArray) }, k, ef)
+      .select(col("qid"), col("id").as(idCol), col("score"))
+    VectorSearch.perQueryTopK(scored, "qid", idCol, k, model.metric)
   }
 }

@@ -96,4 +96,37 @@ class HnswSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       HnswIndex.probe(spark, ghost, "vec_id", query, 5, ef = 8)
   }
+
+  test("append adds a new segment visible to the next probe (Lucene flush model)") {
+    val path = Files.createTempDirectory("hnsw_app").toString
+    val m = HnswIndex.build(emb, "vec_id", "embedding", path,
+      m = 8, efConstruction = 64, metric = "cosine", nPartitions = 4)
+    // a brand-new vector equal to the query must surface at rank 1
+    // after the flush — and only after
+    val fresh = Seq((99999L, query)).toDF("vec_id", "embedding")
+    val before = HnswIndex.probe(spark, m, "vec_id", query, 3, ef = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    before should not contain 99999L
+    HnswIndex.append(spark, m, fresh, "vec_id", "embedding") shouldBe 4
+    val after = HnswIndex.probe(spark, m, "vec_id", query, 3, ef = 64).collect()
+    after.map(_.getLong(0)) should contain(99999L)
+    // a second flush lands in the NEXT segment id — segments are immutable
+    HnswIndex.append(spark, m,
+      Seq((99998L, query)).toDF("vec_id", "embedding"), "vec_id", "embedding") shouldBe 5
+  }
+
+  test("knnJoin: per-query top-k recall against the exact join") {
+    val qs = (0L to 4L).map { i =>
+      i -> emb.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0)
+    }
+    val got = HnswIndex.knnJoin(spark, model, "vec_id", qs, k = 5, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qs.foreach { case (qid, qv) =>
+      val exact = VectorSearch.topK(emb, "embedding", "vec_id", qv, 5, "cosine")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got(qid).intersect(exact).size.toDouble / 5) should be >= 0.8
+      got(qid) should have size 5
+    }
+  }
 }
