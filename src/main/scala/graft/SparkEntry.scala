@@ -2629,6 +2629,30 @@ object SparkEntry {
           col("event_type"), col("n_events"))
         .orderBy("win_start", "event_type")),
 
+    "q_events_anomaly" -> ((s, dir) => {
+      // sliding-window anomaly flags with EXACT integer arithmetic:
+      // each event compares against the mean/σ of its type's PRECEDING
+      // 50 events. The z > 2 test cross-multiplies into integers over
+      // the quantized value — (n·x − Σx)² > 4·(n·Σx² − Σx²ᵗᵒᵗ) — so
+      // there is no floating σ anywhere and DuckDB replays bit-exact.
+      // One shuffle (the per-type window), running sums O(1)/row.
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          floor(col("value") * 10000).cast("long").as("vq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-50, -1)
+      ev.withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("vq")).over(w))
+        .withColumn("sxx", sum(col("vq") * col("vq")).over(w))
+        .filter(col("n") === 50)
+        .withColumn("dev", col("n") * col("vq") - col("sx"))
+        .withColumn("varn", col("n") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("dev") > 0 && col("dev") * col("dev") > lit(4L) * col("varn"))
+        .select(col("event_id"), col("event_type"), col("vq"), col("sx"), col("varn"))
+        .orderBy("event_type", "event_id")
+    }),
+
     "q_user_retention" -> ((s, dir) => {
       // 7-day cohort retention: signup day → fraction active afterwards
       val ev = Tables.events(s, dir)
@@ -5918,6 +5942,25 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_q4
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_anomaly" ->
+      """WITH e AS (
+           SELECT event_id, event_type, ts, CAST(FLOOR(value * 10000) AS BIGINT) AS vq
+           FROM events),
+         w AS (
+           SELECT event_id, event_type, vq,
+                  count(*) OVER win AS n,
+                  sum(vq) OVER win AS sx,
+                  sum(vq * vq) OVER win AS sxx
+           FROM e
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, event_type, vq, CAST(sx AS BIGINT) AS sx,
+                CAST(n * sxx - sx * sx AS BIGINT) AS varn
+         FROM w
+         WHERE n = 50 AND (n * vq - sx) > 0
+           AND (n * vq - sx) * (n * vq - sx) > 4 * (n * sxx - sx * sx)
+         ORDER BY event_type, event_id""",
 
     "stream_user_stats_tws" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id,
