@@ -334,6 +334,45 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_hnsw_search(layoutPath, queryVec, k[, ef])` — SQL top-k
+    * from a standalone [[graft.operators.HnswIndex]] layout: each
+    * segment graph walks a bounded-`ef` beam in one task, candidates
+    * reduce to a global top-k. `queryVec` must FOLD to a numeric array
+    * (the probe shapes per-segment tasks at plan time); `ef` defaults
+    * to 64. Approximate by nature — the HNSW contract, same as the
+    * Scala API.
+    */
+  private def hnswSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      s"graft_hnsw_search(layoutPath, queryVec, k[, ef]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_hnsw_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "layoutPath").toString
+    val query: Seq[Float] = (args(1).dataType, lit(1, "queryVec")) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().toSeq
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.IntegerType => a.toIntArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toFloat).toSeq
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          a.toObjectArray(dt).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_hnsw_search: unsupported query element type $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_hnsw_search: queryVec must be a foldable numeric array")
+    }
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val ef = if (args.length == 4) lit(3, "ef").asInstanceOf[Number].intValue() else 64
+    val spark = SparkSession.active
+    val model = operators.HnswIndex.load(spark, path)
+    operators.HnswIndex.probe(spark, model, "id", query, k, ef)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -362,7 +401,11 @@ object GraftFunctions {
     ("graft_knn_join",
       info("graft_knn_join",
         "graft_knn_join(tablePath, queryTable, k[, nprobe[, name]]) - batched top-k ANN join: each row of queryTable against the table-attached index (stale-checked)"),
-      knnJoinPlan _))
+      knnJoinPlan _),
+    ("graft_hnsw_search",
+      info("graft_hnsw_search",
+        "graft_hnsw_search(layoutPath, queryVec, k[, ef]) - approximate top-k from a standalone HNSW segment-graph layout"),
+      hnswSearchPlan _))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

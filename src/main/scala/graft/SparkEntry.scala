@@ -313,6 +313,15 @@ object SparkEntry {
         queryVec(s, dir, 0L), 10, ef = 64)
       .select(col("vec_id"), q4(col("score")).as("score_q"))
 
+  private def hnswSqlServe(s: SparkSession, dir: String, path: String): DataFrame = {
+    GraftFunctions.register(s)
+    val qLit = queryVec(s, dir, 0L).map(v => s"CAST($v AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    s.sql(s"""SELECT id AS vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+              FROM graft_hnsw_search('$path', $qLit, 10, 64)
+              ORDER BY score_q DESC, vec_id""")
+  }
+
   private def hnswKnnServe(s: SparkSession, dir: String, path: String): DataFrame = {
     val qs = (0L to 4L).map(i => i -> queryVec(s, dir, i))
     operators.HnswIndex.knnJoin(s, operators.HnswIndex.load(s, path), "vec_id",
@@ -3287,6 +3296,15 @@ object SparkEntry {
       hnswProbeServe(s, dir, path)
     }),
 
+    "vs_sql_hnsw_tvf" -> ((s, dir) => {
+      // the SQL surface of the segment-graph index (approximate →
+      // rows-only; TVF == Scala probe pinned in HnswSpec)
+      val path = indexPath("hnswsql", dir)
+      operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        path, m = 8, efConstruction = 64, metric = "cosine", nPartitions = 4)
+      hnswSqlServe(s, dir, path)
+    }),
+
     "vs_knn_join_hnsw" -> ((s, dir) => {
       // batched ANN join through the segment graphs: each graph loads
       // once and serves every query (approximate → rows-only; recall
@@ -3742,6 +3760,11 @@ object SparkEntry {
           "embedding", indexPath("hnswknn", dir), m = 8, efConstruction = 64,
           metric = "cosine", nPartitions = 4); () },
         (s, dir) => hnswKnnServe(s, dir, indexPath("hnswknn", dir)))),
+      "vs_sql_hnsw_tvf" -> ((
+        (s, dir) => { operators.HnswIndex.build(Tables.embeddings(s, dir), "vec_id",
+          "embedding", indexPath("hnswsql", dir), m = 8, efConstruction = 64,
+          metric = "cosine", nPartitions = 4); () },
+        (s, dir) => hnswSqlServe(s, dir, indexPath("hnswsql", dir)))),
       "simsearch_ivfpq_exhaustive" -> ((
         (s, dir) => { operators.PqIndex.build(Tables.embeddings(s, dir), "vec_id",
           "embedding", nlist = 16, m = 8, indexPath("ivfpq_ex", dir), "cosine"); () },

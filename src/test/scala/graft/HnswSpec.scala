@@ -115,6 +115,19 @@ class HnswSpec extends AnyFunSuite with Matchers {
       Seq((99998L, query)).toDF("vec_id", "embedding"), "vec_id", "embedding") shouldBe 5
   }
 
+  test("graft_hnsw_search TVF serves the same results as the Scala probe") {
+    val api = HnswIndex.probe(spark, model, "id", query, 10, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qLit = query.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val sql = spark.sql(
+      s"SELECT * FROM graft_hnsw_search('${model.path}', $qLit, 10, 64)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    sql shouldBe api
+    // ef defaults to 64
+    spark.sql(s"SELECT * FROM graft_hnsw_search('${model.path}', $qLit, 10)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe api
+  }
+
   test("knnJoin: per-query top-k recall against the exact join") {
     val qs = (0L to 4L).map { i =>
       i -> emb.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0)
