@@ -685,6 +685,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // DPR-style hard-negative mining: per query, the top-5 nearest
+      // vectors of a DIFFERENT label — close but wrong class, the
+      // contrastive-training negatives. Exact scoring, class exclusion
+      // in the scan filter; one corpus scan for all queries.
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      VectorSearch.hardNegatives(emb, "embedding", "vec_id", "label",
+          qs, "qid", "qvec", "qlabel", 5, "cosine")
+        .select(col("qid"), col("vec_id"), q4(col("score")).as("score_q"))
+        .orderBy(col("qid"), col("score_q").desc, col("vec_id"))
+    }),
+
     "vs_hybrid_rrf" -> ((s, dir) => {
       // keyword rank + vector rank fused by reciprocal-rank fusion
       val terms = Seq("window", "stream", "merge")
@@ -3899,6 +3914,20 @@ object SparkEntry {
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
                   list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         ), ranked AS (
+           SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored
+         )
+         SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
+         ORDER BY qid, score_q DESC, vec_id""",
+
+    "q_hard_negatives" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+           WHERE e.label <> q.label
          ), ranked AS (
            SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn

@@ -200,6 +200,29 @@ object VectorSearch {
     perQueryTopK(scored, qidCol, idCol, k, metric)
   }
 
+  /** HARD-NEGATIVE mining (the DPR/contrastive-training data op,
+    * Karpukhin et al. 2020): for each query, the top-k most similar
+    * rows whose LABEL differs from the query's — close but wrong
+    * class, the negatives that actually move a retrieval model (random
+    * negatives are trivially separable). Exact scoring, same plan
+    * shape as [[knnJoin]] (broadcast queries over one scan of the
+    * corpus, per-partition bounded heaps — the big side never
+    * shuffles); the per-query class exclusion rides the scan filter,
+    * so excluded rows are never scored. Excluding the whole positive
+    * CLASS also excludes the query row itself — no id-space assumption
+    * between queries and corpus.
+    */
+  def hardNegatives(data: DataFrame, vecCol: String, idCol: String, labelCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+                    k: Int, metric: String = "cosine"): DataFrame = {
+    val scored = data
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol), col(qlabelCol))))
+      .filter(col(labelCol) =!= col(qlabelCol))
+      .withColumn("score", scoreCol(col(vecCol), col(qvecCol), metric))
+      .select(col(qidCol), col(idCol), col("score"))
+    perQueryTopK(scored, qidCol, idCol, k, metric)
+  }
+
   /** Reduce a scored `(qid, id, score)` frame to the per-qid top-k
     * WITHOUT hash-shuffling the full candidate set into |queries|
     * partitions: a per-partition bounded heap first cuts the input to

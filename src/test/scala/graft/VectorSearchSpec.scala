@@ -152,4 +152,26 @@ class VectorSearchSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
   }
+
+  test("hardNegatives == per-query brute force over the different-label corpus") {
+    import org.apache.spark.sql.functions.col
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val got = VectorSearch.hardNegatives(emb, "embedding", "vec_id", "label",
+        qs, "qid", "qvec", "qlabel", 5, "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries3 = qs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val want = queries3.flatMap { case (qid, qv, ql) =>
+      VectorSearch.topK(emb.filter(col("label") =!= ql),
+          "embedding", "vec_id", qv, 5, "cosine")
+        .select("vec_id").collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    got shouldBe want
+    // the query's own class (and therefore itself) is never returned
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, id) => labels(id) should not be labels(qid) }
+  }
 }
