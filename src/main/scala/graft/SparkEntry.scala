@@ -2964,6 +2964,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    "corpus_curriculum" -> ((s, dir) =>
+      // curriculum-ordered sharding: within each shard the read order
+      // goes easy→hard by length band, pseudo-randomly shuffled inside
+      // a band (seeded md5) — banding survives re-seeding, within-band
+      // order re-deals. Same one-shuffle shape as the epoch shuffle.
+      graft.sources.ShardExport.curriculum(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        seed = 7L, nShards = 8)
+        .select(col("doc_id"), col("band"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     "corpus_export_manifest" -> ((s, dir) =>
       // corpus release OUTPUT stage: deterministic md5-bucket shard
       // assignment + per-shard integrity manifest whose checksum is an
@@ -5733,6 +5744,21 @@ object SparkEntry {
            FROM e)
          SELECT doc_id, shard,
                 CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ek, doc_id)
+                     AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
+
+    "corpus_curriculum" ->
+      """WITH e AS (
+           SELECT doc_id,
+                  LEAST(4, length(text) // 200) AS band,
+                  md5('7:' || CAST(doc_id AS VARCHAR)) AS ek
+           FROM documents),
+         s AS (
+           SELECT doc_id, band, ek,
+                  CAST(('0x' || substr(ek, 1, 8)) AS BIGINT) % 8 AS shard
+           FROM e)
+         SELECT doc_id, CAST(band AS BIGINT) AS band, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY band, ek, doc_id)
                      AS BIGINT) AS pos
          FROM s ORDER BY shard, pos""",
 

@@ -75,6 +75,40 @@ object ShardExport {
       .drop("__ek")
   }
 
+  /** CURRICULUM ordering (Bengio et al. 2009 applied to corpus
+    * serving): the training read order goes easy→hard by a
+    * difficulty band — here document LENGTH, the classic text
+    * curriculum — while order WITHIN a band stays a seeded
+    * pseudo-random shuffle (a band read in corpus order would correlate
+    * batches with crawl layout). Same distributed shape as
+    * [[epochShuffle]]: shard membership from the hash (uniform), and
+    * within each shard `pos` orders by (band, hash, id) — one hash
+    * shuffle + per-shard sorts, never a global sort. A loader reading
+    * shards by `pos` sees each shard's documents banded easy→hard;
+    * re-seeding re-deals the within-band order but never the banding.
+    * All md5/integer arithmetic — the oracle replays the exact
+    * permutation.
+    */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String, seed: Long,
+                 nShards: Int, bandWidth: Int = 200, maxBand: Int = 4): DataFrame = {
+    require(bandWidth >= 1 && maxBand >= 1, s"bad banding: width=$bandWidth max=$maxBand")
+    import org.apache.spark.sql.expressions.Window
+    val ek = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))
+      .cast("binary"))
+    docs
+      .withColumn("band",
+        least(lit(maxBand.toLong), floor(length(col(textCol)) / bandWidth).cast("long")))
+      .withColumn("__ek", ek)
+      .withColumn("shard",
+        pmod(conv(substring(col("__ek"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("band"), col("__ek"), col(idCol)))
+          .cast("long"))
+      .drop("__ek")
+  }
+
   /** The integrity manifest: per-shard doc count, byte mass, and the
     * xor-folded content checksum. One exact aggregation, map-side
     * combinable, no ordered state.

@@ -102,4 +102,32 @@ class ShardExportSpec extends AnyFunSuite {
     assert(r.getLong(0) === want.getLong(0))
     assert(r.getLong(1) === want.getLong(1))
   }
+
+  test("curriculum: shards read easy-to-hard; re-seeding re-deals only within bands") {
+    val docs = corpus(400)
+    val c1 = ShardExport.curriculum(docs, "doc_id", "text", seed = 7L, nShards = 4)
+      .select("doc_id", "band", "shard", "pos").collect()
+    // every document present exactly once
+    assert(c1.map(_.getLong(0)).toSet.size === 400)
+    // within a shard, band is NON-DECREASING in read order — the
+    // curriculum contract
+    c1.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      val bands = rows.sortBy(_.getLong(3)).map(_.getLong(1))
+      assert(bands.sameElements(bands.sorted))
+    }
+    val c2 = ShardExport.curriculum(docs, "doc_id", "text", seed = 8L, nShards = 4)
+      .select("doc_id", "band", "shard", "pos").collect()
+    // bands are seed-independent (difficulty is a property of the doc)
+    val b1 = c1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = c2.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    // but the permutation itself re-deals
+    val p1 = c1.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val p2 = c2.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p1 !== p2)
+    // and the same seed replays bit-identically
+    val c1b = ShardExport.curriculum(docs, "doc_id", "text", seed = 7L, nShards = 4)
+      .select("doc_id", "band", "shard", "pos").collect()
+    assert(c1.map(_.toSeq).toSet === c1b.map(_.toSeq).toSet)
+  }
 }
