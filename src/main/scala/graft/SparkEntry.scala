@@ -1311,6 +1311,61 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_drop_column" -> ((s, dir) => {
+      // SQL ALTER TABLE DROP COLUMN: METADATA-ONLY, like ADD — the new
+      // manifest's #schema simply omits the column and every
+      // schema-pinned read stops requesting its bytes (zero data IO);
+      // the #dropped ledger refuses re-introducing the name while
+      // un-rewritten files still carry the old values (AlterColumnsSpec
+      // pins the refusals + the compact-clears-ledger path). A
+      // post-drop upsert and the final read replay in DuckDB.
+      val tmp = s"${indexPath("sqldropc", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      withGraftCatalog(s) {
+        s.sql(s"ALTER TABLE graft.`$path` DROP COLUMN o_orderstatus")
+      }
+      GraftTable.upsert(s, path, o.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice")))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
+    "lakehouse_sql_rename_column" -> ((s, dir) => {
+      // SQL ALTER TABLE RENAME COLUMN: a FULL COW REWRITE commit (the
+      // compact cost class, stated loudly — plain parquet has no
+      // column-id mapping, so old files cannot serve the new name; the
+      // rewrite regenerates every file's stats and blooms under it).
+      // A post-rename upsert addresses the NEW name; DuckDB replays
+      // the same content with the column aliased.
+      val tmp = s"${indexPath("sqlrenc", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      withGraftCatalog(s) {
+        s.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN o_totalprice TO price_usd")
+      }
+      GraftTable.upsert(s, path, o.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("price_usd")))
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("price_usd") * 100).cast("long").as("price_c"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_ctas" -> ((s, dir) => {
       // SQL CREATE TABLE AS SELECT through the DSv2 catalog: the
       // standard v2 CTAS plan (catalog.createTable with the
@@ -3611,6 +3666,38 @@ object SparkEntry {
       EventStreams.userStatsTws(ev).toDF()
         .select(col("user_id"), col("n_events"), col("max_value"))
         .orderBy("user_id")
+    }),
+
+    "stream_interval_join" -> ((s, dir) =>
+      // the STREAM-STREAM watermark-bounded join (each click ⋈ the same
+      // user's purchases in the preceding hour) run in batch for the
+      // oracle; under readStream the range condition lets Spark age
+      // purchase state out 1 h past the watermark instead of buffering
+      // forever — EventStreamsSpec pins the streaming run equal.
+      EventStreams.clickPurchaseJoin(Tables.events(s, dir))
+        .select(col("event_id"), col("user_id"), col("p_event_id"),
+          floor(col("p_value") * 10000).cast("long").as("p_value_q4"))
+        .orderBy("event_id", "p_event_id")),
+
+    "stream_dedup" -> ((s, dir) => {
+      // at-least-once delivery repair: the events stream unioned with a
+      // full REPLAY of itself (duplicate delivery), deduped by event id.
+      // dropDuplicatesWithinWatermark keeps one copy per id with state
+      // BOUNDED by the watermark (per-key state evicts 1 h past it —
+      // the property plain dropDuplicates lacks on an unbounded stream)
+      // and refuses batch execution, so this row runs the REAL stream
+      // (AvailableNow → memory sink; rows emit on first arrival, Append
+      // mode) and the DuckDB oracle checks the streaming run itself.
+      // Replayed copies are identical rows, so arbitrary-pick semantics
+      // stay deterministic.
+      EventStreams.runAvailableNow(s, dir,
+        df => EventStreams.dedupedEvents(df.unionAll(df), "event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts").cast("long").as("ts_s"),
+            floor(col("value") * 10000).cast("long").as("value_q4")),
+        queryName = "stream_dedup_mem",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_id")
     })
   )
 
@@ -4713,6 +4800,42 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
                 CAST(bonus AS BIGINT) AS bonus
+         FROM final ORDER BY o_orderkey""",
+
+    // ALTER DROP COLUMN (metadata-only) + post-drop upsert: the column
+    // simply stops existing at head; DuckDB replays without it
+    "lakehouse_sql_drop_column" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 6 = 0),
+         final AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM final ORDER BY o_orderkey""",
+
+    // ALTER RENAME COLUMN (full COW rewrite) + post-rename upsert
+    // addressing the new name: same content, column aliased
+    "lakehouse_sql_rename_column" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price_usd
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS price_usd
+           FROM orders WHERE o_orderkey % 6 = 0),
+         final AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(price_usd * 100) AS BIGINT) AS price_c
          FROM final ORDER BY o_orderkey""",
 
     // CTAS: replay the defining SELECT over the raw parquet
@@ -6044,7 +6167,23 @@ object SparkEntry {
       """SELECT CAST(user_id AS BIGINT) AS user_id,
                 count(*) AS n_events,
                 max(CAST(value AS DOUBLE)) AS max_value
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "stream_interval_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event_id,
+                CAST(FLOOR(p.value * 10000) AS BIGINT) AS p_value_q4
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_ns(p.ts) >= epoch_ns(c.ts) - 3600000000000
+          AND epoch_ns(p.ts) <= epoch_ns(c.ts)
+         ORDER BY c.event_id, p_event_id""",
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+                CAST(FLOOR(value * 10000) AS BIGINT) AS value_q4
+         FROM events ORDER BY event_id"""
   )
 
   /** Mirrors [[graft.operators.Dedup.shingles]] (k=3) + the inverted-index

@@ -329,6 +329,17 @@ object GraftTable {
       remaining.map { case (k, v) => s"$k=${enc(v)}" }.mkString("\n"))
   }
 
+  /** Column names a SQL expression references, from the UNRESOLVED
+    * parse tree (Spark 4's `expr(...)` wraps a lazily-parsed
+    * SqlExpression node, so collecting UnresolvedAttributes off the
+    * Column no longer sees them — parse explicitly instead).
+    */
+  private def sqlColumnRefs(sql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      }.toSet
+
   /** Wrap `df` with the table's CHECK guards: each row either satisfies
     * every constraint or raises with the constraint name and the row
     * rendered as JSON. Columns a check references that the frame lacks
@@ -341,11 +352,9 @@ object GraftTable {
     if (cs.isEmpty) return df
     val orig: Seq[String] = df.columns.toSeq
     // augment once with every referenced-but-absent column as null
-    val referenced: Set[String] = cs.values.flatMap { sql =>
-      org.apache.spark.sql.graftshim.Bridge.expression(expr(sql)).collect {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
-      }
-    }.toSet
+    // (parsed explicitly — see sqlColumnRefs on why collecting off the
+    // Column stopped working under Spark 4's lazy SqlExpression nodes)
+    val referenced: Set[String] = cs.values.flatMap(sqlColumnRefs).toSet
     val augmented = (referenced -- orig.toSet)
       .foldLeft(df)((d, m) => d.withColumn(m, lit(null)))
     val guarded = cs.toSeq.sortBy(_._1).foldLeft(augmented) { case (d, (name, sql)) =>
@@ -794,7 +803,7 @@ object GraftTable {
     * added after v1 tables existed, so it is optional on read; absent,
     * [[alignKeyTypes]] falls back to reading the snapshot schema.
     */
-  private def meta(path: String): (Seq[String], Int, Option[Seq[types.DataType]]) = {
+  private[sources] def meta(path: String): (Seq[String], Int, Option[Seq[types.DataType]]) = {
     val fields = MetaIO.readString(keysPath(path)).split("\\|")
     val keyTypes =
       if (fields.length >= 3 && fields(2).nonEmpty)
@@ -803,7 +812,7 @@ object GraftTable {
     (fields(0).split(",").toSeq, fields(1).toInt, keyTypes)
   }
 
-  private def bucketCol(keyCols: Seq[String], nbuckets: Int) =
+  private[sources] def bucketCol(keyCols: Seq[String], nbuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(nbuckets)).cast("int")
 
   def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16): Unit = {
@@ -844,6 +853,13 @@ object GraftTable {
         require(!schema.fieldNames.contains(f.name),
           s"ADD COLUMNS: column '${f.name}' already exists")
       }
+      // a name [[dropColumns]] retired may still exist in un-rewritten
+      // files with its OLD values; re-adding it would resurrect them
+      val retired = droppedColumns(path, v).intersect(newCols.map(_.name).toSet)
+      require(retired.isEmpty,
+        s"ADD COLUMNS: ${retired.mkString(", ")} previously dropped — existing " +
+          "files still carry the old values under that name; compact() first " +
+          "(a full rewrite clears the ledger), then ADD")
       val dup = newCols.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
       require(dup.isEmpty, s"ADD COLUMNS: duplicate column(s) ${dup.mkString(", ")}")
       val extended = types.StructType(
@@ -856,6 +872,152 @@ object GraftTable {
         throw new java.util.ConcurrentModificationException(
           s"concurrent writer committed v${v + 1} first at $path")
       MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
+    }
+
+  /** The `#dropped=` ledger at snapshot `v`: names [[dropColumns]] has
+    * retired from this table's live lineage. Old files still carry
+    * these columns' bytes, so re-introducing a retired name (ADD
+    * COLUMNS, an upsert batch, RENAME … TO it) must refuse — the old
+    * values would silently resurface as the "new" column's data for
+    * every un-rewritten row. A FULL rewrite (compact/rebucket) clears
+    * the ledger legitimately: after it, no live file carries the name.
+    */
+  def droppedColumns(path: String, version: Int = -1): Set[String] = {
+    val v = if (version >= 0) version else latestVersion(path)
+    if (v < 0) Set.empty
+    else manifestText(path, v).split("\n")
+      .collectFirst { case l if l.startsWith("#dropped=") =>
+        dec(l.stripPrefix("#dropped=")).split(",").filter(_.nonEmpty).toSet }
+      .getOrElse(Set.empty)
+  }
+
+  /** Refuse a column mutation while derived state still references the
+    * column by name: CHECK constraints (their stored SQL would stop
+    * resolving — or worse, resolve against a different column after a
+    * rename) and table-attached vector/text indexes (whose refresh
+    * reads the column from the head snapshot). Dropping the dependent
+    * first is the explicit, loud path.
+    */
+  private def refuseColumnRefs(path: String, cols: Set[String], what: String): Unit = {
+    constraints(path).foreach { case (name, sql) =>
+      val hit = sqlColumnRefs(sql).intersect(cols)
+      require(hit.isEmpty, s"$what: column(s) ${hit.mkString(", ")} referenced by " +
+        s"CHECK constraint '$name' ($sql) — DROP CONSTRAINT first")
+    }
+    scala.util.Try(GraftIndex.list(path)).getOrElse(Nil).foreach { im =>
+      val hit = (im.vecCol +: im.keyCols).toSet.intersect(cols)
+      require(hit.isEmpty, s"$what: column(s) ${hit.mkString(", ")} used by vector " +
+        s"index '${im.name}' — drop the index first")
+    }
+    scala.util.Try(MetaIO.list(new Path(path, "_textidx"))).getOrElse(Nil)
+      .filter(_.isDirectory).map(_.getPath.getName).foreach { n =>
+        scala.util.Try(TextIndex.meta(path, n)).toOption.foreach { tm =>
+          val hit = (tm.textCol +: tm.keyCols).toSet.intersect(cols)
+          require(hit.isEmpty, s"$what: column(s) ${hit.mkString(", ")} used by text " +
+            s"index '$n' — drop the index first")
+        }
+      }
+  }
+
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY, like [[addColumns]]: the
+    * new version's `#schema=` simply omits the columns, and because
+    * every read path projects the RECORDED snapshot schema
+    * (schema-pinned scans, point lookups, MOR delta reads alike), the
+    * old files' bytes for the column are never requested again — zero
+    * data IO, the Delta column-mapping cost without the mapping,
+    * bought by the `#dropped=` ledger that refuses re-introducing the
+    * name until a full rewrite physically clears it. Time travel is
+    * untouched: pre-drop versions keep their own `#schema=` and serve
+    * the column. Refuses: record-key columns (the bucket layout hashes
+    * them), columns referenced by CHECK constraints or attached
+    * indexes, and legacy schema-less manifests.
+    */
+  def dropColumns(spark: SparkSession, path: String, colNames: Seq[String],
+                  maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) {
+      require(colNames.nonEmpty, "DROP COLUMN: no columns given")
+      val v = latestVersion(path)
+      require(v >= 0, s"no table at $path")
+      val schema = snapshotSchema(path, v).getOrElse(throw new IllegalStateException(
+        s"$path: no recorded snapshot schema (legacy manifest) — " +
+          "commit once through a write to upgrade, then ALTER"))
+      val (keys, _, _) = meta(path)
+      colNames.foreach { c =>
+        require(schema.fieldNames.contains(c), s"DROP COLUMN: no column '$c' " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})")
+        require(!keys.contains(c), s"DROP COLUMN: '$c' is a record-key column — " +
+          "the bucket layout and every manifest hash it; key evolution is not supported")
+      }
+      require(schema.fields.length > colNames.distinct.size,
+        "DROP COLUMN: cannot drop every column")
+      refuseColumnRefs(path, colNames.toSet, "DROP COLUMN")
+      val remaining = types.StructType(
+        schema.fields.filterNot(f => colNames.contains(f.name)))
+      val ledger = droppedColumns(path, v) ++ colNames
+      require(ledger.forall(c => !c.contains(",")),
+        s"DROP COLUMN: ',' in a column name breaks the ledger encoding")
+      val droppedLine = "#dropped=" + enc(ledger.toSeq.sorted.mkString(","))
+      val lines = manifestText(path, v).split("\n").toSeq
+        .filterNot(_.startsWith("#dropped=")).flatMap {
+          case l if l.startsWith("#schema=") =>
+            Seq("#schema=" + enc(remaining.toDDL), droppedLine)
+          case l => Seq(l)
+        }
+      if (!MetaIO.putIfAbsent(manifestPath(path, v + 1), lines.mkString("\n")))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer committed v${v + 1} first at $path")
+      MetaIO.replaceString(commitMarker(path, v + 1), System.currentTimeMillis().toString)
+      // keep the bloom config consistent: a bloom on a dropped column
+      // would make every future stats pass reference a missing column
+      bloomConfig(path).foreach { case (cols, fpp) =>
+        val kept = cols.filterNot(colNames.contains)
+        if (kept != cols) {
+          if (kept.isEmpty) MetaIO.delete(bloomMetaPath(path))
+          else enableBloomFilters(path, kept, fpp)
+        }
+      }
+    }
+
+  /** ALTER TABLE RENAME COLUMN — a FULL COW REWRITE commit (the
+    * compact/rebucket cost class, stated loudly). Plain parquet has no
+    * column-id mapping, so old files cannot serve the new name; the
+    * honest answer (Hudi's) is one distributed rewrite of the head
+    * snapshot under the new name — which also regenerates every file's
+    * stats and blooms keyed by the NEW name, so nothing recorded is
+    * ever reinterpreted. Old versions keep their own schema (time
+    * travel serves the old name); the full rewrite clears the
+    * `#dropped=` ledger by construction, so renaming TO a previously
+    * dropped name is safe here and refused nowhere else. Refuses:
+    * record-key columns, existing/retired target names handled by the
+    * rewrite itself, and columns referenced by constraints or attached
+    * indexes.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String,
+                   maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) {
+      val v = latestVersion(path)
+      require(v >= 0, s"no table at $path")
+      val schema = snapshotSchema(path, v).getOrElse(throw new IllegalStateException(
+        s"$path: no recorded snapshot schema (legacy manifest) — " +
+          "commit once through a write to upgrade, then ALTER"))
+      require(schema.fieldNames.contains(from), s"RENAME COLUMN: no column '$from' " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"RENAME COLUMN: column '$to' already exists")
+      require(to.nonEmpty && !to.contains(",") && !to.contains("\t") && !to.contains("\n"),
+        s"RENAME COLUMN: bad target name '$to'")
+      val (keys, defaultBuckets, _) = meta(path)
+      require(!keys.contains(from), s"RENAME COLUMN: '$from' is a record-key column — " +
+        "the bucket layout and every manifest hash it; key evolution is not supported")
+      refuseColumnRefs(path, Set(from), "RENAME COLUMN")
+      val nb = bucketsAt(path, v, defaultBuckets)
+      writeVersion(read(spark, path, v).withColumnRenamed(from, to), path, keys, nb,
+        v + 1, carryOver = Map.empty, sortWithin = keys, recordSorted = true)
+      // carry a bloom on the renamed column to its new name
+      bloomConfig(path).foreach { case (cols, fpp) =>
+        if (cols.contains(from))
+          enableBloomFilters(path, cols.map(c => if (c == from) to else c), fpp)
+      }
     }
 
   /** Upsert = merge into the touched buckets only; untouched buckets are
@@ -929,6 +1091,22 @@ object GraftTable {
     }
   }
 
+  /** Base read for rewrites and diffs: SCHEMA-PINNED to the version's
+    * recorded snapshot (old files pad evolved columns as null, and a
+    * DROPPED column's bytes are never requested — the read-side half of
+    * the `#dropped=` ledger: without the pin, a rewrite's mergeSchema
+    * base read would fold retired bytes back into fresh files).
+    * mergeSchema only for legacy schema-less manifests.
+    */
+  private def readPinned(spark: SparkSession, path: String, v: Int)
+                        (g: Seq[String]): DataFrame = {
+    val dirs = g.map(d => s"$path/$d")
+    snapshotSchema(path, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+  }
+
   def upsert(spark: SparkSession, path: String, updates0: DataFrame,
              precombine: Seq[String] = Nil): Unit = {
     val v = latestVersion(path)
@@ -947,7 +1125,7 @@ object GraftTable {
     // rewrite folds the log for everything it touches
     val base = readMor(spark, path, v, baseDirs, Some(touched))(g =>
       if (g.isEmpty) updates.limit(0)
-      else spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
+      else readPinned(spark, path, v)(g))
     val (base2, updates2) = alignSchemas(base, updates)
     val merged = Upsert.merge(base2, updates2, keys, precombine.map(col))
     val carryOver = current.filter { case (b, _) => !touched(b) }
@@ -1004,6 +1182,15 @@ object GraftTable {
     val newSc = types.StructType(prevSc.fields ++
       deduped.schema.fields.filterNot(f => prevSc.fieldNames.contains(f.name))
         .map(_.copy(nullable = true)))
+    // same resurrect guard as the COW path: a delta batch must not
+    // widen the schema with a name the #dropped ledger retired
+    val morResurrected = (newSc.fieldNames.toSet -- prevSc.fieldNames.toSet)
+      .intersect(droppedColumns(path, v))
+    if (morResurrected.nonEmpty)
+      throw new IllegalArgumentException(
+        s"delta batch re-introduces previously dropped column(s) " +
+          s"${morResurrected.mkString(", ")} at $path — un-rewritten files still " +
+          "carry the old values under that name; compact() first, then re-add")
     val aligned = deduped.select(newSc.fields.map { f =>
       (if (deduped.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
@@ -1064,7 +1251,7 @@ object GraftTable {
     if (baseDirs.isEmpty && deltaEntries(path, v).isEmpty) return
     val base = readMor(spark, path, v, baseDirs, Some(touched))(g =>
       if (g.isEmpty) keyOnly.limit(0)
-      else spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*))
+      else readPinned(spark, path, v)(g))
     val remaining = base.join(keyOnly, keys, "left_anti")
     val carryOver = current.filter { case (b, _) => !touched(b) }
     writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver, touched = touched)
@@ -2098,7 +2285,7 @@ object GraftTable {
       .collectFirst { case l if l.startsWith("#nbuckets=") =>
         l.stripPrefix("#nbuckets=").trim.toInt }
 
-  private def bucketsAt(path: String, v: Int, default: Int): Int =
+  private[sources] def bucketsAt(path: String, v: Int, default: Int): Int =
     manifestBuckets(path, v).getOrElse(default)
 
   // ---- the MOR log (merge-on-read deletes AND upserts) -----------------
@@ -2397,7 +2584,7 @@ object GraftTable {
     def rdSide(ver: Int, rels: Seq[String]): Option[DataFrame] =
       if (rels.isEmpty && deltaEntries(path, ver).isEmpty) None
       else Some(readMor(spark, path, ver, rels, Some(changed))(g =>
-        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*)))
+        readPinned(spark, path, ver)(g))) // pinned AT ITS OWN VERSION
     val newSide = rdSide(toVersion, newRels)
     val oldSide = rdSide(fromVersion, oldRels)
     def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
@@ -2541,7 +2728,7 @@ object GraftTable {
     def rdSide(ver: Int, rels: Seq[String]): Option[DataFrame] =
       if (rels.isEmpty && deltaEntries(path, ver).isEmpty) None
       else Some(readMor(spark, path, ver, rels, Some(changed))(g =>
-        spark.read.option("mergeSchema", "true").parquet(g.map(d => s"$path/$d"): _*)))
+        readPinned(spark, path, ver)(g))) // pinned AT ITS OWN VERSION
     val newSide = rdSide(toVersion, newRels)
     val oldSide = rdSide(fromVersion, oldRels)
     def sortedCols(df: DataFrame) = df.columns.sorted.map(col).toSeq
@@ -3193,6 +3380,23 @@ object GraftTable {
           newSchema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       case None => newSchema
     }
+    // #dropped ledger (see dropColumns): carried through every PARTIAL
+    // rewrite (carried dirs still hold the retired columns' bytes) and
+    // legitimately lapsing on a full rewrite (prevLines empty then);
+    // a batch re-introducing a retired name must refuse BEFORE the
+    // manifest lands — carried files would serve their old values as
+    // the "new" column's data
+    val droppedLedgerLine = prevLines.filter(_.startsWith("#dropped="))
+    val retiredNames = droppedLedgerLine.headOption.map(l =>
+      dec(l.stripPrefix("#dropped=")).split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val resurrected = prevSchema.fold(Set.empty[String])(ps =>
+      newSchema.fieldNames.toSet -- ps.fieldNames.toSet).intersect(retiredNames)
+    if (resurrected.nonEmpty)
+      throw new IllegalArgumentException(
+        s"write batch re-introduces previously dropped column(s) " +
+          s"${resurrected.mkString(", ")} at $path — un-rewritten files still " +
+          "carry the old values under that name; compact() first, then re-add")
     // stats live in per-attempt SEGMENT files (statsSegPath), not the
     // manifest: fresh files get one bounded aggregate scan written to
     // this attempt's own segment; carried dirs resolve by name from the
@@ -3257,7 +3461,7 @@ object GraftTable {
       if (recordSorted && carryOver.isEmpty && sortWithin == keyCols)
         Seq("#sorted=" + enc(keyCols.mkString(","))) else Nil
     val lines = (Seq(s"#nbuckets=$nbuckets", "#schema=" + enc(snapshotSc.toDDL)) ++
-      sortedLine ++ keepInline ++ carriedDvs ++ carriedDeltas ++
+      droppedLedgerLine ++ sortedLine ++ keepInline ++ carriedDvs ++ carriedDeltas ++
       (carryOver ++ written).toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n")
     // put-if-absent = the commit lock: first manifest for v wins

@@ -169,28 +169,58 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       path, keys, n)
     new GraftV2Table(path)
   }
-  /** SQL `ALTER TABLE graft.\`path\` ADD COLUMNS (…)` — additive
-    * schema evolution as a metadata-only commit
-    * ([[GraftTable.addColumns]]). Adds are forced nullable (every
-    * existing row reads NULL); any other change kind — drop, rename,
-    * type change, NOT NULL — refuses loudly rather than reinterpret
-    * recorded data or stats.
+  /** SQL `ALTER TABLE graft.\`path\` …` — the column-evolution family:
+    *  - ADD COLUMNS: metadata-only commit ([[GraftTable.addColumns]]),
+    *    adds forced nullable (every existing row reads NULL);
+    *  - DROP COLUMN: metadata-only commit ([[GraftTable.dropColumns]]) —
+    *    schema-pinned reads never request the bytes again; the
+    *    `#dropped=` ledger refuses re-introducing the name;
+    *  - RENAME COLUMN: a FULL COW REWRITE commit
+    *    ([[GraftTable.renameColumn]], the compact cost class — plain
+    *    parquet has no column-id mapping, so old files cannot serve the
+    *    new name; the rewrite regenerates stats/blooms under it).
+    * Type changes and NOT NULL still refuse loudly rather than
+    * reinterpret recorded data or stats. A statement mixing change
+    * kinds refuses whole (never a partial ALTER).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        if (a.fieldNames.length != 1) throw new UnsupportedOperationException(
-          s"ALTER TABLE ADD COLUMNS supports top-level columns only, got " +
-            a.fieldNames.mkString("."))
-        if (!a.isNullable) throw new UnsupportedOperationException(
-          s"ADD COLUMNS ${a.fieldNames.head} NOT NULL: every existing row would " +
-            "violate it — add the column nullable, backfill, then constrain")
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType)
-      case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMNS only, got $other")
+    val spark = SparkSession.active
+    def top(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"ALTER TABLE $what supports top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames.head
     }
-    GraftTable.addColumns(SparkSession.active, path, adds)
+    val kinds = changes.map(_.getClass).distinct
+    if (kinds.length > 1) throw new UnsupportedOperationException(
+      s"graft ALTER TABLE applies ONE change kind per statement (got " +
+        s"${kinds.map(_.getSimpleName).mkString(", ")}) — a mixed statement " +
+        "could half-apply; issue separate ALTERs")
+    changes.head match {
+      case _: TableChange.AddColumn =>
+        val adds = changes.map { case a: TableChange.AddColumn =>
+          val n = top(a.fieldNames, "ADD COLUMNS")
+          if (!a.isNullable) throw new UnsupportedOperationException(
+            s"ADD COLUMNS $n NOT NULL: every existing row would " +
+              "violate it — add the column nullable, backfill, then constrain")
+          org.apache.spark.sql.types.StructField(n, a.dataType)
+        }
+        GraftTable.addColumns(spark, path, adds)
+      case _: TableChange.DeleteColumn =>
+        val drops = changes.map { case d: TableChange.DeleteColumn =>
+          top(d.fieldNames, "DROP COLUMN")
+        }
+        GraftTable.dropColumns(spark, path, drops)
+      case r: TableChange.RenameColumn =>
+        if (changes.length != 1) throw new UnsupportedOperationException(
+          "RENAME COLUMN takes one column per statement")
+        GraftTable.renameColumn(spark, path, top(r.fieldNames, "RENAME COLUMN"),
+          r.newName)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS / DROP COLUMN / RENAME COLUMN, " +
+          s"got $other")
+    }
     new GraftV2Table(path)
   }
   /** SQL `DROP TABLE` (and CTAS's failure cleanup): removes the table

@@ -265,9 +265,13 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       intercept[Exception] {
         spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (nn BIGINT NOT NULL)")
       }.getMessage should include("NOT NULL")
+      // DROP COLUMN is supported now (AlterColumnsSpec owns its
+      // semantics); type changes still refuse
+      spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN tag")
+      GraftTable.read(spark, path).schema.fieldNames should not contain "tag"
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN tag")
-      }.getMessage should include("ADD COLUMNS only")
+        spark.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN v TYPE STRING")
+      }.getMessage should include("ADD COLUMNS / DROP COLUMN / RENAME COLUMN")
     }
   }
 
