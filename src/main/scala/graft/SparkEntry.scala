@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Embed, IvfIndex, LshIndex, Skew, TextAnalysis, Upsert, VectorSearch}
-import graft.sources.{GraftIndex, GraftTable, IncrementalView, TextIndex}
+import graft.sources.{GraftHnsw, GraftIndex, GraftTable, IncrementalView, TextIndex}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.functions.vectors._
@@ -105,6 +105,31 @@ object SparkEntry {
     }
     tbl
   }
+
+  /** Table-attached HNSW fixture: same mutation script as
+    * [[gidxFixture]] (vector-negating upsert + delete batch after the
+    * build), but maintenance is the Lucene flush — refresh APPENDS the
+    * changed rows as new segments and horizon-tombstones the old
+    * copies, no existing segment rewritten.
+    */
+  private def ghnswFixture(s: SparkSession, dir: String, tag: String): String = {
+    val root = indexPath(tag, dir)
+    rmTree(root)
+    val tbl = s"$root/t"
+    val emb = Tables.embeddings(s, dir)
+    GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+    GraftHnsw.create(s, tbl, "embedding", m = 8, efConstruction = 64, nSegments = 4)
+    val flipped = emb.filter(col("vec_id") % 97 === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    GraftTable.upsert(s, tbl, flipped)
+    GraftTable.delete(s, tbl, emb.filter(col("vec_id") % 101 === 7).select("vec_id"))
+    GraftHnsw.refresh(s, tbl)
+    tbl
+  }
+
+  private def ghnswServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
   /** Table-attached text-index fixture over the documents table; when
     * `appendText` is set, %37==5 docs get the suffix appended (upsert),
@@ -3450,6 +3475,17 @@ object SparkEntry {
       ivfKnnServe(s, dir, path, nprobe = 16, exhaustiveOrder = true)
     }),
 
+    "graft_hnsw_index" -> ((s, dir) => {
+      // the table-attached HNSW lifecycle: build from a GraftTable
+      // snapshot → vector-replacing upsert + delete batch → refresh
+      // (the Lucene flush: changed rows append as NEW segments, old
+      // copies die by horizon tombstone — no cell rewrite) → probe with
+      // payload join-back. Approximate by nature (HNSW has no
+      // exhaustive mode) ⇒ rows-only; GraftHnswSpec pins wide-beam
+      // exactness, the tombstone lineage rules, and stale-loudness.
+      ghnswServe(s, dir, ghnswFixture(s, dir, "ghnsw"))
+    }),
+
     "graft_index_exhaustive" -> ((s, dir) => {
       // The reference's serving model — hudi_vector_search(TABLE_PATH,…)
       // answers from an index the lakehouse keeps IN SYNC with the table
@@ -3721,6 +3757,9 @@ object SparkEntry {
       "graft_index_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidx"); () },
         (s, dir) => gidxServe(s, dir, at("gidx", dir)))),
+      "graft_hnsw_index" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnsw"); () },
+        (s, dir) => ghnswServe(s, dir, at("ghnsw", dir)))),
       "graft_index_pq_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8); () },
         (s, dir) => gidxPqServe(s, dir, at("gidxpq", dir)))),

@@ -338,12 +338,17 @@ object HnswIndex {
     */
   private def searchSegments(spark: SparkSession, model: Model,
                              queries: Seq[(Long, Array[Float])],
-                             k: Int, ef: Int): DataFrame = {
-    val dirs = segmentDirs(spark, model.path)
+                             k: Int, ef: Int,
+                             pids: Option[Set[Int]] = None): DataFrame = {
+    val allDirs = segmentDirs(spark, model.path)
+    val dirs = pids.fold(allDirs) { keep =>
+      allDirs.filter(d => keep(d.substring(d.lastIndexOf('=') + 1).toInt))
+    }
     require(dirs.nonEmpty, s"no segments under ${model.path} — build first")
     val metric = model.metric
-    val outEnc = Encoders.product[(Long, Long, Double)]
+    val outEnc = Encoders.product[(Long, Long, Double, Int)]
     val locals = dirs.map { dir =>
+      val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
       spark.read.schema(graphSchema).parquet(dir).coalesce(1)
         .mapPartitions { it =>
           val ids = mutable.ArrayBuffer.empty[Long]
@@ -383,14 +388,26 @@ object HnswIndex {
             g.maxLevel = g.links(best).length - 1
             queries.iterator.flatMap { case (qid, q) =>
               g.search(q, k, ef).iterator.map { case (d, id) =>
-                (qid, id, score(metric, d))
+                (qid, id, score(metric, d), pid)
               }
             }
           }
         }(outEnc)
     }
-    locals.reduce(_.union(_)).toDF("qid", "id", "score")
+    locals.reduce(_.union(_)).toDF("qid", "id", "score", "pid")
   }
+
+  /** [[searchSegments]] for callers that need segment PROVENANCE and
+    * SELECTION — the table-attached index ([[graft.sources.GraftHnsw]])
+    * probes only its meta-committed segment set (an appended-but-
+    * uncommitted segment must stay invisible) and filters candidates
+    * against horizon tombstones, which apply per (key, segment-age).
+    * Output: (qid, id, score, pid), k candidates per (query, segment).
+    */
+  def probeSegmentsWithPid(spark: SparkSession, model: Model,
+                           queries: Seq[(Long, Array[Float])], k: Int, ef: Int,
+                           pids: Option[Set[Int]] = None): DataFrame =
+    searchSegments(spark, model, queries, k, ef, pids)
 
   /** Top-k probe: per-segment candidates union into a global
     * TakeOrdered k. `ef` is the recall/cost knob (beam width at level

@@ -1,0 +1,307 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.HnswIndex
+
+/** The graph-based ANN index attached to its [[GraftTable]] — the HNSW
+  * twin of [[GraftIndex]] (the reference's table-kept index serving,
+  * demo.ipynb cell 11, with Lucene-9's segment-HNSW maintenance model
+  * instead of IVF cells).
+  *
+  * Layout, under the table's own directory:
+  * {{{
+  *   table/_hnswidx/<name>/meta            commit point (atomic swap):
+  *                                         vecCol, keyCol, metric, m, efc,
+  *                                         indexedVersion, gen,
+  *                                         segs=<committed pid list>,
+  *                                         tombs=<committed tombstone files>
+  *   table/_hnswidx/<name>/g<K>/layout/    HnswIndex segment graphs (pid= dirs)
+  *   table/_hnswidx/<name>/g<K>/tombs/     (id, horizon) parquet files
+  * }}}
+  *
+  * Maintenance is the LUCENE model, not the IVF cell-rewrite model:
+  *  - [[refresh]] APPENDS the change batch's live rows as NEW immutable
+  *    segments (a flush) and records the changed keys as HORIZON
+  *    TOMBSTONES `(id, horizon = first new pid)`: a candidate from a
+  *    segment OLDER than its key's horizon is a dead copy (updated or
+  *    deleted) and is filtered at probe time — exactly Lucene's
+  *    liveDocs. Updated keys' fresh copies live in pid ≥ horizon, so
+  *    the max horizon per key keeps precisely the newest copy.
+  *  - probe cost grows with the segment count and dead candidates cost
+  *    recall headroom (k candidates per segment are fetched BEFORE the
+  *    tombstone filter), so periodic [[rebuild]] — a full re-flush into
+  *    a fresh generation, dropping every tombstone — is the stated
+  *    merge/compaction step, like Lucene's background merges.
+  *
+  * Freshness and crash-safety carry the house contract: probes FAIL
+  * LOUDLY when the table moved past `indexedVersion` (`allowStale`
+  * opts into the pinned snapshot); meta names the COMMITTED segment
+  * pids and tombstone files explicitly, so an appended-but-uncommitted
+  * segment or tombstone from a crashed refresh is invisible until its
+  * retry commits (appends land at fresh pids past any orphan).
+  *
+  * Probes return full table rows like [[GraftIndex.probe]] — the HNSW
+  * layout stores only (id, vec, links), so the payload comes from a
+  * BUCKET-PRUNED point lookup of the k result keys against the pinned
+  * table version (k keys → ≤ k buckets read, never a table scan).
+  *
+  * Approximation is honest: HNSW has no exhaustive mode, so the
+  * queries row is rows-only; GraftHnswSpec pins the mutate→refresh→
+  * probe lifecycle against brute force at a wide beam (the HnswSpec
+  * convention) plus the tombstone lineage rules exactly.
+  */
+object GraftHnsw {
+
+  final case class HnswMeta(name: String, vecCol: String, keyCol: String,
+                            metric: String, m: Int, efConstruction: Int,
+                            indexedVersion: Int, gen: Int,
+                            segs: Seq[Int], tombs: Seq[String])
+
+  private def root(tablePath: String, name: String) = s"$tablePath/_hnswidx/$name"
+  private def genRoot(tablePath: String, name: String, gen: Int) =
+    s"${root(tablePath, name)}/g$gen"
+  private def layoutPath(tablePath: String, name: String, gen: Int) =
+    s"${genRoot(tablePath, name, gen)}/layout"
+  private def tombsDir(tablePath: String, name: String, gen: Int) =
+    s"${genRoot(tablePath, name, gen)}/tombs"
+  private def metaPath(tablePath: String, name: String) =
+    new Path(root(tablePath, name), "meta")
+
+  def exists(tablePath: String, name: String = "hnsw"): Boolean =
+    GraftTable.MetaIO.exists(metaPath(tablePath, name))
+
+  def meta(tablePath: String, name: String = "hnsw"): HnswMeta = {
+    val p = metaPath(tablePath, name)
+    require(GraftTable.MetaIO.exists(p), s"no hnsw index '$name' at $tablePath")
+    val kv = GraftTable.MetaIO.readString(p).split("\n")
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    HnswMeta(name, kv("vecCol"), kv("keyCol"), kv("metric"), kv("m").toInt,
+      kv("efc").toInt, kv("indexedVersion").toInt, kv("gen").toInt,
+      kv("segs").split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
+      kv("tombs").split(",").filter(_.nonEmpty).toSeq)
+  }
+
+  private def writeMeta(tablePath: String, m: HnswMeta): Unit =
+    GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
+      s"vecCol=${m.vecCol}\nkeyCol=${m.keyCol}\nmetric=${m.metric}\nm=${m.m}\n" +
+        s"efc=${m.efConstruction}\nindexedVersion=${m.indexedVersion}\n" +
+        s"gen=${m.gen}\nsegs=${m.segs.mkString(",")}\ntombs=${m.tombs.mkString(",")}")
+
+  /** Committed-or-not pids currently on disk for a generation's layout. */
+  private def pidsOnDisk(spark: SparkSession, tablePath: String, name: String,
+                         gen: Int): Seq[Int] = {
+    val dir = new Path(layoutPath(tablePath, name, gen))
+    if (!GraftTable.MetaIO.exists(dir)) Seq.empty
+    else GraftTable.MetaIO.list(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("pid="))
+      .map(_.getPath.getName.stripPrefix("pid=").toInt).sorted
+  }
+
+  /** The table's single integral record-key column, or a loud refusal —
+    * the HNSW layout addresses vectors by a long id.
+    */
+  private def keyColOf(tablePath: String, v: Int): String = {
+    val keys = GraftTable.keyColumns(tablePath)
+    require(keys.length == 1,
+      s"hnsw index needs a single record-key column, table has ${keys.mkString(", ")}")
+    val sc = GraftTable.snapshotSchema(tablePath, v).getOrElse(
+      throw new IllegalStateException(s"$tablePath: no recorded snapshot schema " +
+        "(legacy manifest) — commit once through a write to upgrade"))
+    val dt = sc(keys.head).dataType
+    require(Seq("int", "bigint", "smallint", "tinyint").contains(dt.simpleString),
+      s"hnsw index needs an integral record key, '${keys.head}' is ${dt.simpleString}")
+    keys.head
+  }
+
+  /** Build the index from the table's CURRENT snapshot and record that
+    * version. Rows with a null vector are not indexed (they appear if a
+    * later upsert fills the vector in).
+    */
+  def create(spark: SparkSession, tablePath: String, vecCol: String,
+             name: String = "hnsw", m: Int = 16, efConstruction: Int = 100,
+             metric: String = "cosine", nSegments: Int = 4): Unit = {
+    val v = GraftTable.latestVersion(tablePath)
+    require(v >= 0, s"no table at $tablePath")
+    require(!exists(tablePath, name), s"hnsw index '$name' already exists at $tablePath")
+    val keyCol = keyColOf(tablePath, v)
+    val snap = GraftTable.read(spark, tablePath, v).filter(col(vecCol).isNotNull)
+    HnswIndex.build(snap, keyCol, vecCol, layoutPath(tablePath, name, 0),
+      m, efConstruction, metric, nSegments)
+    writeMeta(tablePath, HnswMeta(name, vecCol, keyCol, metric, m, efConstruction,
+      v, gen = 0, segs = pidsOnDisk(spark, tablePath, name, 0), tombs = Nil))
+  }
+
+  /** Catch the index up to the table head: the change batch's live rows
+    * flush as NEW segments, every changed key gets a horizon tombstone.
+    * Cost is O(batch) — build work for the additions plus one small
+    * tombstone file; no existing segment is read or rewritten (the
+    * Lucene flush, vs [[GraftIndex.refresh]]'s COW cell rewrite).
+    * Returns the (fromVersion, toVersion] range applied, None if fresh.
+    */
+  def refresh(spark: SparkSession, tablePath: String,
+              name: String = "hnsw"): Option[(Int, Int)] = {
+    val m0 = meta(tablePath, name)
+    val head = GraftTable.latestVersion(tablePath)
+    if (head <= m0.indexedVersion) return None
+    val batch = GraftTable.changes(spark, tablePath, m0.indexedVersion, head)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val changedKeys = batch.select(col(m0.keyCol).cast("long").as("id")).distinct()
+      val additions = batch.filter(!col("_deleted")).drop("_deleted")
+        .filter(col(m0.vecCol).isNotNull)
+      if (changedKeys.isEmpty) {
+        // schema-only / no-op range: advance the pin, nothing flushes
+        writeMeta(tablePath, m0.copy(indexedVersion = head))
+        return Some((m0.indexedVersion, head))
+      }
+      val model = HnswIndex.load(spark, layoutPath(tablePath, name, m0.gen))
+      // horizon BEFORE the append: every copy in a segment older than
+      // the new base is dead for a changed key; the fresh copies land
+      // at pid >= base and survive the filter. With no additions the
+      // horizon is one past the newest pid on disk (orphans included —
+      // a committed pid never exceeds it).
+      val (newSegs, horizon) =
+        if (additions.isEmpty)
+          (Seq.empty[Int],
+            pidsOnDisk(spark, tablePath, name, m0.gen).maxOption.fold(0)(_ + 1))
+        else {
+          val base = HnswIndex.append(spark, model, additions, m0.keyCol, m0.vecCol)
+          (pidsOnDisk(spark, tablePath, name, m0.gen).filter(_ >= base), base)
+        }
+      // attempt-unique tombstone file: a crashed refresh's file is
+      // invisible (not meta-listed) and never half-reused
+      val tombName = s"t${java.util.UUID.randomUUID.toString.take(8)}"
+      changedKeys.withColumn("horizon", lit(horizon)).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${tombsDir(tablePath, name, m0.gen)}/$tombName")
+      // THE commit point: segments, tombstone, and version pin swap
+      // together or not at all
+      writeMeta(tablePath, m0.copy(indexedVersion = head,
+        segs = m0.segs ++ newSegs, tombs = m0.tombs :+ tombName))
+      Some((m0.indexedVersion, head))
+    } finally {
+      batch.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Full re-flush into a fresh generation at the table head — the
+    * merge/compaction step: one graph build per segment over the live
+    * snapshot, ZERO tombstones after (dead copies are gone physically),
+    * probe cost reset to `nSegments` walks. Concurrent probes keep
+    * serving the old generation untorn; the meta swap flips atomically.
+    * Old generation dirs are orphaned for [[vacuum]].
+    */
+  def rebuild(spark: SparkSession, tablePath: String, name: String = "hnsw",
+              nSegments: Option[Int] = None): Unit = {
+    val m0 = meta(tablePath, name)
+    val head = GraftTable.latestVersion(tablePath)
+    val newGen = m0.gen + 1
+    val snap = GraftTable.read(spark, tablePath, head).filter(col(m0.vecCol).isNotNull)
+    val nSeg = nSegments.getOrElse(math.max(1, m0.segs.length))
+    HnswIndex.build(snap, m0.keyCol, m0.vecCol, layoutPath(tablePath, name, newGen),
+      m0.m, m0.efConstruction, m0.metric, nSeg)
+    writeMeta(tablePath, m0.copy(indexedVersion = head, gen = newGen,
+      segs = pidsOnDisk(spark, tablePath, name, newGen), tombs = Nil))
+  }
+
+  /** Reclaim non-current generation dirs (post-[[rebuild]] garbage).
+    * Same single-maintainer discipline as refresh. Returns dirs deleted.
+    */
+  def vacuum(tablePath: String, name: String = "hnsw"): Int = {
+    val m = meta(tablePath, name)
+    val gens = GraftTable.MetaIO.list(new Path(root(tablePath, name)))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+"))
+      .filter(_.getPath.getName.stripPrefix("g").toInt != m.gen)
+    gens.foreach(st => GraftTable.MetaIO.delete(st.getPath))
+    gens.length
+  }
+
+  /** Drop the index entirely; false when absent (IF EXISTS contract). */
+  def drop(tablePath: String, name: String = "hnsw"): Boolean = {
+    val existed = exists(tablePath, name)
+    if (existed) GraftTable.MetaIO.delete(new Path(root(tablePath, name)))
+    existed
+  }
+
+  private def requireFresh(tablePath: String, m: HnswMeta, allowStale: Boolean): Unit = {
+    val head = GraftTable.latestVersion(tablePath)
+    if (!allowStale && head != m.indexedVersion)
+      throw new IllegalStateException(
+        s"hnsw index '${m.name}' on $tablePath is STALE: it reflects table version " +
+          s"${m.indexedVersion} but the table is at $head — run GraftHnsw.refresh, " +
+          "or probe(allowStale = true) to serve the indexed snapshot")
+  }
+
+  /** Candidates surviving the horizon tombstones: a candidate (id, pid)
+    * dies iff some tombstone for its id has horizon > pid — i.e. the
+    * copy predates its key's newest change. One broadcast-sized join
+    * (tombstones are the table's churn since the last rebuild).
+    */
+  private def liveCandidates(spark: SparkSession, tablePath: String,
+                             m: HnswMeta, cands: DataFrame): DataFrame = {
+    if (m.tombs.isEmpty) return cands
+    val tombs = spark.read.parquet(
+        m.tombs.map(t => s"${tombsDir(tablePath, m.name, m.gen)}/$t"): _*)
+      .groupBy("id").agg(max("horizon").as("__hz"))
+    cands.join(broadcast(tombs), Seq("id"), "left")
+      .filter(col("__hz").isNull || col("pid") >= col("__hz"))
+      .drop("__hz")
+  }
+
+  /** The empty probe shape: table columns (minus the vector) + score. */
+  private def emptyShaped(spark: SparkSession, tablePath: String,
+                          m: HnswMeta): DataFrame =
+    GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+      .withColumn("score", lit(0.0)).drop(m.vecCol)
+
+  /** Payload join-back: the k result keys point-look-up their buckets
+    * at the PINNED table version (k keys → ≤ k bucket reads, never a
+    * scan), and the canonical probe shape comes out — table columns
+    * (snapshot order) minus the vector, score last.
+    */
+  private def joinBack(spark: SparkSession, tablePath: String, m: HnswMeta,
+                       top: Array[(Long, Double)]): DataFrame = {
+    if (top.isEmpty) return emptyShaped(spark, tablePath, m)
+    import spark.implicits._
+    val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion).getOrElse(
+      throw new IllegalStateException(s"$tablePath: no recorded snapshot schema"))
+    val keyType = sc(m.keyCol).dataType
+    val (_, defaultBuckets, _) = GraftTable.meta(tablePath)
+    val nb = GraftTable.bucketsAt(tablePath, m.indexedVersion, defaultBuckets)
+    val idsDf = top.toSeq.toDF("__id", "score")
+      .withColumn(m.keyCol, col("__id").cast(keyType)).drop("__id")
+    val buckets = idsDf
+      .select(GraftTable.bucketCol(Seq(m.keyCol), nb).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val rows = GraftTable.readBuckets(spark, tablePath, m.indexedVersion, buckets)
+    val canonical = sc.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"
+    rows.join(broadcast(idsDf), Seq(m.keyCol))
+      .select(canonical.map(col): _*)
+  }
+
+  /** Top-k against the table-attached HNSW index. `ef` is the
+    * recall/cost knob. Fails loudly when the index lags the table
+    * unless `allowStale`. Output: full table rows (minus the vector) +
+    * score, the [[GraftIndex.probe]] shape.
+    */
+  def probe(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
+            ef: Int, name: String = "hnsw", allowStale: Boolean = false): DataFrame = {
+    val m = meta(tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    if (m.segs.isEmpty) return emptyShaped(spark, tablePath, m)
+    val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
+    // fetch k per COMMITTED segment (meta-listed pids only: a crashed
+    // refresh's orphan segment stays invisible), filter dead copies,
+    // then the global cut
+    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+      Seq((0L, query.toArray)), k, ef, Some(m.segs.toSet))
+    val live = liveCandidates(spark, tablePath, m, cands)
+    val ord = if (m.metric == "l2") asc("score") else desc("score")
+    val top = live.orderBy(ord, asc("id")).limit(k)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    joinBack(spark, tablePath, m, top)
+  }
+}

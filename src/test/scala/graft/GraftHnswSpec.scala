@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftHnsw, GraftTable}
+import java.nio.file.Files
+
+/** Table-attached HNSW: the mutate→refresh→probe lifecycle against
+  * brute force at a wide beam (the HnswSpec convention — HNSW has no
+  * exhaustive mode, so wide-`ef` exact recovery is the strongest
+  * checkable contract), plus the horizon-tombstone lineage rules,
+  * stale-loudness, rebuild/vacuum, and the shape/refusal edges.
+  */
+class GraftHnswSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private def vec(i: Long, salt: Int = 0): Seq[Float] =
+    (0 until dim).map(d => math.sin(i * 37.0 + d * 11.0 + salt * 101.0).toFloat)
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def mkTable(n: Int): String = {
+    val path = Files.createTempDirectory("ghnsw").toString + "/t"
+    val df = (0L until n.toLong).map(i => (i, vec(i), s"doc$i"))
+      .toDF("id", "vec", "s")
+    GraftTable.create(df, path, Seq("id"), nbuckets = 4)
+    path
+  }
+
+  /** Brute-force cosine top-k over the table's LIVE rows: (id, payload). */
+  private def brute(path: String, q: Seq[Float], k: Int): Seq[(Long, String)] =
+    GraftTable.read(spark, path).select("id", "vec", "s").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+      .map { case (id, v, s) => (id, s, cosine(v, q)) }
+      .sortBy { case (id, _, sc) => (-sc, id) }
+      .take(k).map { case (id, s, _) => (id, s) }.toSeq
+
+  test("create + wide-beam probe recovers the exact top-k with payload columns") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(7)
+    val got = GraftHnsw.probe(spark, path, q, k = 10, ef = 512)
+    got.columns.toSeq shouldBe Seq("id", "s", "score")
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    ids shouldBe brute(path, q, 10).toSet
+    // scores are the exact cosine of the stored vectors
+    got.collect().foreach { r =>
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  test("probes fail LOUDLY on a stale index; allowStale serves the pinned snapshot") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2)
+    GraftTable.upsert(spark, path,
+      Seq((999L, vec(999), "doc999")).toDF("id", "vec", "s"))
+    val e = intercept[IllegalStateException] {
+      GraftHnsw.probe(spark, path, vec(1), k = 5, ef = 128)
+    }
+    e.getMessage should include("STALE")
+    // the pinned snapshot serves without the new row
+    val stale = GraftHnsw.probe(spark, path, vec(999), k = 40, ef = 512,
+      allowStale = true)
+    stale.filter(col("id") === 999L).count() shouldBe 0L
+  }
+
+  test("refresh folds upserts (vector replace + inserts) and deletes exactly") {
+    val path = mkTable(50)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    // replace 5 vectors, insert 5 new rows, delete 5 rows
+    val ups = (0L until 5L).map(i => (i, vec(i, salt = 9), s"doc$i-v2")) ++
+      (100L until 105L).map(i => (i, vec(i), s"doc$i"))
+    GraftTable.upsert(spark, path, ups.toDF("id", "vec", "s"))
+    GraftTable.delete(spark, path, (20L until 25L).toDF("id"))
+    GraftHnsw.refresh(spark, path) should not be empty
+    GraftHnsw.refresh(spark, path) shouldBe None // already fresh
+    val q = vec(3, salt = 9)
+    val got = GraftHnsw.probe(spark, path, q, k = 12, ef = 512)
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    ids shouldBe brute(path, q, 12).toSet
+    // deleted keys never surface, even as wide-k candidates
+    val wide = GraftHnsw.probe(spark, path, vec(21), k = 50, ef = 512)
+    wide.filter(col("id").between(20L, 24L)).count() shouldBe 0L
+    // an updated key serves its NEW payload and NEW vector's score
+    val self = GraftHnsw.probe(spark, path, vec(0, salt = 9), k = 1, ef = 512)
+    self.head().getString(1) shouldBe "doc0-v2"
+  }
+
+  test("horizon lineage: a key updated across TWO refreshes serves only the newest copy") {
+    val path = mkTable(30)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    GraftTable.upsert(spark, path, Seq((5L, vec(5, 1), "v1")).toDF("id", "vec", "s"))
+    GraftHnsw.refresh(spark, path)
+    GraftTable.upsert(spark, path, Seq((5L, vec(5, 2), "v2")).toDF("id", "vec", "s"))
+    GraftHnsw.refresh(spark, path)
+    GraftHnsw.meta(path).tombs.length shouldBe 2
+    // wide probe for each historical vector: only ONE copy of key 5
+    // exists, the newest
+    Seq(vec(5, 0), vec(5, 1), vec(5, 2)).foreach { q =>
+      val rows = GraftHnsw.probe(spark, path, q, k = 30, ef = 512)
+        .filter(col("id") === 5L).collect()
+      rows.length shouldBe 1
+      rows.head.getString(1) shouldBe "v2"
+    }
+  }
+
+  test("rebuild compacts into a fresh generation: zero tombstones, vacuum reclaims") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    GraftTable.delete(spark, path, (0L until 10L).toDF("id"))
+    GraftHnsw.refresh(spark, path)
+    GraftHnsw.meta(path).tombs should not be empty
+    GraftHnsw.rebuild(spark, path)
+    val m = GraftHnsw.meta(path)
+    m.tombs shouldBe empty
+    m.gen shouldBe 1
+    GraftHnsw.vacuum(path) shouldBe 1 // the g0 dir
+    val q = vec(15)
+    val ids = GraftHnsw.probe(spark, path, q, k = 8, ef = 512)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    ids shouldBe brute(path, q, 8).toSet
+  }
+
+  test("refusals: multi-column keys, non-integral keys, duplicate create") {
+    val p2 = Files.createTempDirectory("ghnsw").toString + "/t2"
+    GraftTable.create(Seq((1L, "a", vec(1))).toDF("id", "name", "vec"),
+      p2, Seq("id", "name"), nbuckets = 2)
+    intercept[IllegalArgumentException] {
+      GraftHnsw.create(spark, p2, "vec")
+    }.getMessage should include("single record-key")
+    val p3 = Files.createTempDirectory("ghnsw").toString + "/t3"
+    GraftTable.create(Seq(("a", vec(1))).toDF("name", "vec"),
+      p3, Seq("name"), nbuckets = 2)
+    intercept[IllegalArgumentException] {
+      GraftHnsw.create(spark, p3, "vec")
+    }.getMessage should include("integral")
+    val path = mkTable(10)
+    GraftHnsw.create(spark, path, "vec", nSegments = 1)
+    intercept[IllegalArgumentException] {
+      GraftHnsw.create(spark, path, "vec")
+    }.getMessage should include("already exists")
+  }
+
+  test("drop removes the index, never the table") {
+    val path = mkTable(10)
+    GraftHnsw.create(spark, path, "vec", nSegments = 1)
+    GraftHnsw.drop(path) shouldBe true
+    GraftHnsw.drop(path) shouldBe false
+    GraftHnsw.exists(path) shouldBe false
+    GraftTable.read(spark, path).count() shouldBe 10L
+  }
+}
