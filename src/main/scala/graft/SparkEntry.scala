@@ -1274,6 +1274,46 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_branch_wap" -> ((s, dir) => {
+      // WRITE-AUDIT-PUBLISH end-to-end: CALL branch_create stages a
+      // branch at the head; a risky upsert (+1M custkey shift on %5
+      // keys) and a delete batch (%7 keys) land ON THE BRANCH — main
+      // keeps serving the base snapshot untouched (asserted via the
+      // loud require below); the audit reads the branch diff; CALL
+      // branch_publish fast-forwards the staged commits into real main
+      // versions in O(commits) metadata ops. DuckDB replays the same
+      // upsert + delete over the raw parquet — the published main head
+      // must equal it exactly.
+      val tmp = s"${indexPath("sqlwap", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      val baseCount = GraftTable.read(s, path).count()
+      val out = withGraftCatalog(s) {
+        s.sql(s"CALL graft.branch_create('$path', 'ingest')").collect()
+        GraftTable.branchUpsert(s, path, "ingest",
+          o.filter(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"),
+              col("o_totalprice")))
+        GraftTable.branchDeleteKeys(s, path, "ingest",
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+        // the WAP invariant: main is untouched while the branch stages
+        require(GraftTable.read(s, path).count() == baseCount,
+          "staged branch commits leaked into main")
+        // the audit: the branch diff is non-empty and keyed
+        require(GraftTable.branchChanges(s, path, "ingest").count() > 0,
+          "empty audit diff for a staged branch")
+        s.sql(s"CALL graft.branch_publish('$path', 'ingest')").collect()
+        s.sql(s"SELECT o_orderkey, o_custkey, " +
+          "CAST(FLOOR(o_totalprice * 100) AS LONG) AS price_c " +
+          s"FROM graft.`$path`").localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_clone" -> ((s, dir) => {
       // DEEP CLONE end-to-end: create (v0) → MOR delta upsert (v1,
       // outstanding log) → CALL graft.clone — a distributed
@@ -4798,6 +4838,25 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
          FROM orders WHERE o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
+
+    // write-audit-publish: the published main head must equal the
+    // plain replay of the staged upsert + delete over the raw parquet
+    "lakehouse_branch_wap" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0),
+         ups AS (
+           SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT b.* FROM base b LEFT JOIN ups u ON b.o_orderkey = u.o_orderkey
+           WHERE u.o_orderkey IS NULL)
+         SELECT o_orderkey, o_custkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM merged WHERE o_orderkey % 7 <> 0
          ORDER BY o_orderkey""",
 
     // by-source merge: left join target→source; paired rows take the

@@ -1108,8 +1108,17 @@ object GraftTable {
   }
 
   def upsert(spark: SparkSession, path: String, updates0: DataFrame,
-             precombine: Seq[String] = Nil): Unit = {
-    val v = latestVersion(path)
+             precombine: Seq[String] = Nil): Unit =
+    upsertImpl(spark, path, updates0, precombine, branch = None)
+
+  /** The COW upsert body, parameterized by the commit target: mainline
+    * (merge against latestVersion, commit v+1 with a marker) or a
+    * branch (merge against the branch head SLOT, stage at a branch
+    * slot, serialize through the branch's sequence record).
+    */
+  private def upsertImpl(spark: SparkSession, path: String, updates0: DataFrame,
+                         precombine: Seq[String], branch: Option[String]): Unit = {
+    val v = branch.fold(latestVersion(path))(branchHead(path, _))
     require(v >= 0, s"no table at $path")
     val (keys, defaultBuckets, keyTypes) = meta(path)
     val nbuckets = bucketsAt(path, v, defaultBuckets)
@@ -1129,7 +1138,15 @@ object GraftTable {
     val (base2, updates2) = alignSchemas(base, updates)
     val merged = Upsert.merge(base2, updates2, keys, precombine.map(col))
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(merged, path, keys, nbuckets, v + 1, carryOver, touched = touched)
+    branch match {
+      case None =>
+        writeVersion(merged, path, keys, nbuckets, v + 1, carryOver, touched = touched)
+      case Some(n) =>
+        val seq = branchCommits(path, n).lastOption.fold(1)(_._1 + 1)
+        writeVersion(merged, path, keys, nbuckets, nextBranchSlot(path), carryOver,
+          touched = touched, base = v, branchCommit = Some((n, seq)),
+          dirVersion = branchBase(path, n) + seq)
+    }
   }
 
   /** Merge-on-read upsert (delta commit): commit a version whose
@@ -1233,8 +1250,12 @@ object GraftTable {
     * A bucket whose rows are all deleted drops out of the manifest;
     * [[changes]] reports the removals with `_deleted = true`.
     */
-  def delete(spark: SparkSession, path: String, keysDf: DataFrame): Unit = {
-    val v = latestVersion(path)
+  def delete(spark: SparkSession, path: String, keysDf: DataFrame): Unit =
+    deleteImpl(spark, path, keysDf, branch = None)
+
+  private def deleteImpl(spark: SparkSession, path: String, keysDf: DataFrame,
+                         branch: Option[String]): Unit = {
+    val v = branch.fold(latestVersion(path))(branchHead(path, _))
     require(v >= 0, s"no table at $path")
     val (keys, defaultBuckets, keyTypes) = meta(path)
     val nbuckets = bucketsAt(path, v, defaultBuckets)
@@ -1254,7 +1275,15 @@ object GraftTable {
       else readPinned(spark, path, v)(g))
     val remaining = base.join(keyOnly, keys, "left_anti")
     val carryOver = current.filter { case (b, _) => !touched(b) }
-    writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver, touched = touched)
+    branch match {
+      case None =>
+        writeVersion(remaining, path, keys, nbuckets, v + 1, carryOver, touched = touched)
+      case Some(n) =>
+        val seq = branchCommits(path, n).lastOption.fold(1)(_._1 + 1)
+        writeVersion(remaining, path, keys, nbuckets, nextBranchSlot(path), carryOver,
+          touched = touched, base = v, branchCommit = Some((n, seq)),
+          dirVersion = branchBase(path, n) + seq)
+    }
   }
 
   /** Merge-on-read delete by key (deletion vectors): commit a version
@@ -2894,6 +2923,174 @@ object GraftTable {
   def isVersionReadable(path: String, v: Int): Boolean =
     commitVersions(path).contains(v) && MetaIO.exists(manifestPath(path, v))
 
+  // ---- branches: write-audit-publish (Iceberg WAP / audit branches) ----
+  //
+  // A branch is a STAGED manifest lineage over the same data pool: each
+  // branch commit runs the ordinary COW write path (touched-bucket
+  // merge, CHECK guards, stats segments, attempt-unique data dirs) but
+  // lands its manifest at a slot in a DISJOINT number range
+  // (BranchSlotBase+) WITHOUT a commit marker — so every mainline
+  // reader, writer, time travel, and vacuum keep-window is blind to it,
+  // and the mainline put-if-absent commit lock at latestVersion+1 is
+  // never contested. Branch commits serialize through their own
+  // put-if-absent sequence records (`_branches/<name>/c<K>` → slot).
+  //
+  // publish() is the fast-forward: branch commit K becomes main version
+  // base+K by COPYING the staged manifest text to that slot (manifest
+  // text references attempt-named data dirs — position-independent) and
+  // writing its marker. The data dirs were ALREADY named v<base+K>-…
+  // at write time (writeVersion's dirVersion), so the MOR log's
+  // version-scoping arithmetic is identical before and after the
+  // renumbering. Non-fast-forward (main advanced past base) refuses
+  // loudly at the first occupied slot; a crashed publish is retried
+  // idempotently (already-placed slots are recognized by content).
+  //
+  // This is the write-audit-publish loop a 100 TB ingest wants: stage
+  // the risky batch on a branch, audit it (branchChanges diff, fsck,
+  // constraint/drift checks against the branch head), publish in O(K)
+  // metadata operations — or branchDrop and nothing ever happened.
+
+  /** Branch slots live at 1e9+ — mainline history can never collide
+    * (guarded loudly) and sweep rules can tell the ranges apart.
+    */
+  private val BranchSlotBase = 1000000000
+
+  private def branchRoot(path: String) = new Path(path, "_branches")
+  private def branchDirPath(path: String, name: String) =
+    new Path(branchRoot(path), name)
+  private def branchBasePath(path: String, name: String) =
+    new Path(branchDirPath(path, name), "base")
+  private[sources] def branchSeqPath(path: String, name: String, seq: Int) =
+    new Path(branchDirPath(path, name), s"c$seq")
+
+  private def nextBranchSlot(path: String): Int = {
+    val maxSlot = MetaIO.list(new Path(path, "manifests"))
+      .map(_.getPath.getName)
+      .collect { case VersionFile(n) => n.toInt }
+      .maxOption.getOrElse(-1)
+    math.max(BranchSlotBase, maxSlot + 1)
+  }
+
+  /** Create branch `name` at the current head. Metadata-only: one base
+    * record; the first branch commit stages the first manifest.
+    */
+  def branchCreate(path: String, name: String): Int = {
+    val head = latestVersion(path)
+    require(head >= 0, s"no table at $path")
+    require(head < BranchSlotBase, s"version space exhausted at $path")
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_\\-]+"),
+      s"bad branch name '$name' (letters, digits, _, - only)")
+    if (!MetaIO.putIfAbsent(branchBasePath(path, name), head.toString))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists at $path (base v" +
+          s"${branchBase(path, name)}) — publish or branchDrop it first")
+    head
+  }
+
+  /** The main version the branch forked from. */
+  def branchBase(path: String, name: String): Int = {
+    val p = branchBasePath(path, name)
+    require(MetaIO.exists(p), s"no branch '$name' at $path")
+    MetaIO.readString(p).trim.toInt
+  }
+
+  def branchExists(path: String, name: String): Boolean =
+    MetaIO.exists(branchBasePath(path, name))
+
+  /** The branch's committed (seq → staged slot) pairs, seq-ascending. */
+  def branchCommits(path: String, name: String): Seq[(Int, Int)] =
+    MetaIO.list(branchDirPath(path, name))
+      .map(_.getPath)
+      .filter(_.getName.matches("c\\d+"))
+      .map(p => p.getName.stripPrefix("c").toInt -> MetaIO.readString(p).trim.toInt)
+      .sortBy(_._1)
+
+  /** The snapshot version a branch read serves: its newest staged slot,
+    * or the base when nothing was committed yet.
+    */
+  def branchHead(path: String, name: String): Int =
+    branchCommits(path, name).lastOption.fold(branchBase(path, name))(_._2)
+
+  /** All branches as (name, base, nCommits), name-sorted. */
+  def branches(path: String): Seq[(String, Int, Int)] =
+    MetaIO.list(branchRoot(path)).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+      .filter(branchExists(path, _))
+      .map(n => (n, branchBase(path, n), branchCommits(path, n).length))
+
+  /** Read the branch head snapshot (MOR-aware, like any version read). */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, branchHead(path, name))
+
+  /** The AUDIT diff: what publishing this branch would change on main —
+    * [[changes]] from the base to the branch head (upserts + deletes
+    * with `_deleted`), computed from manifests, cost O(changed buckets).
+    */
+  def branchChanges(spark: SparkSession, path: String, name: String): DataFrame =
+    changes(spark, path, branchBase(path, name), branchHead(path, name))
+
+  /** Keyed upsert onto the branch (the staging write): the identical
+    * touched-bucket COW path as [[upsert]] — CHECK constraints, stats,
+    * schema evolution, OCC retry — against the BRANCH head, invisible
+    * to main until [[publish]].
+    */
+  def branchUpsert(spark: SparkSession, path: String, name: String,
+                   updates: DataFrame, precombine: Seq[String] = Nil,
+                   maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { upsertImpl(spark, path, updates, precombine, Some(name)) }
+
+  /** Key delete on the branch; the [[delete]] twin of [[branchUpsert]]. */
+  def branchDeleteKeys(spark: SparkSession, path: String, name: String,
+                       keysDf: DataFrame, maxRetries: Int = 5): Unit =
+    occRetry(maxRetries) { deleteImpl(spark, path, keysDf, Some(name)) }
+
+  /** FAST-FORWARD publish: branch commit K becomes main version base+K
+    * (manifest text copied to the slot, marker written — data dirs are
+    * already named for these versions). Refuses loudly when main
+    * advanced past the base (the first occupied slot with DIFFERENT
+    * content); a crashed publish retries idempotently (already-placed
+    * slots are recognized by content equality, already-marked slots by
+    * the marker). Returns the new main head. Run publishes for a table
+    * through one maintainer (or the lock provider) — two publishes of
+    * DIFFERENT branches race exactly like two mainline writers: one
+    * wins slot base+1, the other refuses.
+    */
+  def publish(path: String, name: String): Int = {
+    val base = branchBase(path, name)
+    val commits = branchCommits(path, name)
+    commits.foreach { case (k, slot) =>
+      val target = base + k
+      val text = manifestText(path, slot)
+      if (!MetaIO.putIfAbsent(manifestPath(path, target), text)) {
+        if (manifestText(path, target) != text)
+          throw new IllegalStateException(
+            s"publish '$name': main advanced past base v$base at $path " +
+              s"(v$target exists with different content) — fast-forward only; " +
+              "branchDrop and re-stage against the new head")
+      }
+      MetaIO.replaceString(commitMarker(path, target),
+        System.currentTimeMillis().toString)
+    }
+    // the staged slots and the record go; the data dirs live on,
+    // referenced by the renumbered manifests
+    commits.foreach { case (_, slot) => MetaIO.delete(manifestPath(path, slot)) }
+    MetaIO.delete(branchDirPath(path, name))
+    base + commits.length
+  }
+
+  /** Abandon the branch: record and staged manifests deleted; the
+    * branch's data dirs become unreferenced orphans for [[vacuum]]'s
+    * grace-window sweep. False when absent (IF EXISTS contract).
+    */
+  def branchDrop(path: String, name: String): Boolean = {
+    if (!branchExists(path, name)) return false
+    branchCommits(path, name).foreach { case (_, slot) =>
+      MetaIO.delete(manifestPath(path, slot))
+    }
+    MetaIO.delete(branchDirPath(path, name))
+    true
+  }
+
   /** One fsck finding: a named consistency check with how many items it
     * examined, how many failed, and a detail string naming the first
     * few offenders (None when clean).
@@ -3204,7 +3401,13 @@ object GraftTable {
     // Iceberg keep-tagged-snapshots rule) — a tag is the durable claim
     // "this snapshot must stay readable"; drop the tag to release it
     val tagged = tags(path).map(_._2).filter(t => MetaIO.exists(manifestPath(path, t)))
-    val keep = ((math.max(0, v - keepVersions + 1) to v) ++ tagged).distinct.sorted
+    // live branches pin their staged slots AND their base (the branch's
+    // reads and its eventual publish both need them servable)
+    val branchPinned = branches(path).flatMap { case (n, b, _) =>
+      b +: branchCommits(path, n).map(_._2)
+    }.filter(s => MetaIO.exists(manifestPath(path, s)))
+    val keep = ((math.max(0, v - keepVersions + 1) to v) ++ tagged ++ branchPinned)
+      .distinct.sorted
     val referenced = keep.flatMap(manifest(path, _).values).toSet
     // every dir ANY surviving manifest file references (incl. those
     // past the horizon): membership distinguishes expired-committed
@@ -3266,6 +3469,20 @@ object GraftTable {
         actions += (("manifest", s"manifests/v$old"))
         if (execute) MetaIO.delete(manifestPath(path, old))
       }
+    // orphan STAGED manifests (a branch writer that lost its sequence
+    // race, or a dropped/crashed branch): slots >= BranchSlotBase owned
+    // by no live branch, marker-less by construction — swept after the
+    // same grace window as orphan data dirs
+    val ownedSlots = branchPinned.toSet
+    allManifests.filter(s => s >= BranchSlotBase && !ownedSlots(s)).foreach { s =>
+      val p = manifestPath(path, s)
+      if (MetaIO.exists(p) &&
+          now - MetaIO.list(p.getParent).find(_.getPath.getName == s"v$s")
+            .map(_.getModificationTime).getOrElse(now) > orphanGraceMs) {
+        actions += (("manifest", s"manifests/v$s"))
+        if (execute) MetaIO.delete(p)
+      }
+    }
     // stat segments die with their attempt dirs: once vacuum has
     // reclaimed data/<attempt> entirely, no surviving manifest can
     // resolve files under it, so its segment is unreachable by name
@@ -3288,14 +3505,32 @@ object GraftTable {
     * is the same manifest-level atomic-rename/put-if-absent protocol
     * the lakehouse formats use; the caller retries the upsert against
     * the new head.
+    *
+    * Branch commits ([[branchUpsert]]/[[branchDeleteKeys]]) reuse this
+    * whole path with three twists: `base` names the snapshot the write
+    * merged against (a branch head SLOT, not v−1); `branchCommit =
+    * Some((name, seq))` replaces the commit marker with a put-if-absent
+    * on the branch's own commit-sequence record (the branch's OCC
+    * lock — the staged manifest slot stays marker-less and therefore
+    * invisible to every mainline reader); and `dirVersion` names the
+    * data dir with the version the commit will HOLD after [[publish]]
+    * renumbers it (base+seq), so the MOR log's version-scoping
+    * arithmetic — which compares versions PARSED FROM DIR NAMES — reads
+    * identically before and after publish. Mainline callers pass none
+    * of the three and behave exactly as before.
     */
   private def writeVersion(df: DataFrame, path: String, keyCols: Seq[String],
                            nbuckets: Int, v: Int, carryOver: Map[Int, String],
                            sortWithin: Seq[String] = Nil, rangeSplit: Int = 1,
                            touched: Set[Int] = Set.empty,
-                           recordSorted: Boolean = false): Unit = {
+                           recordSorted: Boolean = false,
+                           base: Int = -1,
+                           branchCommit: Option[(String, Int)] = None,
+                           dirVersion: Int = -1): Unit = {
+    val prevV = if (base >= 0) base else v - 1
     // unique per-attempt dir: racing writers must not share a data path
-    val dataRel = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dirV = if (dirVersion >= 0) dirVersion else v
+    val dataRel = s"data/v$dirV-${java.util.UUID.randomUUID.toString.take(8)}"
     // CHECK guard rides the write job itself (no pre-pass): a violating
     // row fails the job here, before any manifest or commit marker
     val bucketed = constraintGuard(path, df).withColumn(BUCKET, bucketCol(keyCols, nbuckets))
@@ -3351,8 +3586,8 @@ object GraftTable {
     // tombstone dir instead: its version v marks every older log event
     // for that bucket as materialized-away.
     lazy val prevManifestLines: Seq[String] =
-      if (v == 0) Nil
-      else scala.util.Try(manifestText(path, v - 1).split("\n").toSeq).getOrElse(Nil)
+      if (prevV < 0) Nil
+      else scala.util.Try(manifestText(path, prevV).split("\n").toSeq).getOrElse(Nil)
     if (prevManifestLines.exists(_.startsWith("#delta=")) && carryOver.nonEmpty) {
       (touched -- written.keySet).foreach { b =>
         prepared.drop(BUCKET).limit(0)
@@ -3368,7 +3603,7 @@ object GraftTable {
     val newSchema = types.StructType(prepared.schema.fields.filterNot(_.name == BUCKET))
     val prevLines: Seq[String] =
       if (carryOver.isEmpty) Nil
-      else scala.util.Try(manifestText(path, v - 1).split("\n").toSeq).getOrElse(Nil)
+      else scala.util.Try(manifestText(path, prevV).split("\n").toSeq).getOrElse(Nil)
     val prevSchema: Option[types.StructType] =
       if (carryOver.isEmpty) None
       else prevLines.collectFirst { case l if l.startsWith("#schema=") =>
@@ -3468,9 +3703,20 @@ object GraftTable {
     if (!MetaIO.putIfAbsent(manifestPath(path, v), lines))
       throw new java.util.ConcurrentModificationException(
         s"concurrent writer committed v$v first at $path; re-read and retry the upsert")
-    // marker last: readers only see fully-written manifests; the commit
-    // time enables wall-clock time travel (readAsOf). Atomic swap, so a
-    // concurrent commitLog never sees a created-but-empty marker.
-    MetaIO.replaceString(commitMarker(path, v), System.currentTimeMillis().toString)
+    branchCommit match {
+      case None =>
+        // marker last: readers only see fully-written manifests; the
+        // commit time enables wall-clock time travel (readAsOf). Atomic
+        // swap, so a concurrent commitLog never sees an empty marker.
+        MetaIO.replaceString(commitMarker(path, v), System.currentTimeMillis().toString)
+      case Some((name, seq)) =>
+        // the branch's commit lock: first writer of c<seq> wins; the
+        // loser's staged manifest is an invisible orphan (no marker, no
+        // sequence record) that reclaim() sweeps after the grace window
+        if (!MetaIO.putIfAbsent(branchSeqPath(path, name, seq), v.toString))
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent writer committed branch '$name' c$seq first at $path; " +
+              "re-read the branch head and retry")
+    }
   }
 }

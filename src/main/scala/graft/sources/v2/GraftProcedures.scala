@@ -727,10 +727,82 @@ object GraftProcedures {
     }
   }
 
+  /** Branches — write-audit-publish (see [[GraftTable.branchCreate]]):
+    * stage risky writes invisibly, audit the diff, fast-forward publish
+    * or drop. Staging writes are Scala-API (`GraftTable.branchUpsert`);
+    * the lifecycle verbs live in SQL.
+    */
+  private val branchCreate = new Proc("branch_create",
+    Array(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("base_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "create a write-audit-publish branch at the current head; staged " +
+        "commits are invisible to main until CALL graft.branch_publish"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftTable.branchCreate(path, name)))
+    }
+  }
+
+  private val branchPublish = new Proc("branch_publish",
+    Array(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("head_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "FAST-FORWARD publish: the branch's staged commits become real " +
+        "main versions (O(commits) metadata ops); refuses loudly when " +
+        "main advanced past the branch base"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftTable.publish(path, name)))
+    }
+  }
+
+  private val branchDrop = new Proc("branch_drop",
+    Array(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "abandon a branch: record + staged manifests deleted, the staged " +
+        "data dirs become vacuum-reclaimable orphans (IF EXISTS contract)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftTable.branchDrop(path, name)))
+    }
+  }
+
+  private val branchesReport = new Proc("branches",
+    Array(in("table", StringType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("base_version", IntegerType, nullable = false),
+      StructField("n_commits", IntegerType, nullable = false),
+      StructField("publishable", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "all branches as (name, base_version, n_commits, publishable); " +
+        "publishable = false means main advanced past the base " +
+        "(fast-forward impossible — drop and re-stage)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val head = GraftTable.latestVersion(path)
+      GraftTable.branches(path).map { case (n, base, k) =>
+        InternalRow(utf8(n), base, k, head == base)
+      }.toArray
+    }
+  }
+
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
     indexCreate, indexRefresh, indexDrop, indexesReport,
-    tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck)
+    tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck,
+    branchCreate, branchPublish, branchDrop, branchesReport)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -77,8 +77,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     // integers pin a commit version; anything else resolves as a TAG
-    // name (refs/<name> — tag names are never all-digit, so the two
-    // namespaces cannot collide)
+    // name first, then a BRANCH name (the branch's staged head — a
+    // read-only SQL window into the WAP stage; staging writes stay on
+    // the Scala API). Names are never all-digit, so the namespaces
+    // cannot collide with versions.
     val v = version.toIntOption match {
       case Some(n) =>
         val committed = GraftTable.commitLog(path).map(_._1)
@@ -87,10 +89,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             s"$path has no committed version $n (committed: ${committed.mkString(", ")})")
         n
       case None =>
-        GraftTable.resolveTag(path, version).getOrElse(
-          throw new IllegalArgumentException(
-            s"$path has no tag '$version' (tags: " +
-              s"${GraftTable.tags(path).map { case (t, tv) => s"$t→v$tv" }.mkString(", ")})"))
+        GraftTable.resolveTag(path, version)
+          .orElse(Option.when(GraftTable.branchExists(path, version))(
+            GraftTable.branchHead(path, version)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path has no tag or branch '$version' (tags: " +
+              s"${GraftTable.tags(path).map { case (t, tv) => s"$t→v$tv" }.mkString(", ")}; " +
+              s"branches: ${GraftTable.branches(path).map(_._1).mkString(", ")})"))
     }
     new GraftV2Table(path, pinned = Some(v))
   }

@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Branches / write-audit-publish: staged commits invisible to main,
+  * the audit diff, fast-forward publish with renumbering, refusals on
+  * non-fast-forward, crash-retry idempotence, drop, and vacuum's
+  * branch-pinned liveness.
+  */
+class BranchSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(n: Int = 100): String = {
+    val path = Files.createTempDirectory("branch").toString + "/t"
+    GraftTable.create(
+      spark.range(0, n).toDF("k")
+        .withColumn("v", col("k") % 10)
+        .withColumn("s", concat(lit("row"), col("k"))),
+      path, Seq("k"), nbuckets = 4)
+    path
+  }
+
+  test("branch commits stage invisibly; main reads/writes/history never see them") {
+    val path = freshTable()
+    val v0 = GraftTable.latestVersion(path)
+    GraftTable.branchCreate(path, "ingest") shouldBe v0
+    GraftTable.branchUpsert(spark, path, "ingest",
+      Seq((500L, 1L, "staged")).toDF("k", "v", "s"))
+    GraftTable.branchDeleteKeys(spark, path, "ingest", Seq(0L).toDF("k"))
+    // main is untouched: same head, same content, same history
+    GraftTable.latestVersion(path) shouldBe v0
+    GraftTable.read(spark, path).count() shouldBe 100L
+    GraftTable.read(spark, path).filter(col("k") === 500L).count() shouldBe 0L
+    // the branch head serves the staged state
+    val b = GraftTable.readBranch(spark, path, "ingest")
+    b.count() shouldBe 100L // +1 insert, -1 delete
+    b.filter(col("k") === 500L).count() shouldBe 1L
+    b.filter(col("k") === 0L).count() shouldBe 0L
+    // and a concurrent MAIN write is not blocked by the staged slots
+    GraftTable.upsert(spark, path, Seq((7L, 99L, "main")).toDF("k", "v", "s"))
+    GraftTable.latestVersion(path) shouldBe v0 + 1
+  }
+
+  test("branchChanges is the audit diff: exactly the staged upserts and deletes") {
+    val path = freshTable()
+    GraftTable.branchCreate(path, "audit")
+    GraftTable.branchUpsert(spark, path, "audit",
+      Seq((3L, 77L, "patched")).toDF("k", "v", "s"))
+    GraftTable.branchDeleteKeys(spark, path, "audit", Seq(9L).toDF("k"))
+    val diff = GraftTable.branchChanges(spark, path, "audit")
+      .select("k", "_deleted").as[(Long, Boolean)].collect().sortBy(_._1)
+    diff.toSeq shouldBe Seq((3L, false), (9L, true))
+  }
+
+  test("publish fast-forwards: staged commits become real versions, branch record gone") {
+    val path = freshTable()
+    val v0 = GraftTable.latestVersion(path)
+    GraftTable.branchCreate(path, "wap")
+    GraftTable.branchUpsert(spark, path, "wap",
+      Seq((200L, 2L, "a")).toDF("k", "v", "s"))
+    GraftTable.branchUpsert(spark, path, "wap",
+      Seq((201L, 3L, "b")).toDF("k", "v", "s"))
+    GraftTable.publish(path, "wap") shouldBe v0 + 2
+    GraftTable.latestVersion(path) shouldBe v0 + 2
+    val got = GraftTable.read(spark, path)
+    got.count() shouldBe 102L
+    got.filter(col("k").isin(200L, 201L)).count() shouldBe 2L
+    // intermediate branch commit is real history: time travel serves it
+    val mid = GraftTable.read(spark, path, v0 + 1)
+    mid.filter(col("k") === 200L).count() shouldBe 1L
+    mid.filter(col("k") === 201L).count() shouldBe 0L
+    GraftTable.branchExists(path, "wap") shouldBe false
+    // post-publish the table keeps evolving normally, MOR included
+    GraftTable.upsertMor(spark, path, Seq((200L, 9L, "a2")).toDF("k", "v", "s"))
+    GraftTable.read(spark, path).filter(col("k") === 200L)
+      .head().getLong(1) shouldBe 9L
+  }
+
+  test("publish refuses when main advanced past the base — fast-forward only") {
+    val path = freshTable()
+    GraftTable.branchCreate(path, "late")
+    GraftTable.branchUpsert(spark, path, "late",
+      Seq((300L, 1L, "x")).toDF("k", "v", "s"))
+    GraftTable.upsert(spark, path, Seq((1L, 50L, "moved")).toDF("k", "v", "s"))
+    val e = intercept[IllegalStateException] { GraftTable.publish(path, "late") }
+    e.getMessage should include("fast-forward")
+    // the refusal is clean: main's history is untouched and the branch
+    // is still there to drop or re-stage
+    GraftTable.read(spark, path).filter(col("k") === 300L).count() shouldBe 0L
+    GraftTable.branchExists(path, "late") shouldBe true
+    GraftTable.branchDrop(path, "late") shouldBe true
+    GraftTable.branchDrop(path, "late") shouldBe false
+  }
+
+  test("branch staging runs the full write contract: CHECK constraints guard it") {
+    val path = freshTable()
+    GraftTable.addConstraint(spark, path, "v_bound", "v < 1000")
+    GraftTable.branchCreate(path, "guarded")
+    intercept[Exception] {
+      GraftTable.branchUpsert(spark, path, "guarded",
+        Seq((400L, 5000L, "bad")).toDF("k", "v", "s"))
+    }
+    // the violating staged commit never landed
+    GraftTable.branchHead(path, "guarded") shouldBe GraftTable.branchBase(path, "guarded")
+  }
+
+  test("vacuum keeps branch-referenced data; dropped-branch slots sweep after grace") {
+    val path = freshTable()
+    GraftTable.branchCreate(path, "keepme")
+    GraftTable.branchUpsert(spark, path, "keepme",
+      Seq((600L, 6L, "staged")).toDF("k", "v", "s"))
+    // churn main so the keep window moves past the branch base
+    (1 to 3).foreach { i =>
+      GraftTable.upsert(spark, path, Seq((i.toLong, 0L, s"m$i")).toDF("k", "v", "s"))
+    }
+    GraftTable.vacuum(path, keepVersions = 1, orphanGraceMs = 0L)
+    // the branch still reads intact (its slots and base are pinned)
+    val b = GraftTable.readBranch(spark, path, "keepme")
+    b.filter(col("k") === 600L).count() shouldBe 1L
+    // ...but publish now refuses (main advanced), so drop it
+    GraftTable.branchDrop(path, "keepme") shouldBe true
+    // with the record gone, a zero-grace vacuum sweeps the staged slot
+    GraftTable.vacuum(path, keepVersions = 1, orphanGraceMs = 0L)
+    GraftTable.branches(path) shouldBe empty
+  }
+
+  test("SQL VERSION AS OF '<branch>' serves the staged head read-only") {
+    val path = freshTable()
+    GraftTable.branchCreate(path, "sqlview")
+    GraftTable.branchUpsert(spark, path, "sqlview",
+      Seq((800L, 8L, "staged")).toDF("k", "v", "s"))
+    val k = "spark.sql.catalog.graft"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, classOf[graft.sources.v2.GraftCatalog].getName)
+    try {
+      spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 'sqlview'")
+        .filter(col("k") === 800L).count() shouldBe 1L
+      // main through SQL still blind to the stage
+      spark.sql(s"SELECT * FROM graft.`$path`")
+        .filter(col("k") === 800L).count() shouldBe 0L
+      // a pinned branch read refuses DML like any time-travel pin
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$path` VERSION AS OF 'sqlview' WHERE k = 1")
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("branch name and duplicate refusals") {
+    val path = freshTable(10)
+    intercept[IllegalArgumentException] {
+      GraftTable.branchCreate(path, "bad name")
+    }
+    GraftTable.branchCreate(path, "dup")
+    intercept[IllegalArgumentException] {
+      GraftTable.branchCreate(path, "dup")
+    }.getMessage should include("already exists")
+  }
+
+  test("two branches on one base: both stage independently, first publish wins") {
+    val path = freshTable()
+    GraftTable.branchCreate(path, "a")
+    GraftTable.branchCreate(path, "b")
+    GraftTable.branchUpsert(spark, path, "a", Seq((700L, 1L, "a")).toDF("k", "v", "s"))
+    GraftTable.branchUpsert(spark, path, "b", Seq((701L, 1L, "b")).toDF("k", "v", "s"))
+    GraftTable.readBranch(spark, path, "a").filter(col("k") === 701L).count() shouldBe 0L
+    GraftTable.publish(path, "a")
+    GraftTable.read(spark, path).filter(col("k") === 700L).count() shouldBe 1L
+    // branch b is now non-fast-forward
+    intercept[IllegalStateException] { GraftTable.publish(path, "b") }
+    GraftTable.branchDrop(path, "b")
+  }
+}
