@@ -173,13 +173,16 @@ object GraftFunctions {
     val versioned =
       if (args.length == 2) args(1).eval(null) match {
         case n: Number => reader.option("version", n.intValue())
-        case tag => // tag names are never all-digit — no ambiguity
+        case tag => // tag/branch names are never all-digit — no ambiguity
           val name = tag.toString
           reader.option("version",
-            graft.sources.GraftTable.resolveTag(path, name).getOrElse(
-              throw new IllegalArgumentException(
-                s"$path has no tag '$name' (tags: ${graft.sources.GraftTable.tags(path)
-                  .map { case (t, v) => s"$t→v$v" }.mkString(", ")})")))
+            graft.sources.GraftTable.resolveTag(path, name)
+              .orElse(Option.when(graft.sources.GraftTable.branchExists(path, name))(
+                graft.sources.GraftTable.branchHead(path, name)))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$path has no tag or branch '$name' (tags: " +
+                  s"${graft.sources.GraftTable.tags(path)
+                    .map { case (t, v) => s"$t→v$v" }.mkString(", ")})")))
       }
       else reader
     versioned.load(path).queryExecution.logical

@@ -3190,6 +3190,27 @@ object SparkEntry {
       TextAnalysis.rareTermKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")),
 
+    "text_fuzzy_join" -> ((s, dir) => {
+      // record-linkage primitive: five probe strings derived from real
+      // part names with one character DELETED (guaranteed distance-1
+      // matches) fuzzy-join the part corpus at maxDist = 1 through the
+      // q-gram-pruned inverted-index plan (candidates = pairs sharing
+      // >= |G(p)| - q*d grams, then the exact levenshtein verify;
+      // q = 2 because the part names are short — the exactness gate
+      // needs |G(p)| > q*d and refuses rather than degrade);
+      // DuckDB replays with a plain levenshtein filter — the pruning
+      // must be invisible in the result.
+      val p = Tables.part(s, dir)
+      val probes = p.filter(col("p_partkey") <= 5)
+        .select(col("p_partkey").as("probe_id"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("probe"))
+      operators.FuzzyJoin.join(p, "p_name", Seq("p_partkey"),
+          probes, "probe", "probe_id", maxDist = 1, q = 2)
+        .select(col("probe_id"), col("p_partkey"), col("p_name"), col("dist"))
+        .orderBy("probe_id", "p_partkey")
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       // corpus bigram-LM surprisal (the perplexity quality filter):
       // per-doc NLL under MLE conditional bigram probabilities fitted
@@ -6062,6 +6083,18 @@ object SparkEntry {
                 md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.i), '')) AS clean_md5
          FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+
+    // the q-gram pruning must be invisible: the oracle is the plain
+    // levenshtein join
+    "text_fuzzy_join" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_id,
+                  substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+           FROM part WHERE p_partkey <= 5)
+         SELECT pr.probe_id, p.p_partkey, p.p_name,
+                CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
+         FROM part p JOIN probes pr ON levenshtein(p.p_name, pr.probe) <= 1
+         ORDER BY pr.probe_id, p.p_partkey""",
 
     "text_keywords" ->
       """WITH tf AS (
