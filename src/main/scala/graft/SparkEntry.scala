@@ -3211,6 +3211,16 @@ object SparkEntry {
         .orderBy("probe_id", "p_partkey")
     }),
 
+    "dedup_fuzzy" -> ((s, dir) =>
+      // near-dup SHORT-STRING report (entity/name dedup): every pair of
+      // DISTINCT part names within 1 edit, with the row-pair
+      // multiplicity — collapse-first like the vector miners (the
+      // distinct-name distance matrix is tiny; raw pair expansion would
+      // be quadratic in copy count), gram join shuffled on the gram.
+      operators.FuzzyJoin.nearDupNames(Tables.part(s, dir), "p_name",
+          maxDist = 1, q = 2)
+        .orderBy("name_a", "name_b")),
+
     "text_lm_score" -> ((s, dir) =>
       // corpus bigram-LM surprisal (the perplexity quality filter):
       // per-doc NLL under MLE conditional bigram probabilities fitted
@@ -6095,6 +6105,17 @@ object SparkEntry {
                 CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
          FROM part p JOIN probes pr ON levenshtein(p.p_name, pr.probe) <= 1
          ORDER BY pr.probe_id, p.p_partkey""",
+
+    // collapse-first fuzzy near-dup report: the oracle recomputes the
+    // distinct-name distance join + multiplicities directly
+    "dedup_fuzzy" ->
+      """WITH n AS (SELECT p_name, count(*) AS c FROM part GROUP BY 1)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                CAST(a.c * b.c AS BIGINT) AS n_pairs
+         FROM n a JOIN n b
+           ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+         ORDER BY 1, 2""",
 
     "text_keywords" ->
       """WITH tf AS (

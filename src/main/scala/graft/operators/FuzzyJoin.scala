@@ -79,4 +79,45 @@ object FuzzyJoin {
       .select((col(probeIdCol) +: idCols.map(col)) :+ col(textCol) :+
         col("dist").cast("long").as("dist"): _*)
   }
+
+  /** Fuzzy SELF-join as near-dup REPORT: every pair of DISTINCT corpus
+    * strings within 1..maxDist edits, with the row-pair multiplicity
+    * (cnt_a · cnt_b) instead of the expanded pairs. The collapse-first
+    * discipline of the vector dedup miners applied to strings: a crawl
+    * corpus's duplicate cliques make raw pair output quadratic in copy
+    * count, while the DISTINCT-string distance matrix is tiny and the
+    * clique arithmetic is one multiplication — report clusters, not
+    * pairs. Both sides big ⇒ the gram join SHUFFLES on the gram (no
+    * broadcast), the scalable shape; same exactness theorem per pair
+    * (shared ≥ max(|Ga|, |Gb|) − q·d), same loud refusal for strings
+    * too short for it. Exact-duplicate (dist 0) cliques are
+    * [[Dedup.exact]]'s row, not repeated here.
+    */
+  def nearDupNames(corpus: DataFrame, textCol: String,
+                   maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val names = corpus.groupBy(col(textCol).as("name"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__grams", gramsOf(col("name"), q))
+      .withColumn("__ng", size(col("__grams")))
+    val tooShort = names.filter(col("__ng") - q * maxDist < 1)
+      .select("name").limit(3).collect()
+    require(tooShort.isEmpty,
+      s"near-dup names: string(s) ${tooShort.mkString(", ")} have too few " +
+        s"distinct $q-grams for exact pruning at maxDist=$maxDist")
+    val g = names.select(col("name"), col("__cnt"), col("__ng"),
+      explode(col("__grams")).as("__gram"))
+    val a = g.select(col("name").as("name_a"), col("__cnt").as("__ca"),
+      col("__ng").as("__nga"), col("__gram"))
+    val b = g.select(col("name").as("name_b"), col("__cnt").as("__cb"),
+      col("__ng").as("__ngb"), col("__gram"))
+    a.join(b, Seq("__gram")).filter(col("name_a") < col("name_b"))
+      .groupBy("name_a", "name_b", "__ca", "__cb", "__nga", "__ngb")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= greatest(col("__nga"), col("__ngb")) - q * maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist").between(1, maxDist))
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
+  }
 }

@@ -61,6 +61,31 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("too few distinct")
   }
 
+  test("nearDupNames matches the brute-force distinct-name report with multiplicities") {
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 30).map(_ =>
+      (0 until 10).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    // rows repeat base names and inject distance-1 mutants
+    val rows = (0 until 500).map { i =>
+      val base = bases(rnd.nextInt(bases.length))
+      val s = if (i % 7 == 0)
+        base.updated(rnd.nextInt(base.length), ('a' + rnd.nextInt(5)).toChar)
+      else base
+      (i.toLong, s)
+    }
+    val got = FuzzyJoin.nearDupNames(rows.toDF("id", "s"), "s", maxDist = 1, q = 2)
+      .select("name_a", "name_b", "dist", "n_pairs")
+      .as[(String, String, Long, Long)].collect().toSet
+    val counts = rows.groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+    val want = (for {
+      (a, ca) <- counts; (b, cb) <- counts
+      if a < b
+      d = lev(a, b) if d == 1
+    } yield (a, b, d.toLong, ca * cb)).toSet
+    got shouldBe want
+    want should not be empty
+  }
+
   test("maxDist = 0 is exact-match; empty result when nothing matches") {
     val corpus = Seq((1L, "hello world"), (2L, "hello there")).toDF("id", "s")
     val probes = Seq((7L, "hello world"), (8L, "goodbye all")).toDF("pid", "p")
