@@ -3221,6 +3221,23 @@ object GraftTable {
     }.recover { case e => Seq(s"_ndv: ${e.getMessage}") }.get
     row("sidecar_ndv", 1L, ndvBad)
 
+    // -- branches: base committed, every staged slot's manifest parses --
+    val branchRows = scala.util.Try(branches(path)).getOrElse(Seq.empty)
+    val badBranches = branchRows.flatMap { case (name, b, _) =>
+      val baseBad =
+        if (isVersionReadable(path, b)) Nil
+        else Seq(s"_branches/$name: base v$b not committed/readable")
+      val slotBad = scala.util.Try(branchCommits(path, name)).toOption match {
+        case None => Seq(s"_branches/$name: commit records unreadable")
+        case Some(cs) => cs.collect {
+          case (k, slot) if scala.util.Try(manifest(path, slot)).isFailure =>
+            s"_branches/$name: c$k -> staged manifest v$slot missing/corrupt"
+        }
+      }
+      baseBad ++ slotBad
+    }
+    row("branches_resolve", branchRows.size.toLong, badBranches)
+
     out.toSeq
   }
 

@@ -153,6 +153,23 @@ class BranchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fsck audits branches: clean when live, loud on a corrupted staged slot") {
+    val path = freshTable(20)
+    GraftTable.branchCreate(path, "audit")
+    GraftTable.branchUpsert(spark, path, "audit",
+      Seq((99L, 1L, "x")).toDF("k", "v", "s"))
+    GraftTable.fsck(spark, path)
+      .find(_.check == "branches_resolve").get.ok shouldBe true
+    // vandalize: delete the staged slot's manifest behind the table's back
+    val slot = GraftTable.branchCommits(path, "audit").head._2
+    val p = new org.apache.hadoop.fs.Path(path, s"manifests/v$slot")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val bad = GraftTable.fsck(spark, path)
+      .find(_.check == "branches_resolve").get
+    bad.ok shouldBe false
+    bad.detail.get should include("audit")
+  }
+
   test("branch name and duplicate refusals") {
     val path = freshTable(10)
     intercept[IllegalArgumentException] {
