@@ -219,6 +219,24 @@ object GraftHnsw {
     gens.length
   }
 
+  /** Continuous maintenance: a Structured Streaming ticker drives
+    * [[refresh]] per micro-batch so the index FOLLOWS the table — the
+    * [[GraftIndex.streamRefresh]] twin for the graph index. Position is
+    * owned by `meta.indexedVersion` (restart-safe, replays idempotent:
+    * a re-applied change range re-tombstones the same keys and appends
+    * duplicate fresh copies whose max-horizon arbitration still serves
+    * exactly one).
+    */
+  def streamRefresh(spark: SparkSession, tablePath: String, name: String = "hnsw",
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(spark, tablePath, name); () }
+      .trigger(trigger)
+      .start()
+
   /** Drop the index entirely; false when absent (IF EXISTS contract). */
   def drop(tablePath: String, name: String = "hnsw"): Boolean = {
     val existed = exists(tablePath, name)

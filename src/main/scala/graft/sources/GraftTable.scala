@@ -3078,6 +3078,25 @@ object GraftTable {
     base + commits.length
   }
 
+  /** [[publish]] with the AUDIT step ENFORCED, not hoped: [[fsck]]
+    * runs against the branch-head snapshot first, and any failed check
+    * refuses the publish with the findings named — the staged commits
+    * stay staged, main never sees them. This is the WAP loop's gate as
+    * one call: a missing/truncated staged file, an unreadable sidecar,
+    * or a dangling ref blocks the fast-forward instead of becoming
+    * main's problem.
+    */
+  def publishVerified(spark: SparkSession, path: String, name: String): Int = {
+    val head = branchHead(path, name)
+    val bad = fsck(spark, path, version = head).filterNot(_.ok)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"publish '$name' REFUSED: fsck on the branch head (v$head) failed " +
+          bad.map(f => s"${f.check} (${f.detail.getOrElse("")})").mkString("; ") +
+          " — repair or branchDrop; main was not touched")
+    publish(path, name)
+  }
+
   /** Abandon the branch: record and staged manifests deleted; the
     * branch's data dirs become unreferenced orphans for [[vacuum]]'s
     * grace-window sweep. False when absent (IF EXISTS contract).

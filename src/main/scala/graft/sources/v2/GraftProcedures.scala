@@ -748,18 +748,25 @@ object GraftProcedures {
   }
 
   private val branchPublish = new Proc("branch_publish",
-    Array(in("table", StringType), in("name", StringType)),
+    Array(in("table", StringType), in("name", StringType),
+      inDefault("verify", BooleanType, "false")),
     StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("head_version", IntegerType, nullable = false)))) {
     override def description(): String =
       "FAST-FORWARD publish: the branch's staged commits become real " +
         "main versions (O(commits) metadata ops); refuses loudly when " +
-        "main advanced past the branch base"
+        "main advanced past the branch base. verify = true runs fsck on " +
+        "the branch head first and refuses on any failed check — the " +
+        "audit gate enforced, not hoped"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val name = str(input, 1)
-      Array(InternalRow(utf8(name), GraftTable.publish(path, name)))
+      val verify = !input.isNullAt(2) && input.getBoolean(2)
+      val head =
+        if (verify) GraftTable.publishVerified(spark, path, name)
+        else GraftTable.publish(path, name)
+      Array(InternalRow(utf8(name), head))
     }
   }
 

@@ -138,15 +138,32 @@ object EventStreams {
     * exactly-once would additionally need the batchId recorded in the
     * table commit — not claimed here.
     */
+  /** `branch = Some(name)`: the micro-batches stage onto a WAP branch
+    * instead of main — the streaming form of write-audit-publish (land
+    * a whole ingest window invisibly, audit it, publish once). The
+    * table and branch must already exist (a stream that silently
+    * creates either would hide a misconfigured path).
+    */
   def streamUpsertInto(spark: SparkSession, dir: String, tablePath: String,
                        keyCols: Seq[String],
-                       checkpointLocation: Option[String] = None): Unit = {
+                       checkpointLocation: Option[String] = None,
+                       branch: Option[String] = None): Unit = {
     import graft.sources.GraftTable
+    branch.foreach { b =>
+      require(GraftTable.exists(tablePath), s"no table at $tablePath — create it " +
+        "before streaming onto a branch")
+      require(GraftTable.branchExists(tablePath, b),
+        s"no branch '$b' at $tablePath — branchCreate first")
+    }
     val stream = readEventStream(spark, dir)
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!GraftTable.exists(tablePath)) GraftTable.create(batch, tablePath, keyCols)
-        else GraftTable.upsert(spark, tablePath, batch)
+        branch match {
+          case Some(b) => GraftTable.branchUpsert(spark, tablePath, b, batch)
+          case None =>
+            if (!GraftTable.exists(tablePath)) GraftTable.create(batch, tablePath, keyCols)
+            else GraftTable.upsert(spark, tablePath, batch)
+        }
       }
       .trigger(Trigger.AvailableNow())
     val q = checkpointLocation

@@ -170,6 +170,59 @@ class BranchSpec extends AnyFunSuite with Matchers {
     bad.detail.get should include("audit")
   }
 
+  test("publishVerified is the enforced audit gate: vandalized stage refused, clean publishes") {
+    val path = freshTable(40)
+    GraftTable.branchCreate(path, "gated")
+    GraftTable.branchUpsert(spark, path, "gated",
+      Seq((900L, 9L, "staged")).toDF("k", "v", "s"))
+    // vandalize a STAGED data file behind the table's back
+    val slot = GraftTable.branchCommits(path, "gated").head._2
+    val dirs = GraftTable.manifest(path, slot).values.toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = dirs.map(d => new org.apache.hadoop.fs.Path(s"$path/$d"))
+      .flatMap(d => fs.listStatus(d).toSeq)
+      .find(f => f.getPath.getName.endsWith(".parquet")).get.getPath
+    val bytes = {
+      val in = fs.open(victim)
+      try { val b = new Array[Byte](fs.getFileStatus(victim).getLen.toInt)
+            in.readFully(b); b } finally in.close()
+    }
+    fs.delete(victim, false)
+    val v0 = GraftTable.latestVersion(path)
+    val e = intercept[IllegalStateException] {
+      GraftTable.publishVerified(spark, path, "gated")
+    }
+    e.getMessage should include("REFUSED")
+    GraftTable.latestVersion(path) shouldBe v0 // main untouched
+    // repair and the gate opens
+    val out = fs.create(victim, false)
+    try out.write(bytes) finally out.close()
+    GraftTable.publishVerified(spark, path, "gated") shouldBe v0 + 1
+    GraftTable.read(spark, path).filter(col("k") === 900L).count() shouldBe 1L
+  }
+
+  test("a streaming ingest stages onto a branch; publish lands the window at once") {
+    val dir = TestSpark.sf0001
+    val path = Files.createTempDirectory("branchstream").toString + "/t"
+    // seed the table from a static read of the same events, then stage
+    // the stream's upserts (idempotent content) onto a branch
+    val seed = spark.read.parquet(s"$dir/events.parquet").limit(100)
+      .select(col("event_id"), col("user_id"))
+    GraftTable.create(seed, path, Seq("event_id"), nbuckets = 4)
+    GraftTable.branchCreate(path, "stream")
+    val v0 = GraftTable.latestVersion(path)
+    graft.streaming.EventStreams.streamUpsertInto(spark, dir, path,
+      Seq("event_id"), branch = Some("stream"))
+    // main untouched while the whole window staged
+    GraftTable.latestVersion(path) shouldBe v0
+    GraftTable.read(spark, path).count() shouldBe 100L
+    val staged = GraftTable.readBranch(spark, path, "stream").count()
+    staged should be > 100L
+    GraftTable.publish(path, "stream")
+    GraftTable.read(spark, path).count() shouldBe staged
+  }
+
   test("branch name and duplicate refusals") {
     val path = freshTable(10)
     intercept[IllegalArgumentException] {
