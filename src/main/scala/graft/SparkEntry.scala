@@ -3707,6 +3707,23 @@ object SparkEntry {
             Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"), stride = 32))
         .orderBy("doc_id", "frame_idx")),
 
+    "mm_clip_maxsim" -> ((s, dir) => {
+      // late-interaction retrieval (ColBERT MaxSim) over frame
+      // features: the query is doc 0's first 8 frames, candidates are
+      // every doc's frame set; score = Σ_q max_f <qf, df> on the
+      // mod-reduced integer features — exact BIGINT arithmetic, so the
+      // top-10 is DuckDB-exact (dots are unnormalized by design: the
+      // row prices the multi-vector AGGREGATION semantics exactly;
+      // semantic ranking belongs to real encoders).
+      val frames = Multimodal.frameFeatures(
+        Multimodal.frameSample(
+          Multimodal.asBinaryTable(Tables.documents(s, dir), "doc_id", "text"),
+          stride = 32))
+      val qf = frames.filter(col("doc_id") === 0 && col("frame_idx") < 8)
+      Multimodal.maxSim(frames, qf, k = 10)
+        .orderBy(desc("maxsim"), asc("doc_id"))
+    }),
+
     "mm_audio_match" -> ((s, dir) => {
       // Shazam-style landmark matching: clips cut from every 25th long
       // payload (6 frames starting at frame 2) must locate their
@@ -6257,6 +6274,30 @@ object SparkEntry {
                 CAST(('0x' || substr(m, 17, 8)) AS BIGINT) AS f2,
                 CAST(('0x' || substr(m, 25, 8)) AS BIGINT) AS f3
          FROM fr ORDER BY doc_id, frame_idx""",
+
+    // MaxSim replay: same md5-integer features, same mod-reduced dots
+    "mm_clip_maxsim" ->
+      """WITH fr AS (
+           SELECT doc_id, f AS frame_idx,
+                  md5(substring(text, CAST(f*32+1 AS INT), 32)) AS m
+           FROM documents, LATERAL unnest(generate_series(0, (length(text)-1)//32)) AS t(f)),
+         feats AS (
+           SELECT doc_id, frame_idx,
+                  CAST(('0x' || substr(m, 1, 8)) AS BIGINT) % 10000 AS f0,
+                  CAST(('0x' || substr(m, 9, 8)) AS BIGINT) % 10000 AS f1,
+                  CAST(('0x' || substr(m, 17, 8)) AS BIGINT) % 10000 AS f2,
+                  CAST(('0x' || substr(m, 25, 8)) AS BIGINT) % 10000 AS f3
+           FROM fr),
+         q AS (SELECT frame_idx AS q_idx, f0 AS q0, f1 AS q1, f2 AS q2, f3 AS q3
+               FROM feats WHERE doc_id = 0 AND frame_idx < 8),
+         best AS (
+           SELECT d.doc_id, q.q_idx,
+                  max(d.f0*q.q0 + d.f1*q.q1 + d.f2*q.q2 + d.f3*q.q3) AS best
+           FROM feats d CROSS JOIN q
+           GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+         FROM best GROUP BY 1
+         ORDER BY maxsim DESC, doc_id LIMIT 10""",
 
     "mm_audio_match" ->
       """WITH clips AS (

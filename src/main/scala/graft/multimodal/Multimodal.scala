@@ -74,6 +74,45 @@ object Multimodal {
     frames.select(col("doc_id") +: col("frame_idx") +: feats: _*)
   }
 
+  /** LATE-INTERACTION retrieval (ColBERT's MaxSim — Khattab & Zaharia
+    * 2020 — applied to frame features): score(candidate) =
+    * Σ over query frames of max over the candidate's frames of the
+    * frame-pair dot product. The MULTI-VECTOR shape a single pooled
+    * vector cannot express: a clip matches when EVERY query frame finds
+    * a counterpart somewhere in the candidate, in any order. Features
+    * are [[frameFeatures]]' md5-derived INTEGER vectors with components
+    * reduced mod `compMod`, so every dot product and sum is exact
+    * BIGINT arithmetic — the DuckDB oracle replays the scores
+    * bit-for-bit (a float MaxSim would be order-dependent and
+    * rows-only).
+    *
+    * Plan: the query frames BROADCAST (serving-sized by contract)
+    * against ONE scan of the corpus frame table via a constant-key
+    * broadcast hash join (the cross product is the semantics; the
+    * constant key keeps it a hash join), dot products codegen'd, then
+    * two keyed aggregations — max per (candidate, query frame), sum per
+    * candidate — both map-side combinable. Cost: |corpus frames| ×
+    * |query frames| scan-local multiplies, agg state O(candidates).
+    */
+  def maxSim(frames: DataFrame, queryFrames: DataFrame, k: Int,
+             dim: Int = 4, compMod: Long = 10000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dot = (0 until dim).map(d =>
+      (col(s"f$d") % compMod) * (col(s"q$d") % compMod))
+      .reduce(_ + _)
+    val q = queryFrames.select(
+      col("frame_idx").as("q_idx") +:
+        (0 until dim).map(d => col(s"f$d").as(s"q$d")): _*)
+      .withColumn("__one", lit(1))
+    frames.withColumn("__one", lit(1))
+      .join(broadcast(q), Seq("__one"))
+      .select(col("doc_id"), col("q_idx"), dot.as("__dot"))
+      .groupBy("doc_id", "q_idx").agg(max("__dot").as("__best"))
+      .groupBy("doc_id").agg(sum("__best").cast("long").as("maxsim"))
+      .orderBy(desc("maxsim"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Frame/byte-range sampling: slice the payload into `stride`-byte
     * frames (posexplode — one output row per frame). For video this is
     * the frame-sample primitive; for audio, fixed-size windows. Pure

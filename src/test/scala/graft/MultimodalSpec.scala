@@ -88,6 +88,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     brute.count(_._3 == 0L) should be >= 12 // the planted exact copies
   }
 
+  test("maxSim: exact scores and ranking replay the brute-force MaxSim") {
+    val frames = Multimodal.frameFeatures(Multimodal.frameSample(bin, stride = 32))
+      .cache()
+    val qDoc = 3L
+    val qf = frames.filter(col("doc_id") === qDoc && col("frame_idx") < 6)
+    val got = Multimodal.maxSim(frames, qf, k = 5).collect()
+    // brute-force replay on the driver
+    val all = frames.collect().map(r => (r.getLong(0),
+      r.getAs[Number]("frame_idx").longValue,
+      Array(r.getLong(2) % 10000, r.getLong(3) % 10000,
+        r.getLong(4) % 10000, r.getLong(5) % 10000)))
+    val qs = all.filter(t => t._1 == qDoc && t._2 < 6).map(_._3)
+    val want = all.groupBy(_._1).map { case (d, fs) =>
+      d -> qs.map(q => fs.map(f =>
+        (0 until 4).map(i => f._3(i) * q(i)).sum).max).sum
+    }
+    got.foreach { r => r.getLong(1) shouldBe want(r.getLong(0)) }
+    val top5 = want.toSeq.sortBy { case (d, s) => (-s, d) }.take(5).map(_._1)
+    got.map(_.getLong(0)).toSeq shouldBe top5
+  }
+
   test("audio landmark match: a clip locates its source at the exact offset") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
