@@ -231,7 +231,7 @@ object VectorSearch {
     * IVF-pruned batched join ([[IvfIndex.knnJoin]]). Columns must be
     * exactly (qidCol, idCol, score), in that order.
     */
-  private[operators] def perQueryTopK(scored: DataFrame, qidCol: String, idCol: String,
+  private[graft] def perQueryTopK(scored: DataFrame, qidCol: String, idCol: String,
                                       k: Int, metric: String): DataFrame = {
     val desc_ = descending(metric)
     val enc = Encoders.row(scored.schema)

@@ -219,6 +219,31 @@ object GraftHnsw {
     gens.length
   }
 
+  /** Batched ANN k-NN join through the table-attached HNSW: every query
+    * row gets its approximate top-k live table keys — each committed
+    * segment graph loads ONCE and serves every query (|Q| bounded-`ef`
+    * beam walks per segment), dead copies die by the same horizon
+    * tombstone filter as [[probe]], then the bounded-heap per-query
+    * top-k. The [[GraftIndex.knnJoin]] twin for the graph index;
+    * returns (qid, keyCol, score) — join payload back per key if
+    * needed (the batch shape keeps the big side unjoined).
+    */
+  def knnJoin(spark: SparkSession, tablePath: String,
+              queries: Seq[(Long, Seq[Float])], k: Int, ef: Int,
+              name: String = "hnsw", allowStale: Boolean = false): DataFrame = {
+    val m = meta(tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    import spark.implicits._
+    if (m.segs.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", m.keyCol, "score")
+    val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
+    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+      queries.map { case (qid, v) => (qid, v.toArray) }, k, ef, Some(m.segs.toSet))
+    val live = liveCandidates(spark, tablePath, m, cands)
+      .select(col("qid"), col("id").as(m.keyCol), col("score"))
+    graft.operators.VectorSearch.perQueryTopK(live, "qid", m.keyCol, k, m.metric)
+  }
+
   /** Continuous maintenance: a Structured Streaming ticker drives
     * [[refresh]] per micro-batch so the index FOLLOWS the table — the
     * [[GraftIndex.streamRefresh]] twin for the graph index. Position is

@@ -131,6 +131,31 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     ids shouldBe brute(path, q, 8).toSet
   }
 
+  test("knnJoin serves per-query live top-k: deletes filtered, updates newest-copy") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    GraftTable.upsert(spark, path,
+      Seq((5L, vec(5, salt = 9), "doc5-v2")).toDF("id", "vec", "s"))
+    GraftTable.delete(spark, path, Seq(7L).toDF("id"))
+    GraftHnsw.refresh(spark, path)
+    val queries = Seq(0L -> vec(12), 1L -> vec(5, salt = 9), 2L -> vec(7))
+    val got = GraftHnsw.knnJoin(spark, path, queries, k = 8, ef = 512)
+      .select("qid", "id", "score").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))))
+    // exact per query at wide beam: equals brute force over the live table
+    val live = GraftTable.read(spark, path).select("id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    queries.foreach { case (qid, q) =>
+      val want = live.map { case (id, v) => (id, cosine(v, q)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(8).map(_._1).toSet
+      got(qid).map(_._1).toSet shouldBe want
+    }
+    // the deleted key never appears; the updated key scores its NEW vector
+    got.values.flatten.map(_._1) should not contain 7L
+    val upd = got(1L).find(_._1 == 5L).get
+    upd._2 shouldBe cosine(vec(5, salt = 9), vec(5, salt = 9)) +- 1e-9
+  }
+
   test("refusals: multi-column keys, non-integral keys, duplicate create") {
     val p2 = Files.createTempDirectory("ghnsw").toString + "/t2"
     GraftTable.create(Seq((1L, "a", vec(1))).toDF("id", "name", "vec"),
