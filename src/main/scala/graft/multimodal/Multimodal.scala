@@ -87,10 +87,12 @@ object Multimodal {
     * rows-only).
     *
     * Plan: the query frames BROADCAST (serving-sized by contract)
-    * against ONE scan of the corpus frame table via a constant-key
-    * broadcast hash join (the cross product is the semantics; the
-    * constant key keeps it a hash join), dot products codegen'd, then
-    * two keyed aggregations — max per (candidate, query frame), sum per
+    * against ONE scan of the corpus frame table as a DELIBERATE
+    * broadcast nested-loop cross product — every (corpus frame, query
+    * frame) pair IS the semantics, and with a handful of broadcast
+    * rows BNLJ is the correct physical plan (the same whitelisted
+    * shape as the exact knn join); dot products codegen'd, then two
+    * keyed aggregations — max per (candidate, query frame), sum per
     * candidate — both map-side combinable. Cost: |corpus frames| ×
     * |query frames| scan-local multiplies, agg state O(candidates).
     */
@@ -103,9 +105,7 @@ object Multimodal {
     val q = queryFrames.select(
       col("frame_idx").as("q_idx") +:
         (0 until dim).map(d => col(s"f$d").as(s"q$d")): _*)
-      .withColumn("__one", lit(1))
-    frames.withColumn("__one", lit(1))
-      .join(broadcast(q), Seq("__one"))
+    frames.crossJoin(broadcast(q))
       .select(col("doc_id"), col("q_idx"), dot.as("__dot"))
       .groupBy("doc_id", "q_idx").agg(max("__dot").as("__best"))
       .groupBy("doc_id").agg(sum("__best").cast("long").as("maxsim"))
