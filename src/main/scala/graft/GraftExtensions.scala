@@ -408,7 +408,42 @@ object GraftFunctions {
     ("graft_hnsw_search",
       info("graft_hnsw_search",
         "graft_hnsw_search(layoutPath, queryVec, k[, ef]) - approximate top-k from a standalone HNSW segment-graph layout"),
-      hnswSearchPlan _))
+      hnswSearchPlan _),
+    ("graft_fuzzy_match",
+      info("graft_fuzzy_match",
+        "graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q]) - every corpus row within maxDist edits of the probe (EXACT, q-gram pruned; refuses probes too short for the pruning bound)"),
+      fuzzyMatchPlan _))
+
+  /** `graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q])`
+    * — exact fuzzy (edit-distance) lookup as one SQL call: every row of
+    * the SQL-visible corpus table whose `textCol` is within `maxDist`
+    * edits of the probe string, through [[graft.operators.FuzzyJoin]]'s
+    * q-gram pruned inverted-index plan (the record-linkage primitive's
+    * SQL surface; same loud refusal when the probe is too short for
+    * the exactness bound). Output: (idCol, textCol, dist).
+    */
+  private def fuzzyMatchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6,
+      s"graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q]): " +
+        s"got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_fuzzy_match: $what must be a literal")
+      args(i).eval(null)
+    }
+    val corpus = lit(0, "corpusTable").toString
+    val textCol = lit(1, "textCol").toString
+    val idCol = lit(2, "idCol").toString
+    val probe = lit(3, "probe").toString
+    val maxDist = lit(4, "maxDist").asInstanceOf[Number].intValue()
+    val q = if (args.length == 6) lit(5, "q").asInstanceOf[Number].intValue() else 2
+    val spark = SparkSession.active
+    import spark.implicits._
+    val probes = Seq((0L, probe)).toDF("__pid", "__probe")
+    graft.operators.FuzzyJoin.join(spark.table(corpus), textCol, Seq(idCol),
+        probes, "__probe", "__pid", maxDist, q)
+      .drop("__pid")
+      .queryExecution.logical
+  }
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

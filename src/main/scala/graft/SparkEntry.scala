@@ -3211,6 +3211,17 @@ object SparkEntry {
         .orderBy("probe_id", "p_partkey")
     }),
 
+    "text_sql_fuzzy_tvf" -> ((s, dir) => {
+      // the record-linkage primitive as ONE SQL call: every part name
+      // within 1 edit of the (typo'd) probe, through the same q-gram
+      // pruned plan — DuckDB replays with a plain levenshtein filter
+      Tables.part(s, dir).createOrReplaceTempView("fuzzy_part")
+      s.sql("""SELECT p_partkey, p_name, dist
+        FROM graft_fuzzy_match('fuzzy_part', 'p_name', 'p_partkey',
+                               'blue boltt', 1)""")
+        .orderBy("p_partkey")
+    }),
+
     "dedup_fuzzy" -> ((s, dir) =>
       // near-dup SHORT-STRING report (entity/name dedup): every pair of
       // DISTINCT part names within 1 edit, with the row-pair
@@ -6122,6 +6133,12 @@ object SparkEntry {
                 CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
          FROM part p JOIN probes pr ON levenshtein(p.p_name, pr.probe) <= 1
          ORDER BY pr.probe_id, p.p_partkey""",
+
+    "text_sql_fuzzy_tvf" ->
+      """SELECT p_partkey, p_name,
+                CAST(levenshtein(p_name, 'blue boltt') AS BIGINT) AS dist
+         FROM part WHERE levenshtein(p_name, 'blue boltt') <= 1
+         ORDER BY p_partkey""",
 
     // collapse-first fuzzy near-dup report: the oracle recomputes the
     // distinct-name distance join + multiplicities directly

@@ -256,6 +256,24 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 5
   }
 
+  test("graft_fuzzy_match TVF equals the Scala operator and refuses short probes") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val corpus = Seq((1L, "hello world"), (2L, "hello worlds"), (3L, "goodbye"))
+      .toDF("id", "s")
+    corpus.createOrReplaceTempView("fuzzy_corpus")
+    val got = spark.sql(
+      "SELECT id, dist FROM graft_fuzzy_match('fuzzy_corpus', 's', 'id', 'hello world', 1)")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    got.toSeq shouldBe Seq((1L, 0L), (2L, 1L))
+    // same exactness refusal as the Scala API
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_fuzzy_match('fuzzy_corpus', 's', 'id', 'hi', 2)")
+        .collect()
+    }.getMessage should include("too few distinct")
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
