@@ -110,9 +110,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("graft source requires a path"))
 
   override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation =
-    new GraftRelation(sqlContext, pathOf(parameters),
-      parameters.get("version").map(_.toInt).getOrElse(-1))
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    // option("branch", name): read the WAP branch's staged head — the
+    // audit-side read surface (writes stay on GraftTable.branchUpsert)
+    val v = parameters.get("branch") match {
+      case Some(b) =>
+        require(!parameters.contains("version"),
+          "graft read: give version OR branch, not both")
+        GraftTable.branchHead(path, b)
+      case None => parameters.get("version").map(_.toInt).getOrElse(-1)
+    }
+    new GraftRelation(sqlContext, path, v)
+  }
 
   override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
                               schema: StructType): BaseRelation =

@@ -223,6 +223,21 @@ class BranchSpec extends AnyFunSuite with Matchers {
     GraftTable.read(spark, path).count() shouldBe staged
   }
 
+  test("format(graft).option(branch, ...) reads the staged head") {
+    val path = freshTable(20)
+    GraftTable.branchCreate(path, "dsv1")
+    GraftTable.branchUpsert(spark, path, "dsv1",
+      Seq((777L, 7L, "staged")).toDF("k", "v", "s"))
+    val got = spark.read.format("graft").option("branch", "dsv1").load(path)
+    got.filter(col("k") === 777L).count() shouldBe 1L
+    spark.read.format("graft").load(path)
+      .filter(col("k") === 777L).count() shouldBe 0L
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("branch", "dsv1")
+        .option("version", "0").load(path)
+    }.getMessage should include("not both")
+  }
+
   test("branch name and duplicate refusals") {
     val path = freshTable(10)
     intercept[IllegalArgumentException] {
