@@ -3644,6 +3644,24 @@ object SparkEntry {
       bm25Serve(s, tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")))
     }),
 
+    "text_search_fuzzy" -> ((s, dir) => {
+      // Lucene FuzzyQuery parity from the table-attached index: the
+      // typo'd term 'tabl' expands over the TERM DICTIONARY
+      // (column-pruned token scan, q-gram gated — fuzzy cannot
+      // bucket-prune by construction, the documented cost class) to
+      // its edit-distance-1 vocabulary matches, then scores as a
+      // disjunctive BM25 query reading only THOSE terms' posting
+      // partitions. Rational idf + per-term quantize-then-sum keeps
+      // the oracle hash-exact.
+      val tbl = tidxFixture(s, dir, "tidxfz")
+      val terms = TextIndex.fuzzyTerms(s, tbl, "tabl", maxDist = 1)
+      TextIndex.scoredTerms(s, tbl, terms.mkString(" "), idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "text_index_postings" -> ((s, dir) => {
       // the index's stored facts, integer-exact: (tf, dl, df) per
       // (doc, query term) straight off the pruned posting scan — the
@@ -4324,6 +4342,37 @@ object SparkEntry {
          tf AS (
            SELECT doc_id, token, count(*) AS tf FROM tok
            WHERE token IN ('table', 'scan', 'value', 'graftnew') GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
+
+    // fuzzy BM25: the oracle expands the typo over the corpus vocab
+    // with the same levenshtein, then replays the rational-idf BM25
+    "text_search_fuzzy" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         fterms AS (SELECT DISTINCT token FROM tok WHERE levenshtein(token, 'tabl') <= 1),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN (SELECT token FROM fterms) GROUP BY 1, 2),
          dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
          term AS (
            SELECT tf.doc_id,

@@ -289,12 +289,22 @@ object TextIndex {
     * the index twin of the table's upsert semantics.
     */
   private def livePostings(spark: SparkSession, tablePath: String, m: TextMeta,
-                           qTokens: Seq[String]): Option[DataFrame] = {
-    val buckets = qTokens.map(tbucketOf(_, m.nbuckets)).distinct
+                           qTokens: Seq[String]): Option[DataFrame] =
+    livePostingsPruned(spark, tablePath, m, Some(qTokens))
+
+  /** `qTokens = None`: NO term pruning — the whole live posting set.
+    * Only [[fuzzyTerms]]' dictionary enumeration wants this (a fuzzy
+    * term cannot bucket-prune by construction: the typo's token bucket
+    * is not its matches'); every scoring path stays pruned.
+    */
+  private def livePostingsPruned(spark: SparkSession, tablePath: String, m: TextMeta,
+                                 qTokens: Option[Seq[String]]): Option[DataFrame] = {
     val posts = m.segments.zipWithIndex.collect { case ((seg, true, _), i) =>
-      spark.read.parquet(s"${segPath(tablePath, m.name, seg)}/postings")
-        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(qTokens: _*))
-        .withColumn("_seg", lit(i))
+      val raw = spark.read.parquet(s"${segPath(tablePath, m.name, seg)}/postings")
+      qTokens.fold(raw) { qs =>
+        val buckets = qs.map(tbucketOf(_, m.nbuckets)).distinct
+        raw.filter(col("tbucket").isin(buckets: _*) && col("token").isin(qs: _*))
+      }.withColumn("_seg", lit(i))
     }
     if (posts.isEmpty) return None
     // allowMissingColumns: a pformat-1 index refreshed under this code
@@ -385,6 +395,57 @@ object TextIndex {
     kept.drop("_nmatch")
       .orderBy(col("score").desc +: m.keyCols.map(c => col(c).asc): _*)
       .limit(k)
+  }
+
+  /** Lucene FuzzyQuery's term enumeration: every LIVE index term within
+    * `maxDist` edits of `term` (name-sorted). The cost class, honestly:
+    * the TERM DICTIONARY is scanned — every live posting partition's
+    * token column (column-pruned; tf/dl/positions never read) — because
+    * a typo's token bucket is NOT its matches' bucket, so fuzzy cannot
+    * partition-prune by construction; Lucene pays the same shape (an
+    * FST walk over the whole term dictionary). The q-gram gate + length
+    * band cut the Levenshtein work to near-candidates, and
+    * [[graft.operators.FuzzyJoin]]'s exactness bound applies: a term
+    * too short for it (|G(term)| ≤ q·maxDist) refuses loudly.
+    */
+  def fuzzyTerms(spark: SparkSession, tablePath: String, term: String,
+                 maxDist: Int, name: String = "txt", q: Int = 2,
+                 allowStale: Boolean = false): Seq[String] = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val m = meta(tablePath, name)
+    requireFresh(tablePath, m, allowStale)
+    val t = tokenize(term)
+    require(t.length == 1, s"fuzzyTerms expands ONE term, got '$term'")
+    val probe = t.head
+    val qGrams = probe.sliding(q).toSeq.distinct
+    val thresh = qGrams.size - q * maxDist
+    require(thresh >= 1,
+      s"fuzzyTerms: '$probe' has too few distinct $q-grams for exact pruning " +
+        s"at maxDist=$maxDist (need > ${q * maxDist})")
+    livePostingsPruned(spark, tablePath, m, None) match {
+      case None => Seq.empty
+      case Some(live) =>
+        val grams = array_distinct(transform(
+          sequence(lit(1), greatest(lit(0), length(col("token")) - (q - 1))),
+          i => col("token").substr(i, lit(q))))
+        live.select("token").distinct()
+          .filter(abs(length(col("token")) - probe.length) <= maxDist)
+          .filter(size(array_intersect(grams, typedLit(qGrams))) >= thresh)
+          .filter(levenshtein(col("token"), lit(probe)) <= maxDist)
+          .collect().map(_.getString(0)).toSeq.sorted
+    }
+  }
+
+  /** Fuzzy BM25: [[fuzzyTerms]]' expansion scored as a disjunctive
+    * query — each matched term contributes with its OWN df (Lucene's
+    * fuzzy scoring shape: rare exact-ish matches outweigh common
+    * near-misses). No expansion → zero rows, shaped like [[search]].
+    */
+  def searchFuzzy(spark: SparkSession, tablePath: String, term: String, k: Int,
+                  maxDist: Int = 1, name: String = "txt", q: Int = 2,
+                  idf: String = "lucene", allowStale: Boolean = false): DataFrame = {
+    val expanded = fuzzyTerms(spark, tablePath, term, maxDist, name, q, allowStale)
+    search(spark, tablePath, expanded.mkString(" "), k, name, "any", idf, allowStale)
   }
 
   /** Exact phrase query: (keys…, n_occurrences) for every doc whose

@@ -141,6 +141,33 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     m.sumDl shouldBe expectDl
   }
 
+  test("fuzzyTerms enumerates the LIVE vocabulary exactly; searchFuzzy == expanded search") {
+    val path = freshTable(120)
+    TextIndex.create(spark, path, "text")
+    // 'tble' is distance 1 from 'table' (insertion) and nothing else
+    // in the closed vocabulary
+    TextIndex.fuzzyTerms(spark, path, "tble", maxDist = 1) shouldBe Seq("table")
+    // distance 2 pulls nothing new from this vocabulary (no other word
+    // is within 2 of 'tble'); q=2 needs |grams|=3 > q*d=4 → refuse at d=2
+    intercept[IllegalArgumentException] {
+      TextIndex.fuzzyTerms(spark, path, "tble", maxDist = 2)
+    }.getMessage should include("too few distinct")
+    // scoring equals the plain search over the expanded terms
+    val fuzzy = TextIndex.searchFuzzy(spark, path, "tble", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = TextIndex.search(spark, path, "table", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    fuzzy shouldBe plain
+    // LIVE enumeration: delete every doc containing 'table' → the term
+    // leaves the dictionary and the expansion comes back empty
+    val holders = GraftTable.read(spark, path)
+      .filter(col("text").contains("table")).select("doc_id")
+    GraftTable.delete(spark, path, holders)
+    TextIndex.refresh(spark, path)
+    TextIndex.fuzzyTerms(spark, path, "tble", maxDist = 1) shouldBe Seq.empty
+    TextIndex.searchFuzzy(spark, path, "tble", k = 10).count() shouldBe 0L
+  }
+
   test("a search against a stale index fails LOUDLY; allowStale serves the pinned snapshot") {
     val path = freshTable(100)
     TextIndex.create(spark, path, "text")
