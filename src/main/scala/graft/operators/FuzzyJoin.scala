@@ -29,13 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Distinct q-grams of a string column (strings shorter than q have
-    * none — they can never pass the T ≥ 1 gate and refuse upstream).
+  /** Distinct q-grams of a string column. Strings shorter than q have
+    * NO grams (empty array) — `sequence(1, len-q+1)` would otherwise
+    * run DESCENDING for len < q and fabricate a bogus sub-q "gram", so
+    * the short case is gated explicitly. Short strings can never pass
+    * the T ≥ 1 exactness gate and refuse upstream anyway.
     */
   private def gramsOf(c: Column, q: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(0), length(c) - (q - 1))),
-      i => c.substr(i, lit(q))))
+    when(length(c) >= q,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - (q - 1)),
+        i => c.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Every (probe, corpus row) pair with `levenshtein ≤ maxDist`.
     * Output: probeIdCol, idCols…, textCol, dist — ties deterministic by
@@ -87,14 +92,38 @@ object FuzzyJoin {
     * corpus's duplicate cliques make raw pair output quadratic in copy
     * count, while the DISTINCT-string distance matrix is tiny and the
     * clique arithmetic is one multiplication — report clusters, not
-    * pairs. Both sides big ⇒ the gram join SHUFFLES on the gram (no
-    * broadcast), the scalable shape; same exactness theorem per pair
-    * (shared ≥ max(|Ga|, |Gb|) − q·d), same loud refusal for strings
-    * too short for it. Exact-duplicate (dist 0) cliques are
-    * [[Dedup.exact]]'s row, not repeated here.
+    * pairs.
+    *
+    * Candidate generation is PREFIX-FILTERED (the [[Dedup.ngramJaccard]]
+    * PPJoin discipline, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
+    * a pair within edit distance d shares ≥ T = max(|Ga|, |Gb|) − q·d
+    * distinct grams, and the two-sided prefix lemma (under ANY common
+    * total gram order, prefixes of length |G| − T + 1 must intersect
+    * when |Ga ∩ Gb| ≥ T) with T ≥ |G| − q·d gives a per-string prefix of
+    * at most **q·d + 1 grams**. Ordering grams globally rarest-first
+    * (df asc) and indexing ONLY each string's q·d + 1 rarest grams is
+    * therefore exact — and keeps frequent grams ("an", "er") out of the
+    * inverted index unless a string has nothing rarer, which is what
+    * makes both sides of the gram self-join scale: join input is
+    * Σ over PREFIX postings of f², not Σ over all grams of f², so hot
+    * keys grow with the number of rare-gram collisions, not with corpus
+    * cardinality. A length filter (|len_a − len_b| ≤ d ⇒ lev ≥ d
+    * otherwise) prunes survivors before the exact `levenshtein` verify.
+    *
+    * Residual-head df cap: a prefix gram's posting can still be hot if
+    * MANY strings have it among their rarest grams (pathology: a corpus
+    * of near-identical short codes). `dfCap` bounds that hot key — if
+    * any prefix posting exceeds it the join REFUSES loudly (naming the
+    * grams) rather than silently running a quadratic block; raise q,
+    * lower maxDist, or pre-split that head explicitly. Both sides big ⇒
+    * the prefix join SHUFFLES on the gram (no broadcast), the scalable
+    * shape; same loud refusal for strings too short for the theorem.
+    * Exact-duplicate (dist 0) cliques are [[Dedup.exact]]'s row, not
+    * repeated here.
     */
   def nearDupNames(corpus: DataFrame, textCol: String,
-                   maxDist: Int, q: Int = 2): DataFrame = {
+                   maxDist: Int, q: Int = 2,
+                   dfCap: Int = 1000000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val names = corpus.groupBy(col(textCol).as("name"))
       .agg(count(lit(1)).as("__cnt"))
@@ -105,19 +134,64 @@ object FuzzyJoin {
     require(tooShort.isEmpty,
       s"near-dup names: string(s) ${tooShort.mkString(", ")} have too few " +
         s"distinct $q-grams for exact pruning at maxDist=$maxDist")
-    val g = names.select(col("name"), col("__cnt"), col("__ng"),
-      explode(col("__grams")).as("__gram"))
-    val a = g.select(col("name").as("name_a"), col("__cnt").as("__ca"),
-      col("__ng").as("__nga"), col("__gram"))
-    val b = g.select(col("name").as("name_b"), col("__cnt").as("__cb"),
-      col("__ng").as("__ngb"), col("__gram"))
-    a.join(b, Seq("__gram")).filter(col("name_a") < col("name_b"))
-      .groupBy("name_a", "name_b", "__ca", "__cb", "__nga", "__ngb")
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= greatest(col("__nga"), col("__ngb")) - q * maxDist)
+    // global document frequency per gram over DISTINCT names → the
+    // rarest-first canonical order the prefix lemma needs
+    val ex = names.select(col("name"), col("__cnt"),
+      length(col("name")).as("__len"), explode(col("__grams")).as("__gram"))
+    val gramDf = ex.groupBy("__gram").agg(count(lit(1)).as("__df"))
+    // prefix postings: each name's q·maxDist + 1 rarest grams (df, gram asc)
+    val prefixLen = q * maxDist + 1
+    val prefix = ex.join(gramDf, "__gram")
+      .withColumn("__rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("name")
+          .orderBy(col("__df"), col("__gram"))))
+      .filter(col("__rnk") <= prefixLen)
+      .select("name", "__cnt", "__len", "__gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // residual-head guard: refuse (never silently quadratic) if a prefix
+    // posting is hotter than the stated cap
+    val hot = prefix.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
+      .filter(col("__pdf") > dfCap).limit(3).collect()
+    require(hot.isEmpty,
+      s"near-dup names: prefix gram posting(s) ${hot.mkString(", ")} exceed " +
+        s"dfCap=$dfCap — the rarest-gram index still has a quadratic hot key " +
+        "on this corpus; raise q, lower maxDist, or pre-split that head")
+    val a = prefix.select(col("name").as("name_a"), col("__cnt").as("__ca"),
+      col("__len").as("__la"), col("__gram"))
+    val b = prefix.select(col("name").as("name_b"), col("__cnt").as("__cb"),
+      col("__len").as("__lb"), col("__gram"))
+    val candidates = a.join(b, Seq("__gram"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select("name_a", "name_b", "__ca", "__cb").distinct()
+    candidates
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist").between(1, maxDist))
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
+  }
+
+  /** Diagnostic for the scale probe: (prefix-join input rows, full-index
+    * join input rows) for a corpus — i.e. Σ over prefix postings of f²
+    * vs Σ over ALL gram postings of f², the pair volumes the prefix and
+    * naive plans respectively push through the gram self-join. Driver
+    * metadata only (two tiny aggregates), not a data-path collect.
+    */
+  def nearDupJoinInputRows(corpus: DataFrame, textCol: String,
+                           maxDist: Int, q: Int = 2): (Long, Long) = {
+    val names = corpus.groupBy(col(textCol).as("name"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__grams", gramsOf(col("name"), q))
+    val ex = names.select(col("name"), explode(col("__grams")).as("__gram"))
+    val gramDf = ex.groupBy("__gram").agg(count(lit(1)).as("__df"))
+    val prefix = ex.join(gramDf, "__gram")
+      .withColumn("__rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("name")
+          .orderBy(col("__df"), col("__gram"))))
+      .filter(col("__rnk") <= q * maxDist + 1)
+    def sumSq(g: DataFrame): Long = g.groupBy("__gram")
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f"))).collect()(0).getLong(0)
+    (sumSq(prefix), sumSq(ex))
   }
 }

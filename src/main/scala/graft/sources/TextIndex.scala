@@ -425,9 +425,15 @@ object TextIndex {
     livePostingsPruned(spark, tablePath, m, None) match {
       case None => Seq.empty
       case Some(live) =>
-        val grams = array_distinct(transform(
-          sequence(lit(1), greatest(lit(0), length(col("token")) - (q - 1))),
-          i => col("token").substr(i, lit(q))))
+        // sub-q tokens get NO grams (a descending sequence(1, len-q+1)
+        // would fabricate a bogus whole-string "gram"); they can never
+        // match anyway — the probe has > q·d grams so its length exceeds
+        // q + d − 1 and the length filter excludes sub-q tokens
+        val grams = when(length(col("token")) >= q,
+          array_distinct(transform(
+            sequence(lit(1), length(col("token")) - (q - 1)),
+            i => col("token").substr(i, lit(q)))))
+          .otherwise(array().cast("array<string>"))
         live.select("token").distinct()
           .filter(abs(length(col("token")) - probe.length) <= maxDist)
           .filter(size(array_intersect(grams, typedLit(qGrams))) >= thresh)

@@ -86,6 +86,46 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     want should not be empty
   }
 
+  test("prefix filter: join input tracks rarest-gram postings, not full Σf², as distinct names widen") {
+    // names grow with rows (not copies): word pairs from a Zipf-ish vocab
+    // plus a varying numeric tail — the realistic entity-name shape where
+    // a few grams ("an", "er") are hot but every name has rarer ones
+    val vocab = Seq("anderson", "anders", "anderton", "sanders", "anton",
+      "banner", "manner", "tanner", "hander", "lander", "fernandez",
+      "hernandez", "zander", "xavier", "quimby", "joplin", "wozniak")
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, vocab(i % vocab.length) + " " + vocab((i * 7 + 3) % vocab.length) + " " + (i / vocab.length))
+    }
+    val (p1, f1) = FuzzyJoin.nearDupJoinInputRows(corpus(500).toDF("id", "s"), "s", maxDist = 1, q = 2)
+    val (p4, f4) = FuzzyJoin.nearDupJoinInputRows(corpus(2000).toDF("id", "s"), "s", maxDist = 1, q = 2)
+    // the prefix index pushes far fewer pair rows through the gram join
+    // than the full Σf² plan at both scales...
+    assert(p1 * 5 < f1, s"prefix $p1 vs full $f1 at N=500")
+    assert(p4 * 5 < f4, s"prefix $p4 vs full $f4 at N=2000")
+    // ...and scales no worse than the full plan as names widen 4×
+    assert(p4.toDouble / p1 <= f4.toDouble / f1 * 1.1,
+      s"prefix growth ${p4.toDouble / p1} vs full growth ${f4.toDouble / f1}")
+  }
+
+  test("nearDupNames refuses loudly when a prefix posting exceeds dfCap") {
+    // pathological corpus: every name shares its rarest grams
+    val rows = (0 until 50).map(i => (i.toLong, s"aaaa${i}zzzz"))
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.nearDupNames(rows.toDF("id", "s"), "s",
+        maxDist = 1, q = 2, dfCap = 10).collect()
+    }
+    e.getMessage should include("dfCap")
+  }
+
+  test("sub-q corpus strings produce no grams and never pollute the join") {
+    val corpus = Seq((1L, "hello world"), (2L, "x"), (3L, "ab")).toDF("id", "s")
+    val probes = Seq((7L, "hello w0rld")).toDF("pid", "p")
+    val got = FuzzyJoin.join(corpus, "s", Seq("id"), probes, "p", "pid",
+        maxDist = 1, q = 3)
+      .select("pid", "id", "dist").as[(Long, Long, Long)].collect().toSet
+    got shouldBe Set((7L, 1L, 1L))
+  }
+
   test("maxDist = 0 is exact-match; empty result when nothing matches") {
     val corpus = Seq((1L, "hello world"), (2L, "hello there")).toDF("id", "s")
     val probes = Seq((7L, "hello world"), (8L, "goodbye all")).toDF("pid", "p")
