@@ -234,13 +234,20 @@ object GraftHnsw {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
     import spark.implicits._
+    // the internal graph id is long; emit the key in the TABLE's key
+    // type (as joinBack does) so int-keyed tables don't get bigint back
+    val keyType = GraftTable.snapshotSchema(tablePath, m.indexedVersion)
+      .map(_(m.keyCol).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     if (m.segs.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("qid", m.keyCol, "score")
+        .withColumn(m.keyCol, col(m.keyCol).cast(keyType))
+        .select("qid", m.keyCol, "score")
     val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
     val cands = HnswIndex.probeSegmentsWithPid(spark, model,
       queries.map { case (qid, v) => (qid, v.toArray) }, k, ef, Some(m.segs.toSet))
     val live = liveCandidates(spark, tablePath, m, cands)
-      .select(col("qid"), col("id").as(m.keyCol), col("score"))
+      .select(col("qid"), col("id").cast(keyType).as(m.keyCol), col("score"))
     graft.operators.VectorSearch.perQueryTopK(live, "qid", m.keyCol, k, m.metric)
   }
 

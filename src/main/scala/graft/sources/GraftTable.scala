@@ -917,6 +917,14 @@ object GraftTable {
             s"index '$n' — drop the index first")
         }
       }
+    scala.util.Try(MetaIO.list(new Path(path, "_hnswidx"))).getOrElse(Nil)
+      .filter(_.isDirectory).map(_.getPath.getName).foreach { n =>
+        scala.util.Try(GraftHnsw.meta(path, n)).toOption.foreach { hm =>
+          val hit = Set(hm.vecCol, hm.keyCol).intersect(cols)
+          require(hit.isEmpty, s"$what: column(s) ${hit.mkString(", ")} used by HNSW " +
+            s"index '$n' — drop the index first")
+        }
+      }
   }
 
   /** ALTER TABLE DROP COLUMN — METADATA-ONLY, like [[addColumns]]: the
@@ -3058,22 +3066,59 @@ object GraftTable {
   def publish(path: String, name: String): Int = {
     val base = branchBase(path, name)
     val commits = branchCommits(path, name)
-    commits.foreach { case (k, slot) =>
+    // PREFLIGHT (before the first marker is written): read every staged
+    // slot and check every target slot is publishable, so the clean
+    // refusal ("main advanced, nothing published") fires here, not
+    // mid-loop after a prefix of commits already went live. A staged
+    // slot may be MISSING only when a prior crashed publish already
+    // placed its target manifest + marker (the crash hit the cleanup
+    // loop) — that commit is treated as done on retry.
+    val staged = commits.map { case (k, slot) =>
       val target = base + k
-      val text = manifestText(path, slot)
-      if (!MetaIO.putIfAbsent(manifestPath(path, target), text)) {
-        if (manifestText(path, target) != text)
-          throw new IllegalStateException(
-            s"publish '$name': main advanced past base v$base at $path " +
-              s"(v$target exists with different content) — fast-forward only; " +
-              "branchDrop and re-stage against the new head")
+      val text =
+        if (MetaIO.exists(manifestPath(path, slot)))
+          Some(manifestText(path, slot))
+        else None
+      text match {
+        case None =>
+          require(MetaIO.exists(manifestPath(path, target)) &&
+              MetaIO.exists(commitMarker(path, target)),
+            s"publish '$name': staged slot $slot (commit $k) is missing and " +
+              s"v$target is not published — the branch record is damaged; " +
+              "branchDrop and re-stage")
+        case Some(t) =>
+          if (MetaIO.exists(manifestPath(path, target)) &&
+              manifestText(path, target) != t)
+            throw new IllegalStateException(
+              s"publish '$name': main advanced past base v$base at $path " +
+                s"(v$target exists with different content) — fast-forward only; " +
+                "nothing was published; branchDrop and re-stage against the new head")
       }
-      MetaIO.replaceString(commitMarker(path, target),
-        System.currentTimeMillis().toString)
+      (slot, target, text)
+    }
+    // FAST-FORWARD: preflight passed, so a failure past this point can
+    // only be a mainline writer racing into a target slot between the
+    // check and the put — a narrow window, but the error must say what
+    // it left behind: a PREFIX of the branch is live on main.
+    staged.foreach { case (_, target, text) =>
+      text.foreach { t =>
+        if (!MetaIO.putIfAbsent(manifestPath(path, target), t)) {
+          if (manifestText(path, target) != t)
+            throw new IllegalStateException(
+              s"publish '$name': a mainline writer raced into v$target at $path " +
+                s"mid-publish — commits before v$target ARE LIVE on main " +
+                "(partial publish); do NOT re-stage those; resolve the conflict " +
+                "on the remaining commits and re-stage only them")
+        }
+        MetaIO.replaceString(commitMarker(path, target),
+          System.currentTimeMillis().toString)
+      }
     }
     // the staged slots and the record go; the data dirs live on,
     // referenced by the renumbered manifests
-    commits.foreach { case (_, slot) => MetaIO.delete(manifestPath(path, slot)) }
+    staged.foreach { case (slot, _, text) =>
+      if (text.isDefined) MetaIO.delete(manifestPath(path, slot))
+    }
     MetaIO.delete(branchDirPath(path, name))
     base + commits.length
   }
@@ -3644,7 +3689,7 @@ object GraftTable {
       if (carryOver.isEmpty) None
       else prevLines.collectFirst { case l if l.startsWith("#schema=") =>
           types.StructType.fromDDL(dec(l.stripPrefix("#schema="))) }
-        .orElse(scala.util.Try(read(spark, path, v - 1).schema).toOption)
+        .orElse(scala.util.Try(read(spark, path, prevV).schema).toOption)
     val snapshotSc = prevSchema match {
       case Some(ps) =>
         types.StructType(ps.fields ++

@@ -199,6 +199,31 @@ class AlterColumnsSpec extends AnyFunSuite with Matchers {
     GraftTable.droppedColumns(path) shouldBe Set("s")
   }
 
+  test("DROP/RENAME refuse columns a table-attached HNSW index reads") {
+    val path = Files.createTempDirectory("altercol").toString + "/t"
+    GraftTable.create(
+      spark.range(0, 30).toDF("k")
+        .withColumn("vec",
+          array((0 until 4).map(i => (col("k") % (i + 2) + 1).cast("float")): _*))
+        .withColumn("s", concat(lit("d"), col("k"))),
+      path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftHnsw.create(spark, path, "vec", nSegments = 1, m = 4,
+      efConstruction = 16)
+    intercept[IllegalArgumentException] {
+      GraftTable.dropColumns(spark, path, Seq("vec"))
+    }.getMessage should include("HNSW index")
+    intercept[IllegalArgumentException] {
+      GraftTable.renameColumn(spark, path, "vec", "emb")
+    }.getMessage should include("HNSW index")
+    // unrelated columns still evolve freely
+    GraftTable.dropColumns(spark, path, Seq("s"))
+    GraftTable.droppedColumns(path) shouldBe Set("s")
+    // dropping the index unlocks the column
+    graft.sources.GraftHnsw.drop(path)
+    GraftTable.renameColumn(spark, path, "vec", "emb")
+    GraftTable.read(spark, path).columns should contain("emb")
+  }
+
   test("SQL ALTER TABLE DROP COLUMN / RENAME COLUMN route through the catalog") {
     val path = freshTable()
     withCatalog {

@@ -89,12 +89,42 @@ class BranchSpec extends AnyFunSuite with Matchers {
     GraftTable.upsert(spark, path, Seq((1L, 50L, "moved")).toDF("k", "v", "s"))
     val e = intercept[IllegalStateException] { GraftTable.publish(path, "late") }
     e.getMessage should include("fast-forward")
+    // the conflict is caught in PREFLIGHT, before any marker goes down
+    e.getMessage should include("nothing was published")
     // the refusal is clean: main's history is untouched and the branch
     // is still there to drop or re-stage
     GraftTable.read(spark, path).filter(col("k") === 300L).count() shouldBe 0L
     GraftTable.branchExists(path, "late") shouldBe true
     GraftTable.branchDrop(path, "late") shouldBe true
     GraftTable.branchDrop(path, "late") shouldBe false
+  }
+
+  test("publish retry tolerates a crash mid-cleanup: published commits are recognized as done") {
+    val path = freshTable()
+    val v0 = GraftTable.latestVersion(path)
+    GraftTable.branchCreate(path, "crash")
+    GraftTable.branchUpsert(spark, path, "crash",
+      Seq((400L, 1L, "p")).toDF("k", "v", "s"))
+    GraftTable.branchUpsert(spark, path, "crash",
+      Seq((401L, 2L, "q")).toDF("k", "v", "s"))
+    // simulate a prior publish that crashed during the CLEANUP loop of
+    // commit 1: its target manifest + marker are live, its staged slot
+    // already deleted — retry must treat that commit as done, not throw
+    val (k1, slot1) = GraftTable.branchCommits(path, "crash").head
+    val t1 = v0 + k1
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path, "manifests", s"v$slot1"),
+      java.nio.file.Paths.get(path, "manifests", s"v$t1"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_commits", s"v$t1"),
+      System.currentTimeMillis().toString.getBytes)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "manifests", s"v$slot1"))
+    GraftTable.publish(path, "crash") shouldBe v0 + 2
+    GraftTable.latestVersion(path) shouldBe v0 + 2
+    val got = GraftTable.read(spark, path)
+    got.filter(col("k").isin(400L, 401L)).count() shouldBe 2L
+    GraftTable.branchExists(path, "crash") shouldBe false
   }
 
   test("branch staging runs the full write contract: CHECK constraints guard it") {

@@ -156,6 +156,20 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     upd._2 shouldBe cosine(vec(5, salt = 9), vec(5, salt = 9)) +- 1e-9
   }
 
+  test("knnJoin returns the key in the TABLE's key type for int-keyed tables") {
+    val path = Files.createTempDirectory("ghnsw").toString + "/t"
+    val df = (0 until 20).map(i => (i, vec(i.toLong), s"doc$i"))
+      .toDF("id", "vec", "s")
+    GraftTable.create(df, path, Seq("id"), nbuckets = 2)
+    GraftHnsw.create(spark, path, "vec", nSegments = 1, m = 8, efConstruction = 64)
+    val got = GraftHnsw.knnJoin(spark, path, Seq(0L -> vec(3)), k = 3, ef = 256)
+    got.schema("id").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    got.count() shouldBe 3L
+    // probe's joinBack already casts; the two surfaces now agree
+    GraftHnsw.probe(spark, path, vec(3), k = 3, ef = 256)
+      .schema("id").dataType shouldBe org.apache.spark.sql.types.IntegerType
+  }
+
   test("refusals: multi-column keys, non-integral keys, duplicate create") {
     val p2 = Files.createTempDirectory("ghnsw").toString + "/t2"
     GraftTable.create(Seq((1L, "a", vec(1))).toDF("id", "name", "vec"),
