@@ -1539,6 +1539,34 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_text_lifecycle" -> ((s, dir) => {
+      // the table-kept-index serving model (reference: demo.ipynb cell
+      // 11) with the WHOLE lifecycle on the SQL surface: CTAS the
+      // corpus into a graft table, CALL text_index_create, mutate with
+      // SQL UPDATE + DELETE, CALL text_index_refresh, then BM25-serve
+      // through the graft_text_search TVF — an analyst never leaves
+      // SQL. Mode 'any_q' scores rational-idf with per-term
+      // quantize-then-INTEGER-sum, the order-independent arithmetic
+      // DuckDB reproduces hash-exactly.
+      val tmp = s"${indexPath("sqltidx", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      Tables.documents(s, dir).createOrReplaceTempView("sqltidx_docs")
+      val out = withGraftCatalog(s) {
+        s.sql(s"""CREATE TABLE graft.`$path`
+          PARTITIONED BY (bucket(8, doc_id))
+          AS SELECT * FROM sqltidx_docs""")
+        s.sql(s"CALL graft.text_index_create('$path', 'text')").collect()
+        s.sql(s"UPDATE graft.`$path` SET text = concat(text, ' graftnew graftnew') " +
+          "WHERE doc_id % 37 = 5")
+        s.sql(s"DELETE FROM graft.`$path` WHERE doc_id % 41 = 3")
+        s.sql(s"CALL graft.text_index_refresh('$path')").collect()
+        s.sql(s"SELECT doc_id, score_q FROM graft_text_search('$path', " +
+          "'table scan value graftnew', 10, 'any_q')").localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy(col("score_q").desc, col("doc_id"))
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment
@@ -5074,6 +5102,42 @@ object SparkEntry {
                 CAST(min(o_orderdate) AS VARCHAR) AS min_date,
                 CAST(max(o_orderdate) AS VARCHAR) AS max_date
          FROM base""",
+
+    // SQL-only lifecycle (CTAS → CALL text_index_create → UPDATE/DELETE
+    // → CALL text_index_refresh → graft_text_search 'any_q'): the
+    // oracle brute-forces BM25 over the mutated corpus with the same
+    // rational-idf quantize-then-sum arithmetic as text_search_bm25
+    "lakehouse_sql_text_lifecycle" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 37 = 5 THEN text || ' graftnew graftnew'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 41 <> 3 AND text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'value', 'graftnew') GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
 
     // CALL restore_to undoes the delete; rebucket/vacuum/compact are
     // content-neutral — the oracle is the create selection itself

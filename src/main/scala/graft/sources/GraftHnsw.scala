@@ -83,6 +83,14 @@ object GraftHnsw {
       kv("tombs").split(",").filter(_.nonEmpty).toSeq)
   }
 
+  /** All HNSW indexes on the table (name-sorted metas); unreadable
+    * subdirs (crashed half-creates with no meta yet) are skipped.
+    */
+  def list(tablePath: String): Seq[HnswMeta] =
+    GraftTable.MetaIO.list(new Path(tablePath, "_hnswidx"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap(n => scala.util.Try(meta(tablePath, n)).toOption)
+
   private def writeMeta(tablePath: String, m: HnswMeta): Unit =
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
       s"vecCol=${m.vecCol}\nkeyCol=${m.keyCol}\nmetric=${m.metric}\nm=${m.m}\n" +

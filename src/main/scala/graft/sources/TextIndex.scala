@@ -385,15 +385,26 @@ object TextIndex {
   def search(spark: SparkSession, tablePath: String, query: String, k: Int,
              name: String = "txt", mode: String = "any", idf: String = "lucene",
              allowStale: Boolean = false): DataFrame = {
-    require(mode == "any" || mode == "all", s"unknown mode '$mode'")
+    // *_q modes: rational idf + per-term quantize-then-INTEGER-sum —
+    // the order-independent scoring the DuckDB oracle reproduces
+    // hash-exactly (float BM25 sums are addition-order-dependent)
+    val quantized = mode.endsWith("_q")
+    val baseMode = if (quantized) mode.stripSuffix("_q") else mode
+    require(baseMode == "any" || baseMode == "all", s"unknown mode '$mode'")
     val m = meta(tablePath, name)
-    val terms = scoredTerms(spark, tablePath, query, name, idf, allowStale)
+    val terms = scoredTerms(spark, tablePath, query, name,
+      if (quantized) "rational" else idf, allowStale)
     val nq = tokenize(query).distinct.size
+    val scoreAgg =
+      if (quantized)
+        sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q")
+      else sum("contrib").as("score")
+    val scoreCol = if (quantized) "score_q" else "score"
     val scored = terms.groupBy(m.keyCols.map(col): _*)
-      .agg(sum("contrib").as("score"), count(lit(1)).as("_nmatch"))
-    val kept = if (mode == "all") scored.filter(col("_nmatch") === nq) else scored
+      .agg(scoreAgg, count(lit(1)).as("_nmatch"))
+    val kept = if (baseMode == "all") scored.filter(col("_nmatch") === nq) else scored
     kept.drop("_nmatch")
-      .orderBy(col("score").desc +: m.keyCols.map(c => col(c).asc): _*)
+      .orderBy(col(scoreCol).desc +: m.keyCols.map(c => col(c).asc): _*)
       .limit(k)
   }
 
@@ -552,6 +563,23 @@ object TextIndex {
     * against a pre-compaction meta loses its files — run vacuum with
     * the maintenance cadence, not eagerly after every compact.
     */
+  /** All text indexes on the table (name-sorted metas); unreadable
+    * subdirs (crashed half-creates with no meta yet) are skipped.
+    */
+  def list(tablePath: String): Seq[TextMeta] =
+    GraftTable.MetaIO.list(new Path(tablePath, "_textidx"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap(n => scala.util.Try(meta(tablePath, n)).toOption)
+
+  /** Drop the index entirely — derived state, the table is untouched.
+    * False when absent (IF EXISTS contract).
+    */
+  def drop(tablePath: String, name: String = "txt"): Boolean = {
+    if (!exists(tablePath, name)) return false
+    GraftTable.MetaIO.delete(new Path(root(tablePath, name)))
+    true
+  }
+
   def vacuum(tablePath: String, name: String = "txt"): Int = {
     val m = meta(tablePath, name)
     val live = m.segments.map(_._1).toSet

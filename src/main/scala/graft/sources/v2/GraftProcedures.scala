@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.{GraftIndex, GraftTable}
+import graft.sources.{GraftHnsw, GraftIndex, GraftTable, TextIndex}
 
 /** The SQL `CALL` surface — lakehouse MAINTENANCE verbs through the
   * DSv2 [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
@@ -658,21 +658,232 @@ object GraftProcedures {
     StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
-      StructField("vec_col", StringType, nullable = false),
+      StructField("column", StringType, nullable = false),
       StructField("metric", StringType, nullable = false),
-      StructField("nlist", IntegerType, nullable = false),
+      StructField("param", IntegerType, nullable = false),
       StructField("indexed_version", IntegerType, nullable = false),
       StructField("stale", BooleanType, nullable = false)))) {
     override def description(): String =
-      "all vector indexes on the table; stale = true when the table has " +
-        "commits the index hasn't folded (CALL index_refresh)"
+      "every table-attached index — vector (ivf/ivfpq), text, hnsw — " +
+        "with its indexed column, main tuning param (nlist / nbuckets " +
+        "/ m) and staleness; stale = true when the table has commits " +
+        "the index hasn't folded (CALL index_refresh / " +
+        "text_index_refresh / hnsw_refresh)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val head = GraftTable.latestVersion(path)
-      GraftIndex.list(path).map { m =>
+      val vec = GraftIndex.list(path).map { m =>
         InternalRow(utf8(m.name), utf8(m.kind), utf8(m.vecCol), utf8(m.metric),
           m.nlist, m.indexedVersion, m.indexedVersion < head)
-      }.toArray
+      }
+      val txt = TextIndex.list(path).map { m =>
+        InternalRow(utf8(m.name), utf8("text"), utf8(m.textCol), utf8("bm25"),
+          m.nbuckets, m.indexedVersion, m.indexedVersion < head)
+      }
+      val hnsw = GraftHnsw.list(path).map { m =>
+        InternalRow(utf8(m.name), utf8("hnsw"), utf8(m.vecCol), utf8(m.metric),
+          m.m, m.indexedVersion, m.indexedVersion < head)
+      }
+      (vec ++ txt ++ hnsw).toArray
+    }
+  }
+
+  /** Text-index lifecycle through SQL — the maintenance half of the
+    * `graft_text_search` TVF (demo.ipynb cell 11's serving model keeps
+    * the index WITH the table, so building and refreshing it must be
+    * reachable from the same SQL surface that queries it). Routed into
+    * [[graft.sources.TextIndex]]'s segmented MVCC index.
+    */
+  private val textIndexCreate = new Proc("text_index_create",
+    Array(in("table", StringType), in("text_col", StringType),
+      inDefault("nbuckets", IntegerType, "16"),
+      inDefault("name", StringType, "'txt'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("indexed_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "build a table-attached inverted text index (BM25/phrase serving " +
+        "via graft_text_search) from the table's current snapshot"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 3)
+      TextIndex.create(spark, path, textCol = str(input, 1),
+        nbuckets = reqInt(input, 2), name = name)
+      Array(InternalRow(utf8(name), TextIndex.meta(path, name).indexedVersion))
+    }
+  }
+
+  private val textIndexRefresh = new Proc("text_index_refresh",
+    Array(in("table", StringType), inDefault("name", StringType, "'txt'"),
+      inDefault("max_segments", IntegerType, "0")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("from_version", IntegerType, nullable = false),
+      StructField("to_version", IntegerType, nullable = false),
+      StructField("refreshed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "fold the table's CDC delta since the indexed version into one " +
+        "appended segment (no-op row with refreshed = false when " +
+        "current); max_segments > 0 auto-compacts past that many segments"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      TextIndex.refresh(spark, path, name, maxSegments = reqInt(input, 2)) match {
+        case Some((from, to)) => Array(InternalRow(utf8(name), from, to, true))
+        case None =>
+          val head = GraftTable.latestVersion(path)
+          Array(InternalRow(utf8(name), head, head, false))
+      }
+    }
+  }
+
+  private val textIndexCompact = new Proc("text_index_compact",
+    Array(in("table", StringType), inDefault("name", StringType, "'txt'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("segments_before", IntegerType, nullable = false),
+      StructField("segments_after", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "fold all index segments into one (tombstones applied then " +
+        "discarded) — Lucene's merge; old segment dirs become " +
+        "text_index_vacuum food"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      val before = TextIndex.meta(path, name).segments.size
+      TextIndex.compact(spark, path, name)
+      Array(InternalRow(utf8(name), before, TextIndex.meta(path, name).segments.size))
+    }
+  }
+
+  private val textIndexVacuum = new Proc("text_index_vacuum",
+    Array(in("table", StringType), inDefault("name", StringType, "'txt'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("segments_deleted", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "delete segment dirs the index meta no longer references " +
+        "(compacted-away or crashed-attempt orphans)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), TextIndex.vacuum(path, name)))
+    }
+  }
+
+  private val textIndexDrop = new Proc("text_index_drop",
+    Array(in("table", StringType), inDefault("name", StringType, "'txt'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "drop a text index entirely (existed = false when absent); the " +
+        "table itself is untouched — an index is derived state"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), TextIndex.drop(path, name)))
+    }
+  }
+
+  /** HNSW-index lifecycle through SQL — the maintenance half of the
+    * `graft_hnsw_search` TVF. Routed into [[graft.sources.GraftHnsw]]'s
+    * generation/tombstone index.
+    */
+  private val hnswCreate = new Proc("hnsw_create",
+    Array(in("table", StringType), in("vec_col", StringType),
+      inDefault("name", StringType, "'hnsw'"),
+      inDefault("m", IntegerType, "16"),
+      inDefault("ef_construction", IntegerType, "100"),
+      inDefault("metric", StringType, "'cosine'"),
+      inDefault("n_segments", IntegerType, "4")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("indexed_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "build a table-attached HNSW graph index over a vector column " +
+        "from the table's current snapshot (serving via graft_hnsw_search)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 2)
+      GraftHnsw.create(spark, path, vecCol = str(input, 1), name = name,
+        m = reqInt(input, 3), efConstruction = reqInt(input, 4),
+        metric = str(input, 5), nSegments = reqInt(input, 6))
+      Array(InternalRow(utf8(name), GraftHnsw.meta(path, name).indexedVersion))
+    }
+  }
+
+  private val hnswRefresh = new Proc("hnsw_refresh",
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("from_version", IntegerType, nullable = false),
+      StructField("to_version", IntegerType, nullable = false),
+      StructField("refreshed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "fold the table's CDC delta since the indexed version into the " +
+        "graph (appends + horizon tombstones; no-op row with " +
+        "refreshed = false when current)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      GraftHnsw.refresh(spark, path, name) match {
+        case Some((from, to)) => Array(InternalRow(utf8(name), from, to, true))
+        case None =>
+          val head = GraftTable.latestVersion(path)
+          Array(InternalRow(utf8(name), head, head, false))
+      }
+    }
+  }
+
+  private val hnswRebuild = new Proc("hnsw_rebuild",
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'"),
+      inDefault("n_segments", IntegerType, "-1")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("generation", IntegerType, nullable = false),
+      StructField("indexed_version", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "compact the index into a fresh generation at the table head: " +
+        "zero tombstones, old generations become hnsw_vacuum food " +
+        "(n_segments = -1 keeps the current segment count)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      val nSeg = reqInt(input, 2)
+      GraftHnsw.rebuild(spark, path, name,
+        nSegments = if (nSeg > 0) Some(nSeg) else None)
+      val m = GraftHnsw.meta(path, name)
+      Array(InternalRow(utf8(name), m.gen, m.indexedVersion))
+    }
+  }
+
+  private val hnswVacuum = new Proc("hnsw_vacuum",
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("generations_deleted", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "delete non-current generation dirs (post-rebuild garbage)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftHnsw.vacuum(path, name)))
+    }
+  }
+
+  private val hnswDrop = new Proc("hnsw_drop",
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "drop an HNSW index entirely (existed = false when absent); the " +
+        "table itself is untouched — an index is derived state"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftHnsw.drop(path, name)))
     }
   }
 
@@ -809,6 +1020,8 @@ object GraftProcedures {
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
     indexCreate, indexRefresh, indexDrop, indexesReport,
+    textIndexCreate, textIndexRefresh, textIndexCompact, textIndexVacuum,
+    textIndexDrop, hnswCreate, hnswRefresh, hnswRebuild, hnswVacuum, hnswDrop,
     tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck,
     branchCreate, branchPublish, branchDrop, branchesReport)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap

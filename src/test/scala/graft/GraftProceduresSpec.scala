@@ -254,6 +254,105 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL text_index_* runs the text-index lifecycle purely through SQL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_tidx").toString + "/t"
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 5 == 0) s"table scan fast $i" else s"row store slow $i"))
+      .toDF("doc_id", "text")
+    GraftTable.create(docs, root, Seq("doc_id"), nbuckets = 4)
+    withCatalog {
+      val c = spark.sql(s"CALL graft.text_index_create('$root', 'text')").collect().head
+      (c.getString(0), c.getInt(1)) shouldBe (("txt", 0))
+      // already current → honest no-op row
+      spark.sql(s"CALL graft.text_index_refresh('$root')").collect()
+        .head.getBoolean(3) shouldBe false
+      // mutate through SQL, refresh through SQL
+      spark.sql(s"UPDATE graft.`$root` SET text = concat(text, ' extra') " +
+        "WHERE doc_id % 10 = 0")
+      val r = spark.sql(s"CALL graft.text_index_refresh('$root')").collect().head
+      (r.getInt(1), r.getInt(2), r.getBoolean(3)) shouldBe ((0, 1, true))
+      // the refreshed index serves the NEW text through the TVF
+      val hits = spark.sql(
+        s"SELECT * FROM graft_text_search('$root', 'extra', 20)").collect()
+      hits.map(_.getLong(0)).toSet shouldBe (0L until 60L by 10L).toSet
+      // compact folds the two segments into one; vacuum sweeps the old
+      val cp = spark.sql(s"CALL graft.text_index_compact('$root')").collect().head
+      (cp.getInt(1), cp.getInt(2)) shouldBe ((2, 1))
+      spark.sql(s"CALL graft.text_index_vacuum('$root')").collect()
+        .head.getInt(1) should be >= 2
+      // drop completes the lifecycle; IF EXISTS contract on the repeat
+      spark.sql(s"CALL graft.text_index_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe true
+      spark.sql(s"CALL graft.text_index_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe false
+      graft.sources.TextIndex.exists(root) shouldBe false
+    }
+  }
+
+  test("CALL hnsw_* runs the HNSW lifecycle purely through SQL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_hnsw").toString + "/t"
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(i * 37.0 + d * 11.0).toFloat)
+    val df = (0L until 40L).map(i => (i, vec(i), s"doc$i")).toDF("id", "vec", "s")
+    GraftTable.create(df, root, Seq("id"), nbuckets = 4)
+    withCatalog {
+      val c = spark.sql(s"CALL graft.hnsw_create('$root', 'vec', 'hnsw', 8, 64, " +
+        "'cosine', 1)").collect().head
+      (c.getString(0), c.getInt(1)) shouldBe (("hnsw", 0))
+      spark.sql(s"CALL graft.hnsw_refresh('$root')").collect()
+        .head.getBoolean(3) shouldBe false
+      spark.sql(s"DELETE FROM graft.`$root` WHERE id = 7")
+      val r = spark.sql(s"CALL graft.hnsw_refresh('$root')").collect().head
+      (r.getInt(1), r.getInt(2), r.getBoolean(3)) shouldBe ((0, 1, true))
+      // the refreshed index never serves the deleted key
+      graft.sources.GraftHnsw.probe(spark, root, vec(7), k = 5, ef = 256)
+        .collect().map(_.getLong(0)) should not contain 7L
+      // rebuild compacts to a fresh generation; vacuum reclaims the old
+      val rb = spark.sql(s"CALL graft.hnsw_rebuild('$root')").collect().head
+      (rb.getInt(1), rb.getInt(2)) shouldBe ((1, 1))
+      spark.sql(s"CALL graft.hnsw_vacuum('$root')").collect()
+        .head.getInt(1) shouldBe 1
+      spark.sql(s"CALL graft.hnsw_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe true
+      spark.sql(s"CALL graft.hnsw_drop('$root')").collect()
+        .head.getBoolean(1) shouldBe false
+    }
+  }
+
+  test("CALL indexes reports all three index families with staleness") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_allidx").toString + "/t"
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.cos(i * 13.0 + d * 7.0).toFloat)
+    val df = (0L until 50L).map(i => (i, vec(i), s"table scan doc $i"))
+      .toDF("id", "emb", "text")
+    GraftTable.create(df, root, Seq("id"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.index_create('$root', 'emb', 4)").collect()
+      spark.sql(s"CALL graft.text_index_create('$root', 'text')").collect()
+      spark.sql(s"CALL graft.hnsw_create('$root', 'emb', 'g', 8, 64, 'cosine', 1)")
+        .collect()
+      val listed = spark.sql(s"CALL graft.indexes('$root')").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(6)))
+      listed.toSet shouldBe Set(
+        ("vec", "ivf", "emb", false),
+        ("txt", "text", "text", false),
+        ("g", "hnsw", "emb", false))
+      // one table commit flags ALL of them stale
+      GraftTable.upsert(spark, root,
+        Seq((60L, vec(60), "new doc")).toDF("id", "emb", "text"))
+      spark.sql(s"CALL graft.indexes('$root')").collect()
+        .map(_.getBoolean(6)).toSeq shouldBe Seq(true, true, true)
+      // each family's refresh clears only its own flag
+      spark.sql(s"CALL graft.text_index_refresh('$root')").collect()
+      spark.sql(s"CALL graft.indexes('$root')").collect()
+        .map(r => r.getString(1) -> r.getBoolean(6)).toMap shouldBe
+        Map("ivf" -> true, "text" -> false, "hnsw" -> true)
+    }
+  }
+
   test("NULL numeric arguments refuse loudly (a NULL grace must not mean zero)") {
     val root = mkTable()
     withCatalog {
