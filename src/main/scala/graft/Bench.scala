@@ -55,7 +55,7 @@ object Bench {
     val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def timed(name: String)(body: => Unit): Option[Double] = {
       var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         // cache-clean per rep: operators that persist intermediates
         // must pay that cost every time, or min-of-reps lies
         spark.catalog.clearCache()
@@ -66,6 +66,22 @@ object Bench {
           err = Some(e.toString.take(2000))
         }
         (System.nanoTime() - t0) / 1e9
+      }
+      var times = (1 to reps).map(_ => once()).toVector
+      // Steal-window SELF-HEALING: a row whose min lacks a corroborating
+      // rep within 1.5× (second-smallest / smallest > 1.5) had at least
+      // one rep hit a host-CPU-steal window — re-rep it (bounded, ×3)
+      // until the min is corroborated, so a contended run's board heals
+      // itself instead of needing manual cross-scale adjudication
+      // (three rounds of boards cost exactly that archaeology). A row
+      // that never stabilizes keeps its `noisy` flag below.
+      def uncorroborated: Boolean = times.size >= 2 && {
+        val s = times.sorted
+        s(0) > 0 && s(1) / s(0) > 1.5
+      }
+      var extra = 0
+      while (err.isEmpty && reps >= 2 && uncorroborated && extra < 3) {
+        times :+= once(); extra += 1
       }
       err match {
         case Some(msg) => failures(name) = msg; None
@@ -172,16 +188,15 @@ object Bench {
     // r7 the 165-row board itself) — so stdout now carries only a
     // compact summary (total, row count, failure count, file pointer)
     // that always fits and always parses.
-    // Steal-window self-annotation: this VM suffers host-CPU-steal
-    // windows that inflate individual rows 1.5–4× with no code change;
-    // three rounds of boards cost rerun archaeology to separate noise
-    // from regressions. A row whose per-rep spread (max/min) exceeds
-    // 1.5× had at least one rep hit such a window — its MIN may still
-    // be clean, but the row self-flags so a reader compares spreads,
-    // not bare numbers, before calling a regression.
-    val noisy = repTimes.collect {
-      case (k, ts) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 1.5 =>
-        k -> ts.max / ts.min
+    // Steal-window self-annotation: after the bounded re-reps above, a
+    // row is `noisy` only if its min is STILL uncorroborated — no second
+    // rep landed within 1.5× of the smallest (ratio = second-smallest /
+    // smallest). Healed rows (a clean pair found on re-rep) drop the
+    // flag; their full per-rep history stays in the _reps side file.
+    val noisy = repTimes.flatMap { case (k, ts) =>
+      val s = ts.sorted.toIndexedSeq
+      if (s.size >= 2 && s(0) > 0 && s(1) / s(0) > 1.5) Some(k -> s(1) / s(0))
+      else None
     }
     val noisyJson = noisy.toSeq.sortBy(-_._2).map { case (k, r) =>
       s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
