@@ -1187,6 +1187,47 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_sql_merge_evolve" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION (Spark 4.1 native syntax): the
+      // source carries a NEW column `o_channel`; the analyzer's
+      // ResolveMergeIntoSchemaEvolution routes it through
+      // GraftCatalog.alterTable → GraftTable.addColumns (the additive
+      // metadata-only widening, zero data IO) and the merge then runs
+      // against the widened schema — matched rows take the channel,
+      // inserted rows carry it, untouched rows read NULL via the
+      // schema-pinned pad. The evolving-ingest shape Delta's autoMerge
+      // serves, on the COW engine.
+      val tmp = s"${indexPath("sqlme", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val o = Tables.orders(s, dir)
+      GraftTable.create(o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderkey"), nbuckets = 8)
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")).as("k"),
+          col("o_custkey").as("s_custkey"),
+          (col("o_totalprice") * 2).as("s_price"),
+          concat(lit("web-"), (col("o_custkey") % 4).cast("string")).as("o_channel"))
+        .createOrReplaceTempView("sqlevolve_src")
+      withGraftCatalog(s) {
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
+          USING sqlevolve_src s ON t.o_orderkey = s.k
+          WHEN MATCHED THEN UPDATE SET o_channel = s.o_channel
+          WHEN NOT MATCHED AND s.s_price < 300000 THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_channel)
+            VALUES (s.k, s.s_custkey, 'S', s.s_price, s.o_channel)""")
+      }
+      val out = GraftTable.read(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_channel"))
+        .localCheckpoint()
+      rmTree(tmp)
+      out.orderBy("o_orderkey")
+    }),
+
     "lakehouse_sql_merge_by_source" -> ((s, dir) => {
       // SQL:2023 `WHEN NOT MATCHED BY SOURCE` — target rows with no
       // source pair swept in the same statement (the Delta parity
@@ -4928,6 +4969,33 @@ object SparkEntry {
            WHERE b.o_orderkey IS NULL AND s.s_price < 300000)
          SELECT o_orderkey, o_custkey, o_orderstatus,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
+
+    // schema evolution: the LEFT JOIN replays matched-update of the new
+    // column + conditional insert carrying it; unpaired base rows read
+    // NULL for the widened column
+    "lakehouse_sql_merge_evolve" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 3 = 0),
+         src AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+                  o_custkey AS s_custkey,
+                  o_totalprice * 2 AS s_price,
+                  'web-' || CAST(o_custkey % 4 AS VARCHAR) AS o_channel
+           FROM orders WHERE o_orderkey % 5 = 0),
+         kept AS (
+           SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+                  s.o_channel
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.k),
+         ins AS (
+           SELECT s.k AS o_orderkey, s.s_custkey AS o_custkey,
+                  'S' AS o_orderstatus, s.s_price AS o_totalprice, s.o_channel
+           FROM src s LEFT JOIN base b ON s.k = b.o_orderkey
+           WHERE b.o_orderkey IS NULL AND s.s_price < 300000)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c, o_channel
          FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
 

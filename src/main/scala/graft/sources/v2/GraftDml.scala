@@ -110,9 +110,16 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                              notMatchedActions: Seq[MergeAction],
                              notMatchedBySource: Seq[MergeAction],
                              withSchemaEvolution: Boolean): LogicalPlan = {
-    if (withSchemaEvolution)
-      fail("MERGE WITH SCHEMA EVOLUTION is not supported — evolve additively " +
-        "by writing the new column through the GraftTable API first")
+    // MERGE WITH SCHEMA EVOLUTION: by the time this rule sees a RESOLVED
+    // plan, Spark 4.1's ResolveMergeIntoSchemaEvolution has already
+    // routed the new source columns through GraftCatalog.alterTable →
+    // GraftTable.addColumns (the same additive metadata-only widening
+    // the keyed upsert uses) and reloaded the target relation — so the
+    // new columns ARE target columns here and translate like any other.
+    // Genuinely incompatible changes (type changes, NOT NULL, dropped-
+    // ledger resurrections) refuse in alterTable/addColumns BEFORE any
+    // data write; the evolution commit itself is additive metadata, so
+    // a merge that later refuses leaves no partial DATA write.
     val keys = GraftTable.keyColumns(table.path)
     val tgtSet = AttributeSet(tgtAttrs)
     val srcSet = AttributeSet(source.output)

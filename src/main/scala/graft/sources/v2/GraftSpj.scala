@@ -361,8 +361,15 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
 
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark 4.1's native
+  // `MERGE WITH SCHEMA EVOLUTION`: ResolveMergeIntoSchemaEvolution
+  // computes the new source columns and routes them through
+  // GraftCatalog.alterTable → GraftTable.addColumns (the additive
+  // metadata-only widening) before the merge resolves. Non-additive
+  // changes still refuse there.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(reportedBuckets, keys: _*))
   /** Surfaced in `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the

@@ -189,6 +189,46 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens additively; incompatible changes refuse whole") {
+    val path = freshTable()
+    Seq((5L, 99L, "note5"), (2000L, 1L, "note2000"))
+      .toDF("k", "v", "note").createOrReplaceTempView("sqldml_evo_src")
+    withCatalog {
+      // new source column `note` rides WHEN MATCHED UPDATE + INSERT:
+      // Spark's ResolveMergeIntoSchemaEvolution routes it through
+      // GraftCatalog.alterTable -> GraftTable.addColumns (metadata-only
+      // widening), then the merge runs against the widened schema
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
+        USING sqldml_evo_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+        WHEN NOT MATCHED THEN INSERT (k, v, note) VALUES (s.k, s.v, s.note)""")
+      val got = GraftTable.read(spark, path)
+      got.columns should contain("note")
+      got.count() shouldBe 1001L
+      got.filter(col("k") === 5L).head().getAs[String]("note") shouldBe "note5"
+      got.filter(col("k") === 2000L).head().getAs[String]("note") shouldBe "note2000"
+      // untouched rows read NULL for the widened column (metadata pad)
+      got.filter(col("k") === 7L).head().getAs[String]("note") shouldBe null
+      // WITHOUT the evolution keyword the same statement still refuses
+      // (the new column does not resolve against the target)
+      Seq((6L, 1L, "x")).toDF("k", "v", "extra2")
+        .createOrReplaceTempView("sqldml_evo_src2")
+      assertNoNewVersion(path) {
+        spark.sql(s"""MERGE INTO graft.`$path` t USING sqldml_evo_src2 s
+          ON t.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, v, extra2) VALUES (s.k, s.v, s.extra2)""")
+      }
+      // genuinely incompatible evolution (a TYPE change on an existing
+      // column) refuses the STATEMENT whole — no partial write
+      Seq(("7", 1L)).toDF("k", "v").createOrReplaceTempView("sqldml_evo_src3")
+      assertNoNewVersion(path) {
+        spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
+          USING sqldml_evo_src3 s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v""")
+      }
+    }
+  }
+
   test("SQL MERGE WHEN NOT MATCHED BY SOURCE sweeps unpaired target rows") {
     val path = freshTable() // k 0..999, v = k % 10
     spark.range(0, 100).toDF("id").withColumn("nv", lit(77L))
