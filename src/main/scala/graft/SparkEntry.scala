@@ -1494,6 +1494,44 @@ object SparkEntry {
       out.orderBy("o_orderkey")
     }),
 
+    "lakehouse_time_prune" -> ((s, dir) => {
+      // the 100 TB TIME-LAYOUT decision, exhibited (SURVEY §5): graft
+      // keeps ONE physical layout dimension — key-hash buckets (the
+      // upsert/point-lookup invariant) — and buys time-range pruning
+      // with a time-CLUSTERED rewrite instead of a days(ts) partition
+      // tree: compact(clusterBy (ts, ts) = LINEAR time clustering,
+      // targetFilesPerBucket=8) lays each bucket out as disjoint ts
+      // slices whose manifest min/max the scan prunes on — the per-file
+      // stats over narrow slices ARE the partition tree, without a
+      // second physical layout dimension fighting the bucket invariant.
+      // The row ENFORCES the pruning (a 2-of-30-day
+      // predicate must skip more files than it keeps, checked via the
+      // same keep-rule the scan uses — skipping_report), then serves
+      // the range aggregate through the catalog scan; DuckDB replays
+      // the aggregate over raw events.
+      val tmp = s"${indexPath("tprune", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      GraftTable.create(Tables.events(s, dir), path, Seq("event_id"), nbuckets = 8)
+      GraftTable.compact(s, path, clusterBy = Some(("ts", "ts")),
+        targetFilesPerBucket = 8)
+      val range = "ts >= timestamp'2024-01-10 00:00:00' AND " +
+        "ts < timestamp'2024-01-12 00:00:00'"
+      val out = withGraftCatalog(s) {
+        val rep = s.sql(s"CALL graft.skipping_report('$path', " +
+          s"'${range.replace("'", "''")}')").collect().head
+        val (kept, skipped) = (rep.getLong(2), rep.getLong(3))
+        require(skipped > kept,
+          s"time clustering stopped pruning: kept=$kept skipped=$skipped — " +
+            "the z-layout or ts stats regressed")
+        s.sql(s"""SELECT event_type, count(*) AS n_events,
+            count(DISTINCT user_id) AS n_users
+          FROM graft.`$path` WHERE $range
+          GROUP BY event_type""").localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("event_type")
+    }),
+
     "lakehouse_runtime_prune" -> ((s, dir) => {
       // Runtime (dynamic) pruning end-to-end: a fact ⋈ filtered-dim
       // join through the catalog, where Spark re-enters the fact scan
@@ -5148,6 +5186,17 @@ object SparkEntry {
 
     // runtime-pruned fact ⋈ dim join: pruning must be invisible in the
     // result — the oracle is the plain join
+    // time-range aggregate over the time-clustered table: the pruning
+    // is enforced in-row (skipping_report); DuckDB replays the plain
+    // aggregate over raw events
+    "lakehouse_time_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+
     "lakehouse_runtime_prune" ->
       """SELECT f.o_orderkey, f.o_custkey,
                 CAST(FLOOR(f.o_totalprice * 100) AS BIGINT) AS price_c

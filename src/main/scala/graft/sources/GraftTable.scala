@@ -2533,6 +2533,19 @@ object GraftTable {
         // skip the SMJ sorts as well as the shuffle
         writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
           sortWithin = keys, recordSorted = true)
+      case Some((a, b)) if a == b =>
+        // LINEAR clustering on one dimension — `clusterBy (ts, ts)` is
+        // the TIME layout: each bucket's files become disjoint ts
+        // ranges, so a time-range predicate prunes to the matching
+        // slices exactly (a z-interleave with a second column would
+        // dilute the ts resolution by half its bits). This is how a
+        // 100 TB fact table gets days(ts)-partition pruning without a
+        // second physical layout dimension — the manifest's per-file
+        // min/max over narrow slices IS the partition tree, and the
+        // bucket invariant (upserts, point lookups) is untouched.
+        writeVersion(snap.withColumn("__zc", col(a)), path, keys, nbuckets,
+          v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"),
+          rangeSplit = targetFilesPerBucket)
       case Some((a, b)) =>
         graft.operators.Layout.zcolumn(snap, a, b) match {
           case None => // empty/all-null dimension: plain compaction

@@ -250,6 +250,28 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
       .filter(col("ts") < lit(cutoff)).count() shouldBe 50L
   }
 
+  test("linear time clustering (clusterBy (ts, ts)) gives disjoint per-file ts slices") {
+    val path = Files.createTempDirectory("graft_stats_lints").toString + "/t"
+    val df = spark.range(0, 512).toDF("k")
+      .withColumn("ts", expr("timestamp_micros(cast(1700000000000000 + (k * 2654435761 % 512) * 86400000000 AS long))"))
+      .withColumn("v", col("k") % 7)
+    GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    // a == b → LINEAR sort on ts (no z-interleave): files become
+    // DISJOINT ts ranges, so a narrow time window keeps ~window/total
+    GraftTable.compact(spark, path, clusterBy = Some(("ts", "ts")),
+      targetFilesPerBucket = 8)
+    val v = GraftTable.latestVersion(path)
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 100L * 86400))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 140L * 86400))
+    val Some((_, kept, total)) = GraftTable.prunedDataPaths(path, v,
+      Seq(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+    // ~40/512 of the time range over 16 disjoint slices: most files skip
+    kept.toDouble / total should be < 0.35
+    // pruned read == full read, exactly
+    spark.read.format("graft").load(path)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count() shouldBe 40L
+  }
+
   test("long text columns don't bloat the manifest: bounded min, unknown max") {
     val path = Files.createTempDirectory("graft_stats_text").toString + "/t"
     val df = spark.range(0, 64).toDF("k")
