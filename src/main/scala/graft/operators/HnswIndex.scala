@@ -367,6 +367,14 @@ object HnswIndex {
             val idx = new mutable.LongMap[Int](ids.length * 2)
             var n = 0
             while (n < ids.length) { idx.update(ids(n), n); n += 1 }
+            // duplicate ids would silently COLLAPSE here — two graph
+            // nodes remapped onto one, breaking the level invariant the
+            // walk relies on (observed as an out-of-bounds mid-search).
+            // The id column is a key by contract; refuse loudly, never
+            // serve a corrupted graph.
+            require(idx.size == ids.length,
+              s"hnsw segment $pid holds ${ids.length - idx.size} duplicate id(s) " +
+                "— the id column must be unique; dedup the input and rebuild")
             val g = new Graph(metric, 2, 2, 0L) // params unused on search
             n = 0
             while (n < ids.length) {

@@ -90,6 +90,20 @@ class HnswSpec extends AnyFunSuite with Matchers {
     loaded shouldBe model
   }
 
+  test("duplicate ids refuse loudly at probe time, never a corrupted graph") {
+    // two nodes under one id would silently collapse in the loader's
+    // id→index remap and break the level invariant mid-walk (observed
+    // at 100× on a mis-derived dataset: out-of-bounds in the descent)
+    val path = Files.createTempDirectory("hnsw_dup").toString
+    val dup = emb.limit(50).union(emb.limit(8)) // 8 ids twice
+    val m = HnswIndex.build(dup, "vec_id", "embedding", path,
+      m = 8, efConstruction = 64, metric = "cosine", nPartitions = 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      HnswIndex.probe(spark, m, "vec_id", query, 5, ef = 64).collect()
+    }
+    e.getMessage should include("duplicate id")
+  }
+
   test("probe refuses a layout with no segments") {
     val empty = Files.createTempDirectory("hnsw_none").toString
     val ghost = HnswIndex.Model(empty, "cosine", 8, 64, 4)

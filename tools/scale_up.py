@@ -57,6 +57,19 @@ def main():
         print(f"{t}: {tbl.num_rows} rows (dim, unscaled)")
     for t, keys in SHIFT.items():
         tbl = pq.read_table(f"{src}/{t}.parquet")
+        # CHAINED derivations collide: scaling an already-scaled dir
+        # reuses the same OFFSET, so copy (i=9 of the inner run, j=0 of
+        # the outer) and (i=0, j=9) land on the SAME key — duplicate ids
+        # that silently corrupt anything keyed (observed: HNSW graph
+        # remap). Scale from the ORIGINAL dir in one step instead.
+        for k in keys:
+            mx = pa.compute.max(tbl.column(k)).as_py()
+            if mx is not None and mx >= OFFSET:
+                raise SystemExit(
+                    f"{t}.{k} max={mx} >= OFFSET={OFFSET}: '{src}' is already a "
+                    f"scaled derivation — chaining scale_up duplicates keys; "
+                    f"re-run against the original driver-generated dir with "
+                    f"the full copy count")
         chunks = []
         for i in range(copies):
             c = tbl
