@@ -1497,13 +1497,13 @@ object SparkEntry {
     "lakehouse_time_prune" -> ((s, dir) => {
       // the 100 TB TIME-LAYOUT decision, exhibited (SURVEY §5): graft
       // keeps ONE physical layout dimension — key-hash buckets (the
-      // upsert/point-lookup invariant) — and buys time-range pruning
-      // with a time-CLUSTERED rewrite instead of a days(ts) partition
-      // tree: compact(clusterBy (ts, ts) = LINEAR time clustering,
-      // targetFilesPerBucket=8) lays each bucket out as disjoint ts
-      // slices whose manifest min/max the scan prunes on — the per-file
-      // stats over narrow slices ARE the partition tree, without a
-      // second physical layout dimension fighting the bucket invariant.
+      // upsert/point-lookup invariant) — and the Iceberg-shaped
+      // `PARTITIONED BY (days(ts), …)` DDL records a DECLARED time
+      // clustering instead of a partition tree: the argument-less
+      // compact lays each bucket out as disjoint ts slices whose
+      // manifest min/max the scan prunes on — the per-file stats over
+      // narrow slices ARE the partition tree, without a second
+      // physical layout dimension fighting the bucket invariant.
       // The row ENFORCES the pruning (a 2-of-30-day
       // predicate must skip more files than it keeps, checked via the
       // same keep-rule the scan uses — skipping_report), then serves
@@ -1511,12 +1511,17 @@ object SparkEntry {
       // the aggregate over raw events.
       val tmp = s"${indexPath("tprune", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
       val path = s"$tmp/t"
-      GraftTable.create(Tables.events(s, dir), path, Seq("event_id"), nbuckets = 8)
-      GraftTable.compact(s, path, clusterBy = Some(("ts", "ts")),
-        targetFilesPerBucket = 8)
+      Tables.events(s, dir).createOrReplaceTempView("tprune_events")
       val range = "ts >= timestamp'2024-01-10 00:00:00' AND " +
         "ts < timestamp'2024-01-12 00:00:00'"
       val out = withGraftCatalog(s) {
+        // the Iceberg-shaped days(ts) DDL: recorded as the declared
+        // time clustering; the argument-less-zorder compact engages it
+        s.sql(s"""CREATE TABLE graft.`$path`
+          PARTITIONED BY (days(ts), bucket(8, event_id))
+          AS SELECT * FROM tprune_events""")
+        s.sql(s"CALL graft.compact(table => '$path', " +
+          "target_files_per_bucket => 8)").collect()
         val rep = s.sql(s"CALL graft.skipping_report('$path', " +
           s"'${range.replace("'", "''")}')").collect().head
         val (kept, skipped) = (rep.getLong(2), rep.getLong(3))

@@ -760,6 +760,7 @@ object GraftTable {
   private def commitsDir(path: String) = new Path(path, "_commits")
   private def commitMarker(path: String, v: Int) = new Path(commitsDir(path), s"v$v")
   private def keysPath(path: String) = new Path(path, "_keys")
+  private def clusterPath(path: String) = new Path(path, "_cluster")
   private def manifestPath(path: String, v: Int) = new Path(new Path(path, "manifests"), s"v$v")
 
   /** committed versions, ascending (= commit order: versions are minted
@@ -815,8 +816,16 @@ object GraftTable {
   private[sources] def bucketCol(keyCols: Seq[String], nbuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(nbuckets)).cast("int")
 
-  def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16): Unit = {
+  def create(df: DataFrame, path: String, keyCols: Seq[String], nbuckets: Int = 16,
+             timeCluster: Option[String] = None): Unit = {
     require(!exists(path), s"table already exists at $path")
+    timeCluster.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"time-cluster column '$c' not in schema (${df.schema.fieldNames.mkString(", ")})")
+      require(!keyCols.contains(c),
+        s"time-cluster column '$c' is a record key — keys order the bucket " +
+          "layout already; declare a non-key time dimension")
+    }
     // key TYPES are recorded so later writes can align a batch's key
     // columns without re-reading the snapshot schema (ddl strings,
     // ';'-separated — ',' appears inside decimal(p,s))
@@ -825,8 +834,20 @@ object GraftTable {
     if (!MetaIO.putIfAbsent(keysPath(path), keyCols.mkString(",") + "|" + nbuckets + "|" + keyDdl))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create already initialized the table at $path")
+    // declared time clustering (the days(ts) DDL intent): recorded once
+    // at create; every argument-less compact() linearly clusters on it
+    timeCluster.foreach(c => MetaIO.replaceString(clusterPath(path), c))
     writeVersion(df, path, keyCols, nbuckets, v = 0, carryOver = Map.empty)
   }
+
+  /** The time-cluster column declared at create (`PARTITIONED BY
+    * (days(ts), …)` through the catalog, or `create(timeCluster=…)`),
+    * if any — the standing maintenance intent [[compact]] honors.
+    */
+  def declaredClustering(path: String): Option[String] =
+    if (MetaIO.exists(clusterPath(path)))
+      Some(MetaIO.readString(clusterPath(path)).trim).filter(_.nonEmpty)
+    else None
 
   /** ALTER TABLE ADD COLUMNS — additive schema evolution as a
     * METADATA-ONLY commit (Delta's ALTER cost): the new version's
@@ -2524,7 +2545,15 @@ object GraftTable {
     val (keys, defaultBuckets, _) = meta(path)
     val nbuckets = bucketsAt(path, v, defaultBuckets)
     val snap = read(spark, path, v)
-    clusterBy match {
+    // an argument-less compact honors the clustering DECLARED at create
+    // (days(ts) DDL): linear time clustering on that column — Delta's
+    // OPTIMIZE against a declared layout, not a per-call choice. An
+    // explicit clusterBy always wins; a declared column dropped by
+    // ALTER degrades to plain compaction (schema is the truth).
+    val effective = clusterBy.orElse(
+      declaredClustering(path).filter(snap.schema.fieldNames.contains)
+        .map(c => (c, c)))
+    effective match {
       case None =>
         // plain compaction doubles as the SORTED-layout rewrite: each
         // bucket's file comes out key-ordered (the in-task sort rides
@@ -3411,9 +3440,10 @@ object GraftTable {
         /*deleteSource=*/ false, /*overwrite=*/ true, conf)
     }
     // sidecars: `_keys` (record key + bucket-count identity — a table
-    // is not readable without it), plus the data-quality gates and
-    // bloom write config (they describe the data, which is identical)
-    for (side <- Seq("_keys", "_constraints", "_bloom")) {
+    // is not readable without it), plus the data-quality gates, bloom
+    // write config, and declared time clustering (they describe the
+    // data, which is identical)
+    for (side <- Seq("_keys", "_constraints", "_bloom", "_cluster")) {
       val p = new Path(src, side)
       if (MetaIO.exists(p)) MetaIO.replaceString(new Path(dst, side), MetaIO.readString(p))
     }

@@ -118,9 +118,11 @@ object GraftProcedures {
       val path = tablePath(input)
       val cluster = Option.when(!input.isNullAt(1))(str(input, 1)).map { s =>
         s.split(",").map(_.trim).filter(_.nonEmpty) match {
+          case Array(a) => (a, a) // single column = LINEAR clustering
           case Array(a, b) => (a, b)
           case other => throw new IllegalArgumentException(
-            s"zorder_by takes exactly two columns 'a,b', got '${other.mkString(",")}'")
+            s"zorder_by takes one column (linear) or two 'a,b' (z-order), " +
+              s"got '${other.mkString(",")}'")
         }
       }
       val v0 = GraftTable.latestVersion(path)

@@ -137,7 +137,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
                            properties: util.Map[String, String]): Table = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
     val path = pathOf(ident)
-    val fromTransform: Option[(Seq[String], Int)] = partitions.toSeq match {
+    // time transforms (Iceberg's days/hours/months(ts) spelling) map to
+    // the DECLARED linear time clustering (SURVEY §5's layout decision):
+    // recorded at create, every argument-less compact lays each bucket
+    // out as disjoint ts slices the manifest stats prune like a
+    // partition tree — the granularity name is accepted (slices are
+    // data-sized, finer than any fixed calendar grain) and the column
+    // is what's recorded
+    val (timeTransforms, rest) = partitions.toSeq.partition(t =>
+      Set("days", "hours", "months", "years").contains(t.name))
+    val timeCluster: Option[String] = timeTransforms match {
+      case Seq() => None
+      case Seq(t) => t.arguments.toSeq match {
+        case Seq(r: NamedReference) => Some(r.fieldNames.mkString("."))
+        case other => throw new UnsupportedOperationException(
+          s"${t.name}(col): takes one column reference, got " +
+            other.mkString("[", ", ", "]"))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graft tables take at most one time transform, got " +
+          other.map(_.name).mkString("[", ", ", "]"))
+    }
+    val fromTransform: Option[(Seq[String], Int)] = rest match {
       case Seq() => None
       case Seq(t) if t.name == "bucket" =>
         val n = t.arguments.head match {
@@ -152,7 +173,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         }
         Some((cols, n))
       case other => throw new UnsupportedOperationException(
-        s"graft tables take exactly one bucket(n, keys…) transform, got " +
+        s"graft tables take exactly one bucket(n, keys…) transform " +
+          "(plus optionally one days/hours/months(ts) time transform), got " +
           other.mkString("[", ", ", "]"))
     }
     val fromProps: Option[(Seq[String], Int)] =
@@ -168,10 +190,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"key column(s) ${missing.mkString(", ")} not in schema ${schema.catalogString}")
     require(n >= 1, s"buckets must be >= 1, got $n")
+    timeCluster.foreach { c =>
+      if (!schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+        s"time transform column '$c' not in schema ${schema.catalogString}")
+      val dt = schema(c).dataType
+      if (!dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+        throw new IllegalArgumentException(
+          s"time transform column '$c' must be a timestamp/date, got ${dt.sql}")
+    }
     val spark = SparkSession.active
     GraftTable.create(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      path, keys, n)
+      path, keys, n, timeCluster = timeCluster)
     new GraftV2Table(path)
   }
   /** SQL `ALTER TABLE graft.\`path\` …` — the column-evolution family:
@@ -384,6 +416,7 @@ class GraftV2Table(val path: String, val pinned: Option[Int] = None)
     pinned.foreach(v => m.put("pinned", v.toString))
     val cs = GraftTable.constraints(path)
     if (cs.nonEmpty) m.put("constraints", cs.keys.toSeq.sorted.mkString(","))
+    GraftTable.declaredClustering(path).foreach(m.put("time_cluster", _))
     GraftTable.bloomConfig(path).foreach { case (cols, fpp) =>
       m.put("bloom.columns", cols.mkString(",")); m.put("bloom.fpp", fpp.toString)
     }

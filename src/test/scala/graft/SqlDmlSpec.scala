@@ -281,6 +281,50 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("PARTITIONED BY (days(ts), bucket(n, k)) declares time clustering") {
+    withCatalog {
+      val path = Files.createTempDirectory("sqldays").toString + "/t"
+      spark.range(0, 512).toDF("k")
+        .withColumn("ts", expr(
+          "timestamp_micros(cast(1700000000000000 + (k * 2654435761 % 512) * 86400000000 AS long))"))
+        .withColumn("v", col("k") % 7)
+        .createOrReplaceTempView("sqldays_src")
+      spark.sql(s"""CREATE TABLE graft.`$path`
+        PARTITIONED BY (days(ts), bucket(2, k))
+        AS SELECT * FROM sqldays_src""")
+      GraftTable.declaredClustering(path) shouldBe Some("ts")
+      // surfaced to the operator
+      spark.sql(s"SHOW TBLPROPERTIES graft.`$path`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .get("time_cluster") shouldBe Some("ts")
+      // the ARGUMENT-LESS compact engages the declared clustering:
+      // files become disjoint ts slices and a narrow window prunes
+      spark.sql(s"CALL graft.compact(table => '$path', " +
+        "target_files_per_bucket => 8)").collect()
+      val rep = spark.sql(s"CALL graft.skipping_report('$path', " +
+        "'ts < timestamp''2023-12-15 00:00:00''')").collect().head
+      rep.getLong(3) should be > rep.getLong(2) // skipped > kept
+      // results are exact through the pruned scan: day offsets are a
+      // bijection of 0..511 from 2023-11-14T22:13:20Z, so offsets 0..30
+      // (31 rows) precede the cutoff
+      spark.table(s"graft.`$path`")
+        .filter(col("ts") < expr("timestamp'2023-12-15 00:00:00'"))
+        .count() shouldBe 31L
+      // refusals: non-timestamp column; two time transforms
+      val p2 = Files.createTempDirectory("sqldays").toString + "/t2"
+      intercept[Exception] {
+        spark.sql(s"""CREATE TABLE graft.`$p2`
+          PARTITIONED BY (days(v), bucket(2, k))
+          AS SELECT * FROM sqldays_src""")
+      }.getMessage should include("timestamp")
+      intercept[Exception] {
+        spark.sql(s"""CREATE TABLE graft.`$p2`
+          PARTITIONED BY (days(ts), months(ts), bucket(2, k))
+          AS SELECT * FROM sqldays_src""")
+      }.getMessage should include("at most one time transform")
+    }
+  }
+
   test("SQL ALTER TABLE ADD COLUMNS is a metadata-only commit") {
     withCatalog {
       val path = freshTable() // (k, v, s), 1000 rows, v0
