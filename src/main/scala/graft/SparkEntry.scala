@@ -3323,6 +3323,24 @@ object SparkEntry {
         .orderBy("probe_id", "p_partkey")
     }),
 
+    "text_fuzzy_join_big" -> ((s, dir) => {
+      // entity resolution with BOTH sides corpus-scale (no
+      // broadcastable probe set — the shape FuzzyJoin.join's serving
+      // contract excludes): the two halves of the customer name set
+      // fuzzy-join at maxDist = 1 through the two-sided rarest-gram
+      // prefix index (one canonical df order over the UNION, q·d+1
+      // grams per string per side, gram-shuffled candidate join,
+      // length filter, exact levenshtein verify) — collapse-first,
+      // distinct-name pairs with multiplicities. DuckDB replays the
+      // brute-force cross levenshtein; the pruning must be invisible.
+      val c = Tables.customer(s, dir)
+      operators.FuzzyJoin.joinNames(
+          c.filter(col("c_custkey") % 2 === 0), "c_name",
+          c.filter(col("c_custkey") % 2 === 1), "c_name",
+          maxDist = 1, q = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
     "text_sql_fuzzy_tvf" -> ((s, dir) => {
       // the record-linkage primitive as ONE SQL call: every part name
       // within 1 edit of the (typo'd) probe, through the same q-gram
@@ -6368,6 +6386,20 @@ object SparkEntry {
                 CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
          FROM part p JOIN probes pr ON levenshtein(p.p_name, pr.probe) <= 1
          ORDER BY pr.probe_id, p.p_partkey""",
+
+    // big-big fuzzy join: the oracle brute-forces the cross
+    // levenshtein over the two distinct-name halves
+    "text_fuzzy_join_big" ->
+      """WITH a AS (SELECT c_name, count(*) AS ca FROM customer
+                    WHERE c_custkey % 2 = 0 GROUP BY 1),
+            b AS (SELECT c_name, count(*) AS cb FROM customer
+                    WHERE c_custkey % 2 = 1 GROUP BY 1)
+         SELECT a.c_name AS name_a, b.c_name AS name_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+                CAST(a.ca * b.cb AS BIGINT) AS n_pairs
+         FROM a, b
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY name_a, name_b""",
 
     "text_sql_fuzzy_tvf" ->
       """SELECT p_partkey, p_name,

@@ -171,6 +171,78 @@ object FuzzyJoin {
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
   }
 
+  /** Fuzzy join where BOTH sides are large — the entity-resolution
+    * join between two corpus-scale string sets (no broadcastable side,
+    * unlike [[join]]'s serving-probe contract): every pair of DISTINCT
+    * strings (one per side) within `maxDist` edits (0..d — exact
+    * matches are legitimate resolution output), with the row-pair
+    * multiplicity cnt_a · cnt_b. Same collapse-first discipline and
+    * the same rarest-gram prefix index as [[nearDupNames]], with the
+    * canonical gram order computed over the UNION of both sides'
+    * distinct names (the prefix lemma needs ONE common total order
+    * across any candidate pair). Each side explodes only its q·d + 1
+    * rarest grams, the candidate join SHUFFLES on the gram (the
+    * scalable shape), a length filter (|len_a − len_b| ≤ d) prunes
+    * before the exact `levenshtein` verify, and the same `dfCap`
+    * refusal bounds residual hot prefix postings. Exactness gate as
+    * everywhere: strings with ≤ q·d distinct grams refuse loudly.
+    */
+  def joinNames(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                maxDist: Int, q: Int = 2,
+                dfCap: Int = 1000000): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    def side(df: DataFrame, c: String, out: String, cnt: String): DataFrame =
+      df.groupBy(col(c).as(out)).agg(count(lit(1)).as(cnt))
+        .withColumn("__grams", gramsOf(col(out), q))
+        .withColumn("__ng", size(col("__grams")))
+        .withColumn("__len", length(col(out)))
+    val na = side(a, aCol, "name_a", "__ca")
+    val nb = side(b, bCol, "name_b", "__cb")
+    Seq(("left", na, "name_a"), ("right", nb, "name_b")).foreach {
+      case (which, n, c) =>
+        val tooShort = n.filter(col("__ng") - q * maxDist < 1)
+          .select(c).limit(3).collect()
+        require(tooShort.isEmpty,
+          s"fuzzy joinNames: $which string(s) ${tooShort.mkString(", ")} have too " +
+            s"few distinct $q-grams for exact pruning at maxDist=$maxDist")
+    }
+    // ONE canonical rarest-first order across both sides: df over the
+    // union of distinct names (a per-side order would break the lemma
+    // for cross pairs)
+    val exA = na.select(col("name_a").as("__name"), explode(col("__grams")).as("__gram"))
+    val exB = nb.select(col("name_b").as("__name"), explode(col("__grams")).as("__gram"))
+    val gramDf = exA.unionByName(exB).groupBy("__gram").agg(count(lit(1)).as("__df"))
+    val prefixLen = q * maxDist + 1
+    def prefixOf(n: DataFrame, nameCol: String, cnt: String): DataFrame =
+      n.select(col(nameCol), col(cnt), col("__len"),
+          explode(col("__grams")).as("__gram"))
+        .join(gramDf, "__gram")
+        .withColumn("__rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(nameCol)
+            .orderBy(col("__df"), col("__gram"))))
+        .filter(col("__rnk") <= prefixLen)
+        .drop("__df", "__rnk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pa = prefixOf(na, "name_a", "__ca")
+    val pb = prefixOf(nb, "name_b", "__cb")
+    Seq(("left", pa), ("right", pb)).foreach { case (which, p) =>
+      val hot = p.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
+        .filter(col("__pdf") > dfCap).limit(3).collect()
+      require(hot.isEmpty,
+        s"fuzzy joinNames: $which prefix gram posting(s) ${hot.mkString(", ")} " +
+          s"exceed dfCap=$dfCap — raise q, lower maxDist, or pre-split that head")
+    }
+    val aSide = pa.select(col("name_a"), col("__ca"), col("__len").as("__la"), col("__gram"))
+    val bSide = pb.select(col("name_b"), col("__cb"), col("__len").as("__lb"), col("__gram"))
+    aSide.join(bSide, Seq("__gram"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select("name_a", "name_b", "__ca", "__cb").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
+  }
+
   /** Diagnostic for the scale probe: (prefix-join input rows, full-index
     * join input rows) for a corpus — i.e. Σ over prefix postings of f²
     * vs Σ over ALL gram postings of f², the pair volumes the prefix and

@@ -126,6 +126,38 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     got shouldBe Set((7L, 1L, 1L))
   }
 
+  test("joinNames (big-big) matches brute force across two randomized corpora") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (0 until 60).map(_ => word(8 + rnd.nextInt(4)))
+    // side A: base words with repeats; side B: mutants + verbatims
+    val rowsA = (0 until 300).map(i => (i.toLong, base(rnd.nextInt(base.length))))
+    val rowsB = (0 until 300).map { i =>
+      val s = base(rnd.nextInt(base.length))
+      val t = rnd.nextInt(4) match {
+        case 0 => s
+        case 1 => s.updated(rnd.nextInt(s.length), alphabet(rnd.nextInt(5)))
+        case 2 => s.patch(rnd.nextInt(s.length), Seq(alphabet(rnd.nextInt(5))), 0)
+        case _ => s.patch(rnd.nextInt(s.length), Nil, 1)
+      }
+      (i.toLong, t)
+    }
+    val got = FuzzyJoin.joinNames(rowsA.toDF("id", "s"), "s",
+        rowsB.toDF("id", "t"), "t", maxDist = 1, q = 2)
+      .select("name_a", "name_b", "dist", "n_pairs")
+      .as[(String, String, Long, Long)].collect().toSet
+    val ca = rowsA.groupBy(_._2).map { case (s, r) => s -> r.size.toLong }
+    val cb = rowsB.groupBy(_._2).map { case (s, r) => s -> r.size.toLong }
+    val want = (for {
+      (sa, na) <- ca; (sb, nb) <- cb
+      d = lev(sa, sb) if d <= 1
+    } yield (sa, sb, d.toLong, na * nb)).toSet
+    got shouldBe want
+    want.exists(_._3 == 0L) shouldBe true // exact matches included
+    want.exists(_._3 == 1L) shouldBe true
+  }
+
   test("maxDist = 0 is exact-match; empty result when nothing matches") {
     val corpus = Seq((1L, "hello world"), (2L, "hello there")).toDF("id", "s")
     val probes = Seq((7L, "hello world"), (8L, "goodbye all")).toDF("pid", "p")
