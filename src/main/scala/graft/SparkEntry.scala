@@ -1651,6 +1651,32 @@ object SparkEntry {
       out.orderBy(col("score_q").desc, col("doc_id"))
     }),
 
+    "lakehouse_maintain" -> ((s, dir) => {
+      // the ONE table-services verb (Hudi's scheduler shape — the layer
+      // the reference delegates maintenance to): build debt (a MOR
+      // upsert leaves an outstanding log AND stales the text index),
+      // CALL maintain dry-run (reports, touches nothing), then apply
+      // (folds the log, refreshes the index; vacuum only RECOMMENDED).
+      // Rows-only: the report is engine metadata, no SQL oracle.
+      val tmp = s"${indexPath("maint", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      GraftTable.create(docs, path, Seq("doc_id"), nbuckets = 8)
+      TextIndex.create(s, path, "text")
+      GraftTable.upsertMor(s, path,
+        docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("text", concat(col("text"), lit(" maintained"))))
+      val out = withGraftCatalog(s) {
+        val dry = s.sql(s"CALL graft.maintain('$path')")
+          .withColumn("phase", lit("dry"))
+        val applied = s.sql(s"CALL graft.maintain('$path', true)")
+          .withColumn("phase", lit("apply"))
+        dry.unionByName(applied).localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("phase", "service")
+    }),
+
     "lakehouse_stats_profile" -> ((s, dir) => {
       // METADATA-ONLY column profile: build a real GraftTable (create →
       // key-adding upsert → predicate delete = three stat-segment

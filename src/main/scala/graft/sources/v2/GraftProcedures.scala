@@ -655,6 +655,77 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL graft.maintain(t[, apply])` — the ONE table-services verb
+    * (Hudi's table-service scheduler shape, the layer the reference
+    * notebook delegates its maintenance to): inspect the table's
+    * operational debt and either report it (`apply = false`, the
+    * default — read-only) or run the NON-DESTRUCTIVE services
+    * (`apply = true`): fold an outstanding MOR log via compact (which
+    * also re-engages any declared time clustering) and refresh every
+    * stale index of all three families. Reclamation (vacuum) is only
+    * ever RECOMMENDED — deleting history stays an explicit, separate
+    * CALL (an auto-vacuum inside a convenience verb is how pinned
+    * readers lose files). One row per service: (service, needed,
+    * applied, detail).
+    */
+  private val maintain = new Proc("maintain",
+    Array(in("table", StringType),
+      inDefault("apply", BooleanType, "false"),
+      inDefault("orphan_grace_hours", DoubleType, "24.0")),
+    StructType(Seq(
+      StructField("service", StringType, nullable = false),
+      StructField("needed", BooleanType, nullable = false),
+      StructField("applied", BooleanType, nullable = false),
+      StructField("detail", StringType, nullable = false)))) {
+    override def description(): String =
+      "inspect operational debt (outstanding MOR log, stale indexes, " +
+        "reclaimable history) and, with apply = true, run the " +
+        "non-destructive services; vacuum is only recommended, never run"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val apply = !input.isNullAt(1) && input.getBoolean(1)
+      val graceMs = (reqDouble(input, 2) * 3600 * 1000).toLong
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      def row(service: String, needed: Boolean, applied: Boolean, detail: String): Unit =
+        out += InternalRow(utf8(service), needed, applied, utf8(detail))
+      // MOR log: outstanding deltas/DVs → compact folds them (and any
+      // declared time clustering re-engages on the same rewrite)
+      val head = GraftTable.latestVersion(path)
+      val morDebt = GraftTable.deltaEntries(path, head).size
+      if (morDebt > 0) {
+        if (apply) GraftTable.compact(spark, path)
+        row("compact", needed = true, applied = apply,
+          s"$morDebt outstanding MOR log entr${if (morDebt == 1) "y" else "ies"}" +
+            (if (apply) " folded" else ""))
+      } else row("compact", needed = false, applied = false, "no MOR debt")
+      // stale indexes, all three families
+      def idxRow(kind: String, name: String, stale: Boolean)(refresh: => Unit): Unit =
+        if (stale) {
+          if (apply) refresh
+          row(s"${kind}_refresh", needed = true, applied = apply,
+            s"index '$name' lags the table head" + (if (apply) " — refreshed" else ""))
+        } else row(s"${kind}_refresh", needed = false, applied = false,
+          s"index '$name' current")
+      val headNow = () => GraftTable.latestVersion(path)
+      GraftIndex.list(path).foreach(m =>
+        idxRow("index", m.name, m.indexedVersion < headNow()) {
+          GraftIndex.refresh(spark, path, m.name); () })
+      TextIndex.list(path).foreach(m =>
+        idxRow("text_index", m.name, m.indexedVersion < headNow()) {
+          TextIndex.refresh(spark, path, m.name); () })
+      GraftHnsw.list(path).foreach(m =>
+        idxRow("hnsw", m.name, m.indexedVersion < headNow()) {
+          GraftHnsw.refresh(spark, path, m.name); () })
+      // reclamation: RECOMMEND only — vacuum deletes history and stays
+      // its own explicit CALL
+      val reclaim = GraftTable.vacuumPlan(path, keepVersions = 1, graceMs).size
+      row("vacuum", needed = reclaim > 0, applied = false,
+        if (reclaim > 0) s"$reclaim path(s) reclaimable — run CALL graft.vacuum explicitly"
+        else "nothing reclaimable")
+      out.toArray
+    }
+  }
+
   private val indexesReport = new Proc("indexes",
     Array(in("table", StringType)),
     StructType(Seq(
@@ -1024,6 +1095,7 @@ object GraftProcedures {
     indexCreate, indexRefresh, indexDrop, indexesReport,
     textIndexCreate, textIndexRefresh, textIndexCompact, textIndexVacuum,
     textIndexDrop, hnswCreate, hnswRefresh, hnswRebuild, hnswVacuum, hnswDrop,
+    maintain,
     tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck,
     branchCreate, branchPublish, branchDrop, branchesReport)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap

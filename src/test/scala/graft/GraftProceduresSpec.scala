@@ -353,6 +353,43 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL maintain reports operational debt read-only and applies the safe services") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_maint").toString + "/t"
+    val df = (0L until 60L).map(i => (i, s"table scan doc $i")).toDF("id", "text")
+    GraftTable.create(df, root, Seq("id"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.text_index_create('$root', 'text')").collect()
+      // clean table: nothing needed, nothing applied
+      val clean = spark.sql(s"CALL graft.maintain('$root')").collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      clean("compact") shouldBe ((false, false))
+      clean("text_index_refresh") shouldBe ((false, false))
+      // create debt: a MOR upsert (outstanding log) — also makes the
+      // text index stale
+      GraftTable.upsertMor(spark, root,
+        Seq((100L, "fresh row")).toDF("id", "text"))
+      // dry-run (default): debt REPORTED, nothing touched
+      val dry = spark.sql(s"CALL graft.maintain('$root')").collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      dry("compact") shouldBe ((true, false))
+      dry("text_index_refresh") shouldBe ((true, false))
+      GraftTable.deltaEntries(root, GraftTable.latestVersion(root)) should not be empty
+      // apply: MOR log folded, index refreshed; vacuum only recommended
+      val ran = spark.sql(s"CALL graft.maintain('$root', true)").collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      ran("compact") shouldBe ((true, true))
+      ran("text_index_refresh") shouldBe ((true, true))
+      ran("vacuum")._2 shouldBe false
+      GraftTable.deltaEntries(root, GraftTable.latestVersion(root)) shouldBe empty
+      graft.sources.TextIndex.meta(root).indexedVersion shouldBe
+        GraftTable.latestVersion(root)
+      // second apply: clean again (idempotent fixed point)
+      spark.sql(s"CALL graft.maintain('$root', true)").collect()
+        .filter(_.getString(0) != "vacuum").map(_.getBoolean(1)) should contain only false
+    }
+  }
+
   test("NULL numeric arguments refuse loudly (a NULL grace must not mean zero)") {
     val root = mkTable()
     withCatalog {
