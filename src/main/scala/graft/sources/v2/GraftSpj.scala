@@ -144,9 +144,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     // partition tree — the granularity name is accepted (slices are
     // data-sized, finer than any fixed calendar grain) and the column
     // is what's recorded
-    val (timeTransforms, rest) = partitions.toSeq.partition(t =>
-      Set("days", "hours", "months", "years").contains(t.name))
-    val timeCluster: Option[String] = timeTransforms match {
+    // identity transforms (Hive-style `PARTITIONED BY (lang, …)`) take
+    // the same route: declared clustering on the bare column — the
+    // categorical-partition benefit (a lang = 'en' predicate prunes to
+    // the matching slices) from stats over sorted slices, without a
+    // directory-per-value layout whose small-file count multiplies by
+    // the bucket count
+    val (clusterTransforms, rest) = partitions.toSeq.partition(t =>
+      Set("days", "hours", "months", "years", "identity").contains(t.name))
+    val timeCluster: Option[String] = clusterTransforms match {
       case Seq() => None
       case Seq(t) => t.arguments.toSeq match {
         case Seq(r: NamedReference) => Some(r.fieldNames.mkString("."))
@@ -155,7 +161,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
             other.mkString("[", ", ", "]"))
       }
       case other => throw new UnsupportedOperationException(
-        s"graft tables take at most one time transform, got " +
+        s"graft tables take at most one time/identity transform, got " +
           other.map(_.name).mkString("[", ", ", "]"))
     }
     val fromTransform: Option[(Seq[String], Int)] = rest match {
@@ -192,13 +198,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(n >= 1, s"buckets must be >= 1, got $n")
     timeCluster.foreach { c =>
       if (!schema.fieldNames.contains(c)) throw new IllegalArgumentException(
-        s"time transform column '$c' not in schema ${schema.catalogString}")
+        s"cluster transform column '$c' not in schema ${schema.catalogString}")
       val dt = schema(c).dataType
-      if (!dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
-          !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
-          !dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+      val isTime = dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.DateType]
+      val named = clusterTransforms.head.name
+      if (named != "identity" && !isTime)
         throw new IllegalArgumentException(
-          s"time transform column '$c' must be a timestamp/date, got ${dt.sql}")
+          s"time transform column '$c' must be a timestamp/date, got ${dt.sql} — " +
+            "a categorical column partitions as a bare identity transform")
+      val orderable = dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }
+      if (named == "identity" && !orderable)
+        throw new IllegalArgumentException(
+          s"identity transform column '$c' must be an orderable scalar type, got ${dt.sql}")
     }
     val spark = SparkSession.active
     GraftTable.create(

@@ -310,6 +310,20 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       spark.table(s"graft.`$path`")
         .filter(col("ts") < expr("timestamp'2023-12-15 00:00:00'"))
         .count() shouldBe 31L
+      // Hive-style identity transform: the bare categorical column
+      // declares clustering the same way
+      val p3 = Files.createTempDirectory("sqldays").toString + "/t3"
+      spark.sql(s"""CREATE TABLE graft.`$p3`
+        PARTITIONED BY (v, bucket(2, k))
+        AS SELECT * FROM sqldays_src""")
+      GraftTable.declaredClustering(p3) shouldBe Some("v")
+      spark.sql(s"CALL graft.compact(table => '$p3', " +
+        "target_files_per_bucket => 7)").collect()
+      val rep3 = spark.sql(s"CALL graft.skipping_report('$p3', 'v = 3')")
+        .collect().head
+      rep3.getLong(3) should be > rep3.getLong(2) // skipped > kept
+      spark.table(s"graft.`$p3`").filter(col("v") === 3).count() shouldBe
+        (0 until 512).count(_ % 7 == 3).toLong
       // refusals: non-timestamp column; two time transforms
       val p2 = Files.createTempDirectory("sqldays").toString + "/t2"
       intercept[Exception] {
@@ -321,7 +335,7 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
         spark.sql(s"""CREATE TABLE graft.`$p2`
           PARTITIONED BY (days(ts), months(ts), bucket(2, k))
           AS SELECT * FROM sqldays_src""")
-      }.getMessage should include("at most one time transform")
+      }.getMessage should include("at most one time/identity transform")
     }
   }
 
