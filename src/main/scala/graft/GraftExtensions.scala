@@ -412,7 +412,11 @@ object GraftFunctions {
     ("graft_fuzzy_match",
       info("graft_fuzzy_match",
         "graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q]) - every corpus row within maxDist edits of the probe (EXACT, q-gram pruned; refuses probes too short for the pruning bound)"),
-      fuzzyMatchPlan _))
+      fuzzyMatchPlan _),
+    ("graft_fuzzy_names",
+      info("graft_fuzzy_names",
+        "graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q]) - EXACT fuzzy join of two corpus-scale string sets: distinct-name pairs within maxDist edits with pair multiplicities (two-sided rarest-gram prefix index, gram-shuffled, never broadcast)"),
+      fuzzyNamesPlan _))
 
   /** `graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q])`
     * — exact fuzzy (edit-distance) lookup as one SQL call: every row of
@@ -442,6 +446,30 @@ object GraftFunctions {
     graft.operators.FuzzyJoin.join(spark.table(corpus), textCol, Seq(idCol),
         probes, "__probe", "__pid", maxDist, q)
       .drop("__pid")
+      .queryExecution.logical
+  }
+
+  /** `graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q])` —
+    * the big-big fuzzy join ([[graft.operators.FuzzyJoin.joinNames]])
+    * as one SQL call over two SQL-visible tables: every pair of
+    * distinct strings (one per side) within `maxDist` edits, with pair
+    * multiplicities. Output: (name_a, name_b, dist, n_pairs).
+    */
+  private def fuzzyNamesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 6,
+      s"graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q]): " +
+        s"got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_fuzzy_names: $what must be a literal")
+      args(i).eval(null)
+    }
+    val spark = SparkSession.active
+    val maxDist = lit(4, "maxDist").asInstanceOf[Number].intValue()
+    val q = if (args.length == 6) lit(5, "q").asInstanceOf[Number].intValue() else 2
+    graft.operators.FuzzyJoin.joinNames(
+        spark.table(lit(0, "tableA").toString), lit(1, "colA").toString,
+        spark.table(lit(2, "tableB").toString), lit(3, "colB").toString,
+        maxDist, q)
       .queryExecution.logical
   }
 

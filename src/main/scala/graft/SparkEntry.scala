@@ -3349,6 +3349,18 @@ object SparkEntry {
         .orderBy("probe_id", "p_partkey")
     }),
 
+    "text_sql_fuzzy_names_tvf" -> ((s, dir) => {
+      // the big-big fuzzy join as ONE SQL call (graft_fuzzy_names TVF)
+      // — same plan as text_fuzzy_join_big, the SQL surface pinned
+      // against the identical DuckDB replay
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_custkey") % 2 === 0).createOrReplaceTempView("fzn_even")
+      c.filter(col("c_custkey") % 2 === 1).createOrReplaceTempView("fzn_odd")
+      s.sql("SELECT name_a, name_b, dist, n_pairs FROM " +
+          "graft_fuzzy_names('fzn_even', 'c_name', 'fzn_odd', 'c_name', 1)")
+        .orderBy("name_a", "name_b")
+    }),
+
     "text_fuzzy_join_big" -> ((s, dir) => {
       // entity resolution with BOTH sides corpus-scale (no
       // broadcastable probe set — the shape FuzzyJoin.join's serving
@@ -6412,6 +6424,19 @@ object SparkEntry {
                 CAST(levenshtein(p.p_name, pr.probe) AS BIGINT) AS dist
          FROM part p JOIN probes pr ON levenshtein(p.p_name, pr.probe) <= 1
          ORDER BY pr.probe_id, p.p_partkey""",
+
+    // the TVF surface replays the same brute-force cross levenshtein
+    "text_sql_fuzzy_names_tvf" ->
+      """WITH a AS (SELECT c_name, count(*) AS ca FROM customer
+                    WHERE c_custkey % 2 = 0 GROUP BY 1),
+            b AS (SELECT c_name, count(*) AS cb FROM customer
+                    WHERE c_custkey % 2 = 1 GROUP BY 1)
+         SELECT a.c_name AS name_a, b.c_name AS name_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+                CAST(a.ca * b.cb AS BIGINT) AS n_pairs
+         FROM a, b
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY name_a, name_b""",
 
     // big-big fuzzy join: the oracle brute-forces the cross
     // levenshtein over the two distinct-name halves

@@ -274,6 +274,23 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("too few distinct")
   }
 
+  test("graft_fuzzy_names TVF equals the Scala big-big join") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("velvet", "velvit", "walnut", "velvet")
+      .zipWithIndex.map(_.swap).toDF("id", "a").createOrReplaceTempView("fn_a")
+    Seq("velvet", "walnuts", "quartz")
+      .zipWithIndex.map(_.swap).toDF("id", "b").createOrReplaceTempView("fn_b")
+    val got = spark.sql(
+      "SELECT name_a, name_b, dist, n_pairs FROM " +
+        "graft_fuzzy_names('fn_a', 'a', 'fn_b', 'b', 1)")
+      .as[(String, String, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("velvet", "velvet", 0L, 2L),  // 2 copies on side A
+      ("velvit", "velvet", 1L, 1L),
+      ("walnut", "walnuts", 1L, 1L))
+  }
+
   test("all four kernels resolve by name in SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
