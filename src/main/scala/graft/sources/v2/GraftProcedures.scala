@@ -716,6 +716,25 @@ object GraftProcedures {
       GraftHnsw.list(path).foreach(m =>
         idxRow("hnsw", m.name, m.indexedVersion < headNow()) {
           GraftHnsw.refresh(spark, path, m.name); () })
+      // structural debt, RECOMMEND only (each fix is a full rewrite of
+      // derived state — the operator should choose when to pay it):
+      // a text index serving many segments scans every segment's
+      // pruned partitions per query; an HNSW generation dragging many
+      // tombstone files filters every probe against them
+      TextIndex.list(path).foreach { m =>
+        val segs = m.segments.size
+        row("text_index_compact", needed = segs > 8, applied = false,
+          if (segs > 8) s"index '${m.name}' serves $segs segments — " +
+            "run CALL graft.text_index_compact explicitly"
+          else s"index '${m.name}' at $segs segment(s)")
+      }
+      GraftHnsw.list(path).foreach { m =>
+        val tombs = m.tombs.size
+        row("hnsw_rebuild", needed = tombs > 8, applied = false,
+          if (tombs > 8) s"index '${m.name}' filters $tombs tombstone file(s) " +
+            "per probe — run CALL graft.hnsw_rebuild explicitly"
+          else s"index '${m.name}' at $tombs tombstone file(s)")
+      }
       // reclamation: RECOMMEND only — vacuum deletes history and stays
       // its own explicit CALL
       val reclaim = GraftTable.vacuumPlan(path, keepVersions = 1, graceMs).size
