@@ -81,7 +81,19 @@ object Bench {
       }
       var extra = 0
       while (err.isEmpty && reps >= 2 && uncorroborated && extra < 3) {
-        times :+= once(); extra += 1
+        val t = once()
+        if (err.isEmpty) times :+= t
+        else {
+          // a DIAGNOSTIC re-rep crashed after the primary reps all
+          // succeeded: keep the healthy measurements (the row stays
+          // noisy-flagged) — a healing pass must never convert a
+          // measured row into a failure
+          System.err.println(s"[bench] $name: healing rep failed, keeping " +
+            s"${times.size} primary reps (row stays noisy)")
+          err = None
+          extra = 3
+        }
+        extra += 1
       }
       err match {
         case Some(msg) => failures(name) = msg; None

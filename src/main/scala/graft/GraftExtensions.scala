@@ -415,7 +415,7 @@ object GraftFunctions {
       fuzzyMatchPlan _),
     ("graft_fuzzy_names",
       info("graft_fuzzy_names",
-        "graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q]) - EXACT fuzzy join of two corpus-scale string sets: distinct-name pairs within maxDist edits with pair multiplicities (two-sided rarest-gram prefix index, gram-shuffled, never broadcast)"),
+        "graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap]]) - EXACT fuzzy join of two corpus-scale string sets: distinct-name pairs within maxDist edits with pair multiplicities (two-sided rarest-gram prefix index, gram-shuffled, never broadcast; refuses loudly past dfCap hot postings)"),
       fuzzyNamesPlan _))
 
   /** `graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q])`
@@ -449,15 +449,18 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
-  /** `graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q])` —
-    * the big-big fuzzy join ([[graft.operators.FuzzyJoin.joinNames]])
+  /** `graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap]])`
+    * — the big-big fuzzy join ([[graft.operators.FuzzyJoin.joinNames]])
     * as one SQL call over two SQL-visible tables: every pair of
     * distinct strings (one per side) within `maxDist` edits, with pair
-    * multiplicities. Output: (name_a, name_b, dist, n_pairs).
+    * multiplicities. `dfCap` is the hot-prefix-posting refusal bound —
+    * exposed here so a SQL caller can tighten (or, eyes open, widen)
+    * the never-silently-quadratic guard without dropping to the Scala
+    * API. Output: (name_a, name_b, dist, n_pairs).
     */
   private def fuzzyNamesPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 6,
-      s"graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q]): " +
+    require(args.length >= 5 && args.length <= 7,
+      s"graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap]]): " +
         s"got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_fuzzy_names: $what must be a literal")
@@ -465,11 +468,13 @@ object GraftFunctions {
     }
     val spark = SparkSession.active
     val maxDist = lit(4, "maxDist").asInstanceOf[Number].intValue()
-    val q = if (args.length == 6) lit(5, "q").asInstanceOf[Number].intValue() else 2
+    val q = if (args.length >= 6) lit(5, "q").asInstanceOf[Number].intValue() else 2
+    val dfCap = if (args.length == 7) lit(6, "dfCap").asInstanceOf[Number].intValue()
+                else 100000
     graft.operators.FuzzyJoin.joinNames(
         spark.table(lit(0, "tableA").toString), lit(1, "colA").toString,
         spark.table(lit(2, "tableB").toString), lit(3, "colB").toString,
-        maxDist, q)
+        maxDist, q, dfCap)
       .queryExecution.logical
   }
 

@@ -114,7 +114,10 @@ object FuzzyJoin {
     * MANY strings have it among their rarest grams (pathology: a corpus
     * of near-identical short codes). `dfCap` bounds that hot key — if
     * any prefix posting exceeds it the join REFUSES loudly (naming the
-    * grams) rather than silently running a quadratic block; raise q,
+    * grams) rather than silently running a quadratic block (default
+    * 100k postings ⇒ ≤ 10^10 pair rows from one gram, already the
+    * refuse-don't-run regime; the old 10^6 default permitted 10^12 —
+    * far past where the guard should fire); raise q,
     * lower maxDist, or pre-split that head explicitly. Both sides big ⇒
     * the prefix join SHUFFLES on the gram (no broadcast), the scalable
     * shape; same loud refusal for strings too short for the theorem.
@@ -123,7 +126,7 @@ object FuzzyJoin {
     */
   def nearDupNames(corpus: DataFrame, textCol: String,
                    maxDist: Int, q: Int = 2,
-                   dfCap: Int = 1000000): DataFrame = {
+                   dfCap: Int = 100000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val names = corpus.groupBy(col(textCol).as("name"))
       .agg(count(lit(1)).as("__cnt"))
@@ -147,7 +150,13 @@ object FuzzyJoin {
           .orderBy(col("__df"), col("__gram"))))
       .filter(col("__rnk") <= prefixLen)
       .select("name", "__cnt", "__len", "__gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (eager), NOT persist: the postings are read by
+      // the hot-key guard and both sides of the self-join, but a
+      // persist here is never unpersistable (the returned frame depends
+      // on it) and accumulates cached blocks across repeated calls for
+      // the session's lifetime — the Dedup CC-loop discipline instead:
+      // checkpoint blocks self-reclaim when the frame is GC'd
+      .localCheckpoint(true)
     // residual-head guard: refuse (never silently quadratic) if a prefix
     // posting is hotter than the stated cap
     val hot = prefix.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
@@ -189,7 +198,7 @@ object FuzzyJoin {
     */
   def joinNames(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
                 maxDist: Int, q: Int = 2,
-                dfCap: Int = 1000000): DataFrame = {
+                dfCap: Int = 100000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     def side(df: DataFrame, c: String, out: String, cnt: String): DataFrame =
       df.groupBy(col(c).as(out)).agg(count(lit(1)).as(cnt))
@@ -222,7 +231,10 @@ object FuzzyJoin {
             .orderBy(col("__df"), col("__gram"))))
         .filter(col("__rnk") <= prefixLen)
         .drop("__df", "__rnk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // eager localCheckpoint, not persist — see nearDupNames: the
+        // blocks self-reclaim with the frame, so repeated TVF calls
+        // don't accumulate session-lifetime cache entries
+        .localCheckpoint(true)
     val pa = prefixOf(na, "name_a", "__ca")
     val pb = prefixOf(nb, "name_b", "__cb")
     Seq(("left", pa), ("right", pb)).foreach { case (which, p) =>

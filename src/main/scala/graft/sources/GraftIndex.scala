@@ -465,6 +465,31 @@ object GraftIndex {
       .filter(_.isDirectory).map(_.getPath.getName).sorted
       .filter(n => exists(tablePath, n)).map(n => meta(tablePath, n))
 
+  /** Metadata-only count of the IVF family's reclaimable layout debt:
+    * manifest files other than the one meta serves (older committed
+    * generations plus losing-racer / crashed-attempt manifests) and
+    * never-committed orphan generation dirs past the current one —
+    * i.e. what [[vacuum]](keepGens = 1) would act on, counted WITHOUT
+    * touching any data file (two directory listings). The structural-
+    * debt probe `CALL graft.maintain` reports alongside its text-
+    * segment and HNSW-tombstone checks. Legacy (pre-MVCC) indexes
+    * report 0 — nothing is manifest-tracked to reclaim.
+    */
+  def staleGenerations(tablePath: String, name: String = "vec"): Int = {
+    val m = meta(tablePath, name)
+    m.manifestName.fold(0) { cur =>
+      val manifests = GraftTable.MetaIO.list(manifestDir(tablePath, name))
+        .map(_.getPath.getName)
+        .count(n => n.matches("g\\d+(-[0-9a-f]+)?") && n != cur)
+      val curGen = m.gen.get
+      val orphans = GraftTable.MetaIO.list(new Path(dataPath(tablePath, name)))
+        .count(s => s.isDirectory &&
+          s.getPath.getName.matches("g\\d+(-[0-9a-f]+)?") &&
+          s.getPath.getName.drop(1).takeWhile(_.isDigit).toInt > curGen)
+      manifests + orphans
+    }
+  }
+
   def vacuum(tablePath: String, name: String = "vec", keepGens: Int = 1): Int = {
     require(keepGens >= 1, "keepGens must be >= 1")
     val m = meta(tablePath, name)

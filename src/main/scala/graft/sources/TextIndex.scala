@@ -381,6 +381,12 @@ object TextIndex {
     * query term (conjunctive AND). Plan shape: pruned posting scan →
     * one keyed aggregation → TakeOrderedAndProject; no corpus scan, no
     * global window.
+    *
+    * `_q` modes ALWAYS score with the rational idf (quantized integer
+    * sums are only order-independent with it); `idf` may be left at its
+    * "lucene" default or set to "rational" explicitly — any other
+    * combination refuses loudly rather than silently scoring with a
+    * different idf than the caller named.
     */
   def search(spark: SparkSession, tablePath: String, query: String, k: Int,
              name: String = "txt", mode: String = "any", idf: String = "lucene",
@@ -391,6 +397,10 @@ object TextIndex {
     val quantized = mode.endsWith("_q")
     val baseMode = if (quantized) mode.stripSuffix("_q") else mode
     require(baseMode == "any" || baseMode == "all", s"unknown mode '$mode'")
+    require(!quantized || idf == "lucene" || idf == "rational",
+      s"mode '$mode' scores with the rational idf by construction — " +
+        s"idf '$idf' would be silently ignored; drop the _q suffix or " +
+        "leave idf at its default")
     val m = meta(tablePath, name)
     val terms = scoredTerms(spark, tablePath, query, name,
       if (quantized) "rational" else idf, allowStale)

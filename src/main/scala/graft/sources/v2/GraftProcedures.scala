@@ -640,6 +640,30 @@ object GraftProcedures {
     }
   }
 
+  /** The vacuum half of the IVF family's MVCC lifecycle — refresh and
+    * rebuild orphan old generation/model dirs by design; this verb is
+    * their reclamation ([[GraftIndex.vacuum]]), the `text_index_vacuum`
+    * / `hnsw_vacuum` twin the family was missing. keep_gens > 1 keeps
+    * older committed generations servable for probes pinned to them.
+    */
+  private val indexVacuum = new Proc("index_vacuum",
+    Array(in("table", StringType), inDefault("name", StringType, "'vec'"),
+      inDefault("keep_gens", IntegerType, "1")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("files_deleted", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "delete layout data files, generation dirs and model dirs no kept " +
+        "manifest references (post-refresh/rebuild garbage and crashed-" +
+        "attempt orphans); keep_gens = how many committed generations " +
+        "stay servable"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      Array(InternalRow(utf8(name), GraftIndex.vacuum(path, name, reqInt(input, 2))))
+    }
+  }
+
   private val indexDrop = new Proc("index_drop",
     Array(in("table", StringType), inDefault("name", StringType, "'vec'")),
     StructType(Seq(
@@ -735,6 +759,16 @@ object GraftProcedures {
             "per probe — run CALL graft.hnsw_rebuild explicitly"
           else s"index '${m.name}' at $tombs tombstone file(s)")
       }
+      // IVF generation debt: each refresh/rebuild orphans its previous
+      // generation (storage, not probe latency — probes read only the
+      // current manifest), reclaimed by an explicit index_vacuum
+      GraftIndex.list(path).foreach { m =>
+        val gens = GraftIndex.staleGenerations(path, m.name)
+        row("index_vacuum", needed = gens > 8, applied = false,
+          if (gens > 8) s"index '${m.name}' drags $gens stale generation/" +
+            "manifest path(s) — run CALL graft.index_vacuum explicitly"
+          else s"index '${m.name}' at $gens stale generation path(s)")
+      }
       // reclamation: RECOMMEND only — vacuum deletes history and stays
       // its own explicit CALL
       val reclaim = GraftTable.vacuumPlan(path, keepVersions = 1, graceMs).size
@@ -760,7 +794,10 @@ object GraftProcedures {
         "with its indexed column, main tuning param (nlist / nbuckets " +
         "/ m) and staleness; stale = true when the table has commits " +
         "the index hasn't folded (CALL index_refresh / " +
-        "text_index_refresh / hnsw_refresh)"
+        "text_index_refresh / hnsw_refresh). BREAKING since the " +
+        "vector-only report: output columns vec_col/nlist were renamed " +
+        "column/param when the report widened to all three families — " +
+        "consumers reading by the old field names must update"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val head = GraftTable.latestVersion(path)
@@ -1111,7 +1148,7 @@ object GraftProcedures {
   private[v2] val all: Map[String, UnboundProcedure] = Seq(
     compact, vacuum, restoreTo, rebucket, addConstraint, dropConstraint,
     enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
-    indexCreate, indexRefresh, indexDrop, indexesReport,
+    indexCreate, indexRefresh, indexVacuum, indexDrop, indexesReport,
     textIndexCreate, textIndexRefresh, textIndexCompact, textIndexVacuum,
     textIndexDrop, hnswCreate, hnswRefresh, hnswRebuild, hnswVacuum, hnswDrop,
     maintain,

@@ -191,6 +191,17 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Whether the session's CacheManager holds any cached plan — the
+    * observable a no-cache-leak spec needs: a `df.persist()` inside an
+    * operator registers a session-LIFETIME entry here (CacheManager
+    * holds a strong reference, so the blocks never GC), while an eager
+    * `localCheckpoint` does not (its blocks are RDD-level and the
+    * ContextCleaner reclaims them with the frame).
+    */
+  def sessionCacheEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Create-or-get the driver's StateStoreCoordinator RPC endpoint.
     * Streaming queries register it through StreamingQueryManager, but
     * BATCH-mode `transformWithState` plans StateStoreRDDs too and its

@@ -158,6 +158,36 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     want.exists(_._3 == 1L) shouldBe true
   }
 
+  test("repeated fuzzy joins leave NO session-lifetime cache entries") {
+    // r10 persisted the prefix postings without unpersist — every call
+    // (and every graft_fuzzy_names TVF analysis) registered a session-
+    // LIFETIME CacheManager entry. The localCheckpoint rewrite must keep
+    // the CacheManager empty: its blocks are RDD-level and self-reclaim.
+    val rows = (0 until 200).map(i => (i.toLong, s"name${i % 40} suffix${i % 9}"))
+    val a = rows.toDF("id", "s"); val b = rows.toDF("id", "t")
+    org.apache.spark.sql.graftshim.Bridge.sessionCacheEmpty(spark) shouldBe true
+    (1 to 3).foreach { _ =>
+      FuzzyJoin.nearDupNames(a, "s", maxDist = 1, q = 2).collect()
+      FuzzyJoin.joinNames(a, "s", b, "t", maxDist = 1, q = 2).collect()
+      org.apache.spark.sql.graftshim.Bridge.sessionCacheEmpty(spark) shouldBe true
+    }
+  }
+
+  test("SQL TVF graft_fuzzy_names takes dfCap as its optional 7th argument") {
+    GraftFunctions.register(spark)
+    val rows = (0 until 50).map(i => (i.toLong, s"aaaa${i}zzzz"))
+    rows.toDF("id", "s").createOrReplaceTempView("fuzzy_dfcap_t")
+    // pathological shared-rare-grams corpus: the tightened cap refuses
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_fuzzy_names('fuzzy_dfcap_t', 's', " +
+        "'fuzzy_dfcap_t', 's', 1, 2, 10)").collect()
+    }
+    e.getMessage should include("dfCap")
+    // an explicit wide cap runs the same corpus to completion
+    spark.sql("SELECT * FROM graft_fuzzy_names('fuzzy_dfcap_t', 's', " +
+      "'fuzzy_dfcap_t', 's', 1, 2, 100000)").count() should be > 0L
+  }
+
   test("maxDist = 0 is exact-match; empty result when nothing matches") {
     val corpus = Seq((1L, "hello world"), (2L, "hello there")).toDF("id", "s")
     val probes = Seq((7L, "hello world"), (8L, "goodbye all")).toDF("pid", "p")

@@ -254,6 +254,39 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL index_vacuum reclaims stale IVF generations; maintain reports the debt") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_ivac").toString + "/t"
+    def vecs(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, Array((i + 1).toFloat, (i % 7).toFloat, (i % 3).toFloat)))
+      .toDF("k", "emb")
+    GraftTable.create(vecs(0, 200), root, Seq("k"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.index_create('$root', 'emb', 4)").collect()
+      // churn: each refresh orphans the previous generation's manifest
+      // (and the rewritten cells' old files)
+      (1 to 3).foreach { i =>
+        GraftTable.upsert(spark, root, vecs(200 + i * 10, 210 + i * 10))
+        spark.sql(s"CALL graft.index_refresh('$root')").collect()
+      }
+      graft.sources.GraftIndex.staleGenerations(root) shouldBe 3
+      // maintain names the IVF family's structural debt alongside the
+      // text/hnsw rows (recommend-only: reclamation stays explicit)
+      val report = spark.sql(s"CALL graft.maintain('$root')").collect()
+        .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      report.keySet should contain("index_vacuum")
+      report("index_vacuum") shouldBe false // never auto-applied
+      // the explicit verb reclaims; serving stays exact afterwards
+      val del = spark.sql(s"CALL graft.index_vacuum('$root')").collect().head
+      del.getString(0) shouldBe "vec"
+      del.getInt(1) should be > 0
+      graft.sources.GraftIndex.staleGenerations(root) shouldBe 0
+      val hits = graft.sources.GraftIndex.probe(spark, root,
+        Seq(236f, 4f, 1f), k = 1, nprobe = 4, rerankFactor = 1000).collect()
+      hits.head.getLong(0) shouldBe 235L
+    }
+  }
+
   test("CALL text_index_* runs the text-index lifecycle purely through SQL") {
     import spark.implicits._
     val root = Files.createTempDirectory("proc_tidx").toString + "/t"

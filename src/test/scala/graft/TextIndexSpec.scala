@@ -376,6 +376,26 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     got(path, "table", 1).map(_._1) shouldBe Seq(2L)
   }
 
+  test("quantized _q mode refuses an explicit incompatible idf instead of overriding it") {
+    val path = freshTable(20)
+    TextIndex.create(spark, path, "text")
+    // _q always scores with the rational idf: the "lucene" default is
+    // tolerated as unset, "rational" is the truth — anything else would
+    // have been silently ignored in r10 and now refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.search(spark, path, "spark table", 5, mode = "any_q",
+        idf = "bm25plus")
+    }
+    e.getMessage should include("rational idf")
+    // the two compatible spellings produce the identical quantized board
+    val viaDefault = TextIndex.search(spark, path, "spark table", 5, mode = "any_q")
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("score_q")))).toSeq
+    val viaExplicit = TextIndex.search(spark, path, "spark table", 5,
+        mode = "any_q", idf = "rational")
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("score_q")))).toSeq
+    viaExplicit shouldBe viaDefault
+  }
+
   test("rational idf ranks like a scan-side recompute (the oracle's arithmetic)") {
     val path = freshTable(180)
     TextIndex.create(spark, path, "text")
