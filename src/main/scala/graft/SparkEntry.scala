@@ -112,13 +112,15 @@ object SparkEntry {
     * changed rows as new segments and horizon-tombstones the old
     * copies, no existing segment rewritten.
     */
-  private def ghnswFixture(s: SparkSession, dir: String, tag: String): String = {
+  private def ghnswFixture(s: SparkSession, dir: String, tag: String,
+                           storage: String = "float32"): String = {
     val root = indexPath(tag, dir)
     rmTree(root)
     val tbl = s"$root/t"
     val emb = Tables.embeddings(s, dir)
     GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-    GraftHnsw.create(s, tbl, "embedding", m = 8, efConstruction = 64, nSegments = 4)
+    GraftHnsw.create(s, tbl, "embedding", m = 8, efConstruction = 64,
+      nSegments = 4, storage = storage)
     val flipped = emb.filter(col("vec_id") % 97 === 3)
       .withColumn("embedding", transform(col("embedding"), x => -x))
     GraftTable.upsert(s, tbl, flipped)
@@ -129,6 +131,10 @@ object SparkEntry {
 
   private def ghnswServe(s: SparkSession, dir: String, tbl: String): DataFrame =
     GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  private def ghnswSq8Serve(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128, rerankFactor = 4)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
   /** Table-attached text-index fixture over the documents table; when
@@ -3736,6 +3742,19 @@ object SparkEntry {
       ghnswServe(s, dir, ghnswFixture(s, dir, "ghnsw"))
     }),
 
+    "graft_hnsw_sq8" -> ((s, dir) => {
+      // QUANTIZED table-attached HNSW: segments store int8 codes +
+      // per-vector scale (4× fewer serve scan bytes — the dominant
+      // 100 TB cost; the reference's format ships IVF_PQ for the same
+      // reason) and serving is two-stage: quantized walk for a
+      // rerankFactor·k frontier, EXACT rerank from the table's float
+      // column, so emitted scores are exact arithmetic. Same
+      // upsert+delete+refresh lifecycle as graft_hnsw_index.
+      // Approximate walk ⇒ rows-only; float-exactness of the rerank and
+      // the storage layout pinned in GraftHnswSpec/HnswSpec.
+      ghnswSq8Serve(s, dir, ghnswFixture(s, dir, "ghnswq", storage = "sq8"))
+    }),
+
     "graft_index_exhaustive" -> ((s, dir) => {
       // The reference's serving model — hudi_vector_search(TABLE_PATH,…)
       // answers from an index the lakehouse keeps IN SYNC with the table
@@ -4045,6 +4064,9 @@ object SparkEntry {
       "graft_hnsw_index" -> ((
         (s, dir) => { ghnswFixture(s, dir, "ghnsw"); () },
         (s, dir) => ghnswServe(s, dir, at("ghnsw", dir)))),
+      "graft_hnsw_sq8" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswq", storage = "sq8"); () },
+        (s, dir) => ghnswSq8Serve(s, dir, at("ghnswq", dir)))),
       "graft_index_pq_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8); () },
         (s, dir) => gidxPqServe(s, dir, at("gidxpq", dir)))),

@@ -44,17 +44,127 @@ import scala.collection.mutable
   * as `ef` grows but is never guaranteed), so the queries row is
   * rows-only with recall pinned against brute force in HnswSpec —
   * unlike IVF, where nprobe = nlist earns a DuckDB oracle.
+  *
+  * QUANTIZED STORAGE (`storage` = "sq8" | "binary"): at 100 TB the
+  * dominant serve cost is segment SCAN BYTES, and a float32 vector
+  * column is 32 bits/dim of it — the reference's format ships IVF_PQ
+  * for exactly this reason (README.md:40-44, the Lance index types).
+  * With sq8 the segment stores one signed byte/dim plus a per-vector
+  * scale (the [[Quantize]] arithmetic: scale = max|x|/127, code =
+  * floor(x/scale + 0.5) — 4× fewer scan bytes); with binary it stores
+  * packed sign bits (the [[graft.functions.SignPack]] convention,
+  * 32× fewer). The graph is BUILT and WALKED on the reconstructed
+  * vectors (code·scale, resp. ±1), so build and probe see the
+  * identical geometry and probes replay deterministically; scores from
+  * a quantized layout are therefore RANKING scores, and the
+  * table-attached wrapper ([[graft.sources.GraftHnsw]]) exact-reranks
+  * the frontier from the table's float column — the same two-stage
+  * shape as the oracle-proven `vs_topk_hamming_rerank`/`vs_topk_adc_
+  * rerank` expression rows (§2 rows 7d/7g), now applied to the stored
+  * index. Recall vs the float32 layout is pinned in HnswSpec.
   */
 object HnswIndex {
 
   final case class Model(path: String, metric: String, m: Int,
-                         efConstruction: Int, nPartitions: Int)
+                         efConstruction: Int, nPartitions: Int,
+                         storage: String = "float32")
 
-  private val graphSchema = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
-    StructField("links", ArrayType(ArrayType(LongType, containsNull = false),
-      containsNull = false), nullable = false)))
+  private[graft] val storages = Seq("float32", "sq8", "binary")
+
+  /** Per-storage vector payload columns; `links` always comes last.
+    * binary carries the dim per row (the packed words alone can't
+    * distinguish d from the next multiple of 64; 4 RLE'd bytes/row).
+    */
+  private def storageFields(storage: String): Seq[StructField] = storage match {
+    case "float32" => Seq(
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))
+    case "sq8" => Seq(
+      StructField("qvec", BinaryType, nullable = false),
+      StructField("scale", FloatType, nullable = false))
+    case "binary" => Seq(
+      StructField("bits", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("dim", IntegerType, nullable = false))
+    case other => throw new IllegalArgumentException(
+      s"unknown hnsw storage '$other' (one of ${storages.mkString(", ")})")
+  }
+
+  private def graphSchema(storage: String): StructType = StructType(
+    (StructField("id", LongType, nullable = false) +: storageFields(storage)) :+
+      StructField("links", ArrayType(ArrayType(LongType, containsNull = false),
+        containsNull = false), nullable = false))
+
+  // ---- quantization kernels (the Quantize / SignBits arithmetic, on
+  // plain JVM arrays for the imperative build path) ------------------------
+
+  private[graft] def sq8Encode(v: Array[Float]): (Array[Byte], Float) = {
+    var mx = 0.0; var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1
+    }
+    val scale = math.max(mx, 1e-30) / 127.0
+    val out = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble / scale + 0.5).toByte; i += 1
+    }
+    (out, scale.toFloat)
+  }
+
+  private[graft] def sq8Decode(codes: Array[Byte], scale: Float): Array[Float] = {
+    val out = new Array[Float](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = (codes(i).toDouble * scale.toDouble).toFloat; i += 1
+    }
+    out
+  }
+
+  private[graft] def packSigns(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long]((v.length + 63) >>> 6)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) >= 0.0f) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def signDecode(bits: Array[Long], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = if (((bits(i >>> 6) >>> (i & 63)) & 1L) == 1L) 1.0f else -1.0f
+      i += 1
+    }
+    out
+  }
+
+  /** (vector the graph sees, storage payload cells). The graph is built
+    * over the DECODED values — identical floats to what a probe decodes
+    * from the stored payload, so build and serve share one geometry.
+    * Decoded ±1 sign vectors make the float kernels compute exactly the
+    * asymmetric/symmetric quantized scores: ⟨q, sign(v)⟩ is [[graft.
+    * functions.AdcDot]], and distances between two sign vectors are
+    * monotone in Hamming distance — no second kernel needed.
+    */
+  private def quantizeRow(storage: String, v: Array[Float]): (Array[Float], Seq[Any]) =
+    storage match {
+      case "float32" => (v, Seq(v.toSeq))
+      case "sq8" =>
+        val (codes, scale) = sq8Encode(v)
+        (sq8Decode(codes, scale), Seq(codes, scale))
+      case "binary" =>
+        val bits = packSigns(v)
+        (signDecode(bits, v.length), Seq(bits.toSeq, v.length))
+      case other => throw new IllegalArgumentException(s"unknown hnsw storage '$other'")
+    }
+
+  private def decodeRow(storage: String, r: Row): Array[Float] = storage match {
+    case "float32" => r.getSeq[Float](1).toArray
+    case "sq8"     => sq8Decode(r.getAs[Array[Byte]](1), r.getFloat(2))
+    case "binary"  => signDecode(r.getSeq[Long](1).toArray, r.getInt(2))
+    case other     => throw new IllegalArgumentException(s"unknown hnsw storage '$other'")
+  }
 
   /** Internal distance: smaller = better, monotone with the metric's
     * ranking. Left-to-right double accumulation — the house kernel
@@ -260,41 +370,55 @@ object HnswIndex {
     }
   }
 
+  /** Build one segment; `payloads(n)` holds node n's STORAGE cells in
+    * insertion order (the quantized bytes the parquet rows carry).
+    */
   private def buildSegment(metric: String, m: Int, efC: Int, seed: Long,
-                           rows: Iterator[(Long, Array[Float])]): Graph = {
+                           storage: String, rows: Iterator[(Long, Array[Float])])
+      : (Graph, mutable.ArrayBuffer[Seq[Any]]) = {
     val g = new Graph(metric, m, efC, seed)
+    val payloads = mutable.ArrayBuffer.empty[Seq[Any]]
     // deterministic insertion order: sorted by id (partition contents
     // are a hash class — already order-free; the sort pins the build)
-    rows.toArray.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
-    g
+    rows.toArray.sortBy(_._1).foreach { case (id, v) =>
+      val (decoded, payload) = quantizeRow(storage, v)
+      g.insert(id, decoded)
+      payloads += payload
+    }
+    (g, payloads)
   }
 
   /** Build `nPartitions` segment graphs and persist as parquet under
-    * `path/pid=<p>/`. Vectors are stored raw; cosine normalization
-    * happens inside the distance kernel (scores replay from the raw
-    * floats — no quantization to undo).
+    * `path/pid=<p>/`. With `storage = "float32"` vectors are stored
+    * raw (cosine normalization happens inside the distance kernel, so
+    * scores replay from the raw floats — no quantization to undo);
+    * `"sq8"`/`"binary"` store the quantized payload instead and the
+    * graph walks the reconstructed values — see the class docs.
     */
   def build(data: DataFrame, idCol: String, vecCol: String, path: String,
             m: Int = 16, efConstruction: Int = 100, metric: String = "cosine",
-            nPartitions: Int = 4): Model = {
+            nPartitions: Int = 4, storage: String = "float32"): Model = {
     require(m >= 2, s"need m >= 2, got $m")
     require(efConstruction >= m, s"need efConstruction >= m, got $efConstruction")
+    require(storages.contains(storage),
+      s"unknown hnsw storage '$storage' (one of ${storages.mkString(", ")})")
     val spark = data.sparkSession
     val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
-      +: graphSchema.fields.toSeq))
+      +: graphSchema(storage).fields.toSeq))
     val rows = data.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .repartition(nPartitions, col(idCol))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        val g = buildSegment(metric, m, efConstruction, seed = pid.toLong,
+        val (g, payloads) = buildSegment(metric, m, efConstruction,
+          seed = pid.toLong, storage,
           it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
         (0 until g.ids.length).iterator.map { n =>
-          Row(pid, g.ids(n), g.vecs(n).toSeq,
+          Row.fromSeq((pid +: g.ids(n) +: payloads(n)) :+
             g.links(n).toSeq.map(_.map(x => g.ids(x)).toSeq))
         }
       }(enc)
     rows.write.mode("overwrite").partitionBy("pid").parquet(path)
-    val model = Model(path, metric, m, efConstruction, nPartitions)
+    val model = Model(path, metric, m, efConstruction, nPartitions, storage)
     save(spark, model)
     model
   }
@@ -305,14 +429,20 @@ object HnswIndex {
     */
   def save(spark: SparkSession, model: Model): Unit = {
     import spark.implicits._
-    Seq((model.metric, model.m, model.efConstruction, model.nPartitions))
-      .toDF("metric", "m", "ef_construction", "n_partitions").repartition(1)
+    Seq((model.metric, model.m, model.efConstruction, model.nPartitions, model.storage))
+      .toDF("metric", "m", "ef_construction", "n_partitions", "storage").repartition(1)
       .write.mode("overwrite").parquet(s"${model.path}/_model")
   }
 
   def load(spark: SparkSession, path: String): Model = {
-    val r = spark.read.parquet(s"$path/_model").head()
-    Model(path, r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    val df = spark.read.parquet(s"$path/_model")
+    val r = df.head()
+    // pre-quantization layouts have no storage column: float32
+    val storage = if (df.columns.contains("storage"))
+      r.getString(r.fieldIndex("storage")) else "float32"
+    Model(path, r.getString(r.fieldIndex("metric")), r.getInt(r.fieldIndex("m")),
+      r.getInt(r.fieldIndex("ef_construction")),
+      r.getInt(r.fieldIndex("n_partitions")), storage)
   }
 
   /** Existing segment dirs under the layout (one `pid=<n>/` per
@@ -346,10 +476,13 @@ object HnswIndex {
     }
     require(dirs.nonEmpty, s"no segments under ${model.path} — build first")
     val metric = model.metric
+    val storage = model.storage
+    val schema = graphSchema(storage)
+    val linksIdx = schema.length - 1
     val outEnc = Encoders.product[(Long, Long, Double, Int)]
     val locals = dirs.map { dir =>
       val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
-      spark.read.schema(graphSchema).parquet(dir).coalesce(1)
+      spark.read.schema(schema).parquet(dir).coalesce(1)
         .mapPartitions { it =>
           val ids = mutable.ArrayBuffer.empty[Long]
           val vecs = mutable.ArrayBuffer.empty[Array[Float]]
@@ -358,8 +491,8 @@ object HnswIndex {
           val linkIds = mutable.ArrayBuffer.empty[scala.collection.Seq[scala.collection.Seq[Long]]]
           it.foreach { r =>
             ids += r.getLong(0)
-            vecs += r.getSeq[Float](1).toArray
-            linkIds += r.getSeq[scala.collection.Seq[Long]](2)
+            vecs += decodeRow(storage, r)
+            linkIds += r.getSeq[scala.collection.Seq[Long]](linksIdx)
           }
           if (ids.isEmpty) Iterator.empty
           else {
@@ -452,17 +585,18 @@ object HnswIndex {
       .map(d => d.substring(d.lastIndexOf('=') + 1).toInt)
     require(existing.nonEmpty, s"no index under ${model.path} — build first")
     val base = existing.max + 1
-    val (m, efC, metric) = (model.m, model.efConstruction, model.metric)
+    val (m, efC, metric, storage) =
+      (model.m, model.efConstruction, model.metric, model.storage)
     val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
-      +: graphSchema.fields.toSeq))
+      +: graphSchema(storage).fields.toSeq))
     val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .repartition(nNewSegments, col(idCol))
       .mapPartitions { it =>
         val pid = base + TaskContext.getPartitionId()
-        val g = buildSegment(metric, m, efC, seed = pid.toLong,
+        val (g, payloads) = buildSegment(metric, m, efC, seed = pid.toLong, storage,
           it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
         (0 until g.ids.length).iterator.map { n =>
-          Row(pid, g.ids(n), g.vecs(n).toSeq,
+          Row.fromSeq((pid +: g.ids(n) +: payloads(n)) :+
             g.links(n).toSeq.map(_.map(x => g.ids(x)).toSeq))
         }
       }(enc)

@@ -47,6 +47,14 @@ import graft.operators.HnswIndex
   * BUCKET-PRUNED point lookup of the k result keys against the pinned
   * table version (k keys → ≤ k buckets read, never a table scan).
   *
+  * `storage = "sq8" | "binary"` swaps the layout's float32 vectors for
+  * int8 codes / packed sign bits (4×/32× fewer serve scan bytes — the
+  * dominant 100 TB cost; the reference's format ships IVF_PQ for the
+  * same reason) and serving becomes TWO-STAGE: quantized walk for a
+  * rerankFactor·k frontier, exact rerank from the TABLE's float column
+  * (which the table keeps anyway — the index never needs to store
+  * floats). Emitted scores are exact float arithmetic either way.
+  *
   * Approximation is honest: HNSW has no exhaustive mode, so the
   * queries row is rows-only; GraftHnswSpec pins the mutate→refresh→
   * probe lifecycle against brute force at a wide beam (the HnswSpec
@@ -57,7 +65,8 @@ object GraftHnsw {
   final case class HnswMeta(name: String, vecCol: String, keyCol: String,
                             metric: String, m: Int, efConstruction: Int,
                             indexedVersion: Int, gen: Int,
-                            segs: Seq[Int], tombs: Seq[String])
+                            segs: Seq[Int], tombs: Seq[String],
+                            storage: String = "float32")
 
   private def root(tablePath: String, name: String) = s"$tablePath/_hnswidx/$name"
   private def genRoot(tablePath: String, name: String, gen: Int) =
@@ -80,7 +89,8 @@ object GraftHnsw {
     HnswMeta(name, kv("vecCol"), kv("keyCol"), kv("metric"), kv("m").toInt,
       kv("efc").toInt, kv("indexedVersion").toInt, kv("gen").toInt,
       kv("segs").split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
-      kv("tombs").split(",").filter(_.nonEmpty).toSeq)
+      kv("tombs").split(",").filter(_.nonEmpty).toSeq,
+      kv.getOrElse("storage", "float32")) // pre-quantization metas: float32
   }
 
   /** All HNSW indexes on the table (name-sorted metas); unreadable
@@ -95,7 +105,8 @@ object GraftHnsw {
     GraftTable.MetaIO.replaceString(metaPath(tablePath, m.name),
       s"vecCol=${m.vecCol}\nkeyCol=${m.keyCol}\nmetric=${m.metric}\nm=${m.m}\n" +
         s"efc=${m.efConstruction}\nindexedVersion=${m.indexedVersion}\n" +
-        s"gen=${m.gen}\nsegs=${m.segs.mkString(",")}\ntombs=${m.tombs.mkString(",")}")
+        s"gen=${m.gen}\nsegs=${m.segs.mkString(",")}\ntombs=${m.tombs.mkString(",")}\n" +
+        s"storage=${m.storage}")
 
   /** Committed-or-not pids currently on disk for a generation's layout. */
   private def pidsOnDisk(spark: SparkSession, tablePath: String, name: String,
@@ -126,19 +137,28 @@ object GraftHnsw {
   /** Build the index from the table's CURRENT snapshot and record that
     * version. Rows with a null vector are not indexed (they appear if a
     * later upsert fills the vector in).
+    *
+    * `storage` = "float32" (default) | "sq8" | "binary": quantized
+    * layouts store 1 byte/dim resp. 1 bit/dim instead of 4 bytes — the
+    * 100 TB serve-scan-bytes lever — and [[probe]]/[[knnJoin]]
+    * exact-rerank their frontier from the TABLE's float column, so the
+    * emitted scores are always exact-arithmetic scores; only the walk
+    * ranks on reconstructed values.
     */
   def create(spark: SparkSession, tablePath: String, vecCol: String,
              name: String = "hnsw", m: Int = 16, efConstruction: Int = 100,
-             metric: String = "cosine", nSegments: Int = 4): Unit = {
+             metric: String = "cosine", nSegments: Int = 4,
+             storage: String = "float32"): Unit = {
     val v = GraftTable.latestVersion(tablePath)
     require(v >= 0, s"no table at $tablePath")
     require(!exists(tablePath, name), s"hnsw index '$name' already exists at $tablePath")
     val keyCol = keyColOf(tablePath, v)
     val snap = GraftTable.read(spark, tablePath, v).filter(col(vecCol).isNotNull)
     HnswIndex.build(snap, keyCol, vecCol, layoutPath(tablePath, name, 0),
-      m, efConstruction, metric, nSegments)
+      m, efConstruction, metric, nSegments, storage)
     writeMeta(tablePath, HnswMeta(name, vecCol, keyCol, metric, m, efConstruction,
-      v, gen = 0, segs = pidsOnDisk(spark, tablePath, name, 0), tombs = Nil))
+      v, gen = 0, segs = pidsOnDisk(spark, tablePath, name, 0), tombs = Nil,
+      storage = storage))
   }
 
   /** Catch the index up to the table head: the change batch's live rows
@@ -210,7 +230,7 @@ object GraftHnsw {
     val snap = GraftTable.read(spark, tablePath, head).filter(col(m0.vecCol).isNotNull)
     val nSeg = nSegments.getOrElse(math.max(1, m0.segs.length))
     HnswIndex.build(snap, m0.keyCol, m0.vecCol, layoutPath(tablePath, name, newGen),
-      m0.m, m0.efConstruction, m0.metric, nSeg)
+      m0.m, m0.efConstruction, m0.metric, nSeg, m0.storage)
     writeMeta(tablePath, m0.copy(indexedVersion = head, gen = newGen,
       segs = pidsOnDisk(spark, tablePath, name, newGen), tombs = Nil))
   }
@@ -238,7 +258,8 @@ object GraftHnsw {
     */
   def knnJoin(spark: SparkSession, tablePath: String,
               queries: Seq[(Long, Seq[Float])], k: Int, ef: Int,
-              name: String = "hnsw", allowStale: Boolean = false): DataFrame = {
+              name: String = "hnsw", allowStale: Boolean = false,
+              rerankFactor: Int = 4): DataFrame = {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
     import spark.implicits._
@@ -252,11 +273,43 @@ object GraftHnsw {
         .withColumn(m.keyCol, col(m.keyCol).cast(keyType))
         .select("qid", m.keyCol, "score")
     val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
-    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
-      queries.map { case (qid, v) => (qid, v.toArray) }, k, ef, Some(m.segs.toSet))
-    val live = liveCandidates(spark, tablePath, m, cands)
-      .select(col("qid"), col("id").cast(keyType).as(m.keyCol), col("score"))
-    graft.operators.VectorSearch.perQueryTopK(live, "qid", m.keyCol, k, m.metric)
+    if (m.storage == "float32") {
+      val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+        queries.map { case (qid, v) => (qid, v.toArray) }, k, ef, Some(m.segs.toSet))
+      val live = liveCandidates(spark, tablePath, m, cands)
+        .select(col("qid"), col("id").cast(keyType).as(m.keyCol), col("score"))
+      graft.operators.VectorSearch.perQueryTopK(live, "qid", m.keyCol, k, m.metric)
+    } else {
+      // quantized layout: widen the per-(query, segment) frontier, then
+      // exact-score every surviving (qid, key) pair from the table's
+      // float column before the bounded-heap per-query cut — one
+      // bucket-pruned lookup serves ALL queries' candidates (the pair
+      // set is ≤ |Q|·|segs|·rerankFactor·k rows, serving-sized)
+      require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+      val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+      val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+        queries.map { case (qid, v) => (qid, v.toArray) }, kf, ef, Some(m.segs.toSet))
+      val pairs = liveCandidates(spark, tablePath, m, cands)
+        .select("qid", "id").distinct()
+      val frontier = pairs.select("id").distinct().collect().map(_.getLong(0))
+      if (frontier.isEmpty)
+        return Seq.empty[(Long, Long, Double)].toDF("qid", m.keyCol, "score")
+          .withColumn(m.keyCol, col(m.keyCol).cast(keyType))
+          .select("qid", m.keyCol, "score")
+      val qdf = queries.toDF("qid", "__qvec")
+      // select, not withColumn+drop: the table's key may itself be
+      // named "id" (the graph's internal id column name)
+      val probeSide = broadcast(
+        pairs.select(col("qid"), col("id").cast(keyType).as(m.keyCol))
+          .join(qdf, "qid"))
+      val scored = candidateRows(spark, tablePath, m, frontier)
+        .select(col(m.keyCol), col(m.vecCol))
+        .join(probeSide, Seq(m.keyCol))
+        .withColumn("score", graft.operators.VectorSearch.scoreCol(
+          col(m.vecCol), col("__qvec"), m.metric))
+        .select(col("qid"), col(m.keyCol), col("score"))
+      graft.operators.VectorSearch.perQueryTopK(scored, "qid", m.keyCol, k, m.metric)
+    }
   }
 
   /** Continuous maintenance: a Structured Streaming ticker drives
@@ -315,6 +368,28 @@ object GraftHnsw {
     GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
       .withColumn("score", lit(0.0)).drop(m.vecCol)
 
+  /** Bucket-pruned point lookup of candidate keys' FULL table rows
+    * (vector column included) at the pinned version — the exact-rerank
+    * substrate for quantized layouts: n keys → ≤ n bucket reads, never
+    * a table scan.
+    */
+  private def candidateRows(spark: SparkSession, tablePath: String, m: HnswMeta,
+                            ids: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion).getOrElse(
+      throw new IllegalStateException(s"$tablePath: no recorded snapshot schema"))
+    val keyType = sc(m.keyCol).dataType
+    val (_, defaultBuckets, _) = GraftTable.meta(tablePath)
+    val nb = GraftTable.bucketsAt(tablePath, m.indexedVersion, defaultBuckets)
+    val idsDf = ids.toSeq.toDF("__id")
+      .withColumn(m.keyCol, col("__id").cast(keyType)).drop("__id")
+    val buckets = idsDf
+      .select(GraftTable.bucketCol(Seq(m.keyCol), nb).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    GraftTable.readBuckets(spark, tablePath, m.indexedVersion, buckets)
+      .join(broadcast(idsDf), Seq(m.keyCol))
+  }
+
   /** Payload join-back: the k result keys point-look-up their buckets
     * at the PINNED table version (k keys → ≤ k bucket reads, never a
     * scan), and the canonical probe shape comes out — table columns
@@ -344,22 +419,52 @@ object GraftHnsw {
     * recall/cost knob. Fails loudly when the index lags the table
     * unless `allowStale`. Output: full table rows (minus the vector) +
     * score, the [[GraftIndex.probe]] shape.
+    *
+    * Quantized layouts (`storage` sq8/binary) are served TWO-STAGE: the
+    * walk ranks a `rerankFactor`·k frontier per segment on the
+    * reconstructed vectors (the cheap, small-scan-bytes pass), then the
+    * frontier's exact scores come from the TABLE's float column via a
+    * bucket-pruned point lookup and the final k is cut on those — so
+    * emitted scores are always exact float arithmetic, identical in
+    * kind to the float32 layout's (the 7d/7g rerank shape; quantization
+    * costs recall headroom, never score fidelity). `rerankFactor` is
+    * ignored for float32 layouts.
     */
   def probe(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
-            ef: Int, name: String = "hnsw", allowStale: Boolean = false): DataFrame = {
+            ef: Int, name: String = "hnsw", allowStale: Boolean = false,
+            rerankFactor: Int = 4): DataFrame = {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
     if (m.segs.isEmpty) return emptyShaped(spark, tablePath, m)
     val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
-    // fetch k per COMMITTED segment (meta-listed pids only: a crashed
-    // refresh's orphan segment stays invisible), filter dead copies,
-    // then the global cut
-    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
-      Seq((0L, query.toArray)), k, ef, Some(m.segs.toSet))
-    val live = liveCandidates(spark, tablePath, m, cands)
-    val ord = if (m.metric == "l2") asc("score") else desc("score")
-    val top = live.orderBy(ord, asc("id")).limit(k)
-      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
-    joinBack(spark, tablePath, m, top)
+    if (m.storage == "float32") {
+      // fetch k per COMMITTED segment (meta-listed pids only: a crashed
+      // refresh's orphan segment stays invisible), filter dead copies,
+      // then the global cut
+      val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+        Seq((0L, query.toArray)), k, ef, Some(m.segs.toSet))
+      val live = liveCandidates(spark, tablePath, m, cands)
+      val ord = if (m.metric == "l2") asc("score") else desc("score")
+      val top = live.orderBy(ord, asc("id")).limit(k)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      joinBack(spark, tablePath, m, top)
+    } else {
+      require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+      val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+      val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+        Seq((0L, query.toArray)), kf, ef, Some(m.segs.toSet))
+      // frontier is ≤ |segs|·kf ids — serving-sized by construction
+      val frontier = liveCandidates(spark, tablePath, m, cands)
+        .select("id").distinct().collect().map(_.getLong(0))
+      if (frontier.isEmpty) return emptyShaped(spark, tablePath, m)
+      val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion).getOrElse(
+        throw new IllegalStateException(s"$tablePath: no recorded snapshot schema"))
+      val exact = candidateRows(spark, tablePath, m, frontier)
+        .withColumn("score", graft.operators.VectorSearch.scoreCol(
+          col(m.vecCol), typedlit(query), m.metric))
+      val ord = if (m.metric == "l2") asc("score") else desc("score")
+      val canonical = sc.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"
+      exact.orderBy(ord, asc(m.keyCol)).limit(k).select(canonical.map(col): _*)
+    }
   }
 }

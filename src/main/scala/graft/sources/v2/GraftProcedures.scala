@@ -925,19 +925,24 @@ object GraftProcedures {
       inDefault("m", IntegerType, "16"),
       inDefault("ef_construction", IntegerType, "100"),
       inDefault("metric", StringType, "'cosine'"),
-      inDefault("n_segments", IntegerType, "4")),
+      inDefault("n_segments", IntegerType, "4"),
+      inDefault("storage", StringType, "'float32'")),
     StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("indexed_version", IntegerType, nullable = false)))) {
     override def description(): String =
       "build a table-attached HNSW graph index over a vector column " +
-        "from the table's current snapshot (serving via graft_hnsw_search)"
+        "from the table's current snapshot (serving via graft_hnsw_search); " +
+        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) — " +
+        "quantized layouts cut serve scan bytes 4x/32x and probes " +
+        "exact-rerank from the table's float column"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val name = str(input, 2)
       GraftHnsw.create(spark, path, vecCol = str(input, 1), name = name,
         m = reqInt(input, 3), efConstruction = reqInt(input, 4),
-        metric = str(input, 5), nSegments = reqInt(input, 6))
+        metric = str(input, 5), nSegments = reqInt(input, 6),
+        storage = str(input, 7))
       Array(InternalRow(utf8(name), GraftHnsw.meta(path, name).indexedVersion))
     }
   }

@@ -131,6 +131,73 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     ids shouldBe brute(path, q, 8).toSet
   }
 
+  test("sq8 storage: quantized walk + exact rerank recovers the float top-k with exact scores") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8,
+      efConstruction = 64, storage = "sq8")
+    GraftHnsw.meta(path).storage shouldBe "sq8"
+    // the layout stores codes + scale, never a float vector column
+    val segCols = spark.read
+      .parquet(s"$path/_hnswidx/hnsw/g0/layout").columns.toSet
+    segCols should contain allOf ("qvec", "scale")
+    segCols should not contain "vec"
+    val q = vec(7)
+    // ef and rerankFactor·k cover the corpus → the frontier is every
+    // live node, so the exact rerank must equal true float top-k
+    val got = GraftHnsw.probe(spark, path, q, k = 10, ef = 512, rerankFactor = 6)
+    got.columns.toSeq shouldBe Seq("id", "s", "score")
+    got.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      brute(path, q, 10).toSet
+    // emitted scores are EXACT float cosine (not quantized ranking scores)
+    got.collect().foreach { r =>
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  test("binary storage: mutate -> refresh -> rerank lifecycle stays float-exact") {
+    val path = mkTable(50)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8,
+      efConstruction = 64, storage = "binary")
+    // replace 5 vectors, insert 5 new rows, delete 5 rows (the refresh
+    // script of the float test — quantized flushes must obey the same
+    // horizon-tombstone lineage)
+    val ups = (0L until 5L).map(i => (i, vec(i, salt = 9), s"doc$i-v2")) ++
+      (100L until 105L).map(i => (i, vec(i), s"doc$i"))
+    GraftTable.upsert(spark, path, ups.toDF("id", "vec", "s"))
+    GraftTable.delete(spark, path, (20L until 25L).toDF("id"))
+    GraftHnsw.refresh(spark, path) should not be empty
+    val q = vec(3, salt = 9)
+    val got = GraftHnsw.probe(spark, path, q, k = 12, ef = 512, rerankFactor = 8)
+    got.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      brute(path, q, 12).toSet
+    got.collect().foreach { r =>
+      val v = GraftTable.read(spark, path).filter(col("id") === r.getLong(0))
+        .select("vec").head().getSeq[Float](0)
+      r.getDouble(r.fieldIndex("score")) shouldBe cosine(v, q) +- 1e-9
+    }
+    // deleted keys never surface, even through the widened frontier
+    GraftHnsw.probe(spark, path, vec(21), k = 45, ef = 512, rerankFactor = 8)
+      .filter(col("id").between(20L, 24L)).count() shouldBe 0L
+  }
+
+  test("quantized knnJoin: widened frontier + exact rerank equals the float per-query top-k") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8,
+      efConstruction = 64, storage = "sq8")
+    val queries = (0L until 4L).map(i => i -> vec(i * 3 + 1))
+    val got = GraftHnsw.knnJoin(spark, path, queries, k = 5, ef = 512,
+        rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, q) =>
+      val want = brute(path, q, 5).map(_._1).toSet
+      got(qid).map(_._2).toSet shouldBe want
+      got(qid).foreach { case (_, id, s) => s shouldBe cosine(vec(id), q) +- 1e-9 }
+    }
+  }
+
   test("knnJoin serves per-query live top-k: deletes filtered, updates newest-copy") {
     val path = mkTable(40)
     GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)

@@ -354,6 +354,29 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL hnsw_create storage => 'sq8' builds a quantized layout; unknown storage refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_hnswq").toString + "/t"
+    val dim = 8
+    def v(i: Long) = (0 until dim).map(d => math.sin(i * 31.0 + d * 7.0).toFloat)
+    GraftTable.create((0L until 40L).map(i => (i, v(i), s"d$i")).toDF("k", "emb", "s"),
+      root, Seq("k"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.hnsw_create('$root', 'emb', storage => 'sq8')")
+        .collect().head.getString(0) shouldBe "hnsw"
+      graft.sources.GraftHnsw.meta(root).storage shouldBe "sq8"
+      // quantized serving works end-to-end from the SQL-built index
+      val got = graft.sources.GraftHnsw.probe(spark, root, v(7), k = 5,
+        ef = 256, rerankFactor = 8)
+      got.count() shouldBe 5L
+      got.head().getLong(0) shouldBe 7L // self-match survives the rerank
+      intercept[Exception] {
+        spark.sql(s"CALL graft.hnsw_create('$root', 'emb', name => 'h2', " +
+          "storage => 'fp4')").collect()
+      }.getMessage should include("storage")
+    }
+  }
+
   test("CALL indexes reports all three index families with staleness") {
     import spark.implicits._
     val root = Files.createTempDirectory("proc_allidx").toString + "/t"

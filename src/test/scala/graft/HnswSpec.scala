@@ -58,6 +58,86 @@ class HnswSpec extends AnyFunSuite with Matchers {
     g1 shouldBe g2
   }
 
+  test("sq8/binary layouts at a wide beam equal brute force over the RECONSTRUCTED vectors") {
+    // the quantized walk's own geometry is exactly checkable: with
+    // ef = segment size every node is visited, so the probe must equal
+    // brute-force cosine of the FLOAT query against decode(encode(v)) —
+    // quantization costs recall vs float (pinned below), never
+    // correctness vs its own codes
+    def cos(q: Seq[Float], v: Array[Float]): Double = {
+      var dot = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+      while (i < v.length) {
+        val x = q(i).toDouble; val y = v(i).toDouble
+        dot += x * y; nq += x * x; nv += y * y; i += 1
+      }
+      if (nq == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nv))
+    }
+    Seq("sq8", "binary").foreach { storage =>
+      val path = Files.createTempDirectory(s"hnsw_$storage").toString
+      val m = HnswIndex.build(emb, "vec_id", "embedding", path,
+        m = 8, efConstruction = 64, metric = "cosine", nPartitions = 4,
+        storage = storage)
+      val got = HnswIndex.probe(spark, m, "vec_id", query, 10, ef = 500)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = emb.select("vec_id", "embedding").collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val dec =
+          if (storage == "sq8") {
+            val (c, s) = HnswIndex.sq8Encode(v); HnswIndex.sq8Decode(c, s)
+          } else HnswIndex.signDecode(HnswIndex.packSigns(v), v.length)
+        (r.getLong(0), cos(query, dec))
+      }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+      got.map(_._1) shouldBe want.map(_._1)
+      got.map(_._2).zip(want.map(_._2)).foreach { case (g, w) => g shouldBe w +- 1e-9 }
+    }
+  }
+
+  test("quantized layouts store strictly fewer bytes than float32 (the scan-bytes lever)") {
+    def layoutBytes(path: String): Long = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+        else f.length
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("pid="))
+        .map(walk).sum
+    }
+    val sizes = Seq("float32", "sq8", "binary").map { st =>
+      val p = Files.createTempDirectory(s"hnsw_sz_$st").toString
+      HnswIndex.build(emb, "vec_id", "embedding", p, m = 8,
+        efConstruction = 64, metric = "cosine", nPartitions = 4, storage = st)
+      st -> layoutBytes(p)
+    }.toMap
+    withClue(sizes.toString) {
+      sizes("sq8") should be < sizes("float32")
+      sizes("binary") should be < sizes("sq8")
+    }
+  }
+
+  test("sq8 recall@10 vs the FLOAT exact top-10 stays high at a wide beam") {
+    val path = Files.createTempDirectory("hnsw_sq8r").toString
+    val m = HnswIndex.build(emb, "vec_id", "embedding", path, m = 8,
+      efConstruction = 64, metric = "cosine", nPartitions = 4, storage = "sq8")
+    val got = HnswIndex.probe(spark, m, "vec_id", query, 10, ef = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // scale/254 max per-dim error barely moves a 64-dim cosine board
+    (got.intersect(exactTop10.toSet).size.toDouble / 10) should be >= 0.8
+  }
+
+  test("append to a quantized layout flushes quantized segments visible to probes") {
+    val path = Files.createTempDirectory("hnsw_sq8a").toString
+    val m = HnswIndex.build(emb.filter(col("vec_id") < 400L), "vec_id", "embedding",
+      path, m = 8, efConstruction = 64, metric = "cosine", nPartitions = 2,
+      storage = "sq8")
+    HnswIndex.append(spark, m, emb.filter(col("vec_id") >= 400L),
+      "vec_id", "embedding")
+    val q450 = emb.filter(col("vec_id") === 450L).select("embedding")
+      .head().getSeq[Float](0)
+    val got = HnswIndex.probe(spark, m, "vec_id", q450, 5, ef = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got should contain(450L)
+  }
+
   test("query's own vector ranks first with cosine score 1.0") {
     val top = HnswIndex.probe(spark, model, "vec_id", query, 3, ef = 64).head()
     top.getLong(0) shouldBe 0L
