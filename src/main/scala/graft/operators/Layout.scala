@@ -16,21 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** z-value column interleaving `bits` low bits of a and b (a in even
-    * positions). Inputs must already be non-negative ints in
-    * [0, 2^bits); use [[normalized]] for arbitrary ranges.
+  /** N-way z-value column: bit i of dimension j lands at position
+    * i·n + j (round-robin interleave — dimension 0 in the lowest
+    * positions, the natural generalization of the two-way even/odd
+    * split). Inputs must already be non-negative ints in [0, 2^bits);
+    * use [[normalized]] for arbitrary ranges. n·bits must fit the 63
+    * non-sign bits of a long — real tables prune on 3-4 layout
+    * dimensions (ts, tenant, region…), well inside the budget at the
+    * default resolution.
     */
-  def zvalue(a: Column, b: Column, bits: Int = 16): Column = {
+  def zvalueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1, "need at least one dimension")
     require(bits >= 1 && bits <= 31, "1..31 bits per dimension")
-    // widen to long BEFORE shifting: the interleave reaches bit 2*bits+1,
+    require(n.toLong * bits <= 63,
+      s"z-value needs n*bits <= 63 to stay a non-negative long, got $n*$bits — " +
+        "lower bits (resolution halves per extra dimension anyway)")
+    // widen to long BEFORE shifting: the interleave reaches bit n*bits-1,
     // which for int inputs past bit 15 hits the sign bit (z goes negative,
     // wrecking sort locality) or wraps entirely via Java's shift-mod-32
-    val (al, bl) = (a.cast("long"), b.cast("long"))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    val longs = cols.map(_.cast("long"))
+    (for { i <- 0 until bits; (c, j) <- longs.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_.bitwiseOR(_))
   }
+
+  /** Two-way z-value (a in even positions) — [[zvalueN]] at n = 2. */
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column =
+    zvalueN(Seq(a, b), bits)
 
   /** Min/max-normalize into [0, 2^bits) given precomputed stats. */
   private def normWith(c: Column, lo: Double, hi: Double, bits: Int): Column = {
@@ -50,18 +63,43 @@ object Layout {
     else normWith(c, r.getDouble(0), r.getDouble(1), bits)
   }
 
-  /** The rank-normalized z-value column for (a, b) over `df`'s value
-    * ranges — None when the frame is empty or a dimension is all-null
-    * (nothing to spread). ONE lightweight stats scan; the returned
-    * expression is pure codegen (no further jobs).
+  /** The rank-normalized N-way z-value column over `df`'s value ranges.
+    * ONE lightweight stats scan for ALL dimensions; the returned
+    * expression is pure codegen (no further jobs). All-null dimensions
+    * drop out (nothing to spread); None when every dimension is
+    * all-null or the frame is empty. `bits = 0` picks the widest
+    * per-dimension resolution the long budget allows (capped at 16 —
+    * 65k rank buckets per dimension out-resolves any file count).
     */
-  def zcolumn(df: DataFrame, a: String, b: String, bits: Int = 16): Option[Column] = {
-    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
-                   min(col(b)).cast("double"), max(col(b)).cast("double")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) None
-    else Some(zvalue(normWith(col(a), r.getDouble(0), r.getDouble(1), bits),
-                     normWith(col(b), r.getDouble(2), r.getDouble(3), bits), bits))
+  /** Time types have no double cast — rank-normalize them through their
+    * epoch view (micros / days); everything else casts directly.
+    */
+  private def numericView(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case DateType         => unix_date(col(c))
+      case _                => col(c)
+    }
   }
+
+  def zcolumnN(df: DataFrame, cols: Seq[String], bits: Int = 0): Option[Column] = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    val n = cols.length
+    val b = if (bits > 0) bits else math.min(16, 63 / n)
+    val views = cols.map(c => numericView(df, c))
+    val aggs = views.flatMap(v => Seq(min(v).cast("double"), max(v).cast("double")))
+    val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val live = views.zipWithIndex.filter { case (_, i) => !r.isNullAt(2 * i) }
+    if (live.isEmpty) None
+    else Some(zvalueN(live.map { case (v, i) =>
+      normWith(v, r.getDouble(2 * i), r.getDouble(2 * i + 1), b) }, b))
+  }
+
+  /** Two-way [[zcolumnN]] — kept as the common-case signature. */
+  def zcolumn(df: DataFrame, a: String, b: String, bits: Int = 16): Option[Column] =
+    zcolumnN(df, Seq(a, b), bits)
 
   /** Re-cluster `df` on the z-order of (a, b) into `numFiles` range
     * partitions, each internally sorted — ready to write. Stats for

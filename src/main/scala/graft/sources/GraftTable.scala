@@ -2521,14 +2521,20 @@ object GraftTable {
     * writer fails cleanly); follow with [[vacuum]] to reclaim the old
     * dirs.
     */
-  /** `clusterBy = Some((a, b))` additionally Z-ORDERS each bucket's
-    * file on the two columns (Delta/Iceberg OPTIMIZE ZORDER, bucket-
-    * scoped): rows keep their key-hash bucket — the manifest invariant
-    * — but within a file they are sorted by the interleaved-bit
-    * z-value, so parquet row-group min/max stats prune scans filtered
-    * on EITHER dimension. At 100 TB this is the difference between a
-    * time-range query reading one row group per file and reading the
-    * whole table; the stats pass is one extra lightweight agg scan.
+  /** `clusterBy = Some(Seq(a, b, …))` additionally Z-ORDERS each
+    * bucket's files on the N columns (Delta/Iceberg OPTIMIZE ZORDER,
+    * bucket-scoped): rows keep their key-hash bucket — the manifest
+    * invariant — but within a file they are sorted by the
+    * interleaved-bit z-value, so parquet row-group min/max stats prune
+    * scans filtered on ANY clustered dimension. At 100 TB this is the
+    * difference between a time-range query reading one row group per
+    * file and reading the whole table; the stats pass is one extra
+    * lightweight agg scan. Per-dimension resolution is 2^(63/n) rank
+    * buckets — each extra dimension halves the others' pruning
+    * resolution (the z-order trade stated, not hidden), so cluster on
+    * the 2-4 columns queries actually filter on. A SINGLE column is
+    * LINEAR clustering (disjoint per-file ranges — the time layout:
+    * full resolution on that one dimension).
     */
   /** `targetFilesPerBucket` (clustered path only): split each bucket
     * into ~that many files, each covering a narrow z-range — the layout
@@ -2537,7 +2543,7 @@ object GraftTable {
     * it so files land near the FS block size.
     */
   def compact(spark: SparkSession, path: String,
-              clusterBy: Option[(String, String)] = None,
+              clusterBy: Option[Seq[String]] = None,
               targetFilesPerBucket: Int = 1): Unit = {
     require(targetFilesPerBucket >= 1, "need at least one file per bucket")
     val v = latestVersion(path)
@@ -2550,9 +2556,10 @@ object GraftTable {
     // OPTIMIZE against a declared layout, not a per-call choice. An
     // explicit clusterBy always wins; a declared column dropped by
     // ALTER degrades to plain compaction (schema is the truth).
-    val effective = clusterBy.orElse(
+    // Duplicates collapse ((ts, ts) spells the linear layout).
+    val effective = clusterBy.map(_.distinct).filter(_.nonEmpty).orElse(
       declaredClustering(path).filter(snap.schema.fieldNames.contains)
-        .map(c => (c, c)))
+        .map(Seq(_)))
     effective match {
       case None =>
         // plain compaction doubles as the SORTED-layout rewrite: each
@@ -2562,22 +2569,22 @@ object GraftTable {
         // skip the SMJ sorts as well as the shuffle
         writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
           sortWithin = keys, recordSorted = true)
-      case Some((a, b)) if a == b =>
-        // LINEAR clustering on one dimension — `clusterBy (ts, ts)` is
-        // the TIME layout: each bucket's files become disjoint ts
-        // ranges, so a time-range predicate prunes to the matching
-        // slices exactly (a z-interleave with a second column would
-        // dilute the ts resolution by half its bits). This is how a
-        // 100 TB fact table gets days(ts)-partition pruning without a
-        // second physical layout dimension — the manifest's per-file
-        // min/max over narrow slices IS the partition tree, and the
-        // bucket invariant (upserts, point lookups) is untouched.
+      case Some(Seq(a)) =>
+        // LINEAR clustering on one dimension — the TIME layout: each
+        // bucket's files become disjoint ranges of that column, so a
+        // range predicate prunes to the matching slices exactly (a
+        // z-interleave with more columns would divide this column's
+        // resolution). This is how a 100 TB fact table gets
+        // days(ts)-partition pruning without a second physical layout
+        // dimension — the manifest's per-file min/max over narrow
+        // slices IS the partition tree, and the bucket invariant
+        // (upserts, point lookups) is untouched.
         writeVersion(snap.withColumn("__zc", col(a)), path, keys, nbuckets,
           v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"),
           rangeSplit = targetFilesPerBucket)
-      case Some((a, b)) =>
-        graft.operators.Layout.zcolumn(snap, a, b) match {
-          case None => // empty/all-null dimension: plain compaction
+      case Some(dims) =>
+        graft.operators.Layout.zcolumnN(snap, dims) match {
+          case None => // empty/all-null dimensions: plain compaction
             writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
               sortWithin = keys, recordSorted = true)
           case Some(z) =>

@@ -113,17 +113,17 @@ object GraftProcedures {
       StructField("files_after", LongType, nullable = false)))) {
     override def description(): String =
       "rewrite the head snapshot compacted (folds MOR logs/DVs away); " +
-        "zorder_by = 'colA,colB' additionally Z-orders each bucket"
+        "zorder_by = 'colA,colB[,colC...]' additionally Z-orders each " +
+        "bucket (one column = linear clustering; each extra dimension " +
+        "halves the others' pruning resolution)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val cluster = Option.when(!input.isNullAt(1))(str(input, 1)).map { s =>
-        s.split(",").map(_.trim).filter(_.nonEmpty) match {
-          case Array(a) => (a, a) // single column = LINEAR clustering
-          case Array(a, b) => (a, b)
-          case other => throw new IllegalArgumentException(
-            s"zorder_by takes one column (linear) or two 'a,b' (z-order), " +
-              s"got '${other.mkString(",")}'")
-        }
+        val cols = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cols.isEmpty) throw new IllegalArgumentException(
+          "zorder_by must name at least one column ('a' = linear, " +
+            "'a,b[,c...]' = z-order)")
+        cols
       }
       val v0 = GraftTable.latestVersion(path)
       GraftTable.compact(spark, path, cluster, reqInt(input, 2))

@@ -158,7 +158,7 @@ class GraftTableSpec extends AnyFunSuite with Matchers {
     val before = GraftTable.read(spark, path).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
-    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")))
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("x", "y")))
 
     val after = GraftTable.read(spark, path).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

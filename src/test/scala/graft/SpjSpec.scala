@@ -108,7 +108,7 @@ class SpjSpec extends AnyFunSuite with Matchers {
       .withColumn("x", col("k")).withColumn("grp", (col("k") % 100).cast("int")),
       a, Seq("k"), nbuckets = 2)
     // range-split each bucket into 4 x-ordered files so stats can skip
-    GraftTable.compact(spark, a, clusterBy = Some(("x", "x")), targetFilesPerBucket = 4)
+    GraftTable.compact(spark, a, clusterBy = Some(Seq("x")), targetFilesPerBucket = 4)
     withSpjConf {
       // filtered v2 read equals the merging read under the same filter
       val cond = col("x") >= 3500

@@ -107,7 +107,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     before.map { case (_, kept, total) => kept shouldBe total }
     // z-order on (x, y), several files per bucket → each file covers a
     // narrow z-slice, so a range predicate on EITHER dimension skips
-    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 8)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("x", "y")), targetFilesPerBucket = 8)
     val v = GraftTable.latestVersion(path)
     val Some((_, keptX, totalX)) = GraftTable.prunedDataPaths(path, v, Seq(LessThan("x", 8)))
     totalX should be >= 16
@@ -122,9 +122,41 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
         .agg(count(lit(1)), sum("k")).collect()
   }
 
+  test("3-dim z-order: range predicates on ANY of the three dimensions skip files") {
+    val path = Files.createTempDirectory("graft_z3").toString + "/t"
+    val df = spark.range(0, 4096).toDF("k")
+      .withColumn("x", col("k") % 64)
+      .withColumn("y", (col("k") * 7) % 64)
+      .withColumn("z", (col("k") * 13) % 64)
+    GraftTable.create(df, path, Seq("k"), nbuckets = 4)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("x", "y", "z")),
+      targetFilesPerBucket = 8)
+    val v = GraftTable.latestVersion(path)
+    Seq(LessThan("x", 8), GreaterThan("y", 55), LessThan("z", 8)).foreach { f =>
+      val Some((_, kept, total)) = GraftTable.prunedDataPaths(path, v, Seq(f))
+      withClue(s"$f: kept=$kept total=$total") {
+        total should be >= 16
+        kept should be < total
+      }
+    }
+    // the pruned read returns EXACTLY the full-scan answer on every dim
+    Seq(col("x") < 8, col("y") > 55, col("z") < 8).zip(
+      Seq(LessThan("x", 8), GreaterThan("y", 55), LessThan("z", 8))).foreach {
+      case (c, f) =>
+        val pruned = GraftTable.readStatsPruned(spark, path, v, Seq(f)).get
+        pruned.filter(c).agg(count(lit(1)), sum("k")).collect() shouldBe
+          GraftTable.read(spark, path, v).filter(c)
+            .agg(count(lit(1)), sum("k")).collect()
+    }
+    // n·bits past the long budget refuses loudly instead of wrapping
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.zvalueN((1 to 5).map(_ => col("x")), bits = 16)
+    }.getMessage should include("63")
+  }
+
   test("format(\"graft\") reads through the stats-pruned scan stay correct") {
     val path = freshTable()
-    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 8)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("x", "y")), targetFilesPerBucket = 8)
     val viaSource = spark.read.format("graft").load(path)
       .filter(col("x") < 8 && col("y") >= 0).select("k", "x", "s")
     val expected = GraftTable.read(spark, path).filter(col("x") < 8).select("k", "x", "s")
@@ -204,7 +236,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
 
   test("additive schema evolution composes with pruned reads (null padding)") {
     val path = freshTable(n = 512)
-    GraftTable.compact(spark, path, clusterBy = Some(("x", "y")), targetFilesPerBucket = 4)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("x", "y")), targetFilesPerBucket = 4)
     // new column arrives; old files lack it and must read as null
     GraftTable.upsert(spark, path,
       Seq((3L, 3L, 21L, "row-00003", "tagged")).toDF("k", "x", "y", "s", "tag"))
@@ -222,7 +254,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
       .withColumn("v", when(col("k") < 128, col("k")).otherwise(lit(null).cast("long")))
       .withColumn("z", col("k")) // z-cluster on (k, v) splits null/non-null files
     GraftTable.create(df, path, Seq("k"), nbuckets = 2)
-    GraftTable.compact(spark, path, clusterBy = Some(("k", "z")), targetFilesPerBucket = 4)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("k", "z")), targetFilesPerBucket = 4)
     val v = GraftTable.latestVersion(path)
     val Some((_, keptNull, total)) = GraftTable.prunedDataPaths(path, v, Seq(IsNull("v")))
     val Some((_, keptNotNull, _)) = GraftTable.prunedDataPaths(path, v, Seq(IsNotNull("v")))
@@ -239,7 +271,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
       .withColumn("z", col("k"))
     GraftTable.create(df, path, Seq("k"), nbuckets = 2)
     // cluster on (k, z): files become narrow k-slices ⇒ narrow ts-slices
-    GraftTable.compact(spark, path, clusterBy = Some(("k", "z")), targetFilesPerBucket = 4)
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("k", "z")), targetFilesPerBucket = 4)
     val v = GraftTable.latestVersion(path)
     val cutoff = java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(1700000000L + 50L * 86400))
@@ -258,7 +290,7 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     GraftTable.create(df, path, Seq("k"), nbuckets = 2)
     // a == b → LINEAR sort on ts (no z-interleave): files become
     // DISJOINT ts ranges, so a narrow time window keeps ~window/total
-    GraftTable.compact(spark, path, clusterBy = Some(("ts", "ts")),
+    GraftTable.compact(spark, path, clusterBy = Some(Seq("ts")),
       targetFilesPerBucket = 8)
     val v = GraftTable.latestVersion(path)
     val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 100L * 86400))
