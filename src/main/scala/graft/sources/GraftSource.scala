@@ -102,7 +102,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .orElse(parameters.get("queryName")).getOrElse(java.util.UUID.randomUUID.toString)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(scope.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new GraftStreamSink(path, keys, nbuckets, precombine, operation, tag)
+    // option("refreshindexes", "N"): after every Nth committed batch,
+    // refresh EVERY index attached to the table (vector, text, HNSW) —
+    // a CDC-fed table's indexes then track the head with a staleness
+    // window of ≤ N micro-batches, no operator-side streamRefresh loop.
+    // 0 (default) = off: index maintenance stays an explicit concern.
+    val refreshEvery = parameters.get("refreshindexes").map(_.toInt).getOrElse(0)
+    require(refreshEvery >= 0,
+      s"graft sink: refreshindexes must be >= 0 (every Nth batch; 0 = off), got $refreshEvery")
+    new GraftStreamSink(path, keys, nbuckets, precombine, operation, tag, refreshEvery)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -228,10 +236,22 @@ private[sources] class GraftStreamSource(spark: SparkSession, path: String,
 
 /** DSv1 streaming Sink: keyed upsert (or delete) per micro-batch with
   * recorded-batchId replay skipping. See [[GraftSource.createSink]].
+  *
+  * `refreshEvery > 0`: after every Nth committed batch the sink
+  * refreshes ALL attached indexes (all three families), so the table's
+  * serving surfaces follow the stream head. Staleness contract: an
+  * index lags by at most N micro-batches plus the trigger interval —
+  * and the stale-loud probe check still applies in between, so a
+  * reader can never silently serve the gap. A refresh failure fails
+  * the query LOUDLY (house rule); on restart the replayed batch is
+  * marker-skipped and the NEXT refreshing batch folds the whole
+  * backlog — refresh applies (indexedVersion, head], so a missed tick
+  * self-heals, it never leaves a hole.
   */
 private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
                                        nbuckets: Int, precombine: Seq[String],
-                                       operation: String, checkpointTag: String) extends Sink {
+                                       operation: String, checkpointTag: String,
+                                       refreshEvery: Int = 0) extends Sink {
 
   private def batchMarker = new Path(path, s"_sink_batch-$checkpointTag")
 
@@ -269,6 +289,13 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
       GraftTable.create(batch, path, k, nbuckets)
     }
     GraftTable.MetaIO.replaceString(batchMarker, batchId.toString)
+    // opt-in index freshness: refresh folds (indexedVersion, head], so
+    // every tick catches up ALL backlog regardless of missed ticks
+    if (refreshEvery > 0 && batchId % refreshEvery == 0) {
+      GraftIndex.list(path).foreach(m => GraftIndex.refresh(spark, path, m.name))
+      TextIndex.list(path).foreach(m => TextIndex.refresh(spark, path, m.name))
+      GraftHnsw.list(path).foreach(m => GraftHnsw.refresh(spark, path, m.name))
+    }
   }
 
   override def toString: String = s"GraftStreamSink[$path]"

@@ -93,6 +93,50 @@ class GraftStreamingSourceSpec extends AnyFunSuite with Matchers {
     GraftTable.latestVersion(dst) shouldBe 1
   }
 
+  test("sink option refreshindexes keeps ALL attached indexes tracking the stream head") {
+    import graft.sources.{GraftHnsw, GraftIndex, TextIndex}
+    val tmp = Files.createTempDirectory("graft_wsidx").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(d => math.sin(i * 37.0 + d * 11.0).toFloat)
+    // seed table + one index of each family in batch
+    GraftTable.create((0L until 20L).map(i => (i, vec(i), s"alpha doc $i"))
+      .toDF("k", "vec", "text"), dst, Seq("k"), nbuckets = 4)
+    GraftHnsw.create(spark, dst, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    TextIndex.create(spark, dst, "text")
+    GraftIndex.create(spark, dst, "vec", nlist = 4)
+    val in = MemoryStream[(Long, Seq[Float], String)]
+    def runBatch(rows: (Long, Seq[Float], String)*): Unit = {
+      in.addData(rows: _*)
+      val q = in.toDF().toDF("k", "vec", "text")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("checkpointLocation", cp)
+        .option("refreshindexes", "1")
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    runBatch((100L, vec(100), "zebra quark doc"))
+    // every family is CURRENT — no manual refresh, no operator loop
+    val head1 = GraftTable.latestVersion(dst)
+    GraftHnsw.meta(dst).indexedVersion shouldBe head1
+    TextIndex.meta(dst).indexedVersion shouldBe head1
+    GraftIndex.meta(dst).indexedVersion shouldBe head1
+    // and the stale-loud probes serve the NEW row without allowStale
+    GraftHnsw.probe(spark, dst, vec(100), k = 1, ef = 256)
+      .head().getLong(0) shouldBe 100L
+    TextIndex.search(spark, dst, "zebra", 5)
+      .collect().map(_.getLong(0)) should contain(100L)
+    // an UPDATE batch exercises the tombstone/COW refresh paths through
+    // the sink: the old copy dies everywhere
+    runBatch((100L, vec(3), "alpha replaced"))
+    GraftHnsw.meta(dst).indexedVersion shouldBe GraftTable.latestVersion(dst)
+    TextIndex.search(spark, dst, "zebra", 5).count() shouldBe 0L
+    GraftHnsw.probe(spark, dst, vec(100), k = 20, ef = 512)
+      .filter(col("k") === 100L).count() shouldBe 1L // only the new copy
+  }
+
   test("sink after a checkpoint RESET applies the restarted batch 0 instead of dropping it") {
     val tmp = Files.createTempDirectory("graft_wreset").toString
     val dst = s"$tmp/t"; val cp = s"$tmp/cp"
