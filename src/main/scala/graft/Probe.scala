@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main — the measured-evidence companion to [[Bench]]:
+  * each subcommand exercises ONE scale question from SURVEY §6 and
+  * prints compact result lines (grep `PROBE`). Not part of the bench
+  * board: probes build synthetic regimes (widening distinct-name
+  * corpora, storage variants) that the SF tables can't express.
+  *
+  *   runMain graft.Probe fuzzy 250000,1000000   — big-big fuzzy join
+  *     with DISTINCT names growing per side: wall time, prefix-vs-full
+  *     join input, hottest prefix posting (dfCap headroom).
+  *   runMain graft.Probe hnswbytes <sfDir>      — table-attached HNSW
+  *     storage variants: layout bytes, serve latency, top-10 vs the
+  *     float32 layout's exact serve.
+  */
+object Probe {
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Deterministic synthetic entity-name corpus with n DISTINCT names:
+    * two words from a 5k pool (seeded 5-8 char strings) plus a numeric
+    * tail — the regime where names (and their gram postings) GROW with
+    * rows instead of replicating, i.e. the hard case for the prefix
+    * index (FuzzyJoinSpec's widening probe, continued to 1M+).
+    */
+  private def names(spark: SparkSession, n: Long, salt: Int): DataFrame = {
+    val rnd = new scala.util.Random(42 + salt)
+    val pool = (0 until 5000).map { _ =>
+      val len = 5 + rnd.nextInt(4)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val poolLit = typedlit(pool)
+    spark.range(0, n).select(
+      concat(
+        element_at(poolLit, (col("id") % 5000 + 1).cast("int")),
+        lit(" "),
+        element_at(poolLit, ((col("id") * 7919 + 13 + salt) % 5000 + 1).cast("int")),
+        lit(" "),
+        (col("id") / 5000).cast("string")).as("name"))
+  }
+
+  private def fuzzy(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    sizes.foreach { n =>
+      val a = names(spark, n, salt = 0)
+      val b = names(spark, n, salt = 1)
+      // the diagnostic pair volumes (prefix vs full) on side A
+      val (prefixIn, fullIn) =
+        graft.operators.FuzzyJoin.nearDupJoinInputRows(a, "name", maxDist = 1, q = 2)
+      // dfCap headroom: the hottest prefix posting across both sides
+      // (recomputed the way joinNames ranks — union df order)
+      val union = a.select(col("name")).unionByName(b.select(col("name")))
+      val (hot, _) = {
+        val ex = union.distinct()
+          .withColumn("__grams", expr(
+            "CASE WHEN length(name) >= 2 THEN array_distinct(transform(" +
+              "sequence(1, length(name) - 1), i -> substr(name, i, 2))) " +
+              "ELSE array() END"))
+          .select(col("name"), explode(col("__grams")).as("__gram"))
+        val df_ = ex.groupBy("__gram").agg(count(lit(1)).as("__df"))
+        val prefix = ex.join(df_, "__gram")
+          .withColumn("__rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("name")
+              .orderBy(col("__df"), col("__gram"))))
+          .filter(col("__rnk") <= 3)
+        (prefix.groupBy("__gram").agg(count(lit(1)).as("pdf"))
+          .agg(max("pdf")).head().getLong(0), ())
+      }
+      val (matches, secs) = timed {
+        graft.operators.FuzzyJoin.joinNames(a, "name", b, "name", maxDist = 1, q = 2)
+          .count()
+      }
+      println(s"PROBE fuzzy n=$n secs=${f"$secs%.1f"} matches=$matches " +
+        s"prefix_join_input=$prefixIn full_join_input=$fullIn " +
+        s"reduction=${f"${fullIn.toDouble / math.max(1L, prefixIn)}%.1f"}x " +
+        s"max_prefix_posting=$hot dfcap_headroom=${f"${100000.0 / hot}%.1f"}x")
+    }
+  }
+
+  private def hnswBytes(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.{GraftHnsw, GraftTable}
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    def layoutBytes(tbl: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+      val g = new java.io.File(s"$tbl/_hnswidx/hnsw/g0/layout")
+      g.listFiles.filter(f => f.isDirectory && f.getName.startsWith("pid="))
+        .map(walk).sum
+    }
+    val exact = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    Seq("float32", "sq8", "binary").foreach { st =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_probe_hnsw_$st"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tbl = s"$root/t"
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      val (_, buildS) = timed {
+        GraftHnsw.create(spark, tbl, "embedding", m = 8, efConstruction = 64,
+          nSegments = 4, storage = st)
+      }
+      val serveS = (1 to 5).map { _ =>
+        timed {
+          GraftHnsw.probe(spark, tbl, q, 10, ef = 128, rerankFactor = 4)
+            .queryExecution.toRdd.count()
+        }._2
+      }.min
+      val top = GraftHnsw.probe(spark, tbl, q, 10, ef = 128, rerankFactor = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      exact(st) = top
+      val rec = exact.get("float32").fold(-1.0)(f =>
+        top.toSet.intersect(f.toSet).size.toDouble / f.size)
+      println(s"PROBE hnswbytes storage=$st layout_bytes=${layoutBytes(tbl)} " +
+        s"build_s=${f"$buildS%.1f"} serve_s=${f"$serveS%.2f"} " +
+        s"recall_vs_float=${f"$rec%.2f"}")
+    }
+  }
+
+  /** z-order vs hilbert on the 3-dim orders layout: files kept/skipped
+    * per dimension (the scan's own keep rule) + per-dim file-span
+    * percentiles — the §6 evidence behind the `lakehouse_*3_prune`
+    * rows' curve choice.
+    */
+  private def curves(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.GraftTable
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, Filter}
+    val orders = Tables.orders(spark, sfDir)
+    val rr = orders.agg(min("o_totalprice"), max("o_totalprice"),
+      min("o_custkey"), max("o_custkey")).head()
+    val priceCut = rr.getDouble(0) + (rr.getDouble(1) - rr.getDouble(0)) / 20.0
+    val custCut = rr.getLong(2) + (rr.getLong(3) - rr.getLong(2)) / 20
+    val preds: Seq[(String, Seq[Filter])] = Seq(
+      ("date2mo", Seq(
+        GreaterThanOrEqual("o_orderdate", java.sql.Timestamp.valueOf("1999-06-01 00:00:00")),
+        LessThan("o_orderdate", java.sql.Timestamp.valueOf("1999-08-01 00:00:00")))),
+      ("price5pct", Seq(LessThan("o_totalprice", priceCut))),
+      ("cust5pct", Seq(LessThan("o_custkey", custCut))))
+    Seq("zorder", "hilbert").foreach { curve =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_probe_curve_$curve"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tbl = s"$root/t"
+      GraftTable.create(orders, tbl, Seq("o_orderkey"), nbuckets = 2)
+      val (_, secs) = timed {
+        GraftTable.compact(spark, tbl,
+          clusterBy = Some(Seq("o_orderdate", "o_totalprice", "o_custkey")),
+          targetFilesPerBucket = 256, curve = curve)
+      }
+      val v = GraftTable.latestVersion(tbl)
+      val kept = preds.map { case (name, fs) =>
+        val Some((_, k, t)) = GraftTable.prunedDataPaths(tbl, v, fs)
+        s"$name=$k/$t"
+      }.mkString(" ")
+      println(s"PROBE curves curve=$curve compact_s=${f"$secs%.1f"} kept[$kept]")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors)}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "fuzzy" :: rest =>
+        val sizes = rest.headOption.getOrElse("250000,1000000")
+          .split(",").map(_.trim.toLong).toSeq
+        fuzzy(spark, sizes)
+      case "hnswbytes" :: rest =>
+        hnswBytes(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case "curves" :: rest =>
+        curves(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes)")
+    }
+    spark.stop()
+  }
+}

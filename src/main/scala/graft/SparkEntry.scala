@@ -137,6 +137,69 @@ object SparkEntry {
     GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128, rerankFactor = 4)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
+  /** Shared body of the two 3-dim clustering oracle rows: build a
+    * 3-dim-clustered orders table with the given curve, ENFORCE
+    * per-dimension pruning via skipping_report, serve the date-window
+    * aggregate. See the `lakehouse_zorder3_prune` row comment.
+    */
+  private def cluster3Prune(s: SparkSession, dir: String, curve: String): DataFrame = {
+
+      // N-DIMENSIONAL Z-ORDER (SURVEY §5): compact(clusterBy) takes
+      // 1..N columns — bit i of dimension j interleaves at position
+      // i·n + j, rank-normalized from ONE stats pass, 63/n bits of
+      // resolution per dimension (each extra dimension halves the
+      // others' pruning power — the stated trade). The row z-orders
+      // orders on THREE dimensions (date, price, customer) and
+      // ENFORCES — via the scan's own keep rule, skipping_report —
+      // that a narrow range on EACH dimension skips more files than it
+      // keeps; DuckDB replays the served date-window aggregate over
+      // the raw parquet.
+      val tmp = s"${indexPath(s"c3prune_$curve", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
+      val path = s"$tmp/t"
+      // file-split arithmetic, stated: the z range-split is PER BUCKET
+      // and consumes z's top bits round-robin from the LAST dimension,
+      // so each dimension gets ~log2(filesPerBucket)/n aligned split
+      // bits, PLUS quantile boundaries ignore cell edges — a file
+      // straddling a high z-rollover (…0111→1000…) inherits a wide
+      // span in every lower-interleaved dimension (measured here:
+      // median file date-span ~24% of range at 256 files/bucket).
+      // MORE slices shrink the polluted fraction, so the exhibit uses
+      // few big buckets and many z-slices; the kept fraction for a
+      // ~2% one-dim window lands near 30%, not near 2% — the stated
+      // z-vs-Hilbert trade (§5).
+      GraftTable.create(Tables.orders(s, dir), path, Seq("o_orderkey"), nbuckets = 2)
+      GraftTable.compact(s, path,
+        clusterBy = Some(Seq("o_orderdate", "o_totalprice", "o_custkey")),
+        targetFilesPerBucket = 256, curve = curve)
+      val datePred = "o_orderdate >= timestamp'1999-06-01 00:00:00' AND " +
+        "o_orderdate < timestamp'1999-08-01 00:00:00'"
+      // price/custkey enforcement thresholds derive from the DATA range
+      // (5% slabs) so the row holds at every SF; only the fixed date
+      // window reaches the oracle'd output query
+      val rr = Tables.orders(s, dir)
+        .agg(min("o_totalprice"), max("o_totalprice"),
+          min("o_custkey"), max("o_custkey")).head()
+      val priceCut = rr.getDouble(0) + (rr.getDouble(1) - rr.getDouble(0)) / 20.0
+      val custCut = rr.getLong(2) + (rr.getLong(3) - rr.getLong(2)) / 20
+      val preds = Seq(datePred, s"o_totalprice < $priceCut", s"o_custkey < $custCut")
+      val out = withGraftCatalog(s) {
+        preds.foreach { p =>
+          val rep = s.sql(s"CALL graft.skipping_report('$path', " +
+            s"'${p.replace("'", "''")}')").collect().head
+          val (kept, skipped) = (rep.getLong(2), rep.getLong(3))
+          require(skipped > kept,
+            s"3-dim $curve stopped pruning on [$p]: kept=$kept " +
+              s"skipped=$skipped — the interleave or stats regressed")
+        }
+        s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
+            CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+          FROM graft.`$path` WHERE $datePred
+          GROUP BY o_orderstatus""").localCheckpoint()
+      }
+      rmTree(tmp)
+      out.orderBy("o_orderstatus")
+      }
+
   /** Table-attached text-index fixture over the documents table; when
     * `appendText` is set, %37==5 docs get the suffix appended (upsert),
     * %41==3 docs are deleted, and the index is refreshed. Returns the
@@ -1543,62 +1606,18 @@ object SparkEntry {
       out.orderBy("event_type")
     }),
 
-    "lakehouse_zorder3_prune" -> ((s, dir) => {
-      // N-DIMENSIONAL Z-ORDER (SURVEY §5): compact(clusterBy) takes
-      // 1..N columns — bit i of dimension j interleaves at position
-      // i·n + j, rank-normalized from ONE stats pass, 63/n bits of
-      // resolution per dimension (each extra dimension halves the
-      // others' pruning power — the stated trade). The row z-orders
-      // orders on THREE dimensions (date, price, customer) and
-      // ENFORCES — via the scan's own keep rule, skipping_report —
-      // that a narrow range on EACH dimension skips more files than it
-      // keeps; DuckDB replays the served date-window aggregate over
-      // the raw parquet.
-      val tmp = s"${indexPath("z3prune", dir)}_${java.util.UUID.randomUUID.toString.take(8)}"
-      val path = s"$tmp/t"
-      // file-split arithmetic, stated: the z range-split is PER BUCKET
-      // and consumes z's top bits round-robin from the LAST dimension,
-      // so each dimension gets ~log2(filesPerBucket)/n aligned split
-      // bits, PLUS quantile boundaries ignore cell edges — a file
-      // straddling a high z-rollover (…0111→1000…) inherits a wide
-      // span in every lower-interleaved dimension (measured here:
-      // median file date-span ~24% of range at 256 files/bucket).
-      // MORE slices shrink the polluted fraction, so the exhibit uses
-      // few big buckets and many z-slices; the kept fraction for a
-      // ~2% one-dim window lands near 30%, not near 2% — the stated
-      // z-vs-Hilbert trade (§5).
-      GraftTable.create(Tables.orders(s, dir), path, Seq("o_orderkey"), nbuckets = 2)
-      GraftTable.compact(s, path,
-        clusterBy = Some(Seq("o_orderdate", "o_totalprice", "o_custkey")),
-        targetFilesPerBucket = 256)
-      val datePred = "o_orderdate >= timestamp'1999-06-01 00:00:00' AND " +
-        "o_orderdate < timestamp'1999-08-01 00:00:00'"
-      // price/custkey enforcement thresholds derive from the DATA range
-      // (5% slabs) so the row holds at every SF; only the fixed date
-      // window reaches the oracle'd output query
-      val rr = Tables.orders(s, dir)
-        .agg(min("o_totalprice"), max("o_totalprice"),
-          min("o_custkey"), max("o_custkey")).head()
-      val priceCut = rr.getDouble(0) + (rr.getDouble(1) - rr.getDouble(0)) / 20.0
-      val custCut = rr.getLong(2) + (rr.getLong(3) - rr.getLong(2)) / 20
-      val preds = Seq(datePred, s"o_totalprice < $priceCut", s"o_custkey < $custCut")
-      val out = withGraftCatalog(s) {
-        preds.foreach { p =>
-          val rep = s.sql(s"CALL graft.skipping_report('$path', " +
-            s"'${p.replace("'", "''")}')").collect().head
-          val (kept, skipped) = (rep.getLong(2), rep.getLong(3))
-          require(skipped > kept,
-            s"3-dim z-order stopped pruning on [$p]: kept=$kept " +
-              s"skipped=$skipped — the interleave or stats regressed")
-        }
-        s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
-            CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
-          FROM graft.`$path` WHERE $datePred
-          GROUP BY o_orderstatus""").localCheckpoint()
-      }
-      rmTree(tmp)
-      out.orderBy("o_orderstatus")
-    }),
+    "lakehouse_zorder3_prune" -> ((s, dir) => cluster3Prune(s, dir, "zorder")),
+
+    "lakehouse_hilbert3_prune" -> ((s, dir) =>
+      // the CONTINUOUS-curve variant of the 3-dim layout (SURVEY §5):
+      // same table, same enforced per-dimension pruning, but the files
+      // are contiguous HILBERT ranges — connected blobs with no
+      // rollover-polluted spans (functions/Hilbert.scala; the Delta
+      // liquid-clustering upgrade over OPTIMIZE ZORDER). HilbertSpec
+      // pins the curve itself (exhaustive Hamiltonian unit-step path)
+      // and the tighter-tail span comparison vs z-order.
+      cluster3Prune(s, dir, "hilbert")),
+
 
     "lakehouse_runtime_prune" -> ((s, dir) => {
       // Runtime (dynamic) pruning end-to-end: a fact ⋈ filtered-dim
@@ -5337,9 +5356,18 @@ object SparkEntry {
            AND ts < TIMESTAMP '2024-01-12 00:00:00'
          GROUP BY event_type ORDER BY event_type""",
 
-    // 3-dim z-order: pruning on each dimension is enforced in-row
-    // (skipping_report); DuckDB replays the date-window aggregate
+    // 3-dim z-order / hilbert clustering: pruning on each dimension is
+    // enforced in-row (skipping_report); DuckDB replays the date-window
+    // aggregate — the layout must be invisible in the result
     "lakehouse_zorder3_prune" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-08-01 00:00:00'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "lakehouse_hilbert3_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
          FROM orders

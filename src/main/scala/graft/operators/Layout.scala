@@ -101,6 +101,35 @@ object Layout {
   def zcolumn(df: DataFrame, a: String, b: String, bits: Int = 16): Option[Column] =
     zcolumnN(df, Seq(a, b), bits)
 
+  /** [[zcolumnN]]'s HILBERT twin: same one-pass rank normalization,
+    * but the curve is continuous — consecutive cells differ by one
+    * step in ONE dimension, so a contiguous per-file range of h-values
+    * is a connected blob with per-dimension span ~(cells)^(1/n),
+    * instead of the z-curve's rollover-straddling files whose min/max
+    * smear across lower-interleaved dimensions (measured: z's median
+    * file date-span ~24 % of range on 3-dim orders; see
+    * [[graft.functions.Hilbert]]). Same all-null-dimension drop; a
+    * single live dimension degenerates to the identity (linear) curve
+    * in both variants.
+    */
+  def hcolumnN(df: DataFrame, cols: Seq[String], bits: Int = 0): Option[Column] = {
+    require(cols.nonEmpty, "need at least one cluster column")
+    val n = cols.length
+    val b = if (bits > 0) bits else math.min(16, 63 / n)
+    val views = cols.map(c => numericView(df, c))
+    val aggs = views.flatMap(v => Seq(min(v).cast("double"), max(v).cast("double")))
+    val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val live = views.zipWithIndex.filter { case (_, i) => !r.isNullAt(2 * i) }
+    if (live.isEmpty) None
+    else {
+      val coords = live.map { case (v, i) =>
+        normWith(v, r.getDouble(2 * i), r.getDouble(2 * i + 1), b) }
+      Some(org.apache.spark.sql.graftshim.Bridge.column(
+        graft.functions.HilbertIndex(
+          org.apache.spark.sql.graftshim.Bridge.expression(array(coords: _*)), b)))
+    }
+  }
+
   /** Re-cluster `df` on the z-order of (a, b) into `numFiles` range
     * partitions, each internally sorted — ready to write. Stats for
     * both dimensions come from ONE agg scan.

@@ -2542,10 +2542,21 @@ object GraftTable {
     * (row-group pruning inside the file still applies); at 100 TB pick
     * it so files land near the FS block size.
     */
+  /** `curve` (multi-column clustering only): `"zorder"` (default) or
+    * `"hilbert"` — the continuous curve whose contiguous per-file
+    * ranges stay connected blobs (no rollover-straddling files with
+    * smeared min/max; see [[graft.functions.Hilbert]]). Hilbert costs
+    * O(n·bits) integer ops per row at write time vs z's pure bit-OR
+    * chain — both are compaction-time-only; probes read the same
+    * manifest stats either way.
+    */
   def compact(spark: SparkSession, path: String,
               clusterBy: Option[Seq[String]] = None,
-              targetFilesPerBucket: Int = 1): Unit = {
+              targetFilesPerBucket: Int = 1,
+              curve: String = "zorder"): Unit = {
     require(targetFilesPerBucket >= 1, "need at least one file per bucket")
+    require(curve == "zorder" || curve == "hilbert",
+      s"unknown clustering curve '$curve' (zorder | hilbert)")
     val v = latestVersion(path)
     require(v >= 0, s"no table at $path")
     val (keys, defaultBuckets, _) = meta(path)
@@ -2583,7 +2594,10 @@ object GraftTable {
           v + 1, carryOver = Map.empty, sortWithin = Seq("__zc"),
           rangeSplit = targetFilesPerBucket)
       case Some(dims) =>
-        graft.operators.Layout.zcolumnN(snap, dims) match {
+        val cluster =
+          if (curve == "hilbert") graft.operators.Layout.hcolumnN(snap, dims)
+          else graft.operators.Layout.zcolumnN(snap, dims)
+        cluster match {
           case None => // empty/all-null dimensions: plain compaction
             writeVersion(snap, path, keys, nbuckets, v + 1, carryOver = Map.empty,
               sortWithin = keys, recordSorted = true)

@@ -105,7 +105,8 @@ object GraftProcedures {
   private val compact = new Proc("compact",
     Array(in("table", StringType),
       inDefault("zorder_by", StringType, "NULL"),
-      inDefault("target_files_per_bucket", IntegerType, "1")),
+      inDefault("target_files_per_bucket", IntegerType, "1"),
+      inDefault("curve", StringType, "'zorder'")),
     StructType(Seq(
       StructField("version_before", IntegerType, nullable = false),
       StructField("version_after", IntegerType, nullable = false),
@@ -113,20 +114,21 @@ object GraftProcedures {
       StructField("files_after", LongType, nullable = false)))) {
     override def description(): String =
       "rewrite the head snapshot compacted (folds MOR logs/DVs away); " +
-        "zorder_by = 'colA,colB[,colC...]' additionally Z-orders each " +
+        "zorder_by = 'colA,colB[,colC...]' additionally clusters each " +
         "bucket (one column = linear clustering; each extra dimension " +
-        "halves the others' pruning resolution)"
+        "halves the others' pruning resolution); curve = 'zorder' | " +
+        "'hilbert' (continuous curve, no rollover-polluted file spans)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val cluster = Option.when(!input.isNullAt(1))(str(input, 1)).map { s =>
         val cols = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (cols.isEmpty) throw new IllegalArgumentException(
           "zorder_by must name at least one column ('a' = linear, " +
-            "'a,b[,c...]' = z-order)")
+            "'a,b[,c...]' = z-order/hilbert)")
         cols
       }
       val v0 = GraftTable.latestVersion(path)
-      GraftTable.compact(spark, path, cluster, reqInt(input, 2))
+      GraftTable.compact(spark, path, cluster, reqInt(input, 2), str(input, 3))
       val v1 = GraftTable.latestVersion(path)
       Array(InternalRow(v0, v1, fileCount(path, v0), fileCount(path, v1)))
     }

@@ -165,6 +165,10 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     // the CacheManager empty: its blocks are RDD-level and self-reclaim.
     val rows = (0 until 200).map(i => (i.toLong, s"name${i % 40} suffix${i % 9}"))
     val a = rows.toDF("id", "s"); val b = rows.toDF("id", "t")
+    // the session is shared across suites and other specs legitimately
+    // .cache() fixtures — start from a clean slate so the assertion
+    // isolates THIS operator's behavior
+    spark.catalog.clearCache()
     org.apache.spark.sql.graftshim.Bridge.sessionCacheEmpty(spark) shouldBe true
     (1 to 3).foreach { _ =>
       FuzzyJoin.nearDupNames(a, "s", maxDist = 1, q = 2).collect()
