@@ -88,13 +88,15 @@ object SparkEntry {
     */
   private def gidxFixture(s: SparkSession, dir: String, tag: String,
                           kind: String = "ivf", m: Int = 8, opq: Boolean = false,
-                          mutations: String = "both"): String = {
+                          mutations: String = "both",
+                          storage: String = "float32"): String = {
     val root = indexPath(tag, dir)
     rmTree(root)
     val tbl = s"$root/t"
     val emb = Tables.embeddings(s, dir)
     GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
-    GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = kind, m = m, opq = opq)
+    GraftIndex.create(s, tbl, "embedding", nlist = 16, kind = kind, m = m, opq = opq,
+      storage = storage)
     if (mutations != "none") {
       val flipped = emb.filter(col("vec_id") % 97 === 3)
         .withColumn("embedding", transform(col("embedding"), x => -x))
@@ -299,9 +301,24 @@ object SparkEntry {
     GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
-  private def gidxPqServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+  /** Exhaustive rerank serve — nprobe = nlist + corpus-covering rerank
+    * ⇒ exact for BOTH the ivfpq kind (ADC candidates) and the
+    * quantized-storage ivf kind (sq8/binary candidates): two-stage
+    * serving converges to brute force when the frontier covers the
+    * corpus, which is what earns these rows their DuckDB oracle.
+    */
+  private def gidxRerankServe(s: SparkSession, dir: String, tbl: String): DataFrame =
     GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 16,
         rerankFactor = Int.MaxValue)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  /** The honest quantized serving shape: PARTIAL nprobe + bounded
+    * rerank — approximate by construction (rows-only; exactness at
+    * exhaustive settings is the oracle row above, recall at partial
+    * settings pinned in GraftIndexSpec).
+    */
+  private def gidxBinServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftIndex.probe(s, tbl, queryVec(s, dir, 0L), 10, nprobe = 8, rerankFactor = 4)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
   private def gidxKnnServe(s: SparkSession, tbl: String): DataFrame = {
@@ -3851,7 +3868,29 @@ object SparkEntry {
       // exhaustive probe with a corpus-covering re-rank is exact
       // regardless of code quality, so the encode-on-refresh machinery
       // gets its own hard oracle row
-      gidxPqServe(s, dir, gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8))
+      gidxRerankServe(s, dir, gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8))
+    }),
+
+    "graft_index_sq8_exhaustive" -> ((s, dir) => {
+      // QUANTIZED storage inside the table-attached IVF family (the
+      // GraftHnsw sq8 twin): cells store int8 codes + per-vector scale
+      // instead of float32 — 4× fewer serve scan bytes, THE 100 TB
+      // cost — and serving is two-stage (quantized frontier, exact
+      // rerank from the table's float column). Same mutate→refresh
+      // lifecycle as graft_index_exhaustive; nprobe = nlist with a
+      // corpus-covering rerank ⇒ exact regardless of code quality, so
+      // the quantize-on-build + quantize-on-refresh machinery earns a
+      // hard DuckDB oracle row.
+      gidxRerankServe(s, dir, gidxFixture(s, dir, "gidxq8", storage = "sq8"))
+    }),
+
+    "graft_index_binary" -> ((s, dir) => {
+      // the 1-bit storage variant at HONEST partial settings: packed
+      // sign bits (32× fewer scan bytes), nprobe = nlist/2, bounded
+      // rerank — approximate by construction ⇒ rows-only; exhaustive
+      // exactness is pinned by the sq8 oracle row's shared code path
+      // and GraftIndexSpec's binary-vs-brute-force recall floor.
+      gidxBinServe(s, dir, gidxFixture(s, dir, "gidxbin", storage = "binary"))
     }),
 
     "graft_index_knn_exhaustive" -> ((s, dir) => {
@@ -4145,7 +4184,13 @@ object SparkEntry {
         (s, dir) => ghnswSq8Serve(s, dir, at("ghnswq", dir)))),
       "graft_index_pq_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8); () },
-        (s, dir) => gidxPqServe(s, dir, at("gidxpq", dir)))),
+        (s, dir) => gidxRerankServe(s, dir, at("gidxpq", dir)))),
+      "graft_index_sq8_exhaustive" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxq8", storage = "sq8"); () },
+        (s, dir) => gidxRerankServe(s, dir, at("gidxq8", dir)))),
+      "graft_index_binary" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxbin", storage = "binary"); () },
+        (s, dir) => gidxBinServe(s, dir, at("gidxbin", dir)))),
       "graft_index_knn_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true); () },
         (s, dir) => gidxKnnServe(s, at("gidxknn", dir)))),
@@ -4331,6 +4376,26 @@ object SparkEntry {
     "list_inner_product(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))"
   private val l20 =
     "list_distance(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))"
+
+  /** brute force over the post-mutation corpus (negated vectors for
+    * %97==3, %101==7 deleted) — shared by the float32 and sq8-storage
+    * exhaustive table-attached-index rows, whose serves must BOTH
+    * equal it exactly.
+    */
+  private val gidxMutatedOracle: String =
+    """WITH corpus AS (
+         SELECT vec_id, label,
+                CASE WHEN vec_id % 97 = 3
+                     THEN list_transform(embedding::DOUBLE[], x -> -x)
+                     ELSE embedding::DOUBLE[] END AS e
+         FROM embeddings WHERE vec_id % 101 <> 7),
+       scored AS (
+         SELECT vec_id, label,
+                list_cosine_similarity(e,
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+         FROM corpus)
+       SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+       FROM scored ORDER BY s DESC, vec_id LIMIT 10"""
 
   /** both retrieval legs brute-forced over the joined (text,
     * embedding) corpus, top-50 each, fused by RRF - shared by the
@@ -4707,20 +4772,13 @@ object SparkEntry {
     // the post-mutation corpus (negated vectors for %97==3, %101==7
     // deleted) and brute-forces it — the exhaustive refresh-synced probe
     // must match exactly
-    "graft_index_exhaustive" ->
-      """WITH corpus AS (
-           SELECT vec_id, label,
-                  CASE WHEN vec_id % 97 = 3
-                       THEN list_transform(embedding::DOUBLE[], x -> -x)
-                       ELSE embedding::DOUBLE[] END AS e
-           FROM embeddings WHERE vec_id % 101 <> 7),
-         scored AS (
-           SELECT vec_id, label,
-                  list_cosine_similarity(e,
-                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
-           FROM corpus)
-         SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
-         FROM scored ORDER BY s DESC, vec_id LIMIT 10""",
+    "graft_index_exhaustive" -> gidxMutatedOracle,
+
+    // the sq8-storage variant serves the SAME exact answer at
+    // exhaustive settings: the quantized frontier covers the corpus and
+    // every emitted score is exact float arithmetic from the table's
+    // float column — so ONE brute-force oracle pins both layouts
+    "graft_index_sq8_exhaustive" -> gidxMutatedOracle,
 
     "vs_sql_tvf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.vectors._
 
@@ -41,10 +41,88 @@ object IvfIndex {
     * probe) and are isolated from concurrent refreshes, which only add
     * files and never touch referenced ones. None (standalone layouts) =
     * scan the directory.
+    *
+    * `storage`: "float32" (default — cells store the float vector
+    * column) | "sq8" (cells store `vq_code array<tinyint>` +
+    * `vq_scale double` instead — 4× fewer scan bytes, the [[Quantize]]
+    * arithmetic) | "binary" (`vq_bits array<bigint>`, packed sign bits
+    * — 32× fewer, the [[graft.functions.SignPack]] convention).
+    * Quantized cells have NO float vector column, so [[probe]] refuses
+    * them loudly: exact re-rank needs a float source the standalone
+    * layout doesn't carry — the table-attached [[graft.sources.GraftIndex]]
+    * serves quantized layouts two-stage from ITS table's float column.
     */
   final case class Model(path: String, centroids: Array[Array[Float]], metric: String,
                          schema: Option[org.apache.spark.sql.types.StructType] = None,
-                         files: Option[Map[Int, Seq[String]]] = None)
+                         files: Option[Map[Int, Seq[String]]] = None,
+                         storage: String = "float32")
+
+  private[graft] val storages = Seq("float32", "sq8", "binary")
+
+  /** The quantized layouts' vector-payload fields (what replaces the
+    * float vector column in cell files).
+    */
+  private[graft] def storageFields(storage: String): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    storage match {
+      case "float32" => Nil
+      case "sq8" => Seq(StructField("vq_code", ArrayType(ByteType)),
+        StructField("vq_scale", DoubleType))
+      case "binary" => Seq(StructField("vq_bits", ArrayType(LongType)))
+      case other => throw new IllegalArgumentException(
+        s"unknown ivf storage '$other' (one of ${storages.mkString(", ")})")
+    }
+  }
+
+  /** Swap the float vector column for its quantized representation —
+    * shared by [[build]], [[append]], and the table-attached refresh
+    * (additions must match the layout's storage). Codegen'd column
+    * arithmetic, no UDF: sq8 is the [[Quantize]] scale/encode pair
+    * (scale MATERIALIZED first — substituting scaleCol into the encode
+    * lambda would re-evaluate array_max per element), binary is the
+    * [[graft.functions.SignPack]] expression.
+    */
+  private[graft] def quantizeLayout(df: DataFrame, vecCol: String,
+                                    storage: String): DataFrame = storage match {
+    case "float32" => df
+    case "sq8" =>
+      df.withColumn("vq_scale", Quantize.scaleCol(col(vecCol)))
+        .withColumn("vq_code", Quantize.encode(col(vecCol), col("vq_scale")))
+        .drop(vecCol)
+    case "binary" =>
+      df.withColumn("vq_bits", graft.functions.vectors.sign_pack(col(vecCol)))
+        .drop(vecCol)
+    case other => throw new IllegalArgumentException(
+      s"unknown ivf storage '$other' (one of ${storages.mkString(", ")})")
+  }
+
+  /** The quantized rank score for a cell scan: larger = better for
+    * EVERY metric (the caller orders desc). sq8 reconstructs
+    * (code·scale, the exact [[Quantize.decode]] arithmetic) and applies
+    * the real metric — negated for l2 so desc order still ranks best
+    * first. binary ranks by the asymmetric [[graft.functions.AdcDot]]
+    * ⟨q, sign(v)⟩, the correct rank proxy for all three metrics over
+    * ±1 reconstructions: cosine and l2 are monotone in it (|sign(v)| is
+    * the constant √dim) and dot IS it.
+    */
+  private[graft] def quantizedScore(storage: String, metric: String,
+                                    query: Seq[Float]): Column =
+    quantizedScoreVs(storage, metric, typedlit(query))
+
+  /** Column-query variant of [[quantizedScore]] — the batch (knn-join)
+    * shape, where each row carries its own query vector.
+    */
+  private[graft] def quantizedScoreVs(storage: String, metric: String,
+                                      qvec: Column): Column = storage match {
+    case "sq8" =>
+      val dec = Quantize.decode(col("vq_code"), col("vq_scale"))
+      val s = VectorSearch.scoreCol(dec, qvec.cast("array<double>"), metric)
+      if (metric == "l2") -s else s
+    case "binary" =>
+      graft.functions.vectors.adc_dot(qvec, col("vq_bits"))
+    case other => throw new IllegalArgumentException(
+      s"no quantized score for storage '$other'")
+  }
 
   /** Fit nlist centroids and lay the table out as one partition dir per
     * cluster. For cosine, vectors are L2-normalized before KMeans so
@@ -54,7 +132,10 @@ object IvfIndex {
   def build(data: DataFrame, vecCol: String, nlist: Int, path: String,
             metric: String = "cosine", seed: Long = 42L,
             fitSampleFraction: Option[Double] = None,
-            persistModel: Boolean = true): Model = {
+            persistModel: Boolean = true,
+            storage: String = "float32"): Model = {
+    require(storages.contains(storage),
+      s"unknown ivf storage '$storage' (one of ${storages.mkString(", ")})")
     val feat =
       if (metric == "cosine")
         data.withColumn("_n", vector_norm(col(vecCol))) // hoisted: norm once per row, not per element
@@ -77,9 +158,10 @@ object IvfIndex {
         if (nRows > 100000) feat.sample(100000.0 / nRows, seed) else feat
     }
     val model = km.fit(fitInput)
-    model.transform(feat).drop("_feat")
+    quantizeLayout(model.transform(feat).drop("_feat"), vecCol, storage)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    val m = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric)
+    val m = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric,
+      storage = storage)
     // opt-out for callers that version the model themselves (the
     // table-attached GraftIndex): a layout-local `_model` there would
     // be redundant AND go stale across refresh generations
@@ -99,6 +181,7 @@ object IvfIndex {
     import spark.implicits._
     val rows: Seq[(String, Int, Int, Seq[Float], String)] =
       ("metric", 0, 0, Seq.empty[Float], model.metric) +:
+      ("storage", 0, 0, Seq.empty[Float], model.storage) +:
       model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
         ("coarse", i, 0, c.toSeq, null.asInstanceOf[String]) }
     rows.toDF("part", "i", "j", "vec", "s").repartition(1)
@@ -115,7 +198,9 @@ object IvfIndex {
     val metric = rows.find(_._1 == "metric")
       .getOrElse(throw new IllegalStateException(s"no saved model under $path"))._4
     val centroids = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._3.toArray)
-    Model(path, centroids, metric)
+    // pre-quantization saves carry no storage row: float32
+    val storage = rows.find(_._1 == "storage").map(_._4).getOrElse("float32")
+    Model(path, centroids, metric, storage = storage)
   }
 
   /** Top-k against the index, reading only the nprobe nearest cells.
@@ -131,11 +216,38 @@ object IvfIndex {
   def probe(spark: SparkSession, model: Model, idCol: String, vecCol: String,
             query: Seq[Float], k: Int, nprobe: Int,
             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(model.storage == "float32",
+      s"standalone probe of a '${model.storage}' ivf layout: quantized cells carry no " +
+        "float vectors to score exactly — serve through the table-attached " +
+        "GraftIndex (two-stage: quantized candidates, exact rerank from the table)")
     val cells = nearestCells(model, query, nprobe)
     val scan = layoutScan(spark, model)
       .filter(col("cluster_id").isin(cells: _*)) // partition-pruning filter
     val filtered = pred.fold(scan)(scan.filter)
     VectorSearch.topK(filtered, vecCol, idCol, query, k, model.metric)
+  }
+
+  /** The QUANTIZED candidate stage for a single query: scan the nprobe
+    * nearest cells (partition-pruned, `pred` pushed into the scan like
+    * [[probe]]) and keep the `kf` best rows by the quantized rank score
+    * — a TakeOrderedAndProject over 1-byte/dim (sq8) or 1-bit/dim
+    * (binary) scan bytes, deterministic (ties on ascending id). The
+    * caller exact-reranks the survivors from a float source; the
+    * `__qscore` column is the RANK proxy, not an emitted score, and is
+    * kept only for diagnostics.
+    */
+  private[graft] def quantizedCandidates(spark: SparkSession, model: Model,
+                                         idCol: String, query: Seq[Float],
+                                         kf: Int, nprobe: Int,
+                                         pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(model.storage != "float32", "quantizedCandidates needs a quantized layout")
+    val cells = nearestCells(model, query, nprobe)
+    val scan = layoutScan(spark, model)
+      .filter(col("cluster_id").isin(cells: _*))
+    val filtered = pred.fold(scan)(scan.filter)
+    filtered.withColumn("__qscore", quantizedScore(model.storage, model.metric, query))
+      .orderBy(desc("__qscore"), asc(idCol)).limit(kf)
   }
 
   /** Incremental index maintenance: append a batch of NEW vectors to an
@@ -154,7 +266,9 @@ object IvfIndex {
     * }}}
     */
   def append(model: Model, batch: DataFrame, vecCol: String): Unit =
-    batch.withColumn("cluster_id", cellUdf(batch.sparkSession, model)(col(vecCol)))
+    quantizeLayout(
+        batch.withColumn("cluster_id", cellUdf(batch.sparkSession, model)(col(vecCol))),
+        vecCol, model.storage)
       .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
 
   private[graft] def layoutScan(spark: SparkSession, model: Model): DataFrame =
@@ -216,6 +330,9 @@ object IvfIndex {
     */
   def knnJoin(spark: SparkSession, model: Model, idCol: String, vecCol: String,
               queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+    require(model.storage == "float32",
+      s"standalone knnJoin over a '${model.storage}' ivf layout: quantized cells carry " +
+        "no float vectors — serve through the table-attached GraftIndex.knnJoin")
     import spark.implicits._
     val probeRows = queries.flatMap { case (qid, qv) =>
       nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
@@ -231,6 +348,34 @@ object IvfIndex {
     // a bare per-qid window would hash-shuffle EVERY scored candidate
     // into |queries| partitions — a skew funnel at scale
     VectorSearch.perQueryTopK(scored, "qid", idCol, k, model.metric)
+  }
+
+  /** The QUANTIZED candidate stage for a query batch: the same
+    * broadcast-probes shape as [[knnJoin]] (big side never shuffles,
+    * each cell row scored only against the queries probing it), ranked
+    * by the quantized proxy, `kf` best per query via the bounded-heap
+    * reducer. Returns (qid, idCol, score) where score is the RANK
+    * PROXY — the caller exact-reranks from a float source.
+    */
+  private[graft] def quantizedKnnCandidates(spark: SparkSession, model: Model,
+                                            idCol: String,
+                                            queries: Seq[(Long, Seq[Float])],
+                                            kf: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    require(model.storage != "float32", "quantizedKnnCandidates needs a quantized layout")
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
+    }
+    val probes = probeRows.toDF("qid", "cell", "qvec")
+    val allCells = probeRows.map(_._2).distinct
+    val scan = layoutScan(spark, model)
+      .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
+    val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
+      .withColumn("score", quantizedScoreVs(model.storage, model.metric, col("qvec")))
+      .select(col("qid"), col(idCol), col("score"))
+    // the proxy is larger-is-better for EVERY metric — rank with a
+    // descending metric regardless of model.metric
+    VectorSearch.perQueryTopK(scored, "qid", idCol, kf, "dot")
   }
 
   /** Driver-side centroid ranking (nlist × dim floats — microseconds).

@@ -13,6 +13,17 @@ import graft.operators.{IvfIndex, PqIndex}
   * inside probed cells) and `kind = "ivfpq"` (PQ codes + ADC probe +
   * exact re-rank, optionally OPQ-rotated).
   *
+  * `storage = "sq8" | "binary"` (kind "ivf") swaps the cells' float32
+  * vector column for int8 codes / packed sign bits (4×/32× fewer serve
+  * scan bytes — the dominant 100 TB cost; the [[GraftHnsw]] twin of the
+  * same lever) and serving becomes TWO-STAGE: the cell scan ranks a
+  * rerankFactor·k frontier on quantized arithmetic, then exact scores
+  * come from the TABLE's float column via a bucket-pruned point lookup
+  * — emitted scores are exact float arithmetic either way, and
+  * nprobe = nlist with a corpus-covering rerankFactor stays EXACT
+  * (quantization costs recall headroom at partial settings, never
+  * score fidelity).
+  *
   * Layout, under the table's own directory:
   * {{{
   *   table/_index/<name>/meta    kind, vecCol, keys, metric, nlist,
@@ -75,7 +86,8 @@ object GraftIndex {
                              keyCols: Seq[String], metric: String, nlist: Int,
                              indexedVersion: Int, gen: Option[Int] = None,
                              modelGen: Option[Int] = None,
-                             genToken: Option[String] = None) {
+                             genToken: Option[String] = None,
+                             storage: String = "float32") {
     /** The manifest file this meta serves from: `g<gen>` for build /
       * legacy-upgrade generations, `g<gen>-<token>` for refresh/rebuild
       * attempts. Meta naming the attempt-unique manifest is what makes
@@ -108,7 +120,8 @@ object GraftIndex {
     IndexMeta(name, kv.getOrElse("kind", "ivf"), kv("vecCol"),
       kv("keyCols").split(",").toSeq, kv("metric"), kv("nlist").toInt,
       kv("indexedVersion").toInt, kv.get("gen").map(_.toInt),
-      kv.get("modelGen").map(_.toInt), kv.get("genToken"))
+      kv.get("modelGen").map(_.toInt), kv.get("genToken"),
+      kv.getOrElse("storage", "float32")) // pre-quantization metas: float32
   }
 
   private def writeMeta(tablePath: String, m: IndexMeta): Unit =
@@ -117,7 +130,8 @@ object GraftIndex {
         s"metric=${m.metric}\nnlist=${m.nlist}\nindexedVersion=${m.indexedVersion}" +
         m.gen.fold("")(g => s"\ngen=$g") +
         m.modelGen.fold("")(g => s"\nmodelGen=$g") +
-        m.genToken.fold("")(t => s"\ngenToken=$t"))
+        m.genToken.fold("")(t => s"\ngenToken=$t") +
+        (if (m.storage == "float32") "" else s"\nstorage=${m.storage}"))
 
   // ---- MVCC manifests: cell -> immutable data files ----------------------
 
@@ -216,10 +230,15 @@ object GraftIndex {
           (if (m.kind == "ivfpq")
             Seq(org.apache.spark.sql.types.StructField("pq_code",
               org.apache.spark.sql.types.BinaryType))
-          else Nil) :+
+          else Nil) ++
+          IvfIndex.storageFields(m.storage) :+
           org.apache.spark.sql.types.StructField("cluster_id",
             org.apache.spark.sql.types.IntegerType)
-        org.apache.spark.sql.types.StructType(ts.fields ++ extra)
+        // quantized cells REPLACE the float vector column with their
+        // vq_* payload — the whole point is 4×/32× fewer scan bytes
+        val base = if (m.storage == "float32") ts.fields
+                   else ts.fields.filterNot(_.name == m.vecCol)
+        org.apache.spark.sql.types.StructType(base ++ extra)
       }
 
   private def loadModel(spark: SparkSession, tablePath: String, m: IndexMeta,
@@ -231,7 +250,8 @@ object GraftIndex {
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
     val data = dataPath(tablePath, m.name)
     val sc = layoutSchema(tablePath, m)
-    if (m.kind == "ivf") Left(IvfIndex.Model(data, coarse, m.metric, sc, files))
+    if (m.kind == "ivf")
+      Left(IvfIndex.Model(data, coarse, m.metric, sc, files, m.storage))
     else {
       val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (_, bs) => bs.sortBy(_._3).map(_._4) }.toArray
@@ -263,8 +283,17 @@ object GraftIndex {
   def create(spark: SparkSession, tablePath: String, vecCol: String, nlist: Int,
              metric: String = "cosine", name: String = "vec",
              kind: String = "ivf", m: Int = 8, opq: Boolean = false,
-             fitSampleFraction: Option[Double] = None): Unit = {
+             fitSampleFraction: Option[Double] = None,
+             storage: String = "float32"): Unit = {
     require(kind == "ivf" || kind == "ivfpq", s"unknown index kind '$kind'")
+    require(IvfIndex.storages.contains(storage),
+      s"unknown index storage '$storage' (one of ${IvfIndex.storages.mkString(", ")})")
+    // ivfpq's cells are ALREADY the quantized scan path (ADC over
+    // pq_code reads only the code column; the float column is touched
+    // solely by the bounded rerank) — layering a second quantization
+    // under it would be two lossy codecs pretending to be one
+    require(kind == "ivf" || storage == "float32",
+      s"storage '$storage' applies to kind = 'ivf' only; ivfpq already scans PQ codes")
     val v = GraftTable.latestVersion(tablePath)
     require(v >= 0, s"no table at $tablePath")
     require(!exists(tablePath, name), s"index '$name' already exists at $tablePath")
@@ -272,7 +301,8 @@ object GraftIndex {
     val snap = GraftTable.read(spark, tablePath, v).filter(col(vecCol).isNotNull)
     if (kind == "ivf") {
       val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
-        metric, fitSampleFraction = fitSampleFraction, persistModel = false)
+        metric, fitSampleFraction = fitSampleFraction, persistModel = false,
+        storage = storage)
       saveModel(spark, tablePath, name, model.centroids, None, None, Some(0))
     } else {
       val model = PqIndex.build(snap, keys.head, vecCol, nlist, m,
@@ -282,7 +312,8 @@ object GraftIndex {
     // generation 0 = the build's own files; meta lands LAST (commit point)
     writeManifest(tablePath, name, "g0", listGeneration(tablePath, name, ""), Some(0))
     writeMeta(tablePath,
-      IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0), Some(0)))
+      IndexMeta(name, kind, vecCol, keys, metric, nlist, v, Some(0), Some(0),
+        storage = storage))
   }
 
   /** Full refit + relayout as ONE new generation — the drift answer the
@@ -312,7 +343,8 @@ object GraftIndex {
     val snap = GraftTable.read(spark, tablePath, head).filter(col(meta0.vecCol).isNotNull)
     if (meta0.kind == "ivf") {
       val model = IvfIndex.build(snap, meta0.vecCol, newNlist, layout,
-        meta0.metric, fitSampleFraction = fitSampleFraction, persistModel = false)
+        meta0.metric, fitSampleFraction = fitSampleFraction, persistModel = false,
+        storage = meta0.storage)
       saveModel(spark, tablePath, name, model.centroids, None, None, Some(newModelGen))
     } else {
       // defaults for the PQ shape come from the CURRENT model
@@ -387,7 +419,10 @@ object GraftIndex {
       val newRows = batch.filter(!col("_deleted")).drop("_deleted")
         .filter(col(m.vecCol).isNotNull)
       val additions = model.fold(
-        _ => newRows.withColumn("cluster_id", cell(col(m.vecCol))),
+        // quantized layouts: additions swap the float column for the
+        // same vq_* payload the build wrote (no-op for float32)
+        _ => IvfIndex.quantizeLayout(
+          newRows.withColumn("cluster_id", cell(col(m.vecCol))), m.vecCol, m.storage),
         pq => PqIndex.encodeBatch(pq, newRows, m.vecCol))
       val newCells = additions.select("cluster_id").distinct().collect().map(_.getInt(0))
       val affected = (oldCells ++ newCells).distinct.toSeq
@@ -576,6 +611,24 @@ object GraftIndex {
       .trigger(trigger)
       .start()
 
+  /** Bucket-pruned point lookup of candidate keys' float vectors at the
+    * pinned version — the exact-rerank substrate for quantized layouts
+    * (the [[GraftHnsw]] shape): n candidate keys → ≤ n bucket reads,
+    * never a table scan. `keys` is the serving-sized distinct key set
+    * (all key columns); returns keyCols + the float vector column.
+    */
+  private def exactVectors(spark: SparkSession, tablePath: String, m: IndexMeta,
+                           keys: DataFrame): DataFrame = {
+    val (_, defaultBuckets, _) = GraftTable.meta(tablePath)
+    val nb = GraftTable.bucketsAt(tablePath, m.indexedVersion, defaultBuckets)
+    val buckets = keys
+      .select(GraftTable.bucketCol(m.keyCols, nb).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    GraftTable.readBuckets(spark, tablePath, m.indexedVersion, buckets)
+      .join(broadcast(keys), m.keyCols)
+      .select(m.keyCols.map(col) :+ col(m.vecCol): _*)
+  }
+
   private def requireFresh(tablePath: String, m: IndexMeta, allowStale: Boolean): Unit = {
     val head = GraftTable.latestVersion(tablePath)
     if (!allowStale && head != m.indexedVersion)
@@ -610,18 +663,51 @@ object GraftIndex {
       return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
         .withColumn("score", lit(0.0)).drop(m.vecCol)
     val out = model.fold(
-      ivf => IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred),
+      ivf =>
+        if (m.storage == "float32")
+          IvfIndex.probe(spark, ivf, m.keyCols.head, m.vecCol, query, k, nprobe, pred)
+        else {
+          // QUANTIZED layout, two-stage (the 7d/7g rerank shape on the
+          // stored index): the cell scan ranks a rerankFactor·k
+          // frontier on 1-byte/dim (sq8) or 1-bit/dim (binary)
+          // candidates — the 100 TB scan-bytes lever — then exact
+          // scores come from the TABLE's float column via the
+          // bucket-pruned point lookup, so emitted scores are exact
+          // float arithmetic either way. Corpus-covering rerankFactor
+          // with nprobe = nlist ⇒ exact, full stop (the oracle row).
+          require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+          val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+          // localCheckpoint: the frontier is serving-sized and feeds
+          // BOTH the bucket-set computation and the rerank join
+          val front = IvfIndex.quantizedCandidates(spark, ivf, m.keyCols.head,
+            query, kf, nprobe, pred).localCheckpoint()
+          if (front.isEmpty)
+            GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+              .withColumn("score", lit(0.0))
+          else {
+            val vecs = exactVectors(spark, tablePath, m,
+              front.select(m.keyCols.map(col): _*).distinct())
+            val ord = if (m.metric == "l2") asc("score") else desc("score")
+            front.join(broadcast(vecs), m.keyCols)
+              .withColumn("score", graft.operators.VectorSearch.scoreCol(
+                col(m.vecCol), typedlit(query), m.metric))
+              .orderBy(ord, asc(m.keyCols.head)).limit(k)
+          }
+        },
       pq => PqIndex.probe(spark, pq, m.keyCols.head, m.vecCol, query, k, nprobe,
         rerankFactor, pred))
     // ONE canonical probe schema regardless of kind or layout state:
     // table columns (snapshot order) minus the vector, score last —
-    // never the layout internals (cluster_id, pq_code). Projected
-    // explicitly so no per-kind drop list can drift.
+    // never the layout internals (cluster_id, pq_code, vq_*, __qscore).
+    // Projected explicitly so no per-kind drop list can drift. For
+    // quantized layouts the schema lacks the vector column already; the
+    // rerank join's vecCol and proxy columns die here too.
+    val internal = Set("cluster_id", "pq_code", "vq_code", "vq_scale", "vq_bits", "__qscore")
     val canonical = model.fold(_.schema, _.schema) match {
       case Some(sc) => sc.fieldNames.toSeq
-        .filterNot(c => c == m.vecCol || c == "cluster_id" || c == "pq_code") :+ "score"
+        .filterNot(c => c == m.vecCol || internal(c)) :+ "score"
       case None => out.columns.toSeq
-        .filterNot(c => c == m.vecCol || c == "cluster_id" || c == "pq_code" || c == "score") :+ "score"
+        .filterNot(c => c == m.vecCol || internal(c) || c == "score") :+ "score"
     }
     out.select(canonical.map(col): _*)
   }
@@ -640,7 +726,7 @@ object GraftIndex {
     */
   def knnJoin(spark: SparkSession, tablePath: String, queries: Seq[(Long, Seq[Float])],
               k: Int, nprobe: Int, name: String = "vec",
-              allowStale: Boolean = false): DataFrame = {
+              allowStale: Boolean = false, rerankFactor: Int = 4): DataFrame = {
     val (m, model) = open(spark, tablePath, name)
     requireFresh(tablePath, m, allowStale)
     val ivf = model.fold(identity, pq => IvfIndex.Model(pq.path,
@@ -649,7 +735,35 @@ object GraftIndex {
     if (ivf.files.exists(_.isEmpty))
       return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
         .select(lit(0L).as("qid"), col(m.keyCols.head), lit(0.0).as("score"))
-    IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe)
+    if (m.storage == "float32")
+      IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe)
+    else {
+      // quantized layout: widen each query's candidate cut, then
+      // exact-score every surviving (qid, key) pair from the table's
+      // float column before the bounded-heap per-query cut — ONE
+      // bucket-pruned lookup serves all queries' candidates (the pair
+      // set is ≤ |Q|·rerankFactor·k rows, serving-sized). The
+      // [[GraftHnsw.knnJoin]] shape on IVF cells.
+      require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+      require(m.keyCols.length == 1,
+        s"quantized knnJoin needs a single record-key column, table has ${m.keyCols.mkString(", ")}")
+      import spark.implicits._
+      val keyCol = m.keyCols.head
+      val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+      val cands = IvfIndex.quantizedKnnCandidates(spark, ivf, keyCol, queries, kf, nprobe)
+        .localCheckpoint()
+      if (cands.isEmpty)
+        return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+          .select(lit(0L).as("qid"), col(keyCol), lit(0.0).as("score"))
+      val vecs = exactVectors(spark, tablePath, m, cands.select(keyCol).distinct())
+      val qdf = queries.toDF("qid", "__qvec")
+      val scored = vecs
+        .join(broadcast(cands.select("qid", keyCol).join(qdf, "qid")), Seq(keyCol))
+        .withColumn("score", graft.operators.VectorSearch.scoreCol(
+          col(m.vecCol), col("__qvec"), m.metric))
+        .select(col("qid"), col(keyCol), col("score"))
+      graft.operators.VectorSearch.perQueryTopK(scored, "qid", keyCol, k, m.metric)
+    }
   }
 
   /** v·Rᵀ for a row-vector rotation R — maps a rotated-space point back

@@ -515,20 +515,24 @@ object GraftProcedures {
       inDefault("name", StringType, "'vec'"),
       inDefault("kind", StringType, "'ivf'"),
       inDefault("m", IntegerType, "8"),
-      inDefault("opq", BooleanType, "false")),
+      inDefault("opq", BooleanType, "false"),
+      inDefault("storage", StringType, "'float32'")),
     StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("indexed_version", IntegerType, nullable = false)))) {
     override def description(): String =
       "build an IVF / IVF-PQ ANN index over a vector column from the " +
-        "table's current snapshot (kind = 'ivf' | 'ivfpq'; opq = learned rotation)"
+        "table's current snapshot (kind = 'ivf' | 'ivfpq'; opq = learned rotation; " +
+        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) — " +
+        "quantized ivf cells serve two-stage with exact rerank from the table)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val name = str(input, 4)
       GraftIndex.create(spark, path, vecCol = str(input, 1),
         nlist = reqInt(input, 2), metric = str(input, 3), name = name,
-        kind = str(input, 5), m = reqInt(input, 6), opq = reqBool(input, 7))
+        kind = str(input, 5), m = reqInt(input, 6), opq = reqBool(input, 7),
+        storage = str(input, 8))
       Array(InternalRow(utf8(name), utf8(str(input, 5)),
         GraftTable.latestVersion(path)))
     }

@@ -466,6 +466,122 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       exactTopK(path, q, 10).map(_._1)
   }
 
+  test("storage=sq8: mutate -> refresh -> exhaustive probe == exact, scores float-exact") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "sq8")
+    GraftIndex.meta(path).storage shouldBe "sq8"
+    GraftTable.upsert(spark, path,
+      (0L until 15L).map(k => (k, s"u-$k", vec(k + 9000))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (100L until 140L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val q = vec(4242L)
+    // exhaustive cells + corpus-covering rerank ⇒ exact INCLUDING the
+    // scores: the rerank reads the TABLE's float column, so quantized
+    // storage never shows up in an emitted number — only in recall at
+    // partial settings
+    val got = GraftIndex.probe(spark, path, q, 10, nprobe = 4,
+        rerankFactor = Int.MaxValue)
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got shouldBe exactTopK(path, q, 10)
+    // canonical probe shape: no vq_* / cluster_id / vector leaks out
+    GraftIndex.probe(spark, path, q, 3, nprobe = 4)
+      .columns.toSeq shouldBe Seq("k", "s", "score")
+  }
+
+  test("storage=binary: exhaustive == exact; partial settings keep a recall floor") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "binary")
+    val q = vec(515L)
+    val exact = exactTopK(path, q, 10)
+    GraftIndex.probe(spark, path, q, 10, nprobe = 4, rerankFactor = Int.MaxValue)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exact
+    // the honest partial shape: 1-bit candidates lose rank fidelity,
+    // but the sign proxy must still put most of the true top-k in a
+    // 4×-widened frontier over half the cells
+    val part = GraftIndex.probe(spark, path, q, 10, nprobe = 2, rerankFactor = 4)
+      .select("k").collect().map(_.getLong(0)).toSet
+    part.intersect(exact.map(_._1).toSet).size should be >= 5
+  }
+
+  test("quantized cells store vq_* payloads, not float vectors; bytes order binary < sq8 < float32") {
+    def layoutBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum else f.length
+      walk(new java.io.File(path + "/_index/vec/data"))
+    }
+    // 64-dim HIGH-ENTROPY vectors so the vector column dominates the
+    // payload and parquet can't dictionary-collapse it (the 97-value
+    // vec() fixture compresses floats below even the packed bits);
+    // same corpus for all three layouts
+    def table(): String = {
+      val p = Files.createTempDirectory("graft_index_bytes").toString + "/t"
+      val df = (0L until 2000L).map { k =>
+        val r = new scala.util.Random(k)
+        (k, s"doc-$k", Seq.fill(64)(r.nextFloat() * 2f - 1f))
+      }.toDF("k", "s", "v")
+      GraftTable.create(df, p, Seq("k"), nbuckets = 4)
+      p
+    }
+    val sizes = Seq("float32", "sq8", "binary").map { st =>
+      val p = table()
+      GraftIndex.create(spark, p, "v", nlist = 4, storage = st)
+      // the quantized layouts carry their vq_* columns and NO float column
+      val cols = spark.read.parquet(p + "/_index/vec/data").columns.toSet
+      if (st == "float32") cols should contain("v")
+      else {
+        cols should not contain "v"
+        if (st == "sq8") cols should contain allOf ("vq_code", "vq_scale")
+        else cols should contain("vq_bits")
+      }
+      st -> layoutBytes(p)
+    }.toMap
+    sizes("binary") should be < sizes("sq8")
+    sizes("sq8") should be < sizes("float32")
+  }
+
+  test("quantized knnJoin: exhaustive == per-query exact after mutations") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "sq8")
+    GraftTable.upsert(spark, path,
+      (0L until 12L).map(k => (k, s"u-$k", vec(k + 8000))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (50L until 70L).toDF("k"))
+    GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val qs = Seq(5L, 6L).map(i => (i, vec(i + 900)))
+    val got = GraftIndex.knnJoin(spark, path, qs, k = 4, nprobe = 4,
+        rerankFactor = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) => got(qid) shouldBe exactTopK(path, qv, 4) }
+  }
+
+  test("quantized probe with a nothing-matches predicate returns the canonical empty shape") {
+    val path = freshTable(100)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "sq8")
+    val out = GraftIndex.probe(spark, path, vec(3L), 5, nprobe = 4,
+      pred = Some(col("s") === "no-such-doc"))
+    out.columns.toSeq shouldBe Seq("k", "s", "score")
+    out.count() shouldBe 0L
+  }
+
+  test("storage refusals are loud: unknown storage, ivfpq layering, standalone quantized probe") {
+    val path = freshTable(50)
+    intercept[IllegalArgumentException] {
+      GraftIndex.create(spark, path, "v", nlist = 4, storage = "fp16")
+    }.getMessage should include("unknown index storage")
+    intercept[IllegalArgumentException] {
+      GraftIndex.create(spark, path, "v", nlist = 4, kind = "ivfpq", storage = "sq8")
+    }.getMessage should include("ivfpq already scans PQ codes")
+    // a standalone quantized layout has no float source to rerank from
+    val lp = Files.createTempDirectory("ivf_q_standalone").toString + "/l"
+    val df = (0L until 50L).map(k => (k, vec(k))).toDF("k", "v")
+    val model = graft.operators.IvfIndex.build(df, "v", nlist = 2, lp, storage = "sq8")
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.probe(spark, model, "k", "v", vec(1L), 3, nprobe = 2)
+    }.getMessage should include("table-attached")
+  }
+
   test("streamRefresh: the index follows the table with no manual refresh calls") {
     val path = freshTable(150)
     GraftIndex.create(spark, path, "v", nlist = 4)

@@ -254,6 +254,34 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL index_create(storage => 'sq8') builds the quantized IVF layout; unknown storage refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_idxq").toString + "/t"
+    def vecs(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, Array((i + 1).toFloat, (i % 7).toFloat, (i % 3).toFloat)))
+      .toDF("k", "emb")
+    GraftTable.create(vecs(0, 200), root, Seq("k"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.index_create('$root', 'emb', 4, storage => 'sq8')")
+        .collect().head.getString(1) shouldBe "ivf"
+      graft.sources.GraftIndex.meta(root).storage shouldBe "sq8"
+      // quantized cells carry codes, not floats…
+      spark.read.parquet(s"$root/_index/vec/data").columns.toSet should
+        (contain("vq_code") and not contain "emb")
+      // …and the two-stage serve still emits exact float scores: the
+      // corpus-covering rerank's top hit is row 121's exact vector
+      // (122, 121%7, 121%3) — cosine 1.0, no other row proportional
+      val hits = graft.sources.GraftIndex.probe(spark, root,
+        Seq(122f, 2f, 1f), k = 3, nprobe = 4, rerankFactor = 1000).collect()
+      hits.head.getLong(0) shouldBe 121L
+      val ex = intercept[Exception] {
+        spark.sql(s"CALL graft.index_create('$root', 'emb', 4, " +
+          "name => 'v2', storage => 'fp16')").collect()
+      }
+      ex.getMessage should include("unknown index storage")
+    }
+  }
+
   test("CALL index_vacuum reclaims stale IVF generations; maintain reports the debt") {
     import spark.implicits._
     val root = Files.createTempDirectory("proc_ivac").toString + "/t"
