@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Probe hnswbytes <sfDir>      — table-attached HNSW
   *     storage variants: layout bytes, serve latency, top-10 vs the
   *     float32 layout's exact serve.
+  *   runMain graft.Probe ivfbytes <sfDir>       — the IVF twin: layout
+  *     bytes + partial-settings serve per storage, overlap vs float32
+  *     at the SAME settings (quantization effect isolated).
+  *   runMain graft.Probe curves <sfDir>         — z-order vs hilbert
+  *     3-dim layouts: per-dimension files kept/skipped.
   */
 object Probe {
 
@@ -121,6 +126,41 @@ object Probe {
     }
   }
 
+  /** Table-attached IVF storage variants (the hnswbytes twin): layout
+    * bytes, serve latency at the honest partial settings, and top-10
+    * overlap vs the float32 layout's SAME-settings serve — isolating
+    * the quantization effect from the nprobe effect.
+    */
+  private def ivfBytes(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.{GraftIndex, GraftTable}
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    def layoutBytes(tbl: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum else f.length
+      walk(new java.io.File(s"$tbl/_index/vec/data"))
+    }
+    val tops = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    Seq("float32", "sq8", "binary").foreach { st =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$st"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tbl = s"$root/t"
+      GraftTable.create(emb, tbl, Seq("vec_id"), nbuckets = 8)
+      val (_, buildS) = timed {
+        GraftIndex.create(spark, tbl, "embedding", nlist = 16, storage = st)
+      }
+      def serve() = GraftIndex.probe(spark, tbl, q, 10, nprobe = 8, rerankFactor = 4)
+      val serveS = (1 to 5).map(_ => timed(serve().queryExecution.toRdd.count())._2).min
+      val top = serve().select("vec_id").collect().map(_.getLong(0)).toSeq
+      tops(st) = top
+      val rec = tops.get("float32").fold(-1.0)(f =>
+        top.toSet.intersect(f.toSet).size.toDouble / f.size)
+      println(s"PROBE ivfbytes storage=$st layout_bytes=${layoutBytes(tbl)} " +
+        s"build_s=${f"$buildS%.1f"} serve_s=${f"$serveS%.2f"} " +
+        s"overlap_vs_float_same_nprobe=${f"$rec%.2f"}")
+    }
+  }
+
   /** z-order vs hilbert on the 3-dim orders layout: files kept/skipped
     * per dimension (the scan's own keep rule) + per-dim file-span
     * percentiles — the §6 evidence behind the `lakehouse_*3_prune`
@@ -174,11 +214,13 @@ object Probe {
         fuzzy(spark, sizes)
       case "hnswbytes" :: rest =>
         hnswBytes(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case "ivfbytes" :: rest =>
+        ivfBytes(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case "curves" :: rest =>
         curves(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes)")
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves)")
     }
     spark.stop()
   }
