@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -121,11 +121,16 @@ object GraftFunctions {
     * driver-side to shape the partition-pruned plan, so the vector must
     * exist before planning — a scalar subquery can't (collect it first;
     * the full-scan `graft_vector_search` TVF takes subqueries).
-    * nprobe defaults to nlist (exhaustive = exact).
+    * nprobe defaults to nlist (exhaustive = exact). `predSql` (optional
+    * 6th arg, a SQL boolean expression over the TABLE's columns, e.g.
+    * `'label = 3'`) turns the call into a FILTERED search: top-k among
+    * matching rows only, the pred pushed INTO the cell-pruned scan —
+    * filtering the k results afterwards would silently under-fill, this
+    * keeps k full.
     */
   private def indexSearchPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 3 && args.length <= 5,
-      s"graft_index_search(tablePath, queryVec, k[, nprobe[, name]]): got ${args.length} args")
+    require(args.length >= 3 && args.length <= 6,
+      s"graft_index_search(tablePath, queryVec, k[, nprobe[, name[, predSql]]]): got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_index_search: $what must be a literal")
       args(i).eval(null)
@@ -148,11 +153,23 @@ object GraftFunctions {
     }
     val k = lit(2, "k").asInstanceOf[Number].intValue()
     val nprobe = if (args.length >= 4) lit(3, "nprobe").asInstanceOf[Number].intValue() else -1
-    val name = if (args.length == 5) lit(4, "name").toString else "vec"
+    val name = if (args.length >= 5) lit(4, "name").toString else "vec"
     val spark = SparkSession.active
+    val pred = if (args.length == 6) Some(parsePred(spark, "graft_index_search",
+      lit(5, "predSql").toString)) else None
     val np = if (nprobe > 0) nprobe else graft.sources.GraftIndex.meta(path, name).nlist
-    graft.sources.GraftIndex.probe(spark, path, query, k, np, name)
+    graft.sources.GraftIndex.probe(spark, path, query, k, np, name, pred)
       .queryExecution.logical
+  }
+
+  /** Parse a TVF's predicate-string argument into a Column: the SQL
+    * text resolves against the served DataFrame like any `.filter`
+    * expression (unresolvable columns fail at analysis, loudly).
+    */
+  private def parsePred(spark: SparkSession, fn: String, sql: String): Column = {
+    require(sql.trim.nonEmpty, s"$fn: predSql must be a non-empty SQL boolean expression")
+    org.apache.spark.sql.graftshim.Bridge.column(
+      spark.sessionState.sqlParser.parseExpression(sql))
   }
 
   /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot
@@ -376,6 +393,50 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_hnsw_probe(tablePath, queryVec, k[, ef[, name[, predSql]]])`
+    * — SQL top-k served from the TABLE-ATTACHED HNSW index
+    * ([[graft.sources.GraftHnsw]]), stale-checked at plan time like
+    * `graft_index_search`; output is the canonical probe shape (table
+    * columns minus the vector, score last). `ef` defaults to 64.
+    * `predSql` (a SQL boolean expression over the table's columns)
+    * makes it a FILTERED search — served by the measured-selectivity
+    * strategy (brute force over a selective subset / filtered walk /
+    * post-filter; see GraftHnsw.probeFiltered), so k stays full instead
+    * of silently under-filling the way filtering the output would.
+    */
+  private def hnswProbePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 6,
+      s"graft_hnsw_probe(tablePath, queryVec, k[, ef[, name[, predSql]]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_hnsw_probe: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query: Seq[Float] = (args(1).dataType, lit(1, "queryVec")) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().toSeq
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.IntegerType => a.toIntArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toFloat).toSeq
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          a.toObjectArray(dt).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_hnsw_probe: unsupported query element type $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_hnsw_probe: queryVec must be a foldable numeric array")
+    }
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val ef = if (args.length >= 4) lit(3, "ef").asInstanceOf[Number].intValue() else 64
+    val name = if (args.length >= 5) lit(4, "name").toString else "hnsw"
+    val spark = SparkSession.active
+    val pred = if (args.length == 6) Some(parsePred(spark, "graft_hnsw_probe",
+      lit(5, "predSql").toString)) else None
+    graft.sources.GraftHnsw.probe(spark, path, query, k, ef, name, pred = pred)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_vector_search",
       info("graft_vector_search",
@@ -391,7 +452,7 @@ object GraftFunctions {
       changesPlan _),
     ("graft_index_search",
       info("graft_index_search",
-        "graft_index_search(tablePath, queryVec, k[, nprobe[, name]]) - top-k served from the table-attached ANN index (stale-checked)"),
+        "graft_index_search(tablePath, queryVec, k[, nprobe[, name[, predSql]]]) - top-k served from the table-attached ANN index (stale-checked); predSql makes it a filtered search"),
       indexSearchPlan _),
     ("graft_text_search",
       info("graft_text_search",
@@ -409,6 +470,10 @@ object GraftFunctions {
       info("graft_hnsw_search",
         "graft_hnsw_search(layoutPath, queryVec, k[, ef]) - approximate top-k from a standalone HNSW segment-graph layout"),
       hnswSearchPlan _),
+    ("graft_hnsw_probe",
+      info("graft_hnsw_probe",
+        "graft_hnsw_probe(tablePath, queryVec, k[, ef[, name[, predSql]]]) - top-k served from the table-attached HNSW index (stale-checked); predSql makes it a filtered search"),
+      hnswProbePlan _),
     ("graft_fuzzy_match",
       info("graft_fuzzy_match",
         "graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q]) - every corpus row within maxDist edits of the probe (EXACT, q-gram pruned; refuses probes too short for the pruning bound)"),

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *     at the SAME settings (quantization effect isolated).
   *   runMain graft.Probe curves <sfDir>         — z-order vs hilbert
   *     3-dim layouts: per-dimension files kept/skipped.
+  *   runMain graft.Probe filtered [nRows]       — filtered-ANN
+  *     selectivity sweep: auto/walk/post legs timed per selectivity,
+  *     recall vs filtered brute force (the three-leg caps evidence).
   */
 object Probe {
 
@@ -161,6 +164,51 @@ object Probe {
     }
   }
 
+  /** Filtered-search selectivity sweep (the §6 evidence behind the
+    * three-leg strategy and its default caps): one n-row table with a
+    * controllable-attr column + table-attached HNSW; for predicates
+    * keeping ~0.1 % / 1 % / 10 % / 50 % of rows, serve with the AUTO
+    * strategy and with each leg FORCED — wall time per leg plus
+    * recall@10 vs filtered brute force. The interesting exhibits:
+    * the scarce-accept walk cost the brute leg avoids (sel = 0.1 %
+    * forced-walk vs auto), and the walk-vs-post crossover as the
+    * filter loosens.
+    */
+  private def filtered(spark: SparkSession, n: Long): Unit = {
+    import graft.sources.{GraftHnsw, GraftTable}
+    val root = s"${sys.props("java.io.tmpdir")}/graft_probe_filtered"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tbl = s"$root/t"
+    val df = spark.range(0, n).select(col("id"),
+      expr("transform(sequence(0, 15), d -> cast(sin(id * 37.0 + d * 11.0) AS float))").as("vec"),
+      (col("id") % 1000).cast("int").as("attr"))
+    GraftTable.create(df, tbl, Seq("id"), nbuckets = 8)
+    val (_, buildS) = timed {
+      GraftHnsw.create(spark, tbl, "vec", m = 8, efConstruction = 64, nSegments = 8)
+    }
+    println(s"PROBE filtered n=$n build_s=${f"$buildS%.1f"}")
+    val q = (0 until 16).map(d => math.sin(123 * 37.0 + d * 11.0).toFloat)
+    def want(cut: Int): Seq[Long] = graft.operators.VectorSearch.topK(
+        GraftTable.read(spark, tbl).filter(col("attr") < cut), "vec", "id",
+        q, 10, "cosine")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    Seq(1, 10, 100, 500).foreach { cut =>
+      val exact = want(cut).toSet
+      val matches = n * cut / 1000
+      def leg(tag: String, bfc: Int, acc: Int): Unit = {
+        def serve() = GraftHnsw.probe(spark, tbl, q, 10, ef = 128,
+          pred = Some(col("attr") < cut), bruteForceCap = bfc, acceptCap = acc)
+        val s = (1 to 3).map(_ => timed(serve().queryExecution.toRdd.count())._2).min
+        val ids = serve().select("id").collect().map(_.getLong(0)).toSet
+        println(s"PROBE filtered sel=${cut / 10.0}% matches=$matches leg=$tag " +
+          s"serve_s=${f"$s%.2f"} recall=${f"${ids.intersect(exact).size / 10.0}%.2f"}")
+      }
+      leg("auto", 10000, 1000000)
+      leg("walk", 0, Int.MaxValue)
+      leg("post", 0, 0)
+    }
+  }
+
   /** z-order vs hilbert on the 3-dim orders layout: files kept/skipped
     * per dimension (the scan's own keep rule) + per-dim file-span
     * percentiles — the §6 evidence behind the `lakehouse_*3_prune`
@@ -218,9 +266,11 @@ object Probe {
         ivfBytes(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case "curves" :: rest =>
         curves(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case "filtered" :: rest =>
+        filtered(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves)")
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered)")
     }
     spark.stop()
   }

@@ -139,6 +139,43 @@ object SparkEntry {
     GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128, rerankFactor = 4)
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
+  /** FILTERED serve, BRUTE leg: `label = 3` keeps ~1/10 of the corpus —
+    * far under the default bruteForceCap at every SF — so the probe
+    * measures the selectivity and brute-forces the filtered subset
+    * exactly, pred pushed into the pruned scan (Lucene's selective-
+    * filter strategy). Exact by construction ⇒ the hard DuckDB oracle.
+    */
+  private def ghnswFilteredServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128,
+        pred = Some(col("label") === 3))
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  /** FILTERED serve, WALK leg (bruteForceCap = 0 pins the path): match
+    * keys broadcast once as a sorted accept set; each segment walk
+    * collects only accepted nodes while ROUTING THROUGH rejected ones,
+    * then the frontier exact-reranks from the table's float column.
+    * Approximate by construction ⇒ rows-only; wide-beam equality vs
+    * filtered brute force pinned in GraftHnswSpec/HnswSpec.
+    */
+  private def ghnswFilteredWalkServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftHnsw.probe(s, tbl, queryVec(s, dir, 0L), 10, ef = 128,
+        pred = Some(col("label") === 3), bruteForceCap = 0)
+      .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
+
+  /** The SQL surface of the filtered probe: `graft_hnsw_probe` TVF with
+    * a predSql argument — same brute leg, same oracle as
+    * [[ghnswFilteredServe]] (filtering INSIDE the TVF keeps k full;
+    * a WHERE above it would silently under-fill).
+    */
+  private def ghnswSqlFilteredServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val qLit = queryVec(s, dir, 0L).map(v => s"CAST($v AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    s.sql(s"""SELECT vec_id, label, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+              FROM graft_hnsw_probe('$tbl', $qLit, 10, 128, 'hnsw', 'label = 3')
+              ORDER BY score DESC, vec_id""")
+  }
+
   /** Shared body of the two 3-dim clustering oracle rows: build a
     * 3-dim-clustered orders table with the given curve, ENFORCE
     * per-dimension pruning via skipping_report, serve the date-window
@@ -3848,6 +3885,55 @@ object SparkEntry {
       ghnswSq8Serve(s, dir, ghnswFixture(s, dir, "ghnswq", storage = "sq8"))
     }),
 
+    "graft_hnsw_merged" -> ((s, dir) => {
+      // TIERED SEGMENT MERGE (Lucene's background-merge contract as an
+      // operator): the ghnsw lifecycle leaves create-time segments plus
+      // a refresh flush; merge folds the smallest back to the
+      // create-time count paying only the merged tier's bytes — the
+      // bounded-maintenance alternative to O(corpus) rebuild that keeps
+      // a CDC-fed index serviceable at 100 TB. Probes over the merged
+      // layout serve the same answers over fewer segments; rows-only
+      // (HNSW), with exactness/lineage/tombstone-retirement pinned in
+      // GraftHnswSpec and the SQL verb in GraftProceduresSpec.
+      val tbl = ghnswFixture(s, dir, "ghnswm")
+      GraftHnsw.merge(s, tbl, targetSegments = 4)
+      ghnswServe(s, dir, tbl)
+    }),
+
+    "graft_hnsw_filtered" -> ((s, dir) => {
+      // FILTERED vector search through the table-attached HNSW — the
+      // capability every production vector store pairs with ANN
+      // (Lucene's KnnFloatVectorQuery + filter is the public model).
+      // The pred evaluates against the PINNED snapshot, its match count
+      // is MEASURED, and a selective pred (label = 3) takes the
+      // brute-force leg: exact top-k over the filtered subset with the
+      // pred pushed into the pruned scan — never an under-filled top-k
+      // from filtering k results after the fact. Exact ⇒ hard DuckDB
+      // oracle over the post-mutation corpus (upsert+delete+refresh
+      // lifecycle shared with graft_hnsw_index).
+      ghnswFilteredServe(s, dir, ghnswFixture(s, dir, "ghnswf"))
+    }),
+
+    "graft_hnsw_filtered_walk" -> ((s, dir) => {
+      // the moderate-selectivity leg of the same strategy, pinned
+      // explicitly (bruteForceCap = 0): sorted accept-set broadcast,
+      // filtered segment walks (rejected nodes stay routable — the beam
+      // crosses the filtered-out region instead of fragmenting), exact
+      // rerank from the table's float column. Approximate by
+      // construction ⇒ rows-only; wide-beam equality vs filtered brute
+      // force, tombstone lineage, and the sparse-accept-set routing are
+      // pinned in GraftHnswSpec/HnswSpec.
+      ghnswFilteredWalkServe(s, dir, ghnswFixture(s, dir, "ghnswfw"))
+    }),
+
+    "vs_sql_hnsw_probe" -> ((s, dir) => {
+      // the table-attached HNSW in SQL: graft_hnsw_probe TVF
+      // (stale-checked at plan time like graft_index_search) with the
+      // predSql argument — the filtered brute leg through the SQL
+      // surface, same oracle as graft_hnsw_filtered.
+      ghnswSqlFilteredServe(s, dir, ghnswFixture(s, dir, "ghnswsql"))
+    }),
+
     "graft_index_exhaustive" -> ((s, dir) => {
       // The reference's serving model — hudi_vector_search(TABLE_PATH,…)
       // answers from an index the lakehouse keeps IN SYNC with the table
@@ -4182,6 +4268,21 @@ object SparkEntry {
       "graft_hnsw_sq8" -> ((
         (s, dir) => { ghnswFixture(s, dir, "ghnswq", storage = "sq8"); () },
         (s, dir) => ghnswSq8Serve(s, dir, at("ghnswq", dir)))),
+      "graft_hnsw_merged" -> ((
+        (s, dir) => {
+          val tbl = ghnswFixture(s, dir, "ghnswm")
+          GraftHnsw.merge(s, tbl, targetSegments = 4); ()
+        },
+        (s, dir) => ghnswServe(s, dir, at("ghnswm", dir)))),
+      "graft_hnsw_filtered" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswf"); () },
+        (s, dir) => ghnswFilteredServe(s, dir, at("ghnswf", dir)))),
+      "graft_hnsw_filtered_walk" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswfw"); () },
+        (s, dir) => ghnswFilteredWalkServe(s, dir, at("ghnswfw", dir)))),
+      "vs_sql_hnsw_probe" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswsql"); () },
+        (s, dir) => ghnswSqlFilteredServe(s, dir, at("ghnswsql", dir)))),
       "graft_index_pq_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxpq", kind = "ivfpq", m = 8); () },
         (s, dir) => gidxRerankServe(s, dir, at("gidxpq", dir)))),
@@ -4382,6 +4483,25 @@ object SparkEntry {
     * exhaustive table-attached-index rows, whose serves must BOTH
     * equal it exactly.
     */
+  /** [[gidxMutatedOracle]] restricted to the filtered probe's predicate
+    * (label = 3): the brute-force answer over the post-mutation corpus
+    * rows that match — what the selective-pred leg must serve exactly.
+    */
+  private val ghnswFilteredOracle: String =
+    """WITH corpus AS (
+         SELECT vec_id, label,
+                CASE WHEN vec_id % 97 = 3
+                     THEN list_transform(embedding::DOUBLE[], x -> -x)
+                     ELSE embedding::DOUBLE[] END AS e
+         FROM embeddings WHERE vec_id % 101 <> 7 AND label = 3),
+       scored AS (
+         SELECT vec_id, label,
+                list_cosine_similarity(e,
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS s
+         FROM corpus)
+       SELECT vec_id, label, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q
+       FROM scored ORDER BY s DESC, vec_id LIMIT 10"""
+
   private val gidxMutatedOracle: String =
     """WITH corpus AS (
          SELECT vec_id, label,
@@ -4779,6 +4899,13 @@ object SparkEntry {
     // every emitted score is exact float arithmetic from the table's
     // float column — so ONE brute-force oracle pins both layouts
     "graft_index_sq8_exhaustive" -> gidxMutatedOracle,
+
+    // FILTERED hnsw search, brute leg (selective pred ⇒ exact by
+    // construction): the mutated-corpus brute force restricted to the
+    // predicate's rows — one oracle body pins the Scala probe and the
+    // graft_hnsw_probe TVF's predSql path identically
+    "graft_hnsw_filtered" -> ghnswFilteredOracle,
+    "vs_sql_hnsw_probe" -> ghnswFilteredOracle,
 
     "vs_sql_tvf" ->
       s"""SELECT vec_id, label, CAST(FLOOR($cos0 * 10000.0) AS BIGINT) AS score_q

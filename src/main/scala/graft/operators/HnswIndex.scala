@@ -241,9 +241,22 @@ object HnswIndex {
     /** Algorithm 2: beam search at one level; returns up to `ef`
       * (dist, node) pairs, best-first. Ties break on ascending id
       * everywhere so construction and search are deterministic.
+      *
+      * `accept` (null = unfiltered, the hot path) is the FILTERED-KNN
+      * acceptance test (Lucene's KnnFloatVectorQuery-with-filter shape,
+      * public): rejected nodes stay fully TRAVERSABLE — they enter the
+      * candidate frontier and their edges are expanded — but never the
+      * result heap, so the walk routes THROUGH the filtered-out region
+      * instead of fragmenting at its boundary. The competitive bound
+      * (`res.head`) is then over accepted nodes only, which widens
+      * traversal exactly when accepted results are scarce — recall
+      * holds, cost grows as selectivity tightens (why the table-attached
+      * caller swaps to brute force over the filtered subset below a
+      * selectivity floor — the same two-path strategy Lucene applies).
       */
     private def searchLayer(q: Array[Float], ep: Int, ef: Int,
-                            level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+                            level: Int,
+                            accept: Int => Boolean = null): mutable.ArrayBuffer[(Double, Int)] = {
       // candidates: best-first (min by dist); results: worst-first cap ef
       implicit val ordBest: Ordering[(Double, Int)] = new Ordering[(Double, Int)] {
         def compare(x: (Double, Int), y: (Double, Int)): Int = {
@@ -260,10 +273,13 @@ object HnswIndex {
       val visited = mutable.BitSet(ep)
       val epD = d(q, vecs(ep))
       val cand = mutable.PriorityQueue((epD, ep))
-      val res = mutable.PriorityQueue((epD, ep))(ordWorst)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ordWorst)
+      if (accept == null || accept(ep)) res.enqueue((epD, ep))
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) { cand.clear() } // frontier exhausted
+        // frontier exhausted — size check FIRST: under a filter res may
+        // be empty (rejected entry point) and res.head would throw
+        if (res.size >= ef && cd > res.head._1) { cand.clear() }
         else {
           val nb = links(c)(level)
           var i = 0
@@ -275,8 +291,10 @@ object HnswIndex {
               if (res.size < ef || ed < res.head._1 ||
                   (ed == res.head._1 && ids(e) < ids(res.head._2))) {
                 cand.enqueue((ed, e))
-                res.enqueue((ed, e))
-                if (res.size > ef) res.dequeue()
+                if (accept == null || accept(e)) {
+                  res.enqueue((ed, e))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             i += 1
@@ -359,13 +377,18 @@ object HnswIndex {
       if (l > maxLevel) { entry = node; maxLevel = l }
     }
 
-    /** Serve path: descend, then beam at level 0; k best (dist, id). */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Double, Long)] = {
+    /** Serve path: descend, then beam at level 0; k best (dist, id).
+      * `accept` (null = all) filters RESULT admission only — the descent
+      * and level-0 traversal route through rejected nodes (see
+      * [[searchLayer]]).
+      */
+    def search(q: Array[Float], k: Int, ef: Int,
+               accept: Int => Boolean = null): Seq[(Double, Long)] = {
       if (entry < 0) return Seq.empty
       var ep = entry
       var lc = maxLevel
       while (lc > 0) { ep = greedy(q, ep, lc); lc -= 1 }
-      searchLayer(q, ep, math.max(ef, k), 0)
+      searchLayer(q, ep, math.max(ef, k), 0, accept)
         .take(k).map { case (dd, n) => (dd, ids(n)) }.toSeq
     }
   }
@@ -465,16 +488,34 @@ object HnswIndex {
     * load once, search many (the query set rides the task closure;
     * serving-sized by contract). Output: (qid, id, score) candidates,
     * k per (query, segment).
+    *
+    * `acceptIds` (SORTED ascending) is the filtered-KNN accept set:
+    * walks collect only listed ids while still traversing the full
+    * graph (see Graph.searchLayer). Broadcast ONCE and shared by every
+    * segment task — the caller bounds its size (it is the moderate-
+    * selectivity regime by contract; very selective filters brute-force
+    * instead and very loose ones post-filter, so the set never exceeds
+    * the caller's acceptCap).
     */
   private def searchSegments(spark: SparkSession, model: Model,
                              queries: Seq[(Long, Array[Float])],
                              k: Int, ef: Int,
-                             pids: Option[Set[Int]] = None): DataFrame = {
+                             pids: Option[Set[Int]] = None,
+                             acceptIds: Option[Array[Long]] = None): DataFrame = {
     val allDirs = segmentDirs(spark, model.path)
     val dirs = pids.fold(allDirs) { keep =>
       allDirs.filter(d => keep(d.substring(d.lastIndexOf('=') + 1).toInt))
     }
     require(dirs.nonEmpty, s"no segments under ${model.path} — build first")
+    acceptIds.foreach { a =>
+      var i = 1
+      while (i < a.length) {
+        require(a(i - 1) < a(i),
+          "acceptIds must be sorted ascending and distinct — the walk binary-searches it")
+        i += 1
+      }
+    }
+    val acceptBc = acceptIds.map(spark.sparkContext.broadcast(_))
     val metric = model.metric
     val storage = model.storage
     val schema = graphSchema(storage)
@@ -527,8 +568,12 @@ object HnswIndex {
             }
             g.entry = best
             g.maxLevel = g.links(best).length - 1
+            val acceptArr = acceptBc.map(_.value).orNull
+            val acceptFn: Int => Boolean =
+              if (acceptArr == null) null
+              else nd => java.util.Arrays.binarySearch(acceptArr, ids(nd)) >= 0
             queries.iterator.flatMap { case (qid, q) =>
-              g.search(q, k, ef).iterator.map { case (d, id) =>
+              g.search(q, k, ef, acceptFn).iterator.map { case (d, id) =>
                 (qid, id, score(metric, d), pid)
               }
             }
@@ -547,8 +592,9 @@ object HnswIndex {
     */
   def probeSegmentsWithPid(spark: SparkSession, model: Model,
                            queries: Seq[(Long, Array[Float])], k: Int, ef: Int,
-                           pids: Option[Set[Int]] = None): DataFrame =
-    searchSegments(spark, model, queries, k, ef, pids)
+                           pids: Option[Set[Int]] = None,
+                           acceptIds: Option[Array[Long]] = None): DataFrame =
+    searchSegments(spark, model, queries, k, ef, pids, acceptIds)
 
   /** Top-k probe: per-segment candidates union into a global
     * TakeOrdered k. `ef` is the recall/cost knob (beam width at level
@@ -563,11 +609,38 @@ object HnswIndex {
     * row prices without (cold read each rep — the honest worst case).
     */
   def probe(spark: SparkSession, model: Model, idCol: String,
-            query: Seq[Float], k: Int, ef: Int): DataFrame = {
-    val all = searchSegments(spark, model, Seq((0L, query.toArray)), k, ef)
+            query: Seq[Float], k: Int, ef: Int,
+            acceptIds: Option[Array[Long]] = None): DataFrame = {
+    val all = searchSegments(spark, model, Seq((0L, query.toArray)), k, ef,
+        acceptIds = acceptIds)
       .select(col("id").as(idCol), col("score"))
     val ord = if (model.metric == "l2") asc("score") else desc("score")
     all.orderBy(ord, asc(idCol)).limit(k)
+  }
+
+  /** Decoded per-segment vectors of SELECTED segments: (pid, id, vec) —
+    * the merge substrate ([[graft.sources.GraftHnsw.merge]]). The
+    * payload decodes to exactly the floats the graph was built over,
+    * and RE-ENCODING those floats is IDEMPOTENT for every storage
+    * (sq8's max-abs dim carries code ±127, so the re-derived scale
+    * equals the original and codes round-trip; sign bits re-sign to
+    * themselves; float32 is raw) — so a merged segment preserves the
+    * stored geometry losslessly without ever touching the source table.
+    */
+  def segmentVectors(spark: SparkSession, model: Model,
+                     pids: Set[Int]): DataFrame = {
+    val storage = model.storage
+    val schema = graphSchema(storage)
+    val dirs = segmentDirs(spark, model.path)
+      .filter(d => pids(d.substring(d.lastIndexOf('=') + 1).toInt))
+    require(dirs.nonEmpty,
+      s"no segments ${pids.toSeq.sorted.mkString(",")} under ${model.path}")
+    val outEnc = Encoders.product[(Int, Long, Seq[Float])]
+    dirs.map { dir =>
+      val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
+      spark.read.schema(schema).parquet(dir)
+        .map(r => (pid, r.getLong(0), decodeRow(storage, r).toSeq))(outEnc)
+    }.reduce(_.union(_)).toDF("pid", "id", "vec")
   }
 
   /** Append a batch as `nNewSegments` NEW segment graphs — the Lucene

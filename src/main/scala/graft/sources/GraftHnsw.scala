@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.HnswIndex
 
@@ -235,6 +235,92 @@ object GraftHnsw {
       segs = pidsOnDisk(spark, tablePath, name, newGen), tombs = Nil))
   }
 
+  /** TIERED SEGMENT MERGE — Lucene's background-merge contract as an
+    * explicit operator, the bounded-maintenance middle ground between
+    * per-batch [[refresh]] (which GROWS the segment count by design:
+    * every flush is a new segment, and probe cost is k candidates per
+    * segment per query) and full [[rebuild]] (which pays O(corpus)).
+    * The SMALLEST committed segments beyond `targetSegments` fold into
+    * ONE new segment built from their DECODED vectors (re-encoding is
+    * idempotent for every storage — [[HnswIndex.segmentVectors]]), so
+    * maintenance IO tracks the merged tier's bytes, never the corpus —
+    * exactly Lucene's tiered-merge cost model, which is what keeps a
+    * 100 TB CDC-fed index serviceable without rebuild windows.
+    *
+    * Dead copies are dropped physically during the fold (the same
+    * horizon rule probes apply), and tombstone files that can no longer
+    * kill anything (horizon ≤ the new minimum committed pid — each file
+    * carries ONE horizon and kills only copies at pid < it) retire from
+    * the meta. Merged-out segment dirs and retired tombstone files stay
+    * on disk for pinned readers (MVCC, the refresh-orphan story); the
+    * next rebuild's generation flip + [[vacuum]] reclaims them. The
+    * meta swap is the atomic commit point — a crash before it leaves
+    * the old meta fully serving.
+    *
+    * The merged segment is one task's in-memory graph build (the same
+    * contract as create/rebuild) — `targetSegments` is the sizing knob.
+    * Returns (mergedPids, newPid); None when already at/under target.
+    */
+  def merge(spark: SparkSession, tablePath: String, name: String = "hnsw",
+            targetSegments: Int = 4): Option[(Seq[Int], Int)] = {
+    require(targetSegments >= 1, s"need targetSegments >= 1, got $targetSegments")
+    val m0 = meta(tablePath, name)
+    if (m0.segs.length <= targetSegments) return None
+    val lp = layoutPath(tablePath, name, m0.gen)
+    // size each committed segment — one FS listing per pid dir,
+    // O(segments) metadata, no data IO
+    def bytesOf(pid: Int): Long =
+      GraftTable.MetaIO.list(new Path(s"$lp/pid=$pid"))
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    val mergeSet = m0.segs.sortBy(p => (bytesOf(p), p))
+      .take(m0.segs.length - targetSegments + 1)
+    val keep = m0.segs.diff(mergeSet)
+    val model = HnswIndex.load(spark, lp)
+    val rows = HnswIndex.segmentVectors(spark, model, mergeSet.toSet)
+    val live = (if (m0.tombs.isEmpty) rows
+      else {
+        val tombs = spark.read.parquet(
+            m0.tombs.map(t => s"${tombsDir(tablePath, name, m0.gen)}/$t"): _*)
+          .groupBy("id").agg(max("horizon").as("__hz"))
+        rows.join(broadcast(tombs), Seq("id"), "left")
+          .filter(col("__hz").isNull || col("pid") >= col("__hz"))
+          .drop("__hz")
+      }).select(col("id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the horizon rule leaves at most ONE live copy per key; a
+      // violation means corrupted lineage — refuse, never build a
+      // graph the duplicate-id probe guard would reject later
+      val dup = live.groupBy("id").count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge found a key with multiple live copies (id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)}) " +
+          "— index lineage is corrupt; rebuild instead")
+      val newSegs =
+        if (live.isEmpty) keep // every merged copy was dead: just drop them
+        else {
+          val base = HnswIndex.append(spark, model, live, "id", "vec",
+            nNewSegments = 1)
+          keep ++ pidsOnDisk(spark, tablePath, name, m0.gen).filter(_ >= base)
+        }
+      // no segments left (everything merged away dead) ⇒ nothing any
+      // tombstone could kill
+      val minPid = if (newSegs.isEmpty) Int.MaxValue else newSegs.min
+      val keptTombs = m0.tombs.filter { t =>
+        val h = spark.read.parquet(s"${tombsDir(tablePath, name, m0.gen)}/$t")
+          .agg(max("horizon")).head().getInt(0)
+        h > minPid
+      }
+      writeMeta(tablePath, m0.copy(segs = newSegs, tombs = keptTombs))
+      Some((mergeSet, newSegs.diff(keep).headOption.getOrElse(-1)))
+    } finally {
+      live.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Reclaim non-current generation dirs (post-[[rebuild]] garbage).
     * Same single-maintainer discipline as refresh. Returns dirs deleted.
     */
@@ -259,7 +345,8 @@ object GraftHnsw {
   def knnJoin(spark: SparkSession, tablePath: String,
               queries: Seq[(Long, Seq[Float])], k: Int, ef: Int,
               name: String = "hnsw", allowStale: Boolean = false,
-              rerankFactor: Int = 4): DataFrame = {
+              rerankFactor: Int = 4, pred: Option[Column] = None,
+              bruteForceCap: Int = 10000, acceptCap: Int = 1000000): DataFrame = {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
     import spark.implicits._
@@ -268,6 +355,9 @@ object GraftHnsw {
     val keyType = GraftTable.snapshotSchema(tablePath, m.indexedVersion)
       .map(_(m.keyCol).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
+    if (pred.isDefined)
+      return knnJoinFiltered(spark, tablePath, m, queries, k, ef, pred.get,
+        rerankFactor, bruteForceCap, acceptCap, keyType)
     if (m.segs.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("qid", m.keyCol, "score")
         .withColumn(m.keyCol, col(m.keyCol).cast(keyType))
@@ -310,6 +400,70 @@ object GraftHnsw {
         .select(col("qid"), col(m.keyCol), col("score"))
       graft.operators.VectorSearch.perQueryTopK(scored, "qid", m.keyCol, k, m.metric)
     }
+  }
+
+  /** [[knnJoin]] under a predicate — the [[probeFiltered]] selectivity
+    * strategy applied to the batch shape (one accept set / one match
+    * count serves EVERY query; the brute path broadcasts the filtered
+    * subset once and scores all (query, match) pairs). Emitted scores
+    * are exact float arithmetic on all paths.
+    */
+  private def knnJoinFiltered(spark: SparkSession, tablePath: String, m: HnswMeta,
+                              queries: Seq[(Long, Seq[Float])], k: Int, ef: Int,
+                              pred: Column, rerankFactor: Int, bruteForceCap: Int,
+                              acceptCap: Int,
+                              keyType: org.apache.spark.sql.types.DataType): DataFrame = {
+    require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+    import spark.implicits._
+    def empty = Seq.empty[(Long, Long, Double)].toDF("qid", m.keyCol, "score")
+      .withColumn(m.keyCol, col(m.keyCol).cast(keyType))
+      .select("qid", m.keyCol, "score")
+    if (queries.isEmpty) return empty
+    val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
+      .filter(pred).filter(col(m.vecCol).isNotNull)
+    val n = matched.count()
+    if (n == 0) return empty
+    val qdf = queries.toDF("qid", "__qvec")
+    if (n <= bruteForceCap || m.segs.isEmpty) {
+      // exact: broadcast the filtered subset once, score every
+      // (query, match) pair — ≤ |Q|·bruteForceCap rows, bounded
+      val scored = qdf.crossJoin(broadcast(
+          matched.select(col(m.keyCol).as("__mkey"), col(m.vecCol).as("__mvec"))))
+        .withColumn("score", graft.operators.VectorSearch.scoreCol(
+          col("__mvec"), col("__qvec"), m.metric))
+        .select(col("qid"), col("__mkey").cast(keyType).as(m.keyCol), col("score"))
+      return graft.operators.VectorSearch.perQueryTopK(scored, "qid", m.keyCol, k, m.metric)
+    }
+    val model = HnswIndex.load(spark, layoutPath(tablePath, m.name, m.gen))
+    val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+    val acceptIds: Option[Array[Long]] =
+      if (n <= acceptCap) {
+        val arr = matched.select(col(m.keyCol).cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        java.util.Arrays.sort(arr)
+        Some(arr)
+      } else None
+    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+      queries.map { case (qid, v) => (qid, v.toArray) }, kf, ef,
+      Some(m.segs.toSet), acceptIds)
+    var pairs = liveCandidates(spark, tablePath, m, cands)
+      .select("qid", "id").distinct()
+    if (acceptIds.isEmpty)
+      pairs = pairs.join(
+        matched.select(col(m.keyCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+    val frontier = pairs.select("id").distinct().collect().map(_.getLong(0))
+    if (frontier.isEmpty) return empty
+    val probeSide = broadcast(
+      pairs.select(col("qid"), col("id").cast(keyType).as(m.keyCol))
+        .join(qdf, "qid"))
+    val scored = candidateRows(spark, tablePath, m, frontier)
+      .select(col(m.keyCol), col(m.vecCol))
+      .join(probeSide, Seq(m.keyCol))
+      .withColumn("score", graft.operators.VectorSearch.scoreCol(
+        col(m.vecCol), col("__qvec"), m.metric))
+      .select(col("qid"), col(m.keyCol), col("score"))
+    graft.operators.VectorSearch.perQueryTopK(scored, "qid", m.keyCol, k, m.metric)
   }
 
   /** Continuous maintenance: a Structured Streaming ticker drives
@@ -429,12 +583,21 @@ object GraftHnsw {
     * kind to the float32 layout's (the 7d/7g rerank shape; quantization
     * costs recall headroom, never score fidelity). `rerankFactor` is
     * ignored for float32 layouts.
+    *
+    * `pred` turns the probe into a FILTERED vector search (top-k among
+    * rows matching the predicate) — see [[probeFiltered]] for the
+    * three-path selectivity strategy and the `bruteForceCap`/`acceptCap`
+    * knobs (both ignored without a pred).
     */
   def probe(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
             ef: Int, name: String = "hnsw", allowStale: Boolean = false,
-            rerankFactor: Int = 4): DataFrame = {
+            rerankFactor: Int = 4, pred: Option[Column] = None,
+            bruteForceCap: Int = 10000, acceptCap: Int = 1000000): DataFrame = {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
+    if (pred.isDefined)
+      return probeFiltered(spark, tablePath, m, query, k, ef, pred.get,
+        rerankFactor, bruteForceCap, acceptCap)
     if (m.segs.isEmpty) return emptyShaped(spark, tablePath, m)
     val model = HnswIndex.load(spark, layoutPath(tablePath, name, m.gen))
     if (m.storage == "float32") {
@@ -466,5 +629,85 @@ object GraftHnsw {
       val canonical = sc.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"
       exact.orderBy(ord, asc(m.keyCol)).limit(k).select(canonical.map(col): _*)
     }
+  }
+
+  /** FILTERED top-k — Lucene's two-strategy filtered KNN
+    * (KnnFloatVectorQuery + filter, public), generalized to three
+    * regimes. The predicate is evaluated against the PINNED table
+    * snapshot and the serving path is picked by its measured match
+    * count, never guessed:
+    *
+    *  - ≤ `bruteForceCap` matches (or no segments): EXACT brute force
+    *    over the filtered subset. The pred pushes into the snapshot's
+    *    pruned parquet scan, the graph is never consulted, and the
+    *    result is exact by construction — a selective filter makes the
+    *    subset scan CHEAPER than a walk that must route past thousands
+    *    of rejected nodes to find k accepted ones (Lucene's own
+    *    fallback rule). This path earns the DuckDB oracle.
+    *  - ≤ `acceptCap` matches: FILTERED WALK — the match keys broadcast
+    *    once as a sorted accept set shared by all segment tasks; each
+    *    walk traverses the FULL graph but collects only accepted nodes
+    *    (rejected nodes stay routable, so the beam crosses the
+    *    filtered-out region instead of fragmenting at its boundary),
+    *    fetching a rerankFactor·k frontier per segment for tombstone
+    *    and rerank headroom.
+    *  - above `acceptCap` (a pred that keeps most of the table):
+    *    POST-FILTER — unfiltered walk with the widened frontier, then a
+    *    semi-join against the match keys. The match set is never
+    *    collected to the driver; recall tracks the filter's pass rate,
+    *    which is high exactly when this path engages.
+    *
+    * All paths emit EXACT float scores (walk paths rerank the frontier
+    * from the TABLE's float column via the bucket-pruned point lookup,
+    * so quantized layouts never surface reconstructed arithmetic) in
+    * the canonical probe shape. Acceptance is BY KEY against the pinned
+    * snapshot: an updated row's stale segment copies inherit the key's
+    * acceptance and then die by the horizon-tombstone filter, so the
+    * served copy is exactly the one the snapshot predicate saw.
+    */
+  private def probeFiltered(spark: SparkSession, tablePath: String, m: HnswMeta,
+                            query: Seq[Float], k: Int, ef: Int, pred: Column,
+                            rerankFactor: Int, bruteForceCap: Int,
+                            acceptCap: Int): DataFrame = {
+    require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+    require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
+    require(acceptCap >= 0, s"need acceptCap >= 0, got $acceptCap")
+    val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion).getOrElse(
+      throw new IllegalStateException(s"$tablePath: no recorded snapshot schema"))
+    val canonical = sc.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"
+    val ord = if (m.metric == "l2") asc("score") else desc("score")
+    val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
+      .filter(pred).filter(col(m.vecCol).isNotNull)
+    val n = matched.count()
+    if (n == 0) return emptyShaped(spark, tablePath, m)
+    if (n <= bruteForceCap || m.segs.isEmpty)
+      return matched
+        .withColumn("score", graft.operators.VectorSearch.scoreCol(
+          col(m.vecCol), typedlit(query), m.metric))
+        .orderBy(ord, asc(m.keyCol)).limit(k)
+        .select(canonical.map(col): _*)
+    val model = HnswIndex.load(spark, layoutPath(tablePath, m.name, m.gen))
+    val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
+    val acceptIds: Option[Array[Long]] =
+      if (n <= acceptCap) {
+        val arr = matched.select(col(m.keyCol).cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        java.util.Arrays.sort(arr)
+        Some(arr)
+      } else None
+    val cands = HnswIndex.probeSegmentsWithPid(spark, model,
+      Seq((0L, query.toArray)), kf, ef, Some(m.segs.toSet), acceptIds)
+    var live = liveCandidates(spark, tablePath, m, cands)
+    if (acceptIds.isEmpty)
+      live = live.join(
+        matched.select(col(m.keyCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+    val frontier = live.select("id").distinct().collect().map(_.getLong(0))
+    if (frontier.isEmpty) return emptyShaped(spark, tablePath, m)
+    candidateRows(spark, tablePath, m, frontier)
+      .withColumn("score", graft.operators.VectorSearch.scoreCol(
+        col(m.vecCol), typedlit(query), m.metric))
+      .orderBy(ord, asc(m.keyCol)).limit(k)
+      .select(canonical.map(col): _*)
   }
 }

@@ -643,13 +643,40 @@ object GraftIndex {
     * nprobe = nlist with a corpus-covering rerankFactor ⇒ exact, full
     * stop). Fails loudly when the index lags the table unless
     * `allowStale` — see class docs. `pred` is pushed into the pruned
-    * scan like [[IvfIndex.probe]]/[[PqIndex.probe]].
+    * scan like [[IvfIndex.probe]]/[[PqIndex.probe]] — EXCEPT when it
+    * matches ≤ `bruteForceCap` rows of the pinned snapshot (measured,
+    * one count on the pruned scan): then the probe brute-forces the
+    * filtered subset EXACTLY instead of consulting the index at all —
+    * the same Lucene selective-filter fallback [[GraftHnsw]] applies.
+    * Why: at partial nprobe a very selective pred can leave fewer than
+    * k matches inside the probed cells and the top-k silently
+    * UNDER-FILLS; the brute leg costs one predicate-pruned scan of a
+    * subset this small and returns exact, full results.
     */
   def probe(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
             nprobe: Int, name: String = "vec", pred: Option[Column] = None,
-            allowStale: Boolean = false, rerankFactor: Int = 4): DataFrame = {
+            allowStale: Boolean = false, rerankFactor: Int = 4,
+            bruteForceCap: Int = 10000): DataFrame = {
     val (m, model) = open(spark, tablePath, name)
     requireFresh(tablePath, m, allowStale)
+    pred.foreach { p =>
+      require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
+      val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
+        .filter(p).filter(col(m.vecCol).isNotNull)
+      if (matched.count() <= bruteForceCap) {
+        val ord = if (m.metric == "l2") asc("score") else desc("score")
+        val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion)
+        val canonical = sc match {
+          case Some(st) => st.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"
+          case None => matched.columns.toSeq.filterNot(_ == m.vecCol) :+ "score"
+        }
+        return matched
+          .withColumn("score", graft.operators.VectorSearch.scoreCol(
+            col(m.vecCol), typedlit(query), m.metric))
+          .orderBy(ord, asc(m.keyCols.head)).limit(k)
+          .select(canonical.map(col): _*)
+      }
+    }
     // an index over an EMPTY table (every cell dropped) is valid state:
     // zero rows, shaped like any other probe (table columns minus the
     // vector, plus score) — not a parquet schema-inference crash

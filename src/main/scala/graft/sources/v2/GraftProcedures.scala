@@ -764,6 +764,14 @@ object GraftProcedures {
           if (tombs > 8) s"index '${m.name}' filters $tombs tombstone file(s) " +
             "per probe — run CALL graft.hnsw_rebuild explicitly"
           else s"index '${m.name}' at $tombs tombstone file(s)")
+        // segment-count debt prefers the BOUNDED fix: merge pays the
+        // merged tier's bytes, rebuild pays the corpus
+        val segs = m.segs.size
+        row("hnsw_merge", needed = segs > 8, applied = false,
+          if (segs > 8) s"index '${m.name}' walks $segs segments per probe — " +
+            "run CALL graft.hnsw_merge explicitly (tiered, O(merged tier); " +
+            "rebuild pays O(corpus))"
+          else s"index '${m.name}' at $segs segment(s)")
       }
       // IVF generation debt: each refresh/rebuild orphans its previous
       // generation (storage, not probe latency — probes read only the
@@ -998,6 +1006,32 @@ object GraftProcedures {
     }
   }
 
+  private val hnswMerge = new Proc("hnsw_merge",
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'"),
+      inDefault("target_segments", IntegerType, "4")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("segments_before", IntegerType, nullable = false),
+      StructField("segments_after", IntegerType, nullable = false),
+      StructField("merged", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "tiered segment merge (Lucene's background-merge contract): fold " +
+        "the smallest segments beyond target_segments into one, " +
+        "dropping dead copies and retiring spent tombstones — " +
+        "maintenance IO tracks the merged tier, never the corpus " +
+        "(merged = 0 when already at/under target)"
+    override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
+      val path = tablePath(input)
+      val name = str(input, 1)
+      val target = reqInt(input, 2)
+      val before = GraftHnsw.meta(path, name).segs.length
+      val merged = GraftHnsw.merge(spark, path, name, target)
+        .map(_._1.length).getOrElse(0)
+      Array(InternalRow(utf8(name), before,
+        GraftHnsw.meta(path, name).segs.length, merged))
+    }
+  }
+
   private val hnswVacuum = new Proc("hnsw_vacuum",
     Array(in("table", StringType), inDefault("name", StringType, "'hnsw'")),
     StructType(Seq(
@@ -1161,7 +1195,7 @@ object GraftProcedures {
     enableBlooms, statsProfile, statsDrift, history, files, analyze, skippingReport,
     indexCreate, indexRefresh, indexVacuum, indexDrop, indexesReport,
     textIndexCreate, textIndexRefresh, textIndexCompact, textIndexVacuum,
-    textIndexDrop, hnswCreate, hnswRefresh, hnswRebuild, hnswVacuum, hnswDrop,
+    textIndexDrop, hnswCreate, hnswRefresh, hnswRebuild, hnswMerge, hnswVacuum, hnswDrop,
     maintain,
     tagCreate, tagDelete, tagsReport, cloneProc, vacuumPreview, fsck,
     branchCreate, branchPublish, branchDrop, branchesReport)

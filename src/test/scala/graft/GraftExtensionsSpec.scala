@@ -171,6 +171,69 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     spark.sql(s"SELECT k FROM graft_index_search('$path', $sqlArr, 7)").count() shouldBe 7
   }
 
+  test("graft_index_search predSql arg: filtered search keeps k full and equals filtered brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_pred").toString + "/t"
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => (((k * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+    val df = (0L until 200L).map(k => (k, vec(k))).toDF("k", "v")
+    graft.sources.GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftIndex.create(spark, path, "v", nlist = 4)
+    val q = vec(42L)
+    val sqlArr = s"array(${q.mkString(", ")})"
+    val got = spark.sql(
+      s"SELECT k FROM graft_index_search('$path', $sqlArr, 7, 4, 'vec', 'k % 2 = 0') " +
+        "ORDER BY score DESC, k")
+      .collect().map(_.getLong(0)).toSeq
+    got should have length 7 // k stays full under the filter
+    got shouldBe graft.operators.VectorSearch.topK(
+      graft.sources.GraftTable.read(spark, path).filter(col("k") % 2 === 0),
+      "v", "k", q, 7, "cosine")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    // an unresolvable pred column fails loudly at analysis
+    intercept[Exception] {
+      spark.sql(s"SELECT k FROM graft_index_search('$path', $sqlArr, 7, 4, 'vec', 'no_col = 1')")
+    }
+  }
+
+  test("graft_hnsw_probe TVF: table-attached HNSW in SQL, plain + filtered, stale-checked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_sql").toString + "/t"
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => math.sin(k * 37.0 + i * 11.0).toFloat)
+    val df = (0L until 150L).map(k => (k, vec(k), s"doc$k")).toDF("k", "v", "s")
+    graft.sources.GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftHnsw.create(spark, path, "v", nSegments = 2, m = 8,
+      efConstruction = 64)
+    val q = vec(13L)
+    val sqlArr = s"array(${q.mkString(", ")})"
+    // wide beam == exact (the HnswSpec empirical-pin convention)
+    val got = spark.sql(
+      s"SELECT k, s FROM graft_hnsw_probe('$path', $sqlArr, 5, 512) ORDER BY score DESC, k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    got shouldBe graft.operators.VectorSearch.topK(
+      graft.sources.GraftTable.read(spark, path), "v", "k", q, 5, "cosine")
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // filtered: selective pred → brute path, exact by construction
+    val filt = spark.sql(
+      s"SELECT k FROM graft_hnsw_probe('$path', $sqlArr, 5, 512, 'hnsw', 'k % 10 = 3') " +
+        "ORDER BY score DESC, k")
+      .collect().map(_.getLong(0)).toSeq
+    filt shouldBe graft.operators.VectorSearch.topK(
+      graft.sources.GraftTable.read(spark, path).filter(col("k") % 10 === 3),
+      "v", "k", q, 5, "cosine")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    // stale-loud in SQL like the Scala API
+    graft.sources.GraftTable.upsert(spark, path, Seq((0L, vec(999L), "x")).toDF("k", "v", "s"))
+    intercept[IllegalStateException] {
+      spark.sql(s"SELECT k FROM graft_hnsw_probe('$path', $sqlArr, 5)")
+    }.getMessage should include("STALE")
+  }
+
   test("graft_text_search TVF serves BM25 from the table-attached text index, stale-checked") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

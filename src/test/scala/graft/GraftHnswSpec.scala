@@ -265,4 +265,190 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     GraftHnsw.exists(path) shouldBe false
     GraftTable.read(spark, path).count() shouldBe 10L
   }
+
+  // ---- tiered segment merge (the Lucene background-merge contract) ----
+
+  test("merge folds the smallest segments beyond target; probes stay exact; at/under target is a no-op") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    (0 until 3).foreach { i =>
+      GraftTable.upsert(spark, path,
+        (100L + i * 10 until 110L + i * 10).map(k => (k, vec(k), s"doc$k"))
+          .toDF("id", "vec", "s"))
+      GraftHnsw.refresh(spark, path)
+    }
+    GraftHnsw.meta(path).segs.length shouldBe 5
+    GraftHnsw.merge(spark, path, targetSegments = 2) should not be empty
+    GraftHnsw.meta(path).segs.length shouldBe 2
+    val q = vec(105)
+    GraftHnsw.probe(spark, path, q, k = 10, ef = 512)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe brute(path, q, 10).toSet
+    GraftHnsw.merge(spark, path, targetSegments = 2) shouldBe None
+  }
+
+  test("merge drops dead copies physically and retires spent tombstones") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    GraftTable.upsert(spark, path, Seq((5L, vec(5, 1), "v1")).toDF("id", "vec", "s"))
+    GraftHnsw.refresh(spark, path)
+    GraftTable.upsert(spark, path, Seq((5L, vec(5, 2), "v2")).toDF("id", "vec", "s"))
+    GraftHnsw.refresh(spark, path)
+    GraftHnsw.meta(path).tombs.length shouldBe 2
+    // fold EVERYTHING: every pre-merge pid leaves, so both tombstones
+    // retire (each kills only copies OLDER than its horizon, and none
+    // remain) and key 5 survives as exactly its newest copy
+    GraftHnsw.merge(spark, path, targetSegments = 1) should not be empty
+    val m = GraftHnsw.meta(path)
+    m.segs.length shouldBe 1
+    m.tombs shouldBe empty
+    Seq(vec(5, 0), vec(5, 1), vec(5, 2)).foreach { q =>
+      val rows = GraftHnsw.probe(spark, path, q, k = 40, ef = 512)
+        .filter(col("id") === 5L).collect()
+      rows.length shouldBe 1
+      rows.head.getString(1) shouldBe "v2"
+    }
+    val q = vec(9)
+    GraftHnsw.probe(spark, path, q, k = 10, ef = 512)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe brute(path, q, 10).toSet
+  }
+
+  test("merge on a quantized layout preserves the stored geometry (re-encode is idempotent)") {
+    val path = mkTable(50)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64,
+      storage = "sq8")
+    GraftTable.upsert(spark, path,
+      (200L until 220L).map(k => (k, vec(k), s"doc$k")).toDF("id", "vec", "s"))
+    GraftHnsw.refresh(spark, path)
+    GraftHnsw.meta(path).segs.length shouldBe 3
+    GraftHnsw.merge(spark, path, targetSegments = 2) should not be empty
+    GraftHnsw.meta(path).storage shouldBe "sq8"
+    val q = vec(205)
+    val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512, rerankFactor = 16)
+    got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe brute(path, q, 8).toSet
+    got.collect().foreach { r =>
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  // ---- filtered search (pred): the three-path selectivity strategy ----
+
+  /** Brute-force cosine top-k over the LIVE rows matching `keep`. */
+  private def bruteWhere(path: String, q: Seq[Float], k: Int,
+                         keep: Long => Boolean): Seq[(Long, String)] =
+    GraftTable.read(spark, path).select("id", "vec", "s").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+      .filter { case (id, _, _) => keep(id) }
+      .map { case (id, v, s) => (id, s, cosine(v, q)) }
+      .sortBy { case (id, _, sc) => (-sc, id) }
+      .take(k).map { case (id, s, _) => (id, s) }.toSeq
+
+  test("filtered probe, BRUTE path: a selective pred is exact with exact scores (the oracle shape)") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(7)
+    // 6 of 60 rows match — far under the default bruteForceCap, so the
+    // graph is never consulted and the result is exact by construction
+    val got = GraftHnsw.probe(spark, path, q, k = 5, ef = 512,
+      pred = Some(col("id") % 10 === 3))
+    got.columns.toSeq shouldBe Seq("id", "s", "score")
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    ids shouldBe bruteWhere(path, q, 5, _ % 10 == 3)
+    got.collect().foreach { r =>
+      (r.getLong(0) % 10) shouldBe 3L
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  test("filtered probe, WALK path: accept-set walk at a wide beam equals filtered brute force") {
+    val path = mkTable(80)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(11)
+    // bruteForceCap = 0 forces the accept-set walk; the wide beam must
+    // reach every accepted node (rejected ones stay routable)
+    val got = GraftHnsw.probe(spark, path, q, k = 10, ef = 512,
+      pred = Some(col("id") % 2 === 0), bruteForceCap = 0)
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    ids shouldBe bruteWhere(path, q, 10, _ % 2 == 0)
+    got.collect().foreach { r =>
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  test("filtered probe, POST-FILTER path: a loose pred with a widened frontier equals filtered brute force") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(23)
+    // acceptCap = 0 too: unfiltered walk + semi-join; rerankFactor·k
+    // covers the corpus so the equality is guaranteed, not probabilistic
+    val got = GraftHnsw.probe(spark, path, q, k = 5, ef = 512,
+      pred = Some(col("id") % 3 =!= 0), bruteForceCap = 0, acceptCap = 0,
+      rerankFactor = 16)
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    ids shouldBe bruteWhere(path, q, 5, _ % 3 != 0)
+  }
+
+  test("filtered probe respects lifecycle: updated matches serve the newest copy, deleted matches vanish") {
+    val path = mkTable(50)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    GraftTable.upsert(spark, path, Seq((4L, vec(4, salt = 9), "doc4-v2")).toDF("id", "vec", "s"))
+    GraftTable.delete(spark, path, Seq(8L).toDF("id"))
+    GraftHnsw.refresh(spark, path)
+    // walk path on purpose — the tombstone filter is on this path
+    val got = GraftHnsw.probe(spark, path, vec(4, salt = 9), k = 25, ef = 512,
+      pred = Some(col("id") % 2 === 0), bruteForceCap = 0)
+    val rows = got.collect()
+    rows.map(_.getLong(0)) should not contain 8L
+    val top = rows.head
+    top.getLong(0) shouldBe 4L
+    top.getString(1) shouldBe "doc4-v2"
+    top.getDouble(2) shouldBe 1.0 +- 1e-9
+  }
+
+  test("filtered probe on a QUANTIZED layout stays float-exact (walk + exact rerank)") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64,
+      storage = "sq8")
+    val q = vec(17)
+    val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512,
+      pred = Some(col("id") % 2 === 1), bruteForceCap = 0, rerankFactor = 16)
+    val ids = got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    ids shouldBe bruteWhere(path, q, 8, _ % 2 == 1)
+    got.collect().foreach { r =>
+      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    }
+  }
+
+  test("filtered probe: zero matches returns the canonical empty shape") {
+    val path = mkTable(20)
+    GraftHnsw.create(spark, path, "vec", nSegments = 1)
+    val got = GraftHnsw.probe(spark, path, vec(1), k = 5, ef = 128,
+      pred = Some(col("id") > 1000L))
+    got.columns.toSeq shouldBe Seq("id", "s", "score")
+    got.count() shouldBe 0L
+  }
+
+  test("filtered knnJoin: brute and walk paths both equal per-query filtered brute force") {
+    val path = mkTable(70)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val queries = Seq((0L, vec(3)), (1L, vec(41)))
+    def want(k: Int): Map[Long, Seq[Long]] = queries.map { case (qid, q) =>
+      qid -> bruteWhere(path, q, k, _ % 2 == 0).map(_._1)
+    }.toMap
+    def gotIds(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.orderBy(col("qid"), desc("score"), col("id")).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSeq).toMap
+    // brute path (selective enough for the default cap at n=70? no —
+    // 35 matches, still ≤ cap): exact by construction
+    val bruteJ = GraftHnsw.knnJoin(spark, path, queries, k = 5, ef = 512,
+      pred = Some(col("id") % 2 === 0))
+    gotIds(bruteJ) shouldBe want(5)
+    // walk path, forced: accept-set walk + exact rerank
+    val walkJ = GraftHnsw.knnJoin(spark, path, queries, k = 5, ef = 512,
+      pred = Some(col("id") % 2 === 0), bruteForceCap = 0, rerankFactor = 16)
+    gotIds(walkJ) shouldBe want(5)
+  }
 }

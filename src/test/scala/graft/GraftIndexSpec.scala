@@ -629,4 +629,31 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     got shouldBe VectorSearch.topK(GraftTable.read(spark, dst), "v", "k",
       vec(7L), 10, "cosine").select("k").collect().map(_.getLong(0)).toSeq
   }
+
+  test("filtered probe, selective pred: the brute leg keeps k FULL where partial nprobe under-fills") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 8)
+    val q = vec(42L)
+    val pred = col("k") % 40 === 1 // 10 matches of 400, spread across cells
+    // the measured-selectivity brute leg (default cap): exact top-k over
+    // the filtered subset, k full, scores exact
+    val got = GraftIndex.probe(spark, path, q, k = 8, nprobe = 1, pred = Some(pred))
+    got.count() shouldBe 8L
+    val want = VectorSearch.topK(
+        GraftTable.read(spark, path).filter(pred), "v", "k", q, 8, "cosine")
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe want
+    // bruteForceCap = 0 pins the legacy pred-pushed cell scan: at
+    // nprobe = 1 only one cell's matches are visible — k UNDER-FILLS
+    // (which is exactly why the brute leg exists)
+    val old = GraftIndex.probe(spark, path, q, k = 8, nprobe = 1,
+      pred = Some(pred), bruteForceCap = 0)
+    old.count() should be < 8L
+    // and at exhaustive settings both paths agree exactly
+    val exh = GraftIndex.probe(spark, path, q, k = 8, nprobe = 8,
+      pred = Some(pred), bruteForceCap = 0)
+    exh.select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe want
+  }
 }

@@ -382,6 +382,42 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL hnsw_merge folds segments through SQL; maintain recommends merge past 8 segments") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_hnsw_merge").toString + "/t"
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(i * 37.0 + d * 11.0).toFloat)
+    val df = (0L until 30L).map(i => (i, vec(i), s"doc$i")).toDF("id", "vec", "s")
+    GraftTable.create(df, root, Seq("id"), nbuckets = 4)
+    withCatalog {
+      spark.sql(s"CALL graft.hnsw_create('$root', 'vec', 'hnsw', 8, 64, " +
+        "'cosine', 2)").collect()
+      // 8 refreshes → 10 segments: past the maintain threshold
+      (0 until 8).foreach { i =>
+        GraftTable.upsert(spark, root,
+          Seq((100L + i, vec(100L + i), s"doc${100 + i}")).toDF("id", "vec", "s"))
+        spark.sql(s"CALL graft.hnsw_refresh('$root')").collect()
+      }
+      graft.sources.GraftHnsw.meta(root).segs.length shouldBe 10
+      val rec = spark.sql(s"CALL graft.maintain('$root')").collect()
+        .filter(_.getString(0) == "hnsw_merge")
+      rec should have length 1
+      rec.head.getBoolean(1) shouldBe true // needed
+      rec.head.getString(3) should include("hnsw_merge")
+      val mg = spark.sql(s"CALL graft.hnsw_merge('$root', 'hnsw', 3)").collect().head
+      (mg.getInt(1), mg.getInt(2), mg.getInt(3)) shouldBe ((10, 3, 8))
+      // merged layout still serves every live key exactly at a wide beam
+      graft.sources.GraftHnsw.probe(spark, root, vec(104), k = 1, ef = 512)
+        .collect().head.getLong(0) shouldBe 104L
+      // all-clear afterwards
+      spark.sql(s"CALL graft.maintain('$root')").collect()
+        .filter(_.getString(0) == "hnsw_merge").head.getBoolean(1) shouldBe false
+      // and a second merge at the same target is a no-op
+      spark.sql(s"CALL graft.hnsw_merge('$root', 'hnsw', 3)").collect()
+        .head.getInt(3) shouldBe 0
+    }
+  }
+
   test("CALL hnsw_create storage => 'sq8' builds a quantized layout; unknown storage refuses") {
     import spark.implicits._
     val root = Files.createTempDirectory("proc_hnswq").toString + "/t"

@@ -92,6 +92,48 @@ class HnswSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("filtered walk: only accepted ids return; a wide beam equals brute force over the accepted subset") {
+    // the accept set filters RESULT admission only — rejected nodes stay
+    // routable, so a wide beam (ef ≥ segment size) still reaches every
+    // accepted node and must reproduce the filtered brute-force board
+    val accepted = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val got = HnswIndex.probe(spark, model, "vec_id", query, 10, ef = 500,
+        acceptIds = Some(accepted))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    got.foreach(id => (id % 2) shouldBe 0L)
+    val exactEven = VectorSearch.topK(emb.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", query, 10, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    got shouldBe exactEven
+  }
+
+  test("filtered walk survives a sparse accept set (rejected entry points route through)") {
+    // ~1/16 of the corpus accepted: most segments' entry nodes are
+    // rejected, the beam must still cross the rejected region; a wide
+    // beam again equals filtered brute force
+    val accepted = emb.filter(col("vec_id") % 16 === 1).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val got = HnswIndex.probe(spark, model, "vec_id", query, 5, ef = 500,
+        acceptIds = Some(accepted))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = VectorSearch.topK(emb.filter(col("vec_id") % 16 === 1),
+        "embedding", "vec_id", query, 5, "cosine")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    got shouldBe exact
+  }
+
+  test("filtered walk refuses an unsorted or duplicated accept set loudly") {
+    intercept[IllegalArgumentException] {
+      HnswIndex.probe(spark, model, "vec_id", query, 5, ef = 64,
+        acceptIds = Some(Array(5L, 3L))).collect()
+    }.getMessage should include("sorted")
+    intercept[IllegalArgumentException] {
+      HnswIndex.probe(spark, model, "vec_id", query, 5, ef = 64,
+        acceptIds = Some(Array(3L, 3L))).collect()
+    }.getMessage should include("sorted")
+  }
+
   test("quantized layouts store strictly fewer bytes than float32 (the scan-bytes lever)") {
     def layoutBytes(path: String): Long = {
       val root = new java.io.File(path)
