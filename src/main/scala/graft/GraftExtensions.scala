@@ -221,7 +221,7 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
-  /** `graft_text_search(tablePath, query, k[, mode[, name]])` — BM25
+  /** `graft_text_search(tablePath, query, k[, mode[, name[, predSql]]])` — BM25
     * top-k from the table-attached inverted text index
     * ([[graft.sources.TextIndex]]), stale-checked at plan time like
     * [[indexSearchPlan]]. `mode` = 'any' (default), 'all'
@@ -231,8 +231,8 @@ object GraftFunctions {
     * posting partitions to read, so pruning happens before execution.
     */
   private def textSearchPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 3 && args.length <= 5,
-      s"graft_text_search(tablePath, query, k[, mode[, name]]): got ${args.length} args")
+    require(args.length >= 3 && args.length <= 6,
+      s"graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]): got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_text_search: $what must be a literal")
       args(i).eval(null)
@@ -241,17 +241,22 @@ object GraftFunctions {
     val query = lit(1, "query").toString
     val k = lit(2, "k").asInstanceOf[Number].intValue()
     val mode = if (args.length >= 4) lit(3, "mode").toString else "any"
-    val name = if (args.length == 5) lit(4, "name").toString else "txt"
+    val name = if (args.length >= 5) lit(4, "name").toString else "txt"
+    // predSql = Lucene's filtered-query clause in SQL: eligibility
+    // semi-join before the top-k cut, full-corpus statistics
+    val pred = if (args.length == 6) Some(parsePred(SparkSession.active,
+      "graft_text_search", lit(5, "predSql").toString)) else None
     val df =
       if (mode == "phrase")
-        graft.sources.TextIndex.searchPhrase(SparkSession.active, path, query, k, name = name)
+        graft.sources.TextIndex.searchPhrase(SparkSession.active, path, query, k,
+          name = name, pred = pred)
       else
         graft.sources.TextIndex.search(SparkSession.active, path, query, k,
-          name = name, mode = mode)
+          name = name, mode = mode, pred = pred)
     df.queryExecution.logical
   }
 
-  /** `graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]])`
+  /** `graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]])`
     * — the reference's full hybrid retrieval (demo.ipynb cell 13) as ONE
     * SQL call, BOTH legs served from table-attached indexes: vector leg
     * = [[graft.sources.GraftIndex]] top-n probe (nprobe defaults to
@@ -264,8 +269,8 @@ object GraftFunctions {
     * fold at plan time (it shapes the partition-pruned probe).
     */
   private def hybridSearchPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 4 && args.length <= 6,
-      s"graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]]): got ${args.length} args")
+    require(args.length >= 4 && args.length <= 7,
+      s"graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]]): got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_hybrid_search: $what must be a literal")
       args(i).eval(null)
@@ -292,17 +297,28 @@ object GraftFunctions {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, floor, lit => flit, sum}
     val im = graft.sources.GraftIndex.meta(path, "vec")
-    val nprobe = if (args.length == 6) lit(5, "nprobe").asInstanceOf[Number].intValue()
+    val nprobe = if (args.length >= 6) lit(5, "nprobe").asInstanceOf[Number].intValue()
                  else im.nlist
+    // predSql filters BOTH legs' eligibility BEFORE their top-n rank
+    // cuts (post-filtering fused results would starve the fusion of
+    // exactly the rows the filter wanted): the vector leg pushes the
+    // pred into its probe (selective preds take the exact brute leg),
+    // the text leg semi-joins the scored docs against the pinned
+    // snapshot — full-corpus BM25 statistics, Lucene filter semantics
+    val pred = if (args.length == 7) Some(parsePred(spark, "graft_hybrid_search",
+      lit(6, "predSql").toString)) else None
     val key = im.keyCols.head
     val vecLeg = graft.operators.Fusion.rankByTopN(
-      graft.sources.GraftIndex.probe(spark, path, query, n, nprobe)
+      graft.sources.GraftIndex.probe(spark, path, query, n, nprobe, pred = pred)
         .select(col(key), col("score").as("__vs")), key, col("__vs"), n)
-    val txtLeg = graft.operators.Fusion.rankByTopN(
-      graft.sources.TextIndex.scoredTerms(spark, path, textQuery, idf = "rational")
-        .groupBy(col(key))
-        .agg(sum(floor(col("contrib") * flit(1000000.0)).cast("long")).as("__ts")),
-      key, col("__ts"), n)
+    val txtScored = graft.sources.TextIndex.scoredTerms(spark, path, textQuery, idf = "rational")
+      .groupBy(col(key))
+      .agg(sum(floor(col("contrib") * flit(1000000.0)).cast("long")).as("__ts"))
+    val txtEligible = pred.fold(txtScored)(p =>
+      txtScored.join(graft.sources.GraftTable.read(spark, path,
+          graft.sources.TextIndex.meta(path, "txt").indexedVersion)
+        .filter(p).select(col(key)), Seq(key), "left_semi"))
+    val txtLeg = graft.operators.Fusion.rankByTopN(txtEligible, key, col("__ts"), n)
     graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), key, "rank")
       .orderBy(col("rrf_score").desc, col(key).asc).limit(k)
       .queryExecution.logical
@@ -456,11 +472,11 @@ object GraftFunctions {
       indexSearchPlan _),
     ("graft_text_search",
       info("graft_text_search",
-        "graft_text_search(tablePath, query, k[, mode[, name]]) - BM25 (mode any/all) or exact-phrase (mode phrase) top-k served from the table-attached inverted text index (stale-checked)"),
+        "graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]) - BM25 (mode any/all) or exact-phrase (mode phrase) top-k served from the table-attached inverted text index (stale-checked); predSql makes it a filtered query (Lucene filter semantics)"),
       textSearchPlan _),
     ("graft_hybrid_search",
       info("graft_hybrid_search",
-        "graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe]]) - RRF fusion of the table-attached vector index's top-n and the text index's BM25 top-n (both stale-checked)"),
+        "graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]]) - RRF fusion of the table-attached vector index's top-n and the text index's BM25 top-n (both stale-checked); predSql filters both legs' eligibility before their rank cuts"),
       hybridSearchPlan _),
     ("graft_knn_join",
       info("graft_knn_join",

@@ -444,6 +444,20 @@ object SparkEntry {
           ORDER BY rrf_q DESC, doc_id LIMIT 10""")
   }
 
+  /** The filtered hybrid TVF call: predSql gates both legs (see the
+    * `vs_sql_hybrid_filtered` row comment); nprobe passed explicitly
+    * because predSql is positional arg 7.
+    */
+  private def hybridSqlFilteredServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val q = queryVec(s, dir, 0L)
+    s.sql(
+      s"""SELECT doc_id, CAST(FLOOR(rrf_score * 10000.0) AS BIGINT) AS rrf_q
+          FROM graft_hybrid_search('$tbl', array(${q.mkString(", ")}),
+                                   'table scan value', 100, 50, 16, 'doc_id % 2 = 0')
+          ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+  }
+
   /** Serving paths of the standalone ANN entries: probe an already-
     * built layout via the model persisted inside it (IvfIndex.load /
     * PqIndex.load) — no refit. Shared by the `queries` entries (which
@@ -4032,6 +4046,19 @@ object SparkEntry {
       bm25Serve(s, tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")))
     }),
 
+    "text_search_filtered" -> ((s, dir) => {
+      // FILTERED BM25 (Lucene's BooleanQuery FILTER clause semantics):
+      // the predicate narrows doc ELIGIBILITY via a semi-join against
+      // the pinned snapshot BEFORE the top-k cut — k stays full — while
+      // corpus statistics (df, N, Σdl) stay FULL-corpus (a filter never
+      // changes the scoring model). Exact by construction (BM25 scores
+      // every term-matching doc anyway) ⇒ the bm25 oracle with the same
+      // predicate on the final aggregation.
+      TextIndex.search(s, tidxFixture(s, dir, "tidxflt", Some(" graftnew graftnew")),
+        "table scan value graftnew", 10, mode = "any_q",
+        pred = Some(col("doc_id") % 2 === 0))
+    }),
+
     "text_search_fuzzy" -> ((s, dir) => {
       // Lucene FuzzyQuery parity from the table-attached index: the
       // typo'd term 'tabl' expands over the TERM DICTIONARY
@@ -4091,6 +4118,17 @@ object SparkEntry {
       // arithmetic) decides the final 10 — no exact-vs-quantized
       // boundary drift
       hybridSqlServe(s, dir, hybridFixture(s, dir, "thyb2"))
+    }),
+
+    "vs_sql_hybrid_filtered" -> ((s, dir) => {
+      // the FILTERED hybrid as one SQL call: predSql gates BOTH legs'
+      // eligibility BEFORE their top-n rank cuts (post-filtering the
+      // fusion would starve it of exactly the rows the filter wanted) —
+      // vector leg pushes the pred into its probe (selective ⇒ exact
+      // brute leg), text leg semi-joins the scored docs, both against
+      // the pinned snapshot. Oracle = the fusion oracle with the same
+      // predicate inside both legs' rankings.
+      hybridSqlFilteredServe(s, dir, hybridFixture(s, dir, "thybf"))
     }),
 
     "simsearch_lsh_bucketed" -> ((s, dir) => {
@@ -4315,6 +4353,14 @@ object SparkEntry {
       "text_search_bm25" -> ((
         (s, dir) => { tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")); () },
         (s, dir) => bm25Serve(s, at("tidx", dir)))),
+      "text_search_filtered" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tidxflt", Some(" graftnew graftnew")); () },
+        (s, dir) => TextIndex.search(s, at("tidxflt", dir),
+          "table scan value graftnew", 10, mode = "any_q",
+          pred = Some(col("doc_id") % 2 === 0)))),
+      "vs_sql_hybrid_filtered" -> ((
+        (s, dir) => { hybridFixture(s, dir, "thybf"); () },
+        (s, dir) => hybridSqlFilteredServe(s, dir, at("thybf", dir)))),
       "text_index_postings" -> ((
         (s, dir) => { tidxFixture(s, dir, "tpost"); () },
         (s, dir) => postingsServe(s, at("tpost", dir)))),
@@ -4807,6 +4853,41 @@ object SparkEntry {
          FROM term GROUP BY doc_id
          ORDER BY score_q DESC, doc_id LIMIT 10""",
 
+    // filtered BM25: the SAME corpus statistics (Lucene filter
+    // semantics — df/N/Σdl stay full-corpus), the predicate applied to
+    // doc eligibility before the top-k cut
+    "text_search_filtered" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 37 = 5 THEN text || ' graftnew graftnew'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 41 <> 3 AND text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'value', 'graftnew') GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term WHERE doc_id % 2 = 0 GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
+
     // fuzzy BM25: the oracle expands the typo over the corpus vocab
     // with the same levenshtein, then replays the rational-idf BM25
     "text_search_fuzzy" ->
@@ -4882,6 +4963,13 @@ object SparkEntry {
     // corpus, top-50 each, fused by RRF — the two table-attached
     // indexes' fusion must match
     "hybrid_table_search" -> hybridFusionOracle,
+
+    // filtered hybrid: the SAME fusion with the predicate inside BOTH
+    // legs' rankings (filtering the fused output instead would rank
+    // over rows the filter excludes)
+    "vs_sql_hybrid_filtered" -> hybridFusionOracle
+      .replace("FROM kwq)", "FROM kwq WHERE doc_id % 2 = 0)")
+      .replace("FROM t)", "FROM t WHERE doc_id % 2 = 0)"),
 
     "hybrid_rerank" -> hybridRerankOracle,
 

@@ -387,10 +387,20 @@ object TextIndex {
     * "lucene" default or set to "rational" explicitly — any other
     * combination refuses loudly rather than silently scoring with a
     * different idf than the caller named.
+    *
+    * `pred` makes it a FILTERED query with Lucene's filtered-query
+    * semantics: the predicate (over the PINNED snapshot's columns)
+    * narrows doc ELIGIBILITY via a semi-join BEFORE the top-k cut — so
+    * k stays full instead of under-filling the way filtering k results
+    * would — while corpus statistics (df, N, Σdl) stay FULL-corpus: a
+    * filter changes which docs may return, never the scoring model
+    * (exactly Lucene's BooleanQuery FILTER clause). Exact by
+    * construction — BM25 scores every term-matching doc anyway, so
+    * filtering costs eligibility lookup, not recall.
     */
   def search(spark: SparkSession, tablePath: String, query: String, k: Int,
              name: String = "txt", mode: String = "any", idf: String = "lucene",
-             allowStale: Boolean = false): DataFrame = {
+             allowStale: Boolean = false, pred: Option[Column] = None): DataFrame = {
     // *_q modes: rational idf + per-term quantize-then-INTEGER-sum —
     // the order-independent scoring the DuckDB oracle reproduces
     // hash-exactly (float BM25 sums are addition-order-dependent)
@@ -413,7 +423,10 @@ object TextIndex {
     val scored = terms.groupBy(m.keyCols.map(col): _*)
       .agg(scoreAgg, count(lit(1)).as("_nmatch"))
     val kept = if (baseMode == "all") scored.filter(col("_nmatch") === nq) else scored
-    kept.drop("_nmatch")
+    val eligible = pred.fold(kept)(p =>
+      kept.join(GraftTable.read(spark, tablePath, m.indexedVersion)
+        .filter(p).select(m.keyCols.map(col): _*), m.keyCols, "left_semi"))
+    eligible.drop("_nmatch")
       .orderBy(col(scoreCol).desc +: m.keyCols.map(c => col(c).asc): _*)
       .limit(k)
   }
@@ -492,7 +505,8 @@ object TextIndex {
     * offsets 0 and 2.
     */
   def searchPhrase(spark: SparkSession, tablePath: String, phrase: String, k: Int,
-                   name: String = "txt", allowStale: Boolean = false): DataFrame = {
+                   name: String = "txt", allowStale: Boolean = false,
+                   pred: Option[Column] = None): DataFrame = {
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
     require(m.pformat >= 2,
@@ -514,11 +528,16 @@ object TextIndex {
         val votes = live.select(m.keyCols.map(col) :+ explode(flatten(transform(
           element_at(offLit, col("token")),
           i => transform(col("positions"), p => (p - i))))).as("start"): _*)
-        votes.groupBy(m.keyCols.map(col) :+ col("start"): _*)
+        val hits = votes.groupBy(m.keyCols.map(col) :+ col("start"): _*)
           .agg(count(lit(1)).as("_nhit"))
           .filter(col("_nhit") === qtoks.size && col("start") >= 0)
           .groupBy(m.keyCols.map(col): _*)
           .agg(count(lit(1)).as("n_occurrences"))
+        // same filtered-query semantics as [[search]]: eligibility
+        // semi-join against the pinned snapshot BEFORE the top-k cut
+        pred.fold(hits)(p =>
+            hits.join(GraftTable.read(spark, tablePath, m.indexedVersion)
+              .filter(p).select(m.keyCols.map(col): _*), m.keyCols, "left_semi"))
           .orderBy(col("n_occurrences").desc +: m.keyCols.map(c => col(c).asc): _*)
           .limit(k)
     }

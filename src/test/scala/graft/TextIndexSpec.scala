@@ -429,4 +429,45 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
     viaIndex shouldBe brute
   }
+
+  test("filtered search: eligibility narrows, k stays full, statistics stay full-corpus") {
+    val path = freshTable(300)
+    TextIndex.create(spark, path, "text")
+    val pred = col("doc_id") % 2 === 0
+    val filtered = TextIndex.search(spark, path, "spark table", 10, pred = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    filtered should have size 10 // k full despite the filter
+    filtered.foreach { case (id, _) => (id % 2) shouldBe 0L }
+    // Lucene filter semantics: a doc's score is IDENTICAL with and
+    // without the filter (df/N/Σdl never re-derive from the subset) —
+    // the filtered board is exactly the unfiltered board minus odd docs
+    val unfiltered = bruteForce(path, "spark table", 300)
+    filtered shouldBe unfiltered.filter(_._1 % 2 == 0).take(10)
+    // src-typed pred over a non-key column works the same way
+    TextIndex.search(spark, path, "spark", 5, pred = Some(col("src") === "src-1"))
+      .collect().map(_.getLong(0)).foreach(id => (id % 3) shouldBe 1L)
+  }
+
+  test("filtered phrase search: same eligibility semi-join before the cut") {
+    val path = freshTable(250)
+    TextIndex.create(spark, path, "text")
+    val all = brutePhrase(path, "table index", 250)
+    val gotF = TextIndex.searchPhrase(spark, path, "table index", 10,
+        pred = Some(col("doc_id") % 2 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    gotF shouldBe all.filter(_._1 % 2 == 0).take(10)
+  }
+
+  test("graft_text_search TVF predSql equals the Scala filtered search") {
+    GraftFunctions.register(spark)
+    val path = freshTable(200)
+    TextIndex.create(spark, path, "text")
+    val sql = spark.sql(
+      s"SELECT doc_id FROM graft_text_search('$path', 'spark table', 8, 'any', 'txt', " +
+        "'doc_id % 2 = 0') ORDER BY score DESC, doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    sql shouldBe TextIndex.search(spark, path, "spark table", 8,
+        pred = Some(col("doc_id") % 2 === 0))
+      .collect().map(_.getLong(0)).toSeq
+  }
 }
