@@ -209,6 +209,42 @@ object Probe {
     }
   }
 
+  /** Merge-benefit probe: the segment-count ratchet vs serve latency.
+    * A CDC regime (16 upsert+refresh cycles) ratchets a 4-segment index
+    * to 20; serve is timed before and after `GraftHnsw.merge` folds the
+    * flush tier back (target 5 ⇒ merged tier = the 16 small flushes,
+    * ~0.8 % of the corpus), and the merge cost sits next to a full
+    * rebuild's — the O(merged tier) vs O(corpus) claim, measured.
+    */
+  private def mergeProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.sources.{GraftHnsw, GraftTable}
+    val root = s"${sys.props("java.io.tmpdir")}/graft_probe_merge"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tbl = s"$root/t"
+    def vecExpr = expr("transform(sequence(0, 15), d -> cast(sin(id * 37.0 + d * 11.0) AS float))")
+    GraftTable.create(spark.range(0, n).select(col("id"), vecExpr.as("vec")),
+      tbl, Seq("id"), nbuckets = 8)
+    GraftHnsw.create(spark, tbl, "vec", m = 8, efConstruction = 64, nSegments = 4)
+    val q = (0 until 16).map(d => math.sin(123 * 37.0 + d * 11.0).toFloat)
+    def serveMin() = (1 to 5).map(_ => timed {
+      GraftHnsw.probe(spark, tbl, q, 10, ef = 128).queryExecution.toRdd.count()
+    }._2).min
+    (0 until 16).foreach { i =>
+      GraftTable.upsert(spark, tbl,
+        spark.range(n + i * 100, n + i * 100 + 100).select(col("id"), vecExpr.as("vec")))
+      GraftHnsw.refresh(spark, tbl)
+    }
+    val segsBefore = GraftHnsw.meta(tbl).segs.length
+    val before = serveMin()
+    val (_, mergeS) = timed(GraftHnsw.merge(spark, tbl, targetSegments = 5))
+    val after = serveMin()
+    println(s"PROBE merge n=$n segs_before=$segsBefore serve_before_s=${f"$before%.2f"} " +
+      s"merge_s=${f"$mergeS%.1f"} segs_after=${GraftHnsw.meta(tbl).segs.length} " +
+      s"serve_after_s=${f"$after%.2f"}")
+    val (_, rebuildS) = timed(GraftHnsw.rebuild(spark, tbl))
+    println(s"PROBE merge rebuild_s=${f"$rebuildS%.1f"} (the O(corpus) alternative)")
+  }
+
   /** z-order vs hilbert on the 3-dim orders layout: files kept/skipped
     * per dimension (the scan's own keep rule) + per-dim file-span
     * percentiles — the §6 evidence behind the `lakehouse_*3_prune`
@@ -268,9 +304,11 @@ object Probe {
         curves(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case "filtered" :: rest =>
         filtered(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
+      case "merge" :: rest =>
+        mergeProbe(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered)")
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered | merge)")
     }
     spark.stop()
   }

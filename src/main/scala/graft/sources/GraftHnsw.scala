@@ -167,9 +167,24 @@ object GraftHnsw {
     * tombstone file; no existing segment is read or rewritten (the
     * Lucene flush, vs [[GraftIndex.refresh]]'s COW cell rewrite).
     * Returns the (fromVersion, toVersion] range applied, None if fresh.
+    *
+    * `maxSegments` (> 0) auto-[[merge]]s back under the cap after the
+    * flush commits — the [[TextIndex.refresh]] maxSegments twin: a
+    * CDC-fed index flushes a segment per batch, and without a cap the
+    * probe cost ratchets up until someone remembers to maintain it.
+    * The cap keeps refresh cost bounded too: each auto-merge folds the
+    * smallest tier (O(merged rows)), never the corpus.
     */
   def refresh(spark: SparkSession, tablePath: String,
-              name: String = "hnsw"): Option[(Int, Int)] = {
+              name: String = "hnsw", maxSegments: Int = 0): Option[(Int, Int)] = {
+    val r = refreshOnce(spark, tablePath, name)
+    if (maxSegments > 0 && meta(tablePath, name).segs.length > maxSegments)
+      merge(spark, tablePath, name, targetSegments = maxSegments)
+    r
+  }
+
+  private def refreshOnce(spark: SparkSession, tablePath: String,
+                          name: String): Option[(Int, Int)] = {
     val m0 = meta(tablePath, name)
     val head = GraftTable.latestVersion(tablePath)
     if (head <= m0.indexedVersion) return None

@@ -962,7 +962,8 @@ object GraftProcedures {
   }
 
   private val hnswRefresh = new Proc("hnsw_refresh",
-    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'")),
+    Array(in("table", StringType), inDefault("name", StringType, "'hnsw'"),
+      inDefault("max_segments", IntegerType, "0")),
     StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("from_version", IntegerType, nullable = false),
@@ -971,11 +972,12 @@ object GraftProcedures {
     override def description(): String =
       "fold the table's CDC delta since the indexed version into the " +
         "graph (appends + horizon tombstones; no-op row with " +
-        "refreshed = false when current)"
+        "refreshed = false when current); max_segments > 0 auto-merges " +
+        "the smallest tier past that many segments (the text_index_refresh twin)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val name = str(input, 1)
-      GraftHnsw.refresh(spark, path, name) match {
+      GraftHnsw.refresh(spark, path, name, maxSegments = reqInt(input, 2)) match {
         case Some((from, to)) => Array(InternalRow(utf8(name), from, to, true))
         case None =>
           val head = GraftTable.latestVersion(path)

@@ -287,6 +287,21 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     GraftHnsw.merge(spark, path, targetSegments = 2) shouldBe None
   }
 
+  test("refresh(maxSegments) auto-merges the flush tier back under the cap") {
+    val path = mkTable(40)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    (0 until 4).foreach { i =>
+      GraftTable.upsert(spark, path,
+        Seq((200L + i, vec(200L + i), s"doc${200 + i}")).toDF("id", "vec", "s"))
+      GraftHnsw.refresh(spark, path, maxSegments = 3)
+    }
+    GraftHnsw.meta(path).segs.length should be <= 3
+    val q = vec(202)
+    GraftHnsw.probe(spark, path, q, k = 8, ef = 512)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe brute(path, q, 8).toSet
+  }
+
   test("merge drops dead copies physically and retires spent tombstones") {
     val path = mkTable(40)
     GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
