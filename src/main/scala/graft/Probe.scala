@@ -138,13 +138,17 @@ object Probe {
     import graft.sources.{GraftIndex, GraftTable}
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    // overlap averaged over 20 queries — a single query's top-10 grid
+    // is too coarse (steps of 0.1) to separate the 1-bit variants
+    val qs = emb.filter(col("vec_id") < 20L).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     def layoutBytes(tbl: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum else f.length
       walk(new java.io.File(s"$tbl/_index/vec/data"))
     }
-    val tops = scala.collection.mutable.Map.empty[String, Seq[Long]]
-    Seq("float32", "sq8", "binary").foreach { st =>
+    val tops = scala.collection.mutable.Map.empty[String, Map[Long, Set[Long]]]
+    Seq("float32", "sq8", "binary", "rabitq").foreach { st =>
       val root = s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$st"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val tbl = s"$root/t"
@@ -154,13 +158,17 @@ object Probe {
       }
       def serve() = GraftIndex.probe(spark, tbl, q, 10, nprobe = 8, rerankFactor = 4)
       val serveS = (1 to 5).map(_ => timed(serve().queryExecution.toRdd.count())._2).min
-      val top = serve().select("vec_id").collect().map(_.getLong(0)).toSeq
-      tops(st) = top
+      tops(st) = qs.map { case (qid, qv) =>
+        qid -> GraftIndex.probe(spark, tbl, qv, 10, nprobe = 8, rerankFactor = 4)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
       val rec = tops.get("float32").fold(-1.0)(f =>
-        top.toSet.intersect(f.toSet).size.toDouble / f.size)
+        qs.map { case (qid, _) =>
+          tops(st)(qid).intersect(f(qid)).size.toDouble / f(qid).size
+        }.sum / qs.size)
       println(s"PROBE ivfbytes storage=$st layout_bytes=${layoutBytes(tbl)} " +
         s"build_s=${f"$buildS%.1f"} serve_s=${f"$serveS%.2f"} " +
-        s"overlap_vs_float_same_nprobe=${f"$rec%.2f"}")
+        s"overlap_vs_float_same_nprobe_avg20=${f"$rec%.2f"}")
     }
   }
 

@@ -3993,6 +3993,27 @@ object SparkEntry {
       gidxBinServe(s, dir, gidxFixture(s, dir, "gidxbin", storage = "binary"))
     }),
 
+    "graft_index_rabitq_exhaustive" -> ((s, dir) => {
+      // RaBitQ storage (Gao & Long, SIGMOD 2024 — public): 1-bit codes
+      // of the ROTATED RESIDUAL against the cell centroid plus three
+      // scalars make the scan's proxy an UNBIASED estimator of the true
+      // score instead of a bare sign heuristic — the modern 1-bit shape
+      // (sign bits are norm-blind: on dot-metric norm-varying corpora
+      // they collapse to 0.27 overlap where the estimator holds 0.70,
+      // GraftIndexSpec). Same lifecycle as the other storages; at
+      // exhaustive settings + corpus-covering rerank the serve is exact
+      // including scores ⇒ the shared mutated-corpus DuckDB oracle.
+      gidxRerankServe(s, dir, gidxFixture(s, dir, "gidxrq", storage = "rabitq"))
+    }),
+
+    "graft_index_rabitq" -> ((s, dir) => {
+      // the honest partial shape (nprobe = nlist/2, bounded rerank) —
+      // what a 100 TB deployment actually runs on the estimator codes;
+      // approximate by construction ⇒ rows-only, recall inequality vs
+      // plain signs pinned in GraftIndexSpec.
+      gidxBinServe(s, dir, gidxFixture(s, dir, "gidxrqp", storage = "rabitq"))
+    }),
+
     "graft_index_knn_exhaustive" -> ((s, dir) => {
       // batched ANN join THROUGH the table-attached index, on the PQ
       // kind with OPQ — the de-rotated coarse ranking plus the pinned
@@ -4330,6 +4351,12 @@ object SparkEntry {
       "graft_index_binary" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxbin", storage = "binary"); () },
         (s, dir) => gidxBinServe(s, dir, at("gidxbin", dir)))),
+      "graft_index_rabitq_exhaustive" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxrq", storage = "rabitq"); () },
+        (s, dir) => gidxRerankServe(s, dir, at("gidxrq", dir)))),
+      "graft_index_rabitq" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxrqp", storage = "rabitq"); () },
+        (s, dir) => gidxBinServe(s, dir, at("gidxrqp", dir)))),
       "graft_index_knn_exhaustive" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxknn", kind = "ivfpq", m = 8, opq = true); () },
         (s, dir) => gidxKnnServe(s, at("gidxknn", dir)))),
@@ -4987,6 +5014,10 @@ object SparkEntry {
     // every emitted score is exact float arithmetic from the table's
     // float column — so ONE brute-force oracle pins both layouts
     "graft_index_sq8_exhaustive" -> gidxMutatedOracle,
+
+    // rabitq at exhaustive settings: the estimator may never show up in
+    // an emitted number either — same brute-force oracle
+    "graft_index_rabitq_exhaustive" -> gidxMutatedOracle,
 
     // FILTERED hnsw search, brute leg (selective pred ⇒ exact by
     // construction): the mutated-corpus brute force restricted to the

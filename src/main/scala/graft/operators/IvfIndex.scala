@@ -55,12 +55,30 @@ object IvfIndex {
   final case class Model(path: String, centroids: Array[Array[Float]], metric: String,
                          schema: Option[org.apache.spark.sql.types.StructType] = None,
                          files: Option[Map[Int, Seq[String]]] = None,
-                         storage: String = "float32")
+                         storage: String = "float32",
+                         rot: Option[Array[Array[Float]]] = None)
 
-  private[graft] val storages = Seq("float32", "sq8", "binary")
+  private[graft] val storages = Seq("float32", "sq8", "binary", "rabitq")
 
   /** The quantized layouts' vector-payload fields (what replaces the
     * float vector column in cell files).
+    *
+    * "rabitq" is the 1-bit storage with RaBitQ's unbiased estimator
+    * (Gao & Long, "RaBitQ: Quantizing High-Dimensional Vectors with a
+    * Theoretical Error Bound for Approximate Nearest Neighbor Search",
+    * SIGMOD 2024 — public): bits are the signs of the ROTATED RESIDUAL
+    * P·(v − centroid) (a seeded random rotation spreads the residual's
+    * mass across dimensions so sign bits carry near-equal information),
+    * and three per-vector scalars make the scan's rank proxy an
+    * ESTIMATOR instead of plain-sign-bit heuristic: `vq_norm` = ‖v−c‖,
+    * `vq_align` = ⟨x̄, r̂'⟩ = ‖P·r‖₁/(‖r‖·√D) (the paper's ⟨x̄, o̅⟩
+    * normalizer — E[align] = √(2/π), and dividing by the PER-VECTOR
+    * value instead of the expectation is what removes the bias), and
+    * `vq_vnorm` = ‖v‖ (the raw norm, kept for diagnostics/raw-space
+    * reconstruction; cosine encodes and serves on the UNIT sphere —
+    * residuals against the spherical-kmeans centroids — so its
+    * estimate is a cosine directly). Scan bytes: 1 bit/dim + 24 bytes
+    * — still ~25× under float32 at dim 64 and asymptotically 32×.
     */
   private[graft] def storageFields(storage: String): Seq[org.apache.spark.sql.types.StructField] = {
     import org.apache.spark.sql.types._
@@ -69,9 +87,41 @@ object IvfIndex {
       case "sq8" => Seq(StructField("vq_code", ArrayType(ByteType)),
         StructField("vq_scale", DoubleType))
       case "binary" => Seq(StructField("vq_bits", ArrayType(LongType)))
+      case "rabitq" => Seq(StructField("vq_bits", ArrayType(LongType)),
+        StructField("vq_norm", DoubleType),
+        StructField("vq_align", DoubleType),
+        StructField("vq_vnorm", DoubleType))
       case other => throw new IllegalArgumentException(
         s"unknown ivf storage '$other' (one of ${storages.mkString(", ")})")
     }
+  }
+
+  /** Seeded random orthonormal rotation (Gaussian rows + modified
+    * Gram-Schmidt; full rank w.p. 1), row-vector convention shared
+    * with [[PqIndex.rotateVec]] — deterministic, so two builds of the
+    * same data are bit-identical (the house contract).
+    */
+  private[graft] def randomRotation(dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var dp = 0.0; var k = 0
+        while (k < dim) { dp += m(i)(k) * m(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { m(i)(k) -= dp * m(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0; var k = 0
+      while (k < dim) { n += m(i)(k) * m(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      k = 0
+      while (k < dim) { m(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    m.map(_.map(_.toFloat))
   }
 
   /** Swap the float vector column for its quantized representation —
@@ -92,9 +142,70 @@ object IvfIndex {
     case "binary" =>
       df.withColumn("vq_bits", graft.functions.vectors.sign_pack(col(vecCol)))
         .drop(vecCol)
+    case "rabitq" => throw new IllegalArgumentException(
+      "rabitq quantization is cluster-relative (residual signs) — use quantizeLayoutModel")
     case other => throw new IllegalArgumentException(
       s"unknown ivf storage '$other' (one of ${storages.mkString(", ")})")
   }
+
+  /** Model-aware [[quantizeLayout]]: identical for float32/sq8/binary
+    * (their codes are cluster-independent), and the only valid entry
+    * for "rabitq", whose payload derives from the row's RESIDUAL
+    * against its cell centroid and the model's rotation. The rabitq
+    * encode is a build/refresh-path UDF (one matrix-vector product per
+    * row — the same cost class as [[cellUdf]]'s assignment, amortized
+    * over the layout's life); the SERVE path stays pure column
+    * arithmetic ([[rabitqCandidates]]).
+    */
+  private[graft] def quantizeLayoutModel(model: Model, df: DataFrame,
+                                         vecCol: String): DataFrame =
+    if (model.storage != "rabitq") quantizeLayout(df, vecCol, model.storage)
+    else {
+      val spark = df.sparkSession
+      val bcC = spark.sparkContext.broadcast(model.centroids)
+      val bcR = spark.sparkContext.broadcast(model.rot.getOrElse(
+        throw new IllegalStateException("rabitq model carries no rotation — corrupt save")))
+      // cosine centroids live in NORMALIZED space (the build's
+      // spherical-kmeans) — the residual must too, or it measures the
+      // norm gap instead of the angular offset and the estimator's
+      // noise scales with ‖v‖ instead of the within-cell spread
+      val cosine = model.metric == "cosine"
+      val enc = udf { (v: Seq[Float], cid: Int) =>
+        val c = bcC.value(cid)
+        val d = v.length
+        var vn2 = 0.0
+        var i = 0
+        while (i < d) { vn2 += v(i).toDouble * v(i); i += 1 }
+        val vn = math.sqrt(vn2)
+        val inv = if (cosine && vn > 0.0) 1.0 / vn else 1.0
+        val r = new Array[Float](d)
+        var rn2 = 0.0
+        i = 0
+        while (i < d) {
+          val x = (v(i) * inv - c(i)).toFloat; r(i) = x
+          rn2 += x.toDouble * x; i += 1
+        }
+        val rr = PqIndex.rotateVec(r, bcR.value)
+        val bits = new Array[Long]((d + 63) >>> 6)
+        var l1 = 0.0
+        i = 0
+        while (i < d) {
+          if (rr(i) >= 0.0f) bits(i >>> 6) |= 1L << (i & 63)
+          l1 += math.abs(rr(i).toDouble); i += 1
+        }
+        val rn = math.sqrt(rn2)
+        // zero residual (v == centroid): the estimator term is
+        // multiplied by vq_norm = 0 anyway; align = 1 avoids 0/0
+        val align = if (rn == 0.0) 1.0 else l1 / (rn * math.sqrt(d.toDouble))
+        (bits.toSeq, rn, align, vn)
+      }
+      df.withColumn("__rq", enc(col(vecCol), col("cluster_id")))
+        .withColumn("vq_bits", col("__rq._1"))
+        .withColumn("vq_norm", col("__rq._2"))
+        .withColumn("vq_align", col("__rq._3"))
+        .withColumn("vq_vnorm", col("__rq._4"))
+        .drop("__rq", vecCol)
+    }
 
   /** The quantized rank score for a cell scan: larger = better for
     * EVERY metric (the caller orders desc). sq8 reconstructs
@@ -158,10 +269,15 @@ object IvfIndex {
         if (nRows > 100000) feat.sample(100000.0 / nRows, seed) else feat
     }
     val model = km.fit(fitInput)
-    quantizeLayout(model.transform(feat).drop("_feat"), vecCol, storage)
+    // rabitq: one seeded rotation per layout, derived before any row is
+    // encoded (dim from the fitted centroids — no extra data pass)
+    val rot = if (storage == "rabitq")
+      Some(randomRotation(model.clusterCenters.head.size, seed + 1)) else None
+    val m0 = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric,
+      storage = storage, rot = rot)
+    quantizeLayoutModel(m0, model.transform(feat).drop("_feat"), vecCol)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    val m = Model(path, model.clusterCenters.map(_.toArray.map(_.toFloat)), metric,
-      storage = storage)
+    val m = m0
     // opt-out for callers that version the model themselves (the
     // table-attached GraftIndex): a layout-local `_model` there would
     // be redundant AND go stale across refresh generations
@@ -180,10 +296,12 @@ object IvfIndex {
   def save(spark: SparkSession, model: Model): Unit = {
     import spark.implicits._
     val rows: Seq[(String, Int, Int, Seq[Float], String)] =
-      ("metric", 0, 0, Seq.empty[Float], model.metric) +:
-      ("storage", 0, 0, Seq.empty[Float], model.storage) +:
-      model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
-        ("coarse", i, 0, c.toSeq, null.asInstanceOf[String]) }
+      (("metric", 0, 0, Seq.empty[Float], model.metric) +:
+       ("storage", 0, 0, Seq.empty[Float], model.storage) +:
+       model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+         ("coarse", i, 0, c.toSeq, null.asInstanceOf[String]) }) ++
+      model.rot.toSeq.flatMap(_.zipWithIndex.map { case (r, i) =>
+        ("rot", i, 0, r.toSeq, null.asInstanceOf[String]) })
     rows.toDF("part", "i", "j", "vec", "s").repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"${model.path}/_model")
   }
@@ -200,7 +318,9 @@ object IvfIndex {
     val centroids = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._3.toArray)
     // pre-quantization saves carry no storage row: float32
     val storage = rows.find(_._1 == "storage").map(_._4).getOrElse("float32")
-    Model(path, centroids, metric, storage = storage)
+    val rotRows = rows.filter(_._1 == "rot").sortBy(_._2).map(_._3.toArray)
+    Model(path, centroids, metric, storage = storage,
+      rot = if (rotRows.isEmpty) None else Some(rotRows))
   }
 
   /** Top-k against the index, reading only the nprobe nearest cells.
@@ -246,8 +366,91 @@ object IvfIndex {
     val scan = layoutScan(spark, model)
       .filter(col("cluster_id").isin(cells: _*))
     val filtered = pred.fold(scan)(scan.filter)
-    filtered.withColumn("__qscore", quantizedScore(model.storage, model.metric, query))
-      .orderBy(desc("__qscore"), asc(idCol)).limit(kf)
+    if (model.storage == "rabitq") {
+      import spark.implicits._
+      val consts = rabitqProbeRows(model, query, cells)
+        .toDF("cluster_id", "__w", "__aux", "__qn")
+      filtered.join(broadcast(consts), "cluster_id")
+        .withColumn("__qscore", rabitqScore(model.metric, query.length))
+        .drop("__w", "__aux", "__qn")
+        .orderBy(desc("__qscore"), asc(idCol)).limit(kf)
+    } else
+      filtered.withColumn("__qscore", quantizedScore(model.storage, model.metric, query))
+        .orderBy(desc("__qscore"), asc(idCol)).limit(kf)
+  }
+
+  /** RaBitQ serving constants for ONE query, per probed cell:
+    * (cell, __w = rotated unit estimation direction, __aux, __qn).
+    * For l2 the estimator direction is the CENTERED query — ŵ =
+    * P·(q−c)/‖q−c‖, __aux = ‖q−c‖ — giving dist²(q,v) = ‖r‖² + ‖q−c‖²
+    * − 2‖r‖‖q−c‖·est⟨r̂, ŵ⟩ with NO approximation beyond the estimator
+    * itself; for dot/cosine ŵ = P·q̂ (cell-independent) and __aux =
+    * ⟨c, q⟩, giving est⟨v, q⟩ = ⟨c, q⟩ + ‖r‖‖q‖·est⟨r̂, q̂⟩. Driver
+    * cost: nprobe rotations of a dim-vector — microseconds.
+    */
+  private def rabitqProbeRows(model: Model, query: Seq[Float], cells: Seq[Int])
+      : Seq[(Int, Seq[Float], Double, Double)] = {
+    val rot = model.rot.getOrElse(throw new IllegalStateException(
+      "rabitq layout carries no rotation — corrupt model save"))
+    val q = query.toArray
+    var qn2 = 0.0
+    var i = 0
+    while (i < q.length) { qn2 += q(i).toDouble * q(i); i += 1 }
+    val qn = math.sqrt(qn2)
+    if (model.metric == "l2")
+      cells.map { cid =>
+        val c = model.centroids(cid)
+        val w = new Array[Float](q.length)
+        var n2 = 0.0; var j = 0
+        while (j < q.length) {
+          val x = q(j) - c(j); w(j) = x; n2 += x.toDouble * x; j += 1
+        }
+        val qcn = math.sqrt(n2)
+        if (qcn > 0.0) {
+          var k = 0
+          while (k < w.length) { w(k) = (w(k) / qcn).toFloat; k += 1 }
+        }
+        (cid, PqIndex.rotateVec(w, rot).toSeq, qcn, qn)
+      }
+    else {
+      val unit = if (qn == 0.0) q else q.map(x => (x / qn).toFloat)
+      val wrot = PqIndex.rotateVec(unit, rot).toSeq
+      // cosine scores live on the unit sphere (residuals were encoded
+      // against normalized-space centroids): __aux = ⟨c, q̂⟩ and the
+      // estimate is a cosine directly; dot stays in raw space
+      val qd = if (model.metric == "cosine") unit else q
+      cells.map { cid =>
+        val c = model.centroids(cid)
+        var cq = 0.0; var j = 0
+        while (j < q.length) { cq += c(j).toDouble * qd(j); j += 1 }
+        (cid, wrot, cq, qn)
+      }
+    }
+  }
+
+  /** The RaBitQ rank score over a cell scan joined with its per-cell
+    * consts (__w, __aux, __qn): est⟨r̂, ŵ⟩ = (⟨signs, w⟩/√D)/align
+    * (the paper's unbiased estimator — ⟨x̄, ŵ'⟩/⟨x̄, r̂'⟩ with x̄ =
+    * sign/√D), then the metric's estimate. Larger is better for every
+    * metric (l2 negated), matching [[quantizedScore]]'s contract.
+    * Pure column arithmetic over 1-bit codes + three scalars — the
+    * serve path stays codegen-friendly; only build pays the UDF.
+    */
+  private def rabitqScore(metric: String, dim: Int): Column = {
+    val est = (graft.functions.vectors.adc_dot(col("__w"), col("vq_bits"))
+      / math.sqrt(dim.toDouble)) / col("vq_align")
+    metric match {
+      case "l2" =>
+        -(col("vq_norm") * col("vq_norm") + col("__aux") * col("__aux")
+          - lit(2.0) * col("vq_norm") * col("__aux") * est)
+      case "dot" => col("__aux") + col("vq_norm") * col("__qn") * est
+      // unit-sphere estimate: ⟨v̂, q̂⟩ = ⟨c, q̂⟩ + ‖r‖·est⟨r̂, q̂⟩ — the
+      // residual was encoded against the normalized-space centroid, so
+      // its norm is the WITHIN-CELL angular spread and the estimator's
+      // noise scales with it, not with ‖v‖
+      case "cosine" => col("__aux") + col("vq_norm") * est
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
   }
 
   /** Incremental index maintenance: append a batch of NEW vectors to an
@@ -266,9 +469,9 @@ object IvfIndex {
     * }}}
     */
   def append(model: Model, batch: DataFrame, vecCol: String): Unit =
-    quantizeLayout(
+    quantizeLayoutModel(model,
         batch.withColumn("cluster_id", cellUdf(batch.sparkSession, model)(col(vecCol))),
-        vecCol, model.storage)
+        vecCol)
       .write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(model.path)
 
   private[graft] def layoutScan(spark: SparkSession, model: Model): DataFrame =
@@ -363,6 +566,22 @@ object IvfIndex {
                                             kf: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
     require(model.storage != "float32", "quantizedKnnCandidates needs a quantized layout")
+    if (model.storage == "rabitq") {
+      // per-(query, cell) consts instead of per-row query vectors — the
+      // same broadcast-probes shape, scored by the estimator
+      val probeRows = queries.flatMap { case (qid, qv) =>
+        rabitqProbeRows(model, qv, nearestCells(model, qv, nprobe))
+          .map { case (cid, w, aux, qn) => (qid, cid, w, aux, qn) }
+      }
+      val probes = probeRows.toDF("qid", "cell", "__w", "__aux", "__qn")
+      val allCells = probeRows.map(_._2).distinct
+      val scan = layoutScan(spark, model)
+        .filter(col("cluster_id").isin(allCells: _*))
+      val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
+        .withColumn("score", rabitqScore(model.metric, queries.head._2.length))
+        .select(col("qid"), col(idCol), col("score"))
+      return VectorSearch.perQueryTopK(scored, "qid", idCol, kf, "dot")
+    }
     val probeRows = queries.flatMap { case (qid, qv) =>
       nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
     }

@@ -250,8 +250,11 @@ object GraftIndex {
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
     val data = dataPath(tablePath, m.name)
     val sc = layoutSchema(tablePath, m)
-    if (m.kind == "ivf")
-      Left(IvfIndex.Model(data, coarse, m.metric, sc, files, m.storage))
+    if (m.kind == "ivf") {
+      val ivfRot = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4)
+      Left(IvfIndex.Model(data, coarse, m.metric, sc, files, m.storage,
+        rot = if (ivfRot.isEmpty) None else Some(ivfRot)))
+    }
     else {
       val books = rows.filter(_._1 == "book").groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (_, bs) => bs.sortBy(_._3).map(_._4) }.toArray
@@ -303,7 +306,7 @@ object GraftIndex {
       val model = IvfIndex.build(snap, vecCol, nlist, dataPath(tablePath, name),
         metric, fitSampleFraction = fitSampleFraction, persistModel = false,
         storage = storage)
-      saveModel(spark, tablePath, name, model.centroids, None, None, Some(0))
+      saveModel(spark, tablePath, name, model.centroids, None, model.rot, Some(0))
     } else {
       val model = PqIndex.build(snap, keys.head, vecCol, nlist, m,
         dataPath(tablePath, name), metric, opq = opq, persistModel = false)
@@ -345,7 +348,7 @@ object GraftIndex {
       val model = IvfIndex.build(snap, meta0.vecCol, newNlist, layout,
         meta0.metric, fitSampleFraction = fitSampleFraction, persistModel = false,
         storage = meta0.storage)
-      saveModel(spark, tablePath, name, model.centroids, None, None, Some(newModelGen))
+      saveModel(spark, tablePath, name, model.centroids, None, model.rot, Some(newModelGen))
     } else {
       // defaults for the PQ shape come from the CURRENT model
       val cur = loadModel(spark, tablePath, meta0, None).toOption.get
@@ -420,9 +423,11 @@ object GraftIndex {
         .filter(col(m.vecCol).isNotNull)
       val additions = model.fold(
         // quantized layouts: additions swap the float column for the
-        // same vq_* payload the build wrote (no-op for float32)
-        _ => IvfIndex.quantizeLayout(
-          newRows.withColumn("cluster_id", cell(col(m.vecCol))), m.vecCol, m.storage),
+        // same vq_* payload the build wrote (no-op for float32;
+        // rabitq re-derives residual signs against the SAME centroids
+        // and rotation the build used — model-aware by construction)
+        ivf => IvfIndex.quantizeLayoutModel(ivf,
+          newRows.withColumn("cluster_id", cell(col(m.vecCol))), m.vecCol),
         pq => PqIndex.encodeBatch(pq, newRows, m.vecCol))
       val newCells = additions.select("cluster_id").distinct().collect().map(_.getInt(0))
       val affected = (oldCells ++ newCells).distinct.toSeq
@@ -729,7 +734,8 @@ object GraftIndex {
     // Projected explicitly so no per-kind drop list can drift. For
     // quantized layouts the schema lacks the vector column already; the
     // rerank join's vecCol and proxy columns die here too.
-    val internal = Set("cluster_id", "pq_code", "vq_code", "vq_scale", "vq_bits", "__qscore")
+    val internal = Set("cluster_id", "pq_code", "vq_code", "vq_scale", "vq_bits",
+      "vq_norm", "vq_align", "vq_vnorm", "__qscore")
     val canonical = model.fold(_.schema, _.schema) match {
       case Some(sc) => sc.fieldNames.toSeq
         .filterNot(c => c == m.vecCol || internal(c)) :+ "score"

@@ -504,6 +504,87 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     part.intersect(exact.map(_._1).toSet).size should be >= 5
   }
 
+  test("storage=rabitq: mutate -> refresh -> exhaustive probe == exact; estimator beats plain signs at partial settings") {
+    val path = freshTable(400)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "rabitq")
+    // mutate + refresh: additions re-derive residual signs against the
+    // SAME centroids/rotation the build used
+    GraftTable.upsert(spark, path,
+      (0L until 5L).map(k => (k, s"upd-$k", vec(k + 9000L))).toDF("k", "s", "v"))
+    GraftTable.delete(spark, path, (10L until 15L).toDF("k"))
+    GraftIndex.refresh(spark, path)
+    val q = vec(515L)
+    val exact = exactTopK(path, q, 10)
+    // exhaustive + corpus-covering rerank ⇒ exact including scores,
+    // regardless of proxy quality (the same contract as sq8/binary)
+    GraftIndex.probe(spark, path, q, 10, nprobe = 4, rerankFactor = Int.MaxValue)
+      .select("k", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe exact
+    // partial settings still serve k full rows from the estimator's
+    // frontier (rank-quality inequalities vs plain signs are pinned in
+    // the norm-varying test below, where the difference is structural —
+    // this dim-8 near-duplicate fixture sits below any 1-bit
+    // estimator's resolution)
+    GraftIndex.probe(spark, path, q, 10, nprobe = 2, rerankFactor = 4)
+      .count() shouldBe 10L
+  }
+
+  test("rabitq vs binary where sign bits are BLIND: dot metric, log-normal norms") {
+    // Gaussian directions × log-normal norms: ⟨q, sign(v)⟩ cannot see
+    // ‖v‖ at all, while rabitq's estimator carries it exactly
+    // (score = ⟨c,q⟩ + ‖r‖·‖q‖·est) — the structural advantage, pinned
+    // deterministically (all draws seeded)
+    def mk(storage: String): String = {
+      val rows = (0L until 1500L).map { k =>
+        val r = new scala.util.Random(k)
+        val dir = Array.fill(32)(r.nextGaussian())
+        val n = math.sqrt(dir.map(x => x * x).sum)
+        val scale = math.exp(r.nextGaussian() * 0.7)
+        (k, s"d$k", dir.map(x => (x / n * scale).toFloat).toSeq)
+      }
+      val p = Files.createTempDirectory(s"graft_rqn_$storage").toString + "/t"
+      GraftTable.create(rows.toDF("k", "s", "v"), p, Seq("k"), nbuckets = 4)
+      GraftIndex.create(spark, p, "v", nlist = 8, metric = "dot", storage = storage)
+      p
+    }
+    def overlap(p: String): Double = {
+      val qs = (9000L until 9008L).map { k =>
+        val r = new scala.util.Random(k)
+        val dir = Array.fill(32)(r.nextGaussian())
+        val n = math.sqrt(dir.map(x => x * x).sum)
+        dir.map(x => (x / n).toFloat).toSeq
+      }
+      qs.map { q =>
+        val exact = VectorSearch.topK(GraftTable.read(spark, p), "v", "k", q, 10, "dot")
+          .select("k").collect().map(_.getLong(0)).toSet
+        GraftIndex.probe(spark, p, q, 10, nprobe = 4, rerankFactor = 4)
+          .select("k").collect().map(_.getLong(0)).toSet
+          .intersect(exact).size.toDouble / 10
+      }.sum / qs.size
+    }
+    val ob = overlap(mk("binary"))
+    val orq = overlap(mk("rabitq"))
+    withClue(f"binary=$ob%.2f rabitq=$orq%.2f: ") {
+      orq should be >= ob + 0.2 // the estimator's structural margin
+      orq should be >= 0.5
+    }
+  }
+
+  test("storage=rabitq: dot and l2 metrics serve exactly at exhaustive settings") {
+    Seq("dot", "l2").foreach { metric =>
+      val p = Files.createTempDirectory(s"graft_rq_$metric").toString + "/t"
+      val df = (0L until 300L).map(k => (k, s"doc-$k", vec(k))).toDF("k", "s", "v")
+      GraftTable.create(df, p, Seq("k"), nbuckets = 4)
+      GraftIndex.create(spark, p, "v", nlist = 4, metric = metric, storage = "rabitq")
+      val q = vec(77L)
+      val want = VectorSearch.topK(GraftTable.read(spark, p), "v", "k", q, 8, metric)
+        .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      GraftIndex.probe(spark, p, q, 8, nprobe = 4, rerankFactor = Int.MaxValue)
+        .select("k", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe want
+    }
+  }
+
   test("quantized cells store vq_* payloads, not float vectors; bytes order binary < sq8 < float32") {
     def layoutBytes(path: String): Long = {
       def walk(f: java.io.File): Long =
@@ -523,7 +604,7 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       GraftTable.create(df, p, Seq("k"), nbuckets = 4)
       p
     }
-    val sizes = Seq("float32", "sq8", "binary").map { st =>
+    val sizes = Seq("float32", "sq8", "binary", "rabitq").map { st =>
       val p = table()
       GraftIndex.create(spark, p, "v", nlist = 4, storage = st)
       // the quantized layouts carry their vq_* columns and NO float column
@@ -532,12 +613,16 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       else {
         cols should not contain "v"
         if (st == "sq8") cols should contain allOf ("vq_code", "vq_scale")
-        else cols should contain("vq_bits")
+        else if (st == "binary") cols should contain("vq_bits")
+        else cols should contain allOf ("vq_bits", "vq_norm", "vq_align", "vq_vnorm")
       }
       st -> layoutBytes(p)
     }.toMap
     sizes("binary") should be < sizes("sq8")
     sizes("sq8") should be < sizes("float32")
+    // rabitq = binary + three scalars: between binary and sq8 at dim 64
+    sizes("rabitq") should be > sizes("binary")
+    sizes("rabitq") should be < sizes("sq8")
   }
 
   test("quantized knnJoin: exhaustive == per-query exact after mutations") {
@@ -547,6 +632,18 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
       (0L until 12L).map(k => (k, s"u-$k", vec(k + 8000))).toDF("k", "s", "v"))
     GraftTable.delete(spark, path, (50L until 70L).toDF("k"))
     GraftIndex.refresh(spark, path) shouldBe Some((0, 2))
+    val qs = Seq(5L, 6L).map(i => (i, vec(i + 900)))
+    val got = GraftIndex.knnJoin(spark, path, qs, k = 4, nprobe = 4,
+        rerankFactor = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, qv) => got(qid) shouldBe exactTopK(path, qv, 4) }
+  }
+
+  test("rabitq knnJoin: exhaustive == per-query exact (the estimator's batch shape)") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "rabitq")
     val qs = Seq(5L, 6L).map(i => (i, vec(i + 900)))
     val got = GraftIndex.knnJoin(spark, path, qs, k = 4, nprobe = 4,
         rerankFactor = Int.MaxValue)

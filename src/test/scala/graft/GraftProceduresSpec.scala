@@ -274,6 +274,15 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
       val hits = graft.sources.GraftIndex.probe(spark, root,
         Seq(122f, 2f, 1f), k = 3, nprobe = 4, rerankFactor = 1000).collect()
       hits.head.getLong(0) shouldBe 121L
+      // rabitq lands through the same SQL surface (estimator codes)
+      spark.sql(s"CALL graft.index_create('$root', 'emb', 4, " +
+        "name => 'rq', storage => 'rabitq')").collect()
+      graft.sources.GraftIndex.meta(root, "rq").storage shouldBe "rabitq"
+      spark.read.parquet(s"$root/_index/rq/data").columns.toSet should
+        (contain allOf ("vq_bits", "vq_norm", "vq_align", "vq_vnorm") and not contain "emb")
+      graft.sources.GraftIndex.probe(spark, root, Seq(122f, 2f, 1f), k = 3,
+        nprobe = 4, name = "rq", rerankFactor = 1000)
+        .collect().head.getLong(0) shouldBe 121L
       val ex = intercept[Exception] {
         spark.sql(s"CALL graft.index_create('$root', 'emb', 4, " +
           "name => 'v2', storage => 'fp16')").collect()
