@@ -370,6 +370,49 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `graft_hnsw_knn_join(tablePath, queryTable, k[, ef[, name[, predSql]]])`
+    * — the batched ANN join through the TABLE-ATTACHED HNSW index, the
+    * [[knnJoinPlan]] twin for the graph family: each row of the
+    * SQL-visible `queryTable` (key + the index's vector column) gets
+    * its approximate top-k live table keys; every committed segment
+    * graph loads once and serves every query, dead copies die by the
+    * horizon-tombstone filter. `predSql` filters the join's right side
+    * by the measured-selectivity strategy (one accept set / match count
+    * serves every query). Output: (qid, keyCol, score).
+    */
+  private def hnswKnnJoinPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 6,
+      s"graft_hnsw_knn_join(tablePath, queryTable, k[, ef[, name[, predSql]]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_hnsw_knn_join: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val qtable = lit(1, "queryTable").toString
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val ef = if (args.length >= 4) lit(3, "ef").asInstanceOf[Number].intValue() else 64
+    val name = if (args.length >= 5) lit(4, "name").toString else "hnsw"
+    val spark = SparkSession.active
+    val pred = if (args.length == 6) Some(parsePred(spark, "graft_hnsw_knn_join",
+      lit(5, "predSql").toString)) else None
+    val m = graft.sources.GraftHnsw.meta(path, name)
+    val qs = spark.table(qtable)
+      .select(col(m.keyCol).cast("long"), col(m.vecCol)).collect().toSeq
+      .map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case i: Int => i.toFloat
+          case l: Long => l.toFloat
+          case d: java.math.BigDecimal => d.floatValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_hnsw_knn_join: unsupported vector element $other")
+        })
+      }
+    graft.sources.GraftHnsw.knnJoin(spark, path, qs, k, ef, name, pred = pred)
+      .queryExecution.logical
+  }
+
   /** `graft_hnsw_search(layoutPath, queryVec, k[, ef])` — SQL top-k
     * from a standalone [[graft.operators.HnswIndex]] layout: each
     * segment graph walks a bounded-`ef` beam in one task, candidates
@@ -490,6 +533,10 @@ object GraftFunctions {
       info("graft_hnsw_probe",
         "graft_hnsw_probe(tablePath, queryVec, k[, ef[, name[, predSql]]]) - top-k served from the table-attached HNSW index (stale-checked); predSql makes it a filtered search"),
       hnswProbePlan _),
+    ("graft_hnsw_knn_join",
+      info("graft_hnsw_knn_join",
+        "graft_hnsw_knn_join(tablePath, queryTable, k[, ef[, name[, predSql]]]) - batched top-k ANN join through the table-attached HNSW index (stale-checked); predSql filters the join's right side"),
+      hnswKnnJoinPlan _),
     ("graft_fuzzy_match",
       info("graft_fuzzy_match",
         "graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q]) - every corpus row within maxDist edits of the probe (EXACT, q-gram pruned; refuses probes too short for the pruning bound)"),

@@ -3914,6 +3914,21 @@ object SparkEntry {
       ghnswServe(s, dir, tbl)
     }),
 
+    "vs_sql_hnsw_knn_tvf" -> ((s, dir) => {
+      // the batched ANN join through the table-attached HNSW as ONE SQL
+      // call (graft_hnsw_knn_join TVF) — the graft_knn_join twin for
+      // the graph family, over the same mutated-lifecycle fixture.
+      // Approximate (HNSW) ⇒ rows-only; TVF == Scala equality and the
+      // filtered variant are pinned in GraftExtensionsSpec.
+      GraftFunctions.register(s)
+      val tbl = ghnswFixture(s, dir, "ghnswkj")
+      GraftTable.read(s, tbl).filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").createOrReplaceTempView("hnsw_knn_probes")
+      s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                FROM graft_hnsw_knn_join('$tbl', 'hnsw_knn_probes', 5, 128)""")
+        .orderBy("qid", "vec_id")
+    }),
+
     "graft_hnsw_filtered" -> ((s, dir) => {
       // FILTERED vector search through the table-attached HNSW — the
       // capability every production vector store pairs with ANN
@@ -4327,6 +4342,17 @@ object SparkEntry {
       "graft_hnsw_sq8" -> ((
         (s, dir) => { ghnswFixture(s, dir, "ghnswq", storage = "sq8"); () },
         (s, dir) => ghnswSq8Serve(s, dir, at("ghnswq", dir)))),
+      "vs_sql_hnsw_knn_tvf" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswkj"); () },
+        (s, dir) => {
+          GraftFunctions.register(s)
+          val tbl = at("ghnswkj", dir)
+          GraftTable.read(s, tbl).filter(col("vec_id") < 5)
+            .select("vec_id", "embedding").createOrReplaceTempView("hnsw_knn_probes")
+          s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                    FROM graft_hnsw_knn_join('$tbl', 'hnsw_knn_probes', 5, 128)""")
+            .orderBy("qid", "vec_id")
+        })),
       "graft_hnsw_merged" -> ((
         (s, dir) => {
           val tbl = ghnswFixture(s, dir, "ghnswm")

@@ -110,7 +110,16 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val refreshEvery = parameters.get("refreshindexes").map(_.toInt).getOrElse(0)
     require(refreshEvery >= 0,
       s"graft sink: refreshindexes must be >= 0 (every Nth batch; 0 = off), got $refreshEvery")
-    new GraftStreamSink(path, keys, nbuckets, precombine, operation, tag, refreshEvery)
+    // option("maxsegments", N): cap the SEGMENTED index families' growth
+    // on each refresh tick — text refresh auto-compacts and HNSW refresh
+    // auto-MERGES its smallest tier past N segments, so a long-lived CDC
+    // stream's per-probe cost stays bounded without an operator loop.
+    // 0 (default) = unbounded (every flush stays its own segment).
+    val maxSegments = parameters.get("maxsegments").map(_.toInt).getOrElse(0)
+    require(maxSegments >= 0,
+      s"graft sink: maxsegments must be >= 0 (0 = unbounded), got $maxSegments")
+    new GraftStreamSink(path, keys, nbuckets, precombine, operation, tag, refreshEvery,
+      maxSegments)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -251,7 +260,8 @@ private[sources] class GraftStreamSource(spark: SparkSession, path: String,
 private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
                                        nbuckets: Int, precombine: Seq[String],
                                        operation: String, checkpointTag: String,
-                                       refreshEvery: Int = 0) extends Sink {
+                                       refreshEvery: Int = 0,
+                                       maxSegments: Int = 0) extends Sink {
 
   private def batchMarker = new Path(path, s"_sink_batch-$checkpointTag")
 
@@ -293,8 +303,10 @@ private[sources] class GraftStreamSink(path: String, keys: Option[Seq[String]],
     // every tick catches up ALL backlog regardless of missed ticks
     if (refreshEvery > 0 && batchId % refreshEvery == 0) {
       GraftIndex.list(path).foreach(m => GraftIndex.refresh(spark, path, m.name))
-      TextIndex.list(path).foreach(m => TextIndex.refresh(spark, path, m.name))
-      GraftHnsw.list(path).foreach(m => GraftHnsw.refresh(spark, path, m.name))
+      TextIndex.list(path).foreach(m =>
+        TextIndex.refresh(spark, path, m.name, maxSegments = maxSegments))
+      GraftHnsw.list(path).foreach(m =>
+        GraftHnsw.refresh(spark, path, m.name, maxSegments = maxSegments))
     }
   }
 

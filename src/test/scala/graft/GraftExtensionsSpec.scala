@@ -234,6 +234,36 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
   }
 
+  test("graft_hnsw_knn_join TVF: batched join through the table-attached HNSW, plain + filtered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnswkj_sql").toString + "/t"
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => math.sin(k * 37.0 + i * 11.0).toFloat)
+    val df = (0L until 120L).map(k => (k, vec(k), s"doc$k")).toDF("k", "v", "s")
+    graft.sources.GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftHnsw.create(spark, path, "v", nSegments = 2, m = 8,
+      efConstruction = 64)
+    Seq((1000L, vec(7L)), (1001L, vec(42L))).toDF("k", "v")
+      .createOrReplaceTempView("hnsw_kj_probes")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("qid", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sql = rows(spark.sql(
+      s"SELECT qid, k FROM graft_hnsw_knn_join('$path', 'hnsw_kj_probes', 3, 512)"))
+    val scala = rows(graft.sources.GraftHnsw.knnJoin(spark, path,
+      Seq((1000L, vec(7L)), (1001L, vec(42L))), k = 3, ef = 512))
+    sql shouldBe scala
+    // filtered: only even keys may return; equality vs the Scala pred path
+    val sqlF = rows(spark.sql(
+      s"SELECT qid, k FROM graft_hnsw_knn_join('$path', 'hnsw_kj_probes', 3, 512, " +
+        "'hnsw', 'k % 2 = 0')"))
+    sqlF.foreach { case (_, k) => (k % 2) shouldBe 0L }
+    sqlF shouldBe rows(graft.sources.GraftHnsw.knnJoin(spark, path,
+      Seq((1000L, vec(7L)), (1001L, vec(42L))), k = 3, ef = 512,
+      pred = Some(col("k") % 2 === 0)))
+  }
+
   test("graft_text_search TVF serves BM25 from the table-attached text index, stale-checked") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -137,6 +137,37 @@ class GraftStreamingSourceSpec extends AnyFunSuite with Matchers {
       .filter(col("k") === 100L).count() shouldBe 1L // only the new copy
   }
 
+  test("sink option maxsegments bounds HNSW segment growth across stream batches") {
+    import graft.sources.GraftHnsw
+    val tmp = Files.createTempDirectory("graft_wsmseg").toString
+    val dst = s"$tmp/t"; val cp = s"$tmp/cp"
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(i * 37.0 + d * 11.0).toFloat)
+    GraftTable.create((0L until 20L).map(i => (i, vec(i)))
+      .toDF("k", "vec"), dst, Seq("k"), nbuckets = 4)
+    GraftHnsw.create(spark, dst, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val in = MemoryStream[(Long, Seq[Float])]
+    def runBatch(rows: (Long, Seq[Float])*): Unit = {
+      in.addData(rows: _*)
+      val q = in.toDF().toDF("k", "vec")
+        .writeStream.format("graft")
+        .option("recordkey", "k").option("checkpointLocation", cp)
+        .option("refreshindexes", "1").option("maxsegments", "3")
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    // five CDC batches would ratchet 2 → 7 segments unbounded; the cap
+    // auto-merges the flush tier each tick
+    (0 until 5).foreach(i => runBatch((200L + i, vec(200L + i))))
+    val m = GraftHnsw.meta(dst)
+    m.indexedVersion shouldBe GraftTable.latestVersion(dst)
+    m.segs.length should be <= 3
+    // merged layout still serves every streamed row
+    GraftHnsw.probe(spark, dst, vec(203L), k = 1, ef = 512)
+      .head().getLong(0) shouldBe 203L
+  }
+
   test("sink after a checkpoint RESET applies the restarted batch 0 instead of dropping it") {
     val tmp = Files.createTempDirectory("graft_wreset").toString
     val dst = s"$tmp/t"; val cp = s"$tmp/cp"
