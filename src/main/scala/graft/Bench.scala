@@ -32,12 +32,28 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query once at the tiny SF: same plan shape → janino
     // codegen-cache hits + hot JIT, so the timed runs below measure the
-    // operators, not one-time compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count() }
-      catch { case _: Throwable => }
+    // operators, not one-time compilation. A BENCH_ONLY run warms only
+    // the selected queries — warming 200+ unselected ones costs ~10 min
+    // AND leaves their session residue in front of the timed reps,
+    // which is exactly what a targeted measurement must not include.
+    // SPARK_GRAFT_BENCH_WARM=all forces the full warm even under
+    // BENCH_ONLY — reproduces full-board session conditions when
+    // adjudicating a single row's board reading.
+    val warmOnly = if (sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("all")) None
+      else sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (warmOnly.forall(_.contains(name)))
+        try { fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count() }
+        catch { case _: Throwable => }
     }
+    // Quiesce before timing: terminated warm streams leave state-store
+    // providers loaded (heap + a background maintenance thread) for up
+    // to a maintenance interval, and warm localCheckpoints wait on GC —
+    // measured 1.7× on the board's LAST row (stream_dedup, the r11
+    // weak flag) before this shed.
     spark.catalog.clearCache()
+    org.apache.spark.sql.graftshim.Bridge.unloadStateStores()
+    System.gc()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     // min over reps: steady-state per-query cost, robust to one-off
@@ -57,8 +73,12 @@ object Bench {
       var err: Option[String] = None
       def once(): Double = {
         // cache-clean per rep: operators that persist intermediates
-        // must pay that cost every time, or min-of-reps lies
+        // must pay that cost every time, or min-of-reps lies. State
+        // stores are a cache too: every streaming rep's temp checkpoint
+        // loads FRESH providers and orphans the last rep's (heap + a
+        // maintenance thread snapshotting them) — unload, same rule.
         spark.catalog.clearCache()
+        org.apache.spark.sql.graftshim.Bridge.unloadStateStores()
         val t0 = System.nanoTime()
         try body
         catch { case e: Throwable =>

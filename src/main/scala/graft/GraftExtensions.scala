@@ -250,6 +250,12 @@ object GraftFunctions {
       if (mode == "phrase")
         graft.sources.TextIndex.searchPhrase(SparkSession.active, path, query, k,
           name = name, pred = pred)
+      else if (mode == "fuzzy")
+        // one-term fuzzy BM25 (maxDist = 1, the Lucene default; the
+        // Scala API carries the full knobs) — pred keeps the same
+        // filter-clause semantics as every other mode
+        graft.sources.TextIndex.searchFuzzy(SparkSession.active, path, query, k,
+          name = name, pred = pred)
       else
         graft.sources.TextIndex.search(SparkSession.active, path, query, k,
           name = name, mode = mode, pred = pred)
@@ -324,8 +330,8 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
-  /** `graft_knn_join(tablePath, queryTable, k[, nprobe[, name]])` —
-    * the BATCH shape of index serving as one SQL call: every row of
+  /** `graft_knn_join(tablePath, queryTable, k[, nprobe[, name[, predSql]]])`
+    * — the BATCH shape of index serving as one SQL call: every row of
     * `queryTable` (a SQL-visible table/view carrying the index's key
     * and vector columns) gets its top-k neighbors from the
     * table-attached ANN index, returned as (qid, key, score). This is
@@ -336,10 +342,13 @@ object GraftFunctions {
     * all queries' cells (cells shared between queries are read once).
     * The index is stale-checked at plan time like the other index
     * TVFs; nprobe defaults to nlist (exhaustive = exact per query).
+    * `predSql` filters the join's right side by the measured-match-
+    * count strategy (selective preds brute-force exactly; loose preds
+    * push into the cell scans) — the `graft_hnsw_knn_join` twin.
     */
   private def knnJoinPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 3 && args.length <= 5,
-      s"graft_knn_join(tablePath, queryTable, k[, nprobe[, name]]): got ${args.length} args")
+    require(args.length >= 3 && args.length <= 6,
+      s"graft_knn_join(tablePath, queryTable, k[, nprobe[, name[, predSql]]]): got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_knn_join: $what must be a literal")
       args(i).eval(null)
@@ -348,8 +357,10 @@ object GraftFunctions {
     val qtable = lit(1, "queryTable").toString
     val k = lit(2, "k").asInstanceOf[Number].intValue()
     val nprobe = if (args.length >= 4) lit(3, "nprobe").asInstanceOf[Number].intValue() else -1
-    val name = if (args.length == 5) lit(4, "name").toString else "vec"
+    val name = if (args.length >= 5) lit(4, "name").toString else "vec"
     val spark = SparkSession.active
+    val pred = if (args.length == 6) Some(parsePred(spark, "graft_knn_join",
+      lit(5, "predSql").toString)) else None
     val m = graft.sources.GraftIndex.meta(path, name)
     val np = if (nprobe > 0) nprobe else m.nlist
     val key = m.keyCols.head
@@ -366,7 +377,7 @@ object GraftFunctions {
             s"graft_knn_join: unsupported vector element $other")
         })
       }
-    graft.sources.GraftIndex.knnJoin(spark, path, qs, k, np, name)
+    graft.sources.GraftIndex.knnJoin(spark, path, qs, k, np, name, pred = pred)
       .queryExecution.logical
   }
 
@@ -515,7 +526,7 @@ object GraftFunctions {
       indexSearchPlan _),
     ("graft_text_search",
       info("graft_text_search",
-        "graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]) - BM25 (mode any/all) or exact-phrase (mode phrase) top-k served from the table-attached inverted text index (stale-checked); predSql makes it a filtered query (Lucene filter semantics)"),
+        "graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]) - BM25 (mode any/all), exact-phrase (mode phrase), or one-term fuzzy BM25 (mode fuzzy, maxDist 1) top-k served from the table-attached inverted text index (stale-checked); predSql makes it a filtered query (Lucene filter semantics)"),
       textSearchPlan _),
     ("graft_hybrid_search",
       info("graft_hybrid_search",
@@ -523,7 +534,7 @@ object GraftFunctions {
       hybridSearchPlan _),
     ("graft_knn_join",
       info("graft_knn_join",
-        "graft_knn_join(tablePath, queryTable, k[, nprobe[, name]]) - batched top-k ANN join: each row of queryTable against the table-attached index (stale-checked)"),
+        "graft_knn_join(tablePath, queryTable, k[, nprobe[, name[, predSql]]]) - batched top-k ANN join: each row of queryTable against the table-attached index (stale-checked); predSql filters the right side by measured match count (selective = exact brute force, loose = pushed into the cell scans)"),
       knnJoinPlan _),
     ("graft_hnsw_search",
       info("graft_hnsw_search",

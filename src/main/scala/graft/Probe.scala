@@ -291,6 +291,37 @@ object Probe {
     }
   }
 
+  /** Per-batch anatomy of the `stream_dedup` row (the r11 board's one
+    * reproduced >2× mover): the exact bench body — events unioned with
+    * a replay of itself, dropDuplicatesWithinWatermark, AvailableNow →
+    * memory sink — with each micro-batch's duration breakdown and state
+    * operator commit times printed, so a wall-clock move decomposes
+    * into planning / state-store / addBatch instead of staying a single
+    * opaque number.
+    */
+  private def streamDedup(spark: SparkSession, dir: String, reps: Int): Unit = {
+    (1 to reps).foreach { i =>
+      val (_, secs) = timed {
+        val df = graft.streaming.EventStreams.readEventStream(spark, dir)
+        val out = graft.streaming.EventStreams
+          .dedupedEvents(df.unionAll(df), "event_id")
+          .select(col("event_id"), col("user_id"))
+        val q = out.writeStream.format("memory").queryName(s"sd_probe_$i")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.foreach { p =>
+          println(s"PROBE streamdedup rep=$i batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+            s"state=${p.stateOperators.map(so =>
+              s"commitMs=${so.commitTimeMs},rows=${so.numRowsTotal}").mkString(";")}")
+        }
+      }
+      println(f"PROBE streamdedup rep=$i wall_s=$secs%.2f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors)}]")
@@ -314,9 +345,12 @@ object Probe {
         filtered(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
       case "merge" :: rest =>
         mergeProbe(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
+      case "streamdedup" :: rest =>
+        streamDedup(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(3))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered | merge)")
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered | merge | streamdedup)")
     }
     spark.stop()
   }

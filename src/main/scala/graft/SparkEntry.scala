@@ -3899,6 +3899,20 @@ object SparkEntry {
       ghnswSq8Serve(s, dir, ghnswFixture(s, dir, "ghnswq", storage = "sq8"))
     }),
 
+    "graft_hnsw_rabitq" -> ((s, dir) => {
+      // RaBitQ 1-bit storage for the GRAPH family (Gao & Long SIGMOD
+      // 2024 — the estimator math the IVF family already serves): the
+      // walk ranks on v̂ = c + (‖r‖/align)·Pᵀ(s/√D) reconstructions, so
+      // a dot-metric walk stays NORM-AWARE where plain sign bits
+      // collapse (0.27 vs 0.70 overlap@10, §15.13) — at the same 1-bit
+      // scan cost. Two-stage serve with exact rerank from the table's
+      // float column; same upsert+delete+refresh lifecycle. Approximate
+      // walk ⇒ rows-only; recall ≥ binary on a log-normal-norm dot
+      // corpus, decode/round-trip, and the merge path are pinned in
+      // GraftHnswSpec/HnswSpec.
+      ghnswSq8Serve(s, dir, ghnswFixture(s, dir, "ghnswrq", storage = "rabitq"))
+    }),
+
     "graft_hnsw_merged" -> ((s, dir) => {
       // TIERED SEGMENT MERGE (Lucene's background-merge contract as an
       // operator): the ghnsw lifecycle leaves create-time segments plus
@@ -4055,6 +4069,24 @@ object SparkEntry {
                 ORDER BY qid, score_q DESC, vec_id""")
     }),
 
+    "vs_sql_knn_tvf_filtered" -> ((s, dir) => {
+      // the batched join under a PREDICATE in one SQL call — the
+      // graft_hnsw_knn_join predSql symmetry closed for the IVF family
+      // (r11 verdict #3): 'label = 3' keeps ~1/10 of the corpus, far
+      // under bruteForceCap, so the measured-match-count strategy takes
+      // the EXACT brute leg (broadcast filtered subset, every
+      // (query, match) pair scored) — correct even where a pushed pred
+      // at partial nprobe would silently under-fill. Exact ⇒ the
+      // per-query filtered brute-force oracle on the mutated corpus.
+      val tbl = gidxFixture(s, dir, "gidxknnflt")
+      GraftFunctions.register(s)
+      GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").createOrReplaceTempView("graft_knn_fq")
+      s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                FROM graft_knn_join('$tbl', 'graft_knn_fq', 5, 16, 'vec', 'label = 3')
+                ORDER BY qid, score_q DESC, vec_id""")
+    }),
+
     "graft_index_hybrid" -> ((s, dir) => {
       // filtered search THROUGH the table-attached index: the predicate
       // is pushed into the partition-pruned cell scan (beyond the
@@ -4111,6 +4143,20 @@ object SparkEntry {
         .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_q"))
         .orderBy(col("score_q").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    "text_search_fuzzy_filtered" -> ((s, dir) => {
+      // FILTERED fuzzy BM25 — the one serving surface that still
+      // couldn't take a predicate inside the call (r11 verdict #4):
+      // the typo's expansion and every df stay FULL-corpus (a filter
+      // never changes the scoring model or which terms count as near
+      // matches), eligibility semi-joins against the pinned snapshot
+      // BEFORE the top-k cut, k stays full. Deterministic given the
+      // expansion (rational idf + per-term quantize-then-integer-sum)
+      // ⇒ the fuzzy oracle with the same predicate on the final
+      // aggregation.
+      TextIndex.searchFuzzy(s, tidxFixture(s, dir, "tidxfzf"), "tabl", 10,
+        mode = "any_q", pred = Some(col("doc_id") % 2 === 0))
     }),
 
     "text_index_postings" -> ((s, dir) => {
@@ -4342,6 +4388,9 @@ object SparkEntry {
       "graft_hnsw_sq8" -> ((
         (s, dir) => { ghnswFixture(s, dir, "ghnswq", storage = "sq8"); () },
         (s, dir) => ghnswSq8Serve(s, dir, at("ghnswq", dir)))),
+      "graft_hnsw_rabitq" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswrq", storage = "rabitq"); () },
+        (s, dir) => ghnswSq8Serve(s, dir, at("ghnswrq", dir)))),
       "vs_sql_hnsw_knn_tvf" -> ((
         (s, dir) => { ghnswFixture(s, dir, "ghnswkj"); () },
         (s, dir) => {
@@ -4397,6 +4446,17 @@ object SparkEntry {
                     FROM graft_knn_join('$tbl', 'graft_knn_q', 5)
                     ORDER BY qid, score_q DESC, vec_id""")
         })),
+      "vs_sql_knn_tvf_filtered" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxknnflt"); () },
+        (s, dir) => {
+          val tbl = at("gidxknnflt", dir)
+          GraftFunctions.register(s)
+          GraftTable.read(s, tbl).filter(col("vec_id") < 10)
+            .select("vec_id", "embedding").createOrReplaceTempView("graft_knn_fq")
+          s.sql(s"""SELECT qid, vec_id, CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q
+                    FROM graft_knn_join('$tbl', 'graft_knn_fq', 5, 16, 'vec', 'label = 3')
+                    ORDER BY qid, score_q DESC, vec_id""")
+        })),
       "graft_index_hybrid" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxhy", mutations = "none"); () },
         (s, dir) => gidxHybridServe(s, dir, at("gidxhy", dir)))),
@@ -4414,6 +4474,10 @@ object SparkEntry {
       "vs_sql_hybrid_filtered" -> ((
         (s, dir) => { hybridFixture(s, dir, "thybf"); () },
         (s, dir) => hybridSqlFilteredServe(s, dir, at("thybf", dir)))),
+      "text_search_fuzzy_filtered" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tidxfzf"); () },
+        (s, dir) => TextIndex.searchFuzzy(s, at("tidxfzf", dir), "tabl", 10,
+          mode = "any_q", pred = Some(col("doc_id") % 2 === 0)))),
       "text_index_postings" -> ((
         (s, dir) => { tidxFixture(s, dir, "tpost"); () },
         (s, dir) => postingsServe(s, at("tpost", dir)))),
@@ -4846,6 +4910,27 @@ object SparkEntry {
          SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
          ORDER BY qid, score_q DESC, vec_id""",
 
+    // the filtered batched join: selective pred ⇒ the exact brute leg,
+    // oracle = per-query filtered brute force on the mutated corpus
+    "vs_sql_knn_tvf_filtered" ->
+      """WITH corpus AS (
+           SELECT vec_id, label,
+                  CASE WHEN vec_id % 97 = 3
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS e
+           FROM embeddings WHERE vec_id % 101 <> 7),
+         scored AS (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_cosine_similarity(e.e, q.e) AS s
+           FROM corpus e CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 10) q
+           WHERE e.label = 3),
+         ranked AS (
+           SELECT qid, vec_id, CAST(FLOOR(s * 10000.0) AS BIGINT) AS score_q,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored)
+         SELECT qid, vec_id, score_q FROM ranked WHERE rn <= 5
+         ORDER BY qid, score_q DESC, vec_id""",
+
     // hybrid through the table-attached index: exhaustive cells + pushed
     // predicate ⇒ exact filtered top-k, oracle = filtered brute force
     "graft_index_hybrid" ->
@@ -4970,6 +5055,38 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
          FROM term GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
+
+    // filtered fuzzy: the fuzzy oracle with the predicate on the FINAL
+    // aggregation only — expansion and df stay full-corpus (Lucene
+    // filter semantics carried through the expansion)
+    "text_search_fuzzy_filtered" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         fterms AS (SELECT DISTINCT token FROM tok WHERE levenshtein(token, 'tabl') <= 1),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN (SELECT token FROM fterms) GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term WHERE doc_id % 2 = 0 GROUP BY doc_id
          ORDER BY score_q DESC, doc_id LIMIT 10""",
 
     "text_index_postings" ->

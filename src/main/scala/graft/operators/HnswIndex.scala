@@ -62,18 +62,62 @@ import scala.collection.mutable
   * shape as the oracle-proven `vs_topk_hamming_rerank`/`vs_topk_adc_
   * rerank` expression rows (§2 rows 7d/7g), now applied to the stored
   * index. Recall vs the float32 layout is pinned in HnswSpec.
+  *
+  * `storage = "rabitq"` is the ESTIMATOR-grade 1-bit layout (Gao &
+  * Long, SIGMOD 2024 — the same public math as [[IvfIndex]]'s rabitq
+  * cells): sign bits of the seeded-rotated residual against ONE global
+  * layout centroid plus two scalars (the residual norm and the align
+  * normalizer), decoded to v̂ = c + (‖r‖/align)·Pᵀ(s/√D) so the plain
+  * walk kernels replay the unbiased RaBitQ estimate. The measured
+  * reason it exists here: plain sign bits are NORM-BLIND — on a
+  * log-normal-norm dot-metric corpus they collapse (0.27 overlap@10 in
+  * the IVF measurement, SURVEY §15.13) because every high-norm vector
+  * decodes to the same ±1 shell; the rabitq reconstruction carries
+  * ‖v−c‖ per vector, so a dot-metric graph WALK ranks candidates
+  * norm-aware. Same scan-byte class as binary (1 bit/dim + 12
+  * bytes/row).
   */
 object HnswIndex {
 
   final case class Model(path: String, metric: String, m: Int,
                          efConstruction: Int, nPartitions: Int,
-                         storage: String = "float32")
+                         storage: String = "float32",
+                         centroid: Option[Array[Float]] = None)
 
-  private[graft] val storages = Seq("float32", "sq8", "binary")
+  private[graft] val storages = Seq("float32", "sq8", "binary", "rabitq")
+
+  /** The rabitq rotation's fixed seed: the matrix is DERIVED (dim comes
+    * from the stored centroid), never persisted — deterministic like
+    * every other house build input.
+    */
+  private[graft] val RabitqSeed = 0x5ab17aL
+
+  /** rabitq encode/decode context: the layout's single global centroid
+    * (segments build independently in parallel tasks, so the residual
+    * base must be decided BEFORE partitioning — one centroid per layout,
+    * not per cell like [[IvfIndex]]'s; what the estimator loses in
+    * residual tightness it keeps in the norm + align scalars, which is
+    * where norm-blind sign bits collapse in the MIPS regime) plus the
+    * seeded rotation and the metric's space flag.
+    */
+  private[graft] final case class RabitqCtx(centroid: Array[Float],
+                                            rot: Array[Array[Float]],
+                                            cosine: Boolean)
+
+  private[graft] def rabitqCtx(model: Model): RabitqCtx = {
+    val c = model.centroid.getOrElse(throw new IllegalStateException(
+      "rabitq hnsw layout carries no centroid — corrupt model save"))
+    RabitqCtx(c, IvfIndex.randomRotation(c.length, RabitqSeed),
+      model.metric == "cosine")
+  }
 
   /** Per-storage vector payload columns; `links` always comes last.
     * binary carries the dim per row (the packed words alone can't
     * distinguish d from the next multiple of 64; 4 RLE'd bytes/row).
+    * rabitq stores rotated-residual sign bits + the two estimator
+    * scalars (‖v−c‖ and the per-vector align normalizer — see
+    * [[IvfIndex.storageFields]] for the estimator math provenance,
+    * Gao & Long SIGMOD 2024) + dim.
     */
   private def storageFields(storage: String): Seq[StructField] = storage match {
     case "float32" => Seq(
@@ -83,6 +127,11 @@ object HnswIndex {
       StructField("scale", FloatType, nullable = false))
     case "binary" => Seq(
       StructField("bits", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("dim", IntegerType, nullable = false))
+    case "rabitq" => Seq(
+      StructField("bits", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("rnorm", FloatType, nullable = false),
+      StructField("align", FloatType, nullable = false),
       StructField("dim", IntegerType, nullable = false))
     case other => throw new IllegalArgumentException(
       s"unknown hnsw storage '$other' (one of ${storages.mkString(", ")})")
@@ -139,6 +188,84 @@ object HnswIndex {
     out
   }
 
+  /** v·Rᵀ — undoes [[PqIndex.rotateVec]]'s row-vector rotation (R is
+    * orthonormal, so the transpose IS the inverse).
+    */
+  private def derotateVec(v: Array[Float], r: Array[Array[Float]]): Array[Float] = {
+    val d = v.length
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i).toDouble * r(j)(i).toDouble; i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** rabitq encode: residual against the layout centroid (UNIT space
+    * for cosine — the residual must measure the angular offset, or the
+    * estimator's noise scales with ‖v‖ instead of the corpus spread),
+    * rotated, sign-packed; scalars ‖r‖ and align = ‖P·r‖₁/(‖r‖√D)
+    * (the per-vector ⟨x̄, r̂'⟩ normalizer that makes the proxy an
+    * UNBIASED estimator — dividing by the expectation √(2/π) instead
+    * would leave per-vector bias).
+    */
+  private[graft] def rabitqEncode(v: Array[Float], ctx: RabitqCtx)
+      : (Array[Long], Float, Float) = {
+    val d = v.length
+    var vn2 = 0.0; var i = 0
+    while (i < d) { vn2 += v(i).toDouble * v(i); i += 1 }
+    val inv = if (ctx.cosine && vn2 > 0.0) 1.0 / math.sqrt(vn2) else 1.0
+    val r = new Array[Float](d)
+    var rn2 = 0.0
+    i = 0
+    while (i < d) {
+      val x = (v(i) * inv - ctx.centroid(i)).toFloat
+      r(i) = x; rn2 += x.toDouble * x; i += 1
+    }
+    val rr = PqIndex.rotateVec(r, ctx.rot)
+    val bits = new Array[Long]((d + 63) >>> 6)
+    var l1 = 0.0
+    i = 0
+    while (i < d) {
+      if (rr(i) >= 0.0f) bits(i >>> 6) |= 1L << (i & 63)
+      l1 += math.abs(rr(i).toDouble); i += 1
+    }
+    val rn = math.sqrt(rn2)
+    val align = if (rn == 0.0) 1.0 else l1 / (rn * math.sqrt(d.toDouble))
+    (bits, rn.toFloat, align.toFloat)
+  }
+
+  /** rabitq decode: v̂ = c + (‖r‖/align)·Pᵀ(s/√D) — the reconstruction
+    * whose plain dot/l2 kernels REPLAY the RaBitQ estimator exactly
+    * (⟨v̂, q⟩ = ⟨c, q⟩ + ‖r‖‖q‖·est⟨r̂, q̂⟩, the [[IvfIndex]] rabitqScore
+    * arithmetic as a vector instead of per-cell consts): the graph is
+    * built AND walked on these, so build/serve share one geometry and
+    * the norm scalar survives into every walk comparison — the part
+    * norm-blind ±1 sign decoding loses in the MIPS regime.
+    */
+  private[graft] def rabitqDecode(bits: Array[Long], rnorm: Float, align: Float,
+                                  dim: Int, ctx: RabitqCtx): Array[Float] = {
+    val s = new Array[Float](dim)
+    val isq = (1.0 / math.sqrt(dim.toDouble)).toFloat
+    var i = 0
+    while (i < dim) {
+      s(i) = if (((bits(i >>> 6) >>> (i & 63)) & 1L) == 1L) isq else -isq
+      i += 1
+    }
+    val u = derotateVec(s, ctx.rot)
+    val scale = rnorm.toDouble / math.max(align.toDouble, 1e-30)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) {
+      out(i) = (ctx.centroid(i) + scale * u(i)).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** (vector the graph sees, storage payload cells). The graph is built
     * over the DECODED values — identical floats to what a probe decodes
     * from the stored payload, so build and serve share one geometry.
@@ -147,7 +274,8 @@ object HnswIndex {
     * functions.AdcDot]], and distances between two sign vectors are
     * monotone in Hamming distance — no second kernel needed.
     */
-  private def quantizeRow(storage: String, v: Array[Float]): (Array[Float], Seq[Any]) =
+  private def quantizeRow(storage: String, v: Array[Float],
+                          ctx: RabitqCtx): (Array[Float], Seq[Any]) =
     storage match {
       case "float32" => (v, Seq(v.toSeq))
       case "sq8" =>
@@ -156,15 +284,22 @@ object HnswIndex {
       case "binary" =>
         val bits = packSigns(v)
         (signDecode(bits, v.length), Seq(bits.toSeq, v.length))
+      case "rabitq" =>
+        val (bits, rn, align) = rabitqEncode(v, ctx)
+        (rabitqDecode(bits, rn, align, v.length, ctx),
+          Seq(bits.toSeq, rn, align, v.length))
       case other => throw new IllegalArgumentException(s"unknown hnsw storage '$other'")
     }
 
-  private def decodeRow(storage: String, r: Row): Array[Float] = storage match {
-    case "float32" => r.getSeq[Float](1).toArray
-    case "sq8"     => sq8Decode(r.getAs[Array[Byte]](1), r.getFloat(2))
-    case "binary"  => signDecode(r.getSeq[Long](1).toArray, r.getInt(2))
-    case other     => throw new IllegalArgumentException(s"unknown hnsw storage '$other'")
-  }
+  private def decodeRow(storage: String, ctx: RabitqCtx)(r: Row): Array[Float] =
+    storage match {
+      case "float32" => r.getSeq[Float](1).toArray
+      case "sq8"     => sq8Decode(r.getAs[Array[Byte]](1), r.getFloat(2))
+      case "binary"  => signDecode(r.getSeq[Long](1).toArray, r.getInt(2))
+      case "rabitq"  => rabitqDecode(r.getSeq[Long](1).toArray, r.getFloat(2),
+        r.getFloat(3), r.getInt(4), ctx)
+      case other     => throw new IllegalArgumentException(s"unknown hnsw storage '$other'")
+    }
 
   /** Internal distance: smaller = better, monotone with the metric's
     * ranking. Left-to-right double accumulation — the house kernel
@@ -397,18 +532,39 @@ object HnswIndex {
     * insertion order (the quantized bytes the parquet rows carry).
     */
   private def buildSegment(metric: String, m: Int, efC: Int, seed: Long,
-                           storage: String, rows: Iterator[(Long, Array[Float])])
+                           storage: String, ctx: RabitqCtx,
+                           rows: Iterator[(Long, Array[Float])])
       : (Graph, mutable.ArrayBuffer[Seq[Any]]) = {
     val g = new Graph(metric, m, efC, seed)
     val payloads = mutable.ArrayBuffer.empty[Seq[Any]]
     // deterministic insertion order: sorted by id (partition contents
     // are a hash class — already order-free; the sort pins the build)
     rows.toArray.sortBy(_._1).foreach { case (id, v) =>
-      val (decoded, payload) = quantizeRow(storage, v)
+      val (decoded, payload) = quantizeRow(storage, v, ctx)
       g.insert(id, decoded)
       payloads += payload
     }
     (g, payloads)
+  }
+
+  /** The layout's rabitq centroid: the mean vector of the corpus (mean
+    * of UNIT vectors for cosine — residuals must live in the space the
+    * metric ranks in). One aggregation pass at build time; appends and
+    * merges reuse it from the model (the [[IvfIndex.append]]
+    * no-refit convention — drift is periodic-rebuild's job).
+    */
+  private def meanVector(data: DataFrame, vecCol: String,
+                         cosine: Boolean): Array[Float] = {
+    val v0 = data.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+    val v = if (!cosine) v0 else v0.select(expr(
+      "transform(__v, x -> x / greatest(sqrt(aggregate(__v, 0D, (a, y) -> a + CAST(y AS DOUBLE) * y)), 1e-30d))")
+      .as("__v"))
+    val rows = v.select(posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy("__i").agg(avg("__x").as("__m"))
+      .orderBy("__i").collect()
+    require(rows.nonEmpty, "rabitq hnsw build needs at least one non-null vector")
+    rows.map(_.getDouble(1).toFloat)
   }
 
   /** Build `nPartitions` segment graphs and persist as parquet under
@@ -426,6 +582,10 @@ object HnswIndex {
     require(storages.contains(storage),
       s"unknown hnsw storage '$storage' (one of ${storages.mkString(", ")})")
     val spark = data.sparkSession
+    val centroid = if (storage == "rabitq")
+      Some(meanVector(data, vecCol, metric == "cosine")) else None
+    val ctx = centroid.map(c => RabitqCtx(c,
+      IvfIndex.randomRotation(c.length, RabitqSeed), metric == "cosine")).orNull
     val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
       +: graphSchema(storage).fields.toSeq))
     val rows = data.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
@@ -433,7 +593,7 @@ object HnswIndex {
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val (g, payloads) = buildSegment(metric, m, efConstruction,
-          seed = pid.toLong, storage,
+          seed = pid.toLong, storage, ctx,
           it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
         (0 until g.ids.length).iterator.map { n =>
           Row.fromSeq((pid +: g.ids(n) +: payloads(n)) :+
@@ -441,7 +601,7 @@ object HnswIndex {
         }
       }(enc)
     rows.write.mode("overwrite").partitionBy("pid").parquet(path)
-    val model = Model(path, metric, m, efConstruction, nPartitions, storage)
+    val model = Model(path, metric, m, efConstruction, nPartitions, storage, centroid)
     save(spark, model)
     model
   }
@@ -452,8 +612,10 @@ object HnswIndex {
     */
   def save(spark: SparkSession, model: Model): Unit = {
     import spark.implicits._
-    Seq((model.metric, model.m, model.efConstruction, model.nPartitions, model.storage))
-      .toDF("metric", "m", "ef_construction", "n_partitions", "storage").repartition(1)
+    Seq((model.metric, model.m, model.efConstruction, model.nPartitions,
+        model.storage, model.centroid.map(_.toSeq)))
+      .toDF("metric", "m", "ef_construction", "n_partitions", "storage", "centroid")
+      .repartition(1)
       .write.mode("overwrite").parquet(s"${model.path}/_model")
   }
 
@@ -463,9 +625,11 @@ object HnswIndex {
     // pre-quantization layouts have no storage column: float32
     val storage = if (df.columns.contains("storage"))
       r.getString(r.fieldIndex("storage")) else "float32"
+    val centroid = if (df.columns.contains("centroid") && !r.isNullAt(r.fieldIndex("centroid")))
+      Some(r.getSeq[Float](r.fieldIndex("centroid")).toArray) else None
     Model(path, r.getString(r.fieldIndex("metric")), r.getInt(r.fieldIndex("m")),
       r.getInt(r.fieldIndex("ef_construction")),
-      r.getInt(r.fieldIndex("n_partitions")), storage)
+      r.getInt(r.fieldIndex("n_partitions")), storage, centroid)
   }
 
   /** Existing segment dirs under the layout (one `pid=<n>/` per
@@ -518,6 +682,7 @@ object HnswIndex {
     val acceptBc = acceptIds.map(spark.sparkContext.broadcast(_))
     val metric = model.metric
     val storage = model.storage
+    val ctx = if (storage == "rabitq") rabitqCtx(model) else null
     val schema = graphSchema(storage)
     val linksIdx = schema.length - 1
     val outEnc = Encoders.product[(Long, Long, Double, Int)]
@@ -525,6 +690,7 @@ object HnswIndex {
       val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
       spark.read.schema(schema).parquet(dir).coalesce(1)
         .mapPartitions { it =>
+          val dec = decodeRow(storage, ctx) _
           val ids = mutable.ArrayBuffer.empty[Long]
           val vecs = mutable.ArrayBuffer.empty[Array[Float]]
           // inner arrays deserialize as mutable.ArraySeq — type them as
@@ -532,7 +698,7 @@ object HnswIndex {
           val linkIds = mutable.ArrayBuffer.empty[scala.collection.Seq[scala.collection.Seq[Long]]]
           it.foreach { r =>
             ids += r.getLong(0)
-            vecs += decodeRow(storage, r)
+            vecs += dec(r)
             linkIds += r.getSeq[scala.collection.Seq[Long]](linksIdx)
           }
           if (ids.isEmpty) Iterator.empty
@@ -624,12 +790,20 @@ object HnswIndex {
     * and RE-ENCODING those floats is IDEMPOTENT for every storage
     * (sq8's max-abs dim carries code ±127, so the re-derived scale
     * equals the original and codes round-trip; sign bits re-sign to
-    * themselves; float32 is raw) — so a merged segment preserves the
-    * stored geometry losslessly without ever touching the source table.
+    * themselves; float32 is raw; rabitq dot/l2: the re-derived residual
+    * v̂−c = (ρ/a)·Pᵀs/√D is PARALLEL to the stored direction, so signs,
+    * and hence the decode, round-trip exactly — align re-derives to 1
+    * and rnorm to ρ/a, the same decoded point) — so a merged segment
+    * preserves the stored geometry losslessly without ever touching the
+    * source table. The ONE approximate case, stated: rabitq under
+    * COSINE re-normalizes the ≈-unit reconstruction before re-encoding,
+    * perturbing the residual direction by O(estimator error) — merge
+    * recall is pinned in the spec instead of bit-identity.
     */
   def segmentVectors(spark: SparkSession, model: Model,
                      pids: Set[Int]): DataFrame = {
     val storage = model.storage
+    val ctx = if (storage == "rabitq") rabitqCtx(model) else null
     val schema = graphSchema(storage)
     val dirs = segmentDirs(spark, model.path)
       .filter(d => pids(d.substring(d.lastIndexOf('=') + 1).toInt))
@@ -639,7 +813,7 @@ object HnswIndex {
     dirs.map { dir =>
       val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
       spark.read.schema(schema).parquet(dir)
-        .map(r => (pid, r.getLong(0), decodeRow(storage, r).toSeq))(outEnc)
+        .map(r => (pid, r.getLong(0), decodeRow(storage, ctx)(r).toSeq))(outEnc)
     }.reduce(_.union(_)).toDF("pid", "id", "vec")
   }
 
@@ -660,13 +834,14 @@ object HnswIndex {
     val base = existing.max + 1
     val (m, efC, metric, storage) =
       (model.m, model.efConstruction, model.metric, model.storage)
+    val ctx = if (storage == "rabitq") rabitqCtx(model) else null
     val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
       +: graphSchema(storage).fields.toSeq))
     val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .repartition(nNewSegments, col(idCol))
       .mapPartitions { it =>
         val pid = base + TaskContext.getPartitionId()
-        val (g, payloads) = buildSegment(metric, m, efC, seed = pid.toLong, storage,
+        val (g, payloads) = buildSegment(metric, m, efC, seed = pid.toLong, storage, ctx,
           it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
         (0 until g.ids.length).iterator.map { n =>
           Row.fromSeq((pid +: g.ids(n) +: payloads(n)) :+

@@ -532,7 +532,8 @@ object IvfIndex {
     * probes.
     */
   def knnJoin(spark: SparkSession, model: Model, idCol: String, vecCol: String,
-              queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int): DataFrame = {
+              queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
+              pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(model.storage == "float32",
       s"standalone knnJoin over a '${model.storage}' ivf layout: quantized cells carry " +
         "no float vectors — serve through the table-attached GraftIndex.knnJoin")
@@ -542,8 +543,13 @@ object IvfIndex {
     }
     val probes = probeRows.toDF("qid", "cell", "qvec")
     val allCells = probeRows.map(_._2).distinct
-    val scan = layoutScan(spark, model)
+    val scan0 = layoutScan(spark, model)
       .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
+    // pred pushes INTO the pruned cell scan (cells store full rows);
+    // at partial nprobe a selective pred can leave fewer than k matches
+    // inside the probed cells — the table-attached caller measures
+    // selectivity and brute-forces that regime instead
+    val scan = pred.fold(scan0)(scan0.filter)
     val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", VectorSearch.scoreCol(col(vecCol), col("qvec"), model.metric))
       .select(col("qid"), col(idCol), col("score"))
@@ -563,7 +569,9 @@ object IvfIndex {
   private[graft] def quantizedKnnCandidates(spark: SparkSession, model: Model,
                                             idCol: String,
                                             queries: Seq[(Long, Seq[Float])],
-                                            kf: Int, nprobe: Int): DataFrame = {
+                                            kf: Int, nprobe: Int,
+                                            pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import spark.implicits._
     require(model.storage != "float32", "quantizedKnnCandidates needs a quantized layout")
     if (model.storage == "rabitq") {
@@ -575,8 +583,9 @@ object IvfIndex {
       }
       val probes = probeRows.toDF("qid", "cell", "__w", "__aux", "__qn")
       val allCells = probeRows.map(_._2).distinct
-      val scan = layoutScan(spark, model)
+      val scan0 = layoutScan(spark, model)
         .filter(col("cluster_id").isin(allCells: _*))
+      val scan = pred.fold(scan0)(scan0.filter)
       val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
         .withColumn("score", rabitqScore(model.metric, queries.head._2.length))
         .select(col("qid"), col(idCol), col("score"))
@@ -587,8 +596,9 @@ object IvfIndex {
     }
     val probes = probeRows.toDF("qid", "cell", "qvec")
     val allCells = probeRows.map(_._2).distinct
-    val scan = layoutScan(spark, model)
+    val scan0 = layoutScan(spark, model)
       .filter(col("cluster_id").isin(allCells: _*)) // partition pruning
+    val scan = pred.fold(scan0)(scan0.filter)
     val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", quantizedScoreVs(model.storage, model.metric, col("qvec")))
       .select(col("qid"), col(idCol), col("score"))

@@ -756,20 +756,59 @@ object GraftIndex {
     * the centroids into the original vector space (R is orthonormal:
     * dist(qR, c) = dist(q, cRᵀ)), so partial-nprobe recall matches the
     * plain-PQ geometry. nprobe = nlist ⇒ exact per query.
+    *
+    * `pred` turns the join into a FILTERED batch search — the
+    * [[probe]] pred discipline on the batch shape, with the measured
+    * match count picking the strategy (never guessed): ≤ bruteForceCap
+    * matches ⇒ EXACT brute force — the filtered subset broadcasts once
+    * and every (query, match) pair is scored (at partial nprobe a very
+    * selective pred can leave fewer than k matches inside the probed
+    * cells and the per-query top-k silently UNDER-FILLS — the
+    * anti-pattern the brute leg exists to kill); above the cap the
+    * pred pushes INTO the pruned cell scans, where per-query fill
+    * tracks the filter's pass rate within probed cells — high exactly
+    * when this leg engages.
     */
   def knnJoin(spark: SparkSession, tablePath: String, queries: Seq[(Long, Seq[Float])],
               k: Int, nprobe: Int, name: String = "vec",
-              allowStale: Boolean = false, rerankFactor: Int = 4): DataFrame = {
+              allowStale: Boolean = false, rerankFactor: Int = 4,
+              pred: Option[org.apache.spark.sql.Column] = None,
+              bruteForceCap: Int = 10000): DataFrame = {
     val (m, model) = open(spark, tablePath, name)
     requireFresh(tablePath, m, allowStale)
     val ivf = model.fold(identity, pq => IvfIndex.Model(pq.path,
       pq.rot.fold(pq.coarse)(r => pq.coarse.map(derotate(_, r))),
       pq.metric, pq.schema, pq.files))
-    if (ivf.files.exists(_.isEmpty))
-      return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
-        .select(lit(0L).as("qid"), col(m.keyCols.head), lit(0.0).as("score"))
+    def emptyOut = GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
+      .select(lit(0L).as("qid"), col(m.keyCols.head), lit(0.0).as("score"))
+    if (ivf.files.exists(_.isEmpty)) return emptyOut
+    pred.foreach { p =>
+      require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
+      require(m.keyCols.length == 1,
+        s"filtered knnJoin needs a single record-key column, table has ${m.keyCols.mkString(", ")}")
+      import spark.implicits._
+      val keyCol = m.keyCols.head
+      val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
+        .filter(p).filter(col(m.vecCol).isNotNull)
+      val n = matched.count()
+      if (n == 0) return emptyOut
+      if (n <= bruteForceCap) {
+        // exact: broadcast the filtered subset once, score every
+        // (query, match) pair — ≤ |Q|·bruteForceCap rows, bounded
+        val qdf = queries.toDF("qid", "__qvec")
+        val scored = qdf.crossJoin(broadcast(
+            matched.select(col(keyCol), col(m.vecCol).as("__mvec"))))
+          .withColumn("score", graft.operators.VectorSearch.scoreCol(
+            col("__mvec"), col("__qvec"), m.metric))
+          .select(col("qid"), col(keyCol), col("score"))
+        return graft.operators.VectorSearch.perQueryTopK(
+          scored, "qid", keyCol, k, m.metric)
+      }
+      // loose pred: fall through — the pred pushes into the cell scans
+      // below (both the float32 and quantized candidate stages take it)
+    }
     if (m.storage == "float32")
-      IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe)
+      IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe, pred)
     else {
       // quantized layout: widen each query's candidate cut, then
       // exact-score every surviving (qid, key) pair from the table's
@@ -783,7 +822,8 @@ object GraftIndex {
       import spark.implicits._
       val keyCol = m.keyCols.head
       val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
-      val cands = IvfIndex.quantizedKnnCandidates(spark, ivf, keyCol, queries, kf, nprobe)
+      val cands = IvfIndex.quantizedKnnCandidates(spark, ivf, keyCol, queries, kf,
+          nprobe, pred)
         .localCheckpoint()
       if (cands.isEmpty)
         return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)

@@ -480,12 +480,25 @@ object TextIndex {
     * query — each matched term contributes with its OWN df (Lucene's
     * fuzzy scoring shape: rare exact-ish matches outweigh common
     * near-misses). No expansion → zero rows, shaped like [[search]].
+    *
+    * `pred` carries [[search]]'s FILTER-clause semantics through the
+    * expansion: eligibility narrows AFTER scoring (semi-join against
+    * the pinned snapshot, before the top-k cut), while the expansion
+    * itself and every df stay FULL-corpus — a filter changes which
+    * docs may return, never the scoring model or which terms count as
+    * near matches. Without this, a predicate-narrowed fuzzy query
+    * could only post-filter k results — the under-fill anti-pattern.
     */
   def searchFuzzy(spark: SparkSession, tablePath: String, term: String, k: Int,
                   maxDist: Int = 1, name: String = "txt", q: Int = 2,
-                  idf: String = "lucene", allowStale: Boolean = false): DataFrame = {
+                  idf: String = "lucene", allowStale: Boolean = false,
+                  pred: Option[Column] = None,
+                  mode: String = "any"): DataFrame = {
+    require(mode == "any" || mode == "any_q",
+      s"searchFuzzy scores its expansion disjunctively — mode 'any' or 'any_q', got '$mode'")
     val expanded = fuzzyTerms(spark, tablePath, term, maxDist, name, q, allowStale)
-    search(spark, tablePath, expanded.mkString(" "), k, name, "any", idf, allowStale)
+    search(spark, tablePath, expanded.mkString(" "), k, name, mode, idf,
+      allowStale, pred)
   }
 
   /** Exact phrase query: (keys…, n_occurrences) for every doc whose

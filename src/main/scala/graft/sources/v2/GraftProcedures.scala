@@ -316,16 +316,15 @@ object GraftProcedures {
       "column NDV statistics for the CBO (exact by default; approx => true " +
         "for the HLL scale path; histogram_bins => n adds equi-height " +
         "histograms on numeric/date/ts columns; incremental => true sketches " +
-        "only files added since the last refresh), recorded in the _ndv sidecar"
+        "only files added since the last refresh — histograms then compose " +
+        "from per-file KLL quantile sketches within rank error), recorded " +
+        "in the _ndv sidecar"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val approx = !input.isNullAt(1) && input.getBoolean(1)
       val incremental = !input.isNullAt(3) && input.getBoolean(3)
-      if (incremental && reqInt(input, 2) > 0) throw new IllegalArgumentException(
-        "incremental analyze cannot build histograms: percentile cuts do not " +
-          "compose file-wise — run a full analyze with histogram_bins")
       val out =
-        if (incremental) GraftTable.analyzeIncremental(spark, path)
+        if (incremental) GraftTable.analyzeIncremental(spark, path, reqInt(input, 2))
         else GraftTable.analyze(spark, path, approx, reqInt(input, 2))
       val v = GraftTable.ndvProfile(path).map(_._1).getOrElse(-1)
       out.toSeq.sortBy(_._1).map { case (c, n) =>
@@ -524,7 +523,8 @@ object GraftProcedures {
     override def description(): String =
       "build an IVF / IVF-PQ ANN index over a vector column from the " +
         "table's current snapshot (kind = 'ivf' | 'ivfpq'; opq = learned rotation; " +
-        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) — " +
+        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) | " +
+        "'rabitq' (1 bit/dim estimator codes) — " +
         "quantized ivf cells serve two-stage with exact rerank from the table)"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
@@ -947,9 +947,10 @@ object GraftProcedures {
     override def description(): String =
       "build a table-attached HNSW graph index over a vector column " +
         "from the table's current snapshot (serving via graft_hnsw_search); " +
-        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) — " +
-        "quantized layouts cut serve scan bytes 4x/32x and probes " +
-        "exact-rerank from the table's float column"
+        "storage = 'float32' | 'sq8' (1 byte/dim) | 'binary' (1 bit/dim) | " +
+        "'rabitq' (1 bit/dim RaBitQ estimator codes — the norm-aware 1-bit " +
+        "choice for dot corpora) — quantized layouts cut serve scan bytes " +
+        "4x/32x/~28x and probes exact-rerank from the table's float column"
     override protected def run(spark: SparkSession, input: InternalRow): Array[InternalRow] = {
       val path = tablePath(input)
       val name = str(input, 2)

@@ -217,4 +217,15 @@ object Bridge {
         spark.sessionState.conf)
     ()
   }
+
+  /** Unload every loaded state-store provider and stop the maintenance
+    * task (they re-create lazily on next use — the same reset Spark's
+    * own test harness performs between suites). Terminated streaming
+    * queries leave their providers LOADED for up to a maintenance
+    * interval (state snapshots in heap + a background snapshot/cleanup
+    * thread); a benchmark that ran unrelated streaming work beforehand
+    * must shed that residue before timing a streaming row.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }

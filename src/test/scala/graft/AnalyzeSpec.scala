@@ -204,16 +204,48 @@ class AnalyzeSpec extends AnyFunSuite with Matchers {
     survivors.nonEmpty shouldBe true
   }
 
+  test("incremental histogram_bins: KLL-composed bins match the full scan within rank error") {
+    val root = mkTable()
+    val inc = GraftTable.analyzeIncremental(spark, root, histogramBins = 4)
+    val (hInc, binsInc) = inc("k").hist.get
+    val full = GraftTable.analyze(spark, root, histogramBins = 4)
+    val (hFull, binsFull) = full("k").hist.get
+    hInc shouldBe hFull // heights exact: sketch update count == non-null count
+    binsInc.length shouldBe 4
+    // boundaries within KLL's rank-error contract (k=200 on 400 rows of
+    // k = 0..399: a rank error IS a value error of the same size)
+    binsInc.zip(binsFull).foreach { case ((lo1, hi1, _), (lo2, hi2, _)) =>
+      math.abs(lo1 - lo2) should be <= 8.0
+      math.abs(hi1 - hi2) should be <= 8.0
+    }
+    // per-bin NDV is the stated ndv/bins estimate — sums back to ~ndv
+    binsInc.map(_._3).sum.toDouble shouldBe inc("k").ndv.toDouble +- inc("k").ndv * 0.05
+    // strings still carry no histogram
+    inc("s").hist shouldBe None
+    // the composed histogram reaches the CBO exactly like the full one
+    GraftTable.analyzeIncremental(spark, root, histogramBins = 4)
+    withCatalog {
+      withConf("spark.sql.cbo.enabled" -> "true") {
+        val st = spark.table(s"graft.`$root`").queryExecution.optimizedPlan.stats
+        st.attributeStats.find(_._1.name == "k").get._2.histogram.get
+          .bins.length shouldBe 4
+      }
+      // the CALL surface: the former loud refusal is now the composed path
+      val rows = spark.sql(
+        s"CALL graft.analyze('$root', incremental => true, histogram_bins => 6)").collect()
+      rows.find(_.getString(0) == "k").get.getLong(5) shouldBe 6L
+      rows.find(_.getString(0) == "s").get.isNullAt(5) shouldBe true
+    }
+    // a second refresh reuses the stored KLL lines (no new files)
+    val again = GraftTable.analyzeIncremental(spark, root, histogramBins = 6)
+    again("k").hist.get._2.length shouldBe 6
+  }
+
   test("incremental analyze refuses MOR logs; CALL surface routes it") {
     val root = mkTable()
     withCatalog {
       spark.sql(s"CALL graft.analyze('$root', incremental => true)")
         .collect().find(_.getString(0) == "k").get.getLong(2).toDouble shouldBe 400.0 +- 12.0
-      intercept[Exception] {
-        spark.sql(
-          s"CALL graft.analyze('$root', incremental => true, histogram_bins => 4)")
-          .collect()
-      }.getMessage should include("histogram")
     }
     GraftTable.upsertMor(spark, root,
       spark.range(0, 5).toDF("k").withColumn("grp", col("k") % 10)

@@ -264,6 +264,41 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       pred = Some(col("k") % 2 === 0)))
   }
 
+  test("graft_knn_join TVF: predSql filters the batched IVF join, plain + filtered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_kj_pred").toString + "/t"
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => math.sin(k * 37.0 + i * 11.0).toFloat)
+    val df = (0L until 120L).map(k => (k, vec(k), s"doc$k")).toDF("k", "v", "s")
+    graft.sources.GraftTable.create(df, path, Seq("k"), nbuckets = 2)
+    graft.sources.GraftIndex.create(spark, path, "v", nlist = 4)
+    Seq((1000L, vec(7L)), (1001L, vec(42L))).toDF("k", "v")
+      .createOrReplaceTempView("ivf_kj_probes")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      d.orderBy("qid", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sql = rows(spark.sql(
+      s"SELECT qid, k FROM graft_knn_join('$path', 'ivf_kj_probes', 3, 4)"))
+    sql shouldBe rows(graft.sources.GraftIndex.knnJoin(spark, path,
+      Seq((1000L, vec(7L)), (1001L, vec(42L))), k = 3, nprobe = 4))
+    // filtered (selective → the exact brute leg): equality vs the Scala
+    // pred path AND vs per-query filtered brute force
+    val sqlF = rows(spark.sql(
+      s"SELECT qid, k FROM graft_knn_join('$path', 'ivf_kj_probes', 3, 4, " +
+        "'vec', 'k % 2 = 0')"))
+    sqlF.foreach { case (_, k) => (k % 2) shouldBe 0L }
+    sqlF shouldBe rows(graft.sources.GraftIndex.knnJoin(spark, path,
+      Seq((1000L, vec(7L)), (1001L, vec(42L))), k = 3, nprobe = 4,
+      pred = Some(col("k") % 2 === 0)))
+    val even = graft.sources.GraftTable.read(spark, path).filter(col("k") % 2 === 0)
+    val want = Seq(1000L -> vec(7L), 1001L -> vec(42L)).flatMap { case (qid, q) =>
+      graft.operators.VectorSearch.topK(even, "v", "k", q, 3, "cosine")
+        .select("k").collect().map(r => (qid, r.getLong(0)))
+    }.sorted
+    sqlF shouldBe want
+  }
+
   test("graft_text_search TVF serves BM25 from the table-attached text index, stale-checked") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

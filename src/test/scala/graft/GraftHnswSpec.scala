@@ -182,6 +182,36 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
       .filter(col("id").between(20L, 24L)).count() shouldBe 0L
   }
 
+  test("rabitq storage: mutate -> refresh -> rerank lifecycle stays float-exact") {
+    val path = mkTable(50)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8,
+      efConstruction = 64, storage = "rabitq")
+    GraftHnsw.meta(path).storage shouldBe "rabitq"
+    // the layout stores estimator codes + scalars, never a float vector
+    val segCols = spark.read
+      .parquet(s"$path/_hnswidx/hnsw/g0/layout").columns.toSet
+    segCols should contain allOf ("bits", "rnorm", "align")
+    segCols should not contain "vec"
+    val ups = (0L until 5L).map(i => (i, vec(i, salt = 9), s"doc$i-v2")) ++
+      (100L until 105L).map(i => (i, vec(i), s"doc$i"))
+    GraftTable.upsert(spark, path, ups.toDF("id", "vec", "s"))
+    GraftTable.delete(spark, path, (20L until 25L).toDF("id"))
+    GraftHnsw.refresh(spark, path) should not be empty
+    val q = vec(3, salt = 9)
+    val got = GraftHnsw.probe(spark, path, q, k = 12, ef = 512, rerankFactor = 8)
+    got.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      brute(path, q, 12).toSet
+    got.collect().foreach { r =>
+      val v = GraftTable.read(spark, path).filter(col("id") === r.getLong(0))
+        .select("vec").head().getSeq[Float](0)
+      r.getDouble(r.fieldIndex("score")) shouldBe cosine(v, q) +- 1e-9
+    }
+    // deleted keys never surface, even through the widened frontier
+    GraftHnsw.probe(spark, path, vec(21), k = 45, ef = 512, rerankFactor = 8)
+      .filter(col("id").between(20L, 24L)).count() shouldBe 0L
+  }
+
   test("quantized knnJoin: widened frontier + exact rerank equals the float per-query top-k") {
     val path = mkTable(40)
     GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8,
@@ -330,21 +360,28 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
   }
 
   test("merge on a quantized layout preserves the stored geometry (re-encode is idempotent)") {
-    val path = mkTable(50)
-    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64,
-      storage = "sq8")
-    GraftTable.upsert(spark, path,
-      (200L until 220L).map(k => (k, vec(k), s"doc$k")).toDF("id", "vec", "s"))
-    GraftHnsw.refresh(spark, path)
-    GraftHnsw.meta(path).segs.length shouldBe 3
-    GraftHnsw.merge(spark, path, targetSegments = 2) should not be empty
-    GraftHnsw.meta(path).storage shouldBe "sq8"
-    val q = vec(205)
-    val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512, rerankFactor = 16)
-    got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
-      .toSet shouldBe brute(path, q, 8).toSet
-    got.collect().foreach { r =>
-      r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+    // sq8: bit-exact round-trip; rabitq cosine: approximate re-encode
+    // (documented in segmentVectors) — either way the wide-frontier
+    // probe exact-reranks from the table, so the served answer is pinned
+    Seq("sq8", "rabitq").foreach { storage =>
+      val path = mkTable(50)
+      GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64,
+        storage = storage)
+      GraftTable.upsert(spark, path,
+        (200L until 220L).map(k => (k, vec(k), s"doc$k")).toDF("id", "vec", "s"))
+      GraftHnsw.refresh(spark, path)
+      GraftHnsw.meta(path).segs.length shouldBe 3
+      GraftHnsw.merge(spark, path, targetSegments = 2) should not be empty
+      GraftHnsw.meta(path).storage shouldBe storage
+      val q = vec(205)
+      val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512, rerankFactor = 16)
+      withClue(s"storage=$storage: ") {
+        got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+          .toSet shouldBe brute(path, q, 8).toSet
+        got.collect().foreach { r =>
+          r.getDouble(2) shouldBe cosine(vec(r.getLong(0)), q) +- 1e-9
+        }
+      }
     }
   }
 

@@ -382,6 +382,67 @@ class GraftIndexSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("STALE")
   }
 
+  test("filtered knnJoin: selective pred takes the exact brute leg, loose pred pushes into the scans") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4)
+    val qs = Seq(1L, 2L).map(i => (i, vec(i + 500)))
+    def filteredExact(qv: Seq[Float], k: Int, keep: Long => Boolean): Seq[Long] =
+      GraftTable.read(spark, path).collect()
+        .map(r => (r.getLong(r.fieldIndex("k")), r.getSeq[Float](r.fieldIndex("v"))))
+        .filter { case (id, _) => keep(id) }
+        .map { case (id, v) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          v.indices.foreach { i =>
+            dot += v(i).toDouble * qv(i); na += v(i).toDouble * v(i)
+            nb += qv(i).toDouble * qv(i)
+          }
+          (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+        }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+    // SELECTIVE pred (30 of 300 match, under the cap): exact brute —
+    // correct even at nprobe = 1, where the pushed leg would UNDER-FILL
+    val sel = GraftIndex.knnJoin(spark, path, qs, k = 5, nprobe = 1,
+        pred = Some(col("k") % 10 === 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(_._2).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      sel(qid) shouldBe filteredExact(qv, 5, _ % 10 == 3)
+    }
+    // LOOSE pred forced onto the pushed leg (bruteForceCap = 0) at
+    // exhaustive nprobe: pred inside the full cell scan == filtered exact
+    val loose = GraftIndex.knnJoin(spark, path, qs, k = 5, nprobe = 4,
+        pred = Some(col("k") % 2 === 0), bruteForceCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).map(_._2).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      loose(qid) shouldBe filteredExact(qv, 5, _ % 2 == 0)
+    }
+    // nothing matches: empty, canonical (qid, key, score) shape
+    val none = GraftIndex.knnJoin(spark, path, qs, k = 5, nprobe = 4,
+      pred = Some(col("k") < 0))
+    none.columns.toSeq shouldBe Seq("qid", "k", "score")
+    none.count() shouldBe 0L
+  }
+
+  test("filtered knnJoin on a QUANTIZED layout: pred pushes into the quantized scan, rerank stays exact") {
+    val path = freshTable(300)
+    GraftIndex.create(spark, path, "v", nlist = 4, storage = "sq8")
+    val qs = Seq(7L).map(i => (i, vec(i + 700)))
+    // forced pushed leg at exhaustive settings == filtered exact (the
+    // rerank reads the TABLE's float column, so scores stay exact)
+    val got = GraftIndex.knnJoin(spark, path, qs, k = 4, nprobe = 4,
+        rerankFactor = Int.MaxValue, pred = Some(col("k") % 2 === 0),
+        bruteForceCap = 0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(x => (-x._2, x._1))
+    val want = VectorSearch.topK(
+        GraftTable.read(spark, path).filter(col("k") % 2 === 0),
+        "v", "k", qs.head._2, 4, "cosine")
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.map(_._1).toSeq shouldBe want.map(_._1)
+    got.zip(want).foreach { case ((_, g), (_, w)) => g shouldBe w +- 1e-12 }
+  }
+
   test("knnJoin on the OPQ-rotated PQ kind: exhaustive == exact after mutations") {
     val path = freshTable(400)
     GraftIndex.create(spark, path, "v", nlist = 4, kind = "ivfpq", m = 4, opq = true)

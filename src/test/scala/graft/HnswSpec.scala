@@ -144,7 +144,7 @@ class HnswSpec extends AnyFunSuite with Matchers {
       root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("pid="))
         .map(walk).sum
     }
-    val sizes = Seq("float32", "sq8", "binary").map { st =>
+    val sizes = Seq("float32", "sq8", "binary", "rabitq").map { st =>
       val p = Files.createTempDirectory(s"hnsw_sz_$st").toString
       HnswIndex.build(emb, "vec_id", "embedding", p, m = 8,
         efConstruction = 64, metric = "cosine", nPartitions = 4, storage = st)
@@ -153,6 +153,88 @@ class HnswSpec extends AnyFunSuite with Matchers {
     withClue(sizes.toString) {
       sizes("sq8") should be < sizes("float32")
       sizes("binary") should be < sizes("sq8")
+      sizes("rabitq") should be < sizes("sq8") // 1 bit/dim + two scalars
+    }
+  }
+
+  // Gaussian directions × log-normal norms — the MIPS regime where
+  // plain sign bits are structurally blind (they cannot see ‖v‖; every
+  // high-norm vector decodes to the same ±1 shell) while the rabitq
+  // reconstruction carries ‖v−c‖ per vector. All draws seeded.
+  private def lognormDotCorpus(n: Long, dim: Int) =
+    (0L until n).map { k =>
+      val r = new scala.util.Random(k)
+      val dir = Array.fill(dim)(r.nextGaussian())
+      val nn = math.sqrt(dir.map(x => x * x).sum)
+      val scale = math.exp(r.nextGaussian() * 0.7)
+      (k, dir.map(x => (x / nn * scale).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+
+  test("rabitq walk recall >= binary where sign bits are BLIND: dot metric, log-normal norms") {
+    val corpus = lognormDotCorpus(1500L, 32).cache()
+    def overlap(storage: String): Double = {
+      val p = Files.createTempDirectory(s"hnsw_rqn_$storage").toString
+      val m = HnswIndex.build(corpus, "vec_id", "embedding", p, m = 8,
+        efConstruction = 64, metric = "dot", nPartitions = 4, storage = storage)
+      val qs = (9000L until 9008L).map { k =>
+        val r = new scala.util.Random(k)
+        val dir = Array.fill(32)(r.nextGaussian())
+        val nn = math.sqrt(dir.map(x => x * x).sum)
+        dir.map(x => (x / nn).toFloat).toSeq
+      }
+      qs.map { q =>
+        val exact = VectorSearch.topK(corpus, "embedding", "vec_id", q, 10, "dot")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        HnswIndex.probe(spark, m, "vec_id", q, 10, ef = 64)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+          .intersect(exact).size.toDouble / 10
+      }.sum / qs.size
+    }
+    val ob = overlap("binary")
+    val orq = overlap("rabitq")
+    withClue(f"binary=$ob%.2f rabitq=$orq%.2f: ") {
+      orq should be >= ob + 0.2 // the estimator's structural margin
+      orq should be >= 0.5
+    }
+  }
+
+  test("rabitq model round-trips its centroid and decode replays the estimator exactly") {
+    val corpus = lognormDotCorpus(400L, 16)
+    val p = Files.createTempDirectory("hnsw_rq_rt").toString
+    val m = HnswIndex.build(corpus, "vec_id", "embedding", p, m = 8,
+      efConstruction = 64, metric = "dot", nPartitions = 2, storage = "rabitq")
+    val loaded = HnswIndex.load(spark, p)
+    loaded.storage shouldBe "rabitq"
+    loaded.centroid.map(_.toSeq) shouldBe m.centroid.map(_.toSeq)
+    // probes through the loaded model replay the built model bit-exactly
+    val q = corpus.filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0)
+    def run(mm: HnswIndex.Model) = HnswIndex.probe(spark, mm, "vec_id", q, 10, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    run(loaded) shouldBe run(m)
+  }
+
+  test("rabitq dot: segmentVectors decode -> append re-encode round-trips the decoded geometry") {
+    // dot/l2 re-encode is exact: the re-derived residual is parallel to
+    // the stored direction, so signs round-trip, align re-derives to 1,
+    // and the decoded point is unchanged (the merge substrate contract;
+    // cosine is documented approximate and pinned by recall instead)
+    val corpus = lognormDotCorpus(300L, 16)
+    val p = Files.createTempDirectory("hnsw_rq_merge").toString
+    val m = HnswIndex.build(corpus, "vec_id", "embedding", p, m = 8,
+      efConstruction = 32, metric = "dot", nPartitions = 2, storage = "rabitq")
+    val before = HnswIndex.segmentVectors(spark, m, Set(0, 1))
+      .select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // re-flush the decoded vectors as a new segment (what merge does)
+    val dec = HnswIndex.segmentVectors(spark, m, Set(0))
+      .select(col("id"), col("vec"))
+    val base = HnswIndex.append(spark, m, dec, "id", "vec", nNewSegments = 1)
+    val after = HnswIndex.segmentVectors(spark, m, Set(base))
+      .select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    after.foreach { case (id, v) =>
+      val orig = before(id)
+      v.zip(orig).foreach { case (a, b) => a shouldBe b +- 1e-5f }
     }
   }
 

@@ -470,4 +470,27 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
         pred = Some(col("doc_id") % 2 === 0))
       .collect().map(_.getLong(0)).toSeq
   }
+
+  test("filtered fuzzy search: expansion and df stay full-corpus, eligibility narrows, k stays full") {
+    val path = freshTable(300)
+    TextIndex.create(spark, path, "text")
+    val pred = col("doc_id") % 2 === 0
+    val filtered = TextIndex.searchFuzzy(spark, path, "tble", k = 10,
+        pred = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    filtered should have size 10
+    filtered.foreach { case (id, _) => (id % 2) shouldBe 0L }
+    // score invariance (the filter-clause contract carried through the
+    // expansion): the filtered board is exactly the UNFILTERED fuzzy
+    // board minus odd docs — same expansion, same per-term df
+    val unfiltered = TextIndex.searchFuzzy(spark, path, "tble", k = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    filtered shouldBe unfiltered.filter(_._1 % 2 == 0).take(10)
+    // SQL surface: mode 'fuzzy' with predSql equals the Scala call
+    GraftFunctions.register(spark)
+    spark.sql(
+      s"SELECT doc_id FROM graft_text_search('$path', 'tble', 10, 'fuzzy', 'txt', " +
+        "'doc_id % 2 = 0') ORDER BY score DESC, doc_id")
+      .collect().map(_.getLong(0)).toSeq shouldBe filtered.map(_._1)
+  }
 }
