@@ -99,8 +99,21 @@ object Bench {
         val s = times.sorted
         s(0) > 0 && s(1) / s(0) > 1.5
       }
+      // ESCALATING-reps pattern (r11's quantile_view_incremental_serve:
+      // 3.6→6.7→18.6 s in ONE run): monotonic ratcheting is in-run
+      // session debt (heap/GC/accumulated blocks), not a steal window —
+      // a plateau the 1.5× check would eventually ACCEPT as
+      // "corroborated" even though it corroborates the debt, not the
+      // row. Detect it, shed the debt (gc) before each healing rep, and
+      // annotate the row in the artifact so a board reader takes the
+      // min, never the plateau.
+      def escalatingRun: Boolean = times.size >= 3 &&
+        times.sliding(2).forall { case Seq(a, b) => b >= a * 0.95 } &&
+        times.head > 0 && times.last / times.head > 3.0
       var extra = 0
-      while (err.isEmpty && reps >= 2 && uncorroborated && extra < 3) {
+      while (err.isEmpty && reps >= 2 && (uncorroborated || escalatingRun) &&
+          extra < 3) {
+        if (escalatingRun) System.gc()
         val t = once()
         if (err.isEmpty) times :+= t
         else {
@@ -233,8 +246,20 @@ object Bench {
     val noisyJson = noisy.toSeq.sortBy(-_._2).map { case (k, r) =>
       s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
     }.mkString("{", ",", "}")
+    // rows whose reps ratcheted monotonically >3× within the run: the
+    // published min is the honest number; any plateau median is the
+    // session's accumulated debt, not the row (see timed()'s healer)
+    val escalating = repTimes.flatMap { case (k, ts) =>
+      if (ts.size >= 3 && ts.sliding(2).forall { case Seq(a, b) => b >= a * 0.95 } &&
+          ts.head > 0 && ts.last / ts.head > 3.0)
+        Some(k -> ts.last / ts.head)
+      else None
+    }
+    val escalatingJson = escalating.toSeq.sortBy(-_._2).map { case (k, r) =>
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+    }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"noisy":$noisyJson,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"noisy":$noisyJson,"escalating":$escalatingJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), fileLine + "\n")
     val repsPath = outPath.stripSuffix(".json") + "_reps.json"
     Files.writeString(Paths.get(repsPath),

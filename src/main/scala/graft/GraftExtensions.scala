@@ -554,7 +554,7 @@ object GraftFunctions {
       fuzzyMatchPlan _),
     ("graft_fuzzy_names",
       info("graft_fuzzy_names",
-        "graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap]]) - EXACT fuzzy join of two corpus-scale string sets: distinct-name pairs within maxDist edits with pair multiplicities (two-sided rarest-gram prefix index, gram-shuffled, never broadcast; refuses loudly past dfCap hot postings)"),
+        "graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap[, bandShard]]]) - EXACT fuzzy join of two corpus-scale string sets: distinct-name pairs within maxDist edits with pair multiplicities (two-sided rarest-gram prefix index, gram-shuffled, never broadcast); past dfCap hot postings it auto-degrades to the length-band shard (bandShard auto/never/always) and refuses only a head that stays hot within one band"),
       fuzzyNamesPlan _))
 
   /** `graft_fuzzy_match(corpusTable, textCol, idCol, probe, maxDist[, q])`
@@ -598,8 +598,8 @@ object GraftFunctions {
     * API. Output: (name_a, name_b, dist, n_pairs).
     */
   private def fuzzyNamesPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 7,
-      s"graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap]]): " +
+    require(args.length >= 5 && args.length <= 8,
+      s"graft_fuzzy_names(tableA, colA, tableB, colB, maxDist[, q[, dfCap[, bandShard]]]): " +
         s"got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_fuzzy_names: $what must be a literal")
@@ -608,12 +608,13 @@ object GraftFunctions {
     val spark = SparkSession.active
     val maxDist = lit(4, "maxDist").asInstanceOf[Number].intValue()
     val q = if (args.length >= 6) lit(5, "q").asInstanceOf[Number].intValue() else 2
-    val dfCap = if (args.length == 7) lit(6, "dfCap").asInstanceOf[Number].intValue()
+    val dfCap = if (args.length >= 7) lit(6, "dfCap").asInstanceOf[Number].intValue()
                 else 100000
+    val bandShard = if (args.length == 8) lit(7, "bandShard").toString else "auto"
     graft.operators.FuzzyJoin.joinNames(
         spark.table(lit(0, "tableA").toString), lit(1, "colA").toString,
         spark.table(lit(2, "tableB").toString), lit(3, "colB").toString,
-        maxDist, q, dfCap)
+        maxDist, q, dfCap, bandShard)
       .queryExecution.logical
   }
 

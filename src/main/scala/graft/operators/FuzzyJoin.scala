@@ -204,11 +204,31 @@ object FuzzyJoin {
     * before the exact `levenshtein` verify, and the same `dfCap`
     * refusal bounds residual hot prefix postings. Exactness gate as
     * everywhere: strings with ≤ q·d distinct grams refuse loudly.
+    *
+    * AUTO LENGTH-BAND SHARDING (`bandShard = "auto"`, the default):
+    * when a prefix posting exceeds `dfCap`, the join no longer refuses
+    * outright — it degrades to the length-band shard the refusal
+    * message used to prescribe manually (§15.5's honest statement made
+    * an automatic strategy). The theorem: |len_a − len_b| ≤ d, so with
+    * bands of width d a matching pair's bands differ by ≤ 1; each
+    * side's postings emit under keys (gram, band) AND (gram, band+1)
+    * and the join runs on (gram, bandKey) — every pair meets under
+    * key max(band_a, band_b) (same-band pairs meet twice; the
+    * candidate `distinct()` dedups), so the result is EXACTLY the
+    * unsharded rows while the hot gram's posting splits across its
+    * holders' length bands. Cost: join-input rows double (each posting
+    * carries two keys) — paid only when the cap actually trips, stated
+    * loudly on stderr. A posting still past the cap WITHIN one band
+    * pair is a genuinely quadratic same-length head — that refusal
+    * stays (`"never"` restores refuse-always; `"always"` forces the
+    * shard, the spec-equality path).
     */
   def joinNames(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
                 maxDist: Int, q: Int = 2,
-                dfCap: Int = 100000): DataFrame = {
+                dfCap: Int = 100000, bandShard: String = "auto"): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(Seq("auto", "never", "always").contains(bandShard),
+      s"bandShard is 'auto' | 'never' | 'always', got '$bandShard'")
     def side(df: DataFrame, c: String, out: String, cnt: String): DataFrame =
       df.groupBy(col(c).as(out)).agg(count(lit(1)).as(cnt))
         .withColumn("__grams", gramsOf(col(out), q))
@@ -250,22 +270,53 @@ object FuzzyJoin {
         .localCheckpoint(false)
     val pa = prefixOf(na, "name_a", "__ca")
     val pb = prefixOf(nb, "name_b", "__cb")
-    Seq(("left", pa), ("right", pb)).foreach { case (which, p) =>
-      val hot = p.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
-        .filter(col("__pdf") > dfCap).limit(3).collect()
-      require(hot.isEmpty,
-        s"fuzzy joinNames: $which prefix gram posting(s) ${hot.mkString(", ")} " +
-          s"exceed dfCap=$dfCap — raise q, lower maxDist, or pre-split that head")
-    }
+    val plainHot: Seq[(String, Seq[String])] =
+      if (bandShard == "always") Nil // the shard runs regardless; skip the probe
+      else Seq(("left", pa), ("right", pb)).flatMap { case (which, p) =>
+        val hot = p.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
+          .filter(col("__pdf") > dfCap).limit(3).collect()
+        if (hot.isEmpty) None else Some(which -> hot.map(_.toString).toSeq)
+      }
+    if (bandShard == "never" && plainHot.nonEmpty)
+      throw new IllegalArgumentException(
+        s"fuzzy joinNames: prefix gram posting(s) ${plainHot.map { case (w, h) =>
+          s"$w ${h.mkString(", ")}" }.mkString("; ")} exceed dfCap=$dfCap — " +
+          "raise q, lower maxDist, or pre-split that head (bandShard = 'auto' " +
+          "degrades to the length-band shard instead)")
     val aSide = pa.select(col("name_a"), col("__ca"), col("__len").as("__la"), col("__gram"))
     val bSide = pb.select(col("name_b"), col("__cb"), col("__len").as("__lb"), col("__gram"))
-    aSide.join(bSide, Seq("__gram"))
+    def verify(candidates: DataFrame): DataFrame = candidates
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select("name_a", "name_b", "__ca", "__cb").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
+    if (bandShard != "always" && plainHot.isEmpty)
+      verify(aSide.join(bSide, Seq("__gram")))
+    else {
+      // length-band shard (see scaladoc): postings keyed by
+      // (gram, band) and (gram, band + 1), band width = maxDist
+      if (plainHot.nonEmpty)
+        System.err.println(s"[graft] fuzzy joinNames: prefix posting(s) past " +
+          s"dfCap=$dfCap (${plainHot.map(_._1).mkString("/")} side) — degrading " +
+          s"to the length-band shard (band width $maxDist, join input doubles)")
+      def banded(s: DataFrame, lenCol: String): DataFrame = s
+        .withColumn("__band", floor(col(lenCol) / maxDist))
+        .withColumn("__bk", explode(array(col("__band"), col("__band") + 1)))
+        .drop("__band")
+      val ba = banded(aSide, "__la")
+      val bb = banded(bSide, "__lb")
+      Seq(("left", ba), ("right", bb)).foreach { case (which, p) =>
+        val hot = p.groupBy("__gram", "__bk").agg(count(lit(1)).as("__pdf"))
+          .filter(col("__pdf") > dfCap).limit(3).collect()
+        require(hot.isEmpty,
+          s"fuzzy joinNames: $which prefix posting(s) ${hot.mkString(", ")} exceed " +
+            s"dfCap=$dfCap WITHIN one length band — a genuinely quadratic " +
+            "same-length head; raise q or lower maxDist")
+      }
+      verify(ba.join(bb, Seq("__gram", "__bk")))
+    }
   }
 
   /** Diagnostic for the scale probe: (prefix-join input rows, full-index

@@ -443,7 +443,7 @@ object GraftHnsw {
     if (queries.isEmpty) return empty
     val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
       .filter(pred).filter(col(m.vecCol).isNotNull)
-    val n = matched.count()
+    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap)
     if (n == 0) return empty
     val qdf = queries.toDF("qid", "__qvec")
     if (n <= bruteForceCap || m.segs.isEmpty) {
@@ -511,6 +511,26 @@ object GraftHnsw {
     val existed = exists(tablePath, name)
     if (existed) GraftTable.MetaIO.delete(new Path(root(tablePath, name)))
     existed
+  }
+
+  /** The filtered paths' match count, metadata-first: when the pred's
+    * pushable form is stats-answerable AND the bound already DECIDES
+    * the serving leg (zero matches, or at most `bruteForceCap` — the
+    * true count can only be smaller, so count-based selection would
+    * pick the same leg), the count job is skipped entirely; otherwise
+    * the exact count runs as before. Leg selection is bit-identical to
+    * the count-based rule by construction — the bound is only ever
+    * used where upper-bound ≤ cap ⇒ true-count ≤ cap.
+    */
+  private def matchCount(spark: SparkSession, tablePath: String, m: HnswMeta,
+                         matched: DataFrame, pred: Column,
+                         bruteForceCap: Int): Long = {
+    val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
+      GraftTable.read(spark, tablePath, m.indexedVersion), pred)
+    GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
+      case Some(hi) if hi == 0L || hi <= bruteForceCap => hi
+      case _ => matched.count()
+    }
   }
 
   private def requireFresh(tablePath: String, m: HnswMeta, allowStale: Boolean): Unit = {
@@ -657,7 +677,9 @@ object GraftHnsw {
     * (KnnFloatVectorQuery + filter, public), generalized to three
     * regimes. The predicate is evaluated against the PINNED table
     * snapshot and the serving path is picked by its measured match
-    * count, never guessed:
+    * count, never guessed — measured METADATA-FIRST: a stats-answerable
+    * pred whose upper bound already decides the leg (see [[matchCount]])
+    * skips the count job entirely:
     *
     *  - ≤ `bruteForceCap` matches (or no segments): EXACT brute force
     *    over the filtered subset. The pred pushes into the snapshot's
@@ -700,7 +722,7 @@ object GraftHnsw {
     val ord = if (m.metric == "l2") asc("score") else desc("score")
     val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
       .filter(pred).filter(col(m.vecCol).isNotNull)
-    val n = matched.count()
+    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap)
     if (n == 0) return emptyShaped(spark, tablePath, m)
     if (n <= bruteForceCap || m.segs.isEmpty)
       return matched

@@ -790,7 +790,16 @@ object GraftIndex {
       val keyCol = m.keyCols.head
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      val n = matched.count()
+      // metadata-first: a stats-answerable pred whose UPPER bound is
+      // already ≤ bruteForceCap (or zero) decides the leg without the
+      // count job — the true count can only be smaller, so count-based
+      // selection would pick the same leg (the GraftHnsw.matchCount rule)
+      val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
+        GraftTable.read(spark, tablePath, m.indexedVersion), p)
+      val n = GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
+        case Some(hi) if hi == 0L || hi <= bruteForceCap => hi
+        case _ => matched.count()
+      }
       if (n == 0) return emptyOut
       if (n <= bruteForceCap) {
         // exact: broadcast the filtered subset once, score every

@@ -701,6 +701,39 @@ object GraftTable {
       .forall(st => filters.forall(fl => mayMatch(st, kinds, fl))))
   }
 
+  /** Metadata-only UPPER BOUND on snapshot `v`'s rows matching
+    * `filters`: Σ rowCount over files whose stats cannot rule the
+    * filters out. Conservative by construction — dropped conjuncts and
+    * may-match semantics only RAISE the bound — so a caller may treat
+    * `Some(h)` as a proof that at most h rows match (and `Some(0)` as
+    * zero matches, exactly). None when the bound would be unsound:
+    * empty filters, any stat-less dir (its rows are uncounted), or an
+    * outstanding MOR log (delta rows live outside the stats'd files;
+    * DVs alone would keep the bound valid, but the refusal stays
+    * uniform with [[analyzeIncremental]]'s rule). This is what lets a
+    * filtered index probe SKIP its match-count job when the answer is
+    * already decidable from the skipping machinery's metadata.
+    */
+  def matchUpperBound(path: String, v: Int,
+                      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Long] = {
+    if (filters.isEmpty) return None
+    if (dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty) return None
+    val stats = manifestFileStats(path, v)
+    if (stats.isEmpty) return None
+    val schema = snapshotSchema(path, v).getOrElse(return None)
+    val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
+    var hi = 0L
+    manifest(path, v).values.toSeq.foreach { d =>
+      val files = stats.keys.filter(_.startsWith(d + "/")).toSeq
+      if (files.isEmpty) return None // stat-less dir: its rows are unknown
+      files.foreach { rel =>
+        val st = stats(rel)
+        if (filters.forall(fl => mayMatch(st, kinds, fl))) hi += st.rows
+      }
+    }
+    Some(hi)
+  }
+
   def prunedDataPaths(path: String, v: Int,
                       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[(Seq[String], Int, Int)] = {

@@ -181,15 +181,56 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
     GraftFunctions.register(spark)
     val rows = (0 until 50).map(i => (i.toLong, s"aaaa${i}zzzz"))
     rows.toDF("id", "s").createOrReplaceTempView("fuzzy_dfcap_t")
-    // pathological shared-rare-grams corpus: the tightened cap refuses
+    // pathological shared-rare-grams corpus: with the shard disabled
+    // (bandShard 8th arg = 'never') the tightened cap refuses outright
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_fuzzy_names('fuzzy_dfcap_t', 's', " +
-        "'fuzzy_dfcap_t', 's', 1, 2, 10)").collect()
+        "'fuzzy_dfcap_t', 's', 1, 2, 10, 'never')").collect()
     }
     e.getMessage should include("dfCap")
     // an explicit wide cap runs the same corpus to completion
     spark.sql("SELECT * FROM graft_fuzzy_names('fuzzy_dfcap_t', 's', " +
       "'fuzzy_dfcap_t', 's', 1, 2, 100000)").count() should be > 0L
+  }
+
+  test("auto length-band shard: sharded == unsharded rows; same-length hot head still refuses") {
+    // the joinNames brute-force corpus, forced down BOTH paths
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcde"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (0 until 50).map(_ => word(7 + rnd.nextInt(5)))
+    val rowsA = (0 until 250).map(i => (i.toLong, base(rnd.nextInt(base.length))))
+    val rowsB = (0 until 250).map { i =>
+      val s = base(rnd.nextInt(base.length))
+      val t = if (rnd.nextBoolean()) s
+        else s.updated(rnd.nextInt(s.length), alphabet(rnd.nextInt(5)))
+      (i.toLong, t)
+    }
+    val a = rowsA.toDF("id", "s"); val b = rowsB.toDF("id", "t")
+    def run(bandShard: String) =
+      FuzzyJoin.joinNames(a, "s", b, "t", maxDist = 1, q = 2, bandShard = bandShard)
+        .select("name_a", "name_b", "dist", "n_pairs")
+        .as[(String, String, Long, Long)].collect().toSet
+    run("always") shouldBe run("never") // EXACTLY the unsharded rows
+    // a corpus whose hot prefix posting SPANS length bands degrades to
+    // the shard under 'auto' (used to refuse) and completes exactly:
+    // names share the rare gram 'qx' at lengths 6..16
+    val spanRows = (0 until 60).map(i => (i.toLong, "qx" + ("ab" * (2 + i % 6)) + i % 3))
+    val sp = spanRows.toDF("id", "s")
+    val auto = FuzzyJoin.joinNames(sp, "s", sp, "s", maxDist = 1, q = 2,
+        dfCap = 15, bandShard = "auto")
+      .select("name_a", "name_b", "dist").as[(String, String, Long)].collect().toSet
+    auto shouldBe FuzzyJoin.joinNames(sp, "s", sp, "s", maxDist = 1, q = 2,
+        bandShard = "never")
+      .select("name_a", "name_b", "dist").as[(String, String, Long)].collect().toSet
+    // a head that stays hot WITHIN one band (same-length names sharing a
+    // rare gram) is genuinely quadratic — the refusal survives the shard
+    val sameLen = (0 until 40).map(i => (i.toLong, f"qz${i}%02dab"))
+    val sl = sameLen.toDF("id", "s")
+    intercept[Exception] {
+      FuzzyJoin.joinNames(sl, "s", sl, "s", maxDist = 1, q = 2,
+        dfCap = 5, bandShard = "auto").collect()
+    }.getMessage should include("length band")
   }
 
   test("maxDist = 0 is exact-match; empty result when nothing matches") {

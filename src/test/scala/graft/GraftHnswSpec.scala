@@ -473,6 +473,47 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("stats-answerable preds skip the filtered probe's count job; leg selection unchanged") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(7)
+    // two formulations of the SAME 6-match predicate: one pushes to a
+    // DSv1 filter (stats-answerable — the upper bound over every file
+    // is ≤ bruteForceCap, so the leg is decided from metadata), one is
+    // opaque to translation (UDF) and must pay the count job
+    val idf = udf((x: Long) => x)
+    def jobsOf(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    var pushed: Array[(Long, String, Double)] = null
+    var opaque: Array[(Long, String, Double)] = null
+    val jPushed = jobsOf("hnsw_pred_pushed") {
+      pushed = GraftHnsw.probe(spark, path, q, k = 5, ef = 512,
+          pred = Some(col("id") < 6))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    }
+    val jOpaque = jobsOf("hnsw_pred_opaque") {
+      opaque = GraftHnsw.probe(spark, path, q, k = 5, ef = 512,
+          pred = Some(idf(col("id")) < 6))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    }
+    // same leg (brute — 6 matches), same exact rows either way
+    pushed.toSeq shouldBe opaque.toSeq
+    pushed should have length 5 // k full
+    pushed.map(_._1).toSet.subsetOf((0L until 6L).toSet) shouldBe true
+    // the stats-covered pred skipped the count job (AQE may split the
+    // opaque pred's count into more than one job — assert strictly fewer)
+    jPushed should be < jOpaque
+    // provably-empty pred: zero jobs beyond none — decided from metadata
+    val jEmpty = jobsOf("hnsw_pred_empty") {
+      GraftHnsw.probe(spark, path, q, k = 5, ef = 512,
+        pred = Some(col("id") < 0)).collect()
+    }
+    jEmpty should be < jOpaque
+  }
+
   test("filtered probe: zero matches returns the canonical empty shape") {
     val path = mkTable(20)
     GraftHnsw.create(spark, path, "vec", nSegments = 1)

@@ -85,6 +85,29 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     GraftTable.read(spark, path, v).count() shouldBe 128L
   }
 
+  test("matchUpperBound: a sound metadata row bound, exact zero, honest refusals") {
+    val path = freshTable(4096, nbuckets = 4)
+    val v = GraftTable.latestVersion(path)
+    // the bound dominates the true count for any pushable predicate
+    val trueN = GraftTable.read(spark, path).filter(col("k") < 100).count()
+    val hi = GraftTable.matchUpperBound(path, v, Seq(LessThan("k", 100L)))
+    hi should not be empty
+    hi.get should be >= trueN
+    // a provably-empty predicate is EXACTLY zero (skip-everything proof)
+    GraftTable.matchUpperBound(path, v, Seq(LessThan("k", -1L))) shouldBe Some(0L)
+    // the total-row ceiling: an unselective filter bounds by the snapshot
+    GraftTable.matchUpperBound(path, v,
+      Seq(GreaterThanOrEqual("k", 0L))).get shouldBe 4096L
+    // refusals, honest: empty filters; an outstanding MOR log
+    GraftTable.matchUpperBound(path, v, Nil) shouldBe None
+    GraftTable.upsertMor(spark, path,
+      spark.range(0, 3).toDF("k").withColumn("x", col("k") % 64)
+        .withColumn("y", (col("k") * 7) % 64)
+        .withColumn("s", concat(lit("row-"), format_string("%05d", col("k")))))
+    GraftTable.matchUpperBound(path, GraftTable.latestVersion(path),
+      Seq(LessThan("k", 100L))) shouldBe None
+  }
+
   test("manifests record snapshot schema and per-file min/max stats") {
     val path = freshTable()
     val stats = GraftTable.manifestFileStats(path, 0)
