@@ -103,7 +103,7 @@ object Probe {
         .map(walk).sum
     }
     val exact = scala.collection.mutable.Map.empty[String, Seq[Long]]
-    Seq("float32", "sq8", "binary").foreach { st =>
+    Seq("float32", "sq8", "binary", "rabitq").foreach { st =>
       val root = s"${sys.props("java.io.tmpdir")}/graft_probe_hnsw_$st"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val tbl = s"$root/t"
@@ -127,6 +127,58 @@ object Probe {
         s"build_s=${f"$buildS%.1f"} serve_s=${f"$serveS%.2f"} " +
         s"recall_vs_float=${f"$rec%.2f"}")
     }
+  }
+
+  /** The MIPS-regime HNSW walk: binary vs rabitq 1-bit storages on a
+    * Gaussian-direction × log-normal-norm DOT corpus (unnormalized
+    * embeddings — the regime where ⟨q, sign(v)⟩ is norm-blind), walk
+    * overlap@10 vs exact brute force at identical settings. The graph
+    * twin of the §15.13 IVF measurement: the number that justifies
+    * rabitq storage existing in the graph family.
+    */
+  private def hnswMips(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import graft.operators.{HnswIndex, VectorSearch}
+    val dim = 32
+    val corpus = spark.range(0, n).map { k =>
+      val r = new scala.util.Random(k)
+      val dir = Array.fill(dim)(r.nextGaussian())
+      val nn = math.sqrt(dir.map(x => x * x).sum)
+      val scale = math.exp(r.nextGaussian() * 0.7)
+      (k, dir.map(x => (x / nn * scale).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val queries = (9000L until 9020L).map { k =>
+      val r = new scala.util.Random(k)
+      val dir = Array.fill(dim)(r.nextGaussian())
+      val nn = math.sqrt(dir.map(x => x * x).sum)
+      dir.map(x => (x / nn).toFloat).toSeq
+    }
+    val exact = queries.map { q =>
+      VectorSearch.topK(corpus, "embedding", "vec_id", q, 10, "dot")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    Seq("binary", "rabitq").foreach { st =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_probe_hnswmips_$st"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val (m, buildS) = timed {
+        HnswIndex.build(corpus, "vec_id", "embedding", path, m = 8,
+          efConstruction = 64, metric = "dot", nPartitions = 8, storage = st)
+      }
+      val (hits, serveS) = timed {
+        queries.zip(exact).map { case (q, ex) =>
+          HnswIndex.probe(spark, m, "vec_id", q, 10, ef = 128)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+            .intersect(ex).size
+        }.sum
+      }
+      println(s"PROBE hnswmips n=$n storage=$st build_s=${f"$buildS%.1f"} " +
+        s"serve20q_s=${f"$serveS%.1f"} " +
+        s"overlap10=${f"${hits.toDouble / (10 * queries.size)}%.2f"}")
+    }
+    corpus.unpersist(blocking = false)
+    ()
   }
 
   /** Table-attached IVF storage variants (the hnswbytes twin): layout
@@ -348,9 +400,11 @@ object Probe {
       case "streamdedup" :: rest =>
         streamDedup(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"),
           rest.drop(1).headOption.map(_.toInt).getOrElse(3))
+      case "hnswmips" :: rest =>
+        hnswMips(spark, rest.headOption.map(_.toLong).getOrElse(200000L))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered | merge | streamdedup)")
+          s"unknown probe ${other.mkString(" ")} (fuzzy | hnswbytes | ivfbytes | curves | filtered | merge | streamdedup | hnswmips)")
     }
     spark.stop()
   }

@@ -113,21 +113,25 @@ object FuzzyJoin {
     * Residual-head df cap: a prefix gram's posting can still be hot if
     * MANY strings have it among their rarest grams (pathology: a corpus
     * of near-identical short codes). `dfCap` bounds that hot key — if
-    * any prefix posting exceeds it the join REFUSES loudly (naming the
-    * grams) rather than silently running a quadratic block (default
-    * 100k postings ⇒ ≤ 10^10 pair rows from one gram, already the
-    * refuse-don't-run regime; the old 10^6 default permitted 10^12 —
-    * far past where the guard should fire); raise q,
-    * lower maxDist, or pre-split that head explicitly. Both sides big ⇒
+    * any prefix posting exceeds it, `bandShard = "auto"` (default)
+    * DEGRADES to the [[joinNames]] length-band shard (exactly the same
+    * rows, hot postings split across their holders' length bands, join
+    * input doubles — stated on stderr) and only a posting still hot
+    * WITHIN one band refuses (a genuinely quadratic same-length head;
+    * default cap 100k postings ⇒ ≤ 10^10 pair rows from one gram,
+    * already the refuse-don't-run regime). Both sides big ⇒
     * the prefix join SHUFFLES on the gram (no broadcast), the scalable
-    * shape; same loud refusal for strings too short for the theorem.
+    * shape; the too-short-strings refusal is unconditional (exactness
+    * theorem, not a cost guard).
     * Exact-duplicate (dist 0) cliques are [[Dedup.exact]]'s row, not
     * repeated here.
     */
   def nearDupNames(corpus: DataFrame, textCol: String,
                    maxDist: Int, q: Int = 2,
-                   dfCap: Int = 100000): DataFrame = {
+                   dfCap: Int = 100000, bandShard: String = "auto"): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(Seq("auto", "never", "always").contains(bandShard),
+      s"bandShard is 'auto' | 'never' | 'always', got '$bandShard'")
     val names = corpus.groupBy(col(textCol).as("name"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__grams", gramsOf(col("name"), q))
@@ -166,27 +170,53 @@ object FuzzyJoin {
       // session's lifetime — the Dedup CC-loop discipline instead:
       // checkpoint blocks self-reclaim when the frame is GC'd
       .localCheckpoint(false)
-    // residual-head guard: refuse (never silently quadratic) if a prefix
-    // posting is hotter than the stated cap
-    val hot = prefix.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
-      .filter(col("__pdf") > dfCap).limit(3).collect()
-    require(hot.isEmpty,
-      s"near-dup names: prefix gram posting(s) ${hot.mkString(", ")} exceed " +
-        s"dfCap=$dfCap — the rarest-gram index still has a quadratic hot key " +
-        "on this corpus; raise q, lower maxDist, or pre-split that head")
+    // residual-head guard: the [[joinNames]] discipline — refuse only
+    // when bandShard = 'never'; otherwise degrade to the length-band
+    // shard (see joinNames' scaladoc; same exactness argument, with the
+    // self-join's name_a < name_b direction preserved)
+    val plainHot: Seq[String] =
+      if (bandShard == "always") Nil
+      else prefix.groupBy("__gram").agg(count(lit(1)).as("__pdf"))
+        .filter(col("__pdf") > dfCap).limit(3).collect().map(_.toString).toSeq
+    if (bandShard == "never" && plainHot.nonEmpty)
+      throw new IllegalArgumentException(
+        s"near-dup names: prefix gram posting(s) ${plainHot.mkString(", ")} exceed " +
+          s"dfCap=$dfCap — the rarest-gram index still has a quadratic hot key " +
+          "on this corpus; raise q, lower maxDist, or pre-split that head " +
+          "(bandShard = 'auto' degrades to the length-band shard instead)")
     val a = prefix.select(col("name").as("name_a"), col("__cnt").as("__ca"),
       col("__len").as("__la"), col("__gram"))
     val b = prefix.select(col("name").as("name_b"), col("__cnt").as("__cb"),
       col("__len").as("__lb"), col("__gram"))
-    val candidates = a.join(b, Seq("__gram"))
+    def verify(candidates: DataFrame): DataFrame = candidates
       .filter(col("name_a") < col("name_b") &&
         abs(col("__la") - col("__lb")) <= maxDist)
       .select("name_a", "name_b", "__ca", "__cb").distinct()
-    candidates
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist").between(1, maxDist))
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
+    if (bandShard != "always" && plainHot.isEmpty)
+      verify(a.join(b, Seq("__gram")))
+    else {
+      if (plainHot.nonEmpty)
+        System.err.println(s"[graft] near-dup names: prefix posting(s) past " +
+          s"dfCap=$dfCap — degrading to the length-band shard (band width " +
+          s"$maxDist, join input doubles)")
+      def banded(s: DataFrame, lenCol: String): DataFrame = s
+        .withColumn("__band", floor(col(lenCol) / maxDist))
+        .withColumn("__bk", explode(array(col("__band"), col("__band") + 1)))
+        .drop("__band")
+      val ba = banded(a, "__la")
+      val bb = banded(b, "__lb")
+      val hot2 = ba.groupBy("__gram", "__bk").agg(count(lit(1)).as("__pdf"))
+        .filter(col("__pdf") > dfCap).limit(3).collect()
+      require(hot2.isEmpty,
+        s"near-dup names: prefix posting(s) ${hot2.mkString(", ")} exceed " +
+          s"dfCap=$dfCap WITHIN one length band — a genuinely quadratic " +
+          "same-length head; raise q or lower maxDist")
+      verify(ba.join(bb, Seq("__gram", "__bk")))
+    }
   }
 
   /** Fuzzy join where BOTH sides are large — the entity-resolution

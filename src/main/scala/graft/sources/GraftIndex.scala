@@ -668,7 +668,17 @@ object GraftIndex {
       require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      if (matched.count() <= bruteForceCap) {
+      // metadata-first match count (the GraftHnsw.matchCount rule): a
+      // stats-answerable pred whose UPPER bound is already ≤ the cap
+      // skips the count job — the true count can only be smaller, so
+      // the leg choice is identical
+      val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
+        GraftTable.read(spark, tablePath, m.indexedVersion), p)
+      val nMatched = GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
+        case Some(hi) if hi <= bruteForceCap => hi
+        case _ => matched.count()
+      }
+      if (nMatched <= bruteForceCap) {
         val ord = if (m.metric == "l2") asc("score") else desc("score")
         val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion)
         val canonical = sc match {

@@ -108,13 +108,23 @@ class FuzzyJoinSpec extends AnyFunSuite with Matchers {
   }
 
   test("nearDupNames refuses loudly when a prefix posting exceeds dfCap") {
-    // pathological corpus: every name shares its rarest grams
+    // pathological corpus: every name shares its rarest grams — with
+    // the shard disabled the tightened cap refuses outright
     val rows = (0 until 50).map(i => (i.toLong, s"aaaa${i}zzzz"))
     val e = intercept[IllegalArgumentException] {
       FuzzyJoin.nearDupNames(rows.toDF("id", "s"), "s",
-        maxDist = 1, q = 2, dfCap = 10).collect()
+        maxDist = 1, q = 2, dfCap = 10, bandShard = "never").collect()
     }
     e.getMessage should include("dfCap")
+    // the sharded self-join returns EXACTLY the unsharded report
+    val plain = FuzzyJoin.nearDupNames(rows.toDF("id", "s"), "s",
+        maxDist = 1, q = 2, bandShard = "never")
+      .select("name_a", "name_b", "dist", "n_pairs")
+      .as[(String, String, Long, Long)].collect().toSet
+    FuzzyJoin.nearDupNames(rows.toDF("id", "s"), "s",
+        maxDist = 1, q = 2, bandShard = "always")
+      .select("name_a", "name_b", "dist", "n_pairs")
+      .as[(String, String, Long, Long)].collect().toSet shouldBe plain
   }
 
   test("sub-q corpus strings produce no grams and never pollute the join") {

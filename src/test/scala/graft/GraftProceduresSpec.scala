@@ -443,6 +443,12 @@ class GraftProceduresSpec extends AnyFunSuite with Matchers {
         ef = 256, rerankFactor = 8)
       got.count() shouldBe 5L
       got.head().getLong(0) shouldBe 7L // self-match survives the rerank
+      // the estimator-grade 1-bit layout through the same SQL verb
+      spark.sql(s"CALL graft.hnsw_create('$root', 'emb', name => 'hrq', " +
+        "storage => 'rabitq')").collect()
+      graft.sources.GraftHnsw.meta(root, "hrq").storage shouldBe "rabitq"
+      graft.sources.GraftHnsw.probe(spark, root, v(7), k = 5, ef = 256,
+        rerankFactor = 8, name = "hrq").head().getLong(0) shouldBe 7L
       intercept[Exception] {
         spark.sql(s"CALL graft.hnsw_create('$root', 'emb', name => 'h2', " +
           "storage => 'fp4')").collect()
