@@ -79,8 +79,13 @@ object FuzzyJoin {
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= col("__t"))
     candidates
-      .withColumn("dist", levenshtein(col(textCol), col("__ptext")))
-      .filter(col("dist") <= maxDist)
+      // 3-arg (banded) levenshtein: O(maxDist·len) per pair instead of
+      // the full O(len²) DP — the verify is the candidate stream's
+      // dominant kernel; -1 (= past the threshold) drops in the filter,
+      // and within-threshold distances are exact, so emitted rows are
+      // identical to the unbounded form (oracle parity preserved)
+      .withColumn("dist", levenshtein(col(textCol), col("__ptext"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .select((col(probeIdCol) +: idCols.map(col)) :+ col(textCol) :+
         col("dist").cast("long").as("dist"): _*)
   }
@@ -192,7 +197,8 @@ object FuzzyJoin {
       .filter(col("name_a") < col("name_b") &&
         abs(col("__la") - col("__lb")) <= maxDist)
       .select("name_a", "name_b", "__ca", "__cb").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      // banded levenshtein (see [[join]]): -1 = past the threshold
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist").between(1, maxDist))
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
@@ -318,8 +324,9 @@ object FuzzyJoin {
     def verify(candidates: DataFrame): DataFrame = candidates
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select("name_a", "name_b", "__ca", "__cb").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // banded levenshtein (see [[join]]): -1 = past the threshold
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
     if (bandShard != "always" && plainHot.isEmpty)

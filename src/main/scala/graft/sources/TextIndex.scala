@@ -471,7 +471,9 @@ object TextIndex {
         live.select("token").distinct()
           .filter(abs(length(col("token")) - probe.length) <= maxDist)
           .filter(size(array_intersect(grams, typedLit(qGrams))) >= thresh)
-          .filter(levenshtein(col("token"), lit(probe)) <= maxDist)
+          // banded (3-arg) levenshtein: O(maxDist·len) per candidate
+          // instead of the full DP; -1 = past the threshold
+          .filter(levenshtein(col("token"), lit(probe), maxDist).between(0, maxDist))
           .collect().map(_.getString(0)).toSeq.sorted
     }
   }
