@@ -443,7 +443,7 @@ object GraftHnsw {
     if (queries.isEmpty) return empty
     val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
       .filter(pred).filter(col(m.vecCol).isNotNull)
-    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap)
+    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap, acceptCap)
     if (n == 0) return empty
     val qdf = queries.toDF("qid", "__qvec")
     if (n <= bruteForceCap || m.segs.isEmpty) {
@@ -514,22 +514,34 @@ object GraftHnsw {
   }
 
   /** The filtered paths' match count, metadata-first: when the pred's
-    * pushable form is stats-answerable AND the bound already DECIDES
-    * the serving leg (zero matches, or at most `bruteForceCap` — the
-    * true count can only be smaller, so count-based selection would
-    * pick the same leg), the count job is skipped entirely; otherwise
-    * the exact count runs as before. Leg selection is bit-identical to
-    * the count-based rule by construction — the bound is only ever
-    * used where upper-bound ≤ cap ⇒ true-count ≤ cap.
+    * pushable form is stats-answerable AND the bounds already DECIDE
+    * the serving leg, the count job is skipped entirely; otherwise the
+    * exact count runs as before. Every shortcut is provably identical
+    * to count-based selection:
+    *  - upper == 0 ⇒ exactly zero matches;
+    *  - upper ≤ bruteForceCap ⇒ true count ≤ cap ⇒ brute, same leg;
+    *  - lower > acceptCap ⇒ true count > acceptCap ⇒ post-filter
+    *    (sound only under a COMPLETE translation, with the vector
+    *    column's per-file null counts proving no matching row loses
+    *    its vector — both enforced by [[GraftTable.matchBounds]]);
+    *  - bruteForceCap < lower AND upper ≤ acceptCap ⇒ walk.
+    * Anything undecided pays the count, exactly as before.
     */
   private def matchCount(spark: SparkSession, tablePath: String, m: HnswMeta,
                          matched: DataFrame, pred: Column,
-                         bruteForceCap: Int): Long = {
-    val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
-      GraftTable.read(spark, tablePath, m.indexedVersion), pred)
-    GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
-      case Some(hi) if hi == 0L || hi <= bruteForceCap => hi
-      case _ => matched.count()
+                         bruteForceCap: Int, acceptCap: Int): Long = {
+    val (filters, complete) =
+      org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
+        GraftTable.read(spark, tablePath, m.indexedVersion), pred)
+    val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
+      complete, requireNonNull = Seq(m.vecCol))
+    hi match {
+      case Some(h) if h == 0L || h <= bruteForceCap => h
+      case _ => lo match {
+        case Some(l) if l > acceptCap => l
+        case Some(l) if l > bruteForceCap && hi.exists(_ <= acceptCap) => hi.get
+        case _ => matched.count()
+      }
     }
   }
 
@@ -722,7 +734,7 @@ object GraftHnsw {
     val ord = if (m.metric == "l2") asc("score") else desc("score")
     val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
       .filter(pred).filter(col(m.vecCol).isNotNull)
-    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap)
+    val n = matchCount(spark, tablePath, m, matched, pred, bruteForceCap, acceptCap)
     if (n == 0) return emptyShaped(spark, tablePath, m)
     if (n <= bruteForceCap || m.segs.isEmpty)
       return matched

@@ -668,15 +668,21 @@ object GraftIndex {
       require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      // metadata-first match count (the GraftHnsw.matchCount rule): a
-      // stats-answerable pred whose UPPER bound is already ≤ the cap
-      // skips the count job — the true count can only be smaller, so
-      // the leg choice is identical
-      val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
-        GraftTable.read(spark, tablePath, m.indexedVersion), p)
-      val nMatched = GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
-        case Some(hi) if hi <= bruteForceCap => hi
-        case _ => matched.count()
+      // metadata-first match count (the GraftHnsw.matchCount rule):
+      // upper ≤ cap decides brute, lower > cap (complete translation +
+      // vector-null proof) decides the pushed leg — both identical to
+      // count-based selection; anything undecided pays the count
+      val (filters, complete) =
+        org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
+          GraftTable.read(spark, tablePath, m.indexedVersion), p)
+      val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
+        complete, requireNonNull = Seq(m.vecCol))
+      val nMatched = hi match {
+        case Some(h) if h <= bruteForceCap => h
+        case _ => lo match {
+          case Some(l) if l > bruteForceCap => l
+          case _ => matched.count()
+        }
       }
       if (nMatched <= bruteForceCap) {
         val ord = if (m.metric == "l2") asc("score") else desc("score")
@@ -800,15 +806,21 @@ object GraftIndex {
       val keyCol = m.keyCols.head
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      // metadata-first: a stats-answerable pred whose UPPER bound is
-      // already ≤ bruteForceCap (or zero) decides the leg without the
-      // count job — the true count can only be smaller, so count-based
-      // selection would pick the same leg (the GraftHnsw.matchCount rule)
-      val filters = org.apache.spark.sql.graftshim.Bridge.translateFilters(
-        GraftTable.read(spark, tablePath, m.indexedVersion), p)
-      val n = GraftTable.matchUpperBound(tablePath, m.indexedVersion, filters) match {
-        case Some(hi) if hi == 0L || hi <= bruteForceCap => hi
-        case _ => matched.count()
+      // metadata-first (the GraftHnsw.matchCount rule): upper ≤ cap
+      // decides brute, lower > cap (complete translation + vector-null
+      // proof) decides the pushed leg — both identical to count-based
+      // selection; anything undecided pays the count
+      val (filters, complete) =
+        org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
+          GraftTable.read(spark, tablePath, m.indexedVersion), p)
+      val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
+        complete, requireNonNull = Seq(m.vecCol))
+      val n = hi match {
+        case Some(h) if h == 0L || h <= bruteForceCap => h
+        case _ => lo match {
+          case Some(l) if l > bruteForceCap => l
+          case _ => matched.count()
+        }
       }
       if (n == 0) return emptyOut
       if (n <= bruteForceCap) {

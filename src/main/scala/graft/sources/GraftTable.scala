@@ -420,7 +420,21 @@ object GraftTable {
     if (writtenRelDirs.isEmpty) return Nil
     val src = spark.read.parquet(writtenRelDirs.map(d => s"$tableRoot/$d"): _*)
     val fields = statFields(src.schema)
-    val aggs = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
+    // null-count-ONLY stats for array/binary columns (min/max have no
+    // total order there, but NULL COUNT is well-defined for any type):
+    // recorded as `min = max = "-"`, which mayMatch already treats as
+    // unknown bounds. This is what lets IsNotNull prune on a vector
+    // column — and, through matchBounds' non-null proof, what makes a
+    // filtered ANN probe's LOWER bound sound (a matching row with a
+    // null vector is not served; a file with zero null vectors can't
+    // hide one).
+    val nullOnly = src.schema.fields.toSeq
+      .filterNot(f => fields.exists(_.name == f.name))
+      .filter(f => f.dataType match {
+        case _: types.ArrayType | types.BinaryType => true
+        case _ => false
+      }).take(32)
+    val aggs = (count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(s"`${f.name}`")
       val (mn, mx) = f.dataType match {
         case types.TimestampType =>
@@ -440,6 +454,8 @@ object GraftTable {
       }
       Seq(mn.cast("string").as(s"__mn$i"), mx.cast("string").as(s"__mx$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nl$i"))
+    }) ++ nullOnly.zipWithIndex.map { case (f, i) =>
+      sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L)).as(s"__no$i")
     }
     // on-disk lengths, keyed by rel path: one list per freshly-written
     // dir (O(touched) at WRITE time — the writer just created these
@@ -477,7 +493,11 @@ object GraftTable {
               val mx = bounded(Option(r.getString(3 + 3 * i)), isMin = false)
               s"#stat=$rel\t${enc(f.name)}\t$mn\t$mx\t${r.getLong(4 + 3 * i)}"
             }
-            fileLine +: statLines
+            val base = 2 + 3 * fields.length
+            val nullLines = nullOnly.zipWithIndex.map { case (f, i) =>
+              s"#stat=$rel\t${enc(f.name)}\t-\t-\t${r.getLong(base + i)}"
+            }
+            (fileLine +: statLines) ++ nullLines
         }
       }
   }
@@ -577,14 +597,12 @@ object GraftTable {
     * stats cannot prove otherwise), false = provably no row matches and
     * the file can be skipped without opening it.
     */
-  private def mayMatch(st: FileStat, kinds: Map[String, String],
-                       f: org.apache.spark.sql.sources.Filter): Boolean = {
-    import org.apache.spark.sql.sources._
-    def isAscii(s: String) = s.forall(_ < 128)
-    // compare a recorded bound with a filter value; None = not provable
-    // (unknown bound, type mismatch, NaN, non-ASCII string ordering —
-    // Java UTF-16 order diverges from Spark's UTF-8 binary order there)
-    def cmp(kind: String, bound: String, v: Any): Option[Int] = kind match {
+  private def isAscii(s: String) = s.forall(_ < 128)
+
+  // compare a recorded bound with a filter value; None = not provable
+  // (unknown bound, type mismatch, NaN, non-ASCII string ordering —
+  // Java UTF-16 order diverges from Spark's UTF-8 binary order there)
+  private def boundCmp(kind: String, bound: String, v: Any): Option[Int] = kind match {
       case "num" =>
         val b = scala.util.Try(BigDecimal(bound)).toOption
         val value = v match {
@@ -626,12 +644,16 @@ object GraftTable {
         for (b <- scala.util.Try(bound.toLong).toOption; m <- micros)
           yield java.lang.Long.compare(b, m)
       case _ => None
-    }
+  }
+
+  private def mayMatch(st: FileStat, kinds: Map[String, String],
+                       f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
     def stat(a: String) = st.cols.get(a)
     def cmpMin(a: String, v: Any): Option[Int] =
-      for (k <- kinds.get(a); cs <- stat(a); m <- cs.min; c <- cmp(k, m, v)) yield c
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.min; c <- boundCmp(k, m, v)) yield c
     def cmpMax(a: String, v: Any): Option[Int] =
-      for (k <- kinds.get(a); cs <- stat(a); m <- cs.max; c <- cmp(k, m, v)) yield c
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.max; c <- boundCmp(k, m, v)) yield c
     // Bloom test for equality: provable ABSENCE only (mightContain
     // false ⇒ no row holds v — modulo hash-type mismatch, so the probe
     // hashes v only when its Literal type equals the written column's;
@@ -671,6 +693,54 @@ object GraftTable {
         val upper = p.init + (p.last + 1).toChar
         !(cmpMax(a, p).exists(_ < 0) || cmpMin(a, upper).exists(_ >= 0))
       case _ => true // Not(…) and anything unknown: keep
+    }
+  }
+
+  /** The [[mayMatch]] dual: true = EVERY row of the file provably
+    * matches the filter (so the file contributes its whole row count
+    * to a LOWER bound on the match set). Strictly conservative in the
+    * other direction — anything unprovable is false, never true. Nulls
+    * matter everywhere: a comparison filter matches no null row, so
+    * every value case additionally requires nullCount == 0.
+    */
+  private def mustMatch(st: FileStat, kinds: Map[String, String],
+                        f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def stat(a: String) = st.cols.get(a)
+    def noNulls(a: String) = stat(a).exists(_.nullCount == 0L)
+    def cmpMin(a: String, v: Any): Option[Int] =
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.min; c <- boundCmp(k, m, v)) yield c
+    def cmpMax(a: String, v: Any): Option[Int] =
+      for (k <- kinds.get(a); cs <- stat(a); m <- cs.max; c <- boundCmp(k, m, v)) yield c
+    if (st.rows == 0L) return true // vacuously: contributes 0 rows anyway
+    // string mins may be stored TRUNCATED (a prefix is a valid lower
+    // bound for range proofs — prefix ≥ v ⇒ actual ≥ v — but NOT for
+    // equality: a 120-char prefix equal to v says nothing about the
+    // actual min); maxes are never truncated (oversized → unknown)
+    def exactMin(a: String): Boolean = kinds.get(a).forall(k =>
+      k != "str" || stat(a).flatMap(_.min).forall(_.length < 120))
+    f match {
+      case EqualTo(a, v) =>
+        noNulls(a) && exactMin(a) &&
+          cmpMin(a, v).contains(0) && cmpMax(a, v).contains(0)
+      case EqualNullSafe(a, v) =>
+        if (v == null) stat(a).exists(_.nullCount == st.rows)
+        else mustMatch(st, kinds, EqualTo(a, v))
+      case GreaterThan(a, v)        => noNulls(a) && cmpMin(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => noNulls(a) && cmpMin(a, v).exists(_ >= 0)
+      case LessThan(a, v)           => noNulls(a) && cmpMax(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => noNulls(a) && cmpMax(a, v).exists(_ <= 0)
+      case In(a, vs) => vs.exists(v => mustMatch(st, kinds, EqualTo(a, v)))
+      case IsNull(a)    => stat(a).exists(_.nullCount == st.rows)
+      case IsNotNull(a) => noNulls(a)
+      case And(l, r) => mustMatch(st, kinds, l) && mustMatch(st, kinds, r)
+      case Or(l, r)  => mustMatch(st, kinds, l) || mustMatch(st, kinds, r)
+      case StringStartsWith(a, p) if p.nonEmpty && isAscii(p) =>
+        // every row in [p, p·last+1) starts with p — min ≥ p AND
+        // max < upper (a truncated min prefix stays a valid ≥ proof)
+        val upper = p.init + (p.last + 1).toChar
+        noNulls(a) && cmpMin(a, p).exists(_ >= 0) && cmpMax(a, upper).exists(_ < 0)
+      case _ => false // anything unknown is unprovable
     }
   }
 
@@ -715,23 +785,45 @@ object GraftTable {
     * already decidable from the skipping machinery's metadata.
     */
   def matchUpperBound(path: String, v: Int,
-                      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Long] = {
-    if (filters.isEmpty) return None
-    if (dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty) return None
+                      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Long] =
+    matchBounds(path, v, filters, complete = false)._2
+
+  /** Metadata-only (LOWER, UPPER) bounds on snapshot `v`'s rows
+    * matching `filters` — the [[matchUpperBound]] pair form. The lower
+    * bound (Σ rows over files where every filter [[mustMatch]], and
+    * every `requireNonNull` column has a recorded zero null count) is
+    * only sound when the caller proved the filter set COMPLETE
+    * (`complete = true`, every conjunct of the original predicate
+    * translated — a dropped conjunct can only shrink the true match
+    * set, which an upper bound survives but a lower bound does not);
+    * otherwise the lower slot is None. Both None when the machinery
+    * can't answer at all (empty filters, stat-less dirs, MOR logs —
+    * [[matchUpperBound]]'s refusals).
+    */
+  def matchBounds(path: String, v: Int,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  complete: Boolean,
+                  requireNonNull: Seq[String] = Nil): (Option[Long], Option[Long]) = {
+    if (filters.isEmpty) return (None, None)
+    if (dvEntries(path, v).nonEmpty || deltaEntries(path, v).nonEmpty) return (None, None)
     val stats = manifestFileStats(path, v)
-    if (stats.isEmpty) return None
-    val schema = snapshotSchema(path, v).getOrElse(return None)
+    if (stats.isEmpty) return (None, None)
+    val schema = snapshotSchema(path, v).getOrElse(return (None, None))
     val kinds = schema.fields.flatMap(f => statKind(f.dataType).map(f.name -> _)).toMap
     var hi = 0L
+    var lo = 0L
     manifest(path, v).values.toSeq.foreach { d =>
       val files = stats.keys.filter(_.startsWith(d + "/")).toSeq
-      if (files.isEmpty) return None // stat-less dir: its rows are unknown
+      if (files.isEmpty) return (None, None) // stat-less dir: rows unknown
       files.foreach { rel =>
         val st = stats(rel)
         if (filters.forall(fl => mayMatch(st, kinds, fl))) hi += st.rows
+        if (complete && filters.forall(fl => mustMatch(st, kinds, fl)) &&
+            requireNonNull.forall(c => st.cols.get(c).exists(_.nullCount == 0L)))
+          lo += st.rows
       }
     }
-    Some(hi)
+    (if (complete) Some(lo) else None, Some(hi))
   }
 
   def prunedDataPaths(path: String, v: Int,

@@ -140,7 +140,20 @@ object Bridge {
     * skipping, never wrong answers.
     */
   def translateFilters(df: DataFrame, cond: Column)
-      : Seq[org.apache.spark.sql.sources.Filter] = {
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    translateFiltersWithCompleteness(df, cond)._1
+
+  /** [[translateFilters]] plus a COMPLETENESS flag: true iff EVERY
+    * conjunct of the optimized predicate translated — the precondition
+    * for using the translated set as anything stronger than a
+    * conservative may-match (a dropped conjunct can only shrink the
+    * true match set, so an upper bound survives it but a LOWER bound
+    * does not). False when the optimizer left no Filter at all (e.g. a
+    * pred folded to true) — a caller needing a lower bound must not
+    * mistake "nothing translated" for "everything translated".
+    */
+  def translateFiltersWithCompleteness(df: DataFrame, cond: Column)
+      : (Seq[org.apache.spark.sql.sources.Filter], Boolean) = {
     import org.apache.spark.sql.catalyst.expressions.{And, Expression => CExpr}
     def split(e: CExpr): Seq[CExpr] = e match {
       case And(l, r) => split(l) ++ split(r)
@@ -155,10 +168,11 @@ object Bridge {
     val preds = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
     }.flatten
-    preds.flatMap { p =>
+    val translated = preds.map { p =>
       org.apache.spark.sql.execution.datasources.DataSourceStrategy
         .translateFilter(p, supportNestedPredicatePushdown = false)
     }
+    (translated.flatten, preds.nonEmpty && translated.forall(_.isDefined))
   }
 
   /** DSv2 [[org.apache.spark.sql.connector.expressions.filter.Predicate]]

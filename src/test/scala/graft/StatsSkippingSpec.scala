@@ -98,6 +98,24 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
     // the total-row ceiling: an unselective filter bounds by the snapshot
     GraftTable.matchUpperBound(path, v,
       Seq(GreaterThanOrEqual("k", 0L))).get shouldBe 4096L
+    // the LOWER bound (matchBounds): every row provably matching ⇒ the
+    // file's whole count contributes; nothing provable ⇒ 0 — and the
+    // lower slot exists ONLY under a complete translation
+    val (loAll, hiAll) = GraftTable.matchBounds(path, v,
+      Seq(GreaterThanOrEqual("k", 0L)), complete = true)
+    loAll shouldBe Some(4096L) // min >= 0 in every file, k never null
+    hiAll shouldBe Some(4096L)
+    val (loSel, _) = GraftTable.matchBounds(path, v,
+      Seq(LessThan("k", 100L)), complete = true)
+    loSel.get should be <= trueN // sound, typically 0 (hash-spread files)
+    GraftTable.matchBounds(path, v,
+      Seq(LessThan("k", 100L)), complete = false)._1 shouldBe None
+    // requireNonNull over a stats'd column with zero nulls keeps the
+    // full lower bound; an unknown column collapses it to 0
+    GraftTable.matchBounds(path, v, Seq(GreaterThanOrEqual("k", 0L)),
+      complete = true, requireNonNull = Seq("x"))._1 shouldBe Some(4096L)
+    GraftTable.matchBounds(path, v, Seq(GreaterThanOrEqual("k", 0L)),
+      complete = true, requireNonNull = Seq("nope"))._1 shouldBe Some(0L)
     // refusals, honest: empty filters; an outstanding MOR log
     GraftTable.matchUpperBound(path, v, Nil) shouldBe None
     GraftTable.upsertMor(spark, path,
@@ -106,6 +124,37 @@ class StatsSkippingSpec extends AnyFunSuite with Matchers {
         .withColumn("s", concat(lit("row-"), format_string("%05d", col("k")))))
     GraftTable.matchUpperBound(path, GraftTable.latestVersion(path),
       Seq(LessThan("k", 100L))) shouldBe None
+  }
+
+  test("array columns carry null-count-only stats: IsNotNull proofs from metadata") {
+    import org.apache.spark.sql.types._
+    def mk(nullVec: Boolean): String = {
+      val p = Files.createTempDirectory("graft_arrstats").toString + "/t"
+      val df = spark.range(0, 200).toDF("k")
+        .withColumn("vec",
+          if (nullVec) lit(null).cast(ArrayType(FloatType))
+          else typedlit(Seq(1.0f, 2.0f)))
+      GraftTable.create(df, p, Seq("k"), nbuckets = 2)
+      p
+    }
+    val full = mk(nullVec = false)
+    val vF = GraftTable.latestVersion(full)
+    // the sidecar records (min = max = unknown, nulls = 0) for the array
+    GraftTable.manifestFileStats(full, vF).values.foreach { st =>
+      val cs = st.cols("vec")
+      cs.min shouldBe None
+      cs.nullCount shouldBe 0L
+    }
+    // a zero-null vector column: IsNotNull is metadata-provable BOTH ways
+    GraftTable.matchUpperBound(full, vF,
+      Seq(org.apache.spark.sql.sources.IsNotNull("vec"))) shouldBe Some(200L)
+    GraftTable.matchBounds(full, vF,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 0L)),
+      complete = true, requireNonNull = Seq("vec"))._1 shouldBe Some(200L)
+    // an all-null vector column: provably ZERO non-null rows
+    val empty = mk(nullVec = true)
+    GraftTable.matchUpperBound(empty, GraftTable.latestVersion(empty),
+      Seq(org.apache.spark.sql.sources.IsNotNull("vec"))) shouldBe Some(0L)
   }
 
   test("manifests record snapshot schema and per-file min/max stats") {
