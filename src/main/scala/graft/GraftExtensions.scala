@@ -162,6 +162,41 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** A TVF query-vector argument: must FOLD to a numeric array at plan
+    * time (the index TVFs rank cells / shape per-segment tasks before
+    * execution, so the vector must exist before planning — a scalar
+    * subquery can't; the full-scan `graft_vector_search` takes those).
+    */
+  private def foldVec(fn: String, e: Expression): Seq[Float] = {
+    require(e.foldable, s"$fn: queryVec must be a foldable numeric array")
+    (e.dataType, e.eval(null)) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().toSeq
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.IntegerType => a.toIntArray().map(_.toFloat).toSeq
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toFloat).toSeq
+        case dt: org.apache.spark.sql.types.DecimalType => // array(0.1, …) literals
+          a.toObjectArray(dt).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat).toSeq
+        case other => throw new IllegalArgumentException(
+          s"$fn: unsupported query element type $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: queryVec must be a foldable numeric array")
+    }
+  }
+
+  /** A numeric TVF argument as Double: SQL decimal literals (`0.6`)
+    * eval to Spark's own Decimal, which is NOT a java.lang.Number —
+    * both shapes accepted here.
+    */
+  private def numArg(fn: String, what: String, v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be numeric, got $other")
+  }
+
   /** Parse a TVF's predicate-string argument into a Column: the SQL
     * text resolves against the served DataFrame like any `.filter`
     * expression (unresolvable columns fail at analysis, loudly).
@@ -170,6 +205,65 @@ object GraftFunctions {
     require(sql.trim.nonEmpty, s"$fn: predSql must be a non-empty SQL boolean expression")
     org.apache.spark.sql.graftshim.Bridge.column(
       spark.sessionState.sqlParser.parseExpression(sql))
+  }
+
+  /** `graft_index_mmr(tablePath, queryVec, k, lambda, candidates[,
+    * nprobe[, name[, predSql]]])` — DIVERSIFIED top-k served from the
+    * table-attached ANN index: stage 1 = the `graft_index_search` probe
+    * widened to `candidates` rows (stale-checked, pred legs, quantized
+    * rerank — everything the plain TVF does), stage 2 = the MMR greedy
+    * over that serving slice ([[graft.sources.GraftIndex.probeMmr]]).
+    * Output: rank + the canonical probe shape + mmr_score; λ=1
+    * degenerates to the plain probe's order. nprobe defaults to nlist.
+    */
+  private def indexMmrPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 8,
+      s"graft_index_mmr(tablePath, queryVec, k, lambda, candidates[, nprobe[, name[, predSql]]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_index_mmr: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query = foldVec("graft_index_mmr", args(1))
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val lambda = numArg("graft_index_mmr", "lambda", lit(3, "lambda"))
+    val candidates = lit(4, "candidates").asInstanceOf[Number].intValue()
+    val nprobe = if (args.length >= 6) lit(5, "nprobe").asInstanceOf[Number].intValue() else -1
+    val name = if (args.length >= 7) lit(6, "name").toString else "vec"
+    val spark = SparkSession.active
+    val pred = if (args.length == 8) Some(parsePred(spark, "graft_index_mmr",
+      lit(7, "predSql").toString)) else None
+    val np = if (nprobe > 0) nprobe else graft.sources.GraftIndex.meta(path, name).nlist
+    graft.sources.GraftIndex.probeMmr(spark, path, query, k, np, lambda, candidates,
+        name, pred)
+      .queryExecution.logical
+  }
+
+  /** `graft_hnsw_mmr(tablePath, queryVec, k, lambda, candidates[, ef[,
+    * name[, predSql]]])` — the [[indexMmrPlan]] twin for the
+    * table-attached HNSW ([[graft.sources.GraftHnsw.probeMmr]]).
+    * `ef` defaults to 64.
+    */
+  private def hnswMmrPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 8,
+      s"graft_hnsw_mmr(tablePath, queryVec, k, lambda, candidates[, ef[, name[, predSql]]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_hnsw_mmr: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query = foldVec("graft_hnsw_mmr", args(1))
+    val k = lit(2, "k").asInstanceOf[Number].intValue()
+    val lambda = numArg("graft_hnsw_mmr", "lambda", lit(3, "lambda"))
+    val candidates = lit(4, "candidates").asInstanceOf[Number].intValue()
+    val ef = if (args.length >= 6) lit(5, "ef").asInstanceOf[Number].intValue() else 64
+    val name = if (args.length >= 7) lit(6, "name").toString else "hnsw"
+    val spark = SparkSession.active
+    val pred = if (args.length == 8) Some(parsePred(spark, "graft_hnsw_mmr",
+      lit(7, "predSql").toString)) else None
+    graft.sources.GraftHnsw.probeMmr(spark, path, query, k, ef, lambda, candidates,
+        name, pred)
+      .queryExecution.logical
   }
 
   /** `graft_table(path[, version])` — SQL read of a GraftTable snapshot
@@ -221,18 +315,28 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
-  /** `graft_text_search(tablePath, query, k[, mode[, name[, predSql]]])` — BM25
-    * top-k from the table-attached inverted text index
-    * ([[graft.sources.TextIndex]]), stale-checked at plan time like
-    * [[indexSearchPlan]]. `mode` = 'any' (default), 'all'
-    * (conjunctive), or 'phrase' (exact consecutive-token match via
-    * positional postings — returns `n_occurrences` instead of
-    * `score`). The query string folds at plan time: its terms name the
-    * posting partitions to read, so pruning happens before execution.
+  /** `graft_text_search(tablePath, query, k[, mode[, name[, predSql[,
+    * maxDist[, q]]]]])` — BM25 top-k from the table-attached inverted
+    * text index ([[graft.sources.TextIndex]]), stale-checked at plan
+    * time like [[indexSearchPlan]]. `mode` = 'any' (default), 'all'
+    * (conjunctive), 'phrase' (exact consecutive-token match via
+    * positional postings — returns `n_occurrences` instead of `score`),
+    * or 'fuzzy' (Lucene FuzzyQuery: the term's edit-distance-≤maxDist
+    * vocabulary expansion scored disjunctively). The query string folds
+    * at plan time: its terms name the posting partitions to read, so
+    * pruning happens before execution.
+    *
+    * `maxDist`/`q` are the fuzzy mode's knobs (edit-distance budget,
+    * default 1 — the Lucene default — and the pruning q-gram width,
+    * default 2), positional args 7/8, so a two-edit typo is servable
+    * through SQL, not just the Scala API (the r12 gap — they were
+    * hardwired). Pass predSql as NULL or '' to reach them without a
+    * filter; passing them with a non-fuzzy mode refuses loudly rather
+    * than silently ignoring them.
     */
   private def textSearchPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 3 && args.length <= 6,
-      s"graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]): got ${args.length} args")
+    require(args.length >= 3 && args.length <= 8,
+      s"graft_text_search(tablePath, query, k[, mode[, name[, predSql[, maxDist[, q]]]]]): got ${args.length} args")
     def lit(i: Int, what: String): Any = {
       require(args(i).foldable, s"graft_text_search: $what must be a literal")
       args(i).eval(null)
@@ -243,19 +347,23 @@ object GraftFunctions {
     val mode = if (args.length >= 4) lit(3, "mode").toString else "any"
     val name = if (args.length >= 5) lit(4, "name").toString else "txt"
     // predSql = Lucene's filtered-query clause in SQL: eligibility
-    // semi-join before the top-k cut, full-corpus statistics
-    val pred = if (args.length == 6) Some(parsePred(SparkSession.active,
-      "graft_text_search", lit(5, "predSql").toString)) else None
+    // semi-join before the top-k cut, full-corpus statistics. NULL/''
+    // skip the filter (so the positional fuzzy knobs stay reachable).
+    val pred = if (args.length >= 6) Option(lit(5, "predSql"))
+        .map(_.toString).filter(_.trim.nonEmpty)
+        .map(parsePred(SparkSession.active, "graft_text_search", _))
+      else None
+    require(args.length <= 6 || mode == "fuzzy",
+      s"graft_text_search: maxDist/q apply to mode 'fuzzy' only, got mode '$mode'")
+    val maxDist = if (args.length >= 7) lit(6, "maxDist").asInstanceOf[Number].intValue() else 1
+    val qGram = if (args.length >= 8) lit(7, "q").asInstanceOf[Number].intValue() else 2
     val df =
       if (mode == "phrase")
         graft.sources.TextIndex.searchPhrase(SparkSession.active, path, query, k,
           name = name, pred = pred)
       else if (mode == "fuzzy")
-        // one-term fuzzy BM25 (maxDist = 1, the Lucene default; the
-        // Scala API carries the full knobs) — pred keeps the same
-        // filter-clause semantics as every other mode
         graft.sources.TextIndex.searchFuzzy(SparkSession.active, path, query, k,
-          name = name, pred = pred)
+          maxDist = maxDist, name = name, q = qGram, pred = pred)
       else
         graft.sources.TextIndex.search(SparkSession.active, path, query, k,
           name = name, mode = mode, pred = pred)
@@ -301,18 +409,35 @@ object GraftFunctions {
     val k = lit(3, "k").asInstanceOf[Number].intValue()
     val n = if (args.length >= 5) lit(4, "n").asInstanceOf[Number].intValue() else 50
     val spark = SparkSession.active
-    import org.apache.spark.sql.functions.{col, floor, lit => flit, sum}
+    import org.apache.spark.sql.functions.col
     val im = graft.sources.GraftIndex.meta(path, "vec")
     val nprobe = if (args.length >= 6) lit(5, "nprobe").asInstanceOf[Number].intValue()
                  else im.nlist
-    // predSql filters BOTH legs' eligibility BEFORE their top-n rank
-    // cuts (post-filtering fused results would starve the fusion of
-    // exactly the rows the filter wanted): the vector leg pushes the
-    // pred into its probe (selective preds take the exact brute leg),
-    // the text leg semi-joins the scored docs against the pinned
-    // snapshot — full-corpus BM25 statistics, Lucene filter semantics
     val pred = if (args.length == 7) Some(parsePred(spark, "graft_hybrid_search",
       lit(6, "predSql").toString)) else None
+    val (key, fused) = hybridFused(spark, path, query, textQuery, n, nprobe, pred)
+    fused.orderBy(col("rrf_score").desc, col(key).asc).limit(k)
+      .queryExecution.logical
+  }
+
+  /** The two-index fused candidate frame SHARED by `graft_hybrid_search`
+    * and `graft_rerank_search`: (key, rrf_score) over the union of both
+    * legs' top-n — vector leg = table-attached index probe, text leg =
+    * BM25 with the rational idf's per-term quantize-then-integer-sum
+    * (the deterministic ranking the oracle reproduces). `pred` filters
+    * BOTH legs' eligibility BEFORE their top-n rank cuts
+    * (post-filtering fused results would starve the fusion of exactly
+    * the rows the filter wanted): the vector leg pushes the pred into
+    * its probe (selective preds take the exact brute leg), the text leg
+    * semi-joins the scored docs against the pinned snapshot —
+    * full-corpus BM25 statistics, Lucene filter semantics.
+    */
+  private def hybridFused(spark: SparkSession, path: String, query: Seq[Float],
+                          textQuery: String, n: Int, nprobe: Int,
+                          pred: Option[Column])
+      : (String, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{col, floor, lit => flit, sum}
+    val im = graft.sources.GraftIndex.meta(path, "vec")
     val key = im.keyCols.head
     val vecLeg = graft.operators.Fusion.rankByTopN(
       graft.sources.GraftIndex.probe(spark, path, query, n, nprobe, pred = pred)
@@ -325,8 +450,51 @@ object GraftFunctions {
           graft.sources.TextIndex.meta(path, "txt").indexedVersion)
         .filter(p).select(col(key)), Seq(key), "left_semi"))
     val txtLeg = graft.operators.Fusion.rankByTopN(txtEligible, key, col("__ts"), n)
-    graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), key, "rank")
-      .orderBy(col("rrf_score").desc, col(key).asc).limit(k)
+    (key, graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), key, "rank"))
+  }
+
+  /** `graft_rerank_search(tablePath, queryVec, textQuery, k[, n[,
+    * nprobe[, predSql]]])` — the cross-encoder PRECISION stage as one
+    * SQL call, completing the retrieve→fuse→rerank pipeline the SQL
+    * surface stopped short of at RRF: the [[hybridFused]] candidate set
+    * is quantized-cut to its top-`n` (floor(rrf·1e4) desc, key asc —
+    * the integer arithmetic the oracle replays), joined to the indexed
+    * text column at the text index's pinned version, rescored as
+    * (textQuery, doc) PAIRS through [[graft.operators.Rerank]] (the
+    * deterministic token-overlap stub — a real model drops into the
+    * same per-partition BatchScorer seam), and cut to k on
+    * (ce_score desc, rrf_q desc, key asc). Output: (key, ce_score,
+    * rrf_q). Reranking cost is per CANDIDATE (n per call), never per
+    * corpus — the [[graft.operators.Rerank]] scale contract.
+    */
+  private def rerankSearchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 7,
+      s"graft_rerank_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]]): got ${args.length} args")
+    def lit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_rerank_search: $what must be a literal")
+      args(i).eval(null)
+    }
+    val path = lit(0, "tablePath").toString
+    val query = foldVec("graft_rerank_search", args(1))
+    val textQuery = lit(2, "textQuery").toString
+    val k = lit(3, "k").asInstanceOf[Number].intValue()
+    val n = if (args.length >= 5) lit(4, "n").asInstanceOf[Number].intValue() else 50
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, floor, lit => flit}
+    val nprobe = if (args.length >= 6) lit(5, "nprobe").asInstanceOf[Number].intValue()
+                 else graft.sources.GraftIndex.meta(path, "vec").nlist
+    val pred = if (args.length == 7) Some(parsePred(spark, "graft_rerank_search",
+      lit(6, "predSql").toString)) else None
+    val (key, fused) = hybridFused(spark, path, query, textQuery, n, nprobe, pred)
+    val tm = graft.sources.TextIndex.meta(path, "txt")
+    val cand = fused
+      .select(col(key), floor(col("rrf_score") * flit(10000.0)).cast("long").as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col(key).asc).limit(n)
+      .join(graft.sources.GraftTable.read(spark, path, tm.indexedVersion)
+        .select(col(key), col(tm.textCol)), Seq(key))
+    graft.operators.Rerank.rerank(cand, textQuery, tm.textCol)
+      .select(col(key), col("ce_score"), col("rrf_q"))
+      .orderBy(col("ce_score").desc, col("rrf_q").desc, col(key).asc).limit(k)
       .queryExecution.logical
   }
 
@@ -524,14 +692,26 @@ object GraftFunctions {
       info("graft_index_search",
         "graft_index_search(tablePath, queryVec, k[, nprobe[, name[, predSql]]]) - top-k served from the table-attached ANN index (stale-checked); predSql makes it a filtered search"),
       indexSearchPlan _),
+    ("graft_index_mmr",
+      info("graft_index_mmr",
+        "graft_index_mmr(tablePath, queryVec, k, lambda, candidates[, nprobe[, name[, predSql]]]) - DIVERSIFIED (MMR) top-k served from the table-attached ANN index: index probe widened to `candidates`, then the greedy lambda*rel - (1-lambda)*max-sim re-rank; lambda=1 = the plain probe"),
+      indexMmrPlan _),
+    ("graft_hnsw_mmr",
+      info("graft_hnsw_mmr",
+        "graft_hnsw_mmr(tablePath, queryVec, k, lambda, candidates[, ef[, name[, predSql]]]) - DIVERSIFIED (MMR) top-k served from the table-attached HNSW index"),
+      hnswMmrPlan _),
     ("graft_text_search",
       info("graft_text_search",
-        "graft_text_search(tablePath, query, k[, mode[, name[, predSql]]]) - BM25 (mode any/all), exact-phrase (mode phrase), or one-term fuzzy BM25 (mode fuzzy, maxDist 1) top-k served from the table-attached inverted text index (stale-checked); predSql makes it a filtered query (Lucene filter semantics)"),
+        "graft_text_search(tablePath, query, k[, mode[, name[, predSql[, maxDist[, q]]]]]) - BM25 (mode any/all), exact-phrase (mode phrase), or one-term fuzzy BM25 (mode fuzzy; maxDist/q knobs, defaults 1/2) top-k served from the table-attached inverted text index (stale-checked); predSql (NULL/'' = none) makes it a filtered query (Lucene filter semantics)"),
       textSearchPlan _),
     ("graft_hybrid_search",
       info("graft_hybrid_search",
         "graft_hybrid_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]]) - RRF fusion of the table-attached vector index's top-n and the text index's BM25 top-n (both stale-checked); predSql filters both legs' eligibility before their rank cuts"),
       hybridSearchPlan _),
+    ("graft_rerank_search",
+      info("graft_rerank_search",
+        "graft_rerank_search(tablePath, queryVec, textQuery, k[, n[, nprobe[, predSql]]]) - hybrid fusion's top-n candidates rescored as (query, doc) pairs by the cross-encoder seam (deterministic token-overlap stub; real models drop into the same BatchScorer), top-k on (ce_score, rrf_q)"),
+      rerankSearchPlan _),
     ("graft_knn_join",
       info("graft_knn_join",
         "graft_knn_join(tablePath, queryTable, k[, nprobe[, name[, predSql]]]) - batched top-k ANN join: each row of queryTable against the table-attached index (stale-checked); predSql filters the right side by measured match count (selective = exact brute force, loose = pushed into the cell scans)"),

@@ -372,6 +372,32 @@ object SparkEntry {
         pred = Some(col("label") === 3))
       .select(col("vec_id"), col("label"), q4(col("score")).as("score_q"))
 
+  /** Diversified (MMR) serve through the table-attached index, via the
+    * SQL TVF: stage 1 = the exhaustive probe widened to 50 candidates
+    * (nprobe defaults to nlist ⇒ the slice is the exact top-50), stage 2
+    * = the greedy λ·rel − (1−λ)·max-sim re-rank over it. rank = pick
+    * order; score stays the exact relevance score.
+    */
+  private def gidxMmrServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val q = queryVec(s, dir, 0L)
+    s.sql(
+      s"""SELECT CAST(rank AS BIGINT) AS rank, vec_id, label,
+                 CAST(FLOOR(score * 10000.0) AS BIGINT) AS score_q,
+                 CAST(FLOOR(mmr_score * 10000.0) AS BIGINT) AS mmr_q
+          FROM graft_index_mmr('$tbl', array(${q.mkString(", ")}), 10, 0.7, 50)
+          ORDER BY rank""")
+  }
+
+  /** The HNSW twin, through the Scala API (the TVF == Scala equality is
+    * GraftExtensionsSpec's pin).
+    */
+  private def ghnswMmrServe(s: SparkSession, dir: String, tbl: String): DataFrame =
+    GraftHnsw.probeMmr(s, tbl, queryVec(s, dir, 0L), 10, ef = 128, lambda = 0.7,
+        candidates = 50)
+      .select(col("rank").cast("long").as("rank"), col("vec_id"), col("label"),
+        q4(col("score")).as("score_q"), q4(col("mmr_score")).as("mmr_q"))
+
   private def gidxSqlServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
     GraftFunctions.register(s)
     val q = queryVec(s, dir, 0L)
@@ -456,6 +482,21 @@ object SparkEntry {
           FROM graft_hybrid_search('$tbl', array(${q.mkString(", ")}),
                                    'table scan value', 100, 50, 16, 'doc_id % 2 = 0')
           ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+  }
+
+  /** The full retrieve→fuse→RERANK pipeline as one SQL call
+    * (graft_rerank_search): fusion's quantized top-50 candidates pair-
+    * scored by the stub cross-encoder, cut to 10 on (ce, rrf_q) — the
+    * hybridRerankServe arithmetic through the TVF, same oracle.
+    */
+  private def rerankSqlServe(s: SparkSession, dir: String, tbl: String): DataFrame = {
+    GraftFunctions.register(s)
+    val q = queryVec(s, dir, 0L)
+    s.sql(
+      s"""SELECT doc_id, CAST(ce_score AS BIGINT) AS ce, rrf_q
+          FROM graft_rerank_search('$tbl', array(${q.mkString(", ")}),
+                                   'table scan value', 10, 50)
+          ORDER BY ce DESC, rrf_q DESC, doc_id""")
   }
 
   /** Serving paths of the standalone ANN entries: probe an already-
@@ -4104,6 +4145,29 @@ object SparkEntry {
       gidxSqlServe(s, dir, gidxFixture(s, dir, "gidxsql", mutations = "upsert"))
     }),
 
+    "graft_index_mmr" -> ((s, dir) => {
+      // MMR AS A SERVING MODE (r12 verdict #1): §2 row 7h's diversified
+      // top-k applied to INDEX-SERVED candidates instead of a corpus
+      // scan — stage 1 is the table-attached probe widened to 50
+      // candidates (exhaustive nprobe ⇒ the exact relevance slice),
+      // stage 2 the greedy over that slice with vectors from ONE
+      // bucket-pruned point lookup; served here through the
+      // graft_index_mmr TVF so the SQL surface is the exhibit. The
+      // iterative greedy has no SQL form → rows-only; GraftIndexSpec
+      // pins TVF == Scala == scan-side mmrTopK on identical candidates
+      // and λ=1 == the plain probe.
+      gidxMmrServe(s, dir, gidxFixture(s, dir, "gidxmmr"))
+    }),
+
+    "graft_hnsw_mmr" -> ((s, dir) => {
+      // the graph-family twin (GraftHnsw.probeMmr over the mutated
+      // lifecycle fixture): same two-stage shape, candidates come from
+      // the segment walks + tombstone filter + exact rerank. Rows-only
+      // (HNSW + greedy); GraftHnswSpec pins λ=1 == plain probe and the
+      // diversity property, GraftExtensionsSpec the TVF.
+      ghnswMmrServe(s, dir, ghnswFixture(s, dir, "ghnswmmr"))
+    }),
+
     "text_search_bm25" -> ((s, dir) => {
       // full-text serving from the TABLE-ATTACHED inverted index: build
       // the lakehouse, index it, mutate (text updates AND deletes),
@@ -4211,6 +4275,18 @@ object SparkEntry {
       // the pinned snapshot. Oracle = the fusion oracle with the same
       // predicate inside both legs' rankings.
       hybridSqlFilteredServe(s, dir, hybridFixture(s, dir, "thybf"))
+    }),
+
+    "vs_sql_rerank_tvf" -> ((s, dir) => {
+      // the cross-encoder PRECISION stage as ONE SQL call (the SQL
+      // surface stopped at RRF until now): graft_rerank_search = hybrid
+      // fusion (both legs index-served) → quantized top-50 candidate
+      // cut → batched (query, doc) pair scoring through the Rerank seam
+      // (deterministic token-overlap stub = the oracle path; a real
+      // model drops into the same BatchScorer) → top-10 on (ce, rrf_q).
+      // Same fixture and integer arithmetic as hybrid_rerank ⇒ the same
+      // hard DuckDB oracle.
+      rerankSqlServe(s, dir, hybridFixture(s, dir, "thyb4"))
     }),
 
     "simsearch_lsh_bucketed" -> ((s, dir) => {
@@ -4463,6 +4539,12 @@ object SparkEntry {
       "vs_sql_index_tvf" -> ((
         (s, dir) => { gidxFixture(s, dir, "gidxsql", mutations = "upsert"); () },
         (s, dir) => gidxSqlServe(s, dir, at("gidxsql", dir)))),
+      "graft_index_mmr" -> ((
+        (s, dir) => { gidxFixture(s, dir, "gidxmmr"); () },
+        (s, dir) => gidxMmrServe(s, dir, at("gidxmmr", dir)))),
+      "graft_hnsw_mmr" -> ((
+        (s, dir) => { ghnswFixture(s, dir, "ghnswmmr"); () },
+        (s, dir) => ghnswMmrServe(s, dir, at("ghnswmmr", dir)))),
       "text_search_bm25" -> ((
         (s, dir) => { tidxFixture(s, dir, "tidx", Some(" graftnew graftnew")); () },
         (s, dir) => bm25Serve(s, at("tidx", dir)))),
@@ -4493,6 +4575,9 @@ object SparkEntry {
       "hybrid_rerank" -> ((
         (s, dir) => { hybridFixture(s, dir, "thyb3"); () },
         (s, dir) => hybridRerankServe(s, dir, at("thyb3", dir)))),
+      "vs_sql_rerank_tvf" -> ((
+        (s, dir) => { hybridFixture(s, dir, "thyb4"); () },
+        (s, dir) => rerankSqlServe(s, dir, at("thyb4", dir)))),
       // Incremental view: build = source table + view bootstrap (the
       // one-time snapshot aggregate); serve = one maintenance tick
       // (source commit + retraction feed folded into the view).
@@ -5142,6 +5227,10 @@ object SparkEntry {
       .replace("FROM t)", "FROM t WHERE doc_id % 2 = 0)"),
 
     "hybrid_rerank" -> hybridRerankOracle,
+
+    // the TVF runs the identical fusion + stub-rerank arithmetic over
+    // the same fixture, so it shares hybrid_rerank's oracle verbatim
+    "vs_sql_rerank_tvf" -> hybridRerankOracle,
 
     // the one-call SQL TVF builds the identical two-index fusion
     "vs_sql_hybrid_tvf" -> hybridFusionOracle,

@@ -784,21 +784,16 @@ object HnswIndex {
     all.orderBy(ord, asc(idCol)).limit(k)
   }
 
-  /** Decoded per-segment vectors of SELECTED segments: (pid, id, vec) —
-    * the merge substrate ([[graft.sources.GraftHnsw.merge]]). The
-    * payload decodes to exactly the floats the graph was built over,
-    * and RE-ENCODING those floats is IDEMPOTENT for every storage
-    * (sq8's max-abs dim carries code ±127, so the re-derived scale
-    * equals the original and codes round-trip; sign bits re-sign to
-    * themselves; float32 is raw; rabitq dot/l2: the re-derived residual
-    * v̂−c = (ρ/a)·Pᵀs/√D is PARALLEL to the stored direction, so signs,
-    * and hence the decode, round-trip exactly — align re-derives to 1
-    * and rnorm to ρ/a, the same decoded point) — so a merged segment
-    * preserves the stored geometry losslessly without ever touching the
-    * source table. The ONE approximate case, stated: rabitq under
-    * COSINE re-normalizes the ≈-unit reconstruction before re-encoding,
-    * perturbing the residual direction by O(estimator error) — merge
-    * recall is pinned in the spec instead of bit-identity.
+  /** Decoded per-segment vectors of SELECTED segments: (pid, id, vec).
+    * The payload decodes to exactly the floats the graph was built
+    * over. NOTE for maintenance: [[graft.sources.GraftHnsw.merge]] used
+    * to decode→re-encode through here, which is idempotent for
+    * float32/sq8/binary and rabitq-dot/l2 but perturbs rabitq-COSINE's
+    * residual direction (the re-normalize of the ≈-unit reconstruction)
+    * — since r13 it carries the STORED payload through
+    * [[segmentRows]]/[[appendStored]] instead, which is bit-exact for
+    * every storage. This decoded view remains for diagnostics and
+    * rebuild-shaped flows that genuinely want floats.
     */
   def segmentVectors(spark: SparkSession, model: Model,
                      pids: Set[Int]): DataFrame = {
@@ -815,6 +810,70 @@ object HnswIndex {
       spark.read.schema(schema).parquet(dir)
         .map(r => (pid, r.getLong(0), decodeRow(storage, ctx)(r).toSeq))(outEnc)
     }.reduce(_.union(_)).toDF("pid", "id", "vec")
+  }
+
+  /** One segment tier's raw STORED rows — (pid, id, <storage payload
+    * cells>), links dropped: the merge substrate that preserves the
+    * stored geometry BIT-EXACTLY for every storage. The r12
+    * documented-approximate case (rabitq under cosine: decode→re-encode
+    * re-normalizes the ≈-unit reconstruction and perturbs the residual
+    * direction by O(estimator error)) is closed by never re-encoding:
+    * [[appendStored]] rebuilds the merged segment's GRAPH from the
+    * decoded vectors but writes these payload cells through unchanged.
+    */
+  def segmentRows(spark: SparkSession, model: Model, pids: Set[Int]): DataFrame = {
+    val schema = graphSchema(model.storage)
+    val payloadCols = schema.fields.dropRight(1).map(f => col(f.name)).toSeq
+    val dirs = segmentDirs(spark, model.path)
+      .filter(d => pids(d.substring(d.lastIndexOf('=') + 1).toInt))
+    require(dirs.nonEmpty,
+      s"no segments ${pids.toSeq.sorted.mkString(",")} under ${model.path}")
+    dirs.map { dir =>
+      val pid = dir.substring(dir.lastIndexOf('=') + 1).toInt
+      spark.read.schema(schema).parquet(dir)
+        .select(lit(pid).as("pid") +: payloadCols: _*)
+    }.reduce(_.union(_))
+  }
+
+  /** [[append]] from STORED payload rows (the [[segmentRows]] shape
+    * minus `pid`): the new segment's graph is built over the DECODED
+    * vectors — the identical floats the source graphs walked, so the
+    * merged tier shares their geometry — and the payload cells are
+    * written through UNCHANGED (no re-encode, hence bit-exact for every
+    * storage including rabitq-cosine). Deterministic like [[append]]:
+    * insertion sorted by id, seed = pid. Returns the first new pid.
+    */
+  def appendStored(spark: SparkSession, model: Model, rows: DataFrame,
+                   nNewSegments: Int = 1): Int = {
+    require(nNewSegments >= 1, s"need nNewSegments >= 1, got $nNewSegments")
+    val existing = segmentDirs(spark, model.path)
+      .map(d => d.substring(d.lastIndexOf('=') + 1).toInt)
+    require(existing.nonEmpty, s"no index under ${model.path} — build first")
+    val base = existing.max + 1
+    val (m, efC, metric, storage) =
+      (model.m, model.efConstruction, model.metric, model.storage)
+    val ctx = if (storage == "rabitq") rabitqCtx(model) else null
+    val schema = graphSchema(storage)
+    val payloadFields = schema.fields.dropRight(1).toSeq // id + storage cells
+    val enc = Encoders.row(StructType(StructField("pid", IntegerType, nullable = false)
+      +: schema.fields.toSeq))
+    val out = rows.select(payloadFields.map(f => col(f.name)): _*)
+      .repartition(nNewSegments, col("id"))
+      .mapPartitions { it =>
+        val pid = base + TaskContext.getPartitionId()
+        val dec = decodeRow(storage, ctx) _
+        // deterministic insertion order: sorted by id (the buildSegment
+        // contract); node n == buf(n) because inserts follow buf order
+        val buf = it.map(r => (r.getLong(0), r.toSeq.tail, dec(r))).toArray.sortBy(_._1)
+        val g = new Graph(metric, m, efC, seed = pid.toLong)
+        buf.foreach { case (id, _, v) => g.insert(id, v) }
+        buf.iterator.zipWithIndex.map { case ((id, payload, _), n) =>
+          Row.fromSeq(((pid.asInstanceOf[Any] +: id.asInstanceOf[Any] +: payload)
+            :+ g.links(n).toSeq.map(_.map(x => g.ids(x)).toSeq)): Seq[Any])
+        }
+      }(enc)
+    out.write.mode("append").partitionBy("pid").parquet(model.path)
+    base
   }
 
   /** Append a batch as `nNewSegments` NEW segment graphs — the Lucene

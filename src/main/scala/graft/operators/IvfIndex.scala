@@ -100,8 +100,22 @@ object IvfIndex {
     * Gram-Schmidt; full rank w.p. 1), row-vector convention shared
     * with [[PqIndex.rotateVec]] — deterministic, so two builds of the
     * same data are bit-identical (the house contract).
+    *
+    * Memoized per (dim, seed): the matrix is O(dim²) to derive and the
+    * HNSW rabitq family re-derives it on EVERY probe/segmentVectors/
+    * append call (the r12 advice item) — negligible at tested dims but
+    * quadratic per call at production embedding dims (768+). The cache
+    * is per-JVM (driver derives once; executor tasks receive the matrix
+    * in their closure either way) and bounded by the handful of
+    * (dim, seed) pairs a process ever touches.
     */
-  private[graft] def randomRotation(dim: Int, seed: Long): Array[Array[Float]] = {
+  private val rotationCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Array[Float]]]()
+
+  private[graft] def randomRotation(dim: Int, seed: Long): Array[Array[Float]] =
+    rotationCache.computeIfAbsent((dim, seed), _ => deriveRotation(dim, seed))
+
+  private def deriveRotation(dim: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new java.util.Random(seed)
     val m = Array.fill(dim, dim)(rnd.nextGaussian())
     var i = 0
@@ -533,7 +547,21 @@ object IvfIndex {
     */
   def knnJoin(spark: SparkSession, model: Model, idCol: String, vecCol: String,
               queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
-              pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+              pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    knnJoinKeys(spark, model, Seq(idCol), vecCol, queries, k, nprobe, pred)
+
+  /** [[knnJoin]] for COMPOSITE record keys (a (tenant, id)-keyed table,
+    * the common multi-tenant shape): the key columns ride the per-query
+    * top-k as ONE orderable struct (heap and window order it
+    * identically — [[VectorSearch.perQueryTopK]]'s composite tie-break)
+    * and expand back to (qid, key…, score) on the way out. Single-key
+    * output is column-identical to [[knnJoin]]'s.
+    */
+  private[graft] def knnJoinKeys(spark: SparkSession, model: Model,
+                                 keyCols: Seq[String], vecCol: String,
+                                 queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
+                                 pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(model.storage == "float32",
       s"standalone knnJoin over a '${model.storage}' ivf layout: quantized cells carry " +
         "no float vectors — serve through the table-attached GraftIndex.knnJoin")
@@ -552,12 +580,30 @@ object IvfIndex {
     val scan = pred.fold(scan0)(scan0.filter)
     val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", VectorSearch.scoreCol(col(vecCol), col("qvec"), model.metric))
-      .select(col("qid"), col(idCol), col("score"))
+      .select(col("qid"), keyStruct(keyCols), col("score"))
     // per-partition bounded heap first (same reducer as the exact join):
     // a bare per-qid window would hash-shuffle EVERY scored candidate
     // into |queries| partitions — a skew funnel at scale
-    VectorSearch.perQueryTopK(scored, "qid", idCol, k, model.metric)
+    expandKey(
+      VectorSearch.perQueryTopK(scored, "qid", keyName(keyCols), k, model.metric),
+      keyCols)
   }
+
+  /** Composite keys travel the per-query top-k as one orderable struct
+    * column `__key`; a single key keeps its own name and these are
+    * no-ops. Shared by [[knnJoinKeys]] / [[quantizedKnnCandidatesKeys]].
+    */
+  private[graft] def keyName(keyCols: Seq[String]): String =
+    if (keyCols.length == 1) keyCols.head else "__key"
+
+  private[graft] def keyStruct(keyCols: Seq[String]): org.apache.spark.sql.Column =
+    if (keyCols.length == 1) col(keyCols.head)
+    else struct(keyCols.map(col): _*).as("__key")
+
+  private[graft] def expandKey(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (keyCols.length == 1) df
+    else df.select(col("qid") +:
+      keyCols.map(c => col(s"__key.$c").as(c)) :+ col("score"): _*)
 
   /** The QUANTIZED candidate stage for a query batch: the same
     * broadcast-probes shape as [[knnJoin]] (big side never shuffles,
@@ -571,6 +617,18 @@ object IvfIndex {
                                             queries: Seq[(Long, Seq[Float])],
                                             kf: Int, nprobe: Int,
                                             pred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    quantizedKnnCandidatesKeys(spark, model, Seq(idCol), queries, kf, nprobe, pred)
+
+  /** [[quantizedKnnCandidates]] for composite record keys — the
+    * [[knnJoinKeys]] convention: keys ride the per-query cut as one
+    * struct, output is (qid, key…, score-proxy) expanded.
+    */
+  private[graft] def quantizedKnnCandidatesKeys(spark: SparkSession, model: Model,
+                                                keyCols: Seq[String],
+                                                queries: Seq[(Long, Seq[Float])],
+                                                kf: Int, nprobe: Int,
+                                                pred: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     import spark.implicits._
     require(model.storage != "float32", "quantizedKnnCandidates needs a quantized layout")
@@ -588,8 +646,9 @@ object IvfIndex {
       val scan = pred.fold(scan0)(scan0.filter)
       val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
         .withColumn("score", rabitqScore(model.metric, queries.head._2.length))
-        .select(col("qid"), col(idCol), col("score"))
-      return VectorSearch.perQueryTopK(scored, "qid", idCol, kf, "dot")
+        .select(col("qid"), keyStruct(keyCols), col("score"))
+      return expandKey(
+        VectorSearch.perQueryTopK(scored, "qid", keyName(keyCols), kf, "dot"), keyCols)
     }
     val probeRows = queries.flatMap { case (qid, qv) =>
       nearestCells(model, qv, nprobe).map(c => (qid, c, qv))
@@ -601,10 +660,11 @@ object IvfIndex {
     val scan = pred.fold(scan0)(scan0.filter)
     val scored = scan.join(broadcast(probes), col("cluster_id") === col("cell"))
       .withColumn("score", quantizedScoreVs(model.storage, model.metric, col("qvec")))
-      .select(col("qid"), col(idCol), col("score"))
+      .select(col("qid"), keyStruct(keyCols), col("score"))
     // the proxy is larger-is-better for EVERY metric — rank with a
     // descending metric regardless of model.metric
-    VectorSearch.perQueryTopK(scored, "qid", idCol, kf, "dot")
+    expandKey(
+      VectorSearch.perQueryTopK(scored, "qid", keyName(keyCols), kf, "dot"), keyCols)
   }
 
   /** Driver-side centroid ranking (nlist × dim floats — microseconds).

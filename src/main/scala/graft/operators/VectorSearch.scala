@@ -46,6 +46,27 @@ object VectorSearch {
   /** true iff larger score = better for this metric. */
   private def descending(metric: String): Boolean = metric != "l2"
 
+  /** Nulls-first total order over EXTERNAL row values — Long/Int/String/
+    * Decimal/… are Comparable, and a COMPOSITE (struct) key compares
+    * field-by-field nulls-first, the same lexicographic order Spark's
+    * asc() gives a struct column. Shared by [[perQueryTopK]]'s
+    * per-partition heap and the MMR greedy's tie-break, so every
+    * driver/executor-side key comparison in this family agrees with the
+    * plans' window ordering.
+    */
+  private[graft] def anyCmp(x: Any, y: Any): Int =
+    if (x == null && y == null) 0
+    else if (x == null) -1
+    else if (y == null) 1
+    else (x, y) match {
+      case (a: Row, b: Row) =>
+        var i = 0; var c = 0
+        val n = math.min(a.length, b.length)
+        while (c == 0 && i < n) { c = anyCmp(a.get(i), b.get(i)); i += 1 }
+        if (c != 0) c else a.length - b.length
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+
   private def queryLit(query: Seq[Float]): Column = typedlit(query)
 
   /** Score every row against one query vector (adds `score`). */
@@ -98,47 +119,9 @@ object VectorSearch {
       .limit(candidates)
       .select(col(idCol), col(vecCol).cast("array<float>").as("__v"), col("score"))
       .collect()
-    // driver-side greedy over the candidate slice; similarity uses the
-    // SAME left-to-right double accumulation as the scan kernels
-    def sim(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      if (metric == "dot") dot
-      else if (na == 0.0 || nb == 0.0) 0.0
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    final case class C(id: Any, v: Seq[Float], rel: Double, var maxSim: Double)
-    def idLt(x: Any, y: Any): Boolean = (x, y) match {
-      case (a: Long, b: Long) => a < b
-      case (a: Int, b: Int) => a < b
-      case (a: String, b: String) => a < b
-      case (a, b) => String.valueOf(a) < String.valueOf(b)
-    }
-    val pool = mutable.ArrayBuffer.from(cand.map(r =>
-      C(r.get(0), r.getSeq[Float](1), r.getDouble(2), Double.NegativeInfinity)))
-    val picked = mutable.ArrayBuffer.empty[(Int, Any, Double, Double)] // rank, id, rel, mmr
-    while (picked.length < math.min(k, cand.length)) {
-      var best = -1; var bestScore = Double.NegativeInfinity
-      var i = 0
-      while (i < pool.length) {
-        val c = pool(i)
-        val m =
-          if (picked.isEmpty) lambda * c.rel // no diversity term yet
-          else lambda * c.rel - (1.0 - lambda) * c.maxSim
-        if (m > bestScore || (m == bestScore && (best < 0 || idLt(c.id, pool(best).id)))) {
-          best = i; bestScore = m
-        }
-        i += 1
-      }
-      val chosen = pool.remove(best)
-      picked += ((picked.length + 1, chosen.id, chosen.rel, bestScore))
-      pool.foreach(c => c.maxSim = math.max(c.maxSim, sim(c.v, chosen.v)))
-    }
+    val picked = mmrSelect(
+      cand.toSeq.map(r => (r.get(0), r.getSeq[Float](1), r.getDouble(2))),
+      k, lambda, metric)
     val idField = cand.headOption.map(_.schema.head)
       .getOrElse(org.apache.spark.sql.types.StructField(idCol,
         org.apache.spark.sql.types.LongType))
@@ -153,6 +136,107 @@ object VectorSearch {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       picked.map { case (rk, id, rel, m) => Row(rk, id, rel, m) }.toList.asJava, schema)
+  }
+
+  /** The MMR greedy itself, over an already-materialized candidate
+    * slice `(key, vector, relevance)` — extracted from [[mmrTopK]] so
+    * the TABLE-ATTACHED serving tier ([[graft.sources.GraftIndex.probeMmr]]
+    * / [[graft.sources.GraftHnsw.probeMmr]]) diversifies INDEX-SERVED
+    * candidates with the identical arithmetic (similarity uses the same
+    * left-to-right double accumulation as the scan kernels; ties break
+    * on ascending key via [[anyCmp]], composite keys included). Returns
+    * (rank 1-based, key, relevance, mmr score) in pick order; the first
+    * pick's mmr score is λ·rel (no diversity term yet), λ=1 degenerates
+    * to relevance order.
+    */
+  private[graft] def mmrSelect(cand: Seq[(Any, Seq[Float], Double)], k: Int,
+                               lambda: Double, metric: String)
+      : Seq[(Int, Any, Double, Double)] = {
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (metric == "dot") dot
+      else if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    final case class C(id: Any, v: Seq[Float], rel: Double, var maxSim: Double)
+    val pool = mutable.ArrayBuffer.from(cand.map { case (id, v, rel) =>
+      C(id, v, rel, Double.NegativeInfinity) })
+    val picked = mutable.ArrayBuffer.empty[(Int, Any, Double, Double)]
+    while (picked.length < math.min(k, cand.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.length) {
+        val c = pool(i)
+        val m =
+          if (picked.isEmpty) lambda * c.rel // no diversity term yet
+          else lambda * c.rel - (1.0 - lambda) * c.maxSim
+        if (m > bestScore ||
+            (m == bestScore && (best < 0 || anyCmp(c.id, pool(best).id) < 0))) {
+          best = i; bestScore = m
+        }
+        i += 1
+      }
+      val chosen = pool.remove(best)
+      picked += ((picked.length + 1, chosen.id, chosen.rel, bestScore))
+      pool.foreach(c => c.maxSim = math.max(c.maxSim, sim(c.v, chosen.v)))
+    }
+    picked.toSeq
+  }
+
+  /** Stage 2 of INDEX-SERVED MMR: greedy-diversify an already-retrieved
+    * candidate frame (the canonical probe shape — key columns present,
+    * `score` = relevance) whose float vectors arrive separately (the
+    * caller's bucket-pruned point lookup against the table — candidates
+    * keys → ≤ candidates buckets, never a scan). Output: `rank` (pick
+    * order, 1-based) + the candidate frame's columns + `mmr_score`.
+    * Everything here is serving-sized by construction (≤ `candidates`
+    * rows collect; the greedy is inherently sequential — the [[mmrTopK]]
+    * placement argument).
+    */
+  private[graft] def mmrOverCandidates(cand: DataFrame, keyCols: Seq[String],
+                                       vecs: DataFrame, vecCol: String,
+                                       k: Int, lambda: Double,
+                                       metric: String): DataFrame = {
+    require(metric == "cosine" || metric == "dot",
+      s"MMR needs a similarity metric (cosine|dot), got $metric")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = cand.sparkSession
+    val outCols = lit(0).as("rank") +: cand.columns.map(col).toSeq :+
+      lit(0.0).as("mmr_score")
+    val slice = cand.select(keyCols.map(col) :+ col("score"): _*)
+      .join(broadcast(vecs), keyCols)
+      .select(keyCols.map(col) ++
+        Seq(col(vecCol).cast("array<float>").as("__v"), col("score")): _*)
+      .collect()
+    if (slice.isEmpty) return cand.limit(0).select(outCols: _*)
+    val nk = keyCols.length
+    val picked = mmrSelect(
+      slice.toSeq.map { r =>
+        val key: Any = if (nk == 1) r.get(0)
+          else Row.fromSeq((0 until nk).map(r.get))
+        (key, r.getSeq[Float](nk), r.getDouble(nk + 1))
+      }, k, lambda, metric)
+    val keyFields = slice.head.schema.fields.take(nk).toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      (org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +: keyFields) :+
+        org.apache.spark.sql.types.StructField("mmr_score",
+          org.apache.spark.sql.types.DoubleType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val ranks = spark.createDataFrame(
+      picked.map { case (rank, key, _, mmr) =>
+        val keyVals = if (nk == 1) Seq(key) else key.asInstanceOf[Row].toSeq
+        Row.fromSeq((rank +: keyVals) :+ mmr)
+      }.toList.asJava, schema)
+    cand.join(broadcast(ranks), keyCols)
+      .select(col("rank") +: cand.columns.map(col).toSeq :+ col("mmr_score"): _*)
+      .orderBy("rank")
   }
 
   /** Hybrid search, done right: predicate first (pushes to the scan),
@@ -239,13 +323,10 @@ object VectorSearch {
     val partial = scored.mapPartitions { it =>
       val heaps = mutable.Map.empty[Any, mutable.PriorityQueue[(Double, Any, Row)]]
       // id tie-break must match the final window's asc(idCol) nulls-first
-      // ordering so boundary ties survive the partial phase; external row
-      // values (Long/Int/String/Decimal/…) are all Comparable.
-      def idCmp(x: Any, y: Any): Int =
-        if (x == null && y == null) 0
-        else if (x == null) -1
-        else if (y == null) 1
-        else x.asInstanceOf[Comparable[Any]].compareTo(y)
+      // ordering so boundary ties survive the partial phase — [[anyCmp]],
+      // which also gives composite (struct) keys the same lexicographic
+      // order the window applies to a struct column.
+      def idCmp(x: Any, y: Any): Int = anyCmp(x, y)
       // dequeue removes the greatest element == the WORST kept row, so
       // "greater" must mean "worse" under this ordering.
       val ord: Ordering[(Double, Any, Row)] = new Ordering[(Double, Any, Row)] {

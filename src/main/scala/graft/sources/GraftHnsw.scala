@@ -263,11 +263,14 @@ object GraftHnsw {
     * every flush is a new segment, and probe cost is k candidates per
     * segment per query) and full [[rebuild]] (which pays O(corpus)).
     * The SMALLEST committed segments beyond `targetSegments` fold into
-    * ONE new segment built from their DECODED vectors (re-encoding is
-    * idempotent for every storage — [[HnswIndex.segmentVectors]]), so
-    * maintenance IO tracks the merged tier's bytes, never the corpus —
-    * exactly Lucene's tiered-merge cost model, which is what keeps a
-    * 100 TB CDC-fed index serviceable without rebuild windows.
+    * ONE new segment whose graph is rebuilt over the DECODED vectors
+    * while the STORED payload cells pass through UNCHANGED
+    * ([[HnswIndex.segmentRows]]/[[HnswIndex.appendStored]] — no
+    * re-encode, so the stored geometry round-trips bit-exactly for
+    * every storage, rabitq-cosine included), and maintenance IO tracks
+    * the merged tier's bytes, never the corpus — exactly Lucene's
+    * tiered-merge cost model, which is what keeps a 100 TB CDC-fed
+    * index serviceable without rebuild windows.
     *
     * Dead copies are dropped physically during the fold (the same
     * horizon rule probes apply), and tombstone files that can no longer
@@ -300,7 +303,7 @@ object GraftHnsw {
       .take(m0.segs.length - targetSegments + 1)
     val keep = m0.segs.diff(mergeSet)
     val model = HnswIndex.load(spark, lp)
-    val rows = HnswIndex.segmentVectors(spark, model, mergeSet.toSet)
+    val rows = HnswIndex.segmentRows(spark, model, mergeSet.toSet)
     val live = (if (m0.tombs.isEmpty) rows
       else {
         val tombs = spark.read.parquet(
@@ -309,7 +312,7 @@ object GraftHnsw {
         rows.join(broadcast(tombs), Seq("id"), "left")
           .filter(col("__hz").isNull || col("pid") >= col("__hz"))
           .drop("__hz")
-      }).select(col("id"), col("vec"))
+      }).drop("pid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the horizon rule leaves at most ONE live copy per key; a
@@ -323,8 +326,7 @@ object GraftHnsw {
       val newSegs =
         if (live.isEmpty) keep // every merged copy was dead: just drop them
         else {
-          val base = HnswIndex.append(spark, model, live, "id", "vec",
-            nNewSegments = 1)
+          val base = HnswIndex.appendStored(spark, model, live, nNewSegments = 1)
           keep ++ pidsOnDisk(spark, tablePath, name, m0.gen).filter(_ >= base)
         }
       // no segments left (everything merged away dead) ⇒ nothing any
@@ -513,37 +515,19 @@ object GraftHnsw {
     existed
   }
 
-  /** The filtered paths' match count, metadata-first: when the pred's
-    * pushable form is stats-answerable AND the bounds already DECIDE
-    * the serving leg, the count job is skipped entirely; otherwise the
-    * exact count runs as before. Every shortcut is provably identical
-    * to count-based selection:
-    *  - upper == 0 ⇒ exactly zero matches;
-    *  - upper ≤ bruteForceCap ⇒ true count ≤ cap ⇒ brute, same leg;
-    *  - lower > acceptCap ⇒ true count > acceptCap ⇒ post-filter
-    *    (sound only under a COMPLETE translation, with the vector
-    *    column's per-file null counts proving no matching row loses
-    *    its vector — both enforced by [[GraftTable.matchBounds]]);
-    *  - bruteForceCap < lower AND upper ≤ acceptCap ⇒ walk.
-    * Anything undecided pays the count, exactly as before.
+  /** The filtered paths' match count, metadata-first — the shared
+    * three-regime ladder ([[GraftTable.metadataMatchCount]], hoisted
+    * there in r13 so the three call sites' case sets cannot drift):
+    * stats-answerable bounds that already decide the serving leg skip
+    * the count job; anything undecided pays the exact count. The helper
+    * also enforces acceptCap ≥ bruteForceCap — the assumption the
+    * `lo > acceptCap` shortcut's proof rests on.
     */
   private def matchCount(spark: SparkSession, tablePath: String, m: HnswMeta,
                          matched: DataFrame, pred: Column,
-                         bruteForceCap: Int, acceptCap: Int): Long = {
-    val (filters, complete) =
-      org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
-        GraftTable.read(spark, tablePath, m.indexedVersion), pred)
-    val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
-      complete, requireNonNull = Seq(m.vecCol))
-    hi match {
-      case Some(h) if h == 0L || h <= bruteForceCap => h
-      case _ => lo match {
-        case Some(l) if l > acceptCap => l
-        case Some(l) if l > bruteForceCap && hi.exists(_ <= acceptCap) => hi.get
-        case _ => matched.count()
-      }
-    }
-  }
+                         bruteForceCap: Int, acceptCap: Int): Long =
+    GraftTable.metadataMatchCount(spark, tablePath, m.indexedVersion, pred,
+      Seq(m.vecCol), bruteForceCap, acceptCap)(matched.count())
 
   private def requireFresh(tablePath: String, m: HnswMeta, allowStale: Boolean): Unit = {
     val head = GraftTable.latestVersion(tablePath)
@@ -685,6 +669,36 @@ object GraftHnsw {
     }
   }
 
+  /** DIVERSIFIED top-k through the table-attached HNSW — the
+    * [[GraftIndex.probeMmr]] twin for the graph family: stage 1 is the
+    * existing [[probe]] widened to `candidates` (freshness, tombstones,
+    * pred legs, quantized rerank all apply unchanged), stage 2 the MMR
+    * greedy over that serving-sized slice with vectors from the
+    * bucket-pruned point lookup. Output: `rank` + canonical probe shape
+    * + `mmr_score`; λ=1 degenerates to the plain probe order
+    * (spec-pinned). SQL surface: the `graft_hnsw_mmr` TVF.
+    */
+  def probeMmr(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
+               ef: Int, lambda: Double, candidates: Int, name: String = "hnsw",
+               pred: Option[Column] = None, allowStale: Boolean = false,
+               rerankFactor: Int = 4, bruteForceCap: Int = 10000,
+               acceptCap: Int = 1000000): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need 1 <= k <= candidates, got k=$k, candidates=$candidates")
+    val m = meta(tablePath, name)
+    val cand = probe(spark, tablePath, query, candidates, ef, name, allowStale,
+      rerankFactor, pred, bruteForceCap, acceptCap).localCheckpoint()
+    val ids = cand.select(col(m.keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (ids.isEmpty)
+      return cand.limit(0).select(
+        lit(0).as("rank") +: cand.columns.map(col).toSeq :+ lit(0.0).as("mmr_score"): _*)
+    val vecs = candidateRows(spark, tablePath, m, ids)
+      .select(col(m.keyCol), col(m.vecCol))
+    graft.operators.VectorSearch.mmrOverCandidates(
+      cand, Seq(m.keyCol), vecs, m.vecCol, k, lambda, m.metric)
+  }
+
   /** FILTERED top-k — Lucene's two-strategy filtered KNN
     * (KnnFloatVectorQuery + filter, public), generalized to three
     * regimes. The predicate is evaluated against the PINNED table
@@ -726,8 +740,8 @@ object GraftHnsw {
                             rerankFactor: Int, bruteForceCap: Int,
                             acceptCap: Int): DataFrame = {
     require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
-    require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
-    require(acceptCap >= 0, s"need acceptCap >= 0, got $acceptCap")
+    // bruteForceCap >= 0 and acceptCap >= bruteForceCap are enforced by
+    // the shared matchCount ladder (GraftTable.metadataMatchCount)
     val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion).getOrElse(
       throw new IllegalStateException(s"$tablePath: no recorded snapshot schema"))
     val canonical = sc.fieldNames.toSeq.filterNot(_ == m.vecCol) :+ "score"

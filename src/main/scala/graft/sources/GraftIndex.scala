@@ -665,25 +665,13 @@ object GraftIndex {
     val (m, model) = open(spark, tablePath, name)
     requireFresh(tablePath, m, allowStale)
     pred.foreach { p =>
-      require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      // metadata-first match count (the GraftHnsw.matchCount rule):
-      // upper ≤ cap decides brute, lower > cap (complete translation +
-      // vector-null proof) decides the pushed leg — both identical to
-      // count-based selection; anything undecided pays the count
-      val (filters, complete) =
-        org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
-          GraftTable.read(spark, tablePath, m.indexedVersion), p)
-      val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
-        complete, requireNonNull = Seq(m.vecCol))
-      val nMatched = hi match {
-        case Some(h) if h <= bruteForceCap => h
-        case _ => lo match {
-          case Some(l) if l > bruteForceCap => l
-          case _ => matched.count()
-        }
-      }
+      // metadata-first leg selection (two regimes: brute vs pushed scan,
+      // so acceptCap = bruteForceCap) — see GraftTable.metadataMatchCount
+      val nMatched = GraftTable.metadataMatchCount(spark, tablePath,
+        m.indexedVersion, p, Seq(m.vecCol), bruteForceCap, bruteForceCap)(
+        matched.count())
       if (nMatched <= bruteForceCap) {
         val ord = if (m.metric == "l2") asc("score") else desc("score")
         val sc = GraftTable.snapshotSchema(tablePath, m.indexedVersion)
@@ -761,6 +749,45 @@ object GraftIndex {
     out.select(canonical.map(col): _*)
   }
 
+  /** DIVERSIFIED top-k through the table-attached index — MMR as a
+    * SERVING mode, not a corpus-scan exhibit (the r12 gap: §2 row 7h's
+    * `VectorSearch.mmrTopK` never reached the index tier, and a
+    * production retrieval stack diversifies the INDEX-SERVED candidate
+    * slice, the reference's serving model). Two stages:
+    *  1. the existing [[probe]] widened to `candidates` rows — ALL of
+    *     probe's machinery applies unchanged (freshness check, pred
+    *     legs incl. the metadata-first brute/pushed selection, quantized
+    *     two-stage rerank), and this is where the 100 TB cost lives;
+    *  2. the [[graft.operators.VectorSearch.mmrSelect]] greedy over
+    *     that serving-sized slice, its float vectors fetched by ONE
+    *     bucket-pruned point lookup (candidates keys → ≤ candidates
+    *     bucket reads, never a table scan). The greedy is inherently
+    *     sequential (each pick depends on all previous), so driver-side
+    *     over ≤ `candidates` rows is the correct placement.
+    * Output: `rank` (pick order, 1-based) + the canonical probe shape
+    * (`score` = the relevance score) + `mmr_score`. λ=1 degenerates to
+    * the plain probe's (score desc, key asc) order — spec-pinned.
+    * Cosine/dot only (MMR's diversity term needs a similarity; the
+    * [[graft.operators.VectorSearch.mmrTopK]] refusal). SQL surface:
+    * the `graft_index_mmr` TVF.
+    */
+  def probeMmr(spark: SparkSession, tablePath: String, query: Seq[Float], k: Int,
+               nprobe: Int, lambda: Double, candidates: Int, name: String = "vec",
+               pred: Option[Column] = None, allowStale: Boolean = false,
+               rerankFactor: Int = 4, bruteForceCap: Int = 10000): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need 1 <= k <= candidates, got k=$k, candidates=$candidates")
+    val m = meta(tablePath, name)
+    // localCheckpoint: the slice is serving-sized and feeds the vector
+    // lookup, the greedy collect, AND the final rank join
+    val cand = probe(spark, tablePath, query, candidates, nprobe, name, pred,
+      allowStale, rerankFactor, bruteForceCap).localCheckpoint()
+    val vecs = exactVectors(spark, tablePath, m,
+      cand.select(m.keyCols.map(col): _*).distinct())
+    graft.operators.VectorSearch.mmrOverCandidates(
+      cand, m.keyCols, vecs, m.vecCol, k, lambda, m.metric)
+  }
+
   /** Batched ANN k-NN join THROUGH the table-attached index: every
     * query row gets its approximate top-k table neighbors, reading only
     * the union of the queries' nprobe cells from the pinned manifest —
@@ -796,77 +823,65 @@ object GraftIndex {
       pq.rot.fold(pq.coarse)(r => pq.coarse.map(derotate(_, r))),
       pq.metric, pq.schema, pq.files))
     def emptyOut = GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
-      .select(lit(0L).as("qid"), col(m.keyCols.head), lit(0.0).as("score"))
+      .select(lit(0L).as("qid") +: m.keyCols.map(col) :+ lit(0.0).as("score"): _*)
     if (ivf.files.exists(_.isEmpty)) return emptyOut
     pred.foreach { p =>
       require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
-      require(m.keyCols.length == 1,
-        s"filtered knnJoin needs a single record-key column, table has ${m.keyCols.mkString(", ")}")
       import spark.implicits._
-      val keyCol = m.keyCols.head
       val matched = GraftTable.read(spark, tablePath, m.indexedVersion)
         .filter(p).filter(col(m.vecCol).isNotNull)
-      // metadata-first (the GraftHnsw.matchCount rule): upper ≤ cap
-      // decides brute, lower > cap (complete translation + vector-null
-      // proof) decides the pushed leg — both identical to count-based
-      // selection; anything undecided pays the count
-      val (filters, complete) =
-        org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
-          GraftTable.read(spark, tablePath, m.indexedVersion), p)
-      val (lo, hi) = GraftTable.matchBounds(tablePath, m.indexedVersion, filters,
-        complete, requireNonNull = Seq(m.vecCol))
-      val n = hi match {
-        case Some(h) if h == 0L || h <= bruteForceCap => h
-        case _ => lo match {
-          case Some(l) if l > bruteForceCap => l
-          case _ => matched.count()
-        }
-      }
+      // metadata-first leg selection (two regimes: brute vs pushed scan,
+      // so acceptCap = bruteForceCap) — see GraftTable.metadataMatchCount
+      val n = GraftTable.metadataMatchCount(spark, tablePath,
+        m.indexedVersion, p, Seq(m.vecCol), bruteForceCap, bruteForceCap)(
+        matched.count())
       if (n == 0) return emptyOut
       if (n <= bruteForceCap) {
         // exact: broadcast the filtered subset once, score every
-        // (query, match) pair — ≤ |Q|·bruteForceCap rows, bounded
+        // (query, match) pair — ≤ |Q|·bruteForceCap rows, bounded.
+        // Composite record keys ((tenant, id)-keyed tables) ride the
+        // per-query cut as ONE orderable struct and expand back — the
+        // IvfIndex.keyStruct/expandKey convention.
         val qdf = queries.toDF("qid", "__qvec")
         val scored = qdf.crossJoin(broadcast(
-            matched.select(col(keyCol), col(m.vecCol).as("__mvec"))))
+            matched.select(IvfIndex.keyStruct(m.keyCols), col(m.vecCol).as("__mvec"))))
           .withColumn("score", graft.operators.VectorSearch.scoreCol(
             col("__mvec"), col("__qvec"), m.metric))
-          .select(col("qid"), col(keyCol), col("score"))
-        return graft.operators.VectorSearch.perQueryTopK(
-          scored, "qid", keyCol, k, m.metric)
+          .select(col("qid"), col(IvfIndex.keyName(m.keyCols)), col("score"))
+        return IvfIndex.expandKey(graft.operators.VectorSearch.perQueryTopK(
+          scored, "qid", IvfIndex.keyName(m.keyCols), k, m.metric), m.keyCols)
       }
       // loose pred: fall through — the pred pushes into the cell scans
       // below (both the float32 and quantized candidate stages take it)
     }
     if (m.storage == "float32")
-      IvfIndex.knnJoin(spark, ivf, m.keyCols.head, m.vecCol, queries, k, nprobe, pred)
+      IvfIndex.knnJoinKeys(spark, ivf, m.keyCols, m.vecCol, queries, k, nprobe, pred)
     else {
       // quantized layout: widen each query's candidate cut, then
       // exact-score every surviving (qid, key) pair from the table's
       // float column before the bounded-heap per-query cut — ONE
       // bucket-pruned lookup serves all queries' candidates (the pair
       // set is ≤ |Q|·rerankFactor·k rows, serving-sized). The
-      // [[GraftHnsw.knnJoin]] shape on IVF cells.
+      // [[GraftHnsw.knnJoin]] shape on IVF cells. Composite keys ride
+      // the cuts as one struct (the keyStruct/expandKey convention).
       require(rerankFactor >= 1, s"need rerankFactor >= 1, got $rerankFactor")
-      require(m.keyCols.length == 1,
-        s"quantized knnJoin needs a single record-key column, table has ${m.keyCols.mkString(", ")}")
       import spark.implicits._
-      val keyCol = m.keyCols.head
       val kf = math.min(Int.MaxValue.toLong, k.toLong * rerankFactor).toInt
-      val cands = IvfIndex.quantizedKnnCandidates(spark, ivf, keyCol, queries, kf,
-          nprobe, pred)
+      val cands = IvfIndex.quantizedKnnCandidatesKeys(spark, ivf, m.keyCols, queries,
+          kf, nprobe, pred)
         .localCheckpoint()
-      if (cands.isEmpty)
-        return GraftTable.read(spark, tablePath, m.indexedVersion).limit(0)
-          .select(lit(0L).as("qid"), col(keyCol), lit(0.0).as("score"))
-      val vecs = exactVectors(spark, tablePath, m, cands.select(keyCol).distinct())
+      if (cands.isEmpty) return emptyOut
+      val vecs = exactVectors(spark, tablePath, m,
+        cands.select(m.keyCols.map(col): _*).distinct())
       val qdf = queries.toDF("qid", "__qvec")
       val scored = vecs
-        .join(broadcast(cands.select("qid", keyCol).join(qdf, "qid")), Seq(keyCol))
+        .join(broadcast(cands.select(col("qid") +: m.keyCols.map(col): _*)
+          .join(qdf, "qid")), m.keyCols)
         .withColumn("score", graft.operators.VectorSearch.scoreCol(
           col(m.vecCol), col("__qvec"), m.metric))
-        .select(col("qid"), col(keyCol), col("score"))
-      graft.operators.VectorSearch.perQueryTopK(scored, "qid", keyCol, k, m.metric)
+        .select(col("qid"), IvfIndex.keyStruct(m.keyCols), col("score"))
+      IvfIndex.expandKey(graft.operators.VectorSearch.perQueryTopK(
+        scored, "qid", IvfIndex.keyName(m.keyCols), k, m.metric), m.keyCols)
     }
   }
 

@@ -826,6 +826,55 @@ object GraftTable {
     (if (complete) Some(lo) else None, Some(hi))
   }
 
+  /** The filtered serving paths' match count, METADATA-FIRST — the ONE
+    * implementation of the leg-selection ladder [[GraftIndex.probe]],
+    * [[GraftIndex.knnJoin]], and [[GraftHnsw]] share (hand-duplicated
+    * with slightly different case sets through r12; hoisted so they
+    * cannot drift): when the pred's pushable form is stats-answerable
+    * AND the bounds already DECIDE the serving leg, the count job is
+    * skipped entirely. Every shortcut is provably identical to
+    * count-based selection:
+    *  - upper ≤ bruteForceCap ⇒ true count ≤ cap ⇒ brute leg, same leg
+    *    (upper == 0 ⇒ exactly zero matches);
+    *  - lower > acceptCap ⇒ true count > acceptCap ⇒ post-filter leg
+    *    (sound only under a COMPLETE conjunct translation, with the
+    *    `requireNonNull` columns' per-file zero-null proofs — both
+    *    enforced by [[matchBounds]]);
+    *  - bruteForceCap < lower AND upper ≤ acceptCap ⇒ the middle
+    *    (filtered-walk / pushed-scan) leg.
+    * Anything undecided pays `exactCount` (by-name — only evaluated
+    * then), exactly as before. Two-regime callers (no middle leg) pass
+    * acceptCap = bruteForceCap and the middle case vanishes (lo ≤ hi
+    * makes it unreachable). `acceptCap >= bruteForceCap` is REQUIRED:
+    * with acceptCap < bruteForceCap the `lo > acceptCap` case could
+    * return a lower bound ≤ bruteForceCap and select the brute leg over
+    * an arbitrarily larger true match set — results would stay exact
+    * but the broadcast unbounded.
+    */
+  def metadataMatchCount(spark: SparkSession, path: String, v: Int,
+                         pred: org.apache.spark.sql.Column,
+                         requireNonNull: Seq[String],
+                         bruteForceCap: Long, acceptCap: Long)
+                        (exactCount: => Long): Long = {
+    require(bruteForceCap >= 0, s"need bruteForceCap >= 0, got $bruteForceCap")
+    require(acceptCap >= bruteForceCap,
+      s"need acceptCap ($acceptCap) >= bruteForceCap ($bruteForceCap) — the " +
+        "metadata leg-selection proof assumes it (a smaller acceptCap could " +
+        "route an unboundedly large match set onto the broadcast brute leg)")
+    val (filters, complete) =
+      org.apache.spark.sql.graftshim.Bridge.translateFiltersWithCompleteness(
+        read(spark, path, v), pred)
+    val (lo, hi) = matchBounds(path, v, filters, complete, requireNonNull)
+    hi match {
+      case Some(h) if h <= bruteForceCap => h
+      case _ => lo match {
+        case Some(l) if l > acceptCap => l
+        case Some(l) if l > bruteForceCap && hi.exists(_ <= acceptCap) => hi.get
+        case _ => exactCount
+      }
+    }
+  }
+
   def prunedDataPaths(path: String, v: Int,
                       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[(Seq[String], Int, Int)] = {

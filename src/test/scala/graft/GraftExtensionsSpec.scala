@@ -337,6 +337,44 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     ph.count() should be > 0L
   }
 
+  test("graft_text_search fuzzy mode: maxDist/q knobs reach SQL; a two-edit typo serves") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_fz_sql").toString + "/t"
+    val words = Vector("sparkle", "scanner", "tablets", "merge", "query")
+    def text(k: Long): String =
+      (0 until 4).map(i => words(((k * 7 + i * 3) % 5).toInt)).mkString(" ")
+    val df = (0L until 120L).map(k => (k, text(k))).toDF("doc_id", "text")
+    graft.sources.GraftTable.create(df, path, Seq("doc_id"), nbuckets = 2)
+    graft.sources.TextIndex.create(spark, path, "text")
+    // 'spackles' is 2 edits from the indexed 'sparkle' (r→c + trailing
+    // s) — unreachable at the r12-hardwired maxDist = 1, served at
+    // maxDist = 2 through the positional knob (predSql NULL = no filter)
+    spark.sql(s"""SELECT doc_id FROM
+        graft_text_search('$path', 'spackles', 5, 'fuzzy')""").count() shouldBe 0L
+    val got = spark.sql(s"""SELECT doc_id, score FROM
+        graft_text_search('$path', 'spackles', 5, 'fuzzy', 'txt', NULL, 2)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got should have size 5
+    // TVF == Scala at the same knobs (q passed explicitly too)
+    got shouldBe graft.sources.TextIndex.searchFuzzy(spark, path, "spackles", 5,
+        maxDist = 2, q = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the knobs compose with predSql's filter semantics
+    val flt = spark.sql(s"""SELECT doc_id FROM
+        graft_text_search('$path', 'spackles', 5, 'fuzzy', 'txt', 'doc_id % 2 = 0', 2)""")
+      .collect().map(_.getLong(0)).toSeq
+    flt.foreach(_ % 2 shouldBe 0L)
+    flt shouldBe graft.sources.TextIndex.searchFuzzy(spark, path, "spackles", 5,
+        maxDist = 2, pred = Some(org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // knobs with a non-fuzzy mode refuse loudly, never silently ignore
+    intercept[Exception] {
+      spark.sql(s"""SELECT doc_id FROM
+          graft_text_search('$path', 'sparkle', 5, 'any', 'txt', NULL, 2)""").collect()
+    }.getMessage should include("fuzzy")
+  }
+
   test("graft_hybrid_search TVF fuses both table-attached indexes, stale-checked on each leg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -382,6 +420,60 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     graft.sources.TextIndex.refresh(spark, path)
     spark.sql(s"SELECT * FROM graft_hybrid_search('$path', $sqlArr, 'spark', 5)")
       .count() shouldBe 5
+  }
+
+  test("graft_rerank_search TVF: fusion candidates pair-scored by the stub cross-encoder == the Scala composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_rrk_sql").toString + "/t"
+    val words = Vector("spark", "scan", "table", "merge", "query")
+    def text(k: Long): String =
+      (0 until 5).map(i => words(((k * 7 + i * 3) % 5).toInt)).mkString(" ")
+    def vec(k: Long): Seq[Float] =
+      (0 until 8).map(i => (((k * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+    val df = (0L until 200L).map(k => (k, text(k), vec(k))).toDF("doc_id", "text", "embedding")
+    graft.sources.GraftTable.create(df, path, Seq("doc_id"), nbuckets = 2)
+    graft.sources.GraftIndex.create(spark, path, "embedding", nlist = 4)
+    graft.sources.TextIndex.create(spark, path, "text")
+    val q = vec(42L)
+    val got = spark.sql(
+      s"""SELECT * FROM graft_rerank_search('$path', array(${q.mkString(", ")}),
+                                            'spark table', 8, 30)""")
+    got.columns.toSeq shouldBe Seq("doc_id", "ce_score", "rrf_q")
+    // equals the Scala composition it packages: fusion → quantized
+    // top-30 cut → Rerank stub → (ce desc, rrf_q desc, key asc) top-8
+    val vecLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.GraftIndex.probe(spark, path, q, 30, nprobe = 4)
+        .select(col("doc_id"), col("score").as("sc")), "doc_id", col("sc"), 30)
+    val txtLeg = graft.operators.Fusion.rankByTopN(
+      graft.sources.TextIndex.scoredTerms(spark, path, "spark table", idf = "rational")
+        .groupBy("doc_id")
+        .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("sq")),
+      "doc_id", col("sq"), 30)
+    val cand = graft.operators.Fusion.rrf(Seq(txtLeg, vecLeg), "doc_id", "rank")
+      .select(col("doc_id"), floor(col("rrf_score") * lit(10000.0)).cast("long").as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id")).limit(30)
+      .join(graft.sources.GraftTable.read(spark, path).select("doc_id", "text"), "doc_id")
+    val want = graft.operators.Rerank.rerank(cand, "spark table", "text")
+      .select(col("doc_id"), col("ce_score"), col("rrf_q"))
+      .orderBy(col("ce_score").desc, col("rrf_q").desc, col("doc_id")).limit(8)
+    got.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq shouldBe
+      want.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // the stub scorer is the deterministic token-overlap: spot-check one
+    val top = got.head()
+    val topText = graft.sources.GraftTable.read(spark, path)
+      .filter(col("doc_id") === top.getLong(0)).select("text").head().getString(0)
+    val overlap = Set("spark", "table")
+      .count(topText.toLowerCase.split(" ").filter(_.nonEmpty).toSet.contains)
+    top.getDouble(1) shouldBe overlap.toDouble
+    // stale on either leg fails the ONE call loudly (plan-time check)
+    graft.sources.GraftTable.upsert(spark, path,
+      Seq((0L, "query merge", vec(999L))).toDF("doc_id", "text", "embedding"))
+    intercept[IllegalStateException] {
+      spark.sql(s"""SELECT * FROM graft_rerank_search('$path',
+        array(${q.mkString(", ")}), 'spark', 5)""")
+    }.getMessage should include("STALE")
   }
 
   test("graft_fuzzy_match TVF equals the Scala operator and refuses short probes") {

@@ -359,23 +359,36 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
       .toSet shouldBe brute(path, q, 10).toSet
   }
 
-  test("merge on a quantized layout preserves the stored geometry (re-encode is idempotent)") {
-    // sq8: bit-exact round-trip; rabitq cosine: approximate re-encode
-    // (documented in segmentVectors) — either way the wide-frontier
-    // probe exact-reranks from the table, so the served answer is pinned
-    Seq("sq8", "rabitq").foreach { storage =>
+  test("merge preserves the stored geometry BIT-EXACTLY for every storage (payload carried, never re-encoded)") {
+    // r13: merge carries the stored payload cells through the fold
+    // (segmentRows/appendStored) instead of decode→re-encode, so even
+    // rabitq under COSINE — the r12 documented-approximate case (the
+    // re-normalize perturbed the residual direction) — round-trips
+    // decoded vectors bit-identically.
+    Seq("sq8", "rabitq", "binary").foreach { storage =>
       val path = mkTable(50)
       GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64,
         storage = storage)
       GraftTable.upsert(spark, path,
         (200L until 220L).map(k => (k, vec(k), s"doc$k")).toDF("id", "vec", "s"))
       GraftHnsw.refresh(spark, path)
-      GraftHnsw.meta(path).segs.length shouldBe 3
+      val m0 = GraftHnsw.meta(path)
+      m0.segs.length shouldBe 3
+      val lp = s"$path/_hnswidx/hnsw/g${m0.gen}/layout"
+      val model = graft.operators.HnswIndex.load(spark, lp)
+      val pre = graft.operators.HnswIndex.segmentVectors(spark, model, m0.segs.toSet)
+        .select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
       GraftHnsw.merge(spark, path, targetSegments = 2) should not be empty
-      GraftHnsw.meta(path).storage shouldBe storage
-      val q = vec(205)
-      val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512, rerankFactor = 16)
+      val m1 = GraftHnsw.meta(path)
+      m1.storage shouldBe storage
+      val post = graft.operators.HnswIndex.segmentVectors(spark, model, m1.segs.toSet)
+        .select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
       withClue(s"storage=$storage: ") {
+        post shouldBe pre // decoded geometry identical, float for float
+        val q = vec(205)
+        val got = GraftHnsw.probe(spark, path, q, k = 8, ef = 512, rerankFactor = 16)
         got.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
           .toSet shouldBe brute(path, q, 8).toSet
         got.collect().foreach { r =>
@@ -383,6 +396,43 @@ class GraftHnswSpec extends AnyFunSuite with Matchers {
         }
       }
     }
+  }
+
+  test("probeMmr: wide beam == scan-side mmrTopK on the same slice; lambda=1 == plain probe; TVF == Scala") {
+    val path = mkTable(60)
+    GraftHnsw.create(spark, path, "vec", nSegments = 2, m = 8, efConstruction = 64)
+    val q = vec(7)
+    // ef=512 over 60 rows ⇒ the widened probe recovers the exact top-20
+    // slice, i.e. exactly mmrTopK's stage-1 slice — greedy picks and
+    // both score columns must agree rank-for-rank
+    val mmr = GraftHnsw.probeMmr(spark, path, q, k = 6, ef = 512,
+        lambda = 0.5, candidates = 20)
+      .orderBy("rank").collect()
+    // output shape: rank + canonical probe columns + mmr_score
+    mmr.head.schema.fieldNames.toSeq shouldBe Seq("rank", "id", "s", "score", "mmr_score")
+    val want = graft.operators.VectorSearch.mmrTopK(
+        GraftTable.read(spark, path), "vec", "id", q,
+        k = 6, lambda = 0.5, candidates = 20)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    mmr.map(r => (r.getInt(0), r.getLong(1),
+      r.getAs[Double]("score"), r.getAs[Double]("mmr_score"))).toSeq shouldBe want
+    // λ=1 degenerates to the plain probe's (score desc, key asc) order
+    // (ordered explicitly — joinBack's payload join scrambles row order)
+    val plain = GraftHnsw.probe(spark, path, q, k = 6, ef = 512)
+      .orderBy(desc("score"), asc("id")).select("id").as[Long].collect().toSeq
+    val mmr1 = GraftHnsw.probeMmr(spark, path, q, k = 6, ef = 512,
+        lambda = 1.0, candidates = 20)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    mmr1 shouldBe plain
+    // TVF == Scala
+    GraftFunctions.register(spark)
+    val qLit = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val tvf = spark.sql(
+        s"""SELECT rank, id, score, mmr_score
+            FROM graft_hnsw_mmr('$path', $qLit, 6, 0.5, 20, 512) ORDER BY rank""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    tvf shouldBe want
   }
 
   // ---- filtered search (pred): the three-path selectivity strategy ----
