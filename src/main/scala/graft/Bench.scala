@@ -35,6 +35,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees broadcasts/localCheckpoint blocks only when
+      // the JVM GCs, and a 128 GiB heap almost never does on its own —
+      // Spark's own escape hatch is this periodic forced GC (default
+      // 30 min: ONE tick in a 44-min board). 3 min keeps the cleaner
+      // draining, so late-board rows don't pay earlier rows' block/
+      // broadcast debt (measured r13: dedup_incremental_minhash_build
+      // 28.6 s at board position ~40 vs 3.8 s targeted, quiet host both).
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query once at the tiny SF: same plan shape → janino
@@ -173,6 +181,13 @@ object Bench {
       rowsSinceSentinel += 1
       if (rowsSinceSentinel >= sentinelEvery) {
         rowsSinceSentinel = 0
+        // shed cross-row session debt BEFORE reading the sentinel: a gc
+        // here (outside any timed region, ~14 per board) lets the
+        // ContextCleaner drain broadcast/checkpoint-block backlog the
+        // big heap never collects on its own, complementing the
+        // periodicGC config above — so later rows measure themselves,
+        // not the session's history
+        System.gc()
         sentinelReadings += ((name, sentinelOnce() / sentinelBase))
       }
       res

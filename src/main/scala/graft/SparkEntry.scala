@@ -4223,6 +4223,20 @@ object SparkEntry {
         mode = "any_q", pred = Some(col("doc_id") % 2 === 0))
     }),
 
+    "text_search_fuzzy_multi" -> ((s, dir) => {
+      // MULTI-TERM fuzzy (Lucene's multi-clause FuzzyQuery, r13): the
+      // search-box shape — several words, typos in more than one. Each
+      // term ('tabl', 'valu') expands independently over ONE shared
+      // column-pruned dictionary scan (the family's documented cost,
+      // now paid once per query instead of once per term) and the
+      // UNION scores as a disjunctive BM25, each expanded term with
+      // its own df. Deterministic given the expansion (rational idf +
+      // per-term quantize-then-integer-sum) ⇒ the fuzzy oracle with
+      // both probes' levenshtein disjuncts.
+      TextIndex.searchFuzzy(s, tidxFixture(s, dir, "tidxfzm"), "tabl valu", 10,
+        mode = "any_q")
+    }),
+
     "text_index_postings" -> ((s, dir) => {
       // the index's stored facts, integer-exact: (tf, dl, df) per
       // (doc, query term) straight off the pruned posting scan — the
@@ -4560,6 +4574,10 @@ object SparkEntry {
         (s, dir) => { tidxFixture(s, dir, "tidxfzf"); () },
         (s, dir) => TextIndex.searchFuzzy(s, at("tidxfzf", dir), "tabl", 10,
           mode = "any_q", pred = Some(col("doc_id") % 2 === 0)))),
+      "text_search_fuzzy_multi" -> ((
+        (s, dir) => { tidxFixture(s, dir, "tidxfzm"); () },
+        (s, dir) => TextIndex.searchFuzzy(s, at("tidxfzm", dir), "tabl valu", 10,
+          mode = "any_q"))),
       "text_index_postings" -> ((
         (s, dir) => { tidxFixture(s, dir, "tpost"); () },
         (s, dir) => postingsServe(s, at("tpost", dir)))),
@@ -5125,6 +5143,40 @@ object SparkEntry {
            FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
            WHERE len(g.token) > 0),
          fterms AS (SELECT DISTINCT token FROM tok WHERE levenshtein(token, 'tabl') <= 1),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN (SELECT token FROM fterms) GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         term AS (
+           SELECT tf.doc_id,
+                  ((s.ndocs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))) *
+                  ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                   (tf.tf + CAST(1.2 AS DOUBLE) *
+                    (CAST(0.25 AS DOUBLE) +
+                     CAST(0.75 AS DOUBLE) * dlt.dl * s.ndocs / s.sumdl))) AS contrib
+           FROM tf JOIN dfq USING (token) JOIN dlt USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id,
+                CAST(sum(CAST(floor(contrib * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+         FROM term GROUP BY doc_id
+         ORDER BY score_q DESC, doc_id LIMIT 10""",
+
+    // multi-term fuzzy: the fuzzy oracle with BOTH probes' levenshtein
+    // disjuncts in the expansion (fterms DISTINCT dedupes a token near
+    // two probes, matching fuzzyTermsMulti's union semantics)
+    "text_search_fuzzy_multi" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         dlt AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS dl
+           FROM corpus),
+         stats AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+         tok AS (
+           SELECT doc_id, g.token
+           FROM corpus, LATERAL unnest(string_split(lower(text), ' ')) AS g(token)
+           WHERE len(g.token) > 0),
+         fterms AS (SELECT DISTINCT token FROM tok
+                    WHERE levenshtein(token, 'tabl') <= 1
+                       OR levenshtein(token, 'valu') <= 1),
          tf AS (
            SELECT doc_id, token, count(*) AS tf FROM tok
            WHERE token IN (SELECT token FROM fterms) GROUP BY 1, 2),

@@ -445,43 +445,72 @@ object TextIndex {
   def fuzzyTerms(spark: SparkSession, tablePath: String, term: String,
                  maxDist: Int, name: String = "txt", q: Int = 2,
                  allowStale: Boolean = false): Seq[String] = {
+    require(tokenize(term).length == 1, s"fuzzyTerms expands ONE term, got '$term' " +
+      "— multi-term queries go through fuzzyTermsMulti/searchFuzzy")
+    fuzzyTermsMulti(spark, tablePath, term, maxDist, name, q, allowStale)
+  }
+
+  /** [[fuzzyTerms]] for a MULTI-term query — Lucene's multi-clause
+    * fuzzy shape (each query term is its own fuzzy clause): ONE
+    * column-pruned dictionary scan serves EVERY probe (the per-probe
+    * length band + q-gram gate + banded levenshtein, OR'd), instead of
+    * one scan per term — the dictionary scan is the family's documented
+    * cost class, so a 5-term query pays it once, not five times.
+    * Returns the UNION of the per-probe expansions, name-sorted
+    * distinct (a token near two probes contributes once — the
+    * disjunctive scoring downstream dedupes clauses). Every probe must
+    * individually satisfy the q-gram exactness bound (refuses loudly,
+    * naming the offending term).
+    */
+  def fuzzyTermsMulti(spark: SparkSession, tablePath: String, query: String,
+                      maxDist: Int, name: String = "txt", q: Int = 2,
+                      allowStale: Boolean = false): Seq[String] = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val m = meta(tablePath, name)
     requireFresh(tablePath, m, allowStale)
-    val t = tokenize(term)
-    require(t.length == 1, s"fuzzyTerms expands ONE term, got '$term'")
-    val probe = t.head
-    val qGrams = probe.sliding(q).toSeq.distinct
-    val thresh = qGrams.size - q * maxDist
-    require(thresh >= 1,
-      s"fuzzyTerms: '$probe' has too few distinct $q-grams for exact pruning " +
-        s"at maxDist=$maxDist (need > ${q * maxDist})")
+    val probes = tokenize(query).distinct
+    require(probes.nonEmpty, s"fuzzyTermsMulti: no terms in '$query'")
+    probes.foreach { probe =>
+      val thresh = probe.sliding(q).toSeq.distinct.size - q * maxDist
+      require(thresh >= 1,
+        s"fuzzyTerms: '$probe' has too few distinct $q-grams for exact pruning " +
+          s"at maxDist=$maxDist (need > ${q * maxDist})")
+    }
     livePostingsPruned(spark, tablePath, m, None) match {
       case None => Seq.empty
       case Some(live) =>
         // sub-q tokens get NO grams (a descending sequence(1, len-q+1)
         // would fabricate a bogus whole-string "gram"); they can never
-        // match anyway — the probe has > q·d grams so its length exceeds
-        // q + d − 1 and the length filter excludes sub-q tokens
+        // match anyway — each probe has > q·d grams so its length
+        // exceeds q + d − 1 and the length filter excludes sub-q tokens
         val grams = when(length(col("token")) >= q,
           array_distinct(transform(
             sequence(lit(1), length(col("token")) - (q - 1)),
             i => col("token").substr(i, lit(q)))))
           .otherwise(array().cast("array<string>"))
+        val anyProbe = probes.map { probe =>
+          val qGrams = probe.sliding(q).toSeq.distinct
+          val thresh = qGrams.size - q * maxDist
+          (abs(length(col("token")) - probe.length) <= maxDist) &&
+            (size(array_intersect(grams, typedLit(qGrams))) >= thresh) &&
+            // banded (3-arg) levenshtein: O(maxDist·len) per candidate
+            // instead of the full DP; -1 = past the threshold
+            levenshtein(col("token"), lit(probe), maxDist).between(0, maxDist)
+        }.reduce(_ || _)
         live.select("token").distinct()
-          .filter(abs(length(col("token")) - probe.length) <= maxDist)
-          .filter(size(array_intersect(grams, typedLit(qGrams))) >= thresh)
-          // banded (3-arg) levenshtein: O(maxDist·len) per candidate
-          // instead of the full DP; -1 = past the threshold
-          .filter(levenshtein(col("token"), lit(probe), maxDist).between(0, maxDist))
+          .filter(anyProbe)
           .collect().map(_.getString(0)).toSeq.sorted
     }
   }
 
-  /** Fuzzy BM25: [[fuzzyTerms]]' expansion scored as a disjunctive
-    * query — each matched term contributes with its OWN df (Lucene's
-    * fuzzy scoring shape: rare exact-ish matches outweigh common
+  /** Fuzzy BM25: the query's expansion scored as a disjunctive query —
+    * each matched term contributes with its OWN df (Lucene's fuzzy
+    * scoring shape: rare exact-ish matches outweigh common
     * near-misses). No expansion → zero rows, shaped like [[search]].
+    * MULTI-term queries are Lucene's multi-clause fuzzy (r13): every
+    * term expands independently over ONE shared dictionary scan
+    * ([[fuzzyTermsMulti]]) and the union scores disjunctively — the
+    * search-box shape (several words, a typo in one).
     *
     * `pred` carries [[search]]'s FILTER-clause semantics through the
     * expansion: eligibility narrows AFTER scoring (semi-join against
@@ -498,7 +527,7 @@ object TextIndex {
                   mode: String = "any"): DataFrame = {
     require(mode == "any" || mode == "any_q",
       s"searchFuzzy scores its expansion disjunctively — mode 'any' or 'any_q', got '$mode'")
-    val expanded = fuzzyTerms(spark, tablePath, term, maxDist, name, q, allowStale)
+    val expanded = fuzzyTermsMulti(spark, tablePath, term, maxDist, name, q, allowStale)
     search(spark, tablePath, expanded.mkString(" "), k, name, mode, idf,
       allowStale, pred)
   }

@@ -168,6 +168,39 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     TextIndex.searchFuzzy(spark, path, "tble", k = 10).count() shouldBe 0L
   }
 
+  test("MULTI-term fuzzy: per-term expansions union over one dictionary scan; scoring == plain search on the union") {
+    val path = freshTable(120)
+    TextIndex.create(spark, path, "text")
+    // two independent typos: 'tble' -> table, 'qery' -> query — the
+    // union equals the per-term expansions concatenated
+    TextIndex.fuzzyTermsMulti(spark, path, "tble qery", maxDist = 1) shouldBe
+      Seq("query", "table")
+    // a mixed exact + typo query keeps the exact term (distance 0)
+    TextIndex.fuzzyTermsMulti(spark, path, "spark tble", maxDist = 1) shouldBe
+      Seq("spark", "table")
+    // repeated terms dedupe before the scan
+    TextIndex.fuzzyTermsMulti(spark, path, "tble tble", maxDist = 1) shouldBe
+      Seq("table")
+    // multi-term scoring == the plain disjunctive search over the union
+    val fuzzy = TextIndex.searchFuzzy(spark, path, "tble qery", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    fuzzy shouldBe got(path, "table query", 10)
+    // the single-term contract is unchanged (loud on multi via fuzzyTerms)
+    intercept[IllegalArgumentException] {
+      TextIndex.fuzzyTerms(spark, path, "tble qery", maxDist = 1)
+    }.getMessage should include("ONE term")
+    // one too-short term anywhere refuses loudly, naming it
+    intercept[IllegalArgumentException] {
+      TextIndex.fuzzyTermsMulti(spark, path, "table abc", maxDist = 1)
+    }.getMessage should include("'abc'")
+    // the TVF serves the multi-term shape (mode fuzzy, default knobs)
+    GraftFunctions.register(spark)
+    val tvf = spark.sql(
+        s"SELECT doc_id, score FROM graft_text_search('$path', 'tble qery', 10, 'fuzzy')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    tvf shouldBe fuzzy
+  }
+
   test("a search against a stale index fails LOUDLY; allowStale serves the pinned snapshot") {
     val path = freshTable(100)
     TextIndex.create(spark, path, "text")
