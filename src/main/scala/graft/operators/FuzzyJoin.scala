@@ -29,6 +29,57 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Spread an exploding posting join across the cluster (guide §2.5's
+    * salt-the-hot-key discipline, made adaptive). The gram-keyed
+    * candidate join has TINY input (q·d+1 postings per distinct name)
+    * but output f_a(g)·f_b(g) pairs per gram — so AQE, which sizes the
+    * post-shuffle stage from its INPUT bytes, coalesces the whole pair
+    * explosion onto one task (measured: a 4.8 M-pair verify ran as ONE
+    * 7.1 s task at sf0.1; 32 cores idle). Neither AQE skew handling nor
+    * more shuffle partitions helps: the explosion is per-KEY, and a
+    * single hot gram's block is indivisible under plain hash
+    * partitioning.
+    *
+    * Fix, exact by construction: estimate per-gram pair volume from the
+    * two posting dfs (one tiny keyed agg per side), give each gram a
+    * split factor s_g = ceil(f_a·f_b / pairsPerTask); the left posting
+    * picks ONE salt = hash(name) mod s_g, the right posting replicates
+    * s_g ways, and the join keys on (gram, salt) — every (a, b) pair
+    * still meets exactly once (under b's replica salt(a)), so emitted
+    * rows are bit-identical. Replication cost is Σ_g f_b·s_g ≈
+    * pairVolume / pairsPerTask extra posting rows — paid exactly where
+    * the explosion is, nothing on cold grams (s_g = 1). Both sides are
+    * then repartitioned EXPLICITLY on (gram, salt) to the session's
+    * shuffle parallelism — a user-fixed partition count AQE must not
+    * coalesce — so the pair generation and the levenshtein verify run
+    * wide. Scale-adaptive: split factors derive from the measured dfs
+    * and the partition count from the session conf, no constant tuned
+    * to this host.
+    */
+  private def saltExplodingJoin(a: DataFrame, aIdCol: String,
+                                b: DataFrame, keys: Seq[String],
+                                pairsPerTask: Long = 250000L): DataFrame = {
+    val sess = a.sparkSession
+    val parts = sess.sessionState.conf.numShufflePartitions
+    val fa = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__fa"))
+    val fb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__fb"))
+    val splits = fa.join(fb, keys)
+      .select((keys.map(col) :+
+        least(greatest(ceil(col("__fa") * col("__fb") / lit(pairsPerTask.toDouble)),
+          lit(1L)), lit(4096L)).cast("int").as("__sg")): _*)
+    val aS = a.join(splits, keys)
+      .withColumn("__salt",
+        pmod(xxhash64(col(aIdCol)), col("__sg").cast("long")).cast("int"))
+      .drop("__sg")
+    val bS = b.join(splits, keys)
+      .withColumn("__salt", explode(expr("sequence(0, __sg - 1)")))
+      .drop("__sg")
+    val jk = keys :+ "__salt"
+    aS.repartition(parts, jk.map(col): _*)
+      .join(bS.repartition(parts, jk.map(col): _*), jk)
+      .drop("__salt")
+  }
+
   /** Distinct q-grams of a string column. Strings shorter than q have
     * NO grams (empty array) — `sequence(1, len-q+1)` would otherwise
     * run DESCENDING for len < q and fabricate a bogus sub-q "gram", so
@@ -203,7 +254,7 @@ object FuzzyJoin {
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
     if (bandShard != "always" && plainHot.isEmpty)
-      verify(a.join(b, Seq("__gram")))
+      verify(saltExplodingJoin(a, "name_a", b, Seq("__gram")))
     else {
       if (plainHot.nonEmpty)
         System.err.println(s"[graft] near-dup names: prefix posting(s) past " +
@@ -221,7 +272,7 @@ object FuzzyJoin {
         s"near-dup names: prefix posting(s) ${hot2.mkString(", ")} exceed " +
           s"dfCap=$dfCap WITHIN one length band — a genuinely quadratic " +
           "same-length head; raise q or lower maxDist")
-      verify(ba.join(bb, Seq("__gram", "__bk")))
+      verify(saltExplodingJoin(ba, "name_a", bb, Seq("__gram", "__bk")))
     }
   }
 
@@ -330,7 +381,7 @@ object FuzzyJoin {
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
         (col("__ca") * col("__cb")).cast("long").as("n_pairs"))
     if (bandShard != "always" && plainHot.isEmpty)
-      verify(aSide.join(bSide, Seq("__gram")))
+      verify(saltExplodingJoin(aSide, "name_a", bSide, Seq("__gram")))
     else {
       // length-band shard (see scaladoc): postings keyed by
       // (gram, band) and (gram, band + 1), band width = maxDist
@@ -352,7 +403,7 @@ object FuzzyJoin {
             s"dfCap=$dfCap WITHIN one length band — a genuinely quadratic " +
             "same-length head; raise q or lower maxDist")
       }
-      verify(ba.join(bb, Seq("__gram", "__bk")))
+      verify(saltExplodingJoin(ba, "name_a", bb, Seq("__gram", "__bk")))
     }
   }
 
